@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for oracle-stable query results.
+  *
+  * The driver hash-compares our parquet output against DuckDB. Double
+  * aggregation is order-dependent (partition-parallel sums), so every
+  * declared money/ratio aggregate goes through exact decimal arithmetic
+  * and is cast back to double only at the very end — deterministic and
+  * engine-independent. This also holds at 100 TB: decimal sums are
+  * associative, so partial aggregation / AQE re-partitioning never
+  * changes the answer.
+  */
+package object ops {
+  /** Exact sum of a 2-decimal money column, returned as double.
+    * Oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact mean via decimal sum / count, returned as double.
+    * Oracle: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** SQL fragment equivalents used when emitting DuckDB oracle text. */
+  def dsumSql(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+  def davgSql(col: String): String =
+    s"${dsumSql(col)} / COUNT($col)"
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-provided star-schema fixtures (TESTDATA.md).
+  *
+  * Mirrors the reference's table-registration surface
+  * (`rust/datafusion/src/execution/context.rs:177-198`,
+  * `register_csv/register_parquet/register_table`): a name → DataFrame
+  * registry over an on-disk directory of one parquet file per table.
+  *
+  * Scale posture: `spark.read.parquet(dir)` keeps Spark's native
+  * multi-file split planning, predicate pushdown and column pruning —
+  * the 100 TB path is "point this at a directory of many files", which
+  * works unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables, always safe to broadcast in joins. */
+  val smallDims: Set[String] = Set("region", "nation", "supplier")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+    // Spark 4 rejects outright. Read nanos as long, then truncate to
+    // micros (integer `div`, not `/` — ns-since-epoch exceeds double's
+    // 2^53 exact-integer range) to match DuckDB/our µs convention
+    // (SURVEY §1.2 ns-truncation note).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every fixture table as a temp view (SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
