@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session conventions for the engine (SURVEY §7 milestone 1).
+  *
+  * The reference's cast defaults are unsafe (Gandiva/Arrow
+  * `CastOptions{allow_int_overflow, allow_float_truncate, ...}` —
+  * `cpp/src/arrow/compute/kernels/cast.h:36`), i.e. invalid input →
+  * null, overflow wraps, fractions truncate. Spark 4 defaults to ANSI
+  * (errors); we pin the non-ANSI behavior, UTC session time, and the
+  * ns-as-long parquet reading the events fixture needs.
+  *
+  * Idempotent and cheap — callable from every table load.
+  */
+object Engine {
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // AQE: runtime coalescing + skew-join handling — the 100 TB safety
+    // net; on by default in Spark 4 but pinned here explicitly.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Standard local session for mains (driver runs local[32]). */
+  def session(threads: String, shufflePartitions: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    configure(s)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Relational
+import graft.ops.{Joins, Relational, Scalars, SetOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,27 @@ object SparkEntry {
     "distinct"      -> (Relational.qDistinct _),
     "value_counts"  -> (Relational.qValueCounts _),
     "minmax_group"  -> (Relational.qMinMaxGroup _),
+    "join_inner"     -> (Joins.qJoinInner _),
+    "join_broadcast" -> (Joins.qJoinBroadcast _),
+    "join_semi"      -> (Joins.qJoinSemi _),
+    "join_anti"      -> (Joins.qJoinAnti _),
+    "join_left"      -> (Joins.qJoinLeft _),
+    "join_right"     -> (Joins.qJoinRight _),
+    "join_full"      -> (Joins.qJoinFull _),
+    "union_all"      -> (SetOps.qUnionAll _),
+    "union_distinct" -> (SetOps.qUnionDistinct _),
+    "intersect"      -> (SetOps.qIntersect _),
+    "except"         -> (SetOps.qExcept _),
+    "union_by_name"  -> (SetOps.qUnionByName _),
+    "window_rank"    -> (Windows.qWindowRank _),
+    "window_lag"     -> (Windows.qWindowLag _),
+    "window_frame"   -> (Windows.qWindowFrame _),
+    "window_ntile"   -> (Windows.qWindowNtile _),
+    "string_funcs"   -> (Scalars.qStringFuncs _),
+    "math_funcs"     -> (Scalars.qMathFuncs _),
+    "date_funcs"     -> (Scalars.qDateFuncs _),
+    "ts_arith"       -> (Scalars.qTsArith _),
+    "hash_funcs"     -> (Scalars.qHashFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +66,26 @@ object SparkEntry {
     "distinct"      -> Relational.qDistinctSql,
     "value_counts"  -> Relational.qValueCountsSql,
     "minmax_group"  -> Relational.qMinMaxGroupSql,
+    "join_inner"     -> Joins.qJoinInnerSql,
+    "join_broadcast" -> Joins.qJoinBroadcastSql,
+    "join_semi"      -> Joins.qJoinSemiSql,
+    "join_anti"      -> Joins.qJoinAntiSql,
+    "join_left"      -> Joins.qJoinLeftSql,
+    "join_right"     -> Joins.qJoinRightSql,
+    "join_full"      -> Joins.qJoinFullSql,
+    "union_all"      -> SetOps.qUnionAllSql,
+    "union_distinct" -> SetOps.qUnionDistinctSql,
+    "intersect"      -> SetOps.qIntersectSql,
+    "except"         -> SetOps.qExceptSql,
+    "union_by_name"  -> SetOps.qUnionByNameSql,
+    "window_rank"    -> Windows.qWindowRankSql,
+    "window_lag"     -> Windows.qWindowLagSql,
+    "window_frame"   -> Windows.qWindowFrameSql,
+    "window_ntile"   -> Windows.qWindowNtileSql,
+    "string_funcs"   -> Scalars.qStringFuncsSql,
+    "math_funcs"     -> Scalars.qMathFuncsSql,
+    "date_funcs"     -> Scalars.qDateFuncsSql,
+    "ts_arith"       -> Scalars.qTsArithSql,
+    // hash_funcs: murmur3/xxhash64 are engine-specific — rows-only check
   )
 }

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's scalar function surface (SURVEY §2.8) as a facade of
+  * Spark `Column` expressions — every Gandiva registry name
+  * (`cpp/src/gandiva/function_registry_*.cc`) and DataFusion operator
+  * (`rust/datafusion/src/logicalplan.rs:90-123`) maps here, with the
+  * reference's null/overflow conventions pinned where they differ from
+  * Spark defaults.
+  *
+  * Everything is a plain `functions._` composition — codegen-friendly,
+  * no UDFs — so the whole facade stays inside whole-stage codegen.
+  */
+package object functions {
+
+  // ---- arithmetic (function_registry_arithmetic.cc:20-67) ----
+  def add(a: Column, b: Column): Column = a + b
+  def subtract(a: Column, b: Column): Column = a - b
+  def multiply(a: Column, b: Column): Column = a * b
+  def divide(a: Column, b: Column): Column = a / b
+  /** integer division (Gandiva `div`): truncates toward zero.
+    * (a - a % b) / b is exact in long arithmetic, so no double
+    * round-trip; % keeps the dividend's sign, matching C/Rust. */
+  def div(a: Column, b: Column): Column = {
+    val (al, bl) = (a.cast(LongType), b.cast(LongType))
+    ((al - al % bl) / bl).cast(LongType)
+  }
+  /** modulo (sign of dividend, like Gandiva mod / Rust %). */
+  def mod(a: Column, b: Column): Column = a % b
+
+  // ---- comparison (logicalplan.rs:91-102) ----
+  def eq(a: Column, b: Column): Column = a === b
+  def not_equal(a: Column, b: Column): Column = a =!= b
+  def less_than(a: Column, b: Column): Column = a < b
+  def less_than_or_equal_to(a: Column, b: Column): Column = a <= b
+  def greater_than(a: Column, b: Column): Column = a > b
+  def greater_than_or_equal_to(a: Column, b: Column): Column = a >= b
+  /** is_not_distinct_from (function_registry_math_ops.cc): null-safe =. */
+  def is_not_distinct_from(a: Column, b: Column): Column = a <=> b
+  def is_distinct_from(a: Column, b: Column): Column = !(a <=> b)
+
+  // ---- math (function_registry_math_ops.cc:29-64) ----
+  def cbrt(c: Column): Column = org.apache.spark.sql.functions.cbrt(c)
+  def exp(c: Column): Column = org.apache.spark.sql.functions.exp(c)
+  def log(c: Column): Column = org.apache.spark.sql.functions.log(c)
+  def log10(c: Column): Column = org.apache.spark.sql.functions.log10(c)
+  /** log(base, x) — Gandiva two-arg log. */
+  def log(base: Double, x: Column): Column =
+    org.apache.spark.sql.functions.log(base, x)
+  def power(a: Column, b: Column): Column = pow(a, b)
+  def isnull(c: Column): Column = c.isNull
+  def isnotnull(c: Column): Column = c.isNotNull
+  /** isnumeric: string parses as a number (Gandiva isnumeric). */
+  def isnumeric(c: Column): Column = c.cast(DoubleType).isNotNull
+  def abs(c: Column): Column = org.apache.spark.sql.functions.abs(c)
+  def ceil(c: Column): Column = org.apache.spark.sql.functions.ceil(c)
+  def floor(c: Column): Column = org.apache.spark.sql.functions.floor(c)
+  def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+  def round(c: Column, scale: Int): Column =
+    org.apache.spark.sql.functions.round(c, scale)
+  /** truncate(x, scale): toward zero at given decimal scale (Gandiva
+    * truncate; Spark has no numeric truncate builtin). */
+  def truncate(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    val scaled = c * lit(p)
+    (when(scaled >= 0, org.apache.spark.sql.functions.floor(scaled))
+      .otherwise(org.apache.spark.sql.functions.ceil(scaled)) / lit(p))
+  }
+  def truncate(c: Column): Column = truncate(c, 0)
+  /** random/rand (seeded, function_registry_math_ops.cc). */
+  def random(seed: Long): Column = rand(seed)
+
+  // ---- string (function_registry_string.cc:20-97) ----
+  def starts_with(c: Column, prefix: String): Column = c.startsWith(prefix)
+  def ends_with(c: Column, suffix: String): Column = c.endsWith(suffix)
+  /** locate/position(sub, str[, start]) — 1-based, 0 = not found. */
+  def locate(sub: String, str: Column): Column =
+    org.apache.spark.sql.functions.locate(sub, str)
+  def locate(sub: String, str: Column, pos: Int): Column =
+    org.apache.spark.sql.functions.locate(sub, str, pos)
+  def octet_length(c: Column): Column =
+    org.apache.spark.sql.functions.octet_length(c)
+  def bit_length(c: Column): Column =
+    org.apache.spark.sql.functions.bit_length(c)
+  /** char_length/length/lengthUtf8 — UTF-8 code points. */
+  def char_length(c: Column): Column = org.apache.spark.sql.functions.length(c)
+  def reverse(c: Column): Column = org.apache.spark.sql.functions.reverse(c)
+  def upper(c: Column): Column = org.apache.spark.sql.functions.upper(c)
+  def lower(c: Column): Column = org.apache.spark.sql.functions.lower(c)
+  /** castVARCHAR(x, len): cast to string truncated to len chars. */
+  def castVARCHAR(c: Column, len: Int): Column =
+    substring(c.cast(StringType), 1, len)
+  def like(c: Column, pattern: String): Column = c.like(pattern)
+  /** substr/substring — 1-based offset like the reference. */
+  def substr(c: Column, pos: Int, len: Int): Column = substring(c, pos, len)
+  def substr(c: Column, pos: Int): Column =
+    c.substr(lit(pos), org.apache.spark.sql.functions.length(c))
+  /** Reference `concat`: null behaves as empty string
+    * (function_registry_string.cc — null→""). Spark's concat
+    * null-propagates, so this is concat_ws(""). */
+  def concat(cols: Column*): Column = concat_ws("", cols: _*)
+  /** Reference `concatOperator` (||): null-propagating — Spark concat. */
+  def concatOperator(cols: Column*): Column =
+    org.apache.spark.sql.functions.concat(cols: _*)
+  def replace(c: Column, from: String, to: String): Column =
+    org.apache.spark.sql.functions.replace(c, lit(from), lit(to))
+
+  // ---- datetime extract (function_registry_datetime.cc:23-44) ----
+  def extractYear(c: Column): Column = year(c)
+  def extractQuarter(c: Column): Column = quarter(c)
+  def extractMonth(c: Column): Column = month(c)
+  def extractWeek(c: Column): Column = weekofyear(c)
+  def extractDay(c: Column): Column = dayofmonth(c)
+  def extractHour(c: Column): Column = hour(c)
+  def extractMinute(c: Column): Column = minute(c)
+  def extractSecond(c: Column): Column = second(c)
+  def extractDoy(c: Column): Column = dayofyear(c)
+  /** extractDow: ISO day-of-week 1=Monday..7=Sunday (Gandiva uses
+    * PostgreSQL EXTRACT(DOW) numbering shifted; we pin ISO and test
+    * it — Spark dayofweek is 1=Sunday so shift). */
+  def extractDow(c: Column): Column = ((dayofweek(c) + 5) % 7) + 1
+  /** extractEpoch: seconds since epoch. */
+  def extractEpoch(c: Column): Column = unix_timestamp(c)
+  def extractMillennium(c: Column): Column =
+    org.apache.spark.sql.functions.floor((year(c) - 1) / 1000) + 1
+  def extractCentury(c: Column): Column =
+    org.apache.spark.sql.functions.floor((year(c) - 1) / 100) + 1
+  def extractDecade(c: Column): Column =
+    org.apache.spark.sql.functions.floor(year(c) / 10)
+  def date_trunc(unit: String, c: Column): Column =
+    org.apache.spark.sql.functions.date_trunc(unit, c)
+  def castDATE(c: Column): Column =
+    org.apache.spark.sql.functions.to_date(c)
+  def castTIMESTAMP(c: Column): Column = to_timestamp(c)
+  def to_date(c: Column, fmt: String): Column =
+    org.apache.spark.sql.functions.to_date(c, fmt)
+
+  // ---- timestamp arithmetic (function_registry_timestamp_arithmetic.cc) ----
+  def months_between(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.months_between(a, b)
+  private val zero = lit(0)
+  def timestampaddSecond(n: Column, ts: Column): Column =
+    ts + make_interval(zero, zero, zero, zero, zero, zero, n)
+  def timestampaddMinute(n: Column, ts: Column): Column =
+    ts + make_interval(zero, zero, zero, zero, zero, n, zero)
+  def timestampaddHour(n: Column, ts: Column): Column =
+    ts + make_interval(zero, zero, zero, zero, n, zero, zero)
+  def timestampaddDay(n: Column, ts: Column): Column =
+    ts + make_interval(zero, zero, zero, n, zero, zero, zero)
+  def timestampaddMonth(n: Column, ts: Column): Column =
+    ts + make_interval(zero, n, zero, zero, zero, zero, zero)
+  def timestampaddYear(n: Column, ts: Column): Column =
+    ts + make_interval(n, zero, zero, zero, zero, zero, zero)
+  /** timestampdiff<Unit>(a, b) = complete units from a to b, truncated
+    * toward zero (MySQL TIMESTAMPDIFF convention, as in Gandiva). */
+  def timestampdiffSecond(a: Column, b: Column): Column =
+    unix_timestamp(b) - unix_timestamp(a)
+  def timestampdiffMinute(a: Column, b: Column): Column =
+    div(timestampdiffSecond(a, b), lit(60L))
+  def timestampdiffHour(a: Column, b: Column): Column =
+    div(timestampdiffSecond(a, b), lit(3600L))
+  def timestampdiffDay(a: Column, b: Column): Column =
+    div(timestampdiffSecond(a, b), lit(86400L))
+  def timestampdiffMonth(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.months_between(b, a).cast(IntegerType)
+  def timestampdiffYear(a: Column, b: Column): Column =
+    (org.apache.spark.sql.functions.months_between(b, a) / 12)
+      .cast(IntegerType)
+  def date_add(d: Column, n: Int): Column =
+    org.apache.spark.sql.functions.date_add(d, n)
+  def date_sub(d: Column, n: Int): Column =
+    org.apache.spark.sql.functions.date_sub(d, n)
+  def date_diff(a: Column, b: Column): Column = datediff(a, b)
+
+  // ---- hash (function_registry_hash.cc:20-33) ----
+  def hash32(c: Column): Column = org.apache.spark.sql.functions.hash(c)
+  def hash64(c: Column): Column = xxhash64(c)
+
+  // ---- sort conventions (SURVEY §2.6: reference nulls stably LAST) ----
+  def ascNullsLast(c: Column): Column = c.asc_nulls_last
+  def descNullsLast(c: Column): Column = c.desc_nulls_last
+
+  // ---- unsigned widening casts (SURVEY §1.2 convention) ----
+  def castFromUInt8(c: Column): Column = c.cast(ShortType)
+  def castFromUInt16(c: Column): Column = c.cast(IntegerType)
+  def castFromUInt32(c: Column): Column = c.cast(LongType)
+  def castFromUInt64(c: Column): Column = c.cast(DecimalType(20, 0))
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Join surface (SURVEY §2.3). The reference tops out at IsIn/Match
+  * semi-join filtering (`cpp/src/arrow/compute/kernels/isin.h:45`);
+  * the full equi-join family is declared Spark-native. All joins are
+  * written scale-first:
+  *
+  *   - fact ⋈ fact (lineitem ⋈ orders) → shuffle hash/sort-merge on the
+  *     join key, Spark's native partitioned path; AQE re-plans skew.
+  *   - fact ⋈ dim (customer/nation/region/supplier) → explicit
+  *     `broadcast()` so the 100 TB fact side never shuffles for a
+  *     kilobyte-scale dimension.
+  *
+  * Every query aggregates or totally orders its output so the driver
+  * hash is deterministic.
+  */
+object Joins {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Inner equi-join fact⋈fact + group-agg: revenue per order priority.
+    * At scale both sides shuffle on orderkey — the partitioning Spark
+    * would pick for any distributed hash join. */
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(9,4)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+
+  val qJoinInnerSql: String = """
+    SELECT o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
+  /** Star-schema broadcast chain: customer ⋈ nation ⋈ region, all dims
+    * broadcast — zero shuffles on the big side; count per region. */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name"))
+
+  val qJoinBroadcastSql: String = s"""
+    SELECT r_name, COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+  """.trim
+
+  /** Left semi join — the direct Spark analogue of the reference's
+    * IsIn capability ceiling: orders having at least one big lineitem. */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 49.0),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val qJoinSemiSql: String = """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49.0)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
+  /** Left anti join: customers with no high-value order. */
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_no_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  val qJoinAntiSql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_no_orders
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+  """.trim
+
+  /** Left outer join with null-aware aggregation: per-customer order
+    * counts including order-less customers (COUNT of right-side key
+    * counts only matched rows). */
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val qJoinLeftSql: String = """
+    SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders,
+      CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+  """.trim
+
+  /** Full outer join: supplier vs customer presence per nation key —
+    * exercises both-null-side semantics. */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val cust = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_customers"))
+    sup.join(cust, col("nk_s") === col("nk_c"), "full_outer")
+      .select(
+        coalesce(col("nk_s"), col("nk_c")).as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qJoinFullSql: String = """
+    SELECT COALESCE(nk_s, nk_c) AS nationkey,
+      COALESCE(n_suppliers, 0) AS n_suppliers,
+      COALESCE(n_customers, 0) AS n_customers
+    FROM (SELECT s_nationkey AS nk_s, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) sup
+    FULL OUTER JOIN (SELECT c_nationkey AS nk_c, COUNT(*) AS n_customers FROM customer GROUP BY 1) cust
+      ON nk_s = nk_c
+    ORDER BY nationkey
+  """.trim
+
+  /** Right outer join (mirror of left): all nations kept even without
+    * suppliers; dims broadcast. */
+  def qJoinRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"), "right")
+      .groupBy(col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("n_name"))
+
+  val qJoinRightSql: String = """
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+  """.trim
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.{functions => gf}
+
+/** Table-level queries exercising the §2.8 scalar facade
+  * (graft.functions) end-to-end, each with a DuckDB oracle twin. All
+  * expressions are `functions._` compositions → whole-stage codegen,
+  * no UDFs in the hot path.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** String function surface (function_registry_string.cc). */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        gf.upper(col("p_name")).as("up"),
+        gf.lower(col("p_type")).as("lo"),
+        gf.char_length(col("p_name")).as("len"),
+        gf.octet_length(col("p_name")).as("olen"),
+        gf.bit_length(col("p_name")).as("blen"),
+        gf.reverse(col("p_name")).as("rev"),
+        gf.substr(col("p_name"), 2, 3).as("sub"),
+        gf.substr(col("p_brand"), 6).as("brand_num"),
+        gf.locate("o", col("p_name")).as("pos_o"),
+        gf.starts_with(col("p_name"), "red").cast(IntegerType).as("is_red"),
+        gf.ends_with(col("p_name"), "bolt").cast(IntegerType).as("is_bolt"),
+        gf.concat(col("p_name"), lit("/"), col("p_type")).as("cat"),
+        gf.replace(col("p_name"), " ", "_").as("repl"),
+        gf.castVARCHAR(col("p_type"), 3).as("typ3"))
+      .orderBy(col("p_partkey"))
+
+  val qStringFuncsSql: String = """
+    SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_type) AS lo,
+      LENGTH(p_name) AS len, STRLEN(p_name) AS olen,
+      BIT_LENGTH(p_name) AS blen, REVERSE(p_name) AS rev,
+      SUBSTR(p_name, 2, 3) AS sub, SUBSTR(p_brand, 6) AS brand_num,
+      CAST(STRPOS(p_name, 'o') AS INTEGER) AS pos_o,
+      CAST(STARTS_WITH(p_name, 'red') AS INTEGER) AS is_red,
+      CAST(p_name LIKE '%bolt' AS INTEGER) AS is_bolt,
+      p_name || '/' || p_type AS cat,
+      REPLACE(p_name, ' ', '_') AS repl,
+      SUBSTR(p_type, 1, 3) AS typ3
+    FROM part WHERE p_partkey <= 500
+    ORDER BY p_partkey
+  """.trim
+
+  /** Math function surface (function_registry_math_ops.cc). Inputs are
+    * strictly positive so div/mod/floor conventions agree across
+    * engines; signed edge cases are pinned in FunctionsSpec. */
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0 && col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        gf.abs(col("l_discount") - 0.05).as("abs_d"),
+        gf.ceil(col("l_quantity")).as("ceil_q"),
+        gf.floor(col("l_extendedprice")).as("floor_p"),
+        gf.round(col("l_extendedprice"), 1).as("round_p1"),
+        gf.truncate(col("l_extendedprice"), 1).as("trunc_p1"),
+        // transcendentals: libm implementations differ by 1 ulp across
+        // engines — round to 6dp for the exact-hash compare
+        gf.round(gf.cbrt(col("l_quantity")), 6).as("cbrt_q"),
+        gf.round(gf.exp(col("l_discount")), 6).as("exp_d"),
+        gf.round(gf.log(col("l_extendedprice")), 6).as("ln_p"),
+        gf.round(gf.log10(col("l_extendedprice")), 6).as("log10_p"),
+        gf.round(gf.log(2.0, col("l_quantity")), 6).as("log2_q"),
+        gf.power(col("l_quantity"), lit(2.0)).as("q_sq"),
+        gf.mod(col("l_orderkey"), lit(97L)).as("mod97"),
+        gf.div(col("l_orderkey"), lit(7L)).as("div7"),
+        gf.isnumeric(col("l_returnflag")).cast(IntegerType).as("flag_numeric"),
+        gf.is_not_distinct_from(col("l_quantity"), col("l_linenumber"))
+          .cast(IntegerType).as("nsafe_eq"))
+      .orderBy(col("l_orderkey"))
+
+  val qMathFuncsSql: String = """
+    SELECT l_orderkey,
+      ABS(l_discount - 0.05) AS abs_d,
+      CAST(CEIL(l_quantity) AS BIGINT) AS ceil_q,
+      CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p,
+      ROUND(l_extendedprice, 1) AS round_p1,
+      TRUNC(l_extendedprice * 10) / 10 AS trunc_p1,
+      ROUND(CBRT(l_quantity), 6) AS cbrt_q,
+      ROUND(EXP(l_discount), 6) AS exp_d,
+      ROUND(LN(l_extendedprice), 6) AS ln_p,
+      ROUND(LOG10(l_extendedprice), 6) AS log10_p,
+      ROUND(LN(l_quantity) / LN(2.0), 6) AS log2_q,
+      POW(l_quantity, 2.0) AS q_sq,
+      l_orderkey % 97 AS mod97,
+      l_orderkey // 7 AS div7,
+      CAST(l_returnflag SIMILAR TO '[-+]?[0-9]*\.?[0-9]+([eE][-+]?[0-9]+)?' AS INTEGER) AS flag_numeric,
+      CAST(l_quantity IS NOT DISTINCT FROM CAST(l_linenumber AS DOUBLE) AS INTEGER) AS nsafe_eq
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0 AND l_linenumber = 1
+    ORDER BY l_orderkey
+  """.trim
+
+  /** Datetime extract surface (function_registry_datetime.cc). */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 200 === 0)
+      .select(
+        col("o_orderkey"),
+        gf.extractYear(col("o_orderdate")).as("yy"),
+        gf.extractQuarter(col("o_orderdate")).as("qq"),
+        gf.extractMonth(col("o_orderdate")).as("mm"),
+        gf.extractWeek(col("o_orderdate")).as("ww"),
+        gf.extractDay(col("o_orderdate")).as("dd"),
+        gf.extractDoy(col("o_orderdate")).as("doy"),
+        gf.extractDow(col("o_orderdate")).as("dow_iso"),
+        gf.extractHour(col("o_orderdate")).as("hh"),
+        gf.extractMinute(col("o_orderdate")).as("mi"),
+        gf.extractSecond(col("o_orderdate")).as("ss"),
+        gf.extractEpoch(col("o_orderdate")).as("epoch_s"),
+        gf.extractDecade(col("o_orderdate")).as("decade"),
+        gf.extractCentury(col("o_orderdate")).as("century"),
+        gf.date_trunc("month", col("o_orderdate")).as("month_start"),
+        gf.castDATE(col("o_orderdate")).as("odate"))
+      .orderBy(col("o_orderkey"))
+
+  val qDateFuncsSql: String = """
+    SELECT o_orderkey,
+      CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yy,
+      CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qq,
+      CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mm,
+      CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS ww,
+      CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dd,
+      CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS doy,
+      CAST(EXTRACT(ISODOW FROM o_orderdate) AS INTEGER) AS dow_iso,
+      CAST(EXTRACT(HOUR FROM o_orderdate) AS INTEGER) AS hh,
+      CAST(EXTRACT(MINUTE FROM o_orderdate) AS INTEGER) AS mi,
+      CAST(EXTRACT(SECOND FROM o_orderdate) AS INTEGER) AS ss,
+      epoch_us(o_orderdate) // 1000000 AS epoch_s,
+      CAST(EXTRACT(YEAR FROM o_orderdate) // 10 AS BIGINT) AS decade,
+      CAST((EXTRACT(YEAR FROM o_orderdate) - 1) // 100 + 1 AS BIGINT) AS century,
+      DATE_TRUNC('month', o_orderdate) AS month_start,
+      CAST(o_orderdate AS DATE) AS odate
+    FROM orders WHERE o_orderkey % 200 = 0
+    ORDER BY o_orderkey
+  """.trim
+
+  /** Timestamp arithmetic surface
+    * (function_registry_timestamp_arithmetic.cc). */
+  def qTsArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 200 === 0)
+      .select(
+        col("o_orderkey"),
+        gf.timestampaddDay(lit(30), col("o_orderdate")).as("plus_30d"),
+        gf.timestampaddMonth(lit(2), col("o_orderdate")).as("plus_2mo"),
+        gf.timestampaddHour(lit(-6), col("o_orderdate")).as("minus_6h"),
+        gf.timestampdiffDay(col("o_orderdate"),
+          lit("1996-06-15 00:00:00").cast(TimestampType)).as("days_to_mid96"),
+        gf.timestampdiffSecond(col("o_orderdate"),
+          lit("1996-06-15 00:00:00").cast(TimestampType)).as("secs_to_mid96"),
+        gf.date_diff(lit("1996-06-15").cast(DateType),
+          gf.castDATE(col("o_orderdate"))).as("datediff_d"),
+        gf.date_add(gf.castDATE(col("o_orderdate")), 7).as("plus_7d"),
+        gf.date_sub(gf.castDATE(col("o_orderdate")), 7).as("minus_7d"))
+      .orderBy(col("o_orderkey"))
+
+  val qTsArithSql: String = """
+    SELECT o_orderkey,
+      o_orderdate + INTERVAL 30 DAY AS plus_30d,
+      o_orderdate + INTERVAL 2 MONTH AS plus_2mo,
+      o_orderdate - INTERVAL 6 HOUR AS minus_6h,
+      CAST(TRUNC((epoch_us(TIMESTAMP '1996-06-15 00:00:00') // 1000000
+          - epoch_us(o_orderdate) // 1000000) / 86400.0) AS BIGINT) AS days_to_mid96,
+      epoch_us(TIMESTAMP '1996-06-15 00:00:00') // 1000000
+          - epoch_us(o_orderdate) // 1000000 AS secs_to_mid96,
+      DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1996-06-15') AS datediff_d,
+      CAST(o_orderdate AS DATE) + 7 AS plus_7d,
+      CAST(o_orderdate AS DATE) - 7 AS minus_7d
+    FROM orders WHERE o_orderkey % 200 = 0
+    ORDER BY o_orderkey
+  """.trim
+
+  /** Hash functions (function_registry_hash.cc): Spark murmur3/xxhash64
+    * — engine-specific values, so no SQL oracle (driver records a
+    * rows-only check); determinism is pinned in FunctionsSpec. */
+  def qHashFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        gf.hash32(col("p_name")).as("h32"),
+        gf.hash64(col("p_name")).as("h64"))
+      .orderBy(col("p_partkey"))
+}

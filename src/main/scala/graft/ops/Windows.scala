@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Window functions (SURVEY §2.5 — absent from the reference, declared
+  * as Spark-native extension surface). Scale posture: every window is
+  * partitioned (`Window.partitionBy`) so state is distributed per key.
+  * The one exception, `qWindowNtile`, is a deliberately global window
+  * kept as the semantic demo; at 100 TB the same decile bucketing
+  * would be computed with `approx_percentile` boundaries + a broadcast
+  * bucket join instead of a single-task global sort.
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** row_number/rank/dense_rank: top-3 orders per priority class by
+    * price, o_orderkey tiebreak for full determinism. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("rnk"), col("drnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val qWindowRankSql: String = """
+    SELECT o_orderpriority, rn, rnk, drnk, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+  """.trim
+
+  /** lag/lead per user over event time: inter-event gap in seconds.
+    * Aggregated per user (avg gap) for a compact deterministic result. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .filter(col("user_id") < 50)
+      .orderBy(col("user_id"))
+  }
+
+  val qWindowLagSql: String = """
+    SELECT user_id, COUNT(gap_us) AS n_gaps, SUM(gap_us) AS total_gap_us,
+      MAX(gap_us) AS max_gap_us
+    FROM (
+      SELECT user_id,
+        epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      FROM events
+    ) GROUP BY user_id HAVING user_id < 50 ORDER BY user_id
+  """.trim
+
+  /** Sliding frame aggregate: running sum + moving average of spend per
+    * customer ordered by order date (rowsBetween 2-preceding..current). */
+  def qWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wRun)
+          .cast("double"))
+      .withColumn("mov_n", count(lit(1)).over(wMov))
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("running_spend"), col("mov_n"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val qWindowFrameSql: String = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      COUNT(*) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+    FROM orders
+    WHERE o_custkey < 20
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+  """.trim
+
+  /** ntile decile bucketing of customers by balance (tie-broken by key)
+    * + per-bucket stats. */
+  def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy(col("decile"))
+  }
+
+  val qWindowNtileSql: String = """
+    SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM (
+      SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+      FROM customer
+    ) GROUP BY decile ORDER BY decile
+  """.trim
+}

@@ -24,11 +24,11 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    // Spark 4 rejects outright. Read nanos as long, then truncate to
-    // micros (integer `div`, not `/` — ns-since-epoch exceeds double's
-    // 2^53 exact-integer range) to match DuckDB/our µs convention
-    // (SURVEY §1.2 ns-truncation note).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Spark 4 rejects outright. Engine.configure reads nanos as long;
+    // here we truncate to micros (integer `div`, not `/` —
+    // ns-since-epoch exceeds double's 2^53 exact-integer range) to
+    // match DuckDB/our µs convention (SURVEY §1.2 ns-truncation note).
+    graft.Engine.configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

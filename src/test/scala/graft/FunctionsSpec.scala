@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import graft.{functions => gf}
+
+/** Pins the reference-divergent semantics of the §2.8 facade against
+  * literal expectations (the analogue of the reference's per-kernel
+  * unit tests, e.g. cpp/src/arrow/compute/kernels/cast_test.cc).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    val df = spark.range(1).select(c.as("v"))
+    df.collect()(0).get(0)
+  }
+
+  test("concat: reference concat treats null as empty; concatOperator propagates") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("a", null), Row("a", "b")),
+      StructType(Seq(StructField("x", StringType), StructField("y", StringType))))
+    val got = df.select(
+      gf.concat(col("x"), col("y")).as("c"),
+      gf.concatOperator(col("x"), col("y")).as("co")).collect()
+    assert(got(0).getString(0) == "a")     // null -> ""
+    assert(got(0).isNullAt(1))             // null propagates
+    assert(got(1).getString(0) == "ab" && got(1).getString(1) == "ab")
+  }
+
+  test("div truncates toward zero; mod keeps dividend sign (C/Rust convention)") {
+    assert(one(gf.div(lit(7L), lit(2L))) == 3L)
+    assert(one(gf.div(lit(-7L), lit(2L))) == -3L)   // not floor (-4)
+    assert(one(gf.div(lit(7L), lit(-2L))) == -3L)
+    assert(one(gf.mod(lit(-7L), lit(2L))) == -1L)   // sign of dividend
+    assert(one(gf.mod(lit(7L), lit(-2L))) == 1L)
+  }
+
+  test("truncate(x, scale) truncates toward zero, not floor") {
+    assert(one(gf.truncate(lit(3.19), 1)) == 3.1)
+    assert(one(gf.truncate(lit(-3.19), 1)) == -3.1) // floor would give -3.2
+    assert(one(gf.truncate(lit(-2.7))) == -2.0)
+  }
+
+  test("extractDow is ISO: Monday=1 .. Sunday=7") {
+    // 2024-01-01 is a Monday, 2024-01-07 a Sunday
+    assert(one(gf.extractDow(lit("2024-01-01").cast(DateType))) == 1)
+    assert(one(gf.extractDow(lit("2024-01-07").cast(DateType))) == 7)
+  }
+
+  test("extract century/decade/millennium use the year-1 convention") {
+    val d = lit("2000-06-01").cast(DateType)
+    assert(one(gf.extractCentury(d)) == 20L)      // 2000 is 20th century
+    assert(one(gf.extractCentury(lit("2001-01-01").cast(DateType))) == 21L)
+    assert(one(gf.extractDecade(d)) == 200L)
+    assert(one(gf.extractMillennium(d)) == 2L)
+  }
+
+  test("timestampdiff truncates complete units toward zero") {
+    val a = lit("2024-01-01 00:00:00").cast(TimestampType)
+    val b = lit("2024-01-02 23:59:59").cast(TimestampType)
+    assert(one(gf.timestampdiffDay(a, b)) == 1L)
+    assert(one(gf.timestampdiffDay(b, a)) == -1L)
+    assert(one(gf.timestampdiffSecond(a, b)) == 172799L)
+    assert(one(gf.timestampdiffMonth(
+      lit("2024-01-31").cast(TimestampType),
+      lit("2024-03-30").cast(TimestampType))) == 1)
+  }
+
+  test("timestampadd month clamps end-of-month like SQL interval arithmetic") {
+    assert(one(gf.timestampaddMonth(lit(1),
+      lit("2024-01-31 12:00:00").cast(TimestampType))).toString
+      .startsWith("2024-02-29"))
+  }
+
+  test("unsigned widening casts land on the documented Spark types") {
+    assert(one(gf.castFromUInt8(lit(200))) == 200.toShort)
+    assert(one(gf.castFromUInt32(lit(3000000000L))) == 3000000000L)
+    assert(one(gf.castFromUInt64(lit("18446744073709551615").cast(DecimalType(20, 0))))
+      == new java.math.BigDecimal("18446744073709551615"))
+  }
+
+  test("isnumeric accepts numeric strings only") {
+    assert(one(gf.isnumeric(lit("3.14"))) == true)
+    assert(one(gf.isnumeric(lit("-2e3"))) == true)
+    assert(one(gf.isnumeric(lit("abc"))) == false)
+  }
+
+  test("hash functions are deterministic across invocations") {
+    val a = one(gf.hash64(lit("spark")))
+    val b = one(gf.hash64(lit("spark")))
+    assert(a == b && a != one(gf.hash64(lit("sparks"))))
+  }
+
+  test("nulls-last sort helpers put nulls last on asc") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(java.lang.Integer.valueOf(2)), Row(null.asInstanceOf[java.lang.Integer]), Row(java.lang.Integer.valueOf(1))),
+      StructType(Seq(StructField("v", IntegerType))))
+    val got = df.orderBy(gf.ascNullsLast(col("v"))).collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(got.toSeq == Seq(1, 2, null))
+  }
+}

@@ -16,7 +16,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    Engine.configure(s)
   }
   val sfDir = "/root/testdata/sf0.001"
 }
