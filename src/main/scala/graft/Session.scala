@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The engine's user-facing session, mirroring the reference's
+  * `ExecutionContext` surface (`rust/datafusion/src/execution/
+  * context.rs:57-217`: register_csv / register_parquet /
+  * register_table / sql / table) on top of a conventions-configured
+  * SparkSession.
+  *
+  * Like the reference, SQL and the DataFrame/Table API lower to the
+  * same logical plan (proven in SessionSpec, the analogue of
+  * `execution/table_impl.rs:196` assert_same_plan).
+  */
+class Session(val spark: SparkSession) {
+  Engine.configure(spark)
+
+  /** register_parquet (context.rs:188): name a parquet path as a table. */
+  def registerParquet(name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+  /** register_csv (context.rs:177): schema-declared or inferred CSV.
+    * `schema=None` → inference, the CSV reader's inference chain
+    * (cpp/src/arrow/csv/column_builder.cc:265-305) mapped to Spark's. */
+  def registerCsv(name: String, path: String, schema: Option[StructType] = None,
+      header: Boolean = true): Unit = {
+    val r = spark.read.option("header", header.toString)
+    val df = schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", "true").csv(path)
+    }
+    df.createOrReplaceTempView(name)
+  }
+
+  /** register_table (context.rs:195): any DataFrame as a named table. */
+  def registerTable(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** sql (context.rs:71): SQL text → lazy DataFrame (the reference
+    * collects eagerly; we keep Spark laziness — .collect() matches). */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** table (context.rs:201): named table → DataFrame for the Table API. */
+  def table(name: String): DataFrame = spark.table(name)
+
+  /** Register every driver fixture table from a scale-factor dir. */
+  def registerFixtures(dir: String): Unit =
+    graft.sources.Tables.names.foreach { n =>
+      registerTable(n, graft.sources.Tables(spark, dir, n))
+    }
+}
+
+object Session {
+  def apply(spark: SparkSession): Session = new Session(spark)
+}

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Joins, Relational, Scalars, SetOps, Windows}
+import graft.ops.{Aggregates, Joins, Relational, Scalars, SetOps, Sql, Windows}
+import graft.functions.Udfs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +51,20 @@ object SparkEntry {
     "date_funcs"     -> (Scalars.qDateFuncs _),
     "ts_arith"       -> (Scalars.qTsArith _),
     "hash_funcs"     -> (Scalars.qHashFuncs _),
+    "agg_stats"      -> (Aggregates.qStats _),
+    "percentile"     -> (Aggregates.qPercentile _),
+    "distinct_agg"   -> (Aggregates.qDistinctAgg _),
+    "rollup"         -> (Aggregates.qRollup _),
+    "cube"           -> (Aggregates.qCube _),
+    "grouping_sets"  -> (Aggregates.qGroupingSets _),
+    "collect"        -> (Aggregates.qCollect _),
+    "approx_distinct" -> (Aggregates.qApproxDistinct _),
+    "sql_flagship"   -> (Sql.qSqlFlagship _),
+    "sql_join"       -> (Sql.qSqlJoin _),
+    "sql_subquery"   -> (Sql.qSqlSubquery _),
+    "sql_case_when"  -> (Sql.qSqlCaseWhen _),
+    "udf_scalar"     -> (Udfs.qUdfScalar _),
+    "udaf_geomean"   -> (Udfs.qUdafGeoMean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +102,19 @@ object SparkEntry {
     "date_funcs"     -> Scalars.qDateFuncsSql,
     "ts_arith"       -> Scalars.qTsArithSql,
     // hash_funcs: murmur3/xxhash64 are engine-specific — rows-only check
+    "agg_stats"      -> Aggregates.qStatsSql,
+    "percentile"     -> Aggregates.qPercentileSql,
+    "distinct_agg"   -> Aggregates.qDistinctAggSql,
+    "rollup"         -> Aggregates.qRollupSql,
+    "cube"           -> Aggregates.qCubeSql,
+    "grouping_sets"  -> Aggregates.qGroupingSetsSql,
+    "collect"        -> Aggregates.qCollectSql,
+    // approx_distinct: HLL sketch values are engine-specific — rows-only
+    "sql_flagship"   -> Sql.flagshipSql,
+    "sql_join"       -> Sql.joinSql,
+    "sql_subquery"   -> Sql.subquerySql,
+    "sql_case_when"  -> Sql.caseWhenSql,
+    "udf_scalar"     -> Udfs.qUdfScalarSql,
+    "udaf_geomean"   -> Udfs.qUdafGeoMeanSql,
   )
 }

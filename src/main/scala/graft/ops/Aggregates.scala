@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Extended aggregation surface (SURVEY §2.4 "free wins" — absent in
+  * the reference, declared Spark-native): statistical aggregates,
+  * exact and approximate percentiles, distinct aggregation, grouping
+  * sets / cube / rollup, and ordered collection aggregates.
+  *
+  * Scale notes: all of these run as partial+final hash aggregation
+  * (map-side combine) in Spark; approx_count_distinct (HLL) and
+  * approx percentile (KLL-ish sketch) are the 100 TB path where exact
+  * distinct/percentile would shuffle the full column.
+  */
+object Aggregates {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Statistical aggregates per group: stddev/variance (sample +
+    * population), correlation, covariance — rounded to 6dp for
+    * cross-engine float stability. */
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(stddev_pop(col("l_discount")), 6).as("sdp_disc"),
+        round(var_pop(col("l_discount")), 6).as("varp_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        // covariance magnitude ~1e5: parallel-merge fp drift exceeds
+        // 1e-6, so round coarser than the normalized stats
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("cov_qp"))
+      .orderBy(col("l_returnflag"))
+
+  val qStatsSql: String = """
+    SELECT l_returnflag,
+      ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+      ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+      ROUND(STDDEV_POP(l_discount), 6) AS sdp_disc,
+      ROUND(VAR_POP(l_discount), 6) AS varp_disc,
+      ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+      ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """.trim
+
+  /** Exact percentiles (median + p90, interpolated). At 100 TB the
+    * approx sketch below replaces this. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(median(col("o_totalprice")), 6).as("med_price"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 6).as("p90_price"),
+        round(percentile(col("o_totalprice"), lit(0.1)), 6).as("p10_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val qPercentileSql: String = """
+    SELECT o_orderpriority,
+      ROUND(MEDIAN(o_totalprice), 6) AS med_price,
+      ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90_price,
+      ROUND(QUANTILE_CONT(o_totalprice, 0.1), 6) AS p10_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
+  /** DISTINCT aggregation (absent in reference — declared native). */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        round(sum_distinct(col("l_quantity")), 6).as("sumd_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val qDistinctAggSql: String = """
+    SELECT l_returnflag,
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+      ROUND(SUM(DISTINCT l_quantity), 6) AS sumd_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """.trim
+
+  /** ROLLUP: priority × status hierarchy with subtotals + grand total.
+    * grouping() distinguishes the subtotal rows. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        grouping(col("o_orderstatus")).as("is_subtotal"))
+      .orderBy(col("o_orderpriority").asc_nulls_last,
+        col("o_orderstatus").asc_nulls_last)
+
+  val qRollupSql: String = s"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total,
+      CAST(GROUPING(o_orderstatus) AS INTEGER) AS is_subtotal
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST
+  """.trim
+
+  /** CUBE over two dimensions of events. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .cube(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .orderBy(col("event_type").asc_nulls_last, col("wk").asc_nulls_last)
+
+  val qCubeSql: String = """
+    SELECT event_type, DATE_TRUNC('week', ts) AS wk, COUNT(*) AS n,
+      ROUND(SUM(value), 4) AS sum_v
+    FROM events GROUP BY CUBE(event_type, DATE_TRUNC('week', ts))
+    ORDER BY event_type ASC NULLS LAST, wk ASC NULLS LAST
+  """.trim
+
+  /** GROUPING SETS via the SQL surface (DataFrame API has no direct
+    * grouping-sets builder; this is the idiomatic Spark route). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(s"""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      ORDER BY o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST
+    """)
+  }
+
+  val qGroupingSetsSql: String = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    ORDER BY o_orderpriority ASC NULLS LAST, o_orderstatus ASC NULLS LAST
+  """.trim
+
+  /** Ordered collection aggregates, canonicalized to a joined string so
+    * the hash compare is array-order-independent. */
+  def qCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  val qCollectSql: String = """
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+      COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+  """.trim
+
+  /** Approximate distinct (HLL) — the 100 TB path for cardinality.
+    * Sketch values are engine-specific → no SQL oracle; accuracy vs
+    * exact is asserted in AggregatesSpec. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Session
+
+/** The SQL entry point (SURVEY §2.10.1): the same queries the driver
+  * oracle runs in DuckDB, executed by Spark SQL through graft.Session.
+  * One SQL string serves both engines — the strongest possible parity
+  * statement for the reference's `ExecutionContext.sql` surface.
+  */
+object Sql {
+
+  /** Dialect-portable SQL (runs verbatim on Spark AND DuckDB). */
+  val flagshipSql: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+  """.trim
+
+  val joinSql: String = """
+    SELECT n_name, COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+  """.trim
+
+  val subquerySql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_big
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+  """.trim
+
+  val caseWhenSql: String = """
+    SELECT
+      CASE WHEN l_quantity < 10 THEN 'low'
+           WHEN l_quantity < 35 THEN 'mid'
+           ELSE 'high' END AS bucket,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+  """.trim
+
+  private def run(s: SparkSession, dir: String, sql: String): DataFrame = {
+    val sess = Session(s)
+    sess.registerFixtures(dir)
+    sess.sql(sql)
+  }
+
+  def qSqlFlagship(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, flagshipSql)
+  def qSqlJoin(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, joinSql)
+  def qSqlSubquery(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, subquerySql)
+  def qSqlCaseWhen(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, caseWhenSql)
+}
