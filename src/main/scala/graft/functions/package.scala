@@ -22,12 +22,11 @@ package object functions {
   def multiply(a: Column, b: Column): Column = a * b
   def divide(a: Column, b: Column): Column = a / b
   /** integer division (Gandiva `div`): truncates toward zero.
-    * (a - a % b) / b is exact in long arithmetic, so no double
-    * round-trip; % keeps the dividend's sign, matching C/Rust. */
-  def div(a: Column, b: Column): Column = {
-    val (al, bl) = (a.cast(LongType), b.cast(LongType))
-    ((al - al % bl) / bl).cast(LongType)
-  }
+    * Spark's IntegralDivide (`div`) is exact long arithmetic — `/` on
+    * longs would round-trip through double and lose precision for
+    * |quotient| > 2^53. */
+  def div(a: Column, b: Column): Column =
+    call_function("div", a.cast(LongType), b.cast(LongType)).cast(LongType)
   /** modulo (sign of dividend, like Gandiva mod / Rust %). */
   def mod(a: Column, b: Column): Column = a % b
 

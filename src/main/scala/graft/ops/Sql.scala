@@ -51,18 +51,22 @@ object Sql {
     ORDER BY bucket
   """.trim
 
-  private def run(s: SparkSession, dir: String, sql: String): DataFrame = {
+  /** Register only the tables the query touches — registering all ten
+    * fixtures reads parquet footers of tables the query never scans
+    * (a measurable per-query cost; at 100 TB an unacceptable one). */
+  private def run(s: SparkSession, dir: String, sql: String,
+      tables: String*): DataFrame = {
     val sess = Session(s)
-    sess.registerFixtures(dir)
+    tables.foreach(n => sess.registerTable(n, graft.sources.Tables(s, dir, n)))
     sess.sql(sql)
   }
 
   def qSqlFlagship(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, flagshipSql)
+    run(s, dir, flagshipSql, "lineitem")
   def qSqlJoin(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, joinSql)
+    run(s, dir, joinSql, "customer", "nation")
   def qSqlSubquery(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, subquerySql)
+    run(s, dir, subquerySql, "orders")
   def qSqlCaseWhen(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, caseWhenSql)
+    run(s, dir, caseWhenSql, "lineitem")
 }

@@ -61,7 +61,7 @@ object Windows {
   }
 
   val qWindowLagSql: String = """
-    SELECT user_id, COUNT(gap_us) AS n_gaps, SUM(gap_us) AS total_gap_us,
+    SELECT user_id, COUNT(gap_us) AS n_gaps, CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
       MAX(gap_us) AS max_gap_us
     FROM (
       SELECT user_id,

@@ -37,6 +37,12 @@ class FunctionsSpec extends SparkSpec {
     assert(one(gf.mod(lit(7L), lit(-2L))) == 1L)
   }
 
+  test("div is exact for quotients beyond double's 2^53 integer range") {
+    // 2^62 / 7 = 658812288346769700 — double division yields ...664.
+    assert(one(gf.div(lit(4611686018427387904L), lit(7L))) == 658812288346769700L)
+    assert(one(gf.div(lit(-4611686018427387904L), lit(7L))) == -658812288346769700L)
+  }
+
   test("truncate(x, scale) truncates toward zero, not floor") {
     assert(one(gf.truncate(lit(3.19), 1)) == 3.1)
     assert(one(gf.truncate(lit(-3.19), 1)) == -3.1) // floor would give -3.2
