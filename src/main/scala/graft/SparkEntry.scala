@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Aggregates, Joins, Relational, Scalars, SetOps, Sql, Windows}
+import graft.ops.{Aggregates, Arrays, Dedup, Joins, Relational, Scalars, SetOps, Similarity, Sql, TextAnalysis, Windows}
 import graft.functions.Udfs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,6 +65,20 @@ object SparkEntry {
     "sql_case_when"  -> (Sql.qSqlCaseWhen _),
     "udf_scalar"     -> (Udfs.qUdfScalar _),
     "udaf_geomean"   -> (Udfs.qUdafGeoMean _),
+    "array_funcs"    -> (Arrays.qArrayFuncs _),
+    "array_explode"  -> (Arrays.qArrayExplode _),
+    "array_contains" -> (Arrays.qArrayContains _),
+    "text_stats"       -> (TextAnalysis.qTextStats _),
+    "text_quality"     -> (TextAnalysis.qTextQuality _),
+    "lang_id"          -> (TextAnalysis.qLangId _),
+    "text_fingerprint" -> (TextAnalysis.qTextFingerprint _),
+    "dedup_exact"   -> (Dedup.qDedupExact _),
+    "dedup_minhash" -> (Dedup.qDedupMinhash _),
+    "dedup_ngram"   -> (Dedup.qDedupNgram _),
+    "dedup_simhash" -> (Dedup.qDedupSimhash _),
+    "dedup_embed"   -> (Dedup.qDedupEmbed _),
+    "knn_brute"     -> (Similarity.qKnnBrute _),
+    "knn_ivf"       -> (Similarity.qKnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,5 +130,19 @@ object SparkEntry {
     "sql_case_when"  -> Sql.caseWhenSql,
     "udf_scalar"     -> Udfs.qUdfScalarSql,
     "udaf_geomean"   -> Udfs.qUdafGeoMeanSql,
+    "array_funcs"    -> Arrays.qArrayFuncsSql,
+    "array_explode"  -> Arrays.qArrayExplodeSql,
+    "array_contains" -> Arrays.qArrayContainsSql,
+    "text_stats"       -> TextAnalysis.qTextStatsSql,
+    "text_quality"     -> TextAnalysis.qTextQualitySql,
+    "lang_id"          -> TextAnalysis.qLangIdSql,
+    "text_fingerprint" -> TextAnalysis.qTextFingerprintSql,
+    "dedup_exact"   -> Dedup.qDedupExactSql,
+    "dedup_minhash" -> Dedup.qDedupMinhashSql,
+    "dedup_ngram"   -> Dedup.qDedupNgramSql,
+    // dedup_simhash: signature values are engine-specific — rows-only
+    "dedup_embed"   -> Dedup.qDedupEmbedSql,
+    "knn_brute"     -> Similarity.qKnnBruteSql,
+    // knn_ivf: cell assignment is engine-local approximation — rows-only
   )
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.sources.Tables
+
+/** Array/list-typed column surface (SURVEY §2.8 extension fns + §2.9
+  * UDTF/generator). The reference has list types in the data model
+  * (`cpp/src/arrow/type.h:121` ListType) and explode-style generators
+  * only as kernels; here they are first-class over the `embeddings`
+  * fixture's `list<float>` column — the prerequisite for the
+  * similarity-search tier (Similarity.scala).
+  *
+  * Scale posture: all of these are per-row expressions inside
+  * whole-stage codegen (no shuffle at all except the final oracle
+  * ORDER BY); explode is Spark's Generate operator, which streams —
+  * no row buffering.
+  */
+object Arrays {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** size / element_at (1-based and -1) / array_min / array_max over
+    * the embedding vectors. */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_v"),
+        element_at(col("embedding"), -1).as("last_v"),
+        array_min(col("embedding")).as("min_v"),
+        array_max(col("embedding")).as("max_v"))
+      .orderBy("vec_id")
+
+  val qArrayFuncsSql: String = """
+    SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+      embedding[1] AS first_v, embedding[-1] AS last_v,
+      list_min(embedding) AS min_v, list_max(embedding) AS max_v
+    FROM embeddings WHERE vec_id < 20 ORDER BY vec_id
+  """.trim
+
+  /** posexplode — the §2.9 UDTF/generator surface: vector → one row
+    * per (position, value), 1-based to match the oracle's
+    * generate_subscripts. */
+  def qArrayExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(IntegerType).as("pos"),
+        col("col").as("val"))
+      .orderBy("vec_id", "pos")
+
+  val qArrayExplodeSql: String = """
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+      unnest(embedding) AS val
+    FROM embeddings WHERE vec_id < 3 ORDER BY vec_id, pos
+  """.trim
+
+  /** split + array_contains over document text (string → list<string>
+    * boundary, `cpp/src/arrow/compute/kernels` take/contains analogue). */
+  def qArrayContains(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        array_contains(split(col("text"), " "), "spark").as("has_spark"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val qArrayContainsSql: String = """
+    SELECT doc_id, list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+  """.trim
+}

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Deduplication tier for LLM training-data pipelines (builder brief;
+  * SURVEY §7.6 milestone 4): exact, MinHash-LSH, inverted-index n-gram
+  * Jaccard, SimHash, and embedding-cosine near-dup — each over the
+  * `documents` / `embeddings` fixtures.
+  *
+  * 100 TB posture (the part that matters): no method ever enumerates
+  * all N² pairs. Candidate generation is always a *bucketed* self-join
+  * — MinHash band buckets, rare-shingle inverted index, SimHash byte
+  * bands, hyperplane-signature buckets — so work scales with bucket
+  * occupancy, not N². Exact similarity is then computed only on
+  * candidates. All hash seeds are fixed constants, so results are
+  * deterministic across runs and partitionings.
+  *
+  * The exact/minhash/ngram queries share one oracle answer: the set of
+  * pairs with word-3-gram Jaccard >= 0.8, which DuckDB computes by
+  * brute force at sf0.01 (oracle scale only — the engine never does).
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- shared shingling --------------------------------------------------
+
+  /** doc_id + distinct word-3-gram shingles (guarded for <3 tokens —
+    * Spark's sequence() would go descending on a negative stop). */
+  private[graft] def shingled(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("w")) >= 3,
+          transform(sequence(lit(0), size(col("w")) - 3),
+            i => concat_ws(" ", col("w")(i), col("w")(i + 1), col("w")(i + 2))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("shingles"))
+  }
+
+  /** Exact Jaccard on candidate pairs only: |A∩B| via a shingle
+    * equi-join restricted to candidates, |A∪B| = n1 + n2 - |A∩B|.
+    * The int/int double division matches the oracle bit-for-bit. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val counts = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    cand
+      .join(ex.as("e1"), col("d1") === col("e1.doc_id"))
+      .join(ex.as("e2"),
+        col("d2") === col("e2.doc_id") && col("e1.shingle") === col("e2.shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(counts.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(counts.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast(DoubleType) /
+          (col("c1.n") + col("c2.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  /** Shared DuckDB oracle: brute-force word-3-gram Jaccard pairs. */
+  private val jaccardOracleSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT d1, d2, jac FROM pairs WHERE jac >= 0.8 ORDER BY d1, d2
+  """.trim
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /** Exact dedup by content hash, keep-first (min doc_id). The corpus
+    * is doubled with shifted ids so the operator demonstrably removes
+    * rows (the fixture itself has no exact duplicates); the per-source
+    * rollup proves every kept id is an original. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    val doubled = d.unionAll(
+      d.select((col("doc_id") + 10000).as("doc_id"), col("text"), col("source")))
+    doubled
+      .withColumn("fp", md5(col("text")))
+      .groupBy(col("fp"), col("source"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_copies")).as("n_raw"),
+        max(col("keep_id")).as("max_kept_id"))
+      .orderBy("source")
+  }
+
+  val qDedupExactSql: String = """
+    WITH doubled AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL SELECT doc_id + 10000, text, source FROM documents
+    ), g AS (
+      SELECT md5(text) AS fp, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM doubled GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_copies) AS BIGINT) AS n_raw,
+      MAX(keep_id) AS max_kept_id
+    FROM g GROUP BY source ORDER BY source
+  """.trim
+
+  // ---- MinHash-LSH near-dup ---------------------------------------------
+
+  private val NumHashes = 64
+  private val Bands = 16 // 16 bands x 4 rows: P(detect | jac=0.8) > 0.9997
+
+  /** MinHash-LSH near-duplicate pairs, exact-Jaccard-verified.
+    * shingle → 64 fixed-seed minhashes → 16 banded signatures →
+    * bucketed self-join for candidates → exact Jaccard filter >= 0.8.
+    * Only bucket-mates are ever paired. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(t(s, dir, "documents"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val minAggs = (0 until NumHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val mh = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val rows = NumHashes / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("sig"))
+    }
+    val bands = mh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "sig"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh)
+  }
+
+  val qDedupMinhashSql: String = jaccardOracleSql
+
+  // ---- inverted-index n-gram Jaccard ------------------------------------
+
+  /** Exact n-gram-Jaccard dedup via a rare-shingle inverted index:
+    * candidates = doc pairs sharing at least one shingle with document
+    * frequency in [2, 50] (frequent shingles are pruned — the standard
+    * skew guard: a shingle appearing in k docs would otherwise emit
+    * k² pairs). Verification then uses the full shingle sets, so the
+    * answer equals the brute-force oracle as long as every true pair
+    * shares one rare shingle — which near-identical documents do. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(t(s, dir, "documents"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = ex.join(
+      ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 50))
+        .select(col("shingle")),
+      Seq("shingle"))
+    val cand = rare.as("a").join(rare.as("b"), Seq("shingle"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh)
+  }
+
+  val qDedupNgramSql: String = jaccardOracleSql
+
+  // ---- SimHash near-dup (rows-only: 64-bit signature is engine-local) ----
+
+  /** SimHash near-dup: 64-bit signature over the document's trigram
+    * shingle set (each bit is the sign of the vote of that xxhash64
+    * bit across shingles). Shingle-level, not unigram: on a shared
+    * vocabulary, bag-of-words signatures collapse (all docs have
+    * near-identical word profiles), while shingle sets of unrelated
+    * docs are near-disjoint → independent signatures, hamming ~32.
+    * Candidates via an 8x8-bit band bucket join (pigeonhole: hamming
+    * <= 7 pairs always share a byte; random pairs almost never do),
+    * then exact bit_count(xor) <= 8 verification on candidates only.
+    * Signature values are engine-specific → rows-only driver check;
+    * PipelineSpec pins recall against exact Jaccard pairs. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = shingled(t(s, dir, "documents"))
+      .select(col("doc_id"), explode(col("shingles")).as("tk"))
+      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
+    val sums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+    val sig = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+          acc.bitwiseOR(shiftleft(
+            when(col(s"s$j") >= 0, lit(1L)).otherwise(lit(0L)), j))
+        }.as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map(k =>
+        struct(lit(k).as("band"),
+          shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.byte").as("byte"))
+    bands.as("a").join(bands.as("b"), Seq("band", "byte"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("d1", "d2")
+  }
+
+  // ---- embedding-cosine near-dup ----------------------------------------
+
+  /** 64 fixed Rademacher (±1) hyperplanes from a seeded PRNG — the
+    * sign pattern is the classic cosine-LSH signature. Deterministic:
+    * same seed → same planes on any executor. */
+  private[ops] lazy val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(64)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private[ops] def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Embedding-cosine near-dup: hyperplane-signature LSH (4 bands x 16
+    * bits — wide bands keep random collisions ~p^16 while identical
+    * vectors always collide), candidates bucketed, exact cosine >= 0.99
+    * verification. The corpus is doubled with shifted ids to plant
+    * exact duplicates (the fixture's random vectors top out at cosine
+    * 0.51, so the 500 planted pairs are the unambiguous answer). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e2 = e.unionAll(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pl = typedlit(hyperplanes)
+    val bits = transform(pl, p =>
+      when(dotD(p, col("embedding")) >= 0, lit(1L)).otherwise(lit(0L)))
+    val withBits = e2.withColumn("bits", bits)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        aggregate(slice(col("bits"), b * 16 + 1, 16), lit(0L),
+          (acc, x) => acc * 2 + x).as("sig"))
+    }
+    val bands = withBits
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "sig"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    cand
+      .join(e2.select(col("vec_id").as("d1"), col("embedding").as("v1")), Seq("d1"))
+      .join(e2.select(col("vec_id").as("d2"), col("embedding").as("v2")), Seq("d2"))
+      .filter(dotD(col("v1"), col("v2")) /
+        (sqrt(dotD(col("v1"), col("v1"))) * sqrt(dotD(col("v2"), col("v2")))) >= 0.99)
+      .select(col("d1"), col("d2"))
+      .orderBy("d1", "d2")
+  }
+
+  val qDedupEmbedSql: String = """
+    WITH e2 AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + 10000, embedding FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+        list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos_sim
+      FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
+    SELECT d1, d2 FROM p WHERE cos_sim >= 0.99 ORDER BY d1, d2
+  """.trim
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.Dedup.dotD
+
+/** Similarity search over the `embeddings` fixture (builder brief;
+  * SURVEY §7.6 milestone 4): brute-force cosine top-k as the exact
+  * baseline, and an IVF (inverted-file) variant as the scale path.
+  *
+  * Scale posture: the query set is small and broadcast; candidates
+  * stream through a codegen'd cosine expression; top-k is two-phase
+  * (per-partition top-k pruning, then a final window over <= k·P
+  * survivors) so no single reducer ever sees all N scored rows. IVF
+  * additionally prunes candidates to the probed coarse cells.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Two-phase top-k per query: local (qid, partition) window prunes
+    * to k rows per partition, then the global per-qid window ranks
+    * only k·P survivors — the distributed top-k pattern. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("qid"), col("part"))
+      .orderBy(col("cos_sim").desc, col("cid").asc)
+    val wGlobal = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid").asc)
+    scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(wGlobal))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Brute-force cosine top-5 for 10 query vectors: the exact
+    * baseline. Queries are broadcast (tiny side), candidates stream. */
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos_sim", cosine(col("qe"), col("ce")))
+    topK(scored, 5)
+  }
+
+  val qKnnBruteSql: String = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    s AS (SELECT qid, cid,
+      list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+      (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+       sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS cos_sim
+      FROM q JOIN c ON qid <> cid),
+    r AS (SELECT qid, cid,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn FROM s)
+    SELECT qid, rn, cid FROM r WHERE rn <= 5 ORDER BY qid, rn
+  """.trim
+
+  /** IVF coarse cells: vectors vec_id 0..9 as fixed centroids (a
+    * deterministic stand-in for trained k-means — driver-side state is
+    * O(k·d), never O(N)). Every vector is assigned to its
+    * max-cosine cell; queries probe the `nprobe` nearest cells and
+    * score only those cells' members. nprobe = k (all cells) recovers
+    * the brute-force answer exactly (PipelineSpec pins this). */
+  def knnIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val cl = typedlit(cents)
+    val scores = transform(cl, c => cosine(c, col("embedding")))
+    val assigned = e
+      .withColumn("cell",
+        array_position(scores, array_max(scores)).cast("int"))
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        posexplode(scores))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("col").desc, col("pos").asc)))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qe"), (col("pos") + 1).cast("int").as("cell"))
+    val scored = assigned
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("cos_sim", cosine(col("qe"), col("ce")))
+    topK(scored, 5)
+  }
+
+  /** Declared IVF query: nprobe=3 of 10 cells — the approximate scale
+    * path (cell assignment is engine-local → rows-only driver check;
+    * PipelineSpec pins nprobe=all == brute force and recall@5 > 0). */
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = knnIvf(s, dir, 3)
+}

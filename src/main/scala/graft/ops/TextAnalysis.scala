@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Text-analysis tier for LLM training-data pipelines (builder brief;
+  * SURVEY §7.6 milestone 4): token/char statistics, quality scoring,
+  * n-gram-heuristic language ID, and content fingerprinting over the
+  * `documents` fixture.
+  *
+  * Everything is `functions._` composition — per-row expressions stay
+  * inside whole-stage codegen, aggregates are partial+final with exact
+  * decimal sums (order-independent at any partition count), so each
+  * query is a single scan + at most one shuffle at 100 TB.
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Per-document char/token/unique-token counts. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_calc"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_uniq"))
+      .orderBy("doc_id")
+
+  val qTextStatsSql: String = """
+    SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars_calc,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+  """.trim
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  /** Per-language quality rollup: stopword ratio + mean token length.
+    * Ratios are exact int/int doubles per row; the cross-row mean goes
+    * through decimal sums (ops.dsum convention) so the answer is
+    * independent of partitioning. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val nTok = size(w)
+    val nStop = size(filter(w, t => t.isInCollection(stopwords)))
+    val meanTokLen =
+      (length(col("text")) - (nTok - 1)).cast(DoubleType) / nTok
+    t(s, dir, "documents")
+      .select(col("lang"),
+        (nStop.cast(DoubleType) / nTok).as("stop_ratio"),
+        meanTokLen.as("mean_tok_len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("stop_ratio").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1))).as("avg_stop_ratio"),
+        (sum(col("mean_tok_len").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1))).as("avg_tok_len"))
+      .orderBy("lang")
+  }
+
+  val qTextQualitySql: String = """
+    WITH d AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tok,
+        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and'))) AS n_stop,
+        length(text) AS n_ch
+      FROM documents
+    ), sc AS (
+      SELECT lang,
+        CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        CAST(n_ch - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len
+      FROM d
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(stop_ratio AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_stop_ratio,
+      CAST(SUM(CAST(mean_tok_len AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_tok_len
+    FROM sc GROUP BY lang ORDER BY lang
+  """.trim
+
+  /** Function-word-heuristic language ID (the classic n-gram/stopword
+    * profile approach, degenerated to two profiles since the synthetic
+    * corpus shares one vocabulary). Deterministic, so oracle-checkable
+    * — the point is the operator shape, not the linguistics. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val en = size(filter(w, t => t.isInCollection(Seq("the", "a"))))
+    val es = size(filter(w, t => t.isInCollection(Seq("el", "la", "de"))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), en.as("en_hits"), es.as("es_hits"))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("unk"))
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"), col("lang_guess"), col("en_hits"))
+      .orderBy("doc_id")
+  }
+
+  val qLangIdSql: String = """
+    WITH h AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text, ' '), t -> t IN ('the','a'))) AS en_hits,
+        len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de'))) AS es_hits
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+           WHEN es_hits > 0 THEN 'es' ELSE 'unk' END AS lang_guess,
+      CAST(en_hits AS INT) AS en_hits
+    FROM h WHERE doc_id < 100 ORDER BY doc_id
+  """.trim
+
+  /** Content fingerprints: whole-document md5 (exact-dedup key) and a
+    * first-5-tokens prefix fingerprint (cheap locality signal). */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        md5(lower(col("text"))).as("fp"),
+        md5(concat_ws(" ", slice(toks(col("text")), 1, 5))).as("prefix_fp"))
+      .orderBy("doc_id")
+
+  val qTextFingerprintSql: String = """
+    SELECT doc_id, md5(lower(text)) AS fp,
+      md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS prefix_fp
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+  """.trim
+}
