@@ -37,6 +37,36 @@ class Session(val spark: SparkSession) {
   def registerTable(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
+  /** JSON reader registration (cpp/src/arrow/json/reader.h:45):
+    * newline-delimited JSON, declared schema or inference. */
+  def registerJson(name: String, path: String,
+      schema: Option[StructType] = None): Unit = {
+    val df = schema match {
+      case Some(sc) => spark.read.schema(sc).json(path)
+      case None     => spark.read.json(path)
+    }
+    df.createOrReplaceTempView(name)
+  }
+
+  /** write_csv (context.rs:451-496): result → directory of CSV part
+    * files, one per partition — the distributed sink shape. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Parquet sink (cpp/src/parquet writer analogue). `partitionBy`
+    * columns produce a Hive-partitioned directory layout
+    * (cpp/src/arrow/dataset/partition.h:190 HivePartitioning). */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** ORC sink/source pair (cpp/src/arrow/adapters/orc/adapter.h). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** sql (context.rs:71): SQL text → lazy DataFrame (the reference
     * collects eagerly; we keep Spark laziness — .collect() matches). */
   def sql(query: String): DataFrame = spark.sql(query)

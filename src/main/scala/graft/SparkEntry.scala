@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Aggregates, Arrays, Dedup, Joins, Relational, Scalars, SetOps, Similarity, Sql, TextAnalysis, Windows}
+import graft.ops.{Aggregates, Arrays, Dedup, Ingest, Joins, Relational, Scalars, SetOps, Similarity, Sql, TextAnalysis, Windows}
 import graft.functions.Udfs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -79,6 +79,11 @@ object SparkEntry {
     "dedup_embed"   -> (Dedup.qDedupEmbed _),
     "knn_brute"     -> (Similarity.qKnnBrute _),
     "knn_ivf"       -> (Similarity.qKnnIvf _),
+    "csv_scan"           -> (Ingest.qCsvScan _),
+    "csv_infer"          -> (Ingest.qCsvInfer _),
+    "ddl_external_table" -> (Ingest.qDdlExternalTable _),
+    "json_scan"          -> (Ingest.qJsonScan _),
+    "json_extract"       -> (Ingest.qJsonExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,5 +149,10 @@ object SparkEntry {
     "dedup_embed"   -> Dedup.qDedupEmbedSql,
     "knn_brute"     -> Similarity.qKnnBruteSql,
     // knn_ivf: cell assignment is engine-local approximation — rows-only
+    "csv_scan"           -> Ingest.qCsvScanSql,
+    "csv_infer"          -> Ingest.qCsvInferSql,
+    "ddl_external_table" -> Ingest.qDdlExternalTableSql,
+    "json_scan"          -> Ingest.qJsonScanSql,
+    "json_extract"       -> Ingest.qJsonExtractSql,
   )
 }

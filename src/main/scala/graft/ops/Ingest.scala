@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Ingest surface (SURVEY §2.1): CSV with declared schema, CSV with
+  * inference, CREATE EXTERNAL TABLE DDL, JSON file reader, and JSON
+  * string extraction — the reference's primary source formats
+  * (`rust/datafusion/src/datasource/csv.rs`, `sql/parser.rs:49-68`
+  * CREATE EXTERNAL TABLE, `cpp/src/arrow/csv/`, `cpp/src/arrow/json/
+  * reader.h:45`).
+  *
+  * The CSV fixture is the aggregate_test_100 shape every DataFusion
+  * end-to-end test runs over (`rust/datafusion/src/test/mod.rs:88-104`),
+  * with unsigned columns widened per SURVEY §1.2 (UInt8→Short,
+  * UInt16→Int, UInt32→Long, UInt64→Decimal(20,0)).
+  *
+  * Scale posture: both readers are Spark's splittable distributed
+  * scans — a directory of thousands of CSV/JSON files parallelizes by
+  * file split exactly like parquet, and the declared-schema path never
+  * pays an inference pass.
+  */
+object Ingest {
+
+  val CsvPath = "/root/repo/data/aggregate_test_100.csv"
+  val JsonPath = "/root/repo/data/events_sample.jsonl"
+
+  /** aggregate_test_100 schema (FIXTURES.md §1), unsigned widened. */
+  val csvSchema: StructType = StructType(Seq(
+    StructField("c1", StringType), StructField("c2", LongType),
+    StructField("c3", ByteType), StructField("c4", ShortType),
+    StructField("c5", IntegerType), StructField("c6", LongType),
+    StructField("c7", ShortType), StructField("c8", IntegerType),
+    StructField("c9", LongType), StructField("c10", DecimalType(20, 0)),
+    StructField("c11", FloatType), StructField("c12", DoubleType),
+    StructField("c13", StringType)))
+
+  /** events_sample.jsonl schema — nested struct + array. */
+  val jsonSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("type", StringType),
+    StructField("score", DoubleType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("meta", StructType(Seq(StructField("k", LongType))))))
+
+  private val csvColsSql =
+    """columns={'c1':'VARCHAR','c2':'BIGINT','c3':'TINYINT','c4':'SMALLINT',
+      |'c5':'INTEGER','c6':'BIGINT','c7':'SMALLINT','c8':'INTEGER','c9':'BIGINT',
+      |'c10':'DECIMAL(20,0)','c11':'FLOAT','c12':'DOUBLE','c13':'VARCHAR'},
+      |header=true""".stripMargin.replace("\n", " ")
+
+  /** Declared-schema CSV scan (register_csv with schema,
+    * `execution/context.rs:177`) + grouped agg over every widened type. */
+  def qCsvScan(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(csvSchema).option("header", "true").csv(CsvPath)
+      .groupBy(col("c1"))
+      .agg(count(lit(1)).as("n"), sum(col("c6")).as("sum_c6"),
+        min(col("c3")).as("min_c3"), max(col("c4")).as("max_c4"),
+        sum(col("c12").cast(DecimalType(18, 12))).cast(DoubleType).as("sum_c12"),
+        max(col("c10")).cast(DoubleType).as("max_c10"))
+      .orderBy("c1")
+
+  val qCsvScanSql: String = s"""
+    SELECT c1, COUNT(*) AS n, CAST(SUM(c6) AS BIGINT) AS sum_c6,
+      MIN(c3) AS min_c3, MAX(c4) AS max_c4,
+      CAST(SUM(CAST(c12 AS DECIMAL(18,12))) AS DOUBLE) AS sum_c12,
+      CAST(MAX(c10) AS DOUBLE) AS max_c10
+    FROM read_csv('$CsvPath', $csvColsSql)
+    GROUP BY c1 ORDER BY c1
+  """.trim
+
+  /** Schema-inference CSV scan (register_csv with schema=None — the
+    * reference's Null→Integer→…→Text inference chain,
+    * `cpp/src/arrow/csv/column_builder.cc:265-305`). Projected columns
+    * are cast explicitly so both engines' inferred physical types meet
+    * on one declared output schema. */
+  def qCsvInfer(s: SparkSession, dir: String): DataFrame =
+    s.read.option("header", "true").option("inferSchema", "true").csv(CsvPath)
+      .filter(col("c3") > 64)
+      .select(col("c6").cast(LongType).as("c6"), col("c1"),
+        col("c2").cast(LongType).as("c2"), col("c5").cast(IntegerType).as("c5"),
+        col("c12").cast(DoubleType).as("c12"), col("c13"))
+      .orderBy("c6")
+
+  val qCsvInferSql: String = s"""
+    SELECT c6, c1, CAST(c2 AS BIGINT) AS c2, CAST(c5 AS INT) AS c5,
+      CAST(c12 AS DOUBLE) AS c12, c13
+    FROM read_csv('$CsvPath', $csvColsSql)
+    WHERE c3 > 64 ORDER BY c6
+  """.trim
+
+  /** CREATE EXTERNAL TABLE DDL (`sql/parser.rs:49-68`, executed at
+    * `execution/context.rs:74-90`) — Spark's CREATE TEMPORARY VIEW
+    * ... USING csv is the exact analogue: named table over an
+    * external file with declared schema, dropped with the session. */
+  def qDdlExternalTable(s: SparkSession, dir: String): DataFrame = {
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ext_aggregate_test (
+      c1 STRING, c2 BIGINT, c3 TINYINT, c4 SMALLINT, c5 INT, c6 BIGINT,
+      c7 SMALLINT, c8 INT, c9 BIGINT, c10 DECIMAL(20,0), c11 FLOAT,
+      c12 DOUBLE, c13 STRING)
+      USING csv OPTIONS (path '$CsvPath', header 'true')""")
+    s.sql("""SELECT c1, COUNT(*) AS n, SUM(c7) AS sum_c7
+      FROM ext_aggregate_test GROUP BY c1 ORDER BY c1""")
+  }
+
+  val qDdlExternalTableSql: String = s"""
+    SELECT c1, COUNT(*) AS n, CAST(SUM(c7) AS BIGINT) AS sum_c7
+    FROM read_csv('$CsvPath', $csvColsSql)
+    GROUP BY c1 ORDER BY c1
+  """.trim
+
+  /** JSON file reader (`cpp/src/arrow/json/reader.h:45` analogue):
+    * newline-delimited records with a nested struct and an array,
+    * declared schema (no inference pass). */
+  def qJsonScan(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(jsonSchema).json(JsonPath)
+      .groupBy(col("type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score").cast(DecimalType(18, 4))).cast(DoubleType).as("total_score"),
+        sum(col("meta.k")).as("sum_k"),
+        sum(size(col("tags"))).as("n_tags"))
+      .orderBy("type")
+
+  val qJsonScanSql: String = s"""
+    SELECT type, COUNT(*) AS n,
+      CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS total_score,
+      CAST(SUM(meta.k) AS BIGINT) AS sum_k,
+      CAST(SUM(len(tags)) AS BIGINT) AS n_tags
+    FROM read_json('$JsonPath',
+      columns={'id':'BIGINT','type':'VARCHAR','score':'DOUBLE',
+               'tags':'VARCHAR[]','meta':'STRUCT(k BIGINT)'})
+    GROUP BY type ORDER BY type
+  """.trim
+
+  /** JSON string extraction over the events fixture's `props` column
+    * (get_json_object — the in-row JSON path surface). */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select((get_json_object(col("props"), "$.k").cast(IntegerType) % 10)
+        .as("k_mod"), col("value"))
+      .groupBy(col("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .orderBy("k_mod")
+
+  val qJsonExtractSql: String = """
+    SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_mod, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY k_mod
+  """.trim
+}
