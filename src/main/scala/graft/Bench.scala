@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 object Bench {
+
+  /** Full materialization: noop-format write executes every operator
+    * and expression in the plan (a bare .count() lets Catalyst delete
+    * ORDER BYs and prune most projections, under-measuring). */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(cpus, cpus)
+    // warm-up: run the flagship + one query of each heavy shape once,
+    // untimed, so session/codegen/shuffle-service startup is not billed
+    // to whichever query happens to run first
+    for (n <- Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash"))
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -29,24 +29,46 @@ object Dedup {
 
   // ---- shared shingling --------------------------------------------------
 
-  /** doc_id + distinct word-3-gram shingles (guarded for <3 tokens —
-    * Spark's sequence() would go descending on a negative stop). */
+  /** doc_id + distinct word-3-gram shingles.
+    *
+    * Built with zip_with over shifted slices, NOT
+    * `transform(sequence(..), i -> w[i] ..)`: project-collapse inlines
+    * the `split` into every lambda reference, and a per-ELEMENT w[i]
+    * lookup then re-splits the whole text once per shingle — O(len²)
+    * per document (measured 20x slower). Slice references live outside
+    * the per-element lambdas, so the split happens O(1) times per row.
+    * zip_with pads the shorter side with nulls; the final slice drops
+    * the two padded tail entries (guarded for <3 tokens). */
   private[graft] def shingled(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    docs.select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), array_distinct(
-        when(size(col("w")) >= 3,
-          transform(sequence(lit(0), size(col("w")) - 3),
-            i => concat_ws(" ", col("w")(i), col("w")(i + 1), col("w")(i + 2))))
-          .otherwise(array().cast(ArrayType(StringType)))).as("shingles"))
+    val w = col("w")
+    val n = size(w)
+    val tri = slice(
+      zip_with(
+        zip_with(w, slice(w, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(w, lit(3), greatest(n - 2, lit(0))),
+        (ab, c) => concat_ws(" ", ab, c)),
+      lit(1), greatest(n - 2, lit(0)))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), array_distinct(tri).as("shingles"))
   }
 
-  /** Exact Jaccard on candidate pairs only: |A∩B| via a shingle
+  /** doc_id + distinct 64-bit shingle hashes. Every downstream
+    * shuffle/join/aggregate runs on 8-byte longs instead of ~20-byte
+    * strings — at 100 TB the shingle text never leaves the scan stage.
+    * (xxhash64 collisions could in principle perturb an intersection
+    * count; at P ~ n²/2^65 that is well below any other error source.) */
+  private def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      array_distinct(transform(col("shingles"), x => xxhash64(x))).as("hs"))
+
+  /** Exact Jaccard on candidate pairs only: |A∩B| via a shingle-hash
     * equi-join restricted to candidates, |A∪B| = n1 + n2 - |A∩B|.
     * The int/int double division matches the oracle bit-for-bit. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val counts = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val hsh = hashedShingles(sh)
+    val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val counts = hsh.select(col("doc_id"), size(col("hs")).as("n"))
     cand
       .join(ex.as("e1"), col("d1") === col("e1.doc_id"))
       .join(ex.as("e2"),
@@ -119,7 +141,8 @@ object Dedup {
     * Only bucket-mates are ever paired. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(t(s, dir, "documents"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val ex = hashedShingles(sh)
+      .select(col("doc_id"), explode(col("hs")).as("shingle"))
     val minAggs = (0 until NumHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     val mh = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -151,16 +174,22 @@ object Dedup {
     * shares one rare shingle — which near-identical documents do. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(t(s, dir, "documents"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val ex = hashedShingles(sh)
+      .select(col("doc_id"), explode(col("hs")).as("shingle"))
     val rare = ex.join(
       ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 50))
         .select(col("shingle")),
       Seq("shingle"))
+    // candidate = shares >= 5 rare shingles (a jac>=0.8 pair of ~70-shingle
+    // docs shares ~65, a random pair 1-3) — one shuffle, and the exact
+    // verification join then touches only near-certain pairs
     val cand = rare.as("a").join(rare.as("b"), Seq("shingle"))
       .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .select(col("d1"), col("d2"))
     verifyJaccard(cand, sh)
   }
 
@@ -180,9 +209,8 @@ object Dedup {
     * Signature values are engine-specific → rows-only driver check;
     * PipelineSpec pins recall against exact Jaccard pairs. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = shingled(t(s, dir, "documents"))
-      .select(col("doc_id"), explode(col("shingles")).as("tk"))
-      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
+    val tok = hashedShingles(shingled(t(s, dir, "documents")))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val sums = (0 until 64).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
     val sig = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)

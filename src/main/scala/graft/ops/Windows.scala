@@ -8,11 +8,10 @@ import graft.sources.Tables
 
 /** Window functions (SURVEY §2.5 — absent from the reference, declared
   * as Spark-native extension surface). Scale posture: every window is
-  * partitioned (`Window.partitionBy`) so state is distributed per key.
-  * The one exception, `qWindowNtile`, is a deliberately global window
-  * kept as the semantic demo; at 100 TB the same decile bucketing
-  * would be computed with `approx_percentile` boundaries + a broadcast
-  * bucket join instead of a single-task global sort.
+  * partitioned (`Window.partitionBy`) so state is distributed per key;
+  * the global-order case (`qWindowNtile`) goes through approx-quantile
+  * range buckets + broadcast rank offsets instead of a single-task
+  * global sort.
   */
 object Windows {
 
@@ -102,11 +101,53 @@ object Windows {
   """.trim
 
   /** ntile decile bucketing of customers by balance (tie-broken by key)
-    * + per-bucket stats. */
+    * + per-bucket stats — computed WITHOUT a global single-partition
+    * sort (the naive `Window.orderBy` plan moves the whole table to
+    * one task; this one survives 100 TB):
+    *
+    *   1. approx-quantile range boundaries (driver state O(#buckets));
+    *   2. each row → monotone range bucket, ranked locally per bucket;
+    *   3. exact global rank = local rank + broadcast per-bucket offset;
+    *   4. SQL NTILE's first-(N mod n)-buckets-get-one-extra formula.
+    *
+    * Exactness does not depend on boundary quality — boundaries only
+    * balance the per-bucket work; ranks are exact by construction. */
   def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    t(s, dir, "customer")
-      .withColumn("decile", ntile(10).over(w))
+    import org.apache.spark.sql.types.LongType
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val bounds = c.stat
+      .approxQuantile("c_acctbal", (1 until 32).map(_ / 32.0).toArray, 0.001)
+      .distinct.sorted.toSeq
+    val bucketed = c.withColumn("bkt",
+      size(filter(typedlit(bounds), b => b < col("c_acctbal"))))
+    // per-bucket counts → cumulative offsets; O(#buckets) driver state,
+    // same class as the quantile sketch above (never O(N))
+    val cnts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offPairs = cnts.scanLeft((0, 0L, 0L)) { case ((_, acc, c0), (b, n)) =>
+      (b, acc + c0, n)
+    }.tail.map { case (b, off, _) => (b, off) }.toSeq
+    val offs = s.createDataFrame(offPairs).toDF("bkt", "off")
+    val wB = Window.partitionBy(col("bkt"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val nDf = c.agg(count(lit(1)).as("n_total"))
+    val ranked = bucketed
+      .withColumn("lrn", row_number().over(wB).cast(LongType))
+      .join(broadcast(offs), Seq("bkt"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("rank", col("off") + col("lrn"))
+    // NTILE(10): q = N/10, r = N%10; first r buckets hold q+1 rows
+    val deciled = ranked
+      .withColumn("q", graft.functions.div(col("n_total"), lit(10L)))
+      .withColumn("r", col("n_total") % 10)
+      .withColumn("decile",
+        when(col("rank") <= col("r") * (col("q") + 1),
+          graft.functions.div(col("rank") - 1, col("q") + 1) + 1)
+          .otherwise(col("r") +
+            graft.functions.div(col("rank") - col("r") * (col("q") + 1) - 1,
+              col("q")) + 1)
+          .cast("int"))
+    deciled
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("min_bal"),
