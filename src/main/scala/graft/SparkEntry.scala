@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Aggregates, Arrays, Dedup, Ingest, Joins, Relational, Scalars, SetOps, Similarity, Sql, TextAnalysis, Windows}
+import graft.ops.{Aggregates, Arrays, Dedup, Ingest, Joins, Multimodal, Relational, Scalars, SetOps, Similarity, Sql, TextAnalysis, Windows}
 import graft.functions.Udfs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -84,6 +84,8 @@ object SparkEntry {
     "ddl_external_table" -> (Ingest.qDdlExternalTable _),
     "json_scan"          -> (Ingest.qJsonScan _),
     "json_extract"       -> (Ingest.qJsonExtract _),
+    "stream_window"      -> (graft.streaming.Streaming.qStreamWindow _),
+    "binary_funcs"       -> (Multimodal.qBinaryFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +156,7 @@ object SparkEntry {
     "ddl_external_table" -> Ingest.qDdlExternalTableSql,
     "json_scan"          -> Ingest.qJsonScanSql,
     "json_extract"       -> Ingest.qJsonExtractSql,
+    "stream_window"      -> graft.streaming.Streaming.qStreamWindowSql,
+    "binary_funcs"       -> Multimodal.qBinaryFuncsSql,
   )
 }

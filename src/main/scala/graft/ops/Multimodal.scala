@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal column handling for training-data pipelines (builder
+  * brief): media as opaque `binary` columns with typed metadata, plus
+  * a batched per-partition decode/feature-extract stage.
+  *
+  * The decode itself is a STUB — image/audio codecs are not in this
+  * environment — substituted by a deterministic fake that reads the
+  * fixture's synthetic header. Everything around it is the real
+  * plumbing a production pipeline needs and what this module tests:
+  * the binary+metadata schema, the `mapPartitions` batch shape (the
+  * Scala analogue of `mapInPandas`: one iterator per partition, so a
+  * codec can amortize model/codec init per partition, not per row),
+  * partition preservation, and a declared-schema feature output.
+  *
+  * Scale posture: media bytes stream through one narrow stage —
+  * never shuffled, never collected; features (tiny) are what flows on.
+  */
+object Multimodal {
+
+  /** Synthetic media corpus derived deterministically from `documents`:
+    * a 4-byte magic, 2x2-byte fake dimensions, then md5-derived
+    * payload bytes — enough structure for the stub decoder to parse. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      concat(
+        lit(Array[Byte]('G', 'R', 'F', 'T')),
+        // width = 1 + (n_chars % 640), height = 1 + (n_chars % 480), 2 bytes BE each
+        to_binary(lpad(hex((col("n_chars") % 640 + 1).cast(IntegerType)), 4, "0"), lit("hex")),
+        to_binary(lpad(hex((col("n_chars") % 480 + 1).cast(IntegerType)), 4, "0"), lit("hex")),
+        unhex(md5(col("text")))).as("media"),
+      struct(lit("grft").as("format"), col("source").as("origin"))
+        .as("meta"))
+
+  /** Decoded feature row: what the stub "codec" emits per media blob. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_payload_bytes", IntegerType),
+    StructField("mean_byte", DoubleType)))
+
+  /** Batched decode/feature-extract over partitions of media rows —
+    * the mapPartitions stage a real codec would plug into. The
+    * per-partition iterator is the batch: codec init happens once per
+    * partition (here: trivially), rows stream through it.
+    *
+    * STUB: a real implementation would decode `media` with an image/
+    * audio library here. This deterministic fake parses the synthetic
+    * header and computes a payload byte statistic, keeping the
+    * signature, schema, and batching real. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    val rdd = media.select(col("media_id"), col("media")).rdd
+      .mapPartitions { rows =>
+        // per-partition codec init would go here (once per batch)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // stub decode: magic(4) | width(2, BE hex) | height(2) | payload
+          val width = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+          val height = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+          val payload = bytes.drop(8)
+          val mean = payload.map(b => (b & 0xff).toDouble).sum / payload.length
+          Row(id, width, height, payload.length, mean)
+        }
+      }
+    session.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Oracle-checkable binary surface over the same corpus: blob
+    * length, hex round-trip, payload fingerprint. */
+  def qBinaryFuncs(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("media_id") < 50)
+      .select(col("media_id"),
+        octet_length(col("media")).as("n_bytes"),
+        lower(hex(col("media"))).as("media_hex"),
+        col("meta.format").as("format"))
+      .orderBy("media_id")
+
+  val qBinaryFuncsSql: String = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+        'GRFT'::BLOB ||
+        from_hex(lpad(hex(CAST(n_chars % 640 + 1 AS INT)), 4, '0')) ||
+        from_hex(lpad(hex(CAST(n_chars % 480 + 1 AS INT)), 4, '0')) ||
+        from_hex(md5(text)) AS media
+      FROM documents)
+    SELECT media_id, CAST(octet_length(media) AS INT) AS n_bytes,
+      lower(hex(media)) AS media_hex, 'grft' AS format
+    FROM m WHERE media_id < 50 ORDER BY media_id
+  """.trim
+}

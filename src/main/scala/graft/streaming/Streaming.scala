@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Streaming tier (SURVEY §2.11 — the reference's "streaming" is the
+  * Arrow IPC stream *format* (`format/Message.fbs`,
+  * `cpp/src/arrow/ipc/reader.h:58`), a transport with no stateful
+  * engine; this module is the declared pure-Spark extension:
+  * Structured Streaming with event-time watermarks, windowed
+  * aggregation, and custom keyed state.
+  *
+  * The transforms are written against plain DataFrames so the SAME
+  * code runs in batch mode (oracle-checkable against DuckDB) and under
+  * `readStream`/`writeStream` (StreamingSpec drives them through
+  * MemoryStream with out-of-order and late input). That unification is
+  * the point of building on Spark.
+  *
+  * Scale posture: state is keyed and watermark-bounded — aggregation
+  * state lives per (window, event_type) and is dropped once the
+  * watermark passes the window end, so long-running state is O(open
+  * windows), not O(stream length).
+  */
+object Streaming {
+
+  /** Hourly tumbling-window counts/sums per event type, tolerating 10
+    * minutes of event-time disorder. On a stream this emits a window
+    * only once the watermark closes it (append mode). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Batch-mode window query over the events fixture — the same
+    * transform the streaming spec drives, verified against DuckDB's
+    * time_bucket. Total ORDER BY for the driver hash. */
+  def qStreamWindow(s: SparkSession, dir: String): DataFrame =
+    windowedCounts(Tables(s, dir, "events"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val qStreamWindowSql: String = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+  """.trim
+
+  // ---- custom keyed state (mapGroupsWithState) ---------------------------
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserStat(user_id: Long, n_events: Long, total: Double)
+
+  /** Running per-user totals via explicit keyed state — the
+    * mapGroupsWithState surface. State is one UserStat per user;
+    * update mode emits the refreshed row each trigger. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+          val (n, tot) = batch.foldLeft((prev.n_events, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          val next = UserStat(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode for runningUserStats when run as a stream. */
+  val runningOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Multimodal
+
+/** Multimodal plumbing: binary+metadata schema, stub decode through
+  * the mapPartitions batch stage, determinism, and that media bytes
+  * stay out of any shuffle.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("media table has the binary + typed-metadata schema") {
+    val m = Multimodal.mediaTable(spark, sfDir)
+    assert(m.schema("media").dataType == BinaryType)
+    assert(m.schema("meta").dataType.isInstanceOf[StructType])
+    val first = m.orderBy("media_id").select("media").head().getAs[Array[Byte]](0)
+    assert(first.take(4).map(_.toChar).mkString == "GRFT")
+    assert(first.length == 4 + 2 + 2 + 16) // magic + dims + md5 payload
+  }
+
+  test("stub decode emits declared feature schema with sane values") {
+    val f = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+    assert(f.schema == Multimodal.featureSchema)
+    val rows = f.collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val (w, h, n, mean) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))
+      w >= 1 && w <= 640 && h >= 1 && h <= 480 && n == 16 && mean >= 0 && mean < 256
+    })
+  }
+
+  test("decode is deterministic and joins back on media_id") {
+    val a = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+    val b = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+    assert(a.orderBy("media_id").collect().toSeq == b.orderBy("media_id").collect().toSeq)
+    // features join back against source metadata without touching bytes
+    val joined = a.join(
+      Multimodal.mediaTable(spark, sfDir).select("media_id", "meta"), "media_id")
+    assert(joined.count() == 500)
+  }
+
+  test("width/height parse matches the header formula") {
+    val f = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"),
+        (col("n_chars") % 640 + 1).cast("int").as("exp_w"),
+        (col("n_chars") % 480 + 1).cast("int").as("exp_h"))
+    val bad = f.join(docs, "media_id")
+      .filter(col("width") =!= col("exp_w") || col("height") =!= col("exp_h"))
+    assert(bad.count() == 0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Drives the streaming transforms through MemoryStream with
+  * out-of-order and late input — watermark close/drop semantics and
+  * keyed-state evolution across triggers.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed agg with watermark: closed windows emit, late rows drop") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(df).writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      // trigger 1: two in-order events in the 10:00 window
+      in.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0))
+      q.processAllAvailable()
+      // nothing closed yet — watermark is still inside the 10:00 window
+      assert(spark.table("win_counts").count() == 0)
+      // trigger 2: event at 12:00 pushes the watermark past 10:00+10min
+      in.addData((ts("2024-01-01 12:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      // trigger 3: a LATE event for the closed 10:00 window — dropped
+      in.addData((ts("2024-01-01 10:10:00"), "click", 99.0))
+      q.processAllAvailable()
+      val closed = spark.table("win_counts")
+        .select("win_start", "event_type", "n", "total_value").collect()
+      assert(closed.length == 1)
+      val r = closed(0)
+      assert(r.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(r.getString(1) == "click" && r.getLong(2) == 2 && r.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: keyed state accumulates across triggers") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Streaming.Event]
+    val q = Streaming.runningUserStats(in.toDS()).writeStream
+      .format("memory").queryName("user_stats")
+      .outputMode(Streaming.runningOutputMode).start()
+    try {
+      in.addData(Streaming.Event(1, ts("2024-01-01 00:00:01"), 10.0),
+        Streaming.Event(2, ts("2024-01-01 00:00:02"), 5.0))
+      q.processAllAvailable()
+      in.addData(Streaming.Event(1, ts("2024-01-01 00:01:00"), 7.0))
+      q.processAllAvailable()
+      // update mode: last emitted row per user carries the running total
+      val last = spark.table("user_stats")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last == Set((1L, 2L, 17.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("batch and stream share the transform: batch run matches manual agg") {
+    val batch = Streaming.qStreamWindow(spark, sfDir)
+    val manual = graft.sources.Tables(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .count()
+    assert(batch.count() == manual.count())
+  }
+}
