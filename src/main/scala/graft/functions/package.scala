@@ -52,8 +52,13 @@ package object functions {
   def power(a: Column, b: Column): Column = pow(a, b)
   def isnull(c: Column): Column = c.isNull
   def isnotnull(c: Column): Column = c.isNotNull
-  /** isnumeric: string parses as a number (Gandiva isnumeric). */
-  def isnumeric(c: Column): Column = c.cast(DoubleType).isNotNull
+  /** isnumeric: string parses as a number (Gandiva isnumeric).
+    * Spark's cast also accepts "Infinity"/"NaN" spellings, which the
+    * reference's strtod-based check would reject — excluded here. */
+  def isnumeric(c: Column): Column =
+    c.cast(DoubleType).isNotNull &&
+      !upper(trim(c)).isin("INFINITY", "-INFINITY", "+INFINITY", "INF",
+        "-INF", "+INF", "NAN")
   def abs(c: Column): Column = org.apache.spark.sql.functions.abs(c)
   def ceil(c: Column): Column = org.apache.spark.sql.functions.ceil(c)
   def floor(c: Column): Column = org.apache.spark.sql.functions.floor(c)

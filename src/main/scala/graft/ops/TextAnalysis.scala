@@ -22,20 +22,26 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Per-document char/token/unique-token counts. */
+  /** Per-document char/token/unique-token counts, plus a BPE-ish
+    * subword count: alternating vowel-split segments approximate a
+    * byte-pair vocabulary's tendency to break words at vowel
+    * boundaries — a cheap, deterministic token-budget estimator. */
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), col("lang"),
         length(col("text")).as("n_chars_calc"),
         size(toks(col("text"))).as("n_tokens"),
-        size(array_distinct(toks(col("text")))).as("n_uniq"))
+        size(array_distinct(toks(col("text")))).as("n_uniq"),
+        size(regexp_extract_all(col("text"), lit("[^aeiou\\s]+[aeiou]*|[aeiou]+"), lit(0)))
+          .as("n_subtok"))
       .orderBy("doc_id")
 
   val qTextStatsSql: String = """
     SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars_calc,
       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq
+      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+      CAST(len(regexp_extract_all(text, '[^aeiou\s]+[aeiou]*|[aeiou]+')) AS INT) AS n_subtok
     FROM documents WHERE doc_id < 100 ORDER BY doc_id
   """.trim
 

@@ -91,6 +91,10 @@ class FunctionsSpec extends SparkSpec {
     assert(one(gf.isnumeric(lit("3.14"))) == true)
     assert(one(gf.isnumeric(lit("-2e3"))) == true)
     assert(one(gf.isnumeric(lit("abc"))) == false)
+    // strtod-style: the words Infinity/NaN are not numerals
+    assert(one(gf.isnumeric(lit("Infinity"))) == false)
+    assert(one(gf.isnumeric(lit("-infinity"))) == false)
+    assert(one(gf.isnumeric(lit("NaN"))) == false)
   }
 
   test("hash functions are deterministic across invocations") {
