@@ -21,6 +21,12 @@ object Engine {
     // AQE: runtime coalescing + skew-join handling — the 100 TB safety
     // net; on by default in Spark 4 but pinned here explicitly.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // native expressions (GraftExtensions is the spark.sql.extensions
+    // path for cluster deployment; this covers already-built sessions)
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
     spark
   }
 

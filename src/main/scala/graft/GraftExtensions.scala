@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point — the deployment-grade way to
+  * install the engine's native expressions into a cluster session:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (`Engine.configure` also installs the same functions directly into
+  * a live session's registry, which is what local mains and tests
+  * use.) This mirrors the reference's registry pattern: Gandiva's
+  * function registry (`cpp/src/gandiva/function_registry.cc`) is the
+  * analogous plug-in point for its JIT'd kernels.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  /** The engine's native-function registry. */
+  val functions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+}

@@ -179,6 +179,12 @@ package object functions {
     org.apache.spark.sql.functions.date_sub(d, n)
   def date_diff(a: Column, b: Column): Column = datediff(a, b)
 
+  // ---- native vector kernels (CosineSimilarity.scala) ----
+  /** Codegen'd cosine similarity over float vectors; registered by
+    * Engine.configure / GraftExtensions. */
+  def cosine_sim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
   // ---- hash (function_registry_hash.cc:20-33) ----
   def hash32(c: Column): Column = org.apache.spark.sql.functions.hash(c)
   def hash64(c: Column): Column = xxhash64(c)

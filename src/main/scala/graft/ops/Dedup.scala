@@ -243,7 +243,7 @@ object Dedup {
     Seq.fill(64)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  private[ops] def dotD(a: Column, b: Column): Column =
+  private[graft] def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -276,8 +276,7 @@ object Dedup {
     cand
       .join(e2.select(col("vec_id").as("d1"), col("embedding").as("v1")), Seq("d1"))
       .join(e2.select(col("vec_id").as("d2"), col("embedding").as("v2")), Seq("d2"))
-      .filter(dotD(col("v1"), col("v2")) /
-        (sqrt(dotD(col("v1"), col("v1"))) * sqrt(dotD(col("v2"), col("v2")))) >= 0.99)
+      .filter(graft.functions.cosine_sim(col("v1"), col("v2")) >= 0.99)
       .select(col("d1"), col("d2"))
       .orderBy("d1", "d2")
   }

@@ -134,20 +134,26 @@ object Ingest {
     GROUP BY type ORDER BY type
   """.trim
 
-  /** JSON string extraction over the events fixture's `props` column
-    * (get_json_object — the in-row JSON path surface). */
+  /** JSON string extraction over the events fixture's `props` column —
+    * both in-row JSON surfaces: from_json (string → typed struct) and
+    * get_json_object (JSONPath), cross-checked against each other in
+    * the same row before aggregating. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
-      .select((get_json_object(col("props"), "$.k").cast(IntegerType) % 10)
-        .as("k_mod"), col("value"))
+      .withColumn("props_t", from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+      .select((col("props_t.k") % 10).as("k_mod"), col("value"),
+        (col("props_t.k") ===
+          get_json_object(col("props"), "$.k").cast(IntegerType)).as("paths_agree"))
       .groupBy(col("k_mod"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"),
+        min(col("paths_agree")).as("paths_agree"))
       .orderBy("k_mod")
 
   val qJsonExtractSql: String = """
     SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_mod, COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      true AS paths_agree
     FROM events GROUP BY 1 ORDER BY k_mod
   """.trim
 }

@@ -21,7 +21,13 @@ object Similarity {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Hot path: the native codegen'd kernel (float vectors). */
   private def cosine(a: Column, b: Column): Column =
+    graft.functions.cosine_sim(a, b)
+
+  /** Mixed-type path (double centroid literals vs float vectors):
+    * composed higher-order-function form, same fold order. */
+  private def cosineMixed(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
   /** Two-phase top-k per query: local (qid, partition) window prunes
@@ -79,7 +85,7 @@ object Similarity {
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cl = typedlit(cents)
-    val scores = transform(cl, c => cosine(c, col("embedding")))
+    val scores = transform(cl, c => cosineMixed(c, col("embedding")))
     val assigned = e
       .withColumn("cell",
         array_position(scores, array_max(scores)).cast("int"))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{functions => gf}
+import graft.ops.Dedup
+
+/** The native CosineSimilarity expression: value parity with the
+  * composed higher-order-function form (bit-exact — same fold order),
+  * SQL registration, null handling, codegen execution.
+  */
+class CosineSpec extends SparkSpec {
+
+  test("bit-exact parity with the composed aggregate(zip_with(..)) form") {
+    val e = graft.sources.Tables(spark, sfDir, "embeddings").limit(100)
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(broadcast(e.filter(col("vec_id") < 3)
+        .select(col("embedding").as("b"))))
+    val composed = Dedup.dotD(col("a"), col("b")) /
+      (sqrt(Dedup.dotD(col("a"), col("a"))) * sqrt(Dedup.dotD(col("b"), col("b"))))
+    val diffs = pairs
+      .select(gf.cosine_sim(col("a"), col("b")).as("native"), composed.as("hof"))
+      .filter(col("native") =!= col("hof")) // bit-exact: same fold order
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("registered for SQL via the extensions registry") {
+    val got = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(got == 0.0)
+    val same = spark.sql(
+      "SELECT cosine_sim(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(same - 1.0) < 1e-15)
+  }
+
+  test("null array yields null, not an error") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq(1.0f), null)),
+      StructType(Seq(StructField("a", ArrayType(FloatType)),
+        StructField("b", ArrayType(FloatType)))))
+    assert(df.select(gf.cosine_sim(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("runs inside whole-stage codegen (no interpreted fallback)") {
+    val e = graft.sources.Tables(spark, sfDir, "embeddings")
+    val df = e.select(gf.cosine_sim(col("embedding"), col("embedding")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [cosine_sim"), s"no codegen span:\n$plan")
+    assert(df.filter(col("c").isNotNull).count() == 500)
+  }
+}
