@@ -167,7 +167,7 @@ object Dedup {
 
   /** Exact n-gram-Jaccard dedup via a rare-shingle inverted index:
     * candidates = doc pairs sharing at least one shingle with document
-    * frequency in [2, 50] (frequent shingles are pruned — the standard
+    * frequency in [2, 20] (frequent shingles are pruned — the standard
     * skew guard: a shingle appearing in k docs would otherwise emit
     * k² pairs). Verification then uses the full shingle sets, so the
     * answer equals the brute-force oracle as long as every true pair
@@ -178,7 +178,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("hs")).as("shingle"))
     val rare = ex.join(
       ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 50))
+        .filter(col("df").between(2, 20))
         .select(col("shingle")),
       Seq("shingle"))
     // candidate = shares >= 5 rare shingles (a jac>=0.8 pair of ~70-shingle

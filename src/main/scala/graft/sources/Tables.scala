@@ -22,18 +22,26 @@ object Tables {
   /** Small dimension tables, always safe to broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    // Spark 4 rejects outright. Engine.configure reads nanos as long;
-    // here we truncate to micros (integer `div`, not `/` —
-    // ns-since-epoch exceeds double's 2^53 exact-integer range) to
-    // match DuckDB/our µs convention (SURVEY §1.2 ns-truncation note).
-    graft.Engine.configure(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  /** Plan cache: a DataFrame is an immutable logical plan, so reuse
+    * per (session, dir, table) skips re-listing the path and re-reading
+    * parquet footers on every query — measurable at bench scale and
+    * the right default for a long-lived session. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), { _ =>
+      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+      // Spark 4 rejects outright. Engine.configure reads nanos as long;
+      // here we truncate to micros (integer `div`, not `/` —
+      // ns-since-epoch exceeds double's 2^53 exact-integer range) to
+      // match DuckDB/our µs convention (SURVEY §1.2 ns-truncation note).
+      graft.Engine.configure(spark)
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
 
   /** Register every fixture table as a temp view (SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-posture asserts: the plan shapes that decide whether a query
+  * survives a 100x data blow-up — bucketed co-located joins (no
+  * shuffle on the join key), broadcast thresholds, and pushdown on the
+  * star-schema path.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables co-locate: equi-join plans with zero exchanges") {
+    val wh = Files.createTempDirectory("graft_bucketed").toString
+    val o = graft.sources.Tables(spark, sfDir, "orders")
+    val l = graft.sources.Tables(spark, sfDir, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      // the join itself must not shuffle — bucket layout IS the partitioning
+      val joinPart = plan.split("HashAggregate").last
+      assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join re-shuffled:\n$plan")
+      assert(j.agg(sum("n")).collect()(0).getLong(0) ==
+        graft.sources.Tables(spark, sfDir, "lineitem").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("dimension join broadcasts; fact-fact join shuffles on the key") {
+    val dims = graft.ops.Joins.qJoinBroadcast(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(dims.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$dims")
+  }
+
+  test("parquet scan pushes filters and prunes columns on the fact table") {
+    val df = graft.sources.Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"no pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"no pruning:\n$plan")
+  }
+}
