@@ -161,4 +161,23 @@ object Joins {
     FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name
   """.trim
+
+  /** Salted inner equi-join for skewed keys: the manual skew weapon
+    * when AQE's runtime skew split isn't enough (e.g. one key holding
+    * 10% of a 100 TB fact table). The skewed (left) side gets a random
+    * salt in [0, salts); the right side is replicated `salts` times
+    * via a literal-array explode; the join key becomes (key, salt), so
+    * one hot key spreads over `salts` reducers. Exact same rows as the
+    * plain join — JoinsSpec pins the equality. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      (rand(seed = 7) * salts).cast("int"))
+    val replicatedRight = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedLeft.join(replicatedRight,
+      saltedLeft(leftKey) === replicatedRight(rightKey) &&
+        saltedLeft("_salt") === replicatedRight("_salt"))
+      .drop("_salt")
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+/** Plan lint over EVERY declared query: the blanket scale guards that
+  * must hold no matter what an individual query does — no cartesian
+  * products, no interpreted Python-style UDF stages outside the
+  * declared UDF-registry demos.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // deliberate exceptions, each justified at the definition site:
+  //  - knn_brute/knn_ivf: BroadcastNestedLoopJoin with a <=10-row
+  //    broadcast side is the intended plan (query set vs candidates)
+  //  - window_ntile: cross-broadcast of the single-row global count
+  private val bnljAllowed = Set("knn_brute", "knn_ivf", "window_ntile")
+
+  test("no query plans a cartesian product") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("nested-loop joins appear only where the broadcast side is tiny by design") {
+    for ((name, fn) <- SparkEntry.queries if !bnljAllowed(name)) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name uses an unplanned nested-loop join")
+    }
+  }
+
+  test("every query declares a total ORDER BY or is a global aggregate") {
+    // driver hash-compare requires deterministic row order: the
+    // optimized plan must retain a Sort above everything else, or
+    // produce at most one row
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, sfDir)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      // top-level Sort, or Limit-over-Sort (top-k), or a single row
+      val head3 = optimized.linesIterator.take(3).mkString("\n")
+      val ok = head3.contains("Sort") || df.count() <= 1
+      assert(ok, s"$name has no top-level ordering:\n$optimized")
+    }
+  }
+}

@@ -46,6 +46,24 @@ class ScaleSpec extends SparkSpec {
     assert(dims.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$dims")
   }
 
+  test("salted join returns exactly the plain join's rows") {
+    val l = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = graft.sources.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = graft.ops.Joins.saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    // the join key really is (key, salt): both sides' plans carry _salt
+    val plan = graft.ops.Joins.saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"))
+  }
+
   test("parquet scan pushes filters and prunes columns on the fact table") {
     val df = graft.sources.Tables(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
