@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Time-series operators Spark lacks as primitives, composed
+  * scale-first from existing operators (tier (a) of the
+  * custom-operator preference order — the semantics fit a composition,
+  * so no custom plan node is needed):
+  *
+  *   - as-of join: tagged union + keyed ordered window with
+  *     last(ignoreNulls) — ONE shuffle on the join key, no range
+  *     self-join, no per-row probe. The classic distributed as-of.
+  *   - range join: aligned ranges compose to an equi-join on the
+  *     bucket id (floor(value/width)) — a hash join, not an
+  *     inequality nested loop. (Non-aligned ranges bucketize both
+  *     sides to overlapping cells, same shape.)
+  *   - sessionization: gap>threshold island numbering via windows —
+  *     the batch twin of the streaming mapGroupsWithState path
+  *     (graft.streaming.Streaming).
+  *
+  * All three are oracle-checked: DuckDB has native ASOF JOIN, an
+  * inequality join, and the same window SQL. Timestamps compare in
+  * microseconds on both sides (the engine's µs convention; the oracle
+  * truncates its ns fixture the same way).
+  */
+object Temporal {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * rightTime <= leftTime and equal key. Right side must be unique
+    * per (key, time) — dedupe upstream. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_src", lit(1))
+      .withColumn("_t", col(leftTime))
+    val r = right.withColumn("_src", lit(0))
+      .withColumn("_t", col(rightTime))
+    val lCols = left.columns.toSeq
+    val all = (lCols ++ payload).distinct
+    val unioned = l.select(
+      (Seq(col(key), col("_t"), col("_src")) ++
+        lCols.filter(c => c != key).map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      .unionByName(r.select(
+        (Seq(col(key), col("_t"), col("_src")) ++
+          lCols.filter(c => c != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(col)): _*))
+    // rights sort before lefts at equal time → 'latest <= t' is inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_src") === 1)
+      .select((lCols.map(col) ++
+        payload.map(c => col(s"_asof_$c").as(c))): _*)
+  }
+
+  /** For each purchase: the user's most recent click at or before it
+    * (µs precision), with the gap in seconds. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("t_us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t_us"))
+    // defensive (key,time) dedupe: keep max event_id — mirrored in the oracle
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t_us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    asofJoin(purchases, clicks, "user_id", "t_us", "click_us",
+      payload = Seq("click_id", "click_us"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        graft.functions.div(col("t_us") - col("click_us"), lit(1000000L))
+          .as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
+  val qAsofJoinSql: String = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, t_us FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, t_us AS click_us, MAX(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.purchase_id, p.user_id, c.click_id,
+      CAST((p.t_us - c.click_us) // 1000000 AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t_us >= c.click_us
+    ORDER BY purchase_id
+  """.trim
+
+  /** Range join composed to an equi-join: events into aligned
+    * 50-unit value bands (hash join on the band id — never an
+    * inequality nested loop). */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 10).select(
+      col("id").cast(IntegerType).as("band_id"),
+      (col("id") * 50).cast(DoubleType).as("lo"),
+      ((col("id") + 1) * 50).cast(DoubleType).as("hi"))
+    t(s, dir, "events")
+      .withColumn("band_id", floor(col("value") / 50).cast(IntegerType))
+      .join(broadcast(bands), Seq("band_id"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .orderBy("band_id")
+  }
+
+  val qRangeJoinSql: String = """
+    WITH bands AS (
+      SELECT CAST(i AS INT) AS band_id, CAST(i * 50 AS DOUBLE) AS lo,
+        CAST((i + 1) * 50 AS DOUBLE) AS hi
+      FROM range(0, 10) t(i))
+    SELECT band_id, lo, hi, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY 1, 2, 3 ORDER BY band_id
+  """.trim
+
+  /** Gap-based sessionization (30-minute inactivity closes a session):
+    * island numbering per user, then per-user session stats. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("t_us") - lag(col("t_us"), 1).over(wOrd) > 1800L * 1000000L
+          || lag(col("t_us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("session_events")).as("max_session_events"))
+      .filter(col("user_id") < 30)
+      .orderBy("user_id")
+  }
+
+  val qSessionizeSql: String = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+    flagged AS (
+      SELECT user_id, t_us,
+        CASE WHEN t_us - LAG(t_us) OVER w > 1800 * 1000000
+          OR LAG(t_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)),
+    sess AS (
+      SELECT user_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS session_events
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+      CAST(MAX(session_events) AS BIGINT) AS max_session_events
+    FROM per_session WHERE user_id < 30
+    GROUP BY user_id ORDER BY user_id
+  """.trim
+}
