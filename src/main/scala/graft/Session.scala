@@ -55,10 +55,13 @@ class Session(val spark: SparkSession) {
 
   /** Parquet sink (cpp/src/parquet writer analogue). `partitionBy`
     * columns produce a Hive-partitioned directory layout
-    * (cpp/src/arrow/dataset/partition.h:190 HivePartitioning). */
+    * (cpp/src/arrow/dataset/partition.h:190 HivePartitioning);
+    * `compression` selects the page codec (snappy/zstd/gzip/lz4/none —
+    * the parquet::Compression surface). */
   def writeParquet(df: DataFrame, path: String,
-      partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+      partitionBy: Seq[String] = Nil,
+      compression: String = "snappy"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }

@@ -152,6 +152,25 @@ object Aggregates {
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
   """.trim
 
+  /** Pivot (long → wide; Spark-native extension): order counts by
+    * priority × status. Pivot values are pinned explicitly — at 100 TB
+    * you never let pivot() run its implicit distinct-collect pass. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  val qPivotSql: String = """
+    SELECT o_orderpriority,
+      COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+      COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+      COUNT(*) FILTER (o_orderstatus = 'P') AS P
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority
+  """.trim
+
   /** Approximate distinct (HLL) — the 100 TB path for cardinality.
     * Sketch values are engine-specific → no SQL oracle; accuracy vs
     * exact is asserted in AggregatesSpec. */

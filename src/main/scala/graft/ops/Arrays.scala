@@ -74,4 +74,33 @@ object Arrays {
       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
     FROM documents WHERE doc_id < 50 ORDER BY doc_id
   """.trim
+
+  /** Map-typed columns (Arrow MAP, `cpp/src/arrow/type.h:136` →
+    * MapType): per-user event_type→count map built with
+    * map_from_entries over a sorted entry list (sorted so the map's
+    * physical entry order is deterministic), probed with element_at /
+    * cardinality. */
+  def qMapFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("c")))))
+        .as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_clicks"),
+        size(col("m")).as("n_types"))
+      .filter(col("user_id") < 20)
+      .orderBy("user_id")
+
+  val qMapFuncsSql: String = """
+    WITH per AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+    m AS (SELECT user_id,
+      map_from_entries(list_sort(list(struct_pack(key := event_type, value := c)))) AS mp
+      FROM per GROUP BY user_id)
+    SELECT user_id, CAST(coalesce(mp['click'][1], 0) AS BIGINT) AS n_clicks,
+      CAST(cardinality(mp) AS INT) AS n_types
+    FROM m WHERE user_id < 20 ORDER BY user_id
+  """.trim
 }

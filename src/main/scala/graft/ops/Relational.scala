@@ -207,6 +207,14 @@ object Relational {
   val qLimitSql: String =
     "SELECT * FROM orders ORDER BY o_orderkey LIMIT 25"
 
+  /** LIMIT with OFFSET (pagination surface; the reference's LimitExec
+    * has no offset — Spark-native extension). */
+  def qLimitOffset(s: SparkSession, dir: String): DataFrame =
+    ord(s, dir).orderBy(col("o_orderkey")).offset(10).limit(5)
+
+  val qLimitOffsetSql: String =
+    "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10"
+
   /** Unique / distinct values (CK hash.h:47 Unique kernel). */
   def qDistinct(s: SparkSession, dir: String): DataFrame =
     li(s, dir)

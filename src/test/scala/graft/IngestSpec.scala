@@ -70,6 +70,20 @@ class IngestSpec extends SparkSpec {
     assert(full.count() > scanned.count())
   }
 
+  test("parquet codec selection round-trips (zstd + uncompressed)") {
+    val sess = Session(spark)
+    val src = graft.sources.Tables(spark, sfDir, "nation")
+    for (codec <- Seq("zstd", "none")) {
+      val out = tmp(s"graft_codec_$codec")
+      sess.writeParquet(src, out, compression = codec)
+      val files = new java.io.File(out).listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet"))
+      if (codec == "zstd") assert(files.exists(_.contains(".zstd.")))
+      assert(spark.read.parquet(out).orderBy("n_nationkey").collect().toSeq ==
+        src.orderBy("n_nationkey").collect().toSeq)
+    }
+  }
+
   test("multi-file dataset discovery + unionByName-style schema merge") {
     val out = tmp("graft_multi")
     val o = graft.sources.Tables(spark, sfDir, "orders")
