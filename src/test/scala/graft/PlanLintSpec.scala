@@ -35,9 +35,10 @@ class PlanLintSpec extends SparkSpec {
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sfDir)
       val optimized = df.queryExecution.optimizedPlan.toString
-      // top-level Sort, or Limit-over-Sort (top-k), or a single row
-      val head3 = optimized.linesIterator.take(3).mkString("\n")
-      val ok = head3.contains("Sort") || df.count() <= 1
+      // top-level Sort, possibly under Limit/Offset wrappers (top-k,
+      // pagination), or a single row
+      val head4 = optimized.linesIterator.take(4).mkString("\n")
+      val ok = head4.contains("Sort") || df.count() <= 1
       assert(ok, s"$name has no top-level ordering:\n$optimized")
     }
   }
