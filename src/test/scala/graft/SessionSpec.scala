@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The analogue of the reference's `assert_same_plan`
+  * (`rust/datafusion/src/execution/table_impl.rs:196`): SQL and the
+  * DataFrame/Table API lower to the same optimized logical plan, so
+  * neither surface can drift from the other.
+  */
+class SessionSpec extends SparkSpec {
+
+  private lazy val session: Session = {
+    val s = Session(spark)
+    s.registerFixtures(sfDir)
+    s
+  }
+
+  private def normalized(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+      .replaceAll("#\\d+L?", "#?") // strip expression ids
+
+  test("select/filter: SQL == Table API plan") {
+    val sql = session.sql(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 1000")
+    val api = session.table("orders")
+      .filter(col("o_totalprice") > 1000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    assert(normalized(sql) == normalized(api))
+  }
+
+  test("aggregate: SQL == Table API plan") {
+    val sql = session.sql(
+      "SELECT o_orderpriority, COUNT(1) AS n FROM orders GROUP BY o_orderpriority")
+    val api = session.table("orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    assert(normalized(sql) == normalized(api))
+  }
+
+  test("registration surfaces agree: registerTable vs registerParquet") {
+    session.registerParquet("orders_p", s"$sfDir/orders.parquet")
+    val a = session.table("orders_p").count()
+    val b = session.table("orders").count()
+    assert(a == b)
+  }
+}
