@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Canonical TPC-H query shapes (adapted to the driver fixture's
+  * column subset — see FIXTURES.md §2): the standard scan/agg (Q1),
+  * join+top-k (Q3), star-join (Q5), and selective-filter-agg (Q6)
+  * benchmarks, written exactly as the 100 TB plan should look —
+  * decimal money arithmetic, dims broadcast, facts shuffled once on
+  * the join key, filters pushed to the scan.
+  */
+object Tpch {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Q1 pricing summary: full aggregate set over one pushdown scan. */
+  def qTpchQ1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4))))
+          .cast(DoubleType).as("sum_disc_price"),
+        // rescale to 6 before the double cast: at scale 10 the integer
+        // mantissa exceeds 2^53 and decimal→double rounding differs
+        // across engines by 1 ulp; at scale 6 it's exact on both
+        sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4))) *
+          (lit(1).cast(DecimalType(9, 4)) + col("l_tax").cast(DecimalType(9, 4))))
+          .cast(DecimalType(32, 6)).cast(DoubleType).as("sum_charge"),
+        (sum(money(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(money(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast(DecimalType(9, 4))).cast(DoubleType) /
+          count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val qTpchQ1Sql: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4))) * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4)))) AS DECIMAL(32,6)) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+  """.trim
+
+  /** Q3 shipping priority (adapted: o_orderpriority replaces the
+    * fixture-absent o_shippriority): segment filter on the broadcast
+    * customer dim, fact-fact join on orderkey, revenue top-10. */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-03-15").cast(TimestampType)
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val qTpchQ3Sql: String = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+  """.trim
+
+  /** Q5 local supplier volume (adapted: joins via supplier+customer
+    * nation equality). Plan discipline for 100 TB: customer and
+    * supplier scale with SF → shuffle joins on their keys; only the
+    * fixed-size nation/region dims broadcast. */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+
+  val qTpchQ5Sql: String = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+  """.trim
+
+  /** Q6 forecasting revenue change: the selective filter-agg whose
+    * whole point is pushdown — every predicate must reach the scan. */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1995-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) *
+        col("l_discount").cast(DecimalType(9, 4)))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val qTpchQ6Sql: String = """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+  """.trim
+}
