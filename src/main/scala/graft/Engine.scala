@@ -27,6 +27,8 @@ object Engine {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.SmallDimBroadcastRule())
     spark
   }
 

@@ -18,10 +18,12 @@ import graft.functions.CosineSimilarity
   * analogous plug-in point for its JIT'd kernels.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SmallDimBroadcastRule())
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Optimizer rule (tier (c) of the custom-operator ladder: a
+  * `Rule[LogicalPlan]` injected through `SparkSessionExtensions`):
+  * force a broadcast hint onto any join side that scans one of the
+  * engine's known fixed-size dimension tables
+  * (`graft.sources.Tables.smallDims` — region/nation/supplier).
+  *
+  * Why a rule and not `broadcast()` at every call site: the size
+  * estimate Catalyst uses for auto-broadcast is file size, which
+  * mis-guesses through projections/filters and is capped by
+  * `autoBroadcastJoinThreshold`; domain knowledge ("nation has 25
+  * rows at ANY scale factor") is something only the engine can inject.
+  * The reference's analogue is DataFusion's rule-based optimizer
+  * chain (`rust/datafusion/src/optimizer/optimizer.rs`).
+  */
+case class SmallDimBroadcastRule() extends Rule[LogicalPlan] {
+
+  private val dimFiles: Set[String] =
+    graft.sources.Tables.smallDims.map(n => s"$n.parquet")
+
+  private def isSmallDimScan(plan: LogicalPlan): Boolean = plan.exists {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      // match by fixture file name — the engine's registry of
+      // tables whose cardinality is scale-factor-independent
+      fs.location.rootPaths.exists(p =>
+        dimFiles.exists(f => p.toString.endsWith(f)))
+    case _ => false
+  }
+
+  private def alreadyHinted(plan: LogicalPlan): Boolean = plan match {
+    case ResolvedHint(_, hint) => hint.strategy.isDefined
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, _, _, hint)
+        if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+      val newLeft = isSmallDimScan(l) && !alreadyHinted(l)
+      val newRight = isSmallDimScan(r) && !alreadyHinted(r)
+      if (!newLeft && !newRight) j
+      else {
+        val hi = org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+          strategy = Some(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+        j.copy(hint = JoinHint(
+          if (newLeft) Some(hi) else hint.leftHint,
+          if (newRight) Some(hi) else hint.rightHint))
+      }
+  }
+}
