@@ -97,6 +97,15 @@ class FunctionsSpec extends SparkSpec {
     assert(one(gf.isnumeric(lit("NaN"))) == false)
   }
 
+  test("non-ANSI cast semantics: invalid input → null, overflow wraps") {
+    // the reference's unsafe CastOptions (cpp/src/arrow/compute/kernels/
+    // cast.h:36): allow_int_overflow wraps, invalid strings → null
+    assert(one(lit("abc").cast(IntegerType)) == null)
+    assert(one(lit("2.7").cast(IntegerType)) == 2) // float truncate
+    assert(one(lit(4294967296L).cast(IntegerType)) == 0) // 2^32 wraps
+    assert(one(lit(2147483648L).cast(IntegerType)) == Int.MinValue)
+  }
+
   test("hash functions are deterministic across invocations") {
     val a = one(gf.hash64(lit("spark")))
     val b = one(gf.hash64(lit("spark")))

@@ -100,6 +100,46 @@ class IngestSpec extends SparkSpec {
       o.filter(col("o_orderkey") % 2 === 0).count())
   }
 
+  test("json parse modes map the reference's UnexpectedFieldBehavior") {
+    // cpp/src/arrow/json/options.h:41-59 — Ignore/Error/InferType →
+    // Spark PERMISSIVE (null + _corrupt_record) / FAILFAST / inference
+    val out = tmp("graft_json_modes")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/bad.jsonl"),
+      """{"id": 1, "v": 10}
+        |not json at all
+        |{"id": 2, "v": 20}
+        |""".stripMargin)
+    val schema = "id BIGINT, v BIGINT, _corrupt_record STRING"
+    // corrupt-record queries require materialized parse results
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(s"$out/bad.jsonl")
+      .collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(r => !r.isNullAt(2)) == 1)
+    val failfast = spark.read.schema("id BIGINT, v BIGINT")
+      .option("mode", "FAILFAST").json(s"$out/bad.jsonl")
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
+  test("csv parse options: delimiter, null token, quotes") {
+    // cpp/src/arrow/csv/options.h:38-116 — delimiter/null_values/quoting
+    val out = tmp("graft_csv_opts")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/opt.csv"),
+      "a|b|c\n1|NULLTOK|\"x|y\"\n2|hello|plain\n")
+    val df = spark.read
+      .option("header", "true").option("delimiter", "|")
+      .option("nullValue", "NULLTOK").option("quote", "\"")
+      .schema("a INT, b STRING, c STRING")
+      .csv(s"$out/opt.csv")
+      .orderBy("a")
+    val rows = df.collect()
+    assert(rows(0).isNullAt(1))          // null token honored
+    assert(rows(0).getString(2) == "x|y") // quoted delimiter preserved
+    assert(rows(1).getString(1) == "hello")
+  }
+
   test("ddl external table registers and re-registers idempotently") {
     val r1 = Ingest.qDdlExternalTable(spark, sfDir).collect()
     val r2 = Ingest.qDdlExternalTable(spark, sfDir).collect()
