@@ -111,6 +111,34 @@ package object functions {
     org.apache.spark.sql.functions.concat(cols: _*)
   def replace(c: Column, from: String, to: String): Column =
     org.apache.spark.sql.functions.replace(c, lit(from), lit(to))
+  /** ltrim/rtrim/btrim(str, trimChars): strip a character SET from the
+    * ends (Gandiva ltrim/rtrim/btrim two-arg forms). */
+  def ltrim(c: Column, chars: String): Column =
+    org.apache.spark.sql.functions.ltrim(c, chars)
+  def rtrim(c: Column, chars: String): Column =
+    org.apache.spark.sql.functions.rtrim(c, chars)
+  def btrim(c: Column, chars: String): Column =
+    org.apache.spark.sql.functions.btrim(c, lit(chars))
+  def lpad(c: Column, len: Int, pad: String): Column =
+    org.apache.spark.sql.functions.lpad(c, len, pad)
+  def rpad(c: Column, len: Int, pad: String): Column =
+    org.apache.spark.sql.functions.rpad(c, len, pad)
+  /** split_part(str, delim, n): 1-based field extract, "" when out of
+    * range (Gandiva split_part convention). */
+  def split_part(c: Column, delim: String, n: Int): Column =
+    call_function("split_part", c, lit(delim), lit(n))
+  def ascii(c: Column): Column = org.apache.spark.sql.functions.ascii(c)
+  def repeat(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.repeat(c, n)
+  def left(c: Column, n: Int): Column =
+    call_function("left", c, lit(n))
+  def right(c: Column, n: Int): Column =
+    call_function("right", c, lit(n))
+  def translate(c: Column, from: String, to: String): Column =
+    org.apache.spark.sql.functions.translate(c, from, to)
+  def levenshtein(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.levenshtein(a, b)
+  def initcap(c: Column): Column = org.apache.spark.sql.functions.initcap(c)
 
   // ---- datetime extract (function_registry_datetime.cc:23-44) ----
   def extractYear(c: Column): Column = year(c)

@@ -53,6 +53,40 @@ object Scalars {
     ORDER BY p_partkey
   """.trim
 
+  /** Second string tier (function_registry_string.cc trim/pad/extract
+    * family): trims with character sets, pads, field extraction,
+    * translate, edit distance. */
+  def qStringFuncs2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") < 40)
+      .select(
+        col("p_partkey"),
+        gf.ltrim(col("p_name"), "a").as("lt"),
+        gf.rtrim(col("p_name"), "e").as("rt"),
+        gf.btrim(col("p_name"), "ae").as("bt"),
+        gf.lpad(col("p_brand"), 12, "*").as("lp"),
+        gf.rpad(col("p_brand"), 12, "*").as("rp"),
+        gf.split_part(col("p_type"), " ", 2).as("sp2"),
+        gf.ascii(col("p_name")).as("asc1"),
+        gf.repeat(col("p_brand"), 2).as("rep"),
+        gf.left(col("p_name"), 4).as("l4"),
+        gf.right(col("p_name"), 4).as("r4"),
+        gf.translate(col("p_name"), "aeiou", "01234").as("tr"),
+        gf.levenshtein(col("p_brand"), col("p_type")).as("lev"))
+      .orderBy(col("p_partkey"))
+
+  val qStringFuncs2Sql: String = """
+    SELECT p_partkey,
+      ltrim(p_name, 'a') AS lt, rtrim(p_name, 'e') AS rt, trim(p_name, 'ae') AS bt,
+      lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+      split_part(p_type, ' ', 2) AS sp2,
+      ascii(p_name) AS asc1, repeat(p_brand, 2) AS rep,
+      left(p_name, 4) AS l4, right(p_name, 4) AS r4,
+      translate(p_name, 'aeiou', '01234') AS tr,
+      CAST(levenshtein(p_brand, p_type) AS INT) AS lev
+    FROM part WHERE p_partkey < 40 ORDER BY p_partkey
+  """.trim
+
   /** Math function surface (function_registry_math_ops.cc). Inputs are
     * strictly positive so div/mod/floor conventions agree across
     * engines; signed edge cases are pinned in FunctionsSpec. */

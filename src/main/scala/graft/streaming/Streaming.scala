@@ -79,4 +79,52 @@ object Streaming {
 
   /** Output mode for runningUserStats when run as a stream. */
   val runningOutputMode: OutputMode = OutputMode.Update()
+
+  // ---- session windows (flatMapGroupsWithState) --------------------------
+
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute inactivity gap
+
+  /** Event-time sessionization with explicit state + timeout — the
+    * flatMapGroupsWithState surface: sessions close either when a new
+    * event arrives past the gap (emitted immediately) or when the
+    * watermark passes lastSeen+gap (emitted on timeout). State per
+    * user is one open session — O(active users), watermark-bounded. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.start, s.lastSeen, s.nEvents))
+          } else {
+            val times = batch.map(e =>
+              e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            for (t <- times) open match {
+              case Some(s) if t - s.lastSeen <= GapUs =>
+                open = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += ClosedSession(user, s.start, s.lastSeen, s.nEvents)
+                open = Some(SessionState(t, t, 1))
+              case None =>
+                open = Some(SessionState(t, t, 1))
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastSeen + GapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

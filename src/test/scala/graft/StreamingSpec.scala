@@ -68,6 +68,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: gap close + timeout close") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionizeStream(in.toDS()).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart
+      in.addData(Streaming.Event(1, ts("2024-01-01 10:00:00"), 1.0),
+        Streaming.Event(1, ts("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      // an event 2 hours later: closes session 1 by gap, opens session 2
+      in.addData(Streaming.Event(1, ts("2024-01-01 12:05:00"), 1.0))
+      q.processAllAvailable()
+      // another user far in the future pushes the watermark past
+      // session 2's timeout → session 2 closes by TIMEOUT
+      in.addData(Streaming.Event(2, ts("2024-01-01 23:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(Streaming.Event(2, ts("2024-01-01 23:30:00"), 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .orderBy("start_us").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(sessions.length >= 2)
+      assert(sessions(0) == (1L, 2L)) // session 1: user 1, 2 events (gap close)
+      assert(sessions(1) == (1L, 1L)) // session 2: user 1, 1 event (timeout)
+    } finally q.stop()
+  }
+
   test("batch and stream share the transform: batch run matches manual agg") {
     val batch = Streaming.qStreamWindow(spark, sfDir)
     val manual = graft.sources.Tables(spark, sfDir, "events")
