@@ -137,6 +137,59 @@ object Tpch {
     ORDER BY revenue DESC, n_name ASC
   """.trim
 
+  /** Q10 returned-item reporting (adapted to fixture columns): top-20
+    * customers by revenue lost to returns. Fact-fact shuffle on
+    * orderkey, then custkey; nation broadcast (rule-injected). */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  val qTpchQ10Sql: String = """
+    SELECT c_custkey, c_name, n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+  """.trim
+
+  /** Q14 promotion effect (adapted: 'red %' part names stand in for
+    * PROMO types): conditional-aggregate ratio over one join. */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val rev = money(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4)))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_name").startsWith("red"), rev)
+          .otherwise(lit(0).cast(DecimalType(28, 6)))).cast(DoubleType) * 100.0 /
+          sum(rev).cast(DoubleType)).as("promo_pct"),
+        count(lit(1)).as("n"))
+  }
+
+  val qTpchQ14Sql: String = """
+    SELECT
+      CAST(SUM(CASE WHEN p_name LIKE 'red%'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))
+        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) * 100.0 /
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS promo_pct,
+      COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+  """.trim
+
   /** Q6 forecasting revenue change: the selective filter-agg whose
     * whole point is pushdown — every predicate must reach the scan. */
   def qTpchQ6(s: SparkSession, dir: String): DataFrame =

@@ -80,6 +80,19 @@ object Streaming {
   /** Output mode for runningUserStats when run as a stream. */
   val runningOutputMode: OutputMode = OutputMode.Update()
 
+  // ---- streaming dedup ---------------------------------------------------
+
+  /** Streaming exact dedup by content fingerprint — the streaming twin
+    * of ops.Dedup.qDedupExact: duplicates arriving within the
+    * watermark horizon are dropped, and the dedup state itself is
+    * watermark-bounded (O(horizon), not O(stream)) — the only way
+    * streaming dedup survives an unbounded stream. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+
   // ---- session windows (flatMapGroupsWithState) --------------------------
 
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)

@@ -100,6 +100,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate fingerprints") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streaming.dedupStream(df).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "alpha"),
+        (2L, ts("2024-01-01 10:00:01"), "beta"),
+        (3L, ts("2024-01-01 10:00:02"), "alpha")) // dup in same batch
+      q.processAllAvailable()
+      in.addData((4L, ts("2024-01-01 10:01:00"), "alpha")) // dup next batch
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch and stream share the transform: batch run matches manual agg") {
     val batch = Streaming.qStreamWindow(spark, sfDir)
     val manual = graft.sources.Tables(spark, sfDir, "events")
