@@ -64,9 +64,11 @@ object Dedup {
 
   /** Exact Jaccard on candidate pairs only: |A∩B| via a shingle-hash
     * equi-join restricted to candidates, |A∪B| = n1 + n2 - |A∩B|.
-    * The int/int double division matches the oracle bit-for-bit. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val hsh = hashedShingles(sh)
+    * The int/int double division matches the oracle bit-for-bit.
+    * Takes the SAME hashed-shingle DataFrame instance the caller used
+    * for candidate generation — identical attribute ids let Spark's
+    * ReuseExchange evaluate the scan→shingle→hash subtree once. */
+  private def verifyJaccard(cand: DataFrame, hsh: DataFrame): DataFrame = {
     val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
     val counts = hsh.select(col("doc_id"), size(col("hs")).as("n"))
     cand
@@ -140,9 +142,8 @@ object Dedup {
     * bucketed self-join for candidates → exact Jaccard filter >= 0.8.
     * Only bucket-mates are ever paired. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(t(s, dir, "documents"))
-    val ex = hashedShingles(sh)
-      .select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val hsh = hashedShingles(shingled(t(s, dir, "documents")))
+    val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
     val minAggs = (0 until NumHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     val mh = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -158,7 +159,7 @@ object Dedup {
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(cand, sh)
+    verifyJaccard(cand, hsh)
   }
 
   val qDedupMinhashSql: String = jaccardOracleSql
@@ -173,9 +174,8 @@ object Dedup {
     * answer equals the brute-force oracle as long as every true pair
     * shares one rare shingle — which near-identical documents do. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(t(s, dir, "documents"))
-    val ex = hashedShingles(sh)
-      .select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val hsh = hashedShingles(shingled(t(s, dir, "documents")))
+    val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
     val rare = ex.join(
       ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20))
@@ -190,7 +190,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 5)
       .select(col("d1"), col("d2"))
-    verifyJaccard(cand, sh)
+    verifyJaccard(cand, hsh)
   }
 
   val qDedupNgramSql: String = jaccardOracleSql
