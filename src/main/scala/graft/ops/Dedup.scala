@@ -281,6 +281,62 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** End-to-end training-data pipeline — the chained flow a corpus
+    * actually goes through, as ONE declared query:
+    *
+    *   exact dedup (keep-first by content hash)
+    *   → near-dup removal (drop the higher id of every verified
+    *     MinHash-LSH jac>=0.8 pair)
+    *   → quality filter (>= 20 tokens)
+    *   → per-language corpus/token-budget summary.
+    *
+    * Every stage is the already-verified operator; the chain proves
+    * they compose (the real product is the composed pipeline, not the
+    * parts). */
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dropNearDups = qDedupMinhash(s, dir)
+      .select(col("d2").as("doc_id")).distinct()
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+      .join(dropNearDups, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", size(toks))
+      .filter(col("n_tokens") >= 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+  }
+
+  val qPipelineE2eSql: String = """
+    WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toksrc),
+    neardup AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+    exact AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, n_chars, len(string_split(text, ' ')) AS n_tokens
+      FROM exact
+      WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM neardup)
+        AND len(string_split(text, ' ')) >= 20)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, MAX(n_chars) AS max_chars
+    FROM kept GROUP BY lang ORDER BY lang
+  """.trim
+
   val qDedupEmbedSql: String = """
     WITH e2 AS (
       SELECT vec_id, embedding FROM embeddings
