@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{acos, asin, atan2, col, cos, greatest, least, lit, round, signum, sin, tan}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
@@ -51,6 +51,41 @@ object Scalars {
       SUBSTR(p_type, 1, 3) AS typ3
     FROM part WHERE p_partkey <= 500
     ORDER BY p_partkey
+  """.trim
+
+  /** Second math tier: trigonometry, sign, n-ary min/max. Results are
+    * rounded to 6 decimals — libm implementations differ by an ulp
+    * across engines, and the declared contract is the function
+    * surface, not the last bit of a transcendental. Inputs are
+    * l_discount/l_tax (0..0.1), inside every inverse-trig domain. */
+  def qMathFuncs2(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r6(sin(col("l_discount"))).as("sin_d"),
+        r6(cos(col("l_discount"))).as("cos_d"),
+        r6(tan(col("l_discount"))).as("tan_d"),
+        r6(asin(col("l_discount"))).as("asin_d"),
+        r6(acos(col("l_discount"))).as("acos_d"),
+        r6(atan2(col("l_discount"), col("l_tax") + 0.01)).as("atan2_dt"),
+        signum(col("l_discount") - 0.05).as("sign_d"),
+        greatest(col("l_discount"), col("l_tax")).as("gr"),
+        least(col("l_discount"), col("l_tax")).as("le"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qMathFuncs2Sql: String = """
+    SELECT l_orderkey, l_linenumber,
+      round(sin(l_discount), 6) AS sin_d, round(cos(l_discount), 6) AS cos_d,
+      round(tan(l_discount), 6) AS tan_d, round(asin(l_discount), 6) AS asin_d,
+      round(acos(l_discount), 6) AS acos_d,
+      round(atan2(l_discount, l_tax + 0.01), 6) AS atan2_dt,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+      greatest(l_discount, l_tax) AS gr, least(l_discount, l_tax) AS le
+    FROM lineitem WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
   """.trim
 
   /** Second string tier (function_registry_string.cc trim/pad/extract
