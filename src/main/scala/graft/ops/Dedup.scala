@@ -62,25 +62,20 @@ object Dedup {
     sh.select(col("doc_id"),
       array_distinct(transform(col("shingles"), x => xxhash64(x))).as("hs"))
 
-  /** Exact Jaccard on candidate pairs only: |A∩B| via a shingle-hash
-    * equi-join restricted to candidates, |A∪B| = n1 + n2 - |A∩B|.
-    * The int/int double division matches the oracle bit-for-bit.
-    * Takes the SAME hashed-shingle DataFrame instance the caller used
-    * for candidate generation — identical attribute ids let Spark's
-    * ReuseExchange evaluate the scan→shingle→hash subtree once. */
+  /** Exact Jaccard on candidate pairs only: join each pair back to its
+    * two shingle-hash SETS (arrays stay inside their rows — no explode,
+    * no extra shuffle) and compute |A∩B|/|A∪B| per row with
+    * array_intersect. Candidates are bucket-join survivors, so this
+    * stage touches O(candidates · shingles-per-doc), never the corpus.
+    * The int/int double division matches the oracle bit-for-bit. */
   private def verifyJaccard(cand: DataFrame, hsh: DataFrame): DataFrame = {
-    val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
-    val counts = hsh.select(col("doc_id"), size(col("hs")).as("n"))
+    val inter = size(array_intersect(col("hs1"), col("hs2")))
     cand
-      .join(ex.as("e1"), col("d1") === col("e1.doc_id"))
-      .join(ex.as("e2"),
-        col("d2") === col("e2.doc_id") && col("e1.shingle") === col("e2.shingle"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      .join(counts.as("c1"), col("d1") === col("c1.doc_id"))
-      .join(counts.as("c2"), col("d2") === col("c2.doc_id"))
+      .join(hsh.select(col("doc_id").as("d1"), col("hs").as("hs1")), Seq("d1"))
+      .join(hsh.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))
       .select(col("d1"), col("d2"),
-        (col("inter").cast(DoubleType) /
-          (col("c1.n") + col("c2.n") - col("inter"))).as("jac"))
+        (inter.cast(DoubleType) /
+          (size(col("hs1")) + size(col("hs2")) - inter)).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy("d1", "d2")
   }
