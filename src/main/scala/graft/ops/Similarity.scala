@@ -73,17 +73,40 @@ object Similarity {
     SELECT qid, rn, cid FROM r WHERE rn <= 5 ORDER BY qid, rn
   """.trim
 
-  /** IVF coarse cells: vectors vec_id 0..9 as fixed centroids (a
-    * deterministic stand-in for trained k-means — driver-side state is
-    * O(k·d), never O(N)). Every vector is assigned to its
-    * max-cosine cell; queries probe the `nprobe` nearest cells and
-    * score only those cells' members. nprobe = k (all cells) recovers
-    * the brute-force answer exactly (PipelineSpec pins this). */
+  /** One deterministic Lloyd refinement: assign to max-cosine cell,
+    * recompute per-cell means through exact decimal sums (the answer
+    * is independent of partitioning — double sums would not be), pull
+    * back O(k·d) values. Cells that lost all members keep their seed. */
+  private def refineCentroids(e: DataFrame,
+      cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cl = typedlit(cents)
+    val scores = transform(cl, c => cosineMixed(c, col("embedding")))
+    val means = e
+      .withColumn("cell", array_position(scores, array_max(scores)).cast("int"))
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(rows =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+    cents.indices.map(i => means.getOrElse(i + 1, cents(i)))
+  }
+
+  /** IVF coarse cells: k-means centroids (vec_id 0..9 seeds + one
+    * Lloyd pass — deterministic; driver-side state is O(k·d), never
+    * O(N)). Every vector is assigned to its max-cosine cell; queries
+    * probe the `nprobe` nearest cells and score only those cells'
+    * members. nprobe = k (all cells) recovers the brute-force answer
+    * exactly (PipelineSpec pins this). */
   def knnIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cents: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val cents = refineCentroids(e, seeds)
     val cl = typedlit(cents)
     val scores = transform(cl, c => cosineMixed(c, col("embedding")))
     val assigned = e

@@ -112,6 +112,21 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b && a != one(gf.hash64(lit("sparks"))))
   }
 
+  test("trim/pad/extract family edge semantics") {
+    // trims strip a character SET, not a prefix string
+    assert(one(gf.ltrim(lit("aabca"), "a")) == "bca")
+    assert(one(gf.btrim(lit("aabcaa"), "a")) == "bc")
+    // split_part: 1-based; out-of-range → empty string, not null
+    assert(one(gf.split_part(lit("x y"), " ", 2)) == "y")
+    assert(one(gf.split_part(lit("x"), " ", 3)) == "")
+    // lpad truncates when the target is shorter than the input
+    assert(one(gf.lpad(lit("abcdef"), 3, "*")) == "abc")
+    assert(one(gf.left(lit("abcdef"), 2)) == "ab")
+    assert(one(gf.right(lit("abcdef"), 2)) == "ef")
+    assert(one(gf.levenshtein(lit("kitten"), lit("sitting"))) == 3)
+    assert(one(gf.translate(lit("abc"), "abc", "xyz")) == "xyz")
+  }
+
   test("nulls-last sort helpers put nulls last on asc") {
     val df = spark.createDataFrame(
       java.util.List.of(Row(java.lang.Integer.valueOf(2)), Row(null.asInstanceOf[java.lang.Integer]), Row(java.lang.Integer.valueOf(1))),
