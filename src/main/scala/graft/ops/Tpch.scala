@@ -137,6 +137,31 @@ object Tpch {
     ORDER BY revenue DESC, n_name ASC
   """.trim
 
+  /** Q4 order priority checking: correlated EXISTS — a left-semi join
+    * whose condition mixes the equi key with a per-row inequality
+    * (l_shipdate > o_orderdate). */
+  def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1994-07-01").cast(TimestampType))
+    o.join(t(s, dir, "lineitem"),
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qTpchQ4Sql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate < TIMESTAMP '1994-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
   /** Q10 returned-item reporting (adapted to fixture columns): top-20
     * customers by revenue lost to returns. Fact-fact shuffle on
     * orderkey, then custkey; nation broadcast (rule-injected). */
