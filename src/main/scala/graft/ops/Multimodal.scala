@@ -75,6 +75,20 @@ object Multimodal {
     session.createDataFrame(rdd, featureSchema)
   }
 
+  /** Frame sampling over a video-like binary column: treat the payload
+    * as fixed-size frames and keep every k-th one — pure expression
+    * (substring on binary), no UDF, bytes never leave the row. A real
+    * container format would swap the fixed stride for header-driven
+    * offsets in the same shape. */
+  def frameSample(media: org.apache.spark.sql.Column, frameBytes: Int,
+      every: Int): org.apache.spark.sql.Column = {
+    val payload = substring(media, 9, Int.MaxValue) // skip 8-byte header
+    val nFrames = floor(octet_length(payload) / frameBytes).cast("int")
+    transform(
+      sequence(lit(0), greatest(ceil(nFrames.cast("double") / every).cast("int") - 1, lit(0))),
+      i => substring(payload, i * every * frameBytes + 1, lit(frameBytes)))
+  }
+
   /** Oracle-checkable binary surface over the same corpus: blob
     * length, hex round-trip, payload fingerprint. */
   def qBinaryFuncs(s: SparkSession, dir: String): DataFrame =

@@ -41,6 +41,19 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.count() == 500)
   }
 
+  test("frame sampling keeps every k-th fixed-size block of the payload") {
+    val m = Multimodal.mediaTable(spark, sfDir)
+    // payload is 16 bytes → 4 frames of 4 bytes; every=2 keeps frames 0,2
+    val sampled = m.select(col("media_id"),
+      Multimodal.frameSample(col("media"), frameBytes = 4, every = 2).as("frames"))
+    val r = sampled.orderBy("media_id").head()
+    val frames = r.getSeq[Array[Byte]](1)
+    assert(frames.length == 2 && frames.forall(_.length == 4))
+    val full = m.orderBy("media_id").head().getAs[Array[Byte]]("media").drop(8)
+    assert(frames(0).toSeq == full.slice(0, 4).toSeq)
+    assert(frames(1).toSeq == full.slice(8, 12).toSeq)
+  }
+
   test("width/height parse matches the header formula") {
     val f = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
     val docs = graft.sources.Tables(spark, sfDir, "documents")
