@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions.lit
+
+import graft.{functions => gf}
+
+/** Property tests for the arithmetic facade: the algebraic invariants
+  * that must hold for EVERY input, not just the fixture's values —
+  * driven by a seeded generator over one batched Spark projection per
+  * invariant (so what's tested is engine semantics, and the whole
+  * sample set evaluates in a single job).
+  */
+class PropertySpec extends SparkSpec {
+
+  private lazy val sp = spark
+
+  private val rnd = new scala.util.Random(42)
+
+  test("division algorithm: a == div(a,b)*b + mod(a,b), |mod| < |b|, mod keeps sign") {
+    val cases = Seq.fill(200) {
+      val a = rnd.nextLong() % 1000000L
+      var b = rnd.nextLong() % 10000L
+      if (b == 0) b = 7L
+      (a, b)
+    }
+    import sp.implicits._
+    val got = cases.toDF("a", "b")
+      .select($"a", $"b", gf.div($"a", $"b").as("d"), gf.mod($"a", $"b").as("m"))
+      .collect()
+    for (r <- got) {
+      val (a, b, d, m) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d * b + m == a, s"a=$a b=$b")
+      assert(math.abs(m) < math.abs(b), s"a=$a b=$b")
+      assert(m == 0 || (m < 0) == (a < 0), s"a=$a b=$b")
+    }
+  }
+
+  test("truncate moves toward zero, within one unit of the last kept digit") {
+    val cases = Seq.fill(100)((rnd.nextDouble() * 2e6 - 1e6, rnd.nextInt(5)))
+    import sp.implicits._
+    val got = cases.toDF("x", "s")
+      .select($"x", $"s", gf.truncate($"x", 2).as("t2"))
+      .collect()
+    for (r <- got) {
+      val (x, t2) = (r.getDouble(0), r.getDouble(2))
+      assert(math.abs(t2) <= math.abs(x) + 1e-9, s"x=$x")
+      assert(math.abs(t2 - x) < 0.01 + 1e-9, s"x=$x")
+    }
+  }
+
+  test("concat null-as-empty never yields null; concatOperator is strict") {
+    val vals: Seq[(String, String)] = Seq(
+      ("a", "b"), (null, "b"), ("a", null), (null, null), ("", "x"))
+    import sp.implicits._
+    val got = vals.toDF("a", "b")
+      .select($"a", $"b", gf.concat($"a", $"b").as("soft"),
+        gf.concatOperator($"a", $"b").as("strict"))
+      .collect()
+    for (r <- got) {
+      val (a, b) = (Option(r.getString(0)), Option(r.getString(1)))
+      assert(r.getString(2) == a.getOrElse("") + b.getOrElse(""))
+      if (a.isEmpty || b.isEmpty) assert(r.isNullAt(3))
+      else assert(r.getString(3) == a.get + b.get)
+    }
+  }
+}
