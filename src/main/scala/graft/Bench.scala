@@ -18,10 +18,15 @@ object Bench {
     for (n <- Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash"))
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
+    // a failed query records -1.0, never its time-to-fail — a broken
+    // query must be distinguishable from a fast one in BENCH json
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: $name FAILED: ${e.getMessage}"); -1.0 }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -84,9 +84,12 @@ object Multimodal {
       every: Int): org.apache.spark.sql.Column = {
     val payload = substring(media, 9, Int.MaxValue) // skip 8-byte header
     val nFrames = floor(octet_length(payload) / frameBytes).cast("int")
-    transform(
-      sequence(lit(0), greatest(ceil(nFrames.cast("double") / every).cast("int") - 1, lit(0))),
+    val sampled = transform(
+      sequence(lit(0), ceil(nFrames.cast("double") / every).cast("int") - 1),
       i => substring(payload, i * every * frameBytes + 1, lit(frameBytes)))
+    // zero complete frames → empty array (ceil(0/k)-1 = -1 would
+    // otherwise need clamping to 0 and emit one truncated frame)
+    when(nFrames === 0, typedlit(Array.empty[Array[Byte]])).otherwise(sampled)
   }
 
   /** Oracle-checkable binary surface over the same corpus: blob

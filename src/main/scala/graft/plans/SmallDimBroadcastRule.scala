@@ -6,9 +6,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 
 /** Optimizer rule (tier (c) of the custom-operator ladder: a
   * `Rule[LogicalPlan]` injected through `SparkSessionExtensions`):
-  * force a broadcast hint onto any join side that scans one of the
-  * engine's known fixed-size dimension tables
-  * (`graft.sources.Tables.smallDims` — region/nation/supplier).
+  * force a broadcast hint onto a join side that IS a scan of one of
+  * the engine's scale-factor-invariant dimension tables
+  * (`graft.sources.Tables.smallDims` — region/nation), modulo
+  * Project/Filter/alias wrappers. A side that merely CONTAINS a dim
+  * scan deeper inside (e.g. a fact tree already joined to nation) is
+  * deliberately NOT matched — hinting that whole side would broadcast
+  * an arbitrarily large intermediate.
   *
   * Why a rule and not `broadcast()` at every call site: the size
   * estimate Catalyst uses for auto-broadcast is file size, which
@@ -23,12 +27,22 @@ case class SmallDimBroadcastRule() extends Rule[LogicalPlan] {
   private val dimFiles: Set[String] =
     graft.sources.Tables.smallDims.map(n => s"$n.parquet")
 
-  private def isSmallDimScan(plan: LogicalPlan): Boolean = plan.exists {
+  /** True iff the plan is the dim scan itself, wrapped only in nodes
+    * that cannot grow cardinality beyond the scan (projections,
+    * filters, aliases, hints). Recursion, not `exists`: a join or
+    * union above the scan stops the match. */
+  @annotation.tailrec
+  private def isSmallDimScan(plan: LogicalPlan): Boolean = plan match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       // match by fixture file name — the engine's registry of
       // tables whose cardinality is scale-factor-independent
       fs.location.rootPaths.exists(p =>
         dimFiles.exists(f => p.toString.endsWith(f)))
+    case Project(_, child)         => isSmallDimScan(child)
+    case Filter(_, child)          => isSmallDimScan(child)
+    case SubqueryAlias(_, child)   => isSmallDimScan(child)
+    case ResolvedHint(child, _)    => isSmallDimScan(child)
+    case UnresolvedHint(_, _, child) => isSmallDimScan(child)
     case _ => false
   }
 

@@ -19,18 +19,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Small dimension tables, always safe to broadcast in joins. */
-  val smallDims: Set[String] = Set("region", "nation", "supplier")
+  /** Tables whose cardinality is scale-factor-INVARIANT (region: 5,
+    * nation: 25 at any SF) — the only ones a rule may force-broadcast.
+    * customer/supplier/part grow with SF (supplier is ~1B rows at the
+    * 100 TB posture), so they must keep Spark's size-based choice. */
+  val smallDims: Set[String] = Set("region", "nation")
 
   /** Plan cache: a DataFrame is an immutable logical plan, so reuse
-    * per (session, dir, table) skips re-listing the path and re-reading
-    * parquet footers on every query — measurable at bench scale and
-    * the right default for a long-lived session. */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * per (dir, table) within a session skips re-listing the path and
+    * re-reading parquet footers on every query — measurable at bench
+    * scale and the right default for a long-lived session.
+    *
+    * Sessions are WEAK keys: a stopped, dereferenced session and its
+    * cached plans become collectable instead of pinned forever. The
+    * cached DataFrame still pins the parquet file listing taken at
+    * first read — regenerating a fixture dir in-place requires a new
+    * session (documented limitation; same contract as Spark's own
+    * FileIndex caching). */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), { _ =>
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+    }
+    perSession.computeIfAbsent((dir, name), { _ =>
       // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
       // Spark 4 rejects outright. Engine.configure reads nanos as long;
       // here we truncate to micros (integer `div`, not `/` —
@@ -42,6 +57,7 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       else df
     })
+  }
 
   /** Register every fixture table as a temp view (SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

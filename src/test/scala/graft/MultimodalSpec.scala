@@ -54,6 +54,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).toSeq == full.slice(8, 12).toSeq)
   }
 
+  test("frame sampling of a payload with zero complete frames is empty") {
+    // 16-byte payload, 32-byte frames → 0 complete frames → [] (not one
+    // truncated block)
+    val m = Multimodal.mediaTable(spark, sfDir).limit(3)
+    val sampled = m.select(
+      Multimodal.frameSample(col("media"), frameBytes = 32, every = 2).as("frames"))
+    assert(sampled.collect().forall(_.getSeq[Array[Byte]](0).isEmpty))
+  }
+
   test("width/height parse matches the header formula") {
     val f = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
     val docs = graft.sources.Tables(spark, sfDir, "documents")
