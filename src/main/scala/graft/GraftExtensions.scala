@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSigs, ShingleHashes, SimHash64, VectorDots}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * install the engine's native expressions into a cluster session:
@@ -33,5 +33,20 @@ object GraftExtensions {
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+        CosineSimilarity(children(0), children(1))),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children(0), children(1))),
+    ("minhash_sigs",
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) =>
+        MinHashSigs(children(0), children(1))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    ("vector_dots",
+      new ExpressionInfo(classOf[VectorDots].getName, "vector_dots"),
+      (children: Seq[Expression]) =>
+        VectorDots(children(0), children(1))))
 }

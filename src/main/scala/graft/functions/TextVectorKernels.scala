@@ -1,0 +1,272 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the LLM-pipeline tier — tier (b) of
+  * the custom-operator ladder, like [[CosineSimilarity]]: single fused
+  * JVM loops replacing interpreted higher-order-function chains
+  * (`transform`/`zip_with`/`aggregate` lambdas are evaluated
+  * per-element by the interpreter and allocate per step). The
+  * reference's analogue is Gandiva's LLVM-JIT'd kernel registry
+  * (`cpp/src/gandiva/function_registry.cc`).
+  *
+  * Hash-chain compatibility is load-bearing: every kernel reproduces
+  * BIT-FOR-BIT the value the composed Spark-expression form produced
+  * (`xxhash64` = XXH64 seed 42, chained per argument), so swapping a
+  * kernel into an existing query cannot change any oracle-checked
+  * result. KernelsSpec pins each equivalence.
+  */
+object TextVectorKernels {
+
+  /** Word-n-gram shingle hashes of `text`, distinct, sorted ascending.
+    *
+    * Tokenization matches `split(text, ' ')` with Java regex limit -1
+    * (every single space splits; empty tokens kept). Because separators
+    * are single spaces, each shingle "w(i) w(i+1) .. w(i+n-1)" is a
+    * contiguous byte range of the original text — hashed in place with
+    * zero copies, value-equal to `xxhash64(shingle_string)`.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // token start offsets (token i spans starts(i) until starts(i+1)-1)
+    var nTokens = 1
+    var i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') nTokens += 1
+      i += 1
+    }
+    if (nTokens < n) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val out = new Array[Long](nTokens - n + 1)
+    i = 0
+    while (i < nTokens - n + 1) {
+      val s = starts(i)
+      val e = starts(i + n) - 1 // end of token i+n-1 (strip trailing sep)
+      out(i) = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted run
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == out.length) out else out.take(w))
+  }
+
+  /** k MinHash signatures over a shingle-hash set: sig(i) = min over h
+    * of the chained xxhash64 value of (h, i) — bit-equal to
+    * `min(xxhash64(col, lit(i)))`, whose chain is
+    * hashInt(i, hashLong(h, 42)). Empty set → null (a doc with no
+    * shingles has no signature; callers filter). */
+  def minhashSigs(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val sigs = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = XXH64.hashLong(hs.getLong(j), 42L)
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashInt(i, base)
+        if (v < sigs(i)) sigs(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** 64-bit SimHash over a shingle-hash set: bit j is 1 iff the +1/-1
+    * votes of bit j across hashes sum >= 0 (i.e. 2*count(j) >= n) —
+    * the exact tie semantics of the summed-votes form it replaces.
+    * Empty set → null. */
+  def simhash64(hs: ArrayData): Any = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        cnt(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (2 * cnt(j) >= n) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Dot products of each plane (array<double>) against `vec`
+    * (array<float> or array<double>): strict left-to-right double
+    * accumulation over the common prefix — bit-equal to the
+    * `aggregate(zip_with(...))` fold it replaces. */
+  def vectorDots(planes: ArrayData, vec: ArrayData, vecIsFloat: Boolean): ArrayData = {
+    val p = planes.numElements()
+    val out = new Array[Double](p)
+    var i = 0
+    while (i < p) {
+      val plane = planes.getArray(i)
+      val n = math.min(plane.numElements(), vec.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val v = if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        dot += plane.getDouble(j) * v
+        j += 1
+      }
+      out(i) = dot
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** shingle_hashes(text, n): sorted distinct xxhash64 values of the
+  * word-n-gram shingles of `text`. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes requires (string, foldable int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextVectorKernels.shingleHashes(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.TextVectorKernels.shingleHashes($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** minhash_sigs(hs, k): k chained-xxhash64 MinHash signatures. */
+case class MinHashSigs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs requires (array<bigint>, foldable int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty input → null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(hs: Any, k: Any): Any =
+    TextVectorKernels.minhashSigs(
+      hs.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, k) => s"""
+      ${ev.value} = graft.functions.TextVectorKernels.minhashSigs($hs, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigs =
+    copy(left = newLeft, right = newRight)
+}
+
+/** simhash64(hs): 64-bit majority-vote SimHash signature. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<bigint>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // empty input → null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(hs: Any): Any =
+    TextVectorKernels.simhash64(hs.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val r = ctx.freshName("simhashR")
+      s"""
+      Object $r = graft.functions.TextVectorKernels.simhash64($hs);
+      ${ev.isNull} = ($r == null);
+      ${ev.value} = ${ev.isNull} ? -1L : ((Long) $r).longValue();
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** vector_dots(planes, vec): dot product of each plane against vec. */
+case class VectorDots(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def vecIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_dots requires (array<array<double>>, array<float|double>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_dots"
+
+  override def nullSafeEval(planes: Any, vec: Any): Any =
+    TextVectorKernels.vectorDots(
+      planes.asInstanceOf[ArrayData], vec.asInstanceOf[ArrayData], vecIsFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, v) =>
+      s"graft.functions.TextVectorKernels.vectorDots($p, $v, $vecIsFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDots =
+    copy(left = newLeft, right = newRight)
+}

@@ -207,11 +207,22 @@ package object functions {
     org.apache.spark.sql.functions.date_sub(d, n)
   def date_diff(a: Column, b: Column): Column = datediff(a, b)
 
-  // ---- native vector kernels (CosineSimilarity.scala) ----
+  // ---- native kernels (CosineSimilarity.scala, TextVectorKernels.scala) ----
   /** Codegen'd cosine similarity over float vectors; registered by
     * Engine.configure / GraftExtensions. */
   def cosine_sim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+  /** Sorted distinct xxhash64 values of word-n-gram shingles. */
+  def shingle_hashes(text: Column, n: Int): Column =
+    call_function("shingle_hashes", text, lit(n))
+  /** k chained-xxhash64 MinHash signatures over a shingle-hash set. */
+  def minhash_sigs(hs: Column, k: Int): Column =
+    call_function("minhash_sigs", hs, lit(k))
+  /** 64-bit majority-vote SimHash signature over a shingle-hash set. */
+  def simhash64(hs: Column): Column = call_function("simhash64", hs)
+  /** Dot product of each plane in `planes` against `vec`. */
+  def vector_dots(planes: Column, vec: Column): Column =
+    call_function("vector_dots", planes, vec)
 
   // ---- hash (function_registry_hash.cc:20-33) ----
   def hash32(c: Column): Column = org.apache.spark.sql.functions.hash(c)

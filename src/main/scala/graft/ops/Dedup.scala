@@ -57,10 +57,17 @@ object Dedup {
     * shuffle/join/aggregate runs on 8-byte longs instead of ~20-byte
     * strings — at 100 TB the shingle text never leaves the scan stage.
     * (xxhash64 collisions could in principle perturb an intersection
-    * count; at P ~ n²/2^65 that is well below any other error source.) */
-  private def hashedShingles(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-      array_distinct(transform(col("shingles"), x => xxhash64(x))).as("hs"))
+    * count; at P ~ n²/2^65 that is well below any other error source.)
+    *
+    * Computed by the native [[graft.functions.ShingleHashes]] kernel —
+    * one fused loop per row, value-equal to
+    * `array_distinct(transform(shingled.shingles, xxhash64))` modulo
+    * order (sorted here; no consumer is order-sensitive — KernelsSpec
+    * pins the set equality). The interpreted split/zip_with/transform
+    * chain it replaces was ~5x the per-row cost. */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.shingle_hashes(col("text"), 3).as("hs"))
 
   /** Exact Jaccard on candidate pairs only: join each pair back to its
     * two shingle-hash SETS (arrays stay inside their rows — no explode,
@@ -135,17 +142,26 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs, exact-Jaccard-verified.
     * shingle → 64 fixed-seed minhashes → 16 banded signatures →
     * bucketed self-join for candidates → exact Jaccard filter >= 0.8.
-    * Only bucket-mates are ever paired. */
+    * Only bucket-mates are ever paired.
+    *
+    * Signatures come from the native [[graft.functions.MinHashSigs]]
+    * kernel, computed per ROW over the shingle-hash array — no explode
+    * and no 64-buffer hash aggregate: the only rows that ever shuffle
+    * are the 16 band rows per doc. Values are bit-equal to the
+    * `min(xxhash64(shingle, lit(i)))` aggregate this replaces
+    * (KernelsSpec pins it), so candidates are unchanged. Docs with no
+    * shingles (< 3 tokens) are filtered, as the explode form dropped
+    * them implicitly. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val hsh = hashedShingles(shingled(t(s, dir, "documents")))
-    val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
-    val minAggs = (0 until NumHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    val mh = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val hsh = hashedShingles(t(s, dir, "documents"))
+    val mh = hsh.filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.minhash_sigs(col("hs"), NumHashes).as("mh"))
     val rows = NumHashes / Bands
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("sig"))
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => element_at(col("mh"), i + 1)): _*).as("sig"))
     }
     val bands = mh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
@@ -171,7 +187,7 @@ object Dedup {
     * complete (unlike a frequency cap), and shrinks the index ~5x and
     * candidate pairs ~25x. Verification on full sets as always. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val hsh = hashedShingles(shingled(t(s, dir, "documents")))
+    val hsh = hashedShingles(t(s, dir, "documents"))
     val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
     // global order = (document frequency, hash): prefixes then hold each
     // doc's RAREST shingles, so prefix-index buckets stay near-singleton
@@ -209,18 +225,17 @@ object Dedup {
     * <= 7 pairs always share a byte; random pairs almost never do),
     * then exact bit_count(xor) <= 8 verification on candidates only.
     * Signature values are engine-specific → rows-only driver check;
-    * PipelineSpec pins recall against exact Jaccard pairs. */
+    * PipelineSpec pins recall against exact Jaccard pairs.
+    *
+    * The signature comes from the native [[graft.functions.SimHash64]]
+    * kernel, per row over the shingle-hash array — replacing an
+    * explode + 64-sum-buffer aggregate with zero shuffle; bit votes and
+    * >= 0 tie semantics are identical (KernelsSpec pins it). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = hashedShingles(shingled(t(s, dir, "documents")))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val sums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
-    val sig = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sig = hashedShingles(t(s, dir, "documents"))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"),
-        (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-          acc.bitwiseOR(shiftleft(
-            when(col(s"s$j") >= 0, lit(1L)).otherwise(lit(0L)), j))
-        }.as("simhash"))
+        graft.functions.simhash64(col("hs")).as("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(k =>
         struct(lit(k).as("band"),
@@ -240,7 +255,7 @@ object Dedup {
   /** 64 fixed Rademacher (±1) hyperplanes from a seeded PRNG — the
     * sign pattern is the classic cosine-LSH signature. Deterministic:
     * same seed → same planes on any executor. */
-  private[ops] lazy val hyperplanes: Seq[Seq[Double]] = {
+  private[graft] lazy val hyperplanes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(64)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
@@ -260,8 +275,11 @@ object Dedup {
     val e2 = e.unionAll(
       e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
     val pl = typedlit(hyperplanes)
-    val bits = transform(pl, p =>
-      when(dotD(p, col("embedding")) >= 0, lit(1L)).otherwise(lit(0L)))
+    // all 64 plane dots in one native fused loop
+    // ([[graft.functions.VectorDots]]; same left-to-right fold as the
+    // interpreted zip_with/aggregate form → identical sign bits)
+    val bits = transform(graft.functions.vector_dots(pl, col("embedding")),
+      d => when(d >= 0, lit(1L)).otherwise(lit(0L)))
     val withBits = e2.withColumn("bits", bits)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.Dedup.dotD
 
 /** Similarity search over the `embeddings` fixture (builder brief;
   * SURVEY §7.6 milestone 4): brute-force cosine top-k as the exact
@@ -25,10 +24,20 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.cosine_sim(a, b)
 
-  /** Mixed-type path (double centroid literals vs float vectors):
-    * composed higher-order-function form, same fold order. */
-  private def cosineMixed(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  /** Per-centroid scores: dot products against UNIT-normalized
+    * centroids via the native [[graft.functions.VectorDots]] kernel.
+    * cosine(c, e) = dot(c/|c|, e) / |e| and |e| is constant within a
+    * row, so argmax-cell and per-query probe ranking are identical to
+    * ranking by cosine — without recomputing |e| per centroid or
+    * walking the array through interpreted lambdas (the composed
+    * zip_with/aggregate form this replaces was ~30 array walks/row). */
+  private def centroidScores(cents: Seq[Seq[Double]], vec: Column): Column =
+    graft.functions.vector_dots(typedlit(cents.map(normalize)), vec)
+
+  private def normalize(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
 
   /** Two-phase top-k per query: local (qid, partition) window prunes
     * to k rows per partition, then the global per-qid window ranks
@@ -80,8 +89,7 @@ object Similarity {
   private def refineCentroids(e: DataFrame,
       cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val cl = typedlit(cents)
-    val scores = transform(cl, c => cosineMixed(c, col("embedding")))
+    val scores = centroidScores(cents, col("embedding"))
     val means = e
       .withColumn("cell", array_position(scores, array_max(scores)).cast("int"))
       .select(col("cell"), posexplode(col("embedding")))
@@ -107,8 +115,7 @@ object Similarity {
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cents = refineCentroids(e, seeds)
-    val cl = typedlit(cents)
-    val scores = transform(cl, c => cosineMixed(c, col("embedding")))
+    val scores = centroidScores(cents, col("embedding"))
     val assigned = e
       .withColumn("cell",
         array_position(scores, array_max(scores)).cast("int"))

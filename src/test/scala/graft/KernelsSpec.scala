@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Dedup
+
+/** Native text/vector kernels (TextVectorKernels.scala): each must be
+  * VALUE-EQUAL to the composed Spark-expression form it replaced, so
+  * swapping them into the dedup/similarity queries cannot move any
+  * oracle-checked result. All comparisons run over the real fixture.
+  */
+class KernelsSpec extends SparkSpec {
+
+  private lazy val docs = graft.sources.Tables(spark, sfDir, "documents")
+
+  test("shingle_hashes == sorted distinct xxhash64 of the composed shingling") {
+    val composed = Dedup.shingled(docs).select(col("doc_id"),
+      array_sort(array_distinct(transform(col("shingles"), x => xxhash64(x))))
+        .as("expected"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.shingle_hashes(col("text"), 3).as("got"))
+    val diff = composed.join(native, "doc_id")
+      .filter(col("expected") =!= col("got"))
+    assert(diff.count() == 0)
+  }
+
+  test("shingle_hashes tokenization edge cases match split semantics") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      "a b c",        // exactly one shingle
+      "a b",          // too short -> empty
+      "",             // empty text -> empty
+      "a  b c",       // double space -> empty token, like split(text,' ')
+      "a b c ",       // trailing space -> trailing empty token
+      "a b c d e").toDF("text")
+    // compare against the composed pipeline per row
+    val composed = Dedup.shingled(
+      rows.withColumn("doc_id", monotonically_increasing_id()))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("shingles"), x => xxhash64(x))))
+          .as("expected"))
+    val native = rows.withColumn("doc_id", monotonically_increasing_id())
+      .select(col("doc_id"),
+        graft.functions.shingle_hashes(col("text"), 3).as("got"))
+    val joined = composed.join(native, "doc_id").collect()
+    assert(joined.length == 6)
+    joined.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"row $r")
+    }
+  }
+
+  test("minhash_sigs == 64 min(xxhash64(shingle, i)) aggregates") {
+    val hs = docs.select(col("doc_id"),
+      graft.functions.shingle_hashes(col("text"), 3).as("hs"))
+    val ex = hs.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val minAggs = (0 until 64).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val expected = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(i => col(s"h$i")): _*).as("expected"))
+    val native = hs.filter(size(col("hs")) > 0).select(col("doc_id"),
+      graft.functions.minhash_sigs(col("hs"), 64).as("got"))
+    val j = expected.join(native, "doc_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("expected") =!= col("got")).count() == 0)
+  }
+
+  test("simhash64 == summed bit votes with >=0 tie semantics") {
+    val hs = docs.select(col("doc_id"),
+      graft.functions.shingle_hashes(col("text"), 3).as("hs"))
+    val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+    val expected = ex.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+          acc.bitwiseOR(shiftleft(
+            when(col(s"s$j") >= 0, lit(1L)).otherwise(lit(0L)), j))
+        }.as("expected"))
+    val native = hs.filter(size(col("hs")) > 0).select(col("doc_id"),
+      graft.functions.simhash64(col("hs")).as("got"))
+    val j = expected.join(native, "doc_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("expected") =!= col("got")).count() == 0)
+  }
+
+  test("minhash_sigs and simhash64 of an empty set are null") {
+    val sp = spark; import sp.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+    val r = empty.select(
+      graft.functions.minhash_sigs(col("hs"), 8).as("mh"),
+      graft.functions.simhash64(col("hs")).as("sh")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("vector_dots == composed zip_with/aggregate fold, bit-for-bit") {
+    val e = graft.sources.Tables(spark, sfDir, "embeddings").limit(100)
+    val pl = typedlit(Dedup.hyperplanes)
+    val expected = e.select(col("vec_id"),
+      transform(pl, p => Dedup.dotD(p, col("embedding"))).as("expected"))
+    val native = e.select(col("vec_id"),
+      graft.functions.vector_dots(pl, col("embedding")).as("got"))
+    // exact equality expected: both are strict left-to-right double folds
+    val j = expected.join(native, "vec_id")
+    assert(j.filter(col("expected") =!= col("got")).count() == 0)
+  }
+
+  test("kernels survive whole-stage codegen (plan contains no fallback eval)") {
+    val q = docs.select(
+      graft.functions.minhash_sigs(
+        graft.functions.shingle_hashes(col("text"), 3), 16).as("mh"))
+    // evaluating forces codegen compilation; a Janino failure would
+    // fall back and log — correctness here is the compile not throwing
+    assert(q.filter(col("mh").isNotNull).count() > 0)
+  }
+}
