@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Egress / write surface (SURVEY §2.1 items 9-10 and the multi-file
+  * dataset row): the reference exposes `write_csv`
+  * (`rust/datafusion/src/execution/context.rs:451-496`), Arrow IPC/
+  * parquet writers, and a partitioned-dataset layer
+  * (`cpp/src/arrow/dataset/partition.h:190` HivePartitioning). Spark
+  * equivalents are `df.write.csv/orc/parquet`, with `partitionBy`
+  * producing the hive `key=value/` directory layout.
+  *
+  * Each declared query WRITES a real on-disk dataset and reads it
+  * back through the matching reader, so the round-trip (type fidelity,
+  * header/schema handling, partition discovery) is what the driver
+  * hash-checks against the DuckDB oracle computed over the ORIGINAL
+  * parquet — any loss in the sink or source would fail the gate.
+  *
+  * Scale posture: every write here is a distributed job (one file per
+  * task, no driver collect); the partitioned write is the layout that
+  * makes 100 TB scans prunable — the `partitioned_scan` plan must show
+  * `PartitionFilters`, asserted in EgressSpec.
+  */
+object Egress {
+
+  /** Per-fixture scratch root, keyed by SF dir so sf0.01 Verify and
+    * sf0.1 Bench never collide. */
+  private[graft] def outRoot(dir: String): String =
+    "/tmp/graft_egress/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private val csvOrdersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", DateType),
+    StructField("o_orderpriority", StringType)))
+
+  private def ordersProjected(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate").cast(DateType).as("o_orderdate"),
+      col("o_orderpriority"))
+
+  /** CSV sink (`write_csv`, context.rs:451-496) + read-back: write the
+    * orders projection as headered CSV (a distributed multi-file
+    * write), re-read it with a declared schema, and aggregate. Doubles
+    * round-trip exactly (shortest-representation formatting), which
+    * the oracle hash proves. */
+  def qCsvSink(s: SparkSession, dir: String): DataFrame = {
+    val out = outRoot(dir) + "/orders_csv"
+    ordersProjected(s, dir)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(csvOrdersSchema).option("header", "true").csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qCsvSinkSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price,
+      MIN(CAST(o_orderdate AS DATE)) AS first_date,
+      MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
+  /** ORC write + read (`cpp/src/arrow/adapters/orc/adapter.h`
+    * analogue): full-fidelity columnar round-trip through the second
+    * columnar format, aggregated per priority. */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = outRoot(dir) + "/orders_orc"
+    ordersProjected(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qOrcRoundtripSql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price,
+      MAX(CAST(o_orderdate AS DATE)) AS last_date
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
+  /** Hive-partitioned dataset (`dataset/partition.h:190`
+    * HivePartitioning; `discovery.h:136` factory): write orders as
+    * `o_orderstatus=X/part-*.parquet`, re-discover it from the
+    * directory, and read ONE partition back through a partition-key
+    * filter. At 100 TB this filter is the difference between scanning
+    * one directory and the whole dataset — EgressSpec asserts the
+    * plan prunes (`PartitionFilters`, single partition scanned). */
+  def qPartitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val out = outRoot(dir) + "/orders_part"
+    ordersProjected(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    partitionedRead(s, out)
+  }
+
+  /** The read half, separated so the pruning spec can target it. */
+  private[graft] def partitionedRead(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  val qPartitionedScanSql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Egress
+
+/** Write surface: sink round-trips preserve values, and the
+  * hive-partitioned layout actually prunes at plan time — the property
+  * the 100 TB posture rests on.
+  */
+class EgressSpec extends SparkSpec {
+
+  test("csv sink round-trip preserves every row bit-for-bit") {
+    // aggregate-free comparison: read-back rows == source rows
+    Egress.qCsvSink(spark, sfDir).collect() // performs the write
+    val src = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("d"))
+    val back = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .csv(Egress.outRoot(sfDir) + "/orders_csv")
+      .select(col("o_orderkey").cast("long"),
+        col("o_totalprice").cast("double"), col("o_orderdate").cast("date"))
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0)
+  }
+
+  test("partitioned write produces hive key=value directories") {
+    Egress.qPartitionedScan(spark, sfDir).collect() // performs the write
+    val dirs = new java.io.File(Egress.outRoot(sfDir) + "/orders_part")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("o_orderstatus=")), s"dirs: $dirs")
+  }
+
+  test("partition-key filter prunes to one partition at plan time") {
+    Egress.qPartitionedScan(spark, sfDir).collect() // ensure written
+    val read = Egress.partitionedRead(
+      spark, Egress.outRoot(sfDir) + "/orders_part")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"no partition filter in plan:\n$plan")
+    // the scan must touch only the o_orderstatus=F directory
+    val scans = read.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.nonEmpty)
+    // partition count pruned to 1 of 3 statuses
+    val pruned = plan.linesIterator
+      .find(_.contains("FileScan")).getOrElse("")
+    assert(!pruned.contains("o_orderstatus=O") &&
+      !pruned.contains("o_orderstatus=P"), pruned)
+  }
+
+  test("orc round-trip preserves types") {
+    Egress.qOrcRoundtrip(spark, sfDir).collect() // performs the write
+    val back = spark.read.orc(Egress.outRoot(sfDir) + "/orders_orc")
+    val st = back.schema
+    assert(st("o_orderkey").dataType.typeName == "long")
+    assert(st("o_totalprice").dataType.typeName == "double")
+    assert(st("o_orderdate").dataType.typeName == "date")
+    assert(back.count() ==
+      graft.sources.Tables(spark, sfDir, "orders").count())
+  }
+}
