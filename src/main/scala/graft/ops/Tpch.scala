@@ -215,6 +215,141 @@ object Tpch {
     FROM lineitem JOIN part ON l_partkey = p_partkey
   """.trim
 
+  /** Q7 volume shipping (adapted to fixture nations): revenue between
+    * two nation pairs per ship year. Facts shuffle on their join keys;
+    * the two nation lookups broadcast (rule-injected); the pair
+    * disjunction is evaluated post-join on the two small key columns. */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("nk1"))
+      .join(n2, col("c_nationkey") === col("nk2"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val qTpchQ7Sql: String = """
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4))) AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+  """.trim
+
+  /** Q12 shipping modes & priority (adapted: l_linestatus stands in
+    * for the fixture-absent l_shipmode; "late" = shipped > 60 days
+    * after the order date): conditional two-way counts over one
+    * fact-fact join — the canonical CASE-inside-SUM shape. */
+  def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!highPrio, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val qTpchQ12Sql: String = """
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus ORDER BY l_linestatus
+  """.trim
+
+  /** Q18 large-volume customers: the HAVING-on-a-grouped-fact shape —
+    * aggregate lineitem per order, keep heavy orders, then enrich via
+    * joins. The heavy-order set is tiny after the HAVING filter, so
+    * it broadcasts into the enrichment joins at any scale. */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val heavy = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    t(s, dir, "orders")
+      .join(broadcast(heavy), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val qTpchQ18Sql: String = """
+    SELECT c_name, c_custkey, o_orderkey,
+      CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0) h
+      ON o_orderkey = h.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+  """.trim
+
+  /** Q19 discounted revenue (adapted to fixture columns): disjunction
+    * of conjunctive (brand, size, quantity) ranges across the join —
+    * the part-side half of each disjunct pushes to the part scan, the
+    * mixed residual evaluates on joined rows. */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val qTpchQ19Sql: String = """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+  """.trim
+
   /** Q6 forecasting revenue change: the selective filter-agg whose
     * whole point is pushdown — every predicate must reach the scan. */
   def qTpchQ6(s: SparkSession, dir: String): DataFrame =
