@@ -28,10 +28,14 @@ object Bench {
           System.err.println(s"bench: $name FAILED: ${e.getMessage}"); -1.0 }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact (3-decimal) JSON, printed AFTER spark.stop() so Spark
+    // shutdown logging cannot interleave: the harness reads a bounded
+    // tail of the output, and this line must land in it whole.
+    def f(v: Double): String = if (v < 0) "-1.0" else "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
