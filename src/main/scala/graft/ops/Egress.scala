@@ -121,4 +121,35 @@ object Egress {
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority ORDER BY o_orderpriority
   """.trim
+
+  /** Multi-file dataset with per-fragment schema reconciliation
+    * (`dataset/discovery.h:136` FileSystemSourceFactory +
+    * `SourceFactory::Inspect` schema unification): write two parquet
+    * file sets with EVOLVED schemas — the "old" batch lacks
+    * o_orderpriority — then discover them as one dataset with
+    * `mergeSchema`, where the missing column reads back as null. The
+    * unified schema is exactly what the oracle reproduces from the
+    * original table. */
+  def qMultiFileScan(s: SparkSession, dir: String): DataFrame = {
+    val base = ordersProjected(s, dir)
+    val oldBatch = base.filter(col("o_orderkey") % 2 === 0)
+      .drop("o_orderpriority")
+    val newBatch = base.filter(col("o_orderkey") % 2 === 1)
+    val (outA, outB) = (outRoot(dir) + "/orders_v1", outRoot(dir) + "/orders_v2")
+    oldBatch.write.mode("overwrite").parquet(outA)
+    newBatch.write.mode("overwrite").parquet(outB)
+    s.read.option("mergeSchema", "true").parquet(outA, outB)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("with_priority"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qMultiFileScanSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS with_priority,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

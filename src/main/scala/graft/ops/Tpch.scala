@@ -373,4 +373,253 @@ object Tpch {
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
   """.trim
+
+  private def volume = money(col("l_extendedprice")) *
+    (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4)))
+
+  private val volumeSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))"
+
+  /** Q8 national market share (adapted: PROMO-type parts, ASIA market,
+    * NATION_3 suppliers): per-year ratio of one nation's supply volume
+    * to the region's total. Ratio of two exact decimal sums → double,
+    * so partial/final agg order never shifts the answer. part/customer/
+    * supplier scale with SF → shuffle joins; nation/region broadcast. */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("o_orderdate") <= lit("1996-12-31").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cnk"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("snk"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", volume)
+          .otherwise(lit(0).cast(DecimalType(28, 6)))).cast(DoubleType) /
+        sum(volume).cast(DoubleType)).as("mkt_share"),
+        count(lit(1)).as("n"))
+      .orderBy("o_year")
+  }
+
+  val qTpchQ8Sql: String = s"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $volumeSql
+        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+      CAST(SUM($volumeSql) AS DOUBLE) AS mkt_share,
+      COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY o_year ORDER BY o_year
+  """.trim
+
+  /** Q13 customer order-count distribution: LEFT OUTER join with a
+    * mixed ON condition (equi key + order-side filter), then a
+    * two-level aggregation — per-customer count, then the histogram of
+    * counts. Both group-bys shuffle on keys that stay well-distributed
+    * at any SF (custkey, then the small count domain). */
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val qTpchQ13Sql: String = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+  """.trim
+
+  /** Q15 top supplier: the view-plus-scalar-max shape. Per-supplier
+    * revenue aggregates once; the global max is a 1-row aggregate that
+    * broadcasts back into the filter — no second scan of lineitem, no
+    * correlated re-evaluation. Revenue is an exact decimal sum, so the
+    * max-equality join is deterministic. */
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(volume).cast(DoubleType).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    t(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx), col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTpchQ15Sql: String = s"""
+    WITH revenue AS (
+      SELECT l_suppkey, CAST(SUM($volumeSql) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+  """.trim
+
+  /** Q17 small-quantity-order revenue (adapted: Brand#23 MEDIUM parts):
+    * correlated per-part average quantity, decorrelated into one
+    * grouped aggregate joined back on partkey. The threshold compare
+    * (qty < 0.2*avg) is done in exact integer-decimal cross-multiplied
+    * form — qty*5*count < sum — so no engine's division rounding can
+    * flip a boundary row. */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val pf = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(pf, col("l_partkey") === col("p_partkey"))
+    val avgq = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+        count(lit(1)).as("cq"))
+    li.join(avgq, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast(DecimalType(18, 2)) * lit(5) * col("cq") <
+        col("sq"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  val qTpchQ17Sql: String = s"""
+    SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly, COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN (SELECT l_partkey AS pk,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cq
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+          GROUP BY l_partkey) a ON l_partkey = pk
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq
+  """.trim
+
+  /** Q21 suppliers who kept orders waiting (adapted: "late" =
+    * l_shipdate > o_orderdate + 30 days, NATION_3 suppliers): the
+    * double-correlated EXISTS / NOT EXISTS shape — a semi join against
+    * other suppliers on the same order and an anti join against other
+    * LATE suppliers, both hash joins on orderkey with non-equi
+    * residuals. The lateness of the anti side reuses l1's o_orderdate
+    * (same order), so no second orders join is needed. */
+  def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+    val l2 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val l3 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"),
+        col("l_shipdate").as("sd3"))
+    late
+      .join(l2, col("lo2") === col("l_orderkey") &&
+        col("ls2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("lo3") === col("l_orderkey") &&
+        col("ls3") =!= col("l_suppkey") &&
+        col("sd3") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_anti")
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  val qTpchQ21Sql: String = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+  """.trim
+
+  /** Q22 global sales opportunity (adapted: c_nationkey stands in for
+    * the fixture-absent phone country code): idle customers — no
+    * orders, above-average positive balance — per nation. The global
+    * average is a 1-row aggregate cross-broadcast into the filter, in
+    * cross-multiplied decimal form (bal*count > sum) for exactness;
+    * the no-orders test is a left-anti join on custkey. */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val codes: Seq[Any] = Seq(0, 3, 8, 13, 17, 21, 24)
+    val cust = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(codes: _*))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgRef = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sa"),
+        count(lit(1)).as("ca"))
+    cust.crossJoin(broadcast(avgRef))
+      .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("ca") > col("sa"))
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val qTpchQ22Sql: String = s"""
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+      ${dsumSql("c_acctbal")} AS totacctbal
+    FROM customer,
+      (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sa, COUNT(*) AS ca
+       FROM customer WHERE c_acctbal > 0
+         AND c_nationkey IN (0,3,8,13,17,21,24)) r
+    WHERE c_nationkey IN (0,3,8,13,17,21,24)
+      AND CAST(c_acctbal AS DECIMAL(18,2)) * ca > sa
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY cntrycode ORDER BY cntrycode
+  """.trim
 }

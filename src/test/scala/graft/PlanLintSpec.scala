@@ -11,7 +11,10 @@ class PlanLintSpec extends SparkSpec {
   //  - knn_brute/knn_ivf: BroadcastNestedLoopJoin with a <=10-row
   //    broadcast side is the intended plan (query set vs candidates)
   //  - window_ntile: cross-broadcast of the single-row global count
-  private val bnljAllowed = Set("knn_brute", "knn_ivf", "window_ntile")
+  //  - tpch_q15/tpch_q22: cross-broadcast of a single-row global
+  //    aggregate (max revenue / average balance) into the filter
+  private val bnljAllowed =
+    Set("knn_brute", "knn_ivf", "window_ntile", "tpch_q15", "tpch_q22")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
