@@ -506,10 +506,12 @@ object Tpch {
     val li = t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(pf, col("l_partkey") === col("p_partkey"))
-    val avgq = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
-        count(lit(1)).as("cq"))
-    li.join(avgq, col("l_partkey") === col("pk"))
+    // per-part average attached via an unbounded window over partkey:
+    // ONE lineitem scan and ONE shuffle, where the groupBy+join
+    // decorrelation would scan and exchange the fact twice
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    li.withColumn("sq", sum(col("l_quantity").cast(DecimalType(18, 2))).over(w))
+      .withColumn("cq", count(lit(1)).over(w))
       .filter(col("l_quantity").cast(DecimalType(18, 2)) * lit(5) * col("cq") <
         col("sq"))
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
