@@ -93,6 +93,53 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  // ---- stream-stream interval join ---------------------------------------
+
+  /** Watermarked stream-stream interval join — click→purchase
+    * attribution: each purchase pairs with the same user's clicks from
+    * the preceding hour. In streaming mode both sides carry a
+    * watermark and the join carries the event-time range condition;
+    * together they let Spark EVICT buffered rows (a click older than
+    * watermark − 1 h can never match again), so join state is bounded
+    * by the time horizon, not the stream length — the only shape that
+    * survives an unbounded stream. The same function runs in batch,
+    * where `withWatermark` is a no-op (qStreamJoin, oracle-checked). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("c_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
+  /** Batch twin over the events fixture, DuckDB-checked. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val qStreamJoinSql: String = """
+    SELECT p.user_id AS user_id, c.event_id AS click_id,
+      p.event_id AS purchase_id, p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+  """.trim
+
   // ---- session windows (flatMapGroupsWithState) --------------------------
 
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)

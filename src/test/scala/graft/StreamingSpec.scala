@@ -122,6 +122,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Streaming.attributionJoin(cdf, pdf).writeStream
+      .format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+        (2L, ts("2024-01-01 10:05:00"), 101L))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:30:00"), 200L, 9.99), // in window of click 100
+        (1L, ts("2024-01-01 12:30:00"), 201L, 1.0),  // > 1h after any click
+        (3L, ts("2024-01-01 10:10:00"), 202L, 2.0))  // user with no clicks
+      q.processAllAvailable()
+      val pairs = spark.table("attrib")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("batch and stream share the transform: batch run matches manual agg") {
     val batch = Streaming.qStreamWindow(spark, sfDir)
     val manual = graft.sources.Tables(spark, sfDir, "events")
