@@ -15,12 +15,16 @@ object Bench {
     // warm-up: run the flagship + one query of each heavy shape once,
     // untimed, so session/codegen/shuffle-service startup is not billed
     // to whichever query happens to run first
-    for (n <- Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash"))
+    for (n <- Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash",
+        "csv_sink"))
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     // a failed query records -1.0, never its time-to-fail — a broken
-    // query must be distinguishable from a fast one in BENCH json
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // query must be distinguishable from a fast one in BENCH json.
+    // Name-sorted execution order: Map iteration order is arbitrary
+    // and JVM warm state depends on position, so a stable order keeps
+    // per-query numbers comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -31,10 +35,10 @@ object Bench {
     // Compact (3-decimal) JSON, printed AFTER spark.stop() so Spark
     // shutdown logging cannot interleave: the harness reads a bounded
     // tail of the output, and this line must land in it whole.
-    def f(v: Double): String = if (v < 0) "-1.0" else "%.3f".format(v)
+    def f(v: Double): String = if (v < 0) "-1.0" else "%.2f".format(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     spark.stop()
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
