@@ -531,6 +531,199 @@ object Tpch {
       AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq
   """.trim
 
+  /** Q2 minimum-cost supplier (adapted: s_acctbal stands in for the
+    * fixture-absent ps_supplycost, lineitem links parts to suppliers,
+    * EUROPE is the region filter): the per-group argmin join-back
+    * shape — the min is computed once per partkey and joined back on
+    * (partkey, min) equality. Top-100 by balance. */
+  def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val euSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val links = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+    val minBal = links.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    links.join(minBal,
+        col("l_partkey") === col("pk") && col("s_acctbal") === col("min_bal"))
+      .join(t(s, dir, "part").filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  val qTpchQ2Sql: String = """
+    WITH links AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM links
+    JOIN eu ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 15
+      AND s_acctbal = (SELECT MIN(e2.s_acctbal)
+                       FROM links l2 JOIN eu e2 ON l2.l_suppkey = e2.s_suppkey
+                       WHERE l2.l_partkey = links.l_partkey)
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+  """.trim
+
+  /** Q11 important stock (adapted: "inventory value" = quantity x
+    * retail price over the lineitem link): per-nation value, keeping
+    * nations above 5% of the global total — the HAVING-vs-global-
+    * scalar shape, with the 1-row total cross-broadcast into the
+    * filter rather than recomputed per group. */
+  def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val value = col("l_quantity").cast(DecimalType(18, 2)) *
+      col("p_retailprice").cast(DecimalType(18, 2))
+    val perNation = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(value).as("val_dec"))
+    val total = perNation.agg(sum(col("val_dec")).as("tot"))
+    perNation.crossJoin(broadcast(total))
+      .filter(col("val_dec") * lit(20) > col("tot"))
+      .select(col("n_name"),
+        col("val_dec").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("n_name").asc)
+  }
+
+  val qTpchQ11Sql: String = """
+    WITH per_nation AS (
+      SELECT n_name,
+        SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS val_dec
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(val_dec AS DOUBLE) AS value
+    FROM per_nation
+    WHERE val_dec * 20 > (SELECT SUM(val_dec) FROM per_nation)
+    ORDER BY value DESC, n_name ASC
+  """.trim
+
+  /** Q9 product-type profit (adapted: p_retailprice stands in for the
+    * fixture-absent ps_supplycost; 'blue' parts): per supplier-nation
+    * per year, sum of revenue minus cost. Exact mixed-scale decimal
+    * arithmetic summed before the final double cast; facts shuffle on
+    * partkey/orderkey/suppkey, nation broadcasts. */
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val amount = volume -
+      col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast(DecimalType(18, 2))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_name").contains("blue"))
+        .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  val qTpchQ9Sql: String = s"""
+    SELECT n_name AS nation,
+      CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      CAST(SUM($volumeSql
+        - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%blue%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name ASC, o_year DESC
+  """.trim
+
+  /** Q16 parts/supplier relationship (adapted: lineitem is the
+    * part-supplier link, the fixture having no partsupp; negative
+    * balance stands in for the complaints exclusion): DISTINCT
+    * supplier count per part attribute triple. */
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#4" &&
+          col("p_size").isin(Seq[Any](1, 9, 14, 19, 23, 36, 45, 49): _*)),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier").filter(col("s_acctbal") >= 0.0)
+        .select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+
+  val qTpchQ16Sql: String = """
+    SELECT p_brand, p_type, p_size,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+  """.trim
+
+  /** Q20 potential promotion (adapted: suppliers who moved more than
+    * 300 units of 'red' parts in 1996 — lineitem as the stock link):
+    * the grouped-HAVING set drives a left-semi join into supplier.
+    * The heavy-supplier set is tiny → broadcast semi join at any SF. */
+  def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val heavy = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      .join(t(s, dir, "part").filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > lit(300).cast(DecimalType(18, 2)))
+    t(s, dir, "supplier")
+      .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTpchQ20Sql: String = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    ORDER BY s_suppkey
+  """.trim
+
   /** Q21 suppliers who kept orders waiting (adapted: "late" =
     * l_shipdate > o_orderdate + 30 days, NATION_3 suppliers): the
     * double-correlated EXISTS / NOT EXISTS shape — a semi join against

@@ -13,8 +13,10 @@ class PlanLintSpec extends SparkSpec {
   //  - window_ntile: cross-broadcast of the single-row global count
   //  - tpch_q15/tpch_q22: cross-broadcast of a single-row global
   //    aggregate (max revenue / average balance) into the filter
+  //  - tpch_q11: cross-broadcast of the single-row global inventory total
   private val bnljAllowed =
-    Set("knn_brute", "knn_ivf", "window_ntile", "tpch_q15", "tpch_q22")
+    Set("knn_brute", "knn_ivf", "window_ntile", "tpch_q15", "tpch_q22",
+      "tpch_q11")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
