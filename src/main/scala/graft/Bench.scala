@@ -35,11 +35,19 @@ object Bench {
     // Compact (3-decimal) JSON, printed AFTER spark.stop() so Spark
     // shutdown logging cannot interleave: the harness reads a bounded
     // tail of the output, and this line must land in it whole.
-    def f(v: Double): String = if (v < 0) "-1.0" else "%.2f".format(v)
+    // trailing zeros stripped ("1.50"->"1.5", "2.00"->"2") — every
+    // byte counts toward keeping the line inside the captured tail
+    def f(v: Double): String =
+      if (v < 0) "-1.0"
+      else "%.2f".format(v).reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+        case "" => "0"
+        case s  => s
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = sfDir.split("/").last
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
   }
 }
