@@ -92,6 +92,33 @@ object Multimodal {
     when(nFrames === 0, typedlit(Array.empty[Array[Byte]])).otherwise(sampled)
   }
 
+  /** Resize stub over the synthetic media format: dimensions divided
+    * by k (floored, min 1) in a rebuilt header, payload subsampled to
+    * every k-th byte — pure expressions (substring/conv/aggregate over
+    * binary), no UDF, bytes never leave the row. A real implementation
+    * would swap the byte subsample for a codec-backed scaler in the
+    * same column-in/column-out shape. */
+  def resizeMedia(media: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    require(k >= 1, "resize factor must be >= 1")
+    def dimField(off: Int) =
+      conv(hex(substring(media, off, 2)), 16, 10).cast("int")
+    val newW = greatest(dimField(5) / k, lit(1)).cast("int")
+    val newH = greatest(dimField(7) / k, lit(1)).cast("int")
+    val payload = substring(media, 9, Int.MaxValue)
+    val nKept = (octet_length(payload) / k).cast("int")
+    val kept = when(nKept <= 0, typedlit(Array.empty[Array[Byte]]))
+      .otherwise(transform(sequence(lit(0), nKept - 1),
+        i => substring(payload, i * k + 1, lit(1))))
+    val newPayload = aggregate(kept,
+      lit(Array.emptyByteArray), (acc, b) => concat(acc, b))
+    concat(
+      substring(media, 1, 4),
+      to_binary(lpad(hex(newW), 4, "0"), lit("hex")),
+      to_binary(lpad(hex(newH), 4, "0"), lit("hex")),
+      newPayload)
+  }
+
   /** Oracle-checkable binary surface over the same corpus: blob
     * length, hex round-trip, payload fingerprint. */
   def qBinaryFuncs(s: SparkSession, dir: String): DataFrame =

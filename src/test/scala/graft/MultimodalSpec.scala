@@ -63,6 +63,26 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.collect().forall(_.getSeq[Array[Byte]](0).isEmpty))
   }
 
+  test("resize halves header dimensions and subsamples the payload") {
+    val m = Multimodal.mediaTable(spark, sfDir).limit(5)
+    val pairs = m.select(col("media"),
+      Multimodal.resizeMedia(col("media"), 2).as("small")).collect()
+    for (r <- pairs) {
+      val full = r.getAs[Array[Byte]]("media")
+      val small = r.getAs[Array[Byte]]("small")
+      def dim(b: Array[Byte], off: Int) =
+        ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      assert(small.slice(0, 4).toSeq == full.slice(0, 4).toSeq) // magic
+      assert(dim(small, 4) == math.max(dim(full, 4) / 2, 1))
+      assert(dim(small, 6) == math.max(dim(full, 6) / 2, 1))
+      val payload = full.drop(8)
+      val expected = payload.indices.collect {
+        case i if i % 2 == 0 && i / 2 < payload.length / 2 => payload(i)
+      }
+      assert(small.drop(8).toSeq == expected.toSeq)
+    }
+  }
+
   test("width/height parse matches the header formula") {
     val f = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
     val docs = graft.sources.Tables(spark, sfDir, "documents")
