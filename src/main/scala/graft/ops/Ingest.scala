@@ -156,4 +156,33 @@ object Ingest {
       true AS paths_agree
     FROM events GROUP BY 1 ORDER BY k_mod
   """.trim
+
+  /** In-memory table (`datasource/memory.rs` MemTable analogue):
+    * materialized rows registered as a table and used as a join
+    * dimension. A literal tier-lookup DataFrame is registered through
+    * the same temp-view surface as file tables, then drives a
+    * broadcast join into orders — Catalyst sees exact (tiny) row
+    * statistics for the in-memory side, so it auto-broadcasts. */
+  def qMemTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "mid"),
+      ("4-NOT SPECIFIED", "low"), ("5-LOW", "low"))
+      .toDF("prio", "tier")
+    tiers.createOrReplaceTempView("prio_tiers")
+    Tables(s, dir, "orders")
+      .join(s.table("prio_tiers"), col("o_orderpriority") === col("prio"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("tier")
+  }
+
+  val qMemTableSql: String = s"""
+    SELECT tier, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total_price
+    FROM orders
+    JOIN (VALUES ('1-URGENT','high'), ('2-HIGH','high'), ('3-MEDIUM','mid'),
+                 ('4-NOT SPECIFIED','low'), ('5-LOW','low')) AS t(prio, tier)
+      ON o_orderpriority = prio
+    GROUP BY tier ORDER BY tier
+  """.trim
 }
