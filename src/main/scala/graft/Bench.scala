@@ -32,22 +32,27 @@ object Bench {
           System.err.println(s"bench: $name FAILED: ${e.getMessage}"); -1.0 }
       name -> elapsed
     }
-    // Compact (3-decimal) JSON, printed AFTER spark.stop() so Spark
-    // shutdown logging cannot interleave: the harness reads a bounded
-    // tail of the output, and this line must land in it whole.
-    // trailing zeros stripped ("1.50"->"1.5", "2.00"->"2") — every
-    // byte counts toward keeping the line inside the captured tail
+    val total = results.map(_._2).sum
+    spark.stop()
     def f(v: Double): String =
       if (v < 0) "-1.0"
       else "%.2f".format(v).reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
         case "" => "0"
         case s  => s
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    spark.stop()
+    def dict(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    // Full per-query detail goes to a committed artifact (full query
+    // set, name-sorted); the stdout line must land WHOLE inside the
+    // bounded output tail the harness captures, so it carries the
+    // total plus only the slowest 30 queries (everything a plan audit
+    // looks at — failures sort first via -1.0 and are never dropped).
     val sfName = sfDir.split("/").last
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName","queries":${dict(results)}}\n"""
+        .getBytes("UTF-8"))
+    val slowest = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      .take(30)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${dict(slowest)},"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfName"}""")
   }
 }
