@@ -48,6 +48,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes kernel == composed form on arbitrary generated text") {
+    // random word counts/lengths, multi-byte chars, runs of spaces,
+    // leading/trailing spaces — the kernel must equal the composed
+    // split/zip_with/xxhash64 pipeline on every one
+    val alphabet = "abcdeéλ語🙂"
+    def word() = Seq.fill(1 + rnd.nextInt(4))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cases = Seq.fill(150) {
+      val n = rnd.nextInt(8)
+      val sep = () => " " * (1 + rnd.nextInt(3))
+      val lead = if (rnd.nextBoolean()) " " else ""
+      lead + Seq.fill(n)(word()).mkString(sep()) +
+        (if (rnd.nextBoolean()) " " else "")
+    }
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val df = cases.zipWithIndex.toDF("text", "doc_id")
+    val composed = graft.ops.Dedup.shingled(df).select(col("doc_id"),
+      array_sort(array_distinct(transform(col("shingles"), x => xxhash64(x))))
+        .as("expected"))
+    val native = df.select(col("doc_id"),
+      gf.shingle_hashes(col("text"), 3).as("got"))
+    val bad = composed.join(native, "doc_id")
+      .filter(col("expected") =!= col("got"))
+    assert(bad.count() == 0)
+  }
+
   test("concat null-as-empty never yields null; concatOperator is strict") {
     val vals: Seq[(String, String)] = Seq(
       ("a", "b"), (null, "b"), ("a", null), (null, null), ("", "x"))
