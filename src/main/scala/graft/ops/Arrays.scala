@@ -22,6 +22,22 @@ object Arrays {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Arrow EXTENSION-type mapping (`cpp/src/arrow/extension_type.h`,
+    * SURVEY §1.2): an extension type is a storage type plus metadata.
+    * Spark's equivalent is column `Metadata` on the `StructField` —
+    * here a `list<float>` embedding column annotated as a fixed-dim
+    * vector. The annotation survives projections and a parquet
+    * round-trip (Spark persists field metadata in the file footer),
+    * which SessionSpec pins — so a downstream consumer can recover
+    * the logical type without a side channel. */
+  def annotateVector(df: DataFrame, column: String, dim: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.ext_type", "vector.float32")
+      .putLong("graft.dim", dim.toLong)
+      .build()
+    df.withColumn(column, col(column).as(column, meta))
+  }
+
   /** size / element_at (1-based and -1) / array_min / array_max over
     * the embedding vectors. */
   def qArrayFuncs(s: SparkSession, dir: String): DataFrame =

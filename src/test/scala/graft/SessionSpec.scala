@@ -43,4 +43,20 @@ class SessionSpec extends SparkSpec {
     val b = session.table("orders").count()
     assert(a == b)
   }
+
+  test("extension-type metadata survives projection and parquet round-trip") {
+    val e = graft.ops.Arrays.annotateVector(
+      graft.sources.Tables(spark, sfDir, "embeddings"), "embedding", 64)
+    def meta(df: org.apache.spark.sql.DataFrame) =
+      df.schema("embedding").metadata
+    val projected = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    assert(meta(projected).getString("graft.ext_type") == "vector.float32")
+    assert(meta(projected).getLong("graft.dim") == 64L)
+    val out = "/tmp/graft_egress/ext_type_roundtrip"
+    projected.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(meta(back).getString("graft.ext_type") == "vector.float32")
+    assert(meta(back).getLong("graft.dim") == 64L)
+  }
 }
