@@ -1,0 +1,193 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Arrow IPC (Feather v2) file source/sink — the reference's native
+  * interchange format (`cpp/src/arrow/ipc/reader.h:58`
+  * RecordBatchFileReader, `writer.h:54`, `feather.h:129`), built on
+  * the Arrow Java library Spark already ships.
+  *
+  * Both directions are distributed with the reference's own
+  * granularity: the writer emits ONE .arrow FILE PER PARTITION from
+  * the executors (the `write_csv` one-file-per-partition model,
+  * `rust/datafusion/src/execution/context.rs:451-496`), and the
+  * reader plans ONE PARTITION PER FILE (DataFusion's
+  * `CsvExec::build_file_list` model, `physical_plan/csv.rs:31-66`).
+  * Schema comes from the file footer of one file, the
+  * `SourceFactory::Inspect` discovery step (`dataset/discovery.h:55`).
+  *
+  * Type subset (documented convention, like Feather v1's): BIGINT,
+  * INT, DOUBLE, STRING — nullable throughout. Wider types travel via
+  * parquet, our primary interchange (SURVEY §2.1).
+  */
+object Ipc {
+
+  private def toArrowSchema(s: StructType): ArrowSchema = {
+    val fields = s.fields.map { f =>
+      val t = f.dataType match {
+        case LongType    => new ArrowType.Int(64, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case StringType  => ArrowType.Utf8.INSTANCE
+        case other => throw new IllegalArgumentException(
+          s"IPC sink supports bigint/int/double/string, got $other for ${f.name}")
+      }
+      new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList[Field])
+    }
+    new ArrowSchema(fields.toSeq.asJava)
+  }
+
+  private def toSparkType(f: Field): DataType = f.getType match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case _: ArrowType.Utf8 => StringType
+    case other => throw new IllegalArgumentException(
+      s"IPC source supports bigint/int/double/string, got $other for ${f.getName}")
+  }
+
+  private val BatchRows = 4096
+
+  /** Distributed IPC write: each task streams its partition into its
+    * own Arrow file in `dir`, batching [[BatchRows]] rows per record
+    * batch — rows never leave their executor. */
+  def writeIpc(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.rdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val allocator = new RootAllocator()
+      val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
+      val ch = java.nio.channels.Channels.newChannel(
+        new java.io.FileOutputStream(s"$dir/part-$pid.arrow"))
+      val writer = new ArrowFileWriter(root, null, ch)
+      writer.start()
+      val buf = new Array[Row](BatchRows)
+      def flush(n: Int): Unit = if (n > 0) {
+        var c = 0
+        while (c < schema.length) {
+          val vec = root.getVector(c)
+          vec.setInitialCapacity(n)
+          vec.allocateNew()
+          var r = 0
+          while (r < n) {
+            val row = buf(r)
+            if (row.isNullAt(c)) () // unset = null in Arrow validity
+            else vec match {
+              case v: BigIntVector  => v.setSafe(r, row.getLong(c))
+              case v: IntVector     => v.setSafe(r, row.getInt(c))
+              case v: Float8Vector  => v.setSafe(r, row.getDouble(c))
+              case v: VarCharVector =>
+                v.setSafe(r, row.getString(c).getBytes("UTF-8"))
+            }
+            r += 1
+          }
+          vec.setValueCount(n)
+          c += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+      }
+      var n = 0
+      for (row <- rows) {
+        buf(n) = row; n += 1
+        if (n == BatchRows) { flush(n); n = 0 }
+      }
+      flush(n)
+      writer.end(); writer.close(); root.close(); allocator.close()
+    }
+  }
+
+  /** Distributed IPC read: schema discovered from one file's footer,
+    * then one scan partition per file. */
+  def readIpc(s: SparkSession, dir: String): DataFrame = {
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".arrow"))
+      .toSeq.sorted
+    require(files.nonEmpty, s"no .arrow files in $dir")
+    // discovery/Inspect: one footer read on the driver
+    val sparkSchema = {
+      val allocator = new RootAllocator()
+      val rd = new ArrowFileReader(
+        new java.io.FileInputStream(files.head).getChannel, allocator)
+      val arrowFields = rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+      val st = StructType(arrowFields.map(f =>
+        StructField(f.getName, toSparkType(f), nullable = true)))
+      rd.close(); allocator.close()
+      st
+    }
+    val nCols = sparkSchema.length
+    val rowRdd = s.sparkContext
+      .parallelize(files, files.size) // one partition per file
+      .flatMap { path =>
+        val allocator = new RootAllocator()
+        val rd = new ArrowFileReader(
+          new java.io.FileInputStream(path).getChannel, allocator)
+        val root = rd.getVectorSchemaRoot
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (rd.loadNextBatch()) {
+          var r = 0
+          val n = root.getRowCount
+          while (r < n) {
+            val vals = new Array[Any](nCols)
+            var c = 0
+            while (c < nCols) {
+              val vec = root.getVector(c)
+              vals(c) = if (vec.isNull(r)) null else vec match {
+                case v: BigIntVector  => v.get(r)
+                case v: IntVector     => v.get(r)
+                case v: Float8Vector  => v.get(r)
+                case v: VarCharVector => new String(v.get(r), "UTF-8")
+              }
+              c += 1
+            }
+            out += Row.fromSeq(vals.toIndexedSeq)
+            r += 1
+          }
+        }
+        rd.close(); allocator.close()
+        out
+      }
+    s.createDataFrame(rowRdd, sparkSchema)
+  }
+
+  /** IPC round-trip query: project orders to the IPC type subset,
+    * write one Arrow file per partition, re-discover + read, and
+    * aggregate — lossless round-trip proven by the oracle hash over
+    * the ORIGINAL parquet. */
+  def qIpcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/orders_ipc"
+    writeIpc(
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // spread over several files so the read half demonstrably
+        // plans one partition per file
+        .repartition(4, col("o_orderkey")),
+      out)
+    readIpc(s, out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qIpcRoundtripSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price,
+      MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+}

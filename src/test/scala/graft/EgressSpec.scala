@@ -50,6 +50,22 @@ class EgressSpec extends SparkSpec {
       !pruned.contains("o_orderstatus=P"), pruned)
   }
 
+  test("ipc write emits one file per partition; nulls round-trip") {
+    val sp = spark; import sp.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, null, null), (null, "c", -0.0), (4L, "", 9.99))
+      .toDF("k", "s", "v").repartition(3)
+    val out = "/tmp/graft_egress/ipc_nulls"
+    graft.ops.Ipc.writeIpc(df, out)
+    val files = new java.io.File(out).listFiles((_, n) => n.endsWith(".arrow"))
+    assert(files.length == 3)
+    val back = graft.ops.Ipc.readIpc(spark, out)
+    assert(back.schema.map(_.dataType.typeName) == Seq("long", "string", "double"))
+    val norm = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(norm(back) == norm(df))
+  }
+
   test("orc round-trip preserves types") {
     Egress.qOrcRoundtrip(spark, sfDir).collect() // performs the write
     val back = spark.read.orc(Egress.outRoot(sfDir) + "/orders_orc")
