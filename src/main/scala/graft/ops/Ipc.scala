@@ -65,7 +65,13 @@ object Ipc {
     * batch — rows never leave their executor. */
   def writeIpc(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dirPath = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dirPath)
+    // overwrite semantics: a previous run with MORE partitions must not
+    // leave stale part files behind to be re-read alongside new ones
+    java.nio.file.Files.list(dirPath).iterator().asScala
+      .filter(_.toString.endsWith(".arrow"))
+      .foreach(java.nio.file.Files.delete)
     df.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val allocator = new RootAllocator()
