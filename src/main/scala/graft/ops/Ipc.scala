@@ -169,6 +169,83 @@ object Ipc {
     s.createDataFrame(rowRdd, sparkSchema)
   }
 
+  /** Arrow IPC STREAM format (`ipc/reader.h:58`
+    * RecordBatchStreamReader): the unseekable wire variant of the file
+    * format — no footer, schema first, batches until EOS. Byte-array
+    * in/out (the transport payload shape); same type subset. Used for
+    * handing batches to another process over a socket/pipe, not for
+    * at-rest storage — EgressSpec round-trips it in memory. */
+  def writeIpcStream(rows: Seq[Row], schema: StructType): Array[Byte] = {
+    val allocator = new RootAllocator()
+    val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+      root, null, java.nio.channels.Channels.newChannel(bos))
+    writer.start()
+    rows.grouped(BatchRows).foreach { batch =>
+      val n = batch.length
+      var c = 0
+      while (c < schema.length) {
+        val vec = root.getVector(c)
+        vec.setInitialCapacity(n)
+        vec.allocateNew()
+        var r = 0
+        while (r < n) {
+          val row = batch(r)
+          if (row.isNullAt(c)) ()
+          else vec match {
+            case v: BigIntVector  => v.setSafe(r, row.getLong(c))
+            case v: IntVector     => v.setSafe(r, row.getInt(c))
+            case v: Float8Vector  => v.setSafe(r, row.getDouble(c))
+            case v: VarCharVector =>
+              v.setSafe(r, row.getString(c).getBytes("UTF-8"))
+          }
+          r += 1
+        }
+        vec.setValueCount(n)
+        c += 1
+      }
+      root.setRowCount(n)
+      writer.writeBatch()
+    }
+    writer.end(); writer.close(); root.close(); allocator.close()
+    bos.toByteArray
+  }
+
+  /** Stream-format read: schema from the stream head, batches to EOS. */
+  def readIpcStream(bytes: Array[Byte]): (Seq[Row], StructType) = {
+    val allocator = new RootAllocator()
+    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), allocator)
+    val root = rd.getVectorSchemaRoot
+    val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(f =>
+      StructField(f.getName, toSparkType(f), nullable = true)))
+    val nCols = sparkSchema.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (rd.loadNextBatch()) {
+      var r = 0
+      val n = root.getRowCount
+      while (r < n) {
+        val vals = new Array[Any](nCols)
+        var c = 0
+        while (c < nCols) {
+          val vec = root.getVector(c)
+          vals(c) = if (vec.isNull(r)) null else vec match {
+            case v: BigIntVector  => v.get(r)
+            case v: IntVector     => v.get(r)
+            case v: Float8Vector  => v.get(r)
+            case v: VarCharVector => new String(v.get(r), "UTF-8")
+          }
+          c += 1
+        }
+        out += Row.fromSeq(vals.toIndexedSeq)
+        r += 1
+      }
+    }
+    rd.close(); allocator.close()
+    (out.toSeq, sparkSchema)
+  }
+
   /** IPC round-trip query: project orders to the IPC type subset,
     * write one Arrow file per partition, re-discover + read, and
     * aggregate — lossless round-trip proven by the oracle hash over

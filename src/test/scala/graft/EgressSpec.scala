@@ -66,6 +66,19 @@ class EgressSpec extends SparkSpec {
     assert(norm(back) == norm(df))
   }
 
+  test("ipc stream format round-trips rows and schema in memory") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val rows = Seq(Row(1L, "α", 2.5), Row(null, "b", null), Row(3L, null, -1.0))
+    val bytes = graft.ops.Ipc.writeIpcStream(rows, schema)
+    val (back, backSchema) = graft.ops.Ipc.readIpcStream(bytes)
+    assert(backSchema.map(_.dataType) == schema.map(_.dataType))
+    assert(back == rows)
+  }
+
   test("orc round-trip preserves types") {
     Egress.qOrcRoundtrip(spark, sfDir).collect() // performs the write
     val back = spark.read.orc(Egress.outRoot(sfDir) + "/orders_orc")
