@@ -175,6 +175,73 @@ object Dedup {
 
   val qDedupMinhashSql: String = jaccardOracleSql
 
+  // ---- near-dup clustering (connected components) ------------------------
+
+  /** Connected components by iterative min-label propagation: each
+    * node's label starts as itself; every pass each node takes the
+    * minimum label among itself and its neighbors until fixpoint —
+    * converging to the component's minimum doc_id as the cluster
+    * representative (keep-one-per-cluster is then `doc_id == rep_id`).
+    *
+    * Scale posture: the driver loop runs O(component diameter)
+    * distributed join+groupBy passes (near-dup components are shallow —
+    * dup clusters, not social graphs); labels are localCheckpoint'd
+    * each pass so lineage stays flat. Every pass shuffles only the
+    * (node, label) pairs, never documents. Large-star/small-star
+    * pointer-jumping is the drop-in upgrade if diameters ever grow. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("rep"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("rep"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("node")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.rep") =!= col("o.rep"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-dup clusters over the MinHash-verified pair set: every doc
+    * that has at least one near-duplicate, with its component's
+    * minimum doc_id as representative. The DuckDB oracle computes the
+    * same components with a recursive transitive-closure CTE over the
+    * same (brute-force) pair set. */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(qDedupMinhash(s, dir).select(col("d1"), col("d2")))
+      .select(col("node").as("doc_id"), col("rep").as("rep_id"))
+      .orderBy("doc_id")
+
+  val qDedupClusterSql: String = """
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+    reach(node, anc) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.anc)
+    SELECT node AS doc_id, MIN(anc) AS rep_id
+    FROM reach GROUP BY node ORDER BY doc_id
+  """.trim
+
   // ---- inverted-index n-gram Jaccard ------------------------------------
 
   /** Exact n-gram-Jaccard dedup via a PREFIX-FILTERED inverted index
