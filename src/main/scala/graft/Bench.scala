@@ -24,7 +24,14 @@ object Bench {
     // Name-sorted execution order: Map iteration order is arbitrary
     // and JVM warm state depends on position, so a stable order keeps
     // per-query numbers comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 restricts the
+    // timed set (never set by the driver; the committed artifacts always
+    // come from full runs)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -32,7 +39,11 @@ object Bench {
           System.err.println(s"bench: $name FAILED: ${e.getMessage}"); -1.0 }
       name -> elapsed
     }
-    val total = results.map(_._2).sum
+    // -1.0 is a failure SENTINEL, not a time: exclude it from the total
+    // (summing it would silently subtract a second per failure) and
+    // surface an explicit failure count instead.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failures = results.count(_._2 < 0)
     spark.stop()
     def f(v: Double): String =
       if (v < 0) "-1.0"
@@ -49,10 +60,10 @@ object Bench {
     // looks at — failures sort first via -1.0 and are never dropped).
     val sfName = sfDir.split("/").last
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName","queries":${dict(results)}}\n"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName","failures":$failures,"queries":${dict(results)}}\n"""
         .getBytes("UTF-8"))
     val slowest = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       .take(30)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${dict(slowest)},"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${dict(slowest)},"n_queries":${results.size},"failures":$failures,"detail":"BENCH_DETAIL.json","sf":"$sfName"}""")
   }
 }

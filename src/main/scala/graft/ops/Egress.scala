@@ -27,10 +27,13 @@ import graft.sources.Tables
   */
 object Egress {
 
-  /** Per-fixture scratch root, keyed by SF dir so sf0.01 Verify and
-    * sf0.1 Bench never collide. */
+  /** Per-fixture scratch root, keyed by SF dir AND process id so
+    * sf0.01 Verify, sf0.1 Bench, and a concurrent test JVM each get
+    * disjoint scratch trees — two JVMs on the same fixture must never
+    * race on one output directory mid write/read. */
   private[graft] def outRoot(dir: String): String =
-    "/tmp/graft_egress/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_egress/p" + ProcessHandle.current().pid() + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   private val csvOrdersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),

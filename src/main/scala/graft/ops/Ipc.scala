@@ -7,9 +7,12 @@ import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVe
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.sources.Tables
 
@@ -26,6 +29,16 @@ import graft.sources.Tables
   * `CsvExec::build_file_list` model, `physical_plan/csv.rs:31-66`).
   * Schema comes from the file footer of one file, the
   * `SourceFactory::Inspect` discovery step (`dataset/discovery.h:55`).
+  *
+  * All file I/O goes through the Hadoop FileSystem API (driver-side
+  * listing/cleanup AND executor-side writes/reads), so the path may
+  * be any Hadoop-supported filesystem (local, HDFS, object store) —
+  * executors need not share the driver's local disk. Writes follow a
+  * task-commit protocol: each attempt writes an attempt-unique
+  * temporary file and renames it into place on success, so a
+  * speculative or retried task can never interleave bytes with the
+  * winning attempt (first successful rename wins; losers delete
+  * their temp).
   *
   * Type subset (documented convention, like Feather v1's): BIGINT,
   * INT, DOUBLE, STRING — nullable throughout. Wider types travel via
@@ -65,19 +78,27 @@ object Ipc {
     * batch — rows never leave their executor. */
   def writeIpc(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
-    val dirPath = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(dirPath)
+    val confSer = new SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(confSer.value)
+    fs.mkdirs(dirPath)
     // overwrite semantics: a previous run with MORE partitions must not
-    // leave stale part files behind to be re-read alongside new ones
-    java.nio.file.Files.list(dirPath).iterator().asScala
-      .filter(_.toString.endsWith(".arrow"))
-      .foreach(java.nio.file.Files.delete)
+    // leave stale part files behind to be re-read alongside new ones;
+    // also clear orphaned temps from crashed attempts
+    for (pat <- Seq("*.arrow", ".*.arrow.tmp");
+         st <- Option(fs.globStatus(new HPath(dirPath, pat))).getOrElse(Array()))
+      fs.delete(st.getPath, false)
     df.rdd.foreachPartition { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = TaskContext.get()
+      val pid = tc.partitionId()
+      val taskFs = new HPath(dir).getFileSystem(confSer.value)
+      val finalPath = new HPath(dir, s"part-$pid.arrow")
+      val tmpPath = new HPath(dir, s".part-$pid-a${tc.taskAttemptId()}.arrow.tmp")
       val allocator = new RootAllocator()
       val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
-      val ch = java.nio.channels.Channels.newChannel(
-        new java.io.FileOutputStream(s"$dir/part-$pid.arrow"))
+      val out = taskFs.create(tmpPath, true)
+      val ch = java.nio.channels.Channels.newChannel(out)
       val writer = new ArrowFileWriter(root, null, ch)
       writer.start()
       val buf = new Array[Row](BatchRows)
@@ -112,22 +133,60 @@ object Ipc {
         if (n == BatchRows) { flush(n); n = 0 }
       }
       flush(n)
-      writer.end(); writer.close(); root.close(); allocator.close()
+      writer.end(); writer.close(); out.close(); root.close(); allocator.close()
+      // commit: first attempt to rename wins; a loser (speculative twin
+      // already committed) just discards its temp
+      if (!taskFs.rename(tmpPath, finalPath)) taskFs.delete(tmpPath, false)
     }
+  }
+
+  /** Minimal SeekableByteChannel over a Hadoop FSDataInputStream, the
+    * shape ArrowFileReader needs to reach the footer of a file on any
+    * Hadoop filesystem. */
+  private final class HadoopSeekableChannel(in: FSDataInputStream, len: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var closed = false
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val want = dst.remaining()
+      if (want == 0) return 0
+      val buf = new Array[Byte](want)
+      val got = in.read(buf, 0, want)
+      if (got > 0) dst.put(buf, 0, got)
+      got
+    }
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new java.nio.channels.NonWritableChannelException
+    override def position(): Long = in.getPos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(p); this
+    }
+    override def size(): Long = len
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new java.nio.channels.NonWritableChannelException
+    override def isOpen: Boolean = !closed
+    override def close(): Unit = { closed = true; in.close() }
   }
 
   /** Distributed IPC read: schema discovered from one file's footer,
     * then one scan partition per file. */
   def readIpc(s: SparkSession, dir: String): DataFrame = {
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.toString).filter(_.endsWith(".arrow"))
-      .toSeq.sorted
+    val confSer = new SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(confSer.value)
+    // discovery via the Hadoop FS listing — sees files written by any
+    // executor, not just ones sharing the driver's local disk
+    val files = Option(fs.globStatus(new HPath(dirPath, "*.arrow")))
+      .getOrElse(Array()).toSeq
+      .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
     require(files.nonEmpty, s"no .arrow files in $dir")
     // discovery/Inspect: one footer read on the driver
     val sparkSchema = {
       val allocator = new RootAllocator()
+      val (headPath, headLen) = files.head
       val rd = new ArrowFileReader(
-        new java.io.FileInputStream(files.head).getChannel, allocator)
+        new HadoopSeekableChannel(fs.open(new HPath(headPath)), headLen),
+        allocator)
       val arrowFields = rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       val st = StructType(arrowFields.map(f =>
         StructField(f.getName, toSparkType(f), nullable = true)))
@@ -137,10 +196,12 @@ object Ipc {
     val nCols = sparkSchema.length
     val rowRdd = s.sparkContext
       .parallelize(files, files.size) // one partition per file
-      .flatMap { path =>
+      .flatMap { case (path, len) =>
+        val p = new HPath(path)
+        val taskFs = p.getFileSystem(confSer.value)
         val allocator = new RootAllocator()
         val rd = new ArrowFileReader(
-          new java.io.FileInputStream(path).getChannel, allocator)
+          new HadoopSeekableChannel(taskFs.open(p), len), allocator)
         val root = rd.getVectorSchemaRoot
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         while (rd.loadNextBatch()) {

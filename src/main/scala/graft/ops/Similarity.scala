@@ -30,7 +30,11 @@ object Similarity {
     * row, so argmax-cell and per-query probe ranking are identical to
     * ranking by cosine — without recomputing |e| per centroid or
     * walking the array through interpreted lambdas (the composed
-    * zip_with/aggregate form this replaces was ~30 array walks/row). */
+    * zip_with/aggregate form this replaces was ~30 array walks/row).
+    * Caveat: for a zero-norm embedding or centroid, cosine is NaN
+    * (sorts greatest, deterministically winning array_max) while the
+    * dot form yields 0.0 — cell assignment can differ on such rows.
+    * Fixture embeddings are non-degenerate, so rankings agree there. */
   private def centroidScores(cents: Seq[Seq[Double]], vec: Column): Column =
     graft.functions.vector_dots(typedlit(cents.map(normalize)), vec)
 

@@ -30,21 +30,26 @@ object Tables {
     * re-reading parquet footers on every query — measurable at bench
     * scale and the right default for a long-lived session.
     *
-    * Sessions are WEAK keys: a stopped, dereferenced session and its
-    * cached plans become collectable instead of pinned forever. The
-    * cached DataFrame still pins the parquet file listing taken at
-    * first read — regenerating a fixture dir in-place requires a new
-    * session (documented limitation; same contract as Spark's own
-    * FileIndex caching). */
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+    * Strongly keyed by the session object (identity equality): a cached
+    * DataFrame itself references its SparkSession, so weak keying can
+    * never reclaim entries (value-refs-key — the classic WeakHashMap
+    * pitfall). The retention contract is explicit instead — entries
+    * live until [[invalidate]] or JVM exit; a process churning through
+    * many sessions should invalidate each on stop. The cached
+    * DataFrame also pins the parquet file listing taken at first
+    * read — regenerating a fixture dir in-place requires a new session
+    * or invalidate (same contract as Spark's own FileIndex cache). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  /** Drop all cached plans for a session (call when stopping it). */
+  def invalidate(spark: SparkSession): Unit =
+    cache.remove(spark)
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark, _ =>
-        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-    }
+    val perSession = cache.computeIfAbsent(spark, _ =>
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     perSession.computeIfAbsent((dir, name), { _ =>
       // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
       // Spark 4 rejects outright. Engine.configure reads nanos as long;
