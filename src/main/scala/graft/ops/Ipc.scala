@@ -46,7 +46,7 @@ import graft.sources.Tables
   */
 object Ipc {
 
-  private def toArrowSchema(s: StructType): ArrowSchema = {
+  private[graft] def toArrowSchema(s: StructType): ArrowSchema = {
     val fields = s.fields.map { f =>
       val t = f.dataType match {
         case LongType    => new ArrowType.Int(64, true)
@@ -61,7 +61,7 @@ object Ipc {
     new ArrowSchema(fields.toSeq.asJava)
   }
 
-  private def toSparkType(f: Field): DataType = f.getType match {
+  private[graft] def toSparkType(f: Field): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
     case fp: ArrowType.FloatingPoint
@@ -71,7 +71,7 @@ object Ipc {
       s"IPC source supports bigint/int/double/string, got $other for ${f.getName}")
   }
 
-  private val BatchRows = 4096
+  private[graft] val BatchRows = 4096
 
   /** Distributed IPC write: each task streams its partition into its
     * own Arrow file in `dir`, batching [[BatchRows]] rows per record
@@ -143,7 +143,7 @@ object Ipc {
   /** Minimal SeekableByteChannel over a Hadoop FSDataInputStream, the
     * shape ArrowFileReader needs to reach the footer of a file on any
     * Hadoop filesystem. */
-  private final class HadoopSeekableChannel(in: FSDataInputStream, len: Long)
+  private[graft] final class HadoopSeekableChannel(in: FSDataInputStream, len: Long)
       extends java.nio.channels.SeekableByteChannel {
     private var closed = false
     override def read(dst: java.nio.ByteBuffer): Int = {
@@ -332,6 +332,33 @@ object Ipc {
     SELECT o_orderstatus, COUNT(*) AS n,
       ${dsumSql("o_totalprice")} AS total_price,
       MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
+  /** The same round-trip through the DataSource V2 connector
+    * ([[graft.sources.ipc.IpcDataSource]], format "graft-ipc"):
+    * `df.write.format(...)` runs the job-commit write, `spark.read
+    * .format(...)` plans a BatchScan with one partition per file, and
+    * the aggregation only references two of the three written columns
+    * — so Catalyst pushes a pruned required schema into the scan
+    * (asserted in EgressSpec). Lossless vs the original parquet is
+    * what the oracle hash proves. */
+  def qIpcDsv2(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/orders_ipc_dsv2"
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(4, col("o_orderkey"))
+      .write.format("graft-ipc").mode("overwrite").save(out)
+    s.read.format("graft-ipc").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qIpcDsv2Sql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 }

@@ -79,6 +79,36 @@ class EgressSpec extends SparkSpec {
     assert(back == rows)
   }
 
+  test("ipc dsv2: write commits atomically, read round-trips, scan prunes columns") {
+    val sp = spark; import sp.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, null, null), (null, "c", -0.0), (4L, "", 9.99))
+      .toDF("k", "s", "v").repartition(3)
+    val out = "/tmp/graft_egress/ipc_dsv2_spec"
+    df.write.format("graft-ipc").mode("overwrite").save(out)
+    val files = new java.io.File(out).listFiles((_, n) => n.endsWith(".arrow"))
+    assert(files.length == 3, "one committed file per partition")
+    assert(new java.io.File(out).listFiles((_, n) => n.endsWith(".tmp")).isEmpty,
+      "no uncommitted temps after a successful write")
+    // full round-trip, nulls included
+    val back = spark.read.format("graft-ipc").load(out)
+    assert(back.schema.map(_.dataType.typeName) == Seq("long", "string", "double"))
+    val norm = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(norm(back) == norm(df))
+    // overwrite with FEWER partitions must not leave stale part files
+    df.limit(2).repartition(1).write.format("graft-ipc").mode("overwrite").save(out)
+    assert(spark.read.format("graft-ipc").load(out).count() == 2)
+    // column pruning reaches the scan (ScannerBuilder::Project analogue):
+    // a single-column projection plans a BatchScan whose ReadSchema has
+    // exactly that column
+    val pruned = spark.read.format("graft-ipc").load(out).select("s")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("BatchScan")).getOrElse("")
+    assert(scan.contains(", columns s") && !scan.contains("columns k"),
+      s"scan not pruned to s:\n$scan")
+  }
+
   test("orc round-trip preserves types") {
     Egress.qOrcRoundtrip(spark, sfDir).collect() // performs the write
     val back = spark.read.orc(Egress.outRoot(sfDir) + "/orders_orc")
