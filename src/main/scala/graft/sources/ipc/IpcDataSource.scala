@@ -145,6 +145,52 @@ private final class IpcPartitionReaderFactory(required: StructType,
     val part = p.asInstanceOf[IpcInputPartition]
     new IpcPartitionReader(part.path, part.len, required, fileIdx, confSer)
   }
+
+  // The scan is COLUMNAR: each loaded Arrow record batch is handed to
+  // Spark as a ColumnarBatch of ArrowColumnVector wrappers — zero
+  // per-value conversion, and Catalyst plans a codegen'd ColumnarToRow
+  // on top (same mechanism as Spark's vectorized parquet reader). The
+  // row-based reader above remains as the non-columnar fallback.
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[IpcInputPartition]
+    new IpcColumnarPartitionReader(part.path, part.len, fileIdx, confSer)
+  }
+}
+
+/** Columnar reader: streams record batches, wrapping the REQUIRED
+  * columns' Arrow vectors directly (pruning = untouched vectors are
+  * simply never wrapped or walked). Vector memory is owned by the
+  * file reader's VectorSchemaRoot and reused across loadNextBatch —
+  * safe because Spark fully consumes a batch before calling next(). */
+private final class IpcColumnarPartitionReader(path: String, len: Long,
+    fileIdx: Array[Int], confSer: SerializableConfiguration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
+
+  private val allocator = new RootAllocator()
+  private val reader = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(confSer.value)
+    new ArrowFileReader(
+      new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator)
+  }
+  private val root = reader.getVectorSchemaRoot
+  private var batch: ColumnarBatch = null
+
+  override def next(): Boolean = {
+    if (!reader.loadNextBatch()) return false
+    if (root.getRowCount == 0) return next()
+    val cols: Array[ColumnVector] =
+      fileIdx.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
+    batch = new ColumnarBatch(cols, root.getRowCount)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = { reader.close(); allocator.close() }
 }
 
 /** Streams one .arrow file batch-by-batch; only the REQUIRED columns

@@ -107,6 +107,10 @@ class EgressSpec extends SparkSpec {
       .map(_.toString).find(_.contains("BatchScan")).getOrElse("")
     assert(scan.contains(", columns s") && !scan.contains("columns k"),
       s"scan not pruned to s:\n$scan")
+    // and the scan is COLUMNAR: batches flow as ColumnarBatch with a
+    // codegen'd ColumnarToRow above (vectorized-parquet mechanism)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("ColumnarToRow"), s"scan not columnar:\n$planStr")
   }
 
   test("orc round-trip preserves types") {
