@@ -136,4 +136,54 @@ object TextAnalysis {
       md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS prefix_fp
     FROM documents WHERE doc_id < 100 ORDER BY doc_id
   """.trim
+
+  /** Corpus TF-IDF: top-3 highest-scoring terms per document (docs
+    * 0-49 reported; document frequency computed over the WHOLE
+    * corpus). Score = tf · N / df — the raw-inverse-frequency variant
+    * of idf, chosen deliberately over log-idf: all three inputs are
+    * exact small integers, so the single double division is
+    * IEEE-correctly-rounded and therefore BIT-IDENTICAL in any
+    * conforming engine, where a transcendental log could differ by an
+    * ulp between libm implementations and flip a ranking.
+    *
+    * Scale shape: explode → two partial+final aggs (tf, then df) →
+    * broadcast-sized df side joined back on term → per-doc window
+    * top-k. The only all-corpus structure is the term→df map, which
+    * is vocabulary-sized, not corpus-sized. */
+  def qTfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .filter(col("doc_id") < 50)
+      .withColumn("score", (col("tf") * lit(nDocs)) / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val qTfidfTopSql: String = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df, (tf * n) / df AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE doc_id < 50),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM scored)
+    SELECT doc_id, rn, term, tf, df, score
+    FROM r WHERE rn <= 3 ORDER BY doc_id, rn
+  """.trim
 }

@@ -88,4 +88,19 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("hash split is stable under repartitioning and near 80/10/10") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    def assign(d: DataFrame): Map[Long, String] = d
+      .select(col("doc_id"), graft.ops.Sampling.splitLabel(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(docs)
+    // membership is a pure function of the key — partitioning must not
+    // change any document's split (the leakage-audit property)
+    assert(assign(docs.repartition(17)) == base)
+    val frac = base.values.groupBy(identity).view.mapValues(_.size.toDouble / base.size)
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05)
+  }
 }
