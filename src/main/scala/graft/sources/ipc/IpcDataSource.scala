@@ -89,7 +89,8 @@ private final class IpcTable(tableSchema: StructType, dir: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IpcScanBuilder(tableSchema, dir)
@@ -250,6 +251,8 @@ private final class IpcWriteBuilder(schema: StructType, dir: String)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new IpcBatchWrite(schema, dir, truncateFirst)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new IpcStreamingWrite(schema, dir)
   }
 }
 
@@ -281,7 +284,7 @@ private final class IpcBatchWrite(schema: StructType, dir: String,
       for (st <- Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
           .getOrElse(Array()))
         fs.delete(st.getPath, false)
-    messages.foreach { case IpcCommitMessage(tmp, dst) =>
+    messages.collect { case IpcCommitMessage(tmp, dst) =>
       if (!fs.rename(new HPath(tmp), new HPath(dst)))
         throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
     }
@@ -298,26 +301,89 @@ private final class IpcBatchWrite(schema: StructType, dir: String,
 private final case class IpcCommitMessage(tmpPath: String, finalPath: String)
     extends WriterCommitMessage
 
+/** A lazy (streaming) writer that saw no rows — nothing to rename. */
+private case object IpcEmptyCommit extends WriterCommitMessage
+
 private final class IpcDataWriterFactory(schema: StructType, dir: String,
     confSer: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new IpcDataWriter(schema, dir, partitionId, taskId, confSer)
+    new IpcDataWriter(schema,
+      new HPath(dir, s".part-$partitionId-t$taskId.arrow.tmp"),
+      new HPath(dir, s"part-$partitionId.arrow"), confSer)
 }
 
-private final class IpcDataWriter(schema: StructType, dir: String,
-    partitionId: Int, taskId: Long, confSer: SerializableConfiguration)
-    extends DataWriter[InternalRow] {
+/** Structured-Streaming sink half of the connector: every epoch is an
+  * independent atomically-committed file set `part-e<epoch>-<pid>
+  * .arrow` — temps become visible only in the driver-side epoch
+  * commit, and a REPLAYED epoch (failure recovery) deletes that
+  * epoch's previous files before renaming, so the directory converges
+  * to exactly-once contents. Readers see epochs only whole. */
+private final class IpcStreamingWrite(schema: StructType, dir: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private val tmpPath = new HPath(dir, s".part-$partitionId-t$taskId.arrow.tmp")
-  private val finalPath = new HPath(dir, s"part-$partitionId.arrow")
+  private val confSer = new SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val fs = new HPath(dir).getFileSystem(confSer.value)
+    fs.mkdirs(new HPath(dir))
+    new IpcStreamingDataWriterFactory(schema, dir, confSer)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(dir).getFileSystem(confSer.value)
+    // epoch replay after a failed commit: drop the half-committed set
+    for (st <- Option(fs.globStatus(
+        new HPath(new HPath(dir), s"part-e$epochId-*.arrow"))).getOrElse(Array()))
+      fs.delete(st.getPath, false)
+    messages.collect { case IpcCommitMessage(tmp, dst) =>
+      if (!fs.rename(new HPath(tmp), new HPath(dst)))
+        throw new java.io.IOException(s"epoch $epochId commit rename failed: $tmp -> $dst")
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(dir).getFileSystem(confSer.value)
+    messages.collect { case IpcCommitMessage(tmp, _) =>
+      fs.delete(new HPath(tmp), false)
+    }
+  }
+}
+
+private final class IpcStreamingDataWriterFactory(schema: StructType,
+    dir: String, confSer: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    // lazyCreate: an idle epoch's empty partitions must not spray
+    // schema-only files into the sink directory on every trigger
+    new IpcDataWriter(schema,
+      new HPath(dir, s".part-e$epochId-$partitionId-t$taskId.arrow.tmp"),
+      new HPath(dir, s"part-e$epochId-$partitionId.arrow"), confSer,
+      lazyCreate = true)
+}
+
+private final class IpcDataWriter(schema: StructType,
+    tmpPath: HPath, finalPath: HPath, confSer: SerializableConfiguration,
+    lazyCreate: Boolean = false)
+    extends DataWriter[InternalRow] {
   private val fs = tmpPath.getFileSystem(confSer.value)
   private val allocator = new RootAllocator()
   private val root = org.apache.arrow.vector.VectorSchemaRoot.create(
     Ipc.toArrowSchema(schema), allocator)
-  private val out = fs.create(tmpPath, true)
-  private val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
-    root, null, java.nio.channels.Channels.newChannel(out))
-  writer.start()
+  // batch writes are eager (a schema-only file per partition keeps the
+  // directory self-describing); streaming epochs create the file only
+  // when the first row arrives
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+  private var writer: org.apache.arrow.vector.ipc.ArrowFileWriter = null
+  private def ensureOpen(): Unit = if (writer == null) {
+    out = fs.create(tmpPath, true)
+    writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+      root, null, java.nio.channels.Channels.newChannel(out))
+    writer.start()
+  }
+  if (!lazyCreate) ensureOpen()
 
   private val buf = new Array[InternalRow](Ipc.BatchRows)
   private var n = 0
@@ -329,6 +395,7 @@ private final class IpcDataWriter(schema: StructType, dir: String,
   }
 
   private def flush(): Unit = if (n > 0) {
+    ensureOpen()
     var c = 0
     while (c < schema.length) {
       val vec = root.getVector(c)
@@ -356,13 +423,18 @@ private final class IpcDataWriter(schema: StructType, dir: String,
 
   override def commit(): WriterCommitMessage = {
     flush()
-    writer.end(); writer.close(); out.close()
-    IpcCommitMessage(tmpPath.toString, finalPath.toString)
+    if (writer == null) IpcEmptyCommit // lazy writer saw no rows
+    else {
+      writer.end(); writer.close(); out.close()
+      IpcCommitMessage(tmpPath.toString, finalPath.toString)
+    }
   }
 
   override def abort(): Unit = {
-    try { writer.close(); out.close() } catch { case _: Throwable => () }
-    fs.delete(tmpPath, false)
+    if (writer != null) {
+      try { writer.close(); out.close() } catch { case _: Throwable => () }
+      fs.delete(tmpPath, false)
+    }
   }
 
   override def close(): Unit = { root.close(); allocator.close() }

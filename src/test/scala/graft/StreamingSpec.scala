@@ -155,4 +155,32 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(batch.count() == manual.count())
   }
+
+  test("graft-ipc streaming sink: per-epoch atomic file sets, exactly-once read-back") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val out = "/tmp/graft_egress/ipc_stream_sink"
+    val ckpt = out + "_ckpt"
+    for (d <- Seq(out, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    val in = MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("k", "s", "v").writeStream
+      .format("graft-ipc").option("checkpointLocation", ckpt)
+      .outputMode("append").start(out)
+    try {
+      in.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      in.addData((3L, "c", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = new java.io.File(out).listFiles((_, n) => n.endsWith(".arrow"))
+    // two committed epochs, no uncommitted temps
+    assert(files.map(_.getName).count(_.startsWith("part-e0-")) > 0)
+    assert(files.map(_.getName).count(_.startsWith("part-e1-")) > 0)
+    assert(new java.io.File(out).listFiles((_, n) => n.endsWith(".tmp")).isEmpty)
+    val back = spark.read.format("graft-ipc").load(out)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
 }
