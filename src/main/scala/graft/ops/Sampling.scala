@@ -70,4 +70,56 @@ object Sampling {
       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM s GROUP BY split ORDER BY split
   """.trim
+
+  /** Tokens per packed training sequence (fixture-sized; a real run
+    * would use the model's context length). */
+  private val SeqBudget = 256
+
+  /** Sequence packing — the assembly step that turns a cleaned corpus
+    * into fixed-token-budget training sequences: documents are laid
+    * out on a per-language concat stream in stable doc_id order, and
+    * each doc joins the sequence its starting token offset falls in
+    * (concat-then-chunk packing; a doc may straddle its sequence's end
+    * — the tail spills into the next chunk, standard for pretraining).
+    *
+    * Scale shape: the running offset is a window cumsum PARTITIONED BY
+    * lang — never a global single-partition sort. One shuffle for the
+    * window, one partial+final agg on (lang, seq_id). With one giant
+    * partition key you'd switch to the two-phase form (per-partition
+    * sums, broadcast prefix offsets) — same algebra, still no global
+    * sort. */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(SeqBudget)))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "seq_id")
+  }
+
+  val qSeqPackSql: String = s"""
+    WITH d AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tok,
+        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+    a AS (
+      SELECT lang, doc_id, n_tok,
+        CAST(FLOOR((cum - n_tok) / $SeqBudget) AS BIGINT) AS seq_id
+      FROM c)
+    SELECT lang, seq_id, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY lang, seq_id ORDER BY lang, seq_id
+  """.trim
 }
