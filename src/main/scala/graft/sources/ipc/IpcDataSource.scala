@@ -90,7 +90,7 @@ private final class IpcTable(tableSchema: StructType, dir: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IpcScanBuilder(tableSchema, dir)
@@ -118,6 +118,9 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
   override def description(): String =
     s"graft-ipc $dir, columns ${required.fieldNames.mkString(",")}"
 
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IpcMicroBatchStream(fullSchema, required, dir)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = new HPath(dir).getFileSystem(conf)
@@ -138,6 +141,73 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
 
 private final case class IpcInputPartition(path: String, len: Long)
     extends InputPartition
+
+/** Offset for the micro-batch source: the full set of committed files
+  * seen so far, persisted in the offset itself. This is the
+  * FileStreamSource seen-files map made explicit — file names carry no
+  * global order (epoch numbers don't sort lexicographically), so a
+  * high-watermark offset can't be correct; the set is. Fine for
+  * IPC-handoff-sized directories; a 100 TB firehose belongs on a
+  * log-structured source, not a file-drop one. */
+private final case class IpcSourceOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.toSeq.sorted
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+private object IpcSourceOffset {
+  def fromJson(json: String): IpcSourceOffset = {
+    // inverse of json() above: top-level array of strings only
+    val items = """"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    IpcSourceOffset(items.toSet)
+  }
+}
+
+/** Micro-batch half of the connector: each trigger reads exactly the
+  * .arrow files that appeared since the last committed offset (the
+  * IPC-handoff pattern — another process drops whole files, the
+  * stream picks each up once). Batch-identical read path: same
+  * partition-per-file planning, same columnar reader factory. */
+private final class IpcMicroBatchStream(fullSchema: StructType,
+    required: StructType, dir: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val confSer = new SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def fs = new HPath(dir).getFileSystem(confSer.value)
+
+  override def initialOffset(): Offset = IpcSourceOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    IpcSourceOffset(Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
+      .getOrElse(Array()).map(_.getPath.toString).toSet)
+
+  override def deserializeOffset(json: String): Offset =
+    IpcSourceOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[IpcSourceOffset].files
+    val now = end.asInstanceOf[IpcSourceOffset].files
+    (now -- seen).toSeq.sorted.map { p =>
+      val st = fs.getFileStatus(new HPath(p))
+      IpcInputPartition(p, st.getLen): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val idx = required.fieldNames.map(n => fullSchema.fieldIndex(n))
+    new IpcPartitionReaderFactory(required, idx, confSer)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private final class IpcPartitionReaderFactory(required: StructType,
     fileIdx: Array[Int], confSer: SerializableConfiguration)
@@ -306,10 +376,12 @@ private case object IpcEmptyCommit extends WriterCommitMessage
 
 private final class IpcDataWriterFactory(schema: StructType, dir: String,
     confSer: SerializableConfiguration) extends DataWriterFactory {
+  // the final name includes the app-unique task id so mode("append")
+  // jobs can never collide with a previous job's committed files
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IpcDataWriter(schema,
       new HPath(dir, s".part-$partitionId-t$taskId.arrow.tmp"),
-      new HPath(dir, s"part-$partitionId.arrow"), confSer)
+      new HPath(dir, s"part-$partitionId-t$taskId.arrow"), confSer)
 }
 
 /** Structured-Streaming sink half of the connector: every epoch is an

@@ -183,4 +183,32 @@ class StreamingSpec extends SparkSpec {
     assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
       Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
   }
+
+  test("graft-ipc micro-batch source: new files picked up exactly once") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/tmp/graft_egress/ipc_stream_src"
+    val ckpt = dir + "_ckpt"
+    for (d <- Seq(dir, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    // seed the directory (also provides the inferred schema)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(1)
+      .write.format("graft-ipc").mode("overwrite").save(dir)
+    val q = spark.readStream.format("graft-ipc").load(dir)
+      .writeStream.format("memory").queryName("ipc_src")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ipc_src").count() == 2)
+      // drop two more whole files (mode append: job-unique final names)
+      Seq((3L, "c")).toDF("k", "s").repartition(1)
+        .write.format("graft-ipc").mode("append").save(dir)
+      Seq((4L, "d")).toDF("k", "s").repartition(1)
+        .write.format("graft-ipc").mode("append").save(dir)
+      q.processAllAvailable()
+      val got = spark.table("ipc_src").as[(Long, String)].collect().toSeq
+      assert(got.size == 4, s"each file read exactly once, got $got")
+      assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally q.stop()
+  }
 }
