@@ -112,7 +112,8 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String)
 }
 
 private final class IpcScan(fullSchema: StructType, required: StructType,
-    dir: String) extends Scan with Batch {
+    dir: String) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -120,6 +121,27 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new IpcMicroBatchStream(fullSchema, required, dir)
+
+  /** On-disk byte size of the file set. Without this, Catalyst falls
+    * back to spark.sql.defaultSizeInBytes (≈ Long.Max) for a DSv2
+    * relation and will never pick a broadcast join for a small IPC
+    * table; with it, a dimension-sized IPC side broadcasts like any
+    * parquet dim (EgressSpec asserts the join plan). IPC bytes are
+    * uncompressed Arrow, so the estimate is honest for in-memory
+    * planning purposes. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes: Long = {
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val fs = new HPath(dir).getFileSystem(conf)
+        Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
+          .getOrElse(Array()).map(_.getLen).sum
+      }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration

@@ -113,6 +113,20 @@ class EgressSpec extends SparkSpec {
     assert(planStr.contains("ColumnarToRow"), s"scan not columnar:\n$planStr")
   }
 
+  test("ipc dsv2 reports size stats: small ipc side broadcasts in a join") {
+    val sp = spark; import sp.implicits._
+    val out = "/tmp/graft_egress/ipc_dsv2_stats"
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s").repartition(1)
+      .write.format("graft-ipc").mode("overwrite").save(out)
+    val dim = spark.read.format("graft-ipc").load(out)
+    val fact = graft.sources.Tables(spark, sfDir, "orders")
+    val joined = fact.join(dim, fact("o_orderkey") === dim("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // without SupportsReportStatistics the DSv2 side sizes at
+    // defaultSizeInBytes and this would be a sort-merge join
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+  }
+
   test("orc round-trip preserves types") {
     Egress.qOrcRoundtrip(spark, sfDir).collect() // performs the write
     val back = spark.read.orc(Egress.outRoot(sfDir) + "/orders_orc")
