@@ -3,9 +3,9 @@ package graft.ops
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath}
 import org.apache.spark.TaskContext
@@ -40,21 +40,30 @@ import graft.sources.Tables
   * winning attempt (first successful rename wins; losers delete
   * their temp).
   *
-  * Type subset (documented convention, like Feather v1's): BIGINT,
-  * INT, DOUBLE, STRING — nullable throughout. Wider types travel via
-  * parquet, our primary interchange (SURVEY §2.1).
+  * Type subset (documented convention): BIGINT, INT, FLOAT, DOUBLE,
+  * STRING, BOOLEAN, BINARY, DATE, TIMESTAMP(µs, UTC) — nullable
+  * throughout. Nested/decimal types travel via parquet, our primary
+  * interchange (SURVEY §2.1).
   */
 object Ipc {
 
   private[graft] def toArrowSchema(s: StructType): ArrowSchema = {
     val fields = s.fields.map { f =>
       val t = f.dataType match {
-        case LongType    => new ArrowType.Int(64, true)
-        case IntegerType => new ArrowType.Int(32, true)
-        case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-        case StringType  => ArrowType.Utf8.INSTANCE
+        case LongType      => new ArrowType.Int(64, true)
+        case IntegerType   => new ArrowType.Int(32, true)
+        case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case StringType    => ArrowType.Utf8.INSTANCE
+        case BooleanType   => ArrowType.Bool.INSTANCE
+        case BinaryType    => ArrowType.Binary.INSTANCE
+        case DateType      => new ArrowType.Date(DateUnit.DAY)
+        // Spark TimestampType is a µs-precision instant → UTC-zoned
+        // Arrow timestamp (the SURVEY §1.2 ns-truncation convention
+        // applies upstream of this sink)
+        case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
         case other => throw new IllegalArgumentException(
-          s"IPC sink supports bigint/int/double/string, got $other for ${f.name}")
+          s"IPC sink supports bigint/int/float/double/string/bool/binary/date/timestamp, got $other for ${f.name}")
       }
       new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList[Field])
     }
@@ -66,9 +75,53 @@ object Ipc {
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
     case fp: ArrowType.FloatingPoint
         if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-    case _: ArrowType.Utf8 => StringType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case _: ArrowType.Utf8   => StringType
+    case _: ArrowType.Bool   => BooleanType
+    case _: ArrowType.Binary => BinaryType
+    case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+    case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND => TimestampType
     case other => throw new IllegalArgumentException(
-      s"IPC source supports bigint/int/double/string, got $other for ${f.getName}")
+      s"IPC source supports bigint/int/float/double/string/bool/binary/date/timestamp, got $other for ${f.getName}")
+  }
+
+  /** Shared per-type copy kernels between Spark external rows and
+    * Arrow vectors (the Row-based writeIpc/readIpc paths; the DSv2
+    * writer has its own InternalRow variant). */
+  private[graft] def setFromRow(vec: org.apache.arrow.vector.FieldVector,
+      r: Int, row: Row, c: Int): Unit = vec match {
+    case v: BigIntVector => v.setSafe(r, row.getLong(c))
+    case v: IntVector    => v.setSafe(r, row.getInt(c))
+    case v: Float8Vector => v.setSafe(r, row.getDouble(c))
+    case v: Float4Vector => v.setSafe(r, row.getFloat(c))
+    case v: VarCharVector =>
+      v.setSafe(r, row.getString(c).getBytes("UTF-8"))
+    case v: BitVector => v.setSafe(r, if (row.getBoolean(c)) 1 else 0)
+    case v: VarBinaryVector => v.setSafe(r, row.getAs[Array[Byte]](c))
+    case v: DateDayVector =>
+      v.setSafe(r, row.getDate(c).toLocalDate.toEpochDay.toInt)
+    case v: TimeStampMicroTZVector =>
+      val ts = row.getTimestamp(c)
+      v.setSafe(r, math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+  }
+
+  private[graft] def getToAny(vec: org.apache.arrow.vector.FieldVector,
+      r: Int): Any = vec match {
+    case v: BigIntVector    => v.get(r)
+    case v: IntVector       => v.get(r)
+    case v: Float8Vector    => v.get(r)
+    case v: Float4Vector    => v.get(r)
+    case v: VarCharVector   => new String(v.get(r), "UTF-8")
+    case v: BitVector       => v.get(r) == 1
+    case v: VarBinaryVector => v.get(r)
+    case v: DateDayVector   =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(r).toLong))
+    case v: TimeStampMicroTZVector =>
+      val us = v.get(r)
+      val ts = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
   }
 
   private[graft] val BatchRows = 4096
@@ -112,13 +165,7 @@ object Ipc {
           while (r < n) {
             val row = buf(r)
             if (row.isNullAt(c)) () // unset = null in Arrow validity
-            else vec match {
-              case v: BigIntVector  => v.setSafe(r, row.getLong(c))
-              case v: IntVector     => v.setSafe(r, row.getInt(c))
-              case v: Float8Vector  => v.setSafe(r, row.getDouble(c))
-              case v: VarCharVector =>
-                v.setSafe(r, row.getString(c).getBytes("UTF-8"))
-            }
+            else setFromRow(vec, r, row, c)
             r += 1
           }
           vec.setValueCount(n)
@@ -212,12 +259,7 @@ object Ipc {
             var c = 0
             while (c < nCols) {
               val vec = root.getVector(c)
-              vals(c) = if (vec.isNull(r)) null else vec match {
-                case v: BigIntVector  => v.get(r)
-                case v: IntVector     => v.get(r)
-                case v: Float8Vector  => v.get(r)
-                case v: VarCharVector => new String(v.get(r), "UTF-8")
-              }
+              vals(c) = if (vec.isNull(r)) null else getToAny(vec, r)
               c += 1
             }
             out += Row.fromSeq(vals.toIndexedSeq)
@@ -254,13 +296,7 @@ object Ipc {
         while (r < n) {
           val row = batch(r)
           if (row.isNullAt(c)) ()
-          else vec match {
-            case v: BigIntVector  => v.setSafe(r, row.getLong(c))
-            case v: IntVector     => v.setSafe(r, row.getInt(c))
-            case v: Float8Vector  => v.setSafe(r, row.getDouble(c))
-            case v: VarCharVector =>
-              v.setSafe(r, row.getString(c).getBytes("UTF-8"))
-          }
+          else setFromRow(vec, r, row, c)
           r += 1
         }
         vec.setValueCount(n)
@@ -291,12 +327,7 @@ object Ipc {
         var c = 0
         while (c < nCols) {
           val vec = root.getVector(c)
-          vals(c) = if (vec.isNull(r)) null else vec match {
-            case v: BigIntVector  => v.get(r)
-            case v: IntVector     => v.get(r)
-            case v: Float8Vector  => v.get(r)
-            case v: VarCharVector => new String(v.get(r), "UTF-8")
-          }
+          vals(c) = if (vec.isNull(r)) null else getToAny(vec, r)
           c += 1
         }
         out += Row.fromSeq(vals.toIndexedSeq)

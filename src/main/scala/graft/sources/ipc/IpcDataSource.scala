@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVector}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector}
 import org.apache.arrow.vector.ipc.ArrowFileReader
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
@@ -319,10 +319,16 @@ private final class IpcPartitionReader(path: String, len: Long,
     while (c < fileIdx.length) {
       val vec = root.getVector(fileIdx(c))
       vals(c) = if (vec.isNull(rowInBatch)) null else vec match {
-        case v: BigIntVector  => v.get(rowInBatch)
-        case v: IntVector     => v.get(rowInBatch)
-        case v: Float8Vector  => v.get(rowInBatch)
-        case v: VarCharVector => UTF8String.fromBytes(v.get(rowInBatch))
+        case v: BigIntVector    => v.get(rowInBatch)
+        case v: IntVector       => v.get(rowInBatch)
+        case v: Float8Vector    => v.get(rowInBatch)
+        case v: Float4Vector    => v.get(rowInBatch)
+        case v: VarCharVector   => UTF8String.fromBytes(v.get(rowInBatch))
+        case v: BitVector       => v.get(rowInBatch) == 1
+        case v: VarBinaryVector => v.get(rowInBatch)
+        // Catalyst encodings: date = days int, timestamp = µs long
+        case v: DateDayVector          => v.get(rowInBatch)
+        case v: TimeStampMicroTZVector => v.get(rowInBatch)
       }
       c += 1
     }
@@ -500,10 +506,17 @@ private final class IpcDataWriter(schema: StructType,
         val row = buf(r)
         if (row.isNullAt(c)) () // unset = null in Arrow validity
         else vec match {
-          case v: BigIntVector  => v.setSafe(r, row.getLong(c))
-          case v: IntVector     => v.setSafe(r, row.getInt(c))
-          case v: Float8Vector  => v.setSafe(r, row.getDouble(c))
-          case v: VarCharVector => v.setSafe(r, row.getUTF8String(c).getBytes)
+          case v: BigIntVector    => v.setSafe(r, row.getLong(c))
+          case v: IntVector       => v.setSafe(r, row.getInt(c))
+          case v: Float8Vector    => v.setSafe(r, row.getDouble(c))
+          case v: Float4Vector    => v.setSafe(r, row.getFloat(c))
+          case v: VarCharVector   => v.setSafe(r, row.getUTF8String(c).getBytes)
+          case v: BitVector       => v.setSafe(r, if (row.getBoolean(c)) 1 else 0)
+          case v: VarBinaryVector => v.setSafe(r, row.getBinary(c))
+          // InternalRow already carries Catalyst encodings: date =
+          // days-since-epoch int, timestamp = µs-since-epoch long
+          case v: DateDayVector          => v.setSafe(r, row.getInt(c))
+          case v: TimeStampMicroTZVector => v.setSafe(r, row.getLong(c))
         }
         r += 1
       }

@@ -113,6 +113,42 @@ class EgressSpec extends SparkSpec {
     assert(planStr.contains("ColumnarToRow"), s"scan not columnar:\n$planStr")
   }
 
+  test("ipc full type subset round-trips through both the imperative and dsv2 paths") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, 2, 1.5f, 2.5, "α", true, Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-06-01"), ts),
+      Row(null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    def check(back: org.apache.spark.sql.DataFrame): Unit = {
+      assert(back.schema.map(_.dataType) == schema.map(_.dataType))
+      val got = back.orderBy(col("l").asc_nulls_last).collect()
+      assert(got.length == 2)
+      val r = got(0)
+      assert(r.getLong(0) == 1L && r.getInt(1) == 2 && r.getFloat(2) == 1.5f)
+      assert(r.getDouble(3) == 2.5 && r.getString(4) == "α" && r.getBoolean(5))
+      assert(r.getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 3))
+      assert(r.getDate(7) == java.sql.Date.valueOf("2024-06-01"))
+      assert(r.getTimestamp(8) == ts, s"got ${r.getTimestamp(8)}")
+      assert((0 until 9).forall(got(1).isNullAt), "null row survives")
+    }
+    val out1 = "/tmp/graft_egress/ipc_types_imperative"
+    graft.ops.Ipc.writeIpc(df, out1)
+    check(graft.ops.Ipc.readIpc(spark, out1))
+    val out2 = "/tmp/graft_egress/ipc_types_dsv2"
+    df.write.format("graft-ipc").mode("overwrite").save(out2)
+    check(spark.read.format("graft-ipc").load(out2))
+  }
+
   test("ipc dsv2 reports size stats: small ipc side broadcasts in a join") {
     val sp = spark; import sp.implicits._
     val out = "/tmp/graft_egress/ipc_dsv2_stats"
