@@ -70,6 +70,15 @@ class Session(val spark: SparkSession) {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Arrow IPC registration/sink through the graft-ipc DataSource V2
+    * connector (ipc/reader.h:58 / writer.h:54 analogue): columnar
+    * pruned scans in, job-commit atomic writes out. */
+  def registerIpc(name: String, path: String): Unit =
+    spark.read.format("graft-ipc").load(path).createOrReplaceTempView(name)
+
+  def writeIpc(df: DataFrame, path: String): Unit =
+    df.write.format("graft-ipc").mode("overwrite").save(path)
+
   /** sql (context.rs:71): SQL text → lazy DataFrame (the reference
     * collects eagerly; we keep Spark laziness — .collect() matches). */
   def sql(query: String): DataFrame = spark.sql(query)

@@ -44,6 +44,15 @@ class SessionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("registerIpc/writeIpc round-trip through the connector surface") {
+    val src = session.table("orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    session.writeIpc(src, "/tmp/graft_egress/session_ipc")
+    session.registerIpc("orders_ipc", "/tmp/graft_egress/session_ipc")
+    assert(session.sql("SELECT COUNT(*) FROM orders_ipc").head.getLong(0) ==
+      src.count())
+  }
+
   test("extension-type metadata survives projection and parquet round-trip") {
     val e = graft.ops.Arrays.annotateVector(
       graft.sources.Tables(spark, sfDir, "embeddings"), "embedding", 64)
