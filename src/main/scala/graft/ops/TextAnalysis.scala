@@ -186,4 +186,82 @@ object TextAnalysis {
     SELECT doc_id, rn, term, tf, df, score
     FROM r WHERE rn <= 3 ORDER BY doc_id, rn
   """.trim
+
+  /** BM25 query terms — fixed, vocabulary-present. */
+  private val Bm25Terms = Seq("spark", "hash", "window")
+  private val (bmK1, bmB) = (1.2, 0.75)
+
+  /** BM25 relevance ranking: top-10 documents for a fixed 3-term
+    * query. Uses the RATIONAL-idf BM25 variant — idf_r = (N - df +
+    * 0.5)/(df + 0.5), no log — and per-term score columns added in
+    * one fixed order, so every double operation is an IEEE
+    * correctly-rounded op on identical operands in identical order in
+    * both engines: bit-exact cross-engine scores without giving up
+    * float scoring. (Classic log-idf BM25 ranks identically for a
+    * single term since ln is monotone; summed multi-term rankings can
+    * differ — this is a documented scoring variant, not an
+    * approximation of the log form.) One more defense: engines may
+    * legally FUSE a*b+c (measured: DuckDB's evaluation differs from a
+    * strict sequential-IEEE replay by 1 ulp on ~20% of rows), so each
+    * per-term score is snapped to a DECIMAL(20,10) grid before the
+    * fixed-order sum — 10 decimal digits of score, immune to ulp
+    * drift, still a double downstream.
+    *
+    * Scale shape: tf rows are filtered to the query terms at the scan
+    * (an IsIn pushdown), df and doc-length sides are tiny aggregates,
+    * and the per-doc pivot is one partial+final agg — no all-corpus
+    * state beyond the broadcast term statistics. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val dl = docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
+    val avgdl = dl.agg(sum(col("dl"))).head.getLong(0).toDouble / nDocs
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isInCollection(Bm25Terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfPart = (col("tf") * lit(bmK1 + 1.0)) /
+      (col("tf") + lit(bmK1) * (lit(1.0 - bmB) +
+        lit(bmB) * (col("dl").cast(DoubleType) / lit(avgdl))))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score",
+        (idf * tfPart).cast(DecimalType(20, 10)).cast(DoubleType))
+    val perTerm = Bm25Terms.map(term =>
+      coalesce(max(when(col("term") === term, col("score"))), lit(0.0)))
+    scored.groupBy(col("doc_id"))
+      .agg(((perTerm(0) + perTerm(1)) + perTerm(2)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val qBm25Sql: String = s"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+        (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) /
+          (SELECT COUNT(*) FROM documents) AS avgdl),
+    terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term,
+        CAST(CAST(((n - df + 0.5) / (df + 0.5)) *
+        ((tf * ${bmK1 + 1.0}) / (tf + $bmK1 * (${1.0 - bmB} +
+          $bmB * (CAST(dl AS DOUBLE) / avgdl)))) AS DECIMAL(20,10)) AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id,
+      ((COALESCE(MAX(CASE WHEN term = 'spark' THEN score END), 0.0)
+        + COALESCE(MAX(CASE WHEN term = 'hash' THEN score END), 0.0))
+        + COALESCE(MAX(CASE WHEN term = 'window' THEN score END), 0.0)) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+  """.trim
 }
