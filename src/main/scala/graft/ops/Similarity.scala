@@ -120,9 +120,15 @@ object Similarity {
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cents = refineCentroids(e, seeds)
     val scores = centroidScores(cents, col("embedding"))
+    // the assignment (a vector_dots pass over every embedding) feeds
+    // BOTH the probe selection and the candidate side — materialize it
+    // once instead of recomputing per consumer. This is the standard
+    // IVF build step: at scale the (id, cell, embedding) table is the
+    // persisted index, not a per-query recomputation.
     val assigned = e
       .withColumn("cell",
         array_position(scores, array_max(scores)).cast("int"))
+      .localCheckpoint(true)
     val probes = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         posexplode(scores))
