@@ -187,6 +187,49 @@ object TextAnalysis {
     FROM r WHERE rn <= 3 ORDER BY doc_id, rn
   """.trim
 
+  /** Chunking geometry: 120-char chunks overlapping by 20 (stride 100). */
+  private val (chunkLen, chunkStride) = (120, 100)
+
+  /** Overlapping fixed-size document chunking — the preprocessing step
+    * that turns long documents into trainable/retrievable windows.
+    * Chunk count per doc is pure INTEGER arithmetic
+    * (ceil-div via (x + stride-1) div stride), the offsets explode
+    * from a sequence, and each chunk is a 1-based substring — all
+    * exactly reproducible in the oracle. Emits length + fingerprint
+    * per chunk, not the text, keeping result rows narrow.
+    *
+    * Scale shape: one scan, a generator (no shuffle), per-row
+    * expressions; output is ~n_chars/stride rows per doc. */
+  def qDocChunk(s: SparkSession, dir: String): DataFrame = {
+    val k = expr(s"(greatest(length(text) - ${chunkLen - chunkStride}, 1) " +
+      s"+ ${chunkStride - 1}) div $chunkStride")
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), k - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast(IntegerType).as("chunk_id"),
+        (col("chunk_id") * chunkStride + 1).cast(IntegerType).as("chunk_start"),
+        length(substring(col("text"), (col("chunk_id") * chunkStride + 1).cast(IntegerType),
+          lit(chunkLen))).as("n_chunk_chars"),
+        md5(substring(col("text"), (col("chunk_id") * chunkStride + 1).cast(IntegerType),
+          lit(chunkLen))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qDocChunkSql: String = s"""
+    WITH k AS (
+      SELECT doc_id, text,
+        (greatest(length(text) - ${chunkLen - chunkStride}, 1)
+          + ${chunkStride - 1}) // $chunkStride AS n_chunks
+      FROM documents WHERE doc_id < 100),
+    c AS (
+      SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_id FROM k)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      CAST(chunk_id * $chunkStride + 1 AS INT) AS chunk_start,
+      CAST(length(substr(text, CAST(chunk_id * $chunkStride + 1 AS INT), $chunkLen)) AS INT) AS n_chunk_chars,
+      md5(substr(text, CAST(chunk_id * $chunkStride + 1 AS INT), $chunkLen)) AS chunk_fp
+    FROM c ORDER BY doc_id, chunk_id
+  """.trim
+
   /** BM25 query terms — fixed, vocabulary-present. */
   private val Bm25Terms = Seq("spark", "hash", "window")
   private val (bmK1, bmB) = (1.2, 0.75)
