@@ -184,6 +184,38 @@ class StreamingSpec extends SparkSpec {
       Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
   }
 
+  test("end-to-end streaming pipeline: ipc file-drop -> dedup -> ipc sink") {
+    val sp = spark
+    import sp.implicits._
+    val in = "/tmp/graft_egress/ipc_pipe_in"
+    val outD = "/tmp/graft_egress/ipc_pipe_out"
+    val ckpt = "/tmp/graft_egress/ipc_pipe_ckpt"
+    for (d <- Seq(in, outD, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    def drop(rows: Seq[(java.sql.Timestamp, Long, String)], mode: String): Unit =
+      rows.toDF("ts", "doc_id", "text").repartition(1)
+        .write.format("graft-ipc").mode(mode).save(in)
+    drop(Seq((ts("2024-01-01 10:00:00"), 1L, "alpha"),
+      (ts("2024-01-01 10:00:01"), 2L, "alpha"), // dup fp within watermark
+      (ts("2024-01-01 10:00:02"), 3L, "beta")), "overwrite")
+    val q = Streaming.dedupStream(
+        spark.readStream.format("graft-ipc").load(in))
+      .select(col("doc_id"), col("text"))
+      .writeStream.format("graft-ipc")
+      .option("checkpointLocation", ckpt).outputMode("append").start(outD)
+    try {
+      q.processAllAvailable()
+      // second file-drop: one more dup of "alpha", one new doc
+      drop(Seq((ts("2024-01-01 10:01:00"), 4L, "alpha"),
+        (ts("2024-01-01 10:01:30"), 5L, "gamma")), "append")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.format("graft-ipc").load(outD)
+      .select("text").as[String].collect().sorted
+    assert(out.toSeq == Seq("alpha", "beta", "gamma"),
+      s"dedup across the streamed pipeline, got ${out.toSeq}")
+  }
+
   test("graft-ipc micro-batch source: new files picked up exactly once") {
     val sp = spark
     import sp.implicits._
