@@ -148,4 +148,56 @@ object Similarity {
     * path (cell assignment is engine-local → rows-only driver check;
     * PipelineSpec pins nprobe=all == brute force and recall@5 > 0). */
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = knnIvf(s, dir, 3)
+
+  /** Int8 scalar quantization of embeddings — the compression step of
+    * a vector pipeline (4x smaller index, dot products in int8):
+    * per-vector scale = max|x| / 127, q_i = floor(x_i/scale + 0.5).
+    * Emits a quantization-quality profile per vector: the scale, the
+    * quantized extremes, and the total absolute reconstruction error.
+    *
+    * Determinism across engines: float→double widening and the two
+    * divisions are exact IEEE ops; floor(x + 0.5) avoids engine
+    * round() mode differences; and the error SUM goes through exact
+    * decimals (the dsum convention) rather than float accumulation,
+    * so it is order-independent too. Zero-norm vectors are skipped
+    * (scale 0 has no quantization). */
+  def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("col").cast(DoubleType).as("x"))
+    val scaled = e
+      .withColumn("mx", max(abs(col("x"))).over(
+        Window.partitionBy(col("vec_id"))))
+      .filter(col("mx") > 0)
+      .withColumn("scale", col("mx") / lit(127.0))
+      .withColumn("q",
+        floor(col("x") / col("scale") + lit(0.5)).cast(IntegerType))
+    scaled
+      .withColumn("err", abs(col("x") - col("q") * col("scale")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        first(col("scale")).as("scale"),
+        min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"),
+        sum(col("err").cast(DecimalType(28, 14))).cast(DoubleType)
+          .as("abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val qQuantizeSql: String = """
+    WITH x AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id < 100),
+    m AS (
+      SELECT vec_id, x, MAX(ABS(x)) OVER (PARTITION BY vec_id) AS mx FROM x),
+    q AS (
+      SELECT vec_id, x, mx / 127.0 AS scale,
+        CAST(FLOOR(x / (mx / 127.0) + 0.5) AS INT) AS q
+      FROM m WHERE mx > 0)
+    SELECT vec_id, COUNT(*) AS n_dims, MIN(scale) AS scale,
+      MIN(q) AS q_min, MAX(q) AS q_max,
+      CAST(SUM(CAST(ABS(x - q * scale) AS DECIMAL(28,14))) AS DOUBLE) AS abs_err
+    FROM q GROUP BY vec_id ORDER BY vec_id
+  """.trim
 }
