@@ -230,6 +230,46 @@ object TextAnalysis {
     FROM c ORDER BY doc_id, chunk_id
   """.trim
 
+  /** Benchmark-contamination audit — the standard n-gram collision
+    * check run before training: does any training document share
+    * verbatim shingles with the held-out evaluation slice? Documents
+    * >= [[ContamSplit]] stand in for the benchmark set; a (train,
+    * bench) pair is flagged when it shares >= 3 distinct word
+    * trigrams. The real near-dups planted across the split boundary
+    * surface with 20-30 shared shingles; the threshold keeps
+    * single-collision vocabulary noise out.
+    *
+    * Scale shape: the benchmark side is tiny by construction →
+    * exploded shingles BROADCAST to the training side; the training
+    * corpus streams through one hash join + one partial+final agg —
+    * never a corpus×corpus comparison. */
+  private val ContamSplit = 450
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingled(t(s, dir, "documents"))
+    val train = sh.filter(col("doc_id") < ContamSplit)
+      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+    val bench = sh.filter(col("doc_id") >= ContamSplit)
+      .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh"))
+    train.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("train_id", "bench_id")
+  }
+
+  val qContaminationSql: String = s"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toks),
+    tr AS (SELECT doc_id AS train_id, unnest(shingles) AS sh FROM sh WHERE doc_id < $ContamSplit),
+    be AS (SELECT doc_id AS bench_id, unnest(shingles) AS sh FROM sh WHERE doc_id >= $ContamSplit)
+    SELECT train_id, bench_id, COUNT(*) AS n_shared
+    FROM tr JOIN be USING (sh)
+    GROUP BY train_id, bench_id HAVING COUNT(*) >= 3
+    ORDER BY train_id, bench_id
+  """.trim
+
   /** BM25 query terms — fixed, vocabulary-present. */
   private val Bm25Terms = Seq("spark", "hash", "window")
   private val (bmK1, bmB) = (1.2, 0.75)
