@@ -270,6 +270,51 @@ object TextAnalysis {
     ORDER BY train_id, bench_id
   """.trim
 
+  /** Vocabulary size for the OOV profile. */
+  private val VocabSize = 40
+
+  /** Vocabulary build + out-of-vocabulary profile — tokenizer prep:
+    * take the top-[[VocabSize]] terms by document frequency (ties
+    * broken by term, so the vocabulary is deterministic), then profile
+    * every document's token coverage against it. The vocabulary is
+    * dictionary-sized → broadcast; the corpus streams through one
+    * left join + one partial+final agg. The OOV rate is a single
+    * long/long double division (exact cross-engine). */
+  def qVocabOov(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val vocab = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(VocabSize)
+      .select(col("term"), lit(1).as("in_v"))
+    tokens.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_tokens"))
+      .filter(col("doc_id") < 100)
+      .orderBy("doc_id")
+  }
+
+  val qVocabOovSql: String = s"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+    vocab AS (
+      SELECT term, 1 AS in_v FROM dfreq
+      ORDER BY df DESC, term ASC LIMIT $VocabSize),
+    prof AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM tokens LEFT JOIN vocab USING (term) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+      CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+    FROM prof WHERE doc_id < 100 ORDER BY doc_id
+  """.trim
+
   /** BM25 query terms — fixed, vocabulary-present. */
   private val Bm25Terms = Seq("spark", "hash", "window")
   private val (bmK1, bmB) = (1.2, 0.75)
