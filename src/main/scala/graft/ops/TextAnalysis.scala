@@ -188,7 +188,7 @@ object TextAnalysis {
   """.trim
 
   /** Chunking geometry: 120-char chunks overlapping by 20 (stride 100). */
-  private val (chunkLen, chunkStride) = (120, 100)
+  private[graft] val (chunkLen, chunkStride) = (120, 100)
 
   /** Overlapping fixed-size document chunking — the preprocessing step
     * that turns long documents into trainable/retrievable windows.

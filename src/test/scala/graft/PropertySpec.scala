@@ -90,4 +90,21 @@ class PropertySpec extends SparkSpec {
       else assert(r.getString(3) == a.get + b.get)
     }
   }
+
+  test("chunk geometry: every char covered, last chunk reaches the end") {
+    // the integer ceil-div formula behind qDocChunk, checked for every
+    // text length the fixture could ever present
+    val (len0, stride) = (graft.ops.TextAnalysis.chunkLen,
+      graft.ops.TextAnalysis.chunkStride)
+    for (n <- 1 to 5000) {
+      val k = (math.max(n - (len0 - stride), 1) + stride - 1) / stride
+      assert((k - 1) * stride < n, s"len=$n: last chunk starts past the end")
+      assert((k - 1) * stride + len0 >= n, s"len=$n: tail uncovered")
+      // non-last chunks are always full-length (adjacent overlap = 20)
+      if (k > 1) assert((k - 2) * stride + len0 <= n + stride,
+        s"len=$n: penultimate chunk over-truncated")
+      // one chunk fewer would leave a gap
+      if (k > 1) assert((k - 2) * stride + len0 < n, s"len=$n: k not minimal")
+    }
+  }
 }
