@@ -103,4 +103,19 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05)
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05)
   }
+
+  test("observed metrics ride the pipeline action - no second pass") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val (instrumented, obs) = graft.ops.Observe.docMetrics(docs, "pre_filter")
+    // one action runs the real stage; metrics come back as a side effect
+    val kept = instrumented
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")) >= 20)
+      .count()
+    val m = obs.get
+    assert(m("rows") == docs.count(), "metric saw every input row")
+    assert(m("rows").asInstanceOf[Long] >= kept, "filter only removes rows")
+    assert(m("min_chars").asInstanceOf[Int] >= 0 &&
+      m("max_chars").asInstanceOf[Int] > 0)
+  }
 }
