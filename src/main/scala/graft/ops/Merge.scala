@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** CDC apply / upsert — the MERGE INTO pattern expressed as a join
+  * (OSS Spark has no ACID merge without a table format; the JOIN
+  * rewrite below is the canonical shape and what a format's merge
+  * compiles to anyway): target LEFT-OUTER-joins the update set on the
+  * key, matched rows take the update's values, unmatched keep their
+  * own, and not-matched-by-target updates append as inserts.
+  *
+  * Scale posture: one shuffle on the merge key (or broadcast when the
+  * change set is small — the common CDC case, hinted here), one
+  * union for inserts; no full-table rewrite beyond what a merge
+  * inherently is. All money arithmetic is exact decimal, so the
+  * result is partitioning-independent.
+  */
+object Merge {
+
+  /** Deterministic change set derived from the target itself: every
+    * 97th order gets a status flip + a fixed 10.00 price adjustment
+    * (updates; decimal ADDITION — exact, no rounding boundary, where
+    * a percentage bump would hit engine rounding-mode differences at
+    * the half-cent), plus five brand-new orders beyond the current
+    * max key (inserts). */
+  private def changeSet(orders: DataFrame): DataFrame = {
+    val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val updates = orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        lit("U").as("u_status"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) +
+          lit(BigDecimal("10.00")).cast(DecimalType(4, 2)))
+          .cast(DecimalType(18, 2)).as("u_price"))
+    val inserts = orders.sparkSession.range(1, 6)
+      .select((col("id") + maxKey).as("u_key"),
+        lit("N").as("u_status"),
+        lit(BigDecimal("1000.00")).cast(DecimalType(18, 2)).as("u_price"))
+    updates.unionByName(inserts)
+  }
+
+  /** Declared query: apply the change set to `orders`, then profile
+    * the merged table per status — proves matched rows updated,
+    * unmatched untouched, and inserts appended, via the oracle's
+    * independent reconstruction. */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val changes = changeSet(orders)
+    val merged = orders
+      .join(broadcast(changes), col("o_orderkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("u_key")).as("key"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("u_price"),
+          col("o_totalprice").cast(DecimalType(18, 2))).as("price"))
+    merged.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast(DecimalType(32, 2)).cast(DoubleType)
+          .as("total_price"),
+        max(col("key")).as("max_key"))
+      .orderBy("status")
+  }
+
+  val qMergeUpsertSql: String = """
+    WITH mx AS (SELECT MAX(o_orderkey) AS maxk FROM orders),
+    changes AS (
+      SELECT o_orderkey AS u_key, 'U' AS u_status,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(4,2)) AS DECIMAL(18,2)) AS u_price
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT maxk + g.i, 'N', CAST(1000.00 AS DECIMAL(18,2))
+      FROM mx, (SELECT unnest(range(1, 6)) AS i) g),
+    merged AS (
+      SELECT COALESCE(o.o_orderkey, c.u_key) AS key,
+        COALESCE(c.u_status, o.o_orderstatus) AS status,
+        COALESCE(c.u_price, CAST(o.o_totalprice AS DECIMAL(18,2))) AS price
+      FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.u_key)
+    SELECT status, COUNT(*) AS n,
+      CAST(CAST(SUM(price) AS DECIMAL(32,2)) AS DOUBLE) AS total_price,
+      MAX(key) AS max_key
+    FROM merged GROUP BY status ORDER BY status
+  """.trim
+}
