@@ -155,4 +155,27 @@ object Egress {
       ${dsumSql("o_totalprice")} AS total_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Small-file compaction — the datalake maintenance pass every
+    * large ingest needs: a streaming or per-task write leaves
+    * thousands of under-sized files whose open/footer overhead
+    * dominates scan time; this rewrites the dataset into
+    * ceil(totalBytes / targetBytes) evenly-sized files. Round-robin
+    * repartition (no column) gives uniform output sizes; the rewrite
+    * is one distributed pass, no driver materialization. Returns the
+    * file count written. */
+  def compactParquet(s: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

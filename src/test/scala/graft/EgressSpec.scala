@@ -163,6 +163,39 @@ class EgressSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
   }
 
+  test("compaction rewrites a fragmented dataset into evenly-sized files") {
+    val frag = Egress.outRoot(sfDir) + "/orders_frag"
+    val compacted = Egress.outRoot(sfDir) + "/orders_compacted"
+    val src = graft.sources.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet"))
+    assert(parquetFiles(frag).length == 32, "fragmented input")
+    val total = parquetFiles(frag).map(_.length).sum
+    val n = Egress.compactParquet(spark, frag, compacted, targetBytes = total / 4)
+    assert(parquetFiles(compacted).length == n && n <= 6,
+      s"expected ~4-5 compacted files, got $n")
+    // lossless: same rows after the rewrite
+    assert(spark.read.parquet(compacted).count() == src.count())
+    assert(spark.read.parquet(compacted).exceptAll(src).isEmpty)
+  }
+
+  test("ipc sink rejects out-of-subset types with a clear error") {
+    val sp = spark; import sp.implicits._
+    val dec = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val e = intercept[Exception] {
+      dec.write.format("graft-ipc").mode("overwrite")
+        .save("/tmp/graft_egress/ipc_badtype")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("IPC sink supports"))),
+      s"unclear error: $e")
+  }
+
   test("orc round-trip preserves types") {
     Egress.qOrcRoundtrip(spark, sfDir).collect() // performs the write
     val back = spark.read.orc(Egress.outRoot(sfDir) + "/orders_orc")
