@@ -122,4 +122,50 @@ object Sampling {
       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM a GROUP BY lang, seq_id ORDER BY lang, seq_id
   """.trim
+
+  /** Per-stratum keep rate, per mille: open orders downsampled hard
+    * (they dominate the table), finished kept at 25%, the rare
+    * pending stratum kept whole — the class-rebalancing move every
+    * training-mix builder makes. */
+  private val strataPerMille = Seq("O" -> 100, "F" -> 250, "P" -> 1000)
+
+  /** Stratified sampling with a deterministic key-hash gate instead of
+    * `df.stat.sampleBy`: membership is `(key * 48271) mod 1000 <
+    * rate(stratum)` (48271 = the Lehmer/Park–Miller multiplier), so
+    * the sample is reproducible across engines, runs, and
+    * repartitions, and a re-ingested row never flips membership.
+    * `sampleBy`'s Bernoulli draw can't promise any of that.
+    *
+    * Scale shape: the gate is one codegen'd row predicate — the
+    * sample itself needs NO shuffle; only this summary's few-group
+    * agg does. The multiplier spreads adjacent keys ~uniformly over
+    * the mille range, so per-stratum realized rates concentrate
+    * tightly around the target (asserted in SamplingSpec). */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = strataPerMille.foldLeft(lit(0)) { case (acc, (k, r)) =>
+      when(col("o_orderstatus") === k, r).otherwise(acc)
+    }
+    val kept = pmod(col("o_orderkey") * 48271L, lit(1000L)) < rate
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        min(when(kept, col("o_orderkey"))).as("first_kept"),
+        max(when(kept, col("o_orderkey"))).as("last_kept"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qStratifiedSampleSql: String = """
+    WITH k AS (
+      SELECT o_orderstatus, o_orderkey,
+        ((o_orderkey * 48271) % 1000) <
+          CASE o_orderstatus WHEN 'O' THEN 100 WHEN 'F' THEN 250
+            WHEN 'P' THEN 1000 ELSE 0 END AS kept
+      FROM orders)
+    SELECT o_orderstatus, COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      MIN(CASE WHEN kept THEN o_orderkey END) AS first_kept,
+      MAX(CASE WHEN kept THEN o_orderkey END) AS last_kept
+    FROM k GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

@@ -392,4 +392,56 @@ object TextAnalysis {
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC LIMIT 10
   """.trim
+
+  /** Gopher-style repetition filters — the standard corpus-quality
+    * gate that drops boilerplate and spam by measuring how much of a
+    * document is repeated content: duplicate-word fraction and
+    * duplicate-bigram fraction, rolled up per source with a count of
+    * documents a 0.5-bigram-dup threshold would reject.
+    *
+    * The bigram list is built with higher-order functions
+    * (`transform`/`sequence`/`element_at`) — no explode, so the
+    * per-document work never leaves the row and the only shuffle is
+    * the final few-group agg. Cross-row means go through exact
+    * decimal sums (order-independent at any partition count). */
+  def qQualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val grams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val dupWord = (size(w) - size(array_distinct(w))).cast(DoubleType) / size(w)
+    val dupGram = (size(grams) - size(array_distinct(grams))).cast(DoubleType) /
+      size(grams)
+    t(s, dir, "documents")
+      .filter(size(w) >= 2)
+      .select(col("source"), dupWord.as("dup_word_frac"),
+        dupGram.as("dup_gram_frac"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dup_word_frac").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1))).as("avg_dup_word"),
+        (sum(col("dup_gram_frac").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1))).as("avg_dup_gram"),
+        sum(when(col("dup_gram_frac") > 0.5, 1L).otherwise(0L)).as("n_rejected"))
+      .orderBy("source")
+  }
+
+  val qQualityRepetitionSql: String = """
+    WITH d AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    g AS (
+      SELECT source, w,
+        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS grams
+      FROM d),
+    f AS (
+      SELECT source,
+        CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+        CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_gram_frac
+      FROM g)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(dup_word_frac AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_dup_word,
+      CAST(SUM(CAST(dup_gram_frac AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_dup_gram,
+      CAST(SUM(CASE WHEN dup_gram_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+    FROM f GROUP BY source ORDER BY source
+  """.trim
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Privacy, Sampling, TextAnalysis}
+
+/** Corpus-curation tier: PII redaction/pseudonymization, repetition
+  * quality gates, and deterministic stratified sampling. The DuckDB
+  * oracle pins exact values; these tests pin the semantic contracts
+  * the oracle can't express (no-digits-after-redaction, collision
+  * freedom, rate concentration, no-shuffle sample plan).
+  */
+class CurationSpec extends SparkSpec {
+
+  test("pii redaction strips every digit and pseudonyms are collision-free") {
+    val out = Privacy.qPiiRedact(spark, sfDir).cache()
+    try {
+      assert(out.filter(col("redacted_name").rlike("[0-9]")).isEmpty,
+        "digits survived redaction")
+      assert(out.filter(!col("pseudonym").rlike("^[0-9a-f]{16}$")).isEmpty,
+        "pseudonym is not 16 lowercase hex chars")
+      val n = out.count()
+      assert(n > 0 && out.select("pseudonym").distinct().count() == n,
+        "pseudonym collision at fixture scale")
+    } finally out.unpersist()
+  }
+
+  test("repetition fractions are valid and the word-salad corpus repeats") {
+    val rows = TextAnalysis.qQualityRepetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, g) = (r.getAs[Double]("avg_dup_word"), r.getAs[Double]("avg_dup_gram"))
+      assert(w >= 0 && w <= 1 && g >= 0 && g <= 1, s"fraction out of range: $r")
+      // small shared vocabulary -> long docs must repeat words heavily
+      assert(w > 0.3, s"expected heavy word repetition, got $w")
+      assert(g < w, s"bigram dup should be rarer than word dup: $r")
+    }
+  }
+
+  test("stratified sample hits each stratum's target rate and keeps P whole") {
+    val rows = Sampling.qStratifiedSample(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (pTotal, pKept) = rows("P")
+    assert(pKept == pTotal, "P stratum must be kept whole (rate 1000/1000)")
+    for ((status, target) <- Seq("O" -> 0.10, "F" -> 0.25)) {
+      val (total, kept) = rows(status)
+      val rate = kept.toDouble / total
+      assert(math.abs(rate - target) < 0.06,
+        s"$status realized rate $rate far from target $target (n=$total)")
+    }
+  }
+
+  test("the sample gate itself is a no-shuffle codegen'd filter") {
+    val gated = graft.sources.Tables(spark, sfDir, "orders")
+      .filter(pmod(col("o_orderkey") * 48271L, lit(1000L)) < lit(250))
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    // "*(1)" prefix = the filter sits inside a whole-stage-codegen span
+    assert(plan.contains("*(1) Filter"), s"gate left codegen:\n$plan")
+  }
+}
