@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Privacy, Sampling, TextAnalysis}
+import graft.ops.{Privacy, Profile, Sampling, TextAnalysis}
 
 /** Corpus-curation tier: PII redaction/pseudonymization, repetition
   * quality gates, and deterministic stratified sampling. The DuckDB
@@ -47,6 +47,25 @@ class CurationSpec extends SparkSpec {
       val rate = kept.toDouble / total
       assert(math.abs(rate - target) < 0.06,
         s"$status realized rate $rate far from target $target (n=$total)")
+    }
+  }
+
+  test("table profile reads the table exactly once") {
+    val plan = Profile.qProfileTable(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans == 1, s"profile must be single-scan, saw $scans:\n$plan")
+  }
+
+  test("histogram buckets partition the value domain") {
+    val rows = Profile.qHistogram(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = graft.sources.Tables(spark, sfDir, "events").count()
+    assert(total == nEvents, s"bucket counts $total != table rows $nEvents")
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(r.getAs[Double]("bucket_min") >= lo &&
+        r.getAs[Double]("bucket_max") < lo + 10, s"value outside bucket: $r")
     }
   }
 
