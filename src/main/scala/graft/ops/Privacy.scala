@@ -51,4 +51,50 @@ object Privacy {
       c_mktsegment
     FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
   """.trim
+
+  /** The deterministic deletion list: a pure function of the key so
+    * the oracle can recompute it (a real run would read a requests
+    * table). ~3% of customers. */
+  private def deletionSet(c: org.apache.spark.sql.Column) = pmod(c * 48271L, lit(97L)) < 3
+
+  /** Deletion-list propagation — the "right to be forgotten" pass: a
+    * small key list must erase every derived row across the fact
+    * tables. Each fact anti-joins the BROADCAST deletion list (a
+    * deletion list is always tiny relative to the corpus), so the
+    * scrub is one broadcast + one scan per table — no shuffle of fact
+    * data anywhere. Output: per-table rows before/after/deleted, the
+    * audit record a compliance pass has to produce. */
+  def qDeletionPropagate(s: SparkSession, dir: String): DataFrame = {
+    val del = t(s, dir, "customer").filter(deletionSet(col("c_custkey")))
+      .select(col("c_custkey").as("del_key"))
+    // One scan per table: broadcast left-join marks doomed rows, a
+    // global agg counts them — before/after/deleted in a single pass.
+    def audit(name: String, df: org.apache.spark.sql.DataFrame, key: String) =
+      df.join(broadcast(del), df(key) === del("del_key"), "left_outer")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("del_key").isNull, 1L).otherwise(0L)).as("n_after"),
+          count(col("del_key")).as("n_deleted"))
+        .select(lit(name).as("table_name"), col("n_before"), col("n_after"),
+          col("n_deleted"))
+    audit("customer", t(s, dir, "customer"), "c_custkey")
+      .unionAll(audit("orders", t(s, dir, "orders"), "o_custkey"))
+      .orderBy("table_name")
+  }
+
+  val qDeletionPropagateSql: String = """
+    WITH del AS (
+      SELECT c_custkey AS del_key FROM customer
+      WHERE (c_custkey * 48271) % 97 < 3)
+    SELECT * FROM (
+      SELECT 'customer' AS table_name,
+        (SELECT COUNT(*) FROM customer) AS n_before,
+        (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT del_key FROM del)) AS n_after,
+        (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT del_key FROM del)) AS n_deleted
+      UNION ALL
+      SELECT 'orders',
+        (SELECT COUNT(*) FROM orders),
+        (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT del_key FROM del)),
+        (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT del_key FROM del)))
+    ORDER BY table_name
+  """.trim
 }
