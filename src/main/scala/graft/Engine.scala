@@ -29,6 +29,8 @@ object Engine {
     }
     spark.experimental.extraOptimizations =
       Seq(graft.plans.SmallDimBroadcastRule())
+    spark.experimental.extraStrategies =
+      Seq(graft.plans.TopKPerGroupStrategy)
     spark
   }
 

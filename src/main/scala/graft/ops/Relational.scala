@@ -199,6 +199,29 @@ object Relational {
     LIMIT 100
   """.trim
 
+  /** Grouped top-k through the engine's custom whole-operator
+    * extension (`plans/TopKPerGroup`: LogicalPlan + SparkStrategy +
+    * two-phase bounded-heap SparkPlan — no per-group sort, only
+    * k·groups·partitions rows cross the shuffle). The (price desc,
+    * orderkey asc) order is total, so output is deterministic. */
+  def qTopKGroup(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      ord(s, dir).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      groupCols = Seq("o_orderstatus"),
+      orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 5)
+      .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+
+  val qTopKGroupSql: String = """
+    WITH r AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM r WHERE rn <= 5
+    ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+  """.trim
+
   /** Plain LIMIT (reference LimitExec `limit.rs:33-160`) made
     * deterministic by sorting on the primary key first. */
   def qLimit(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+import scala.collection.mutable
+
+/** Grouped top-k as a whole-operator Catalyst extension — the case
+  * the builder brief's preference ladder reserves for a custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan`: semantics Spark's
+  * building blocks express only wastefully. The DataFrame idiom
+  * (`row_number().over(partitionBy(g).orderBy(o)) <= k`) SORTS every
+  * row of every group; this operator keeps a bounded k-row heap per
+  * group instead — O(n log k) with no sort buffer, and (the 100 TB
+  * point) a pre-shuffle partial pass caps what moves at
+  * k·groups·partitions rows, the same partial/final shape Spark's own
+  * HashAggregate uses.
+  *
+  * Reference analogue: DataFusion's sort+limit lifecycle
+  * (/root/reference/rust/datafusion/src/execution/physical_plan/sort.rs)
+  * — its global top-k; the grouped form is this engine's extension.
+  *
+  * The strategy is registered both via `Engine.configure`
+  * (`experimental.extraStrategies`) and `GraftExtensions`
+  * (`injectPlannerStrategy`) — the deployment path a cluster user
+  * configures with `spark.sql.extensions=graft.GraftExtensions`.
+  */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(groupExprs, sortOrders, k, child) =>
+      // partial (pre-shuffle, per input partition) feeds final
+      // (post-shuffle, per group) — EnsureRequirements inserts the
+      // exchange demanded by the final node's required distribution
+      val partial =
+        TopKPerGroupExec(groupExprs, sortOrders, k, partial = true, planLater(child))
+      TopKPerGroupExec(groupExprs, sortOrders, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (groupE, orders, kk, childOutput) = (groupExprs, sortOrders, k, child.output)
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      // re-encode retained rows as UnsafeRow: heap contents must own
+      // their bytes (input rows are reused buffers) and the shuffle
+      // above the partial phase requires UnsafeRow
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val ord = RowOrdering.create(orders, childOutput)
+      // PriorityQueue dequeues its greatest element = the WORST
+      // retained row (ord orders best-first)
+      val heapOrd: Ordering[UnsafeRow] = ord.on[UnsafeRow](identity)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.enqueue(toUnsafe(row).copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(toUnsafe(row).copy())
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+            heap.enqueue(toUnsafe(row).copy())
+            heaps.put(key.copy().asInstanceOf[UnsafeRow], heap)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator): Iterator[InternalRow]
+    }, preservesPartitioning = true)
+  }
+}
+
+/** DataFrame-level entry point. `orderCols` are (name, ascending)
+  * pairs and must be a TOTAL order (include a tie-break key) for
+  * deterministic output. */
+object TopKPerGroup {
+  def apply(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name.equalsIgnoreCase(n))
+      .getOrElse(sys.error(s"no column $n in ${analyzed.output.map(_.name)}"))
+    val orders = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    val node = TopKPerGroupNode(groupCols.map(attr), orders, k, analyzed)
+    org.apache.spark.sql.classic.GraftBridge.ofRows(df.sparkSession, node)
+  }
+}

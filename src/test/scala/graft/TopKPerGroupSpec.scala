@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerGroup
+
+/** The custom whole-operator extension: grouped top-k must agree
+  * exactly with the window-function idiom it replaces, and its plan
+  * must show the two-phase (partial heap → exchange → final heap)
+  * shape that bounds shuffled rows at k·groups·partitions.
+  */
+class TopKPerGroupSpec extends SparkSpec {
+
+  private def windowTopK(groupCol: String, orderAsc: Boolean, k: Int) = {
+    val base = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+    val o = if (orderAsc)
+      Seq(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    else
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    base.withColumn("rn",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(o: _*)))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  private def customTopK(groupCol: String, orderAsc: Boolean, k: Int) =
+    TopKPerGroup(
+      graft.sources.Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice")),
+      Seq(groupCol),
+      Seq("l_extendedprice" -> orderAsc, "l_orderkey" -> true, "l_linenumber" -> true),
+      k)
+
+  test("custom top-k matches the window idiom (desc, k=5)") {
+    val (a, b) = (customTopK("l_returnflag", orderAsc = false, 5),
+      windowTopK("l_returnflag", orderAsc = false, 5))
+    assert(a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("custom top-k matches the window idiom (asc, k=40 > partition row counts)") {
+    val (a, b) = (customTopK("l_returnflag", orderAsc = true, 40),
+      windowTopK("l_returnflag", orderAsc = true, 40))
+    assert(a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("plan is two-phase with the exchange between partial and final") {
+    // AdaptiveSparkPlanExec hides its input plan from collect(), so
+    // assert on the rendered tree: final (partial=false) on top,
+    // ENSURE_REQUIREMENTS exchange in the middle, partial below it
+    val s = customTopK("l_returnflag", orderAsc = false, 3)
+      .queryExecution.executedPlan.toString
+    val (fin, part) = (s.indexOf("TopKPerGroup"), s.lastIndexOf("TopKPerGroup"))
+    val ex = s.indexOf("Exchange hashpartitioning(l_returnflag")
+    assert(fin >= 0 && fin < ex && ex < part,
+      s"expected partial -> exchange -> final:\n$s")
+    assert(s.substring(part).startsWith("TopKPerGroup") &&
+      s.substring(part).takeWhile(_ != '\n').endsWith("true"),
+      s"bottom node is not the partial phase:\n$s")
+  }
+
+  test("k larger than every group returns the whole table") {
+    val n = graft.sources.Tables(spark, sfDir, "orders").count()
+    val all = TopKPerGroup(
+      graft.sources.Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Seq("o_orderstatus"), Seq("o_orderkey" -> true), k = Int.MaxValue)
+    assert(all.count() == n)
+  }
+}
