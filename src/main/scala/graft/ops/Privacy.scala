@@ -28,19 +28,22 @@ object Privacy {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Redact digit runs from the display name (the fixture's only
-    * PII-shaped content), attach the stable pseudonym, and coarsen
-    * the account balance to a 1000-unit bucket (k-anonymity-style
-    * generalization of a quasi-identifier). */
+  /** The redaction transform on any customer-shaped frame: redact
+    * digit runs from the display name, attach the stable pseudonym,
+    * and coarsen the account balance to a 1000-unit bucket
+    * (k-anonymity-style generalization of a quasi-identifier).
+    * Pure per-row Columns — batch/stream unified (StreamingSpec runs
+    * it unchanged on a MemoryStream). */
+  def redact(df: DataFrame): DataFrame =
+    df.select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]", "X").as("redacted_name"),
+      substring(sha2(col("c_name"), 256), 1, 16).as("pseudonym"),
+      (floor(col("c_acctbal") / 1000) * 1000).cast(LongType).as("acctbal_bucket"),
+      col("c_mktsegment"))
+
   def qPiiRedact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .filter(col("c_custkey") < 200)
-      .select(
-        col("c_custkey"),
-        regexp_replace(col("c_name"), "[0-9]", "X").as("redacted_name"),
-        substring(sha2(col("c_name"), 256), 1, 16).as("pseudonym"),
-        (floor(col("c_acctbal") / 1000) * 1000).cast(LongType).as("acctbal_bucket"),
-        col("c_mktsegment"))
+    redact(t(s, dir, "customer").filter(col("c_custkey") < 200))
       .orderBy("c_custkey")
 
   val qPiiRedactSql: String = """

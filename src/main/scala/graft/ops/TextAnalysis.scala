@@ -404,17 +404,24 @@ object TextAnalysis {
     * per-document work never leaves the row and the only shuffle is
     * the final few-group agg. Cross-row means go through exact
     * decimal sums (order-independent at any partition count). */
-  def qQualityRepetition(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document repetition scores on any frame with a `text`
+    * column — pure per-row Columns, so the same transform gates a
+    * stream (StreamingSpec) and feeds the batch rollup below. */
+  def repetitionScores(df: DataFrame): DataFrame = {
     val w = toks(col("text"))
     val grams = transform(sequence(lit(1), size(w) - 1),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
     val dupWord = (size(w) - size(array_distinct(w))).cast(DoubleType) / size(w)
     val dupGram = (size(grams) - size(array_distinct(grams))).cast(DoubleType) /
       size(grams)
-    t(s, dir, "documents")
-      .filter(size(w) >= 2)
-      .select(col("source"), dupWord.as("dup_word_frac"),
-        dupGram.as("dup_gram_frac"))
+    df.filter(size(w) >= 2)
+      .withColumn("dup_word_frac", dupWord)
+      .withColumn("dup_gram_frac", dupGram)
+  }
+
+  def qQualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    repetitionScores(t(s, dir, "documents"))
+      .select(col("source"), col("dup_word_frac"), col("dup_gram_frac"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dup_word_frac").cast(DecimalType(18, 9))).cast(DoubleType) /

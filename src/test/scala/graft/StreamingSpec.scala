@@ -156,6 +156,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == manual.count())
   }
 
+  test("curation transforms run unchanged on a stream: redact + quality gate") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Long, String, Double, String)]
+    val df = in.toDF().toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val q = graft.ops.Privacy.redact(df).writeStream
+      .format("memory").queryName("redact_out").outputMode("append").start()
+    val docs = MemoryStream[(Long, String)]
+    val gate = graft.ops.TextAnalysis
+      .repetitionScores(docs.toDF().toDF("doc_id", "text"))
+      .filter(col("dup_gram_frac") <= 0.5)
+    val q2 = gate.writeStream
+      .format("memory").queryName("gate_out").outputMode("append").start()
+    try {
+      in.addData((7L, "Customer#000000007", 1234.5, "BUILDING"))
+      q.processAllAvailable()
+      val r = spark.table("redact_out").collect().head
+      assert(r.getAs[String]("redacted_name") == "Customer#XXXXXXXXX")
+      assert(r.getAs[Long]("acctbal_bucket") == 1000L)
+      docs.addData((1L, "a b c d e f g h"), (2L, "x y x y x y x y x y"))
+      q2.processAllAvailable()
+      val kept = spark.table("gate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"repetitive doc 2 should be gated out, kept=$kept")
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("graft-ipc streaming sink: per-epoch atomic file sets, exactly-once read-back") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
