@@ -134,6 +134,49 @@ object Dedup {
     FROM g GROUP BY source ORDER BY source
   """.trim
 
+  /** Incremental dedup — the form a 100 TB pipeline actually runs
+    * daily: never re-dedup the corpus, anti-join the new batch's
+    * fingerprints against the corpus fingerprint index. Here the
+    * "delta" is the doc_id%5==0 slice plus a replay of corpus docs
+    * under shifted ids (the fixture has no exact dups, so duplicates
+    * are planted deterministically); the corpus is everything else.
+    *
+    * Scale shape: the index is fp-keyed — store it BUCKETED by fp and
+    * the daily join shuffles only the (small) delta; AQE broadcasts
+    * the delta side outright when it fits. One pass: left join marks
+    * hits, the rollup counts new vs already-seen per source. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    val corpus = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val replayed = corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"), col("source"))
+    val delta = d.filter(pmod(col("doc_id"), lit(5)) === 0).unionAll(replayed)
+      .withColumn("fp", md5(col("text")))
+    val corpusIdx = corpus.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("hit", lit(1))
+    delta.join(corpusIdx, Seq("fp"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup_vs_corpus"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_new"))
+      .orderBy("source")
+  }
+
+  val qDedupIncrementalSql: String = """
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 5 <> 0),
+    delta AS (
+      SELECT doc_id, md5(text) AS fp, source FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000, md5(text), source FROM corpus WHERE doc_id % 7 = 0),
+    idx AS (SELECT DISTINCT md5(text) AS fp FROM corpus)
+    SELECT source, COUNT(*) AS n_delta,
+      CAST(SUM(CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+      CAST(SUM(CASE WHEN idx.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+    FROM delta LEFT JOIN idx ON delta.fp = idx.fp
+    GROUP BY source ORDER BY source
+  """.trim
+
   // ---- MinHash-LSH near-dup ---------------------------------------------
 
   private val NumHashes = 64
