@@ -91,6 +91,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerGroup == window idiom on generated data (skew, ties, tiny groups)") {
+    // heavy-tailed group sizes, duplicate order values (ties), groups
+    // smaller than k — the custom operator must agree with row_number
+    // for every draw
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq.fill(3000) {
+      val g = if (rnd.nextInt(10) < 7) rnd.nextInt(3) else 3 + rnd.nextInt(40)
+      (g, rnd.nextInt(50).toLong, rnd.nextLong())
+    }
+    for (k <- Seq(1, 4, 17)) {
+      // repartition(7): group rows scattered across partitions so the
+      // partial phase genuinely merges in the final phase
+      val df = rows.toDF("g", "v", "tie").repartition(7)
+      val custom = graft.plans.TopKPerGroup(
+        df, Seq("g"), Seq("v" -> false, "tie" -> true), k)
+      val window = df.withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".desc, $"tie".asc)))
+        .filter($"rn" <= k).drop("rn")
+      assert(custom.count() == window.count(), s"k=$k count")
+      assert(custom.exceptAll(window).isEmpty && window.exceptAll(custom).isEmpty,
+        s"k=$k contents differ")
+    }
+  }
+
   test("chunk geometry: every char covered, last chunk reaches the end") {
     // the integer ceil-div formula behind qDocChunk, checked for every
     // text length the fixture could ever present
