@@ -162,4 +162,51 @@ object Temporal {
     FROM per_session WHERE user_id < 30
     GROUP BY user_id ORDER BY user_id
   """.trim
+
+  /** Time-series resample + forward-fill (the pandas
+    * `resample('1h').ffill()` analogue): hourly per-type totals on a
+    * dense hour grid, empty hours carrying the last observed value.
+    * The grid comes from exploding a per-type `sequence(lo, hi, 1h)`
+    * — at fixture span that's one 720-element array per type; for an
+    * unbounded span you'd generate per (type, day) so no single task
+    * materializes the whole range. The fill is `last(ignoreNulls)`
+    * over a type-partitioned window — one shuffle, never a global
+    * sort. Sums go through exact decimals (ops.dsum) so the filled
+    * values are partition-order-independent. */
+  def qResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_events"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+      .orderBy("event_type", "h")
+  }
+
+  val qResampleFfillSql: String = s"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        ${dsumSql("value")} AS v, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans),
+    j AS (
+      SELECT g.event_type, g.h, hourly.v,
+        COALESCE(hourly.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h)
+    SELECT event_type, h, CAST(n_events AS BIGINT) AS n_events,
+      LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM j ORDER BY event_type, h
+  """.trim
 }
