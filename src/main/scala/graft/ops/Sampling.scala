@@ -168,4 +168,70 @@ object Sampling {
       MAX(CASE WHEN kept THEN o_orderkey END) AS last_kept
     FROM k GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Temperature-based source mixing (τ = 0.5): the data-mixing step
+    * of every pretraining corpus — target share of source s ∝
+    * sqrt(n_s), which upsamples rare sources and flattens dominant
+    * ones, then a deterministic Lehmer gate (see
+    * [[qStratifiedSample]]) realizes each source's keep rate. The
+    * output budget is half the corpus.
+    *
+    * Determinism across engines: sqrt is IEEE exact-rounded; the one
+    * cross-row reduction (Σ sqrt(n_s)) goes through an exact decimal
+    * sum so source order can't wiggle the last bit; everything after
+    * is fixed-order scalar double arithmetic mirrored verbatim in the
+    * oracle SQL, floored to an integer per-million rate before the
+    * gate.
+    *
+    * Scale shape: per-source stats are a few-group agg; the rate
+    * table (|sources| rows) broadcasts back onto the corpus; the gate
+    * is a codegen'd row predicate. Two scans total, no wide shuffle. */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_in"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()  // |sources| rows — a tiny frame, single partition is fine
+    val rates = bySrc
+      .withColumn("sum_sqrt",
+        sum(sqrt(col("n_docs")).cast(DecimalType(20, 10))).over(w).cast(DoubleType))
+      .withColumn("total_docs", sum(col("n_docs")).over(w))
+      .withColumn("rate_pm",
+        least(lit(1000000L),
+          floor(lit(0.5) * col("total_docs") * sqrt(col("n_docs")) / col("sum_sqrt") /
+            col("n_docs") * 1000000)))
+      .select(col("source"), col("n_docs"), col("chars_in"), col("rate_pm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("kept", pmod(col("doc_id") * 48271L, lit(1000000L)) < col("rate_pm"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("rate_pm")).as("rate_pm"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  val qMixTemperatureSql: String = """
+    WITH by_src AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_in
+      FROM documents GROUP BY source),
+    rates AS (
+      SELECT source, n_docs,
+        LEAST(1000000, CAST(FLOOR(0.5 * total_docs * sqrt(n_docs) / sum_sqrt /
+          n_docs * 1000000) AS BIGINT)) AS rate_pm
+      FROM (
+        SELECT source, n_docs,
+          CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(20,10))) OVER () AS DOUBLE) AS sum_sqrt,
+          SUM(n_docs) OVER () AS total_docs
+        FROM by_src)),
+    gated AS (
+      SELECT d.source, d.n_chars, r.n_docs, r.rate_pm,
+        ((d.doc_id * 48271) % 1000000) < r.rate_pm AS kept
+      FROM documents d JOIN rates r ON d.source = r.source)
+    SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+      CAST(MAX(rate_pm) AS BIGINT) AS rate_pm,
+      CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM gated GROUP BY source ORDER BY source
+  """.trim
 }
