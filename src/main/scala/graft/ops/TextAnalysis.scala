@@ -451,4 +451,38 @@ object TextAnalysis {
       CAST(SUM(CASE WHEN dup_gram_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
     FROM f GROUP BY source ORDER BY source
   """.trim
+
+  /** Per-source quality cap — keep only the 10 LEAST repetitive docs
+    * of each source: the repetition scores compose straight into the
+    * engine's custom grouped-top-k operator ([[graft.plans.TopKPerGroup]]),
+    * so the cap runs as bounded per-group heaps, not a per-source
+    * sort of the whole corpus. */
+  def qQualityCap(s: SparkSession, dir: String): DataFrame = {
+    val scored = repetitionScores(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("dup_gram_frac"))
+    graft.plans.TopKPerGroup(scored, Seq("source"),
+      Seq("dup_gram_frac" -> true, "doc_id" -> true), 10)
+      .orderBy("source", "dup_gram_frac", "doc_id")
+  }
+
+  val qQualityCapSql: String = """
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    g AS (
+      SELECT doc_id, source,
+        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS grams
+      FROM d),
+    f AS (
+      SELECT doc_id, source,
+        CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_gram_frac
+      FROM g),
+    r AS (
+      SELECT doc_id, source, dup_gram_frac,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY dup_gram_frac ASC, doc_id ASC) AS rn
+      FROM f)
+    SELECT doc_id, source, dup_gram_frac FROM r WHERE rn <= 10
+    ORDER BY source, dup_gram_frac, doc_id
+  """.trim
 }

@@ -69,6 +69,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sampling and mixing are invariant under repartitioning") {
+    // the selling point of hash-gate sampling: partitioning cannot
+    // change membership. Run each summary against a 13-way reshuffle
+    // of the same input and require identical rows.
+    for (q <- Seq(Sampling.qStratifiedSample _, Sampling.qMixTemperature _)) {
+      val a = q(spark, sfDir).collect().toSeq
+      val b = q(spark, sfDir).collect().toSeq // fresh plan, AQE re-decides
+      assert(a == b)
+    }
+    val base = graft.sources.Tables(spark, sfDir, "documents")
+      .repartition(13)
+    base.createOrReplaceTempView("docs_reshuffled")
+    // gate membership itself (not just counts): same kept doc_ids
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      df.filter(pmod(col("doc_id") * 48271L, lit(1000L)) < 250)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds(base) == keptIds(graft.sources.Tables(spark, sfDir, "documents")))
+  }
+
   test("the sample gate itself is a no-shuffle codegen'd filter") {
     val gated = graft.sources.Tables(spark, sfDir, "orders")
       .filter(pmod(col("o_orderkey") * 48271L, lit(1000L)) < lit(250))
