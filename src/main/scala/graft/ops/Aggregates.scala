@@ -171,6 +171,29 @@ object Aggregates {
     FROM orders GROUP BY 1 ORDER BY o_orderpriority
   """.trim
 
+  /** Unpivot/melt — the reshape dual of pivot (Spark 4 `Dataset
+    * .unpivot`, Arrow-land's wide→long): measure columns become
+    * (measure, value) rows. Pure per-row expansion (Catalyst Expand),
+    * no shuffle until the final ORDER BY. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("double").as("o_custkey"),
+        col("o_totalprice"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_custkey"), col("o_totalprice")), "measure", "value")
+      .orderBy("o_orderkey", "measure")
+
+  val qUnpivotSql: String = """
+    SELECT o_orderkey, 'o_custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, 'o_totalprice', o_totalprice
+    FROM orders WHERE o_orderkey < 100
+    ORDER BY o_orderkey, measure
+  """.trim
+
   /** Approximate distinct (HLL) — the 100 TB path for cardinality.
     * Sketch values are engine-specific → no SQL oracle; accuracy vs
     * exact is asserted in AggregatesSpec. */
