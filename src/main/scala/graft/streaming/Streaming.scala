@@ -140,6 +140,33 @@ object Streaming {
     ORDER BY click_id, purchase_id
   """.trim
 
+  // ---- streaming grouped top-k (bounded keyed state) ---------------------
+
+  case class Scored(grp: String, id: Long, score: Double)
+  case class Board(grp: String, top_ids: Seq[Long], top_scores: Seq[Double])
+
+  /** Streaming grouped top-k — the streaming twin of the batch
+    * [[graft.plans.TopKPerGroup]] operator (live leaderboards): keyed
+    * state holds each group's current k best (score desc, id asc),
+    * merged with every trigger's arrivals and re-emitted in update
+    * mode. State is O(k) per group FOREVER — the bounded-heap
+    * property that makes grouped top-k safe on an unbounded stream,
+    * exactly as the batch operator's heaps bound the shuffle. */
+  def topKStream(k: Int)(rows: Dataset[Scored]): Dataset[Board] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.grp)
+      .mapGroupsWithState[Seq[(Long, Double)], Board](GroupStateTimeout.NoTimeout) {
+        (grp: String, batch: Iterator[Scored], state: GroupState[Seq[(Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+              batch.map(e => (e.id, e.score)))
+            .sortBy { case (id, sc) => (-sc, id) }
+            .take(k)
+          state.update(merged)
+          Board(grp, merged.map(_._1), merged.map(_._2))
+      }
+  }
+
   // ---- session windows (flatMapGroupsWithState) --------------------------
 
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)

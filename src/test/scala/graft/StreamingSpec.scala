@@ -156,6 +156,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == manual.count())
   }
 
+  test("streaming grouped top-k: O(k) keyed state, leaderboard updates per trigger") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Streaming.Scored]
+    val q = Streaming.topKStream(2)(in.toDS()).writeStream
+      .format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    // update-mode memory sink accumulates one row per (trigger, group)
+    def boards(): Map[String, Set[Seq[Long]]] =
+      spark.table("topk_out").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).toSet }
+    try {
+      in.addData(Streaming.Scored("a", 1, 10.0), Streaming.Scored("a", 2, 20.0),
+        Streaming.Scored("b", 3, 5.0))
+      q.processAllAvailable()
+      assert(boards() == Map("a" -> Set(Seq(2L, 1L)), "b" -> Set(Seq(3L))))
+      // next trigger: 30-point arrival displaces id=1; id=5 fills b's slack
+      in.addData(Streaming.Scored("a", 4, 30.0), Streaming.Scored("b", 5, 1.0))
+      q.processAllAvailable()
+      assert(boards()("a") == Set(Seq(2L, 1L), Seq(4L, 2L)), s"got ${boards()}")
+      assert(boards()("b") == Set(Seq(3L), Seq(3L, 5L)))
+    } finally q.stop()
+  }
+
   test("curation transforms run unchanged on a stream: redact + quality gate") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
