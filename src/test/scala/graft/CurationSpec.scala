@@ -88,6 +88,18 @@ class CurationSpec extends SparkSpec {
     assert(keptIds(base) == keptIds(graft.sources.Tables(spark, sfDir, "documents")))
   }
 
+  test("deletion list and mix-rate table broadcast; fact side never re-shuffles") {
+    for ((name, q) <- Seq(
+        "deletion_propagate" -> graft.ops.Privacy.qDeletionPropagate _,
+        "mix_temperature" -> Sampling.qMixTemperature _)) {
+      val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name must broadcast its small side:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffled a fact table for a tiny build side:\n$plan")
+    }
+  }
+
   test("the sample gate itself is a no-shuffle codegen'd filter") {
     val gated = graft.sources.Tables(spark, sfDir, "orders")
       .filter(pmod(col("o_orderkey") * 48271L, lit(1000L)) < lit(250))
