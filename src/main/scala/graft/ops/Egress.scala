@@ -30,10 +30,25 @@ object Egress {
   /** Per-fixture scratch root, keyed by SF dir AND process id so
     * sf0.01 Verify, sf0.1 Bench, and a concurrent test JVM each get
     * disjoint scratch trees — two JVMs on the same fixture must never
-    * race on one output directory mid write/read. */
-  private[graft] def outRoot(dir: String): String =
+    * race on one output directory mid write/read. Trees left behind by
+    * EXITED processes are reaped once per JVM (pid-liveness probe), so
+    * repeated runs don't accumulate unbounded /tmp scratch. */
+  private[graft] def outRoot(dir: String): String = {
+    reapDeadScratch
     "/tmp/graft_egress/p" + ProcessHandle.current().pid() + "/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
+  }
+
+  private lazy val reapDeadScratch: Unit = {
+    val root = new java.io.File("/tmp/graft_egress")
+    val self = ProcessHandle.current().pid()
+    for {
+      d <- Option(root.listFiles()).getOrElse(Array.empty)
+      pid <- scala.util.Try(d.getName.stripPrefix("p").toLong).toOption
+      if d.getName.startsWith("p") && pid != self &&
+        !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+    } org.apache.commons.io.FileUtils.deleteQuietly(d)
+  }
 
   private val csvOrdersSchema = StructType(Seq(
     StructField("o_orderkey", LongType),

@@ -141,12 +141,14 @@ object Sampling {
     * agg does. The multiplier spreads adjacent keys ~uniformly over
     * the mille range, so per-stratum realized rates concentrate
     * tightly around the target (asserted in SamplingSpec). */
-  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+  /** DataFrame-core form over any `orders`-shaped input — lets tests
+    * prove the summary is invariant under repartitioning the input. */
+  private[graft] def stratifiedSummary(orders: DataFrame): DataFrame = {
     val rate = strataPerMille.foldLeft(lit(0)) { case (acc, (k, r)) =>
       when(col("o_orderstatus") === k, r).otherwise(acc)
     }
     val kept = pmod(col("o_orderkey") * 48271L, lit(1000L)) < rate
-    t(s, dir, "orders")
+    orders
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
@@ -154,6 +156,9 @@ object Sampling {
         max(when(kept, col("o_orderkey"))).as("last_kept"))
       .orderBy("o_orderstatus")
   }
+
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSummary(t(s, dir, "orders"))
 
   val qStratifiedSampleSql: String = """
     WITH k AS (
@@ -186,8 +191,13 @@ object Sampling {
     * Scale shape: per-source stats are a few-group agg; the rate
     * table (|sources| rows) broadcasts back onto the corpus; the gate
     * is a codegen'd row predicate. Two scans total, no wide shuffle. */
-  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    mixSummary(t(s, dir, "documents"))
+
+  /** DataFrame-core form over any `documents`-shaped input (see
+    * [[stratifiedSummary]]). */
+  private[graft] def mixSummary(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("source"), col("n_chars"))
     val bySrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_in"))
     val w = org.apache.spark.sql.expressions.Window

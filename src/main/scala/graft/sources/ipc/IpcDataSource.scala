@@ -96,7 +96,7 @@ private final class IpcTable(tableSchema: StructType, dir: String)
     new IpcScanBuilder(tableSchema, dir)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new IpcWriteBuilder(info.schema(), dir)
+    new IpcWriteBuilder(info.schema(), dir, info.queryId())
 }
 
 // ---------------------------------------------------------------- read
@@ -216,9 +216,13 @@ private final class IpcMicroBatchStream(fullSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[IpcSourceOffset].files
     val now = end.asInstanceOf[IpcSourceOffset].files
-    (now -- seen).toSeq.sorted.map { p =>
-      val st = fs.getFileStatus(new HPath(p))
-      IpcInputPartition(p, st.getLen): InputPartition
+    // A file in the offset diff can vanish between listing and planning
+    // (compaction, a Complete-mode sink replacing epochs, manual
+    // cleanup). Skipping it matches FileStreamSource: the offset range
+    // describes what was visible, not a durability promise.
+    (now -- seen).toSeq.sorted.flatMap { p =>
+      try Some(IpcInputPartition(p, fs.getFileStatus(new HPath(p)).getLen): InputPartition)
+      catch { case _: java.io.FileNotFoundException => None }
     }.toArray
   }
 
@@ -341,27 +345,33 @@ private final class IpcPartitionReader(path: String, len: Long,
 
 // --------------------------------------------------------------- write
 
-private final class IpcWriteBuilder(schema: StructType, dir: String)
-    extends WriteBuilder with SupportsTruncate {
+private final class IpcWriteBuilder(schema: StructType, dir: String,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   // mode("overwrite") arrives as OverwriteByExpression(AlwaysTrue) and
-  // Catalyst lowers it onto truncate() when the builder supports it
+  // Catalyst lowers it onto truncate() when the builder supports it;
+  // streaming Complete mode arrives the same way and means "each epoch
+  // replaces the directory contents"
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new IpcBatchWrite(schema, dir, truncateFirst)
+    override def toBatch: BatchWrite =
+      new IpcBatchWrite(schema, dir, truncateFirst, queryId)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new IpcStreamingWrite(schema, dir)
+      new IpcStreamingWrite(schema, dir, replaceEachEpoch = truncateFirst)
   }
 }
 
 /** Job-level atomic-visibility commit: every task writes an
-  * attempt-unique temp (`.part-<pid>-t<taskId>.arrow.tmp`, under the
-  * commit coordinator so exactly one attempt per partition commits),
-  * and only `commit()` — which runs after ALL tasks succeeded —
-  * renames temps to their final `part-<pid>.arrow` names. A reader can
+  * attempt-unique temp (`.part-<queryId>-<pid>-t<taskId>.arrow.tmp`,
+  * under the commit coordinator so exactly one attempt per partition
+  * commits), and only `commit()` — which runs after ALL tasks
+  * succeeded — renames temps to their final
+  * `part-<queryId>-<pid>.arrow` names. The query UUID in the final
+  * name makes append jobs collision-free ACROSS applications (task
+  * ids restart at 0 per app, so they alone cannot be). A reader can
   * never observe a half-written directory; `abort()` deletes temps. */
 private final class IpcBatchWrite(schema: StructType, dir: String,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, queryId: String) extends BatchWrite {
 
   private val confSer = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
@@ -369,11 +379,17 @@ private final class IpcBatchWrite(schema: StructType, dir: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = new HPath(dir).getFileSystem(confSer.value)
     fs.mkdirs(new HPath(dir))
-    // stale temps from crashed jobs are garbage either way
-    for (st <- Option(fs.globStatus(new HPath(new HPath(dir), ".*.arrow.tmp")))
-        .getOrElse(Array()))
-      fs.delete(st.getPath, false)
-    new IpcDataWriterFactory(schema, dir, confSer)
+    // Scrub stale temps only under overwrite, which claims exclusive
+    // ownership of the directory anyway. An append job must NOT: a
+    // concurrent writer's in-flight temps are indistinguishable from
+    // crashed-job leftovers, and deleting them would fail that job's
+    // commit rename. Leftover temps are dot-prefixed so no reader
+    // ever sees them; the next overwrite collects them.
+    if (truncateFirst)
+      for (st <- Option(fs.globStatus(new HPath(new HPath(dir), ".*.arrow.tmp")))
+          .getOrElse(Array()))
+        fs.delete(st.getPath, false)
+    new IpcDataWriterFactory(schema, dir, confSer, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -403,13 +419,14 @@ private final case class IpcCommitMessage(tmpPath: String, finalPath: String)
 private case object IpcEmptyCommit extends WriterCommitMessage
 
 private final class IpcDataWriterFactory(schema: StructType, dir: String,
-    confSer: SerializableConfiguration) extends DataWriterFactory {
-  // the final name includes the app-unique task id so mode("append")
-  // jobs can never collide with a previous job's committed files
+    confSer: SerializableConfiguration, queryId: String)
+    extends DataWriterFactory {
+  // queryId (a per-write UUID) scopes names across applications;
+  // taskId disambiguates retried attempts within this job's temps
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IpcDataWriter(schema,
-      new HPath(dir, s".part-$partitionId-t$taskId.arrow.tmp"),
-      new HPath(dir, s"part-$partitionId-t$taskId.arrow"), confSer)
+      new HPath(dir, s".part-$queryId-$partitionId-t$taskId.arrow.tmp"),
+      new HPath(dir, s"part-$queryId-$partitionId.arrow"), confSer)
 }
 
 /** Structured-Streaming sink half of the connector: every epoch is an
@@ -417,8 +434,14 @@ private final class IpcDataWriterFactory(schema: StructType, dir: String,
   * .arrow` — temps become visible only in the driver-side epoch
   * commit, and a REPLAYED epoch (failure recovery) deletes that
   * epoch's previous files before renaming, so the directory converges
-  * to exactly-once contents. Readers see epochs only whole. */
-private final class IpcStreamingWrite(schema: StructType, dir: String)
+  * to exactly-once contents. Readers see epochs only whole.
+  *
+  * `replaceEachEpoch` (streaming Complete mode, via
+  * `SupportsTruncate`): each committed epoch first deletes ALL prior
+  * epochs' files, so the directory always holds exactly the latest
+  * full snapshot instead of an accumulating union. */
+private final class IpcStreamingWrite(schema: StructType, dir: String,
+    replaceEachEpoch: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -433,9 +456,12 @@ private final class IpcStreamingWrite(schema: StructType, dir: String)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(dir).getFileSystem(confSer.value)
-    // epoch replay after a failed commit: drop the half-committed set
+    // Complete mode: this epoch's snapshot replaces everything;
+    // otherwise scrub only a replayed epoch's half-committed set
+    val scrubGlob = if (replaceEachEpoch) "part-*.arrow"
+                    else s"part-e$epochId-*.arrow"
     for (st <- Option(fs.globStatus(
-        new HPath(new HPath(dir), s"part-e$epochId-*.arrow"))).getOrElse(Array()))
+        new HPath(new HPath(dir), scrubGlob))).getOrElse(Array()))
       fs.delete(st.getPath, false)
     messages.collect { case IpcCommitMessage(tmp, dst) =>
       if (!fs.rename(new HPath(tmp), new HPath(dst)))

@@ -158,8 +158,17 @@ object Streaming {
       .groupByKey(_.grp)
       .mapGroupsWithState[Seq[(Long, Double)], Board](GroupStateTimeout.NoTimeout) {
         (grp: String, batch: Iterator[Scored], state: GroupState[Seq[(Long, Double)]]) =>
+          // One slot per id: a re-scored id REPLACES its old entry
+          // (arrival order wins within a trigger) rather than holding
+          // two board positions. An id re-scored below the cut simply
+          // drops off — members evicted earlier can't be resurrected,
+          // the inherent one-sided error of O(k)-state top-k.
           val merged = (state.getOption.getOrElse(Seq.empty) ++
               batch.map(e => (e.id, e.score)))
+            .foldLeft(scala.collection.immutable.ListMap.empty[Long, Double]) {
+              case (m, (id, sc)) => m.updated(id, sc)
+            }
+            .toSeq
             .sortBy { case (id, sc) => (-sc, id) }
             .take(k)
           state.update(merged)

@@ -73,25 +73,26 @@ class CurationSpec extends SparkSpec {
     // the selling point of hash-gate sampling: partitioning cannot
     // change membership. Run each summary against a 13-way reshuffle
     // of the same input and require identical rows.
-    for (q <- Seq(Sampling.qStratifiedSample _, Sampling.qMixTemperature _)) {
-      val a = q(spark, sfDir).collect().toSeq
-      val b = q(spark, sfDir).collect().toSeq // fresh plan, AQE re-decides
-      assert(a == b)
-    }
-    val base = graft.sources.Tables(spark, sfDir, "documents")
-      .repartition(13)
-    base.createOrReplaceTempView("docs_reshuffled")
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    assert(Sampling.stratifiedSummary(orders).collect().toSeq ==
+      Sampling.stratifiedSummary(orders.repartition(13)).collect().toSeq)
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    assert(Sampling.mixSummary(docs).collect().toSeq ==
+      Sampling.mixSummary(docs.repartition(13)).collect().toSeq)
     // gate membership itself (not just counts): same kept doc_ids
     def keptIds(df: org.apache.spark.sql.DataFrame) =
       df.filter(pmod(col("doc_id") * 48271L, lit(1000L)) < 250)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(keptIds(base) == keptIds(graft.sources.Tables(spark, sfDir, "documents")))
+    assert(keptIds(docs.repartition(13)) == keptIds(docs))
   }
 
   test("deletion list and mix-rate table broadcast; fact side never re-shuffles") {
     for ((name, q) <- Seq(
         "deletion_propagate" -> graft.ops.Privacy.qDeletionPropagate _,
-        "mix_temperature" -> Sampling.qMixTemperature _)) {
+        "mix_temperature" -> Sampling.qMixTemperature _,
+        // full-outer can't broadcast in Spark — the merge is rewritten
+        // as left-outer + semi/anti, all three joins broadcast-built
+        "merge_upsert" -> graft.ops.Merge.qMergeUpsert _)) {
       val plan = q(spark, sfDir).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"),
         s"$name must broadcast its small side:\n$plan")

@@ -179,6 +179,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(boards()("a") == Set(Seq(2L, 1L), Seq(4L, 2L)), s"got ${boards()}")
       assert(boards()("b") == Set(Seq(3L), Seq(3L, 5L)))
+      // re-score: id=2 jumps to 40 — it must MOVE to first place, not
+      // occupy two slots (one slot per id on the board)
+      in.addData(Streaming.Scored("a", 2, 40.0))
+      q.processAllAvailable()
+      assert(boards()("a").contains(Seq(2L, 4L)), s"got ${boards()("a")}")
     } finally q.stop()
   }
 
@@ -236,6 +241,35 @@ class StreamingSpec extends SparkSpec {
     val back = spark.read.format("graft-ipc").load(out)
     assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
       Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
+  test("graft-ipc streaming sink complete mode: each epoch replaces the snapshot") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val out = "/tmp/graft_egress/ipc_stream_complete"
+    val ckpt = out + "_ckpt"
+    for (d <- Seq(out, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("k", "v").groupBy("k")
+      .agg(sum("v").as("total")).writeStream
+      .format("graft-ipc").option("checkpointLocation", ckpt)
+      .outputMode("complete").start(out)
+    try {
+      in.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      in.addData(("a", 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // only the LATEST epoch's snapshot remains on disk — Complete mode
+    // truncates, it must not accumulate a union of stale aggregates
+    val names = new java.io.File(out)
+      .listFiles((_, n) => n.endsWith(".arrow")).map(_.getName)
+    assert(names.forall(_.startsWith("part-e1-")), names.mkString(","))
+    val back = spark.read.format("graft-ipc").load(out)
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 11L), ("b", 2L)))
   }
 
   test("end-to-end streaming pipeline: ipc file-drop -> dedup -> ipc sink") {
