@@ -221,6 +221,54 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Weighted sampling WITHOUT replacement (per source, k=10), weight
+    * = document length: the Efraimidis–Spirakis scheme — priority
+    * u^(1/w) with u uniform — made fully deterministic by deriving u
+    * from a Lehmer hash of the key, and ranked in log space
+    * (ln(u)/w, same order, no pow). Length-proportional selection is
+    * the classic quality-weighted corpus draw; without-replacement is
+    * what `rand()`-gate sampling can't give you.
+    *
+    * Cross-engine determinism: u is exact rational arithmetic; ln is
+    * the one transcendental — JVM vs libm can drift ~1 ulp (≤2e-15
+    * abs here), so the priority is SNAPPED to DECIMAL(20,6): drift
+    * flips the snapped value only within 2e-15 of a 1e-6 grid edge
+    * (~1e-9 per row). Grid ties at the k-boundary are resolved by the
+    * doc_id tie-break, identical in both engines.
+    *
+    * Scale shape: priorities are one codegen'd projection; selection
+    * runs through the custom bounded-heap [[graft.plans.TopKPerGroup]]
+    * operator — k·groups·partitions rows shuffled, no per-group sort,
+    * where the window idiom would sort the whole corpus. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pri", weightedPriority(col("doc_id"), col("n_chars")))
+    graft.plans.TopKPerGroup(docs, Seq("source"),
+        Seq(("pri", false), ("doc_id", true)), 10)
+      .orderBy(col("source"), col("pri").desc, col("doc_id"))
+  }
+
+  /** ln(u)/w snapped to DECIMAL(20,6); u = Lehmer(key) mapped into
+    * (0,1) exactly. Monotone-equivalent to E–S u^(1/w). */
+  private[graft] def weightedPriority(key: Column, weight: Column): Column =
+    (log((pmod(key * 48271L, lit(1000000L)) + 1L) / lit(1000002.0)) / weight)
+      .cast(DecimalType(20, 6))
+
+  val qWeightedSampleSql: String = """
+    WITH pri AS (
+      SELECT source, doc_id, n_chars,
+        CAST(ln((((doc_id * 48271) % 1000000) + 1) / 1000002.0) / n_chars
+          AS DECIMAL(20,6)) AS pri
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+      FROM pri)
+    SELECT source, doc_id, n_chars, pri FROM ranked WHERE rn <= 10
+    ORDER BY source, pri DESC, doc_id
+  """.trim
+
   val qMixTemperatureSql: String = """
     WITH by_src AS (
       SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_in

@@ -86,6 +86,28 @@ class CurationSpec extends SparkSpec {
     assert(keptIds(docs.repartition(13)) == keptIds(docs))
   }
 
+  test("weighted sample: k per source, length-biased, repartition-invariant") {
+    val sample = Sampling.qWeightedSample(spark, sfDir).collect()
+    val perSrc = sample.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(perSrc.values.forall(_ == 10), s"expected 10 per source: ${perSrc.toMap}")
+    // length-proportional weights must pull the sampled mean length
+    // above the corpus mean (deterministic given the fixture)
+    val corpusAvg = graft.sources.Tables(spark, sfDir, "documents")
+      .agg(avg("n_chars")).head.getDouble(0)
+    val sampleAvg = sample.map(_.getAs[Long]("n_chars")).sum.toDouble / sample.length
+    assert(sampleAvg > corpusAvg, s"sample avg $sampleAvg !> corpus avg $corpusAvg")
+    // priorities are key-pure, so the custom top-k must select the
+    // same rows however the input is partitioned
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pri", Sampling.weightedPriority(col("doc_id"), col("n_chars")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopKPerGroup(df, Seq("source"),
+        Seq(("pri", false), ("doc_id", true)), 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs) == ids(docs.repartition(13)))
+  }
+
   test("deletion list and mix-rate table broadcast; fact side never re-shuffles") {
     for ((name, q) <- Seq(
         "deletion_propagate" -> graft.ops.Privacy.qDeletionPropagate _,
