@@ -64,6 +64,43 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("_salt"))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key carrying ~95% of the left side — the org-id/null-key
+    // shape that stalls a 1000-executor job on one straggler task.
+    // Salting (previous test) is the manual fix; this pins the
+    // automatic one: AQE detects the oversized partition post-shuffle
+    // and fans it out, so the declarative plan self-heals at scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(0, 300000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 1000)
+          .as("k"), col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS queryExecution (count() would plan its own), so
+      // the AdaptiveSparkPlan below reflects the post-run final plan
+      assert(j.collect().length == 300000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("parquet scan pushes filters and prunes columns on the fact table") {
     val df = graft.sources.Tables(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
