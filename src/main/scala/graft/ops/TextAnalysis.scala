@@ -399,18 +399,32 @@ object TextAnalysis {
     * duplicate-bigram fraction, rolled up per source with a count of
     * documents a 0.5-bigram-dup threshold would reject.
     *
-    * The bigram list is built with higher-order functions
-    * (`transform`/`sequence`/`element_at`) — no explode, so the
-    * per-document work never leaves the row and the only shuffle is
-    * the final few-group agg. Cross-row means go through exact
-    * decimal sums (order-independent at any partition count). */
+    * The bigram list is built with zip_with over a shifted slice — no
+    * explode, so the per-document work never leaves the row and the
+    * only shuffle is the final few-group agg. Cross-row means go
+    * through exact decimal sums (order-independent at any partition
+    * count). */
   /** Per-document repetition scores on any frame with a `text`
     * column — pure per-row Columns, so the same transform gates a
-    * stream (StreamingSpec) and feeds the batch rollup below. */
+    * stream (StreamingSpec) and feeds the batch rollup below.
+    *
+    * Bigrams use the zip_with-over-shifted-slice idiom from
+    * [[Dedup.shingled]], NOT `transform(sequence(..), i ->
+    * element_at(w, i) ..)`: project-collapse inlines the `split` into
+    * every lambda reference, and a per-ELEMENT element_at(w, i) then
+    * re-splits the whole text once per element — O(len²) per document
+    * and interpreted. The slice arguments live outside the
+    * per-element lambda, so the split is evaluated O(1) times per
+    * row. zip_with pads the shorter side with null and concat_ws
+    * silently drops nulls, so the final slice trims the padded tail
+    * entry (guarded for n < 2). */
   def repetitionScores(df: DataFrame): DataFrame = {
     val w = toks(col("text"))
-    val grams = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val n = size(w)
+    val grams = slice(
+      zip_with(w, slice(w, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(n - 1, lit(0)))
     val dupWord = (size(w) - size(array_distinct(w))).cast(DoubleType) / size(w)
     val dupGram = (size(grams) - size(array_distinct(grams))).cast(DoubleType) /
       size(grams)
