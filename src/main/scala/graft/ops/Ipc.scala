@@ -279,11 +279,21 @@ object Ipc {
     * handing batches to another process over a socket/pipe, not for
     * at-rest storage — EgressSpec round-trips it in memory. */
   def writeIpcStream(rows: Seq[Row], schema: StructType): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeIpcStreamTo(rows.iterator, schema, bos)
+    bos.toByteArray
+  }
+
+  /** Incremental stream-format writer: drains `rows` in [[BatchRows]]
+    * batches straight to `out` (socket, pipe, file), holding at most
+    * one batch in memory — the transport-side half of the codec that
+    * [[graft.ops.FlightLite]] serves DoGet responses with. */
+  def writeIpcStreamTo(rows: Iterator[Row], schema: StructType,
+      out: java.io.OutputStream): Unit = {
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
-    val bos = new java.io.ByteArrayOutputStream()
     val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
-      root, null, java.nio.channels.Channels.newChannel(bos))
+      root, null, java.nio.channels.Channels.newChannel(out))
     writer.start()
     rows.grouped(BatchRows).foreach { batch =>
       val n = batch.length
@@ -306,14 +316,17 @@ object Ipc {
       writer.writeBatch()
     }
     writer.end(); writer.close(); root.close(); allocator.close()
-    bos.toByteArray
   }
 
   /** Stream-format read: schema from the stream head, batches to EOS. */
-  def readIpcStream(bytes: Array[Byte]): (Seq[Row], StructType) = {
+  def readIpcStream(bytes: Array[Byte]): (Seq[Row], StructType) =
+    readIpcStreamFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** Stream-format read from any InputStream (socket, pipe): consumes
+    * batches until the Arrow end-of-stream marker. */
+  def readIpcStreamFrom(in: java.io.InputStream): (Seq[Row], StructType) = {
     val allocator = new RootAllocator()
-    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
-      new java.io.ByteArrayInputStream(bytes), allocator)
+    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator)
     val root = rd.getVectorSchemaRoot
     val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(f =>
       StructField(f.getName, toSparkType(f), nullable = true)))

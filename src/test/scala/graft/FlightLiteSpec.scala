@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.FlightLite
+
+/** Wire-protocol round trips for the Flight-style socket endpoint
+  * (reference `format/Flight.proto:38-105`). */
+class FlightLiteSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("i", IntegerType),
+    StructField("d", DoubleType), StructField("f", FloatType),
+    StructField("s", StringType), StructField("b", BooleanType),
+    StructField("bin", BinaryType), StructField("dt", DateType),
+    StructField("ts", TimestampType)))
+  private val rows = Seq(
+    Row(1L, 7, 1.5, 2.5f, "alpha", true, Array[Byte](1, 2),
+      Date.valueOf("2024-01-02"), Timestamp.valueOf("2024-01-02 03:04:05")),
+    Row(2L, null, null, null, null, null, null, null, null),
+    Row(3L, -7, -0.25, 0.5f, "βeta", false, Array[Byte](),
+      Date.valueOf("1969-12-31"), Timestamp.valueOf("1969-12-31 23:59:59")))
+
+  test("DoPut registers a view; DoGet by name returns it bit-identical " +
+      "across all nine wire types") {
+    val server = new FlightLite.Server(spark).start()
+    try {
+      val n = FlightLite.doPut("127.0.0.1", server.boundPort, "fl_types",
+        rows, schema)
+      assert(n === 3)
+      val (got, gotSchema) =
+        FlightLite.doGet("127.0.0.1", server.boundPort, "fl_types")
+      assert(gotSchema.map(f => (f.name, f.dataType)) ===
+        schema.map(f => (f.name, f.dataType)))
+      val key = (r: Row) => r.getLong(0)
+      val exp = rows.sortBy(key)
+      val act = got.sortBy(key)
+      // binary columns need content equality, not array reference eq
+      (exp zip act).foreach { case (e, a) =>
+        (0 until schema.length).foreach { c =>
+          (e.get(c), a.get(c)) match {
+            case (x: Array[Byte], y: Array[Byte]) => assert(x.sameElements(y))
+            case (x, y) => assert(x === y, s"col ${schema(c).name}")
+          }
+        }
+      }
+    } finally server.close()
+  }
+
+  test("DoGet with a SQL ticket executes the query; GetSchema resolves " +
+      "without executing; ListFlights names the uploaded view") {
+    val server = new FlightLite.Server(spark).start()
+    try {
+      FlightLite.doPut("127.0.0.1", server.boundPort, "fl_sql", rows, schema)
+      assert(FlightLite.listFlights("127.0.0.1", server.boundPort)
+        .contains("fl_sql"))
+      val st = FlightLite.getSchema("127.0.0.1", server.boundPort,
+        "SELECT id, s FROM fl_sql WHERE b = true")
+      assert(st.fieldNames.toSeq === Seq("id", "s"))
+      val (got, _) = FlightLite.doGet("127.0.0.1", server.boundPort,
+        "SELECT id, s FROM fl_sql WHERE id <= 2 ORDER BY id")
+      assert(got.map(r => (r.getLong(0), r.getString(1))) ===
+        Seq((1L, "alpha"), (2L, null)))
+    } finally server.close()
+  }
+
+  test("a bad ticket surfaces as a client-side error, and the server " +
+      "keeps serving afterwards") {
+    val server = new FlightLite.Server(spark).start()
+    try {
+      val e = intercept[RuntimeException] {
+        FlightLite.doGet("127.0.0.1", server.boundPort, "SELECT FROM nope(")
+      }
+      assert(e.getMessage.contains("flight-lite"))
+      FlightLite.doPut("127.0.0.1", server.boundPort, "fl_after", rows, schema)
+      val (got, _) =
+        FlightLite.doGet("127.0.0.1", server.boundPort, "fl_after")
+      assert(got.size === 3)
+    } finally server.close()
+  }
+
+  test("DoGet streams a multi-batch result (> one codec batch) intact") {
+    val server = new FlightLite.Server(spark).start()
+    try {
+      import org.apache.spark.sql.functions.col
+      val n = 10000 // > 2 × Ipc.BatchRows(4096) — exercises re-batching
+      spark.range(n.toLong).select(col("id"), (col("id") % 97).as("m"))
+        .createOrReplaceTempView("fl_big")
+      val (got, _) =
+        FlightLite.doGet("127.0.0.1", server.boundPort, "fl_big")
+      assert(got.size === n)
+      assert(got.map(_.getLong(0)).sum === (n.toLong * (n - 1) / 2))
+    } finally server.close()
+  }
+}
