@@ -182,8 +182,12 @@ package object functions {
     ts + make_interval(zero, zero, zero, zero, n, zero, zero)
   def timestampaddDay(n: Column, ts: Column): Column =
     ts + make_interval(zero, zero, zero, n, zero, zero, zero)
+  def timestampaddWeek(n: Column, ts: Column): Column =
+    ts + make_interval(zero, zero, n, zero, zero, zero, zero)
   def timestampaddMonth(n: Column, ts: Column): Column =
     ts + make_interval(zero, n, zero, zero, zero, zero, zero)
+  def timestampaddQuarter(n: Column, ts: Column): Column =
+    ts + make_interval(zero, n * 3, zero, zero, zero, zero, zero)
   def timestampaddYear(n: Column, ts: Column): Column =
     ts + make_interval(n, zero, zero, zero, zero, zero, zero)
   /** timestampdiff<Unit>(a, b) = complete units from a to b, truncated
@@ -196,11 +200,33 @@ package object functions {
     div(timestampdiffSecond(a, b), lit(3600L))
   def timestampdiffDay(a: Column, b: Column): Column =
     div(timestampdiffSecond(a, b), lit(86400L))
+  def timestampdiffWeek(a: Column, b: Column): Column =
+    div(timestampdiffSecond(a, b), lit(604800L))
+  /** Signed COMPLETE months from a to b — the Gandiva algorithm
+    * verbatim (`precompiled/timestamp_arithmetic.cc:36-86`
+    * TIMESTAMP_DIFF_MONTH_UNITS): swap to positive order, take the
+    * calendar month delta, subtract one when the end (day-of-month,
+    * time-of-day) precedes the start's, sign-adjust. Pure integer
+    * arithmetic — unlike `months_between`-based forms there is no
+    * 31-day fraction and no both-last-day special case, so the value
+    * is identical on any engine. */
+  private def monthsComplete(a: Column, b: Column): Column = {
+    def delta(lo: Column, hi: Column): Column = {
+      val md = (year(hi) - year(lo)) * 12 + (month(hi) - month(lo))
+      // (day-of-month, time-of-day) as one comparable second count
+      def key(t: Column): Column =
+        dayofmonth(t).cast(LongType) * 86400L +
+          hour(t) * 3600L + minute(t) * 60L + second(t)
+      md - when(key(hi) < key(lo), 1).otherwise(0)
+    }
+    when(b >= a, delta(a, b)).otherwise(-delta(b, a)).cast(IntegerType)
+  }
   def timestampdiffMonth(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.months_between(b, a).cast(IntegerType)
+    monthsComplete(a, b)
+  def timestampdiffQuarter(a: Column, b: Column): Column =
+    div(monthsComplete(a, b), lit(3L)).cast(IntegerType)
   def timestampdiffYear(a: Column, b: Column): Column =
-    (org.apache.spark.sql.functions.months_between(b, a) / 12)
-      .cast(IntegerType)
+    div(monthsComplete(a, b), lit(12L)).cast(IntegerType)
   def date_add(d: Column, n: Int): Column =
     org.apache.spark.sql.functions.date_add(d, n)
   def date_sub(d: Column, n: Int): Column =

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{acos, asin, atan2, col, cos, greatest, least, lit, round, signum, sin, tan}
+import org.apache.spark.sql.functions.{acos, asin, atan2, col, cos, date_trunc, greatest, least, lit, make_dt_interval, make_ym_interval, month, round, signum, sin, tan, unix_micros}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
@@ -218,36 +218,130 @@ object Scalars {
 
   /** Timestamp arithmetic surface
     * (function_registry_timestamp_arithmetic.cc). */
-  def qTsArith(s: SparkSession, dir: String): DataFrame =
+  def qTsArith(s: SparkSession, dir: String): DataFrame = {
+    val mid96 = lit("1996-06-15 00:00:00").cast(TimestampType)
     t(s, dir, "orders")
       .filter(col("o_orderkey") % 200 === 0)
       .select(
         col("o_orderkey"),
         gf.timestampaddDay(lit(30), col("o_orderdate")).as("plus_30d"),
+        gf.timestampaddWeek(lit(2), col("o_orderdate")).as("plus_2w"),
         gf.timestampaddMonth(lit(2), col("o_orderdate")).as("plus_2mo"),
+        gf.timestampaddQuarter(lit(1), col("o_orderdate")).as("plus_1q"),
+        gf.timestampaddYear(lit(-1), col("o_orderdate")).as("minus_1y"),
         gf.timestampaddHour(lit(-6), col("o_orderdate")).as("minus_6h"),
-        gf.timestampdiffDay(col("o_orderdate"),
-          lit("1996-06-15 00:00:00").cast(TimestampType)).as("days_to_mid96"),
-        gf.timestampdiffSecond(col("o_orderdate"),
-          lit("1996-06-15 00:00:00").cast(TimestampType)).as("secs_to_mid96"),
+        gf.timestampaddMinute(lit(90), col("o_orderdate")).as("plus_90min"),
+        gf.timestampaddSecond(lit(-30), col("o_orderdate")).as("minus_30s"),
+        gf.timestampdiffDay(col("o_orderdate"), mid96).as("days_to_mid96"),
+        gf.timestampdiffWeek(col("o_orderdate"), mid96).as("weeks_to_mid96"),
+        gf.timestampdiffHour(col("o_orderdate"), mid96).as("hours_to_mid96"),
+        gf.timestampdiffMinute(col("o_orderdate"), mid96).as("mins_to_mid96"),
+        gf.timestampdiffSecond(col("o_orderdate"), mid96).as("secs_to_mid96"),
+        gf.timestampdiffMonth(col("o_orderdate"), mid96).as("months_to_mid96"),
+        gf.timestampdiffQuarter(col("o_orderdate"), mid96).as("quarters_to_mid96"),
+        gf.timestampdiffYear(col("o_orderdate"), mid96).as("years_to_mid96"),
         gf.date_diff(lit("1996-06-15").cast(DateType),
           gf.castDATE(col("o_orderdate"))).as("datediff_d"),
         gf.date_add(gf.castDATE(col("o_orderdate")), 7).as("plus_7d"),
         gf.date_sub(gf.castDATE(col("o_orderdate")), 7).as("minus_7d"))
       .orderBy(col("o_orderkey"))
+  }
 
+  /** Oracle twin of the Gandiva complete-months algorithm
+    * (`timestamp_arithmetic.cc:36-86`): calendar month delta minus one
+    * when the end (day, time) key precedes the start's, swap-and-negate
+    * for reversed order — all integer, so bit-identical cross-engine.
+    * Fixed units truncate toward zero (TRUNC, not //: DuckDB // floors
+    * and the diffs change sign across the corpus). */
   val qTsArithSql: String = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderdate,
+        TIMESTAMP '1996-06-15 00:00:00' AS b,
+        epoch_us(TIMESTAMP '1996-06-15 00:00:00') // 1000000
+          - epoch_us(o_orderdate) // 1000000 AS secs
+      FROM orders WHERE o_orderkey % 200 = 0),
+    mdiff AS (
+      SELECT *,
+        CASE WHEN b >= o_orderdate THEN
+          12 * (year(b) - year(o_orderdate)) + (month(b) - month(o_orderdate))
+          - CASE WHEN day(b) * 86400 + hour(b) * 3600 + minute(b) * 60 + second(b)
+                    < day(o_orderdate) * 86400 + hour(o_orderdate) * 3600
+                      + minute(o_orderdate) * 60 + second(o_orderdate)
+                 THEN 1 ELSE 0 END
+        ELSE
+          -(12 * (year(o_orderdate) - year(b)) + (month(o_orderdate) - month(b))
+          - CASE WHEN day(o_orderdate) * 86400 + hour(o_orderdate) * 3600
+                      + minute(o_orderdate) * 60 + second(o_orderdate)
+                    < day(b) * 86400 + hour(b) * 3600 + minute(b) * 60 + second(b)
+                 THEN 1 ELSE 0 END)
+        END AS m
+      FROM base)
     SELECT o_orderkey,
       o_orderdate + INTERVAL 30 DAY AS plus_30d,
+      o_orderdate + INTERVAL 14 DAY AS plus_2w,
       o_orderdate + INTERVAL 2 MONTH AS plus_2mo,
+      o_orderdate + INTERVAL 3 MONTH AS plus_1q,
+      o_orderdate - INTERVAL 1 YEAR AS minus_1y,
       o_orderdate - INTERVAL 6 HOUR AS minus_6h,
-      CAST(TRUNC((epoch_us(TIMESTAMP '1996-06-15 00:00:00') // 1000000
-          - epoch_us(o_orderdate) // 1000000) / 86400.0) AS BIGINT) AS days_to_mid96,
-      epoch_us(TIMESTAMP '1996-06-15 00:00:00') // 1000000
-          - epoch_us(o_orderdate) // 1000000 AS secs_to_mid96,
+      o_orderdate + INTERVAL 90 MINUTE AS plus_90min,
+      o_orderdate - INTERVAL 30 SECOND AS minus_30s,
+      CAST(TRUNC(secs / 86400.0) AS BIGINT) AS days_to_mid96,
+      CAST(TRUNC(secs / 604800.0) AS BIGINT) AS weeks_to_mid96,
+      CAST(TRUNC(secs / 3600.0) AS BIGINT) AS hours_to_mid96,
+      CAST(TRUNC(secs / 60.0) AS BIGINT) AS mins_to_mid96,
+      secs AS secs_to_mid96,
+      CAST(m AS INTEGER) AS months_to_mid96,
+      CAST(TRUNC(m / 3.0) AS INTEGER) AS quarters_to_mid96,
+      CAST(TRUNC(m / 12.0) AS INTEGER) AS years_to_mid96,
       DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1996-06-15') AS datediff_d,
       CAST(o_orderdate AS DATE) + 7 AS plus_7d,
       CAST(o_orderdate AS DATE) - 7 AS minus_7d
+    FROM mdiff
+    ORDER BY o_orderkey
+  """.trim
+
+  /** INTERVAL / DURATION / TIME type conventions (SURVEY §1.2;
+    * reference `cpp/src/arrow/type.h:107-146`): Spark's
+    * `YearMonthIntervalType` / `DayTimeIntervalType` stand in for
+    * Arrow INTERVAL(YEAR_MONTH/DAY_TIME) and DURATION, and TIME32/64
+    * lowers to the micros-since-midnight LongType convention. The
+    * intervals are constructed (`make_ym_interval`/`make_dt_interval`),
+    * applied to timestamps, and lowered to their integer storage
+    * conventions — int32 total months for YM, int64 total seconds for
+    * DT — which is also what makes the row parquet-dumpable (interval
+    * types have no parquet encoding, in Arrow or Spark). */
+  def qIntervalArith(s: SparkSession, dir: String): DataFrame = {
+    val od = col("o_orderdate")
+    val mid96 = lit("1996-06-15 00:00:00").cast(TimestampType)
+    // synthetic intra-day offset so the TIME convention isn't trivially
+    // zero on the midnight-valued fixture dates
+    val ts = od + make_dt_interval(lit(0), lit(0), lit(0),
+      (col("o_orderkey") % 86400).cast(DoubleType))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 200 === 0)
+      .select(
+        col("o_orderkey"),
+        (od + make_ym_interval(lit(1), lit(2))).as("plus_1y2m"),
+        (od - make_ym_interval(lit(0), lit(5))).as("minus_5mo"),
+        make_ym_interval(lit(0), month(od)).cast(IntegerType).as("ym_months"),
+        (od + make_dt_interval(lit(2), lit(3), lit(30), lit(1.5)))
+          .as("plus_dt"),
+        (mid96 - od).cast(LongType).as("dur_secs"),
+        (unix_micros(ts.cast(TimestampType)) -
+          unix_micros(date_trunc("DAY", ts).cast(TimestampType))).as("time_us"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qIntervalArithSql: String = """
+    SELECT o_orderkey,
+      o_orderdate + INTERVAL 14 MONTH AS plus_1y2m,
+      o_orderdate - INTERVAL 5 MONTH AS minus_5mo,
+      CAST(month(o_orderdate) AS INTEGER) AS ym_months,
+      o_orderdate + INTERVAL 2 DAY + INTERVAL 3 HOUR
+        + INTERVAL 30 MINUTE + INTERVAL 1500 MILLISECOND AS plus_dt,
+      epoch_us(TIMESTAMP '1996-06-15 00:00:00') // 1000000
+        - epoch_us(o_orderdate) // 1000000 AS dur_secs,
+      (o_orderkey % 86400) * 1000000 AS time_us
     FROM orders WHERE o_orderkey % 200 = 0
     ORDER BY o_orderkey
   """.trim

@@ -74,6 +74,32 @@ class FunctionsSpec extends SparkSpec {
       lit("2024-03-30").cast(TimestampType))) == 1)
   }
 
+  test("month-unit diffs follow the Gandiva complete-months algorithm " +
+      "(timestamp_arithmetic.cc:36-86), including the both-last-day case") {
+    def m(a: String, b: String): Int = one(gf.timestampdiffMonth(
+      lit(a).cast(TimestampType), lit(b).cast(TimestampType)))
+      .asInstanceOf[Int]
+    // Jan 31 -> Feb 29: end day-of-month (29) < start (31) => 0 complete
+    // months — months_between would call both 'last days' and answer 1
+    assert(m("2024-01-31 00:00:00", "2024-02-29 00:00:00") == 0)
+    assert(m("2024-01-31 00:00:00", "2024-03-31 00:00:00") == 2)
+    // time-of-day tiebreak when the day-of-month matches
+    assert(m("2024-01-15 12:00:00", "2024-03-15 11:59:59") == 1)
+    assert(m("2024-01-15 12:00:00", "2024-03-15 12:00:00") == 2)
+    // sign adjustment = swap-and-negate, so reversal is exact
+    assert(m("2024-03-15 12:00:00", "2024-01-15 12:00:01") == -1)
+    // quarter/year divide the complete-month count, truncating to zero
+    assert(one(gf.timestampdiffQuarter(
+      lit("2024-01-31 00:00:00").cast(TimestampType),
+      lit("2024-09-30 00:00:00").cast(TimestampType))) == 2)
+    assert(one(gf.timestampdiffYear(
+      lit("2020-06-15 00:00:00").cast(TimestampType),
+      lit("2023-06-14 00:00:00").cast(TimestampType))) == 2)
+    assert(one(gf.timestampdiffWeek(
+      lit("2024-01-01 00:00:00").cast(TimestampType),
+      lit("2024-01-15 00:00:00").cast(TimestampType))) == 2L)
+  }
+
   test("timestampadd month clamps end-of-month like SQL interval arithmetic") {
     assert(one(gf.timestampaddMonth(lit(1),
       lit("2024-01-31 12:00:00").cast(TimestampType))).toString
