@@ -12,6 +12,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(cpus, cpus)
+    // collect Dataset.observe metrics (e.g. dedup_ngram's candidate
+    // count) as a side effect of the timed runs — written to
+    // BENCH_DETAIL.json only, never the bounded stdout line
+    val observed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            val kv = row.schema.fieldNames.zip(row.toSeq).map { case (k, v) =>
+              val j = v match {
+                case n: java.lang.Number => n.toString
+                case b: java.lang.Boolean => b.toString
+                case other => "\"" + String.valueOf(other)
+                  .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              }
+              s"\"$k\":$j"
+            }
+            observed.put(name, kv.mkString("{", ",", "}"))
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     // warm-up: run the flagship + one query of each heavy shape once,
     // untimed, so session/codegen/shuffle-service startup is not billed
     // to whichever query happens to run first
@@ -59,8 +84,13 @@ object Bench {
     // total plus only the slowest 30 queries (everything a plan audit
     // looks at — failures sort first via -1.0 and are never dropped).
     val sfName = sfDir.split("/").last
+    val obsJson = {
+      import scala.jdk.CollectionConverters._
+      observed.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName","failures":$failures,"queries":${dict(results)}}\n"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName","failures":$failures,"observed":$obsJson,"queries":${dict(results)}}\n"""
         .getBytes("UTF-8"))
     val slowest = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       .take(30)

@@ -101,6 +101,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges in O(diameter) passes and the " +
+      "max-iteration guard trips instead of spinning") {
+    val ss = spark
+    import ss.implicits._
+    // path graph 0-1-2-...-9: diameter 9, min-label propagation needs
+    // <= diameter+1 passes (one extra to observe the fixpoint)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, iters) =
+      graft.ops.Dedup.connectedComponentsWithStats(chain, maxIters = 50)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+    assert(iters <= 10, s"expected <= diameter+1 passes, took $iters")
+    // two disjoint triangles converge in 2 passes (diameter 1 + fixpoint)
+    val tris = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("d1", "d2")
+    val (tl, ti) = graft.ops.Dedup.connectedComponentsWithStats(tris, 50)
+    assert(tl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(ti <= 3)
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponentsWithStats(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("no fixpoint after 3"))
+  }
+
   test("parquet scan pushes filters and prunes columns on the fact table") {
     val df = graft.sources.Tables(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
