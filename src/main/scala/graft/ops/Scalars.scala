@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{acos, asin, atan2, col, cos, date_trunc, greatest, least, lit, make_dt_interval, make_ym_interval, month, round, signum, sin, tan, unix_micros}
+import org.apache.spark.sql.functions.{acos, asin, atan2, col, cos, countDistinct, date_trunc, greatest, least, lit, make_dt_interval, make_ym_interval, month, round, signum, sin, tan, unix_micros}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
@@ -346,14 +346,41 @@ object Scalars {
     ORDER BY o_orderkey
   """.trim
 
-  /** Hash functions (function_registry_hash.cc): Spark murmur3/xxhash64
-    * — engine-specific values, so no SQL oracle (driver records a
-    * rows-only check); determinism is pinned in FunctionsSpec. */
-  def qHashFuncs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part")
-      .select(
-        col("p_partkey"),
-        gf.hash32(col("p_name")).as("h32"),
-        gf.hash64(col("p_name")).as("h64"))
+  /** Hash functions (function_registry_hash.cc + Gandiva's
+    * sha1/sha256 in function_registry_string.cc lineage): the
+    * cryptographic hashes have standard values, so md5/sha256 are
+    * oracle-hash-checked against DuckDB. murmur3/xxhash64 are
+    * seed/implementation-specific per engine — no cross-engine oracle
+    * can exist for their raw values — so they ride along as a
+    * COUNT of distinct values (the structural property an oracle CAN
+    * check: determinism + near-injectivity on this corpus), with the
+    * exact per-row values pinned by FunctionsSpec. */
+  def qHashFuncs(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val perRow = p.select(
+      col("p_partkey"),
+      org.apache.spark.sql.functions.md5(
+        col("p_name").cast(BinaryType)).as("h_md5"),
+      org.apache.spark.sql.functions.sha2(
+        col("p_name").cast(BinaryType), 256).as("h_sha256"),
+      gf.hash32(col("p_name")).as("h32"),
+      gf.hash64(col("p_name")).as("h64"))
+    // injectivity is relative to DISTINCT inputs — p_name repeats
+    val murmurCard = p.select(col("p_name"))
+      .agg(
+        countDistinct(gf.hash32(col("p_name"))).as("n32"),
+        countDistinct(gf.hash64(col("p_name"))).as("n64"),
+        countDistinct(col("p_name")).as("n"))
+    perRow.select(col("p_partkey"), col("h_md5"), col("h_sha256"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(murmurCard)
+        .select((col("n64") === col("n")).as("murmur64_injective_here"),
+          (col("n32") === col("n")).as("murmur32_injective_here")))
       .orderBy(col("p_partkey"))
+  }
+
+  val qHashFuncsSql: String = """
+    SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256,
+      true AS murmur64_injective_here, true AS murmur32_injective_here
+    FROM part ORDER BY p_partkey
+  """.trim
 }

@@ -14,9 +14,11 @@ class PlanLintSpec extends SparkSpec {
   //  - tpch_q15/tpch_q22: cross-broadcast of a single-row global
   //    aggregate (max revenue / average balance) into the filter
   //  - tpch_q11: cross-broadcast of the single-row global inventory total
+  //  - hash_funcs: cross-broadcast of the single-row murmur-cardinality
+  //    aggregate next to the per-row crypto hashes
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "window_ntile", "tpch_q15", "tpch_q22",
-      "tpch_q11")
+      "tpch_q11", "hash_funcs")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
