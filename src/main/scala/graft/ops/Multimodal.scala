@@ -39,18 +39,36 @@ object Multimodal {
       struct(lit("grft").as("format"), col("source").as("origin"))
         .as("meta"))
 
+  /** Input row for the decode stage (typed Dataset boundary). */
+  final case class MediaBlob(media_id: Long, media: Array[Byte])
+
   /** Decoded feature row: what the stub "codec" emits per media blob. */
+  final case class MediaFeatures(media_id: Long, width: Int, height: Int,
+      n_payload_bytes: Int, mean_byte: Double)
+
+  /** Schema of [[decodeFeatures]] output (the [[MediaFeatures]]
+    * encoder's schema: primitives are non-nullable). */
   val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("n_payload_bytes", IntegerType),
-    StructField("mean_byte", DoubleType)))
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_payload_bytes", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false)))
 
   /** Batched decode/feature-extract over partitions of media rows —
-    * the mapPartitions stage a real codec would plug into. The
-    * per-partition iterator is the batch: codec init happens once per
-    * partition (here: trivially), rows stream through it.
+    * the per-partition stage a real codec would plug into: one
+    * iterator per partition, so codec init amortizes per partition,
+    * not per row.
+    *
+    * Runs as TYPED `Dataset.mapPartitions`, not `.rdd`: the stage
+    * stays inside the SQL plan (DeserializeToObject → MapPartitions →
+    * SerializeFromObject, all codegen'd expression encoders), so
+    * there's no RDD boundary, no external-Row boxing, and no
+    * driver-side schema re-validation — the plan around it keeps
+    * whole-stage codegen and the exchange-free shape. (PySpark's
+    * `mapInArrow` is the same stage for Python codecs; its Scala
+    * overload takes a PythonUDF column and has no native-lambda form,
+    * so the typed-encoder pipeline IS the Scala-native equivalent.)
     *
     * STUB: a real implementation would decode `media` with an image/
     * audio library here. This deterministic fake parses the synthetic
@@ -58,21 +76,21 @@ object Multimodal {
     * signature, schema, and batching real. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val session = media.sparkSession
-    val rdd = media.select(col("media_id"), col("media")).rdd
-      .mapPartitions { rows =>
+    import session.implicits._
+    media.select(col("media_id"), col("media")).as[MediaBlob]
+      .mapPartitions { blobs =>
         // per-partition codec init would go here (once per batch)
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+        blobs.map { m =>
+          val bytes = m.media
           // stub decode: magic(4) | width(2, BE hex) | height(2) | payload
           val width = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
           val height = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
           val payload = bytes.drop(8)
           val mean = payload.map(b => (b & 0xff).toDouble).sum / payload.length
-          Row(id, width, height, payload.length, mean)
+          MediaFeatures(m.media_id, width, height, payload.length, mean)
         }
       }
-    session.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   /** Frame sampling over a video-like binary column: treat the payload
