@@ -205,7 +205,11 @@ object FlightLite {
         """SELECT n_regionkey, COUNT(*) AS n,
            MIN(n_name) AS first_name, MAX(n_nationkey) AS max_key
            FROM flight_nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      // re-sort after the wire hop: the driver hash-compare (and the
+      // plan lint) want the ordering ON the returned frame, not an
+      // artifact of the server's stream order
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("n_regionkey")
     } finally server.close()
   }
 

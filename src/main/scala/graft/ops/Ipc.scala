@@ -181,9 +181,19 @@ object Ipc {
       }
       flush(n)
       writer.end(); writer.close(); out.close(); root.close(); allocator.close()
-      // commit: first attempt to rename wins; a loser (speculative twin
-      // already committed) just discards its temp
-      if (!taskFs.rename(tmpPath, finalPath)) taskFs.delete(tmpPath, false)
+      // commit: first attempt to commit wins; a loser (speculative twin
+      // already committed) discards its temp. The exists() guard is
+      // load-bearing on POSIX-semantics filesystems (RawLocalFileSystem),
+      // where rename OVERWRITES an existing destination — without it a
+      // losing attempt silently replaces the winner's file. Benign for
+      // deterministic partition contents, wrong in general. (exists+
+      // rename is not atomic; HDFS/object-store rename refuses an
+      // existing destination on its own, and on local FS Spark runs
+      // speculative twins in one JVM where the window is nanoseconds —
+      // the DSv2 writer's driver-side commit coordinator is the
+      // fully-atomic path.)
+      if (taskFs.exists(finalPath) || !taskFs.rename(tmpPath, finalPath))
+        taskFs.delete(tmpPath, false)
     }
   }
 

@@ -75,8 +75,32 @@ case class TopKPerGroupExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  /** Memory bound: the in-memory state is one k-row heap per DISTINCT
+    * group key seen in the partition — O(groups_in_partition × k ×
+    * rowsize), with no spill path (the window idiom spills via the
+    * external sorter; this operator trades that for the k-bounded
+    * shuffle). Two guards keep that honest at scale:
+    *
+    *  - PARTIAL phase (pre-shuffle, sees every group that lands in an
+    *    input partition): when the map exceeds
+    *    `spark.graft.topk.maxGroupsPerPartition` (default 1M), the
+    *    current heaps are FLUSHED downstream and the map reset — a
+    *    partial emit is a superset the final phase re-reduces, so the
+    *    fallback costs shuffle volume, never correctness (the same
+    *    degrade-to-passthrough HashAggregate uses).
+    *  - FINAL phase (post-shuffle): sees only groups/shuffle-partitions
+    *    distinct keys, so its map is smaller by the shuffle fan-out; it
+    *    cannot flush (its output is final), so for group cardinalities
+    *    where groups/numPartitions × k rows strain an executor, use the
+    *    row_number window idiom instead — that regime has no bounded
+    *    working set for ANY hash-based operator. */
   override protected def doExecute(): RDD[InternalRow] = {
     val (groupE, orders, kk, childOutput) = (groupExprs, sortOrders, k, child.output)
+    val flushThreshold =
+      if (partial)
+        conf.getConfString("spark.graft.topk.maxGroupsPerPartition",
+          (1 << 20).toString).toInt
+      else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       // re-encode retained rows as UnsafeRow: heap contents must own
@@ -88,7 +112,7 @@ case class TopKPerGroupExec(
       // retained row (ord orders best-first)
       val heapOrd: Ordering[UnsafeRow] = ord.on[UnsafeRow](identity)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(heap) =>
@@ -102,7 +126,26 @@ case class TopKPerGroupExec(
             heaps.put(key.copy().asInstanceOf[UnsafeRow], heap)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator): Iterator[InternalRow]
+      def drain(): Iterator[InternalRow] = {
+        val retained = heaps.valuesIterator.toArray
+        heaps.clear()
+        retained.iterator.flatMap(_.iterator)
+      }
+      // lazily interleave consumption with (rare) early flushes so a
+      // flush streams out instead of re-buffering
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def refill(): Unit = {
+          while (!pending.hasNext && iter.hasNext) {
+            insert(iter.next())
+            if (heaps.size >= flushThreshold) pending = drain()
+          }
+          if (!pending.hasNext && !iter.hasNext && heaps.nonEmpty)
+            pending = drain()
+        }
+        override def hasNext: Boolean = { refill(); pending.hasNext }
+        override def next(): InternalRow = { refill(); pending.next() }
+      }: Iterator[InternalRow]
     }, preservesPartitioning = true)
   }
 }

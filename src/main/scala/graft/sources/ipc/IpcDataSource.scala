@@ -43,8 +43,9 @@ import graft.ops.Ipc
   * `BatchWrite.commit`, after every task succeeded).
   *
   * All I/O is Hadoop-FileSystem-based — works on any Hadoop FS, no
-  * shared-local-disk assumption. Type subset as [[graft.ops.Ipc]]:
-  * bigint/int/double/string, nullable.
+  * shared-local-disk assumption. Type subset as [[graft.ops.Ipc]]'s
+  * nine-type wire convention: bigint/int/float/double/string/boolean/
+  * binary/date/timestamp(µs UTC), nullable throughout.
   */
 final class IpcDataSource extends TableProvider with DataSourceRegister {
 
@@ -368,8 +369,13 @@ private final class IpcWriteBuilder(schema: StructType, dir: String,
   * succeeded — renames temps to their final
   * `part-<queryId>-<pid>.arrow` names. The query UUID in the final
   * name makes append jobs collision-free ACROSS applications (task
-  * ids restart at 0 per app, so they alone cannot be). A reader can
-  * never observe a half-written directory; `abort()` deletes temps. */
+  * ids restart at 0 per app, so they alone cannot be). Atomicity is
+  * PER FILE: no reader can ever observe a partially-written file, but
+  * commit() renames the job's temps one by one, so a concurrent
+  * reader (or the graft-ipc micro-batch source) may observe a strict
+  * subset of a job's files mid-commit — each file is still read
+  * exactly once, just possibly split across triggers. `abort()`
+  * deletes temps. */
 private final class IpcBatchWrite(schema: StructType, dir: String,
     truncateFirst: Boolean, queryId: String) extends BatchWrite {
 
@@ -564,9 +570,14 @@ private final class IpcDataWriter(schema: StructType,
   }
 
   override def abort(): Unit = {
+    // independent try blocks: a throw from writer.close() must not
+    // leak the FSDataOutputStream, and a failed temp delete (e.g. FS
+    // already down — the likely reason we're aborting) must not
+    // propagate out of abort and mask the task's real failure
     if (writer != null) {
-      try { writer.close(); out.close() } catch { case _: Throwable => () }
-      fs.delete(tmpPath, false)
+      try writer.close() catch { case _: Throwable => () }
+      try out.close() catch { case _: Throwable => () }
+      try fs.delete(tmpPath, false) catch { case _: Throwable => () }
     }
   }
 

@@ -61,6 +61,30 @@ class TopKPerGroupSpec extends SparkSpec {
       s"bottom node is not the partial phase:\n$s")
   }
 
+  test("partial-phase early flush (tiny maxGroupsPerPartition) changes " +
+      "shuffle volume, never the answer") {
+    val key = "spark.graft.topk.maxGroupsPerPartition"
+    spark.conf.set(key, "2") // orders has 3 statuses -> forced flushes
+    try {
+      val (a, b) = (customTopK("l_returnflag", orderAsc = false, 5),
+        windowTopK("l_returnflag", orderAsc = false, 5))
+      assert(a.count() == b.count() && a.exceptAll(b).isEmpty &&
+        b.exceptAll(a).isEmpty)
+      // high-cardinality group column under a 2-group flush bound
+      val byKey = TopKPerGroup(
+        graft.sources.Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        Seq("l_orderkey"), Seq("l_extendedprice" -> false), 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
+      val expect = graft.sources.Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(byKey.count() == expect.count())
+    } finally spark.conf.unset(key)
+  }
+
   test("k larger than every group returns the whole table") {
     val n = graft.sources.Tables(spark, sfDir, "orders").count()
     val all = TopKPerGroup(
