@@ -227,6 +227,29 @@ package object functions {
     div(monthsComplete(a, b), lit(3L)).cast(IntegerType)
   def timestampdiffYear(a: Column, b: Column): Column =
     div(monthsComplete(a, b), lit(12L)).cast(IntegerType)
+  /** HALF_FLOAT decode (SURVEY §1.2; Arrow `type.h:78`): IEEE 754
+    * binary16 bits (as an int in [0, 65535]) → the exactly-equal
+    * float32. Pure sign/exponent/mantissa arithmetic: every binary16
+    * value is exactly representable in binary32/64 and every
+    * intermediate here (m/1024, 1+m/1024, ×2^(e−15)) is exact in
+    * double, so the result is bit-determined on any engine — the
+    * convention an ingest path applies when a source hands us raw f16
+    * buffers. NaN decodes to NULL (cross-engine NaN has no equality),
+    * ±Inf and ±0 decode faithfully. */
+  def halfFloatToFloat(bits: Column): Column = {
+    val b = bits.cast(IntegerType)
+    val sgn = when(shiftright(b, 15).bitwiseAND(lit(1)) === 1, lit(-1.0d))
+      .otherwise(lit(1.0d))
+    val e = shiftright(b, 10).bitwiseAND(lit(31))
+    val m = b.bitwiseAND(lit(1023)).cast(DoubleType)
+    when(e === 31, when(m === 0.0d, sgn * lit(Double.PositiveInfinity))
+        .otherwise(lit(null).cast(DoubleType)))                 // NaN → NULL
+      .when(e === 0, sgn * m * lit(math.pow(2.0, -24)))         // subnormal
+      .otherwise(sgn * (lit(1.0d) + m / 1024.0d) *
+        pow(lit(2.0d), e.cast(DoubleType) - 15.0d))
+      .cast(FloatType)
+  }
+
   def date_add(d: Column, n: Int): Column =
     org.apache.spark.sql.functions.date_add(d, n)
   def date_sub(d: Column, n: Int): Column =

@@ -346,6 +346,143 @@ object Scalars {
     ORDER BY o_orderkey
   """.trim
 
+  /** HALF_FLOAT convention with query evidence (SURVEY §1.2; Arrow
+    * `type.h:78`): synthetic binary16 bit patterns spread across every
+    * class — subnormals, normals, ±Inf, NaN — decoded to float32 by
+    * [[graft.functions.halfFloatToFloat]] and cross-checked against
+    * the identical sign/exponent/mantissa arithmetic in DuckDB. All
+    * intermediates are exact powers of two, so the comparison is
+    * bit-exact, not tolerance-based; NaN lowers to NULL on both
+    * sides. */
+  def qHalfFloat(s: SparkSession, dir: String): DataFrame = {
+    // hashed spread over the corpus + pinned vectors (negative keys)
+    // guaranteeing every class appears: ±0, ±Inf, NaN, 1.0, min
+    // subnormal 2^-24, max finite 65504
+    val pinned = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, 0x0000), // +0
+        org.apache.spark.sql.Row(-2L, 0x8000), // -0
+        org.apache.spark.sql.Row(-3L, 0x7C00), // +Inf
+        org.apache.spark.sql.Row(-4L, 0xFC00), // -Inf
+        org.apache.spark.sql.Row(-5L, 0x7E00), // NaN
+        org.apache.spark.sql.Row(-6L, 0x3C00), // 1.0
+        org.apache.spark.sql.Row(-7L, 0x0001), // 2^-24
+        org.apache.spark.sql.Row(-8L, 0x7BFF)), // 65504 (max finite)
+      StructType(Seq(StructField("p_partkey", LongType),
+        StructField("f16_bits_in", IntegerType))))
+    val hashed = t(s, dir, "part")
+      .filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey"),
+        ((col("p_partkey") * 2654435761L + 40503L) % 65536L)
+          .cast(IntegerType).as("f16_bits_in"))
+    val bits = col("f16_bits_in")
+    val e = org.apache.spark.sql.functions.shiftright(
+      bits.cast(IntegerType), 10).bitwiseAND(lit(31))
+    val m = bits.cast(IntegerType).bitwiseAND(lit(1023))
+    pinned.unionAll(hashed)
+      .select(
+        col("p_partkey"),
+        bits.cast(IntegerType).as("f16_bits"),
+        org.apache.spark.sql.functions
+          .when(e === 31, org.apache.spark.sql.functions
+            .when(m === 0, "inf").otherwise("nan"))
+          .when(e === 0, org.apache.spark.sql.functions
+            .when(m === 0, "zero").otherwise("subnormal"))
+          .otherwise("normal").as("f16_class"),
+        gf.halfFloatToFloat(bits).as("f32_value"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val qHalfFloatSql: String = """
+    WITH b AS (
+      SELECT * FROM (VALUES
+        (-1, 0), (-2, 32768), (-3, 31744), (-4, 64512),
+        (-5, 32256), (-6, 15360), (-7, 1), (-8, 31743))
+        AS pinned(p_partkey, bits)
+      UNION ALL
+      SELECT p_partkey,
+        CAST((p_partkey * 2654435761 + 40503) % 65536 AS INTEGER) AS bits
+      FROM part WHERE p_partkey % 20 = 0),
+    f AS (
+      SELECT p_partkey, bits,
+        (bits >> 15) & 1 AS s, (bits >> 10) & 31 AS e, bits & 1023 AS m
+      FROM b)
+    SELECT p_partkey, bits AS f16_bits,
+      CASE WHEN e = 31 THEN (CASE WHEN m = 0 THEN 'inf' ELSE 'nan' END)
+           WHEN e = 0 THEN (CASE WHEN m = 0 THEN 'zero' ELSE 'subnormal' END)
+           ELSE 'normal' END AS f16_class,
+      CAST(CASE
+        WHEN e = 31 THEN (CASE WHEN m = 0
+          THEN (CASE WHEN s = 1 THEN -1.0 ELSE 1.0 END) * 'inf'::DOUBLE
+          ELSE NULL END)
+        WHEN e = 0 THEN (CASE WHEN s = 1 THEN -1.0 ELSE 1.0 END)
+          * m * power(2.0, -24)
+        ELSE (CASE WHEN s = 1 THEN -1.0 ELSE 1.0 END)
+          * (1.0 + m / 1024.0) * power(2.0, e - 15)
+      END AS FLOAT) AS f32_value
+    FROM f ORDER BY p_partkey
+  """.trim
+
+  /** UNION type convention with query evidence (SURVEY §1.2; Arrow
+    * `type.h:127`, dense union `format/Schema.fbs`): Spark has no
+    * union type, so a union column is encoded as a STRUCT OF
+    * NULLABLES with a tag field — exactly one variant non-null per
+    * row, selected by the tag. The query BUILDS such a column (tag
+    * chosen per row from the data), CONSUMES it the only way a union
+    * can be consumed (per-tag dispatch on the tag field), and
+    * flattens to per-tag aggregates the oracle reproduces without the
+    * encoding — proving the convention carries the information, not
+    * just the shape. Doubles aggregate through DECIMAL snap
+    * (order-independence across partitionings). */
+  def qUnionType(s: SparkSession, dir: String): DataFrame = {
+    val tag = (col("event_id") % 3).cast(IntegerType)
+    val u = org.apache.spark.sql.functions.struct(
+      tag.as("tag"),
+      org.apache.spark.sql.functions.when(tag === 0, col("user_id"))
+        .otherwise(lit(null)).as("v_long"),
+      org.apache.spark.sql.functions.when(tag === 1, col("value"))
+        .otherwise(lit(null)).as("v_double"),
+      org.apache.spark.sql.functions.when(tag === 2, col("event_type"))
+        .otherwise(lit(null)).as("v_string"))
+    Tables(s, dir, "events")
+      .select(col("event_id"), u.as("u"))
+      // union invariant: exactly one non-null variant per row
+      .withColumn("n_set",
+        org.apache.spark.sql.functions.when(col("u.v_long").isNotNull, 1)
+          .otherwise(0)
+        + org.apache.spark.sql.functions.when(col("u.v_double").isNotNull, 1)
+          .otherwise(0)
+        + org.apache.spark.sql.functions.when(col("u.v_string").isNotNull, 1)
+          .otherwise(0))
+      .groupBy(col("u.tag").as("tag"))
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("u.v_long")).as("sum_long"),
+        org.apache.spark.sql.functions.sum(
+          col("u.v_double").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_double"),
+        org.apache.spark.sql.functions.min(col("u.v_string")).as("min_string"),
+        org.apache.spark.sql.functions.min(col("n_set")).as("min_set"),
+        org.apache.spark.sql.functions.max(col("n_set")).as("max_set"))
+      .orderBy(col("tag"))
+  }
+
+  val qUnionTypeSql: String = """
+    WITH u AS (
+      SELECT event_id,
+        CAST(event_id % 3 AS INTEGER) AS tag,
+        CASE WHEN event_id % 3 = 0 THEN user_id END AS v_long,
+        CASE WHEN event_id % 3 = 1 THEN value END AS v_double,
+        CASE WHEN event_id % 3 = 2 THEN event_type END AS v_string
+      FROM events)
+    SELECT tag, COUNT(*) AS n,
+      CAST(SUM(v_long) AS BIGINT) AS sum_long,
+      CAST(SUM(CAST(v_double AS DECIMAL(18,6))) AS DOUBLE) AS sum_double,
+      MIN(v_string) AS min_string,
+      1 AS min_set, 1 AS max_set
+    FROM u GROUP BY tag ORDER BY tag
+  """.trim
+
   /** Hash functions (function_registry_hash.cc + Gandiva's
     * sha1/sha256 in function_registry_string.cc lineage): the
     * cryptographic hashes have standard values, so md5/sha256 are

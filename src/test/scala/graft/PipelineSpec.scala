@@ -104,6 +104,32 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05)
   }
 
+  test("bloom prefilter: no false negatives, sane fp rate, and the " +
+      "bloom answer equals the exact incremental answer") {
+    // the public contract first: bloom path == exact path
+    val bloom = graft.ops.Dedup.qDedupBloom(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = graft.ops.Dedup.qDedupIncremental(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bloom.toSeq == exact.toSeq)
+    // and the filter mechanics underneath, on a controlled key set
+    val keys = spark.range(1000).toDF("k")
+    val bf = keys.select(org.apache.spark.sql.functions.xxhash64(col("k")).as("h"))
+      .stat.bloomFilter("h", 1000, 0.01)
+    (0L until 1000L).foreach { k =>
+      assert(bf.mightContain(
+        org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(k)), 42L).eval(null)),
+        s"false negative for $k")
+    }
+    val fp = (1000L until 11000L).count { k =>
+      bf.mightContain(
+        org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(k)), 42L).eval(null))
+    }
+    assert(fp < 500, s"fp rate ${fp / 10000.0} far above the 1% target")
+  }
+
   test("observed metrics ride the pipeline action - no second pass") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val (instrumented, obs) = graft.ops.Observe.docMetrics(docs, "pre_filter")
