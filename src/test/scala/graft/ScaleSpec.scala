@@ -126,6 +126,71 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixpoint after 3"))
   }
 
+  test("z-order layout keeps per-file bounds narrow on BOTH dimensions; " +
+      "single-column sort only on its own") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    val sDir = Files.createTempDirectory("graft_sorted").toString
+    graft.ops.Layout.zorderBy(li, "l_orderkey", "l_partkey", 8, zDir)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sDir)
+
+    def fileBounds(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(fmin("l_orderkey"), fmax("l_orderkey"),
+          fmin("l_partkey"), fmax("l_partkey"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val zb = fileBounds(zDir)
+    val sb = fileBounds(sDir)
+    assert(zb.length == 8 && sb.length == 8)
+
+    // box query on the NON-sorted dimension: an eighth of the partkey
+    // domain. Parquet stats prune a file iff its [min,max] misses the box.
+    val (pLo, pHi) = (li.agg(fmin("l_partkey")).head().getLong(0),
+      li.agg(fmax("l_partkey")).head().getLong(0))
+    val width = (pHi - pLo) / 8
+    val (qLo, qHi) = (pLo + 3 * width, pLo + 4 * width)
+    def hits(b: Array[(Long, Long, Long, Long)]): Int =
+      b.count { case (_, _, lo, hi) => hi >= qLo && lo <= qHi }
+    val (zHits, sHits) = (hits(zb), hits(sb))
+    // orderkey-sorted layout scrambles partkey: every file spans ~the
+    // whole partkey domain -> zero pruning. Z-order must do better.
+    assert(sHits == 8, s"expected no pruning from the naive layout, got $sHits")
+    assert(zHits < 8, s"z-order gave no partkey pruning: $zHits of 8 files hit")
+    // and the sorted dimension still prunes under z-order: an eighth-
+    // domain orderkey box must not hit every file either
+    val (oLo, oHi) = (li.agg(fmin("l_orderkey")).head().getLong(0),
+      li.agg(fmax("l_orderkey")).head().getLong(0))
+    val ow = (oHi - oLo) / 8
+    val oHits = zb.count { case (lo, hi, _, _) =>
+      hi >= oLo + 3 * ow && lo <= oLo + 4 * ow }
+    assert(oHits < 8, s"z-order gave no orderkey pruning: $oHits of 8")
+  }
+
+  test("dynamic partition pruning fires on the engine's partitioned layout") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Tables(spark, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim filtered on a NON-join column, so the partition values are
+    // unknowable at plan time — a static filter can't be inferred and
+    // only DynamicPartitionPruning can skip fact directories, by
+    // reusing the broadcast side's values as a runtime partition filter
+    val dim = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("p"), col("o_orderkey").as("k"))
+      .filter(col("k") % 997 === 0)
+    val j = fact.join(broadcast(dim), col("o_orderpriority") === col("p"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(4000)}")
+    assert(j.count() > 0)
+  }
+
   test("parquet scan pushes filters and prunes columns on the fact table") {
     val df = graft.sources.Tables(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
