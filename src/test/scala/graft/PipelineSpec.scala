@@ -130,6 +130,35 @@ class PipelineSpec extends SparkSpec {
     assert(fp < 500, s"fp rate ${fp / 10000.0} far above the 1% target")
   }
 
+  test("misra-gries survivor guarantee holds on an adversarial stream, " +
+      "and the two-pass heavy hitters equal the exact answer") {
+    import graft.ops.Sketches
+    // adversarial: heavy item (freq 2100 > n/cap = 1890) interleaved
+    // with a long distinct tail designed to trigger maximal decrements;
+    // MG promises counter(x) >= freq(x) - n/cap > 0 => x survives
+    val cap = 10
+    val sk2 = Sketches.misraGries(
+      (0 until 2100).iterator.flatMap { i =>
+        Iterator("HEAVY") ++ (0 until 8).iterator.map(j => s"u${i}_$j")
+      }, cap)
+    assert(sk2.contains("HEAVY"),
+      s"item with freq > n/cap must survive MG; got ${sk2.keySet.take(5)}")
+    assert(sk2.size <= cap, "sketch must stay within capacity")
+    // end-to-end: sketch+verify == brute force on the real corpus
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val got = Sketches.heavyHitters(docs, "text", 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val ss = spark
+    import ss.implicits._
+    val words = docs.select(col("text")).as[String]
+      .flatMap(_.split(" ")).toDF("w")
+    val total = words.count()
+    val exact = words.groupBy("w").count()
+      .filter(col("count") >= math.ceil(0.02 * total).toLong)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exact, s"sketch path diverged: got ${got.size} vs ${exact.size}")
+  }
+
   test("observed metrics ride the pipeline action - no second pass") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val (instrumented, obs) = graft.ops.Observe.docMetrics(docs, "pre_filter")
