@@ -101,6 +101,46 @@ object Dedup {
     SELECT d1, d2, jac FROM pairs WHERE jac >= 0.8 ORDER BY d1, d2
   """.trim
 
+  /** Fuzzy (edit-distance) verification over the LSH candidate pairs —
+    * the character-level second opinion a curation pipeline runs on
+    * shingle-level near-dups: raw Levenshtein distance plus a
+    * length-normalized similarity. Runs ONLY on the bucketed
+    * candidates (never all pairs), so the O(len²) DP cost is bounded
+    * by the near-dup count, not the corpus. */
+  def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhash(s, dir).select(col("d1"), col("d2"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val lev = levenshtein(col("t1"), col("t2"))
+    pairs
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+      .select(col("d1"), col("d2"), lev.as("lev"),
+        (lit(1.0) - lev.cast(DoubleType) /
+          greatest(length(col("t1")), length(col("t2"))).cast(DoubleType))
+          .as("lev_sim"))
+      .orderBy("d1", "d2")
+  }
+
+  val qFuzzyMatchSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT d1, d2,
+      CAST(levenshtein(ta.text, tb.text) AS INT) AS lev,
+      1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+        / greatest(length(ta.text), length(tb.text)) AS lev_sim
+    FROM pairs
+    JOIN documents ta ON ta.doc_id = d1
+    JOIN documents tb ON tb.doc_id = d2
+    WHERE jac >= 0.8 ORDER BY d1, d2
+  """.trim
+
   // ---- exact dedup -------------------------------------------------------
 
   /** Exact dedup by content hash, keep-first (min doc_id). The corpus

@@ -122,6 +122,41 @@ class IngestSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { failfast.collect() }
   }
 
+  test("corrupt-record accounting: CSV DROPMALFORMED/PERMISSIVE, and the " +
+      "bad-row count rides the ingest action as an observed metric") {
+    val out = tmp("graft_csv_corrupt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/bad.csv"),
+      """id,v
+        |1,10
+        |2,not_a_number
+        |3,30
+        |""".stripMargin)
+    val schema = "id BIGINT, v BIGINT, _corrupt_record STRING"
+    // DROPMALFORMED: pipeline keeps only parseable rows
+    val dropped = spark.read.schema("id BIGINT, v BIGINT")
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(s"$out/bad.csv").collect()
+    assert(dropped.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // PERMISSIVE + observe: quarantine-and-count without a second scan —
+    // the at-scale shape for ingest quality dashboards
+    val obs = org.apache.spark.sql.Observation("ingest_quality")
+    val parsed = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$out/bad.csv")
+      .observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"),
+        org.apache.spark.sql.functions.count(
+          col("_corrupt_record")).as("bad_rows"))
+    val good = parsed.filter(col("_corrupt_record").isNull).collect()
+    assert(good.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val m = obs.get
+    assert(m("rows") == 3L && m("bad_rows") == 1L,
+      s"expected 3 rows / 1 bad, got $m")
+  }
+
   test("csv parse options: delimiter, null token, quotes") {
     // cpp/src/arrow/csv/options.h:38-116 — delimiter/null_values/quoting
     val out = tmp("graft_csv_opts")
