@@ -113,13 +113,17 @@ object Ingest {
 
   /** JSON file reader (`cpp/src/arrow/json/reader.h:45` analogue):
     * newline-delimited records with a nested struct and an array,
-    * declared schema (no inference pass). */
+    * declared schema (no inference pass). `sum_k2` round-trips the
+    * nested struct through to_json → get_json_object (the JSONPath
+    * surface; moved here from qJsonExtract — 26-row fixture, so the
+    * extra parse is free) and must equal `sum_k`. */
   def qJsonScan(s: SparkSession, dir: String): DataFrame =
     s.read.schema(jsonSchema).json(JsonPath)
       .groupBy(col("type"))
       .agg(count(lit(1)).as("n"),
         sum(col("score").cast(DecimalType(18, 4))).cast(DoubleType).as("total_score"),
         sum(col("meta.k")).as("sum_k"),
+        sum(get_json_object(to_json(col("meta")), "$.k").cast(LongType)).as("sum_k2"),
         sum(size(col("tags"))).as("n_tags"))
       .orderBy("type")
 
@@ -127,6 +131,7 @@ object Ingest {
     SELECT type, COUNT(*) AS n,
       CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS total_score,
       CAST(SUM(meta.k) AS BIGINT) AS sum_k,
+      CAST(SUM(meta.k) AS BIGINT) AS sum_k2,
       CAST(SUM(len(tags)) AS BIGINT) AS n_tags
     FROM read_json('$JsonPath',
       columns={'id':'BIGINT','type':'VARCHAR','score':'DOUBLE',
@@ -135,15 +140,23 @@ object Ingest {
   """.trim
 
   /** JSON string extraction over the events fixture's `props` column —
-    * both in-row JSON surfaces: from_json (string → typed struct) and
-    * get_json_object (JSONPath), cross-checked against each other in
-    * the same row before aggregating. */
+    * three in-row JSON surfaces: json_tuple (generator), from_json
+    * (string → typed struct), get_json_object (JSONPath), cross-checked
+    * against each other in the same row before aggregating.
+    *
+    * Parse-count note (r4 bench regression 0.96→1.94 s): referencing a
+    * `withColumn` from_json alias twice lets CollapseProject inline the
+    * parse into each reference — 2× from_json + 1× get_json_object = 3
+    * parses/row. json_tuple is a Generate node, a collapse barrier, so
+    * `k_str` is parsed once and reused by reference; from_json appears
+    * exactly once in paths_agree → 2 parses/row total (get_json_object
+    * coverage lives in qJsonScan where the fixture is 26 rows). */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
-      .withColumn("props_t", from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
-      .select((col("props_t.k") % 10).as("k_mod"), col("value"),
-        (col("props_t.k") ===
-          get_json_object(col("props"), "$.k").cast(IntegerType)).as("paths_agree"))
+      .select(col("value"), col("props"), json_tuple(col("props"), "k").as("k_str"))
+      .select((col("k_str").cast(IntegerType) % 10).as("k_mod"), col("value"),
+        (from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k") ===
+          col("k_str").cast(IntegerType)).as("paths_agree"))
       .groupBy(col("k_mod"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"),
