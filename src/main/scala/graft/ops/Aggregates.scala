@@ -204,4 +204,67 @@ object Aggregates {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
+
+  /** Argmin/argmax aggregates: per event type, the user behind the
+    * first and last event. Ordering column event_id is unique, so the
+    * arg is tie-free and cross-engine deterministic. */
+  def qMinbyMaxby(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        min_by(col("user_id"), col("event_id")).as("first_user"),
+        max_by(col("user_id"), col("event_id")).as("last_user"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("event_type"))
+
+  val qMinbyMaxbySql: String = """
+    SELECT event_type,
+      MIN_BY(user_id, event_id) AS first_user,
+      MAX_BY(user_id, event_id) AS last_user,
+      MIN(event_id) AS first_event, MAX(event_id) AS last_event
+    FROM events GROUP BY event_type ORDER BY event_type
+  """.trim
+
+  /** Boolean and bitwise aggregates per nation over customer:
+    * bool_and/bool_or short-circuit in the partial phase; bit ops are
+    * associative+commutative so partial+final merge is exact. */
+  def qBoolBitAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        bool_and(col("c_acctbal") > 0).as("all_positive"),
+        bool_or(col("c_acctbal") > 9000).as("any_rich"),
+        bit_and(col("c_custkey")).as("key_and"),
+        bit_or(col("c_custkey")).as("key_or"),
+        bit_xor(col("c_custkey")).as("key_xor"))
+      .orderBy(col("c_nationkey"))
+
+  val qBoolBitAggSql: String = """
+    SELECT c_nationkey,
+      BOOL_AND(c_acctbal > 0) AS all_positive,
+      BOOL_OR(c_acctbal > 9000) AS any_rich,
+      BIT_AND(c_custkey) AS key_and,
+      BIT_OR(c_custkey) AS key_or,
+      BIT_XOR(c_custkey) AS key_xor
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+  """.trim
+
+  /** Ordered string aggregation per region: deterministic via
+    * sort_array before the join — the Spark shape (collect_list →
+    * sort_array → concat_ws) makes the order explicit instead of
+    * relying on an ORDER BY inside the aggregate. */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  val qStringAggSql: String = """
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+      COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+  """.trim
 }

@@ -119,4 +119,25 @@ object Arrays {
       CAST(cardinality(mp) AS INT) AS n_types
     FROM m WHERE user_id < 20 ORDER BY user_id
   """.trim
+
+  /** Lazy sequence generation (the reference's range/sequence table
+    * producers, `datafusion` ValuesExec + Gandiva sequence lineage):
+    * per-row `sequence(start, stop)` exploded with position. The
+    * generator runs inside the scan stage — rows are produced
+    * streaming per input row, never materialized driver-side. */
+  def qSequenceGen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        posexplode(sequence(lit(0L), col("n_nationkey") % 4)))
+      .withColumnRenamed("pos", "step_pos")
+      .withColumnRenamed("col", "step")
+      .orderBy(col("n_nationkey"), col("step_pos"))
+
+  val qSequenceGenSql: String = """
+    SELECT n_nationkey,
+      CAST(g.step AS BIGINT) - 0 AS step,
+      CAST(g.step AS INT) AS step_pos
+    FROM nation, LATERAL unnest(generate_series(0, n_nationkey % 4)) AS g(step)
+    ORDER BY n_nationkey, step_pos
+  """.trim
 }

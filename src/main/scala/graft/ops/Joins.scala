@@ -180,4 +180,24 @@ object Joins {
         saltedLeft("_salt") === replicatedRight("_salt"))
       .drop("_salt")
   }
+
+  /** Cross join (`datafusion` CrossJoinExec lineage): cartesian
+    * product of the two smallest dims, then a filter that is NOT an
+    * equi-condition (so Catalyst cannot turn it into a hash join) —
+    * the honest cross-product shape. Spark plans this as
+    * BroadcastNestedLoopJoin with the 5-row side broadcast, which is
+    * exactly the right physical choice: at 100 TB a cross join is only
+    * sane when one side fits in memory. */
+  def qCrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .filter(col("n_nationkey") % 5 === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("n_nationkey"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val qCrossJoinSql: String = """
+    SELECT r_name, n_name, n_nationkey
+    FROM region CROSS JOIN nation
+    WHERE n_nationkey % 5 = r_regionkey
+    ORDER BY r_name, n_name
+  """.trim
 }

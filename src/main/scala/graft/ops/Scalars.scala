@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{acos, asin, atan2, col, cos, countDistinct, date_trunc, greatest, least, lit, make_dt_interval, make_ym_interval, month, round, signum, sin, tan, unix_micros}
+import org.apache.spark.sql.functions.{acos, asin, atan2, coalesce, col, cos, countDistinct, date_trunc, greatest, least, lit, make_dt_interval, make_ym_interval, month, nullif, round, signum, sin, struct, tan, unix_micros, when}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
@@ -519,5 +519,85 @@ object Scalars {
     SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256,
       true AS murmur64_injective_here, true AS murmur32_injective_here
     FROM part ORDER BY p_partkey
+  """.trim
+
+  /** Regex surface (Gandiva's regexp_replace/extract + RE2 `like`
+    * lineage, function_registry_string.cc): extract the first digit
+    * run, strip vowels, and a regex match predicate. Patterns stay in
+    * the character-class subset where Java regex and RE2 agree.
+    * All three compile once per task and run inside whole-stage
+    * codegen. */
+  def qRegexFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(
+        col("c_custkey"),
+        org.apache.spark.sql.functions.regexp_extract(
+          col("c_name"), "([0-9]+)", 1).as("digits"),
+        org.apache.spark.sql.functions.regexp_replace(
+          col("c_name"), "[0-9]", "#").as("masked_name"),
+        col("c_mktsegment").rlike("^(BUILD|AUTO)").as("seg_match"))
+      .orderBy(col("c_custkey"))
+
+  val qRegexFuncsSql: String = """
+    SELECT c_custkey,
+      regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+      regexp_matches(c_mktsegment, '^(BUILD|AUTO)') AS seg_match
+    FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+  """.trim
+
+  /** Conditional scalar surface (Gandiva `if`/`coalesce`/`nullif`
+    * kernels, function_registry_math_ops.cc + LLVM if-else codegen):
+    * nullif manufactures NULLs from the fixture, coalesce/greatest/
+    * least/CASE consume them. Spark's greatest/least skip NULLs
+    * (return the greatest non-NULL); DuckDB 1.x matches. */
+  def qConditionalFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")),
+          lit("URGENT!")).as("prio_or_flag"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floored"),
+        least(col("o_orderkey") % 500, col("o_custkey")).as("smaller_key"),
+        when(col("o_totalprice") > 200000.0, lit("big"))
+          .when(col("o_totalprice") > 100000.0, lit("mid"))
+          .otherwise(lit("small")).as("bucket"))
+      .orderBy(col("o_orderkey"))
+
+  val qConditionalFuncsSql: String = """
+    SELECT o_orderkey,
+      COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_or_flag,
+      GREATEST(o_totalprice, 100000.0) AS floored,
+      LEAST(o_orderkey % 500, o_custkey) AS smaller_key,
+      CASE WHEN o_totalprice > 200000.0 THEN 'big'
+           WHEN o_totalprice > 100000.0 THEN 'mid'
+           ELSE 'small' END AS bucket
+    FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+  """.trim
+
+  /** Struct (nested record) surface — the reference's STRUCT type
+    * (`cpp/src/arrow/type.h:116` StructType): build a nested struct,
+    * read fields back out, and carry the whole struct through a
+    * parquet sink so the nested schema round-trips. */
+  def qStructFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        struct(
+          col("s_name").as("name"),
+          col("s_nationkey").as("nation"),
+          struct(col("s_acctbal").as("bal")).as("acct")).as("info"))
+      .withColumn("info_name", col("info.name"))
+      .withColumn("info_bal", col("info.acct.bal"))
+      .orderBy(col("s_suppkey"))
+
+  val qStructFuncsSql: String = """
+    SELECT s_suppkey,
+      {'name': s_name, 'nation': s_nationkey,
+       'acct': {'bal': s_acctbal}} AS info,
+      s_name AS info_name, s_acctbal AS info_bal
+    FROM supplier ORDER BY s_suppkey
   """.trim
 }

@@ -200,4 +200,48 @@ object Similarity {
       CAST(SUM(CAST(ABS(x - q * scale) AS DECIMAL(28,14))) AS DOUBLE) AS abs_err
     FROM q GROUP BY vec_id ORDER BY vec_id
   """.trim
+
+  /** L2 normalization of the embedding column — the mandatory prep
+    * step before cosine-as-dot-product ANN. The squared-norm fold is
+    * a sequential left fold over the array (`aggregate`), mirrored by
+    * DuckDB's `list_reduce`: same operands, same order, each add and
+    * the final sqrt IEEE-correctly-rounded → the double is bit-exact
+    * across engines (same argument as CosineSpec). Verification
+    * re-folds the normalized vector and checks |renorm − 1| < 1e-9.
+    * Pure per-row codegen'd expressions: zero shuffle at any scale. */
+  def qEmbedNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    def sumSq(c: Column): Column = aggregate(c,
+      lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    val withNorm = t(s, dir, "embeddings")
+      .withColumn("l2_norm", sqrt(sumSq(col("embedding"))))
+      .filter(col("l2_norm") > 0)
+    withNorm
+      .withColumn("unit", transform(col("embedding"),
+        x => x.cast(DoubleType) / col("l2_norm")))
+      .select(col("vec_id"), col("l2_norm"),
+        (abs(sqrt(sumSq(col("unit"))) - 1.0) < 1e-9).as("is_unit"))
+      .orderBy("vec_id")
+  }
+
+  val qEmbedNormSql: String = """
+    WITH n AS (
+      SELECT vec_id,
+        sqrt(list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (a, b) -> a + b)) AS l2_norm,
+        embedding
+      FROM embeddings),
+    u AS (
+      SELECT vec_id, l2_norm,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) / l2_norm) AS unit
+      FROM n WHERE l2_norm > 0)
+    SELECT vec_id, l2_norm,
+      abs(sqrt(list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(unit, x -> x * x)),
+        (a, b) -> a + b)) - 1.0) < 1e-9 AS is_unit
+    FROM u ORDER BY vec_id
+  """.trim
 }

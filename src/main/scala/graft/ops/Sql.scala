@@ -69,4 +69,24 @@ object Sql {
     run(s, dir, subquerySql, "orders")
   def qSqlCaseWhen(s: SparkSession, dir: String): DataFrame =
     run(s, dir, caseWhenSql, "lineitem")
+
+  /** Correlated EXISTS / NOT EXISTS — Catalyst rewrites these to
+    * left-semi and left-anti hash joins (RewritePredicateSubquery),
+    * so at scale they cost one shuffle each, never a per-row probe.
+    * Same SQL text runs on both engines. */
+  val existsSql: String = """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+  """.trim
+
+  def qSqlExists(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, existsSql, "customer", "orders")
 }

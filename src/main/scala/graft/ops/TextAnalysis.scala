@@ -499,4 +499,56 @@ object TextAnalysis {
     SELECT doc_id, source, dup_gram_frac FROM r WHERE rn <= 10
     ORDER BY source, dup_gram_frac, doc_id
   """.trim
+
+  /** Corpus-bigram familiarity score — the integer-exact core of an
+    * n-gram language-model perplexity filter (score docs by how
+    * common their bigrams are corpus-wide; a perplexity gate would
+    * log() these counts, which is banned in hash-checked queries by
+    * the determinism rule, so the score stays rational: mean corpus
+    * frequency of the doc's bigrams, one correctly-rounded double
+    * division at the end).
+    *
+    * Scale posture: bigrams ride the zip_with-shifted-slice idiom (no
+    * O(len²)); the frequency join shuffles on the exploded bigram —
+    * at 100 TB that column should be xxhash64'd to 8-byte keys like
+    * Dedup.shingled; kept as the string here because the oracle
+    * groups on the same text and the count-join is the measured cost
+    * anyway. Top-20 keeps the output bounded. */
+  def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val n = size(w)
+    val grams = slice(
+      zip_with(w, slice(w, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(n - 1, lit(0)))
+    val exploded = t(s, dir, "documents")
+      .filter(n >= 2)
+      .select(col("doc_id"), explode(grams).as("bg"))
+    val counts = exploded.groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    exploded.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("fam_sum"))
+      .withColumn("familiarity",
+        col("fam_sum").cast(DoubleType) / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("fam_sum"), col("familiarity"))
+      .orderBy(col("familiarity").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qNgramLmSql: String = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    g AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM d),
+    c AS (SELECT bg, COUNT(*) AS cnt FROM g GROUP BY bg)
+    SELECT g.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(cnt) AS BIGINT) AS fam_sum,
+      CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS familiarity
+    FROM g JOIN c ON g.bg = c.bg
+    GROUP BY g.doc_id
+    ORDER BY familiarity DESC, doc_id LIMIT 20
+  """.trim
 }

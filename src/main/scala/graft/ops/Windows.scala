@@ -162,4 +162,31 @@ object Windows {
       FROM customer
     ) GROUP BY decile ORDER BY decile
   """.trim
+
+  /** Distribution window functions: percent_rank and cume_dist per
+    * priority class (both are exact rationals (rank-1)/(n-1) and
+    * rank/n evaluated in double — one correctly-rounded division on
+    * integer operands, so bit-stable across engines). Partitioned
+    * window → per-key distributed sort, no global order. */
+  def qWindowPercent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("pr"), col("cd"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val qWindowPercentSql: String = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, pr, cd FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ) WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderpriority, o_orderkey
+  """.trim
 }

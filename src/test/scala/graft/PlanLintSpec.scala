@@ -16,9 +16,12 @@ class PlanLintSpec extends SparkSpec {
   //  - tpch_q11: cross-broadcast of the single-row global inventory total
   //  - hash_funcs: cross-broadcast of the single-row murmur-cardinality
   //    aggregate next to the per-row crypto hashes
+  //  - cross_join: the deliberate non-equi cross product over two
+  //    broadcast-sized dims (Joins.qCrossJoin) — BNLJ with the 5-row
+  //    side broadcast IS the intended physical plan
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "window_ntile", "tpch_q15", "tpch_q22",
-      "tpch_q11", "hash_funcs")
+      "tpch_q11", "hash_funcs", "cross_join")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
