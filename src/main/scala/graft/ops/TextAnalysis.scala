@@ -551,4 +551,100 @@ object TextAnalysis {
     GROUP BY g.doc_id
     ORDER BY familiarity DESC, doc_id LIMIT 20
   """.trim
+
+  /** Cross-document boilerplate detection (the CCNet/Gopher line-dedup
+    * trick re-expressed at segment granularity — the fixture has no
+    * newlines, so "lines" are fixed 8-token segments): a segment
+    * appearing in ≥2 DISTINCT documents is boilerplate; per-source
+    * rollup of the boilerplate fraction and fully-clean doc count.
+    *
+    * The token array rides an `explode(array(split))` Generate node —
+    * a collapse barrier, so the split is evaluated once per document
+    * and the per-segment lambda slices the materialized array attribute
+    * (same trap class as repetitionScores' bigrams). The segment
+    * count-join shuffles on segment text; at 100 TB that key should be
+    * xxhash64'd to 8 bytes (Dedup.shingled precedent) — kept as text
+    * here for oracle parity. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val nSeg = ceil(size(col("w")) / lit(8.0)).cast(IntegerType)
+    val segs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array(toks(col("text")))).as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), greatest(nSeg - 1, lit(0))),
+          i => concat_ws(" ", slice(col("w"), i * 8 + 1, lit(8)))))
+          .as("segment"))
+    val counts = segs.groupBy(col("segment"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val perDoc = segs.join(counts, "segment")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_seg")).as("n_segments"),
+        sum(col("n_boiler")).as("n_boiler"),
+        (sum(col("n_boiler")).cast(DoubleType) / sum(col("n_seg")))
+          .as("boiler_frac"),
+        sum(when(col("n_boiler") === 0, 1L).otherwise(0L)).as("n_clean_docs"))
+      .orderBy(col("source"))
+  }
+
+  val qBoilerplateSql: String = """
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    seg AS (SELECT doc_id, source,
+      unnest(list_transform(range(0, greatest(CAST(ceil(len(w) / 8.0) AS INT), 1)),
+        i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))) AS segment
+      FROM d),
+    counts AS (SELECT segment, COUNT(DISTINCT doc_id) AS ndocs
+               FROM seg GROUP BY segment),
+    per_doc AS (
+      SELECT s.doc_id, s.source, COUNT(*) AS n_seg,
+        SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS n_boiler
+      FROM seg s JOIN counts c ON s.segment = c.segment
+      GROUP BY s.doc_id, s.source)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_seg) AS BIGINT) AS n_segments,
+      CAST(SUM(n_boiler) AS BIGINT) AS n_boiler,
+      CAST(SUM(n_boiler) AS DOUBLE) / SUM(n_seg) AS boiler_frac,
+      CAST(SUM(CASE WHEN n_boiler = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs
+    FROM per_doc GROUP BY source ORDER BY source
+  """.trim
+
+  /** Per-language length gate at the 5th/95th exact percentile —
+    * the standard outlier filter before training-data packing. The
+    * cutoffs are snapped to 6 dp in BOTH engines before the filter so
+    * a cutoff landing within float drift of an integer n_chars can't
+    * flip a comparison (the percentile-interpolation FMA-drift class
+    * the BM25 query documents). Cutoff table is per-lang tiny →
+    * broadcast join; the gate itself is a codegen'd filter, no
+    * second shuffle. */
+  def qLengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cuts = docs.groupBy(col("lang"))
+      .agg(round(percentile(col("n_chars"), lit(0.05)), 6).as("p5"),
+        round(percentile(col("n_chars"), lit(0.95)), 6).as("p95"))
+    docs.join(broadcast(cuts), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("p5") || col("n_chars") > col("p95"),
+          1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("n_chars").between(col("p5"), col("p95")),
+          col("n_chars")).otherwise(0L)).as("kept_chars"),
+        min(col("p5")).as("p5"), min(col("p95")).as("p95"))
+      .orderBy(col("lang"))
+  }
+
+  val qLengthFilterSql: String = """
+    WITH cuts AS (
+      SELECT lang, ROUND(quantile_cont(n_chars, 0.05), 6) AS p5,
+        ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+      FROM documents GROUP BY lang)
+    SELECT d.lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN n_chars < p5 OR n_chars > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      CAST(SUM(CASE WHEN n_chars BETWEEN p5 AND p95 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      MIN(p5) AS p5, MIN(p95) AS p95
+    FROM documents d JOIN cuts ON d.lang = cuts.lang
+    GROUP BY d.lang ORDER BY d.lang
+  """.trim
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Analytics, TextAnalysis}
+
+/** Event analytics + corpus gates: contracts the row-level oracle
+  * can't express — funnel monotonicity, retention-cohort bounds, and
+  * the single-split plan shape of the boilerplate segmenter.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("funnel stages are monotonically non-increasing and ordered") {
+    val rows = Analytics.qFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel grew between stages: ${counts.mkString(",")}")
+    assert(counts.head > 0, "no user entered the funnel")
+  }
+
+  test("retention day-0 cohort count bounds every later offset") {
+    val rows = Analytics.qRetentionCohort(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0))
+    for ((cohort, rs) <- byCohort) {
+      val byOffset = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      // every user is active on their first-seen day, so offset 0 exists
+      // and is the cohort's maximum possible activity
+      assert(byOffset.contains(0), s"cohort $cohort missing day-0 row")
+      assert(byOffset.values.forall(_ <= byOffset(0)),
+        s"cohort $cohort has an offset exceeding day-0 activity")
+    }
+  }
+
+  test("boilerplate segmenter splits each document exactly once per branch (Generate barrier)") {
+    val plan = TextAnalysis.qBoilerplate(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the segment-count self-join duplicates the segs subtree (count
+    // side + probe side), so the barrier appears once per branch: the
+    // explode(array(split)) Generate must survive optimization, and
+    // every split must sit inside that barrier — never inlined into
+    // the per-segment transform lambda, where it would re-split the
+    // document once per segment
+    val barriers = "explode\\(array\\(split\\(text".r.findAllIn(plan).length
+    val splits = "split\\(text".r.findAllIn(plan).length
+    assert(barriers >= 1, "the explode(array(split)) collapse barrier was optimized away:\n" + plan)
+    assert(splits == barriers,
+      s"$splits split(text) occurrences but only $barriers inside the Generate barrier " +
+        "(a split leaked into the per-segment lambda)")
+  }
+
+  test("length gate keeps roughly 90 percent per language") {
+    val rows = TextAnalysis.qLengthFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getLong(1); val dropped = r.getLong(2)
+      val frac = dropped.toDouble / n
+      assert(frac >= 0.02 && frac <= 0.2,
+        s"lang ${r.getString(0)}: dropped fraction $frac outside the p5/p95 gate's plausible band")
+    }
+  }
+}
