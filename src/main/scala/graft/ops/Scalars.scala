@@ -577,6 +577,82 @@ object Scalars {
     FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
   """.trim
 
+  /** Third string-registry tier (Gandiva function_registry_string.cc
+    * remainder): position search (instr/strpos), token extraction
+    * (substring_index), binary↔text codecs (base64 round-trip, hex),
+    * printf-style formatting, byte length, edit distance. */
+  def qStringFuncs3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{base64, format_string, hex, instr, levenshtein, lower, octet_length, substring_index, unbase64}
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        instr(col("c_name"), "#").as("pos_hash"),
+        substring_index(col("c_name"), "#", 1).as("before_hash"),
+        base64(col("c_name").cast(BinaryType)).as("b64"),
+        (unbase64(base64(col("c_name").cast(BinaryType))).cast(StringType)
+          === col("c_name")).as("b64_roundtrip"),
+        hex(col("c_name").cast(BinaryType)).as("hexed"),
+        format_string("%.2f", col("c_acctbal")).as("bal_fmt"),
+        octet_length(col("c_name")).cast(LongType).as("olen"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qStringFuncs3Sql: String = """
+    SELECT c_custkey,
+      CAST(strpos(c_name, '#') AS INT) AS pos_hash,
+      split_part(c_name, '#', 1) AS before_hash,
+      base64(CAST(c_name AS BLOB)) AS b64,
+      CAST(from_base64(base64(CAST(c_name AS BLOB))) AS VARCHAR) = c_name AS b64_roundtrip,
+      hex(c_name) AS hexed,
+      printf('%.2f', c_acctbal) AS bal_fmt,
+      octet_length(CAST(c_name AS BLOB)) AS olen,
+      CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev
+    FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey
+  """.trim
+
+  /** Calendar-arithmetic registry (Gandiva
+    * function_registry_datetime.cc last_day/next_day/add_months
+    * lineage): everything on DATE after one explicit cast so both
+    * engines do date—not timestamp—arithmetic. next_day has no DuckDB
+    * builtin; the oracle derives it from ISO day-of-week. */
+  def qDateFuncs2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{add_months, date_add, date_format, date_sub, datediff, last_day, make_date, months_between, next_day, to_date, trunc, year}
+    val d = to_date(col("o_orderdate"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 200 === 0)
+      .select(
+        col("o_orderkey"),
+        last_day(d).as("month_end"),
+        next_day(d, "Mon").as("next_monday"),
+        add_months(d, 2).as("plus_2m"),
+        months_between(trunc(d, "MM"), to_date(lit("1995-01-01")))
+          .as("months_since"),
+        date_add(d, 30).as("plus30"),
+        date_sub(d, 30).as("minus30"),
+        datediff(d, to_date(lit("1995-01-01"))).as("days_since"),
+        make_date(year(d), month(d), lit(1)).as("month_start"),
+        date_format(d, "EEEE").as("dname"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qDateFuncs2Sql: String = """
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+               WHERE o_orderkey % 200 = 0)
+    SELECT o_orderkey,
+      last_day(d) AS month_end,
+      d + to_days((CAST(7 - isodow(d) AS INT) % 7) + 1) AS next_monday,
+      d + INTERVAL 2 MONTH AS plus_2m,
+      CAST(datediff('month', DATE '1995-01-01', date_trunc('month', d)) AS DOUBLE) AS months_since,
+      d + to_days(30) AS plus30,
+      d - to_days(30) AS minus30,
+      CAST(datediff('day', DATE '1995-01-01', d) AS INT) AS days_since,
+      make_date(CAST(EXTRACT(YEAR FROM d) AS INT), CAST(EXTRACT(MONTH FROM d) AS INT), 1) AS month_start,
+      dayname(d) AS dname
+    FROM o ORDER BY o_orderkey
+  """.trim
+
   /** Struct (nested record) surface — the reference's STRUCT type
     * (`cpp/src/arrow/type.h:116` StructType): build a nested struct,
     * read fields back out, and carry the whole struct through a
