@@ -205,6 +205,22 @@ object Aggregates {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentiles (Greenwald–Khanna sketch,
+    * `percentile_approx` accuracy 10000 → rank error ≤ N/10000) — the
+    * 100 TB path where the exact interpolated percentile would shuffle
+    * the full column per group. Sketch outputs are engine-specific →
+    * rows-only; AggregatesSpec pins the rank-error bound against the
+    * exact percentile. */
+  def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000))
+          .as("approx_p90"))
+      .orderBy(col("o_orderpriority"))
+
   /** Argmin/argmax aggregates: per event type, the user behind the
     * first and last event. Ordering column event_id is unique, so the
     * arg is tie-free and cross-engine deterministic. */

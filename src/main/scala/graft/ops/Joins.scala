@@ -200,4 +200,27 @@ object Joins {
     WHERE n_nationkey % 5 = r_regionkey
     ORDER BY r_name, n_name
   """.trim
+
+  /** Fact-to-fact join forced onto SortMergeJoin via the MERGE hint —
+    * the physical strategy a 100 TB fact×fact join must take when
+    * neither side broadcasts (hash-shuffle both sides on the key,
+    * merge sorted runs; spills via the external sorter instead of
+    * building a giant hash map). Plan-asserted in ScaleSpec; the
+    * result is identical to the unhinted join. */
+  def qJoinSortMerge(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").hint("MERGE")
+      .join(t(s, dir, "lineitem").hint("MERGE"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  val qJoinSortMergeSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
 }

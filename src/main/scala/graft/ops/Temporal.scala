@@ -163,6 +163,50 @@ object Temporal {
     GROUP BY user_id ORDER BY user_id
   """.trim
 
+  /** Native `session_window` (the API twin of the streaming session
+    * aggregation — same function gates a `readStream` with a
+    * watermark): 10-minute-gap sessions per user, session bounds
+    * [first_ts, last_ts + gap). A new session starts when the
+    * inter-event gap is ≥ the window gap — the oracle reproduces
+    * exactly that island rule in µs arithmetic (no float time math).
+    * Unlike qSessionize's manual lag/cumsum islands, this is the
+    * single-shuffle built-in: partial merge of overlapping session
+    * ranges happens inside the aggregation operator. */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_us")
+
+  val qSessionWindowSql: String = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, value FROM events
+               WHERE user_id < 10),
+    flagged AS (
+      SELECT user_id, t_us, value,
+        CASE WHEN t_us - LAG(t_us) OVER w >= 600 * 1000000
+          OR LAG(t_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC)),
+    sess AS (
+      SELECT user_id, t_us, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(t_us) AS start_us,
+      MAX(t_us) + 600 * 1000000 AS end_us,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, start_us
+  """.trim
+
   /** Time-series resample + forward-fill (the pandas
     * `resample('1h').ffill()` analogue): hourly per-type totals on a
     * dense hour grid, empty hours carrying the last observed value.

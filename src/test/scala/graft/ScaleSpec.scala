@@ -46,6 +46,14 @@ class ScaleSpec extends SparkSpec {
     assert(dims.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$dims")
   }
 
+  test("MERGE hint plans a SortMergeJoin on the fact-fact join") {
+    val plan = graft.ops.Joins.qJoinSortMerge(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"MERGE hint ignored:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "fact-fact join must not broadcast under the MERGE hint")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = graft.sources.Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
