@@ -89,6 +89,27 @@ object Egress {
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** JSON-lines sink + read-back (`cpp/src/arrow/json/` writer-side
+    * analogue): the orders projection written as newline-delimited
+    * JSON (distributed multi-file write), re-read with a declared
+    * schema, aggregated. Doubles survive via shortest-representation
+    * formatting, dates as ISO strings — the oracle hash proves the
+    * round-trip is lossless. */
+  def qJsonSink(s: SparkSession, dir: String): DataFrame = {
+    val out = outRoot(dir) + "/orders_json"
+    ordersProjected(s, dir)
+      .write.mode("overwrite").json(out)
+    s.read.schema(csvOrdersSchema).json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qJsonSinkSql: String = qCsvSinkSql
+
   /** ORC write + read (`cpp/src/arrow/adapters/orc/adapter.h`
     * analogue): full-fidelity columnar round-trip through the second
     * columnar format, aggregated per priority. */

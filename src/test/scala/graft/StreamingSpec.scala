@@ -46,6 +46,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window closes a session after the watermark passes the gap") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = df.writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+    try {
+      // two events 5 min apart: one session; nothing closes yet
+      in.addData((ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:05:00"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sw_sessions").count() == 0)
+      // an event far past the gap closes the first session and opens a new one
+      in.addData((ts("2024-01-01 11:00:00"), 1L, 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("sw_sessions").collect()
+      assert(closed.length == 1, s"expected one closed session, got ${closed.length}")
+      val sess = closed(0)
+      val sw = sess.getStruct(1)
+      assert(sw.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      // session end = last event + gap
+      assert(sw.getTimestamp(1) == ts("2024-01-01 10:15:00"))
+      assert(sess.getLong(2) == 2)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: keyed state accumulates across triggers") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
