@@ -509,11 +509,13 @@ object TextAnalysis {
     * division at the end).
     *
     * Scale posture: bigrams ride the zip_with-shifted-slice idiom (no
-    * O(len²)); the frequency join shuffles on the exploded bigram —
-    * at 100 TB that column should be xxhash64'd to 8-byte keys like
-    * Dedup.shingled; kept as the string here because the oracle
-    * groups on the same text and the count-join is the measured cost
-    * anyway. Top-20 keeps the output bounded. */
+    * O(len²)); the bigram string is hashed to an 8-byte xxhash64 at
+    * explode time and DROPPED — the frequency groupBy and the
+    * count-join shuffle only (doc_id, hash) pairs, a multiple-fold
+    * shuffle-volume cut at 100 TB (Dedup.shingled:59-67 precedent;
+    * same collision-probability argument: ~(n_bigrams)²/2⁶⁵). The
+    * oracle counts the same equivalence classes via the raw strings.
+    * Top-20 keeps the output bounded. */
   def qNgramLm(s: SparkSession, dir: String): DataFrame = {
     val w = toks(col("text"))
     val n = size(w)
@@ -523,7 +525,8 @@ object TextAnalysis {
       lit(1), greatest(n - 1, lit(0)))
     val exploded = t(s, dir, "documents")
       .filter(n >= 2)
-      .select(col("doc_id"), explode(grams).as("bg"))
+      .select(col("doc_id"), explode(grams).as("bg_str"))
+      .select(col("doc_id"), graft.functions.hash64(col("bg_str")).as("bg"))
     val counts = exploded.groupBy(col("bg"))
       .agg(count(lit(1)).as("cnt"))
     exploded.join(counts, "bg")
@@ -561,10 +564,12 @@ object TextAnalysis {
     * The token array rides an `explode(array(split))` Generate node —
     * a collapse barrier, so the split is evaluated once per document
     * and the per-segment lambda slices the materialized array attribute
-    * (same trap class as repetitionScores' bigrams). The segment
-    * count-join shuffles on segment text; at 100 TB that key should be
-    * xxhash64'd to 8 bytes (Dedup.shingled precedent) — kept as text
-    * here for oracle parity. */
+    * (same trap class as repetitionScores' bigrams). The segment text
+    * is hashed to an 8-byte xxhash64 right after the explode and
+    * dropped — the distinct-count groupBy and the flag-join shuffle
+    * only (doc_id, source, hash), the Dedup.shingled:59-67
+    * shuffle-volume discipline (collision probability ~(n_segs)²/2⁶⁵;
+    * the oracle counts the same equivalence classes via raw text). */
   def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
     val nSeg = ceil(size(col("w")) / lit(8.0)).cast(IntegerType)
     val segs = t(s, dir, "documents")
@@ -573,7 +578,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(0), greatest(nSeg - 1, lit(0))),
           i => concat_ws(" ", slice(col("w"), i * 8 + 1, lit(8)))))
-          .as("segment"))
+          .as("segment_str"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.hash64(col("segment_str")).as("segment"))
     val counts = segs.groupBy(col("segment"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     val perDoc = segs.join(counts, "segment")
