@@ -266,6 +266,29 @@ object Aggregates {
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
   """.trim
 
+  /** Linear-regression aggregates (regr_slope/intercept/r2/count):
+    * single-pass moment accumulation, partial+final merged — rounded
+    * like qStats because cross-partition moment merges drift in the
+    * last float bits (intercept magnitude ~2.5e5 → 2 dp). */
+  def qRegrAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(regr_slope(col("o_totalprice"), col("o_custkey")), 6).as("slope"),
+        round(regr_intercept(col("o_totalprice"), col("o_custkey")), 2).as("icept"),
+        round(regr_r2(col("o_totalprice"), col("o_custkey")), 6).as("r2"),
+        regr_count(col("o_totalprice"), col("o_custkey")).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val qRegrAggSql: String = """
+    SELECT o_orderpriority,
+      ROUND(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+      ROUND(regr_intercept(o_totalprice, o_custkey), 2) AS icept,
+      ROUND(regr_r2(o_totalprice, o_custkey), 6) AS r2,
+      CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
   /** Ordered string aggregation per region: deterministic via
     * sort_array before the join — the Spark shape (collect_list →
     * sort_array → concat_ws) makes the order explicit instead of

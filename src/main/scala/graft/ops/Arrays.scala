@@ -120,6 +120,45 @@ object Arrays {
     FROM m WHERE user_id < 20 ORDER BY user_id
   """.trim
 
+  /** Second array-algebra tier (CK list kernels beyond the r1-r4
+    * surface): set algebra (union/intersect/except — Spark preserves
+    * appearance order, so every result is sort_array-normalized to
+    * match the oracle), flatten, position search, distinct count. */
+  def qArrayFuncs2(s: SparkSession, dir: String): DataFrame = {
+    val xs = sort_array(array(col("n_nationkey") % 5, col("n_nationkey") % 3,
+      lit(7), col("n_nationkey") % 5))
+    val ys = sort_array(array(col("n_nationkey") % 3, lit(2), lit(7)))
+    t(s, dir, "nation")
+      .select(col("n_nationkey"), xs.as("xs"), ys.as("ys"))
+      .select(
+        col("n_nationkey"),
+        sort_array(array_distinct(array_union(col("xs"), col("ys"))))
+          .as("arr_union"),
+        sort_array(array_distinct(array_intersect(col("xs"), col("ys"))))
+          .as("arr_intersect"),
+        sort_array(array_distinct(array_except(col("xs"), col("ys"))))
+          .as("arr_except"),
+        flatten(array(col("xs"), col("ys"))).as("flat"),
+        array_position(col("xs"), 7).as("pos7"),
+        size(array_distinct(col("xs"))).as("n_uniq"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val qArrayFuncs2Sql: String = """
+    WITH a AS (SELECT n_nationkey,
+        list_sort([n_nationkey % 5, n_nationkey % 3, 7, n_nationkey % 5]) AS xs,
+        list_sort([n_nationkey % 3, 2, 7]) AS ys
+      FROM nation)
+    SELECT n_nationkey,
+      list_sort(list_distinct(list_concat(xs, ys))) AS arr_union,
+      list_sort(list_distinct(list_intersect(xs, ys))) AS arr_intersect,
+      list_sort(list_distinct(list_filter(xs, x -> NOT list_contains(ys, x)))) AS arr_except,
+      flatten([xs, ys]) AS flat,
+      CAST(list_position(xs, 7) AS BIGINT) AS pos7,
+      CAST(len(list_distinct(xs)) AS INT) AS n_uniq
+    FROM a ORDER BY n_nationkey
+  """.trim
+
   /** Lazy sequence generation (the reference's range/sequence table
     * producers, `datafusion` ValuesExec + Gandiva sequence lineage):
     * per-row `sequence(start, stop)` exploded with position. The

@@ -653,6 +653,32 @@ object Scalars {
     FROM o ORDER BY o_orderkey
   """.trim
 
+  /** Bitwise scalar registry (CK `boolean.cc` + Gandiva bitwise
+    * kernels): shifts, and/or/xor/not on int64 — pure codegen'd
+    * integer ops. */
+  def qBitwiseFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{bitwise_not, shiftleft, shiftright}
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 400)
+      .select(
+        col("c_custkey"),
+        shiftleft(col("c_custkey"), 3).as("shl"),
+        shiftright(col("c_custkey"), 2).as("shr"),
+        col("c_custkey").bitwiseAND(lit(255L)).as("band"),
+        col("c_custkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("c_custkey").bitwiseXOR(lit(1023L)).as("bxor"),
+        bitwise_not(col("c_custkey")).as("bnot"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qBitwiseFuncsSql: String = """
+    SELECT c_custkey,
+      c_custkey << 3 AS shl, c_custkey >> 2 AS shr,
+      c_custkey & 255 AS band, c_custkey | 4096 AS bor,
+      xor(c_custkey, 1023) AS bxor, ~c_custkey AS bnot
+    FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey
+  """.trim
+
   /** Struct (nested record) surface — the reference's STRUCT type
     * (`cpp/src/arrow/type.h:116` StructType): build a nested struct,
     * read fields back out, and carry the whole struct through a

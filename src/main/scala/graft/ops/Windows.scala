@@ -189,4 +189,37 @@ object Windows {
     ) WHERE o_orderkey % 100 = 0
     ORDER BY o_orderpriority, o_orderkey
   """.trim
+
+  /** Value window functions: first_value on the default running
+    * frame, last_value on the explicit full frame (the default frame
+    * would just echo the current row — the classic trap), nth_value
+    * on the running frame (null until n rows have been seen; Spark
+    * and DuckDB agree on the default RANGE frame). */
+  def qWindowValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("fv", first(col("o_orderkey")).over(w))
+      .withColumn("lv", last(col("o_orderkey")).over(wFull))
+      .withColumn("nth", nth_value(col("o_orderkey"), 3).over(w))
+      .filter(col("o_orderkey") % 300 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("fv"), col("lv"), col("nth"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val qWindowValueSql: String = """
+    SELECT o_orderpriority, o_orderkey, fv, lv, nth FROM (
+      SELECT o_orderpriority, o_orderkey,
+        FIRST_VALUE(o_orderkey) OVER w AS fv,
+        LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+        NTH_VALUE(o_orderkey, 3) OVER w AS nth
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE o_orderkey % 300 = 0
+    ORDER BY o_orderpriority, o_orderkey
+  """.trim
 }
