@@ -266,6 +266,32 @@ object Aggregates {
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
   """.trim
 
+  /** Higher-moment aggregates: Spark's skewness/kurtosis are the
+    * POPULATION moments (m₃/m₂^1.5, m₄/m₂²−3); DuckDB's skewness is
+    * sample-corrected and its kurtosis sample-excess, so the oracle
+    * undoes the correction (·(n−2)/√(n(n−1))) and uses kurtosis_pop —
+    * a worked example of the §1.2 rule that aggregate DEFINITIONS,
+    * not just values, must be mapped across engines. Rounded 5 dp
+    * (the skewness magnitudes here are ~1e-2 with ~1e-9 merge drift;
+    * count_if rides along exact). */
+  def qAggStats2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(skewness(col("l_quantity")), 5).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 5).as("kurt_qty"),
+        count_if(col("l_quantity") > 25).as("n_bulk"))
+      .orderBy(col("l_returnflag"))
+
+  val qAggStats2Sql: String = """
+    SELECT l_returnflag,
+      ROUND(skewness(l_quantity) * (COUNT(*) - 2)
+        / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 5) AS skew_qty,
+      ROUND(kurtosis_pop(l_quantity), 5) AS kurt_qty,
+      CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """.trim
+
   /** Linear-regression aggregates (regr_slope/intercept/r2/count):
     * single-pass moment accumulation, partial+final merged — rounded
     * like qStats because cross-partition moment merges drift in the
