@@ -466,6 +466,69 @@ object Dedup {
 
   val qDedupNgramSql: String = jaccardOracleSql
 
+  /** Asymmetric CONTAINMENT dedup: C(A→B) = |A∩B| / |A| ≥ 0.9 with
+    * |A| ≤ |B| — catches a small document embedded in a larger one,
+    * which symmetric Jaccard (and therefore MinHash-LSH) structurally
+    * misses: A ⊂ B with |B| = 3|A| has jac ≈ 0.33 but containment 1.0.
+    *
+    * Candidates by the asymmetric prefix filter: if B misses at most
+    * ⌊0.1·|A|⌋ of A's shingles, then among any ⌊0.1·|A|⌋+1 shingles of
+    * A at least one is shared (pigeonhole ⇒ zero false negatives).
+    * Only the CONTAINED side is prefixed (rarest-first, df-ordered, as
+    * qDedupNgram); the prefix probes the FULL shingle postings index —
+    * the asymmetry is the point: the big side must be fully indexed
+    * because any of its shingles can witness the overlap. Shuffled
+    * volume is |prefix| ≈ 0.1·corpus shingles on the probe side and
+    * the one-off postings index on the other; the verify join touches
+    * candidates only, arrays stay in-row. */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val hsh = hashedShingles(t(s, dir, "documents"))
+      .filter(size(col("hs")) > 0)
+    val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+        .as("ord"))
+    val prefixLen = (size(col("ord")) -
+      ceil(size(col("ord")) * lit(0.9)).cast(IntegerType) + 1)
+    val prefix = ordered
+      .select(col("doc_id"),
+        explode(slice(col("ord"), lit(1), greatest(prefixLen, lit(0)))).as("e"))
+      .select(col("doc_id"), col("e.shingle").as("shingle"))
+    val cand = prefix.as("a").join(ex.as("b"), Seq("shingle"))
+      .where(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .observe("containment_candidates", count(lit(1)).as("n_candidate_pairs"))
+    val inter = size(array_intersect(col("hs1"), col("hs2")))
+    cand
+      .join(hsh.select(col("doc_id").as("d1"), col("hs").as("hs1")), Seq("d1"))
+      .join(hsh.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))
+      // canonical direction: contained side is smaller, doc_id breaks ties
+      .where(size(col("hs1")) < size(col("hs2")) ||
+        (size(col("hs1")) === size(col("hs2")) && col("d1") < col("d2")))
+      .select(col("d1"), col("d2"),
+        (inter.cast(DoubleType) / size(col("hs1"))).as("cont"))
+      .filter(col("cont") >= 0.9)
+      .orderBy("d1", "d2")
+  }
+
+  val qDedupContainmentSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toks WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(a.shingles) AS cont
+      FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        AND (len(a.shingles) < len(b.shingles) OR
+             (len(a.shingles) = len(b.shingles) AND a.doc_id < b.doc_id)))
+    SELECT d1, d2, cont FROM pairs WHERE cont >= 0.9 ORDER BY d1, d2
+  """.trim
+
   // ---- SimHash near-dup (rows-only: 64-bit signature is engine-local) ----
 
   /** SimHash near-dup: 64-bit signature over the document's trigram
