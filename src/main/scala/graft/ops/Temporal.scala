@@ -163,6 +163,63 @@ object Temporal {
     GROUP BY user_id ORDER BY user_id
   """.trim
 
+  /** SCD Type-2 interval construction from a change stream: collapse
+    * each user's event-type runs into validity intervals
+    * [valid_from, valid_to) with a version number and a current flag —
+    * the standard way a warehouse tracks dimension history from CDC.
+    * One partitioned window pass builds run boundaries (lag ≠ current
+    * → new regime), a second numbers regimes and takes each regime's
+    * span; all state is per-user, nothing global. Time stays in exact
+    * microseconds; valid_to is NULL on the open (current) interval. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val regimes = t(s, dir, "events")
+      .filter(col("user_id") < 8)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wRun))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("t_us")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
+    regimes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val qScd2Sql: String = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+               FROM events WHERE user_id < 8),
+    flagged AS (
+      SELECT user_id, event_id, event_type, t_us,
+        CASE WHEN LAG(event_type) OVER w IS NULL
+          OR LAG(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)),
+    versioned AS (
+      SELECT user_id, event_type, t_us,
+        SUM(chg) OVER (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      FROM flagged),
+    regimes AS (
+      SELECT user_id, version, MIN(event_type) AS event_type,
+        MIN(t_us) AS valid_from, COUNT(*) AS n_events
+      FROM versioned GROUP BY user_id, version)
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+      LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC) AS valid_to,
+      n_events,
+      LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC) IS NULL AS is_current
+    FROM regimes ORDER BY user_id, version
+  """.trim
+
   /** Native `session_window` (the API twin of the streaming session
     * aggregation — same function gates a `readStream` with a
     * watermark): 10-minute-gap sessions per user, session bounds
