@@ -163,6 +163,38 @@ object Temporal {
     GROUP BY user_id ORDER BY user_id
   """.trim
 
+  /** Hopping (sliding) window aggregation: 1-hour windows every 30
+    * minutes — each event belongs to exactly w/s = 2 windows, which
+    * Spark assigns via an Expand (2 rows per event) feeding a normal
+    * partial+final hash agg; no window function, no per-key sort. The
+    * oracle unnests the same two aligned starts per event. Counts and
+    * decimal-summed values are order-independent. */
+  def qHoppingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .filter(col("win_start_us") % (3600L * 1000000L) === 0) // keep on-the-hour windows: bounded output
+      .orderBy("win_start_us", "event_type")
+
+  val qHoppingWindowSql: String = """
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us FROM events),
+    assigned AS (
+      SELECT event_type, value,
+        unnest([ (t_us // 1800000000) * 1800000000 - 1800000000,
+                 (t_us // 1800000000) * 1800000000 ]) AS win_start_us
+      FROM e)
+    SELECT win_start_us, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM assigned
+    WHERE win_start_us % 3600000000 = 0
+    GROUP BY win_start_us, event_type
+    ORDER BY win_start_us, event_type
+  """.trim
+
   /** SCD Type-2 interval construction from a change stream: collapse
     * each user's event-type runs into validity intervals
     * [valid_from, valid_to) with a version number and a current flag —
