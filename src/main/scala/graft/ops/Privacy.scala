@@ -55,6 +55,43 @@ object Privacy {
     FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
   """.trim
 
+  /** k-anonymity audit over the coarsened quasi-identifiers
+    * (mktsegment × nation × 1000-unit balance bucket): every
+    * equivalence class with fewer than k=5 members must be SUPPRESSED
+    * before release — the audit reports, per segment, the class
+    * count, how many classes fail k, and the row share that
+    * suppression would cost. One partial+final agg over the QI tuple,
+    * then a tiny per-segment rollup; nothing row-level leaves the
+    * executors. */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast(LongType).as("bal_bucket"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < 5, 1L).otherwise(0L)).as("n_below_k"),
+        sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+          .as("rows_suppressed"),
+        sum(col("class_size")).as("n_rows"),
+        min(col("class_size")).as("min_class"))
+      .orderBy(col("c_mktsegment"))
+
+  val qKAnonymitySql: String = """
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+        CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_bucket,
+        COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT c_mktsegment, COUNT(*) AS n_classes,
+      CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+      CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_suppressed,
+      CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      CAST(MIN(class_size) AS BIGINT) AS min_class
+    FROM classes GROUP BY c_mktsegment ORDER BY c_mktsegment
+  """.trim
+
   /** The deterministic deletion list: a pure function of the key so
     * the oracle can recompute it (a real run would read a requests
     * table). ~3% of customers. */
