@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 class ScaleSpec extends SparkSpec {
 
+  test("answers are shuffle-partition-count invariant (the 100 TB re-partition claim)") {
+    // the blanket determinism claim behind every decimal-sum and
+    // key-hash-gate design choice: changing the parallelism must
+    // never change an answer. Representative set: float-sum rollup,
+    // multi-shuffle join+agg, windowed regimes, sampled gate.
+    val names = Seq("q1_agg", "quality_repetition", "join_sortmerge",
+      "mix_temperature", "scd2_intervals")
+    for (name <- names) {
+      val at32 = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val at7 = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+        assert(at7 == at32,
+          s"$name changed under a different partition count " +
+            s"(${at7.length} vs ${at32.length} rows)")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+  }
+
   test("bucketed tables co-locate: equi-join plans with zero exchanges") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val o = graft.sources.Tables(spark, sfDir, "orders")
