@@ -163,6 +163,28 @@ class EgressSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
   }
 
+  test("parquet codec matrix: zstd/snappy/none round-trip losslessly, compression earns its bytes") {
+    def dirSize(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val src = graft.sources.Tables(spark, sfDir, "lineitem")
+    val base = Egress.outRoot(sfDir) + "/codec_"
+    val sizes = Seq("none", "snappy", "zstd").map { codec =>
+      val out = base + codec
+      src.write.mode("overwrite").option("compression", codec).parquet(out)
+      val back = spark.read.parquet(out)
+      assert(back.count() == src.count(), s"$codec lost rows")
+      // full-fidelity check on an exact aggregate, not just counts
+      val s0 = src.agg(sum(col("l_orderkey")), sum(col("l_linenumber"))).collect()(0)
+      val s1 = back.agg(sum(col("l_orderkey")), sum(col("l_linenumber"))).collect()(0)
+      assert(s0 == s1, s"$codec changed values")
+      codec -> dirSize(out)
+    }.toMap
+    assert(sizes("zstd") < sizes("none") && sizes("snappy") < sizes("none"),
+      s"compression did not shrink the data: $sizes")
+  }
+
   test("compaction rewrites a fragmented dataset into evenly-sized files") {
     val frag = Egress.outRoot(sfDir) + "/orders_frag"
     val compacted = Egress.outRoot(sfDir) + "/orders_compacted"
