@@ -266,6 +266,32 @@ object Aggregates {
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
   """.trim
 
+  /** grouping()/grouping_id over CUBE: the metadata columns that let
+    * a consumer tell a real NULL group key from a rolled-up subtotal
+    * row — without them, CUBE output is ambiguous. Spark's
+    * grouping_id bit order (first group col = MSB) matches the
+    * g1*2+g2 reconstruction the oracle uses. */
+  def qGroupingId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).as("g1"),
+        grouping(col("o_orderstatus")).as("g2"),
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  val qGroupingIdSql: String = """
+    SELECT o_orderpriority, o_orderstatus,
+      CAST(GROUPING(o_orderpriority) AS TINYINT) AS g1,
+      CAST(GROUPING(o_orderstatus) AS TINYINT) AS g2,
+      CAST(GROUPING(o_orderpriority)*2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+      COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+  """.trim
+
   /** Higher-moment aggregates: Spark's skewness/kurtosis are the
     * POPULATION moments (m₃/m₂^1.5, m₄/m₂²−3); DuckDB's skewness is
     * sample-corrected and its kurtosis sample-excess, so the oracle
