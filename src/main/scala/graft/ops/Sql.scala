@@ -89,4 +89,21 @@ object Sql {
 
   def qSqlExists(s: SparkSession, dir: String): DataFrame =
     run(s, dir, existsSql, "customer", "orders")
+
+  /** Correlated LATERAL derived table — top-2 nations per region
+    * computed inside the lateral subquery (the SQL form of a grouped
+    * top-k; Catalyst decorrelates it to a join + partitioned
+    * window, so it scales like `topk_group`, not like a per-row
+    * re-execution). Identical SQL text runs on DuckDB. */
+  val lateralSql: String = """
+    SELECT r_name, t.n_name, t.n_nationkey
+    FROM region, LATERAL (
+      SELECT n_name, n_nationkey FROM nation
+      WHERE n_regionkey = r_regionkey
+      ORDER BY n_name LIMIT 2) t
+    ORDER BY r_name, t.n_name
+  """.trim
+
+  def qSqlLateral(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, lateralSql, "region", "nation")
 }
