@@ -120,6 +120,46 @@ object Arrays {
     FROM m WHERE user_id < 20 ORDER BY user_id
   """.trim
 
+  /** Second map-algebra tier: map_filter, transform_values,
+    * map_keys/entries — every result normalized to sorted entry
+    * arrays, the only cross-engine-comparable representation of a
+    * map (map iteration order is engine-internal). */
+  def qMapFuncs2(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "events")
+      .filter(col("user_id") < 15)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    per.groupBy(col("user_id"))
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("event_type"), col("c")))))
+          .as("m"),
+        sum(col("c")).as("total"))
+      .select(
+        col("user_id"),
+        array_sort(map_entries(map_filter(col("m"), (_, v) => v > 14)))
+          .as("busy_entries"),
+        array_sort(map_entries(transform_values(col("m"), (_, v) => v * 2)))
+          .as("doubled"),
+        array_sort(map_keys(col("m"))).as("keys_sorted"),
+        col("total"))
+      .orderBy("user_id")
+  }
+
+  val qMapFuncs2Sql: String = """
+    WITH per AS (SELECT user_id, event_type, COUNT(*) AS c FROM events
+                 WHERE user_id < 15 GROUP BY 1, 2),
+    m AS (SELECT user_id,
+            list_sort(list(struct_pack(key := event_type, value := c))) AS entries,
+            CAST(SUM(c) AS BIGINT) AS total
+          FROM per GROUP BY user_id)
+    SELECT user_id,
+      list_filter(entries, e -> e.value > 14) AS busy_entries,
+      list_transform(entries, e -> struct_pack(key := e.key, value := e.value * 2)) AS doubled,
+      list_sort(list_transform(entries, e -> e.key)) AS keys_sorted,
+      total
+    FROM m ORDER BY user_id
+  """.trim
+
   /** Second array-algebra tier (CK list kernels beyond the r1-r4
     * surface): set algebra (union/intersect/except — Spark preserves
     * appearance order, so every result is sort_array-normalized to
