@@ -103,13 +103,113 @@ private final class IpcTable(tableSchema: StructType, dir: String)
 // ---------------------------------------------------------------- read
 
 private final class IpcScanBuilder(fullSchema: StructType, dir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
+  private var countStar = false
   // Catalyst hands down exactly the referenced columns (ColumnPruning →
   // V2ScanRelationPushDown) — the reference's ScannerBuilder::Project
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new IpcScan(fullSchema, required, dir)
+
+  /** COUNT(*) pushdown: the row count of an Arrow file lives in each
+    * record batch's METADATA header (`RecordBatch.length` in the
+    * flatbuffer message) — the answer never requires touching column
+    * data. Partial pushdown (`supportCompletePushDown` = false): each
+    * file partition emits its own count row and Spark's final
+    * aggregate sums them, so multi-file parallelism is preserved.
+    * Grouped or non-count aggregates are declined and run the normal
+    * scan path. The reference's dataset scanner exposes the same
+    * fast path (`CountRows`, `dataset/scanner.h`). */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countStar = true
+    ok
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def build(): Scan =
+    if (countStar) new IpcCountScan(dir) else new IpcScan(fullSchema, required, dir)
+}
+
+/** Metadata-only COUNT(*) scan: one partition per .arrow file, each
+  * emitting a single count row assembled from the file footer's block
+  * list + each batch's flatbuffer header — column buffers are never
+  * read. */
+private final class IpcCountScan(dir: String) extends Scan with Batch {
+  private val outSchema = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-ipc $dir, PushedAggregates: [COUNT(*)] (metadata-only)"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new HPath(dir).getFileSystem(conf)
+    Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
+      .getOrElse(Array()).sortBy(_.getPath.toString)
+      .map(st => IpcInputPartition(st.getPath.toString, st.getLen): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confSer = new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[IpcInputPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = !done
+          override def get(): InternalRow = {
+            done = true
+            new GenericInternalRow(Array[Any](
+              IpcCountScan.countRows(part.path, confSer.value)))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private object IpcCountScan {
+  /** Sum of RecordBatch.length over the file's batches, reading only
+    * the footer (via ArrowFileReader's block list) and each block's
+    * metadata flatbuffer — `block.bodyLength` bytes of column data per
+    * batch are skipped entirely. */
+  def countRows(path: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val ch = new Ipc.HadoopSeekableChannel(in, len)
+      val allocator = new RootAllocator()
+      val rd = new ArrowFileReader(ch, allocator)
+      try {
+        var total = 0L
+        rd.getRecordBlocks.asScala.foreach { block =>
+          // message header: 4-byte continuation marker + 4-byte metadata
+          // length, then the Message flatbuffer carrying RecordBatch.length
+          val metaLen = block.getMetadataLength
+          val buf = new Array[Byte](metaLen)
+          in.seek(block.getOffset)
+          in.readFully(buf, 0, metaLen)
+          val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val first = bb.getInt()
+          val flatbufStart = if (first == -1 /* 0xFFFFFFFF continuation */) 8 else 4
+          bb.position(flatbufStart)
+          val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(bb.slice().order(java.nio.ByteOrder.LITTLE_ENDIAN))
+          val rb = new org.apache.arrow.flatbuf.RecordBatch()
+          msg.header(rb)
+          total += rb.length()
+        }
+        total
+      } finally { rd.close(); allocator.close() }
+    } finally in.close()
+  }
 }
 
 private final class IpcScan(fullSchema: StructType, required: StructType,

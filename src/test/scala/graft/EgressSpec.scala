@@ -163,6 +163,24 @@ class EgressSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
   }
 
+  test("ipc dsv2 COUNT(*) pushdown answers from batch metadata and matches the real count") {
+    val out = Egress.outRoot(sfDir) + "/ipc_countpd"
+    val src = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    src.repartition(3).write.format("graft-ipc").mode("overwrite").save(out)
+    val ipc = spark.read.format("graft-ipc").load(out)
+    val counted = ipc.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"),
+      s"count(*) not pushed into the ipc scan:\n$plan")
+    assert(counted.collect()(0).getLong(0) == src.count(), "pushed count wrong")
+    // a grouped aggregate must DECLINE pushdown and still be correct
+    val grouped = ipc.groupBy(col("o_orderkey") % 2).count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "grouped aggregate must not claim pushdown")
+    assert(grouped.collect().map(_.getLong(1)).sum == src.count())
+  }
+
   test("parquet codec matrix: zstd/snappy/none round-trip losslessly, compression earns its bytes") {
     def dirSize(p: String): Long = {
       val d = new java.io.File(p)
