@@ -94,7 +94,8 @@ private final class IpcTable(tableSchema: StructType, dir: String)
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IpcScanBuilder(tableSchema, dir)
+    new IpcScanBuilder(tableSchema, dir,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new IpcWriteBuilder(info.schema(), dir, info.queryId())
@@ -102,7 +103,8 @@ private final class IpcTable(tableSchema: StructType, dir: String)
 
 // ---------------------------------------------------------------- read
 
-private final class IpcScanBuilder(fullSchema: StructType, dir: String)
+private final class IpcScanBuilder(fullSchema: StructType, dir: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
@@ -134,7 +136,8 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String)
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def build(): Scan =
-    if (countStar) new IpcCountScan(dir) else new IpcScan(fullSchema, required, dir)
+    if (countStar) new IpcCountScan(dir)
+    else new IpcScan(fullSchema, required, dir, maxFilesPerTrigger)
 }
 
 /** Metadata-only COUNT(*) scan: one partition per .arrow file, each
@@ -213,7 +216,7 @@ private object IpcCountScan {
 }
 
 private final class IpcScan(fullSchema: StructType, required: StructType,
-    dir: String) extends Scan with Batch
+    dir: String, maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -221,7 +224,7 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
     s"graft-ipc $dir, columns ${required.fieldNames.mkString(",")}"
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IpcMicroBatchStream(fullSchema, required, dir)
+    new IpcMicroBatchStream(fullSchema, required, dir, maxFilesPerTrigger)
 
   /** On-disk byte size of the file set. Without this, Catalyst falls
     * back to spark.sql.defaultSizeInBytes (≈ Long.Max) for a DSv2
@@ -296,20 +299,44 @@ private object IpcSourceOffset {
   * stream picks each up once). Batch-identical read path: same
   * partition-per-file planning, same columnar reader factory. */
 private final class IpcMicroBatchStream(fullSchema: StructType,
-    required: StructType, dir: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    required: StructType, dir: String, maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val confSer = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
 
   private def fs = new HPath(dir).getFileSystem(confSer.value)
 
+  private def listAll(): Set[String] =
+    Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
+      .getOrElse(Array()).map(_.getPath.toString).toSet
+
   override def initialOffset(): Offset = IpcSourceOffset(Set.empty)
 
+  /** Admission control (`maxFilesPerTrigger`): each trigger admits at
+    * most N unseen files (name-sorted, so admission order is
+    * deterministic) — the backpressure valve that keeps one giant
+    * file-drop from becoming one giant micro-batch. Default is
+    * everything available, matching FileStreamSource. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[IpcSourceOffset].files
+    val unseen = (listAll() -- seen).toSeq.sorted
+    limit match {
+      case mf: ReadMaxFiles => IpcSourceOffset(seen ++ unseen.take(mf.maxFiles()))
+      case _ => IpcSourceOffset(seen ++ unseen)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = IpcSourceOffset(listAll())
+
   override def latestOffset(): Offset =
-    IpcSourceOffset(Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
-      .getOrElse(Array()).map(_.getPath.toString).toSet)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
 
   override def deserializeOffset(json: String): Offset =
     IpcSourceOffset.fromJson(json)

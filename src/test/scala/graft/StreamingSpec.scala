@@ -363,6 +363,36 @@ class StreamingSpec extends SparkSpec {
       s"dedup across the streamed pipeline, got ${out.toSeq}")
   }
 
+  test("graft-ipc maxFilesPerTrigger: admission control bounds each micro-batch") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/tmp/graft_egress/ipc_stream_rate"
+    val ckpt = dir + "_ckpt"
+    for (d <- Seq(dir, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    // five 2-row files up front
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"a$i"), (i + 100L, s"b$i")).toDF("k", "s").repartition(1)
+        .write.format("graft-ipc").mode(if (i == 1) "overwrite" else "append").save(dir)
+    }
+    val epochs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-ipc")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) epochs.add(n): Unit
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val sizes = epochs.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+      assert(sizes.sum == 10, s"all rows must arrive exactly once: $sizes")
+      assert(sizes.forall(_ <= 4), s"a micro-batch exceeded 2 files x 2 rows: $sizes")
+      assert(sizes.length >= 3, s"5 files at 2/trigger needs >= 3 batches: $sizes")
+    } finally q.stop()
+  }
+
   test("graft-ipc micro-batch source: new files picked up exactly once") {
     val sp = spark
     import sp.implicits._
