@@ -170,6 +170,57 @@ object Ingest {
     FROM events GROUP BY 1 ORDER BY k_mod
   """.trim
 
+  /** VARIANT — the open semi-structured type (Spark 4): JSON parses
+    * once into a binary-encoded tree, then any number of typed path
+    * extractions read that encoding directly, with no re-parse and no
+    * up-front schema. At 100 TB this replaces per-query
+    * get_json_object string re-parsing (the column shreds to parquet
+    * as binary, extractions push into the scan) — the modern answer
+    * to the reference's JSON ingestion surface
+    * (`cpp/src/arrow/json/reader.h:45`) when the shape is not
+    * declared.
+    *
+    * The document is built in-row from orders columns (nested object
+    * + typed leaves), so the DuckDB oracle computes the same answer
+    * from the base columns. Extraction surface exercised: nested-path
+    * `variant_get` (string/double/date targets), `try_variant_get`
+    * with an impossible target (string prio → int must yield NULL,
+    * not error), and `schema_of_variant` on a sub-path (asserted
+    * STRING for every row; the full-document schema varies per row in
+    * its decimal widths, so the stable sub-path is the cross-engine-
+    * checkable part). Aggregation then runs over the EXTRACTED typed
+    * columns — decimal-exact sums, engine-portable. */
+  def qVariantJson(s: SparkSession, dir: String): DataFrame = {
+    val doc = to_json(struct(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("prio"),
+      struct(col("o_totalprice").as("amt"),
+        col("o_orderdate").cast(DateType).as("d")).as("pay")))
+    Tables(s, dir, "orders")
+      .select(parse_json(doc).as("v"))
+      .select(
+        variant_get(col("v"), "$.prio", "string").as("prio"),
+        variant_get(col("v"), "$.pay.amt", "double").as("amt"),
+        variant_get(col("v"), "$.pay.d", "date").as("d"),
+        try_variant_get(col("v"), "$.prio", "int").as("prio_as_int"),
+        schema_of_variant(expr("variant_get(v, '$.prio')")).as("prio_sch"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast(DecimalType(18, 2))).cast(DoubleType).as("total_amt"),
+        min(col("d")).as("first_d"),
+        bool_and(col("prio_as_int").isNull).as("prio_not_int"),
+        bool_and(col("prio_sch") === "STRING").as("schema_ok"))
+      .orderBy("prio")
+  }
+
+  val qVariantJsonSql: String = """
+    SELECT o_orderpriority AS prio, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
+      MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      true AS prio_not_int, true AS schema_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY prio
+  """.trim
+
   /** In-memory table (`datasource/memory.rs` MemTable analogue):
     * materialized rows registered as a table and used as a join
     * dimension. A literal tier-lookup DataFrame is registered through

@@ -224,6 +224,102 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (PQ) ANN — the memory-scale path past IVF:
+    * each D-dim float vector is encoded as `mSub` one-byte codes (its
+    * nearest centroid per subspace), so a 100 TB float corpus becomes
+    * a few-hundred-GB code table that fits a fraction of the cluster's
+    * RAM; queries score candidates by table lookup (ADC — asymmetric
+    * distance computation) without ever touching the original floats.
+    *
+    * Spark-first shape:
+    *  - TRAIN: per-subspace k-means. Seeds = the first `kCodes`
+    *    vectors' sub-vectors (deterministic); ONE Lloyd pass runs for
+    *    all subspaces in a single distributed job (explode by
+    *    subspace index, assign via the codegen'd [[graft.functions.vector_dots]]
+    *    kernel, recompute means through exact decimal sums — the same
+    *    partition-count-independent convention as IVF). Driver state
+    *    is O(mSub·kCodes·d) ≈ 1 k doubles, never O(N).
+    *  - ENCODE: pure per-row codegen'd expressions (slice + native
+    *    dots + a kCodes-length argmin); zero shuffle. At scale this is
+    *    the persisted index build, one map-only pass.
+    *  - QUERY: each query precomputes its mSub×kCodes distance TABLE
+    *    once (broadcast, tiny); candidate distance = mSub table
+    *    lookups — no float math per candidate. Σ_m(‖c‖²−2c·q) omits
+    *    the per-query constant Σ_m‖q_m‖², which cannot change any
+    *    per-query ranking.
+    *
+    * argmin uses ‖c‖²−2c·x (monotone in L2 distance); first-minimum
+    * tie-break via array_position keeps encoding deterministic. Like
+    * `knn_ivf`, approximate by design → rows-only driver check;
+    * PipelineSpec pins recall@10 vs the exact L2 answer, code-range
+    * sanity, and run-to-run determinism. */
+  def knnPq(s: SparkSession, dir: String, mSub: Int = 8, kCodes: Int = 16,
+      topk: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    require(dim % mSub == 0, s"dim $dim not divisible by $mSub subspaces")
+    val d = dim / mSub
+
+    // ---- train: deterministic seeds + one decimal-exact Lloyd pass
+    val seedRows: Seq[Seq[Double]] = e.filter(col("vec_id") < kCodes)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val seeds: Seq[Seq[Seq[Double]]] =
+      (0 until mSub).map(m => seedRows.map(_.slice(m * d, (m + 1) * d)))
+
+    // ‖c‖²−2c·x per centroid of one codebook, as a kCodes-length array
+    def costs(cb: Seq[Seq[Double]], sv: Column): Column = {
+      val n2 = cb.map(c => c.map(x => x * x).sum)
+      zip_with(typedlit(n2), graft.functions.vector_dots(typedlit(cb), sv),
+        (a, b) => a - lit(2.0) * b)
+    }
+    def argmin(cost: Column): Column =
+      array_position(cost, array_min(cost)).cast("int")
+
+    val sub = e.select(col("embedding"),
+        explode(sequence(lit(0), lit(mSub - 1))).as("m"))
+      .select(col("m"),
+        slice(col("embedding"), col("m") * d + 1, lit(d)).as("sv"))
+    val costBySub = (1 until mSub).foldLeft(
+        when(col("m") === 0, costs(seeds(0), col("sv")))) {
+      (acc, m) => acc.when(col("m") === m, costs(seeds(m), col("sv")))
+    }
+    val means = sub.withColumn("code", argmin(costBySub))
+      .select(col("m"), col("code"), posexplode(col("sv")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1))).as("mean"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .view.mapValues(rows =>
+        rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq).toMap
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until mSub).map(m =>
+      (0 until kCodes).map(j => means.getOrElse((m, j + 1), seeds(m)(j))))
+
+    // ---- encode every vector: mSub codes, map-only
+    def subvec(v: Column, m: Int): Column = slice(v, m * d + 1, d)
+    val codes = e.select(col("vec_id").as("cid"),
+      array((0 until mSub).map(m =>
+        argmin(costs(codebooks(m), subvec(col("embedding"), m)))): _*).as("codes"))
+
+    // ---- query: per-query distance tables, broadcast; ADC scoring
+    val qtab = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        array((0 until mSub).map(m =>
+          costs(codebooks(m), subvec(col("embedding"), m))): _*).as("tab"))
+    val scored = codes.join(broadcast(qtab), col("qid") =!= col("cid"))
+      .withColumn("adist", aggregate(
+        zip_with(col("tab"), col("codes"), (tbl, c) => element_at(tbl, c)),
+        lit(0.0), (a, x) => a + x))
+      // topK ranks cos_sim DESC; negate the (smaller-is-better) ADC
+      // distance to reuse the same two-phase operator
+      .withColumn("cos_sim", -col("adist"))
+    topK(scored, topk)
+  }
+
+  def qKnnPq(s: SparkSession, dir: String): DataFrame = knnPq(s, dir)
+
   val qEmbedNormSql: String = """
     WITH n AS (
       SELECT vec_id,

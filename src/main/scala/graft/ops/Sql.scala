@@ -106,4 +106,87 @@ object Sql {
 
   def qSqlLateral(s: SparkSession, dir: String): DataFrame =
     run(s, dir, lateralSql, "region", "nation")
+
+  /** SQL pipe syntax (`|>`) — the linear FROM-first query form
+    * (GoogleSQL pipe-operator lineage, native in Spark 4). Each pipe
+    * stage is sugar over the same Catalyst operators as the classic
+    * form, so the optimized plan — pushed filters, partial aggregates
+    * — is identical; the oracle runs the classic rendition and must
+    * match bit-for-bit. Column order differs between the two forms
+    * (AGGREGATE emits group keys after aggregates' position), but the
+    * driver compares by sorted column NAME, which both sides share. */
+  val pipeSql: String = """
+    FROM lineitem
+    |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+    |> AGGREGATE COUNT(*) AS n,
+         CAST(SUM(CAST(disc_price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       GROUP BY l_returnflag, l_linestatus
+    |> WHERE n > 100
+    |> ORDER BY l_returnflag, l_linestatus
+  """.trim
+
+  def qSqlPipe(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, pipeSql, "lineitem")
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`) — an 84-step month
+    * calendar generated by the recursion, LEFT-joined to orders so
+    * pre-1995 months surface as zero rows (the date-dimension build
+    * every warehouse needs). The recursive anchor/step run on the
+    * driver-side loop Catalyst unrolls (UnionLoop); the join+agg stay
+    * fully distributed. Integer month index → make_date keeps the
+    * arithmetic bit-exact cross-engine ((mi - mi%12)/12 is an exact
+    * double on both). Identical SQL text runs on DuckDB. */
+  val recursiveSql: String = """
+    WITH RECURSIVE cal(mi) AS (
+      SELECT 0 UNION ALL SELECT mi + 1 FROM cal WHERE mi < 83),
+    m AS (SELECT make_date(1992 + CAST((mi - mi % 12) / 12 AS INT),
+                           1 + mi % 12, 1) AS month_start FROM cal)
+    SELECT month_start, COUNT(o_orderkey) AS n_orders,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price
+    FROM m LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS DATE) = month_start
+    GROUP BY month_start ORDER BY month_start
+  """.trim
+
+  def qSqlRecursive(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, recursiveSql, "orders")
+
+  /** SQL scalar UDFs (`CREATE TEMPORARY FUNCTION ... RETURN expr`,
+    * Spark 4) — the declarative UDF surface: the body is a SQL
+    * expression Catalyst INLINES into the calling plan, so unlike the
+    * JVM closure UDFs (§2.9 `udf_scalar`) these stay inside
+    * whole-stage codegen with zero serialization boundary — the form
+    * to prefer at 100 TB whenever the logic is expressible. The
+    * oracle runs the same query with both bodies inlined by hand. */
+  def qSqlUdf(s: SparkSession, dir: String): DataFrame = {
+    val sess = Session(s)
+    sess.registerTable("orders", graft.sources.Tables(s, dir, "orders"))
+    sess.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+      RETURNS STRING
+      RETURN CASE WHEN p < 100000 THEN 'small'
+                  WHEN p < 250000 THEN 'mid' ELSE 'big' END""")
+    sess.sql("""CREATE OR REPLACE TEMPORARY FUNCTION after_discount(p DOUBLE)
+      RETURNS DOUBLE RETURN p * 0.9""")
+    sess.sql("""
+      SELECT price_band(o_totalprice) AS band, COUNT(*) AS n,
+        CAST(SUM(CAST(after_discount(o_totalprice) AS DECIMAL(18,4))) AS DOUBLE) AS discounted
+      FROM orders GROUP BY 1 ORDER BY band""")
+  }
+
+  val udfSql: String = """
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 250000 THEN 'mid' ELSE 'big' END AS band,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice * 0.9 AS DECIMAL(18,4))) AS DOUBLE) AS discounted
+    FROM orders GROUP BY 1 ORDER BY band
+  """.trim
+
+  val pipeOracleSql: String = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) > 100
+    ORDER BY l_returnflag, l_linestatus
+  """.trim
 }

@@ -74,6 +74,47 @@ class PipelineSpec extends SparkSpec {
     // little signal, but the machinery must still surface true neighbors
   }
 
+  /** Exact L2 top-10 per query, computed in-test (500 vectors). */
+  private def exactL2Top10: Map[Long, Set[Long]] = {
+    val e = graft.sources.Tables(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qe"), col("ce"),
+            (a, b) => (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("PQ ADC top-10 recalls true L2 neighbors well above chance, deterministically") {
+    val pq = Similarity.qKnnPq(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // shape: exactly 10 ranked rows per query
+    assert(pq.length == 100, s"expected 10x10 rows, got ${pq.length}")
+    val byQ = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = exactL2Top10
+    val recalls = exact.map { case (q, truth) =>
+      (byQ(q) & truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    // chance on 500 candidates is 10/500 = 0.02; 8x16 codes on these
+    // vectors measures ~0.34 — assert comfortably above chance with
+    // headroom for fixture regeneration
+    assert(mean >= 0.15, s"mean recall@10 $mean vs chance 0.02")
+    // deterministic end-to-end: seeds by vec_id order, decimal-exact
+    // means, first-minimum argmin — a second full run must be identical
+    val again = Similarity.qKnnPq(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pq.toSeq == again.toSeq, "PQ pipeline must be run-to-run deterministic")
+  }
+
   test("no cartesian product in any candidate-generation plan") {
     def planOf(df: DataFrame) = df.queryExecution.executedPlan.toString
     for (df <- Seq(Dedup.qDedupMinhash(spark, sfDir),

@@ -8,8 +8,9 @@ package graft
 class PlanLintSpec extends SparkSpec {
 
   // deliberate exceptions, each justified at the definition site:
-  //  - knn_brute/knn_ivf: BroadcastNestedLoopJoin with a <=10-row
-  //    broadcast side is the intended plan (query set vs candidates)
+  //  - knn_brute/knn_ivf/knn_pq: BroadcastNestedLoopJoin with a
+  //    <=10-row broadcast side is the intended plan (query set vs
+  //    candidates; for PQ the broadcast side is the 10 distance tables)
   //  - window_ntile: cross-broadcast of the single-row global count
   //  - tpch_q15/tpch_q22: cross-broadcast of a single-row global
   //    aggregate (max revenue / average balance) into the filter
@@ -20,8 +21,8 @@ class PlanLintSpec extends SparkSpec {
   //    broadcast-sized dims (Joins.qCrossJoin) — BNLJ with the 5-row
   //    side broadcast IS the intended physical plan
   private val bnljAllowed =
-    Set("knn_brute", "knn_ivf", "window_ntile", "tpch_q15", "tpch_q22",
-      "tpch_q11", "hash_funcs", "cross_join")
+    Set("knn_brute", "knn_ivf", "knn_pq", "window_ntile", "tpch_q15",
+      "tpch_q22", "tpch_q11", "hash_funcs", "cross_join")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
