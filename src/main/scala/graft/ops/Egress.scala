@@ -145,6 +145,26 @@ object Egress {
     partitionedRead(s, out)
   }
 
+  /** Dynamic partition overwrite — the idempotent incremental-load
+    * primitive for hive-partitioned layouts: replace ONLY the
+    * partitions present in `df`, leave every other partition's files
+    * physically untouched (re-running a day's load cannot disturb
+    * other days). This is `INSERT OVERWRITE ... PARTITION` semantics;
+    * Spark's static mode would instead truncate the WHOLE root first.
+    * EgressSpec asserts both halves: target partition replaced,
+    * sibling partition files byte-identical afterwards. */
+  def overwritePartitionsDynamic(df: org.apache.spark.sql.DataFrame,
+      out: String, keys: String*): Unit = {
+    val s = df.sparkSession
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try df.write.mode("overwrite").partitionBy(keys: _*).parquet(out)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** The read half, separated so the pruning spec can target it. */
   private[graft] def partitionedRead(s: SparkSession, out: String): DataFrame =
     s.read.parquet(out)

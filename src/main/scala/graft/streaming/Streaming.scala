@@ -121,6 +121,59 @@ object Streaming {
         col("purchase_value"))
   }
 
+  /** LEFT-OUTER stream-stream join — attribution INCLUDING the
+    * unconverted clicks. Same watermarks + event-time range condition
+    * as [[attributionJoin]]; the outer semantics add the deferred
+    * null emission: an unmatched click is held in state until the
+    * watermark proves no purchase can still arrive for its 1 h window
+    * (click_ts + 1 h + 10 min delay), THEN emits null-padded — so
+    * "no match" is a watermark-certified fact, not a race with late
+    * data, and state stays bounded by the same eviction rule as the
+    * inner join. In batch the null rows appear immediately
+    * (`qStreamJoinOuter`, oracle-checked LEFT JOIN). */
+  def attributionJoinLeftOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("c_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      // user_id comes from the CLICK side: the purchase side is null
+      // on precisely the rows the outer join adds
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
+  /** Batch twin of the outer join. Total order: purchase_id NULLS
+    * LAST to match the oracle's ASC default (Spark's asc is
+    * nulls-first — the one cross-engine sort divergence). */
+  def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    attributionJoinLeftOuter(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("click_id").asc, col("purchase_id").asc_nulls_last)
+  }
+
+  val qStreamJoinOuterSql: String = """
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+      p.event_id AS purchase_id, p.value AS purchase_value
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+     AND p.event_type = 'purchase'
+    WHERE c.event_type = 'click'
+    ORDER BY click_id, purchase_id NULLS LAST
+  """.trim
+
   /** Batch twin over the events fixture, DuckDB-checked. */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")

@@ -32,6 +32,35 @@ class EgressSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("o_orderstatus=")), s"dirs: $dirs")
   }
 
+  test("dynamic partition overwrite replaces only the written partition") {
+    val out = Egress.outRoot(sfDir) + "/orders_dynpart"
+    val src = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    Egress.overwritePartitionsDynamic(src, out, "o_orderstatus")
+    def files(status: String): Map[String, Long] = {
+      val d = new java.io.File(s"$out/o_orderstatus=$status")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val oBefore = files("O")
+    val fCountBefore = spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F").count()
+    // incremental reload of JUST partition F, halved by a filter so
+    // replacement (not append) is observable
+    val reload = src.filter(col("o_orderstatus") === "F")
+      .filter(col("o_orderkey") % 2 === 0)
+    Egress.overwritePartitionsDynamic(reload, out, "o_orderstatus")
+    // sibling partition physically untouched (same files, same mtimes)
+    assert(files("O") == oBefore,
+      "dynamic overwrite must not rewrite partitions absent from the batch")
+    val after = spark.read.parquet(out)
+    val fCountAfter = after.filter(col("o_orderstatus") === "F").count()
+    assert(fCountAfter < fCountBefore && fCountAfter > 0,
+      s"partition F must be REPLACED: $fCountBefore -> $fCountAfter")
+    // and replaced content is exactly the reload batch
+    assert(fCountAfter == reload.count())
+  }
+
   test("partition-key filter prunes to one partition at plan time") {
     Egress.qPartitionedScan(spark, sfDir).collect() // ensure written
     val read = Egress.partitionedRead(

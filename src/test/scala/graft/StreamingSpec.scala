@@ -153,6 +153,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: null-padded click only after the watermark certifies no match") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Streaming.attributionJoinLeftOuter(cdf, pdf).writeStream
+      .format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    def rows(): Set[(Long, Option[Long])] =
+      spark.table("attrib_outer").select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L), // will convert
+        (2L, ts("2024-01-01 10:05:00"), 101L))              // never converts
+      purchases.addData((1L, ts("2024-01-01 10:30:00"), 200L, 9.99))
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched click must NOT
+      // null-emit yet — a purchase in its window could still arrive
+      assert(rows() == Set((100L, Some(200L))),
+        s"premature outer emission: ${rows()}")
+      // both watermarks advance past click 101's window end + delay
+      // (11:05 + 10 min); next trigger finalizes the null row
+      clicks.addData((9L, ts("2024-01-01 12:00:00"), 999L))
+      purchases.addData((9L, ts("2024-01-01 23:00:00"), 998L, 0.0))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-01 23:30:00"), 997L))
+      q.processAllAvailable()
+      assert(rows().contains((101L, None)),
+        s"watermark-expired click must emit null-padded: ${rows()}")
+      assert(!rows().exists { case (c, p) => c == 100L && p.isEmpty },
+        "a matched click must never also null-emit")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
