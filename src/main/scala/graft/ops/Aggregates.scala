@@ -205,6 +205,47 @@ object Aggregates {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** MERGEABLE HLL sketches (Apache DataSketches `hll_sketch_agg` /
+    * `hll_union_agg`) — what `approx_count_distinct` cannot do: the
+    * sketch itself is a first-class value, so per-partition /
+    * per-source / per-day sketches can be PERSISTED and UNIONED later
+    * without touching raw data again. At 100 TB this is the
+    * cardinality architecture: daily partial sketches, any rollup =
+    * sketch union, never a rescan. The '__all__' row is exactly that
+    * rollup — built from the per-source sketches, NOT from the table.
+    * Sketch bytes are engine-specific, so the query emits exact
+    * distincts plus a within-5%-of-exact flag the oracle states as
+    * `true` (the exact-global recount here is the verification
+    * harness, not the production path). */
+  def qHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val perSource = d.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+        countDistinct(col("doc_id")).as("n_exact"))
+    val bySource = perSource.select(col("source"), col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+        col("n_exact").cast("double") * 0.05).as("est_ok"))
+    // doc_id is the table's key: per-source distinct sets are disjoint,
+    // so the global exact is the SUM of per-source exacts — and the
+    // oracle recomputes global COUNT(DISTINCT) from the raw table, so
+    // a violated assumption would hash-mismatch, not silently pass
+    val globalRow = perSource
+      .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_exact")).as("n_exact"))
+      .select(lit("__all__").as("source"), col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("est_ok"))
+    bySource.unionByName(globalRow).orderBy("source")
+  }
+
+  val qHllSketchSql: String = """
+    SELECT source, COUNT(DISTINCT doc_id) AS n_exact, true AS est_ok
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__all__' AS source, COUNT(DISTINCT doc_id) AS n_exact, true AS est_ok
+    FROM documents
+    ORDER BY source
+  """.trim
+
   /** Approximate percentiles (Greenwald–Khanna sketch,
     * `percentile_approx` accuracy 10000 → rank error ≤ N/10000) — the
     * 100 TB path where the exact interpolated percentile would shuffle

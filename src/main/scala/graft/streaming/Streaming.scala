@@ -314,4 +314,82 @@ object Streaming {
     fs.rename(tmp, dir)
     fs.delete(old, true)
   }
+
+  // ---- transformWithState (Spark 4 arbitrary-state API) ------------------
+
+  case class Change(key: Long, ts: java.sql.Timestamp, value: String)
+  /** `value = null` marks an expiry tombstone (timer fired). */
+  case class ChangeOut(key: Long, ts_us: Long, value: String)
+
+  /** Changelog compaction as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the Spark-4 `transformWithState` successor to
+    * `mapGroupsWithState` (typed state VARIABLES + event-time TIMERS
+    * + per-state TTL, on the RocksDB state store): keep each key's
+    * latest value, emit a row only when the value CHANGES, and let an
+    * event-time timer drop keys idle longer than `retentionMs` —
+    * state is bounded by the active-key horizon, not stream length
+    * (the 100 TB stream requirement), and the expiry emits a null
+    * tombstone so downstream consumers see the retraction.
+    *
+    * Semantics note, documented not hidden: after a key expires, a
+    * re-arrival of the SAME value re-emits — "unchanged" is only
+    * certifiable while the state lives.
+    *
+    * Within a batch, rows apply in (ts, value) order so multi-change
+    * batches produce a deterministic changelog. One timer per key is
+    * maintained (re-registered forward as the key stays active). */
+  class LatestValueProcessor(retentionMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Change, ChangeOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var latest: ValueState[String] = _
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      latest = getHandle.getValueState[String]("latest", Encoders.STRING,
+        TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Change],
+        timers: TimerValues): Iterator[ChangeOut] = {
+      val ordered = rows.toArray.sortBy(c => (c.ts.getTime, c.value))
+      val out = Seq.newBuilder[ChangeOut]
+      var maxTsMs = Long.MinValue
+      for (c <- ordered) {
+        maxTsMs = math.max(maxTsMs, c.ts.getTime)
+        if (!latest.exists() || latest.get() != c.value) {
+          latest.update(c.value)
+          out += ChangeOut(key, c.ts.getTime * 1000L, c.value)
+        }
+      }
+      // slide this key's single expiry timer forward to last-seen + retention
+      val expiry = maxTsMs + retentionMs
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      getHandle.registerTimer(expiry)
+      timerAt.update(expiry)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ChangeOut] = {
+      latest.clear(); timerAt.clear()
+      Iterator.single(ChangeOut(key, info.getExpiryTimeInMs * 1000L, null))
+    }
+  }
+
+  /** Wire the processor: event-time mode requires a watermark on the
+    * input; append mode emits the changelog. */
+  def latestStateStream(changes: Dataset[Change],
+      retentionMs: Long): Dataset[ChangeOut] = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    changes
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.key)
+      .transformWithState(new LatestValueProcessor(retentionMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

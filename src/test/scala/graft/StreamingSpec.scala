@@ -191,6 +191,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState changelog: emits only changes, event-time timer expires idle keys") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.Change]
+    val q = Streaming.latestStateStream(in.toDS(), retentionMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("changelog")
+      .outputMode("append").start()
+    def rows(): Set[(Long, Option[String])] =
+      spark.table("changelog").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    try {
+      in.addData(Streaming.Change(1, ts("2024-01-01 10:00:00"), "a"))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, Some("a"))))
+      // duplicate value: suppressed; new key: emitted
+      in.addData(Streaming.Change(1, ts("2024-01-01 10:05:00"), "a"),
+        Streaming.Change(2, ts("2024-01-01 10:06:00"), "x"))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, Some("a")), (2L, Some("x"))))
+      // real change: emitted
+      in.addData(Streaming.Change(1, ts("2024-01-01 10:10:00"), "b"))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, Some("a")), (2L, Some("x")), (1L, Some("b"))))
+      // watermark far past both keys' retention (11:10 / 11:06):
+      // timers fire, keys tombstone (key 9 stays live)
+      in.addData(Streaming.Change(9, ts("2024-01-01 13:00:00"), "z"))
+      q.processAllAvailable()
+      in.addData(Streaming.Change(9, ts("2024-01-01 13:30:00"), "z2"))
+      q.processAllAvailable()
+      assert(rows().contains((1L, None)) && rows().contains((2L, None)),
+        s"expired keys must tombstone: ${rows()}")
+      // post-expiry re-arrival of the SAME value re-emits (state was dropped)
+      in.addData(Streaming.Change(1, ts("2024-01-01 14:00:00"), "b"))
+      q.processAllAvailable()
+      assert(rows().count { case (k, v) => k == 1L && v.contains("b") } >= 1)
+      val emitted = spark.table("changelog")
+        .filter(col("key") === 1 && col("value") === "b").count()
+      assert(emitted == 2, s"re-arrival after expiry must re-emit, got $emitted")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
