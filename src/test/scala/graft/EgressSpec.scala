@@ -32,6 +32,25 @@ class EgressSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("o_orderstatus=")), s"dirs: $dirs")
   }
 
+  test("variant column round-trips through parquet (shredded binary, typed extraction after read-back)") {
+    val out = Egress.outRoot(sfDir) + "/variant_pq"
+    val src = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
+        parse_json(to_json(struct(col("o_orderkey").as("id"),
+          col("o_orderpriority").as("prio")))).as("v"))
+    src.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    // the column survives AS a variant, not as a string
+    assert(back.schema("v").dataType.typeName.toLowerCase.contains("variant"),
+      s"expected VariantType, got ${back.schema("v").dataType}")
+    // every row's binary encoding still answers typed path extraction
+    val mismatches = back.filter(
+      expr("variant_get(v, '$.id', 'long')") =!= col("k") ||
+      expr("variant_get(v, '$.prio', 'string')") =!= col("p")).count()
+    assert(mismatches == 0, s"$mismatches rows lost variant fidelity")
+    assert(back.count() == src.count())
+  }
+
   test("dynamic partition overwrite replaces only the written partition") {
     val out = Egress.outRoot(sfDir) + "/orders_dynpart"
     val src = graft.sources.Tables(spark, sfDir, "orders")
