@@ -292,4 +292,36 @@ object Sampling {
       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
     FROM gated GROUP BY source ORDER BY source
   """.trim
+
+  /** Exact-k-per-group uniform sample (k docs per source — the "5
+    * examples per source" eval-set draw), as PRIORITY SAMPLING
+    * composed onto the engine's own grouped-top-k operator: key each
+    * row with the cross-engine-stable md5 of (doc_id, seed), keep
+    * each group's k smallest keys via [[graft.plans.TopKPerGroup]] —
+    * bounded per-group heaps and a k-capped shuffle, where rate-based
+    * stratified sampling (qStratifiedSample) cannot promise an exact
+    * k and a per-group ORDER BY would sort whole groups. Changing the
+    * seed string redraws the sample; doc_id tie-break keeps even a
+    * (vanishingly unlikely) md5 collision deterministic. */
+  def qSampleGroup(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(concat(col("doc_id").cast(StringType), lit("#s1"))).as("pri"))
+    graft.plans.TopKPerGroup(keyed, Seq("source"),
+      Seq("pri" -> true, "doc_id" -> true), 5)
+      .orderBy("source", "pri", "doc_id")
+  }
+
+  val qSampleGroupSql: String = """
+    WITH p AS (
+      SELECT source, doc_id,
+        md5(CAST(doc_id AS VARCHAR) || '#s1') AS pri
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, pri,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+      FROM p)
+    SELECT source, doc_id, pri FROM r WHERE rn <= 5
+    ORDER BY source, pri, doc_id
+  """.trim
 }

@@ -49,10 +49,20 @@ object TopKPerGroupStrategy extends SparkStrategy {
     case TopKPerGroupNode(groupExprs, sortOrders, k, child) =>
       // partial (pre-shuffle, per input partition) feeds final
       // (post-shuffle, per group) — EnsureRequirements inserts the
-      // exchange demanded by the final node's required distribution
+      // exchange demanded by the final node's required distribution.
+      // spark.graft.topk.strategy=sort switches the FINAL phase to the
+      // sort-based mode (external-sorter child ordering + O(1)
+      // streaming state) for group cardinalities where per-group heaps
+      // would strain executor memory; the partial phase keeps its
+      // flush-guarded heaps either way (its map is bounded by the
+      // flush threshold, and a partial sort would buy nothing).
+      val sortBased = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.strategy", "heap") == "sort"
       val partial =
-        TopKPerGroupExec(groupExprs, sortOrders, k, partial = true, planLater(child))
-      TopKPerGroupExec(groupExprs, sortOrders, k, partial = false, partial) :: Nil
+        TopKPerGroupExec(groupExprs, sortOrders, k, partial = true,
+          sortBased = false, planLater(child))
+      TopKPerGroupExec(groupExprs, sortOrders, k, partial = false,
+        sortBased = sortBased, partial) :: Nil
     case _ => Nil
   }
 }
@@ -62,6 +72,7 @@ case class TopKPerGroupExec(
     sortOrders: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    sortBased: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -69,6 +80,21 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
+
+  /** Sort-based mode: demand (group keys, sort keys) ordering from
+    * the child — EnsureRequirements plants a SortExec, whose
+    * UnsafeExternalSorter SPILLS past memory, so this mode has no
+    * group-cardinality ceiling at all; the operator itself then
+    * streams group boundaries with O(1) state. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (!partial && sortBased)
+      Seq(groupExprs.map(SortOrder(_, Ascending)) ++ sortOrders)
+    else Seq(Nil)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (!partial && sortBased)
+      groupExprs.map(SortOrder(_, Ascending)) ++ sortOrders
+    else Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -90,12 +116,29 @@ case class TopKPerGroupExec(
     *    degrade-to-passthrough HashAggregate uses).
     *  - FINAL phase (post-shuffle): sees only groups/shuffle-partitions
     *    distinct keys, so its map is smaller by the shuffle fan-out; it
-    *    cannot flush (its output is final), so for group cardinalities
-    *    where groups/numPartitions × k rows strain an executor, use the
-    *    row_number window idiom instead — that regime has no bounded
-    *    working set for ANY hash-based operator. */
+    *    cannot flush (its output is final). For group cardinalities
+    *    where groups/numPartitions × k rows strain an executor, set
+    *    `spark.graft.topk.strategy=sort`: the final phase then demands
+    *    a (group, order) child sort — the external sorter spills past
+    *    memory — and streams group runs with O(1) state (no hash map
+    *    at all). Same answer, TopKPerGroupSpec-pinned. */
   override protected def doExecute(): RDD[InternalRow] = {
     val (groupE, orders, kk, childOutput) = (groupExprs, sortOrders, k, child.output)
+    if (!partial && sortBased) {
+      // child is (group, order)-sorted: pass through the first k rows
+      // of each group-key run — no map, no heap, O(1) state per task
+      return child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupE, childOutput)
+        var curKey: UnsafeRow = null
+        var seen = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); seen = 0 }
+          seen += 1
+          seen <= kk
+        }
+      }, preservesPartitioning = true)
+    }
     val flushThreshold =
       if (partial)
         conf.getConfString("spark.graft.topk.maxGroupsPerPartition",

@@ -56,8 +56,9 @@ class TopKPerGroupSpec extends SparkSpec {
     val ex = s.indexOf("Exchange hashpartitioning(l_returnflag")
     assert(fin >= 0 && fin < ex && ex < part,
       s"expected partial -> exchange -> final:\n$s")
+    // bottom node renders "..., partial=true, sortBased=false"
     assert(s.substring(part).startsWith("TopKPerGroup") &&
-      s.substring(part).takeWhile(_ != '\n').endsWith("true"),
+      s.substring(part).takeWhile(_ != '\n').endsWith("true, false"),
       s"bottom node is not the partial phase:\n$s")
   }
 
@@ -83,6 +84,31 @@ class TopKPerGroupSpec extends SparkSpec {
         .filter(col("rn") <= 2).drop("rn")
       assert(byKey.count() == expect.count())
     } finally spark.conf.unset(key)
+  }
+
+  test("sort-based final phase: SortExec above the exchange, O(1)-state stream, same answer") {
+    val confKey = "spark.graft.topk.strategy"
+    spark.conf.set(confKey, "sort")
+    try {
+      val sorted = customTopK("l_returnflag", orderAsc = false, 5)
+      val plan = sorted.queryExecution.executedPlan.toString
+      // the final phase demanded a (group, order) sort: EnsureRequirements
+      // plants a spilling SortExec between exchange and final node
+      assert(plan.contains("Sort ["), s"expected a SortExec in:\n$plan")
+      val (fin, part) = (plan.indexOf("TopKPerGroup"), plan.lastIndexOf("TopKPerGroup"))
+      val srt = plan.indexOf("Sort [")
+      assert(fin < srt && srt < part,
+        s"SortExec must sit between final and partial:\n$plan")
+      // high-group-cardinality shape (group = l_orderkey, thousands of
+      // groups): sort mode must agree with the window idiom exactly
+      val a = customTopK("l_orderkey", orderAsc = true, 2)
+      val b = windowTopK("l_orderkey", orderAsc = true, 2)
+      assert(a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally spark.conf.unset(confKey)
+    // and back in default heap mode there is no extra sort
+    val planHeap = customTopK("l_returnflag", orderAsc = false, 5)
+      .queryExecution.executedPlan.toString
+    assert(!planHeap.contains("Sort ["), s"heap mode must not sort:\n$planHeap")
   }
 
   test("k larger than every group returns the whole table") {
