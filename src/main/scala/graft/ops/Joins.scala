@@ -223,4 +223,35 @@ object Joins {
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
   """.trim
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the join a dimension
+    * with an "unknown" bucket needs. Catalyst plans `<=>` as an
+    * ordinary hash join (null-safe keys still hash-partition: all
+    * NULLs land in one bucket), so the scale shape is identical to
+    * `=`; only the match semantics differ. Keys are NULLIF-built so
+    * the fixture actually exercises the NULL↔NULL path. */
+  def qJoinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "events")
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), nullif(col("user_id") % 5, lit(0)).as("k"),
+        col("value"))
+    val b = s.range(0, 5)
+      .select(nullif(col("id"), lit(0)).as("k"), (col("id") * 10).as("w"))
+    a.join(b, a("k") <=> b("k"))
+      .groupBy(col("event_id"), col("w"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("total_v"))
+      .orderBy(col("event_id"), col("w"))
+  }
+
+  val qJoinNullSafeSql: String = """
+    WITH a AS (SELECT event_id, NULLIF(user_id % 5, 0) AS k, value
+               FROM events WHERE event_id % 97 = 0),
+    b AS (SELECT NULLIF(n, 0) AS k, n * 10 AS w
+          FROM (SELECT UNNEST(range(0, 5)) AS n))
+    SELECT a.event_id, b.w,
+      CAST(SUM(CAST(a.value AS DECIMAL(18,6))) AS DOUBLE) AS total_v
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.event_id, b.w ORDER BY a.event_id, b.w
+  """.trim
 }

@@ -182,6 +182,28 @@ object Sql {
     FROM orders GROUP BY 1 ORDER BY band
   """.trim
 
+  /** Correlated SCALAR subqueries — one per select-item, including
+    * the COUNT form (the classic "COUNT bug": a customer with no
+    * qualifying orders must read 0, not NULL — Catalyst's
+    * decorrelation inserts the null-to-zero projection when it
+    * rewrites each subquery to an aggregate + left outer join, so at
+    * scale this costs two shuffled joins, never a per-row probe).
+    * Identical SQL text runs on DuckDB. */
+  val scalarCorrSql: String = """
+    SELECT c_custkey,
+      (SELECT MAX(o_orderdate) FROM orders o
+       WHERE o.o_custkey = c.c_custkey) AS last_order,
+      (SELECT COUNT(*) FROM orders o
+       WHERE o.o_custkey = c.c_custkey
+         AND o.o_totalprice > 200000) AS n_big
+    FROM customer c
+    WHERE c_custkey % 100 = 0
+    ORDER BY c_custkey
+  """.trim
+
+  def qSqlScalarCorr(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, scalarCorrSql, "customer", "orders")
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -222,4 +222,30 @@ object Windows {
     ) WHERE o_orderkey % 300 = 0
     ORDER BY o_orderpriority, o_orderkey
   """.trim
+
+  /** RANGE frame on event time — the moving-window-by-VALUE frame
+    * (here: each order's per-customer trailing 30 days), which ROWS
+    * frames cannot express when rows are unevenly spaced. Peers (equal
+    * order dates) enter the frame together in both engines — that's
+    * RANGE semantics, and why the frame needs no tie-break key even
+    * though the projection's ORDER BY does. Identical SQL text runs on
+    * DuckDB; the interval-bounded frame stays a single windowed pass
+    * (one shuffle on the partition key) at any scale. */
+  val qWindowRangeSql: String = """
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d,
+      COUNT(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_30d
+    FROM orders WHERE o_custkey % 50 = 0
+    ORDER BY o_custkey, o_orderkey
+  """.trim
+
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.Session(s)
+    sess.registerTable("orders", graft.sources.Tables(s, dir, "orders"))
+    sess.sql(qWindowRangeSql)
+  }
 }
