@@ -40,8 +40,11 @@ object Bench {
     // warm-up: run the flagship + one query of each heavy shape once,
     // untimed, so session/codegen/shuffle-service startup is not billed
     // to whichever query happens to run first
+    // (variant_json: the variant expression family loads its own
+    // class/codegen universe — 2-3 s one-time, same treatment as the
+    // other first-of-shape queries)
     for (n <- Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash",
-        "csv_sink"))
+        "csv_sink", "variant_json"))
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     // a failed query records -1.0, never its time-to-fail — a broken
