@@ -106,9 +106,20 @@ private final class IpcTable(tableSchema: StructType, dir: String)
 private final class IpcScanBuilder(fullSchema: StructType, dir: String,
     maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var countStar = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL (`isPartiallyPushed` default true):
+    * each file reader stops pulling record batches once it has
+    * yielded `n` rows — a `LIMIT 10` over a TB-scale directory
+    * touches one batch per file instead of every batch — and Spark's
+    * own GlobalLimit still trims the per-partition surplus. The
+    * reference's scanner has the same knob (`ScannerBuilder`
+    * batch_size/head, `dataset/scanner.h`). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   // Catalyst hands down exactly the referenced columns (ColumnPruning →
   // V2ScanRelationPushDown) — the reference's ScannerBuilder::Project
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -137,7 +148,7 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
 
   override def build(): Scan =
     if (countStar) new IpcCountScan(dir)
-    else new IpcScan(fullSchema, required, dir, maxFilesPerTrigger)
+    else new IpcScan(fullSchema, required, dir, maxFilesPerTrigger, limit)
 }
 
 /** Metadata-only COUNT(*) scan: one partition per .arrow file, each
@@ -216,12 +227,14 @@ private object IpcCountScan {
 }
 
 private final class IpcScan(fullSchema: StructType, required: StructType,
-    dir: String, maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
+    dir: String, maxFilesPerTrigger: Option[Int] = None,
+    limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-ipc $dir, columns ${required.fieldNames.mkString(",")}"
+    s"graft-ipc $dir, columns ${required.fieldNames.mkString(",")}" +
+      limit.map(n => s", limit=$n").getOrElse("")
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new IpcMicroBatchStream(fullSchema, required, dir, maxFilesPerTrigger)
@@ -261,7 +274,7 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
     val idx = required.fieldNames.map(n => fullSchema.fieldIndex(n))
     new IpcPartitionReaderFactory(required, idx,
       new SerializableConfiguration(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration), limit)
   }
 }
 
@@ -364,11 +377,13 @@ private final class IpcMicroBatchStream(fullSchema: StructType,
 }
 
 private final class IpcPartitionReaderFactory(required: StructType,
-    fileIdx: Array[Int], confSer: SerializableConfiguration)
+    fileIdx: Array[Int], confSer: SerializableConfiguration,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[IpcInputPartition]
-    new IpcPartitionReader(part.path, part.len, required, fileIdx, confSer)
+    new IpcPartitionReader(part.path, part.len, required, fileIdx, confSer,
+      limit)
   }
 
   // The scan is COLUMNAR: each loaded Arrow record batch is handed to
@@ -380,7 +395,8 @@ private final class IpcPartitionReaderFactory(required: StructType,
 
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[IpcInputPartition]
-    new IpcColumnarPartitionReader(part.path, part.len, fileIdx, confSer)
+    new IpcColumnarPartitionReader(part.path, part.len, fileIdx, confSer,
+      limit)
   }
 }
 
@@ -390,7 +406,8 @@ private final class IpcPartitionReaderFactory(required: StructType,
   * file reader's VectorSchemaRoot and reused across loadNextBatch —
   * safe because Spark fully consumes a batch before calling next(). */
 private final class IpcColumnarPartitionReader(path: String, len: Long,
-    fileIdx: Array[Int], confSer: SerializableConfiguration)
+    fileIdx: Array[Int], confSer: SerializableConfiguration,
+    limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 
@@ -403,13 +420,18 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
   }
   private val root = reader.getVectorSchemaRoot
   private var batch: ColumnarBatch = null
+  private var served = 0L
 
   override def next(): Boolean = {
+    // pushed limit satisfied: stop pulling batches (whole batches are
+    // emitted — Spark's GlobalLimit trims the last one's surplus)
+    if (limit.exists(served >= _)) return false
     if (!reader.loadNextBatch()) return false
     if (root.getRowCount == 0) return next()
     val cols: Array[ColumnVector] =
       fileIdx.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
     batch = new ColumnarBatch(cols, root.getRowCount)
+    served += root.getRowCount
     true
   }
 
@@ -424,7 +446,8 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
   * the interchange format, not the 100 TB at-rest format). */
 private final class IpcPartitionReader(path: String, len: Long,
     required: StructType, fileIdx: Array[Int],
-    confSer: SerializableConfiguration) extends PartitionReader[InternalRow] {
+    confSer: SerializableConfiguration,
+    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
 
   private val allocator = new RootAllocator()
   private val reader = {
@@ -434,10 +457,12 @@ private final class IpcPartitionReader(path: String, len: Long,
       new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator)
   }
   private val root = reader.getVectorSchemaRoot
+  private var served = 0L
   private var rowInBatch = 0
   private var batchRows = 0
 
   override def next(): Boolean = {
+    if (limit.exists(served >= _)) return false // pushed limit satisfied
     if (rowInBatch < batchRows) return true
     if (!reader.loadNextBatch()) return false
     rowInBatch = 0
@@ -465,6 +490,7 @@ private final class IpcPartitionReader(path: String, len: Long,
       c += 1
     }
     rowInBatch += 1
+    served += 1
     new GenericInternalRow(vals)
   }
 

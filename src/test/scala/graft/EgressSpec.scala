@@ -229,6 +229,30 @@ class EgressSpec extends SparkSpec {
     assert(grouped.collect().map(_.getLong(1)).sum == src.count())
   }
 
+  test("ipc dsv2 LIMIT pushdown: readers stop after n rows, plan carries the pushed limit") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/tmp/graft_egress/ipc_limit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // one file, many record batches (BatchRows is 4096 in graft.ops.Ipc;
+    // 20k rows => 5+ batches), so an unlimited scan loads several
+    // batches while LIMIT 3 must load exactly one
+    sp.range(0, 20000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("s"))
+      .repartition(1)
+      .write.format("graft-ipc").mode("overwrite").save(dir)
+    val limited = spark.read.format("graft-ipc").load(dir).limit(3)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"),
+      s"scan description must carry the pushed limit:\n$plan")
+    assert(limited.count() == 3)
+    // values come from the file's first batch (k is 0..19999 in order)
+    val ks = limited.as[(Long, String)].collect().map(_._1).toSet
+    assert(ks.forall(_ < 4096), s"limit must be served from the first batch: $ks")
+    // and an unlimited read still sees everything
+    assert(spark.read.format("graft-ipc").load(dir).count() == 20000)
+  }
+
   test("parquet codec matrix: zstd/snappy/none round-trip losslessly, compression earns its bytes") {
     def dirSize(p: String): Long = {
       val d = new java.io.File(p)
