@@ -139,7 +139,9 @@ object Ipc {
     // overwrite semantics: a previous run with MORE partitions must not
     // leave stale part files behind to be re-read alongside new ones;
     // also clear orphaned temps from crashed attempts
-    for (pat <- Seq("*.arrow", ".*.arrow.tmp");
+    // also collect DSv2 stats sidecars: a stale sidecar must never
+    // outlive the data file it described
+    for (pat <- Seq("*.arrow", ".*.arrow.tmp", "*.arrow.stats", ".*.arrow.tmp.stats");
          st <- Option(fs.globStatus(new HPath(dirPath, pat))).getOrElse(Array()))
       fs.delete(st.getPath, false)
     df.rdd.foreachPartition { rows =>

@@ -107,10 +107,28 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
     maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
   private var countStar = false
   private var limit: Option[Int] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  /** Filter pushdown for STATS-BASED FILE SKIPPING: every filter is
+    * returned as residual (Spark re-evaluates all of them — pruning
+    * is advisory and correctness never rests on it), but the
+    * conjuncts are remembered and tested at planning time against
+    * each file's `.arrow.stats` sidecar min/max — a whole file whose
+    * stats refute the predicate is never opened. The reference's
+    * dataset layer prunes fragments the same way
+    * (`dataset/file_base.h` fragment statistics, `dataset/filter.h`). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
 
   /** LIMIT pushdown, PARTIAL (`isPartiallyPushed` default true):
     * each file reader stops pulling record batches once it has
@@ -148,7 +166,8 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
 
   override def build(): Scan =
     if (countStar) new IpcCountScan(dir)
-    else new IpcScan(fullSchema, required, dir, maxFilesPerTrigger, limit)
+    else new IpcScan(fullSchema, required, dir, maxFilesPerTrigger, limit,
+      pushed)
 }
 
 /** Metadata-only COUNT(*) scan: one partition per .arrow file, each
@@ -228,13 +247,16 @@ private object IpcCountScan {
 
 private final class IpcScan(fullSchema: StructType, required: StructType,
     dir: String, maxFilesPerTrigger: Option[Int] = None,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-ipc $dir, columns ${required.fieldNames.mkString(",")}" +
-      limit.map(n => s", limit=$n").getOrElse("")
+      limit.map(n => s", limit=$n").getOrElse("") +
+      (if (filters.nonEmpty) s", filters=${filters.mkString(";")}" else "")
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new IpcMicroBatchStream(fullSchema, required, dir, maxFilesPerTrigger)
@@ -263,9 +285,38 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = new HPath(dir).getFileSystem(conf)
-    Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
+    val files = Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
       .getOrElse(Array()).sortBy(_.getPath.toString)
-      .map(st => IpcInputPartition(st.getPath.toString, st.getLen): InputPartition)
+    val kept =
+      if (filters.isEmpty) files
+      else {
+        // file skipping: one small sidecar read per file, driver-side
+        // (at manifest scale these would be consolidated; the read is
+        // per-PLAN, not per-task). No sidecar / unparsable → keep.
+        val statNames = Option(fs.globStatus(
+            new HPath(new HPath(dir), "*.arrow.stats")))
+          .getOrElse(Array()).map(_.getPath.getName).toSet
+        files.filter { st =>
+          val sidecar = st.getPath.getName + ".stats"
+          !statNames.contains(sidecar) || {
+            val p = new HPath(st.getPath.getParent, sidecar)
+            val body = try {
+              val in = fs.open(p)
+              try {
+                val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+                in.readFully(bytes)
+                Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+              } finally in.close()
+            } catch { case _: Throwable => None }
+            body.flatMap(IpcStats.fromJson) match {
+              case Some(stats) => IpcStats.mightMatch(stats, filters)
+              case None => true
+            }
+          }
+        }
+      }
+    kept.map(st =>
+      IpcInputPartition(st.getPath.toString, st.getLen): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -545,8 +596,9 @@ private final class IpcBatchWrite(schema: StructType, dir: String,
     // commit rename. Leftover temps are dot-prefixed so no reader
     // ever sees them; the next overwrite collects them.
     if (truncateFirst)
-      for (st <- Option(fs.globStatus(new HPath(new HPath(dir), ".*.arrow.tmp")))
-          .getOrElse(Array()))
+      for (pat <- Seq(".*.arrow.tmp", ".*.arrow.tmp.stats");
+           st <- Option(fs.globStatus(new HPath(new HPath(dir), pat)))
+             .getOrElse(Array()))
         fs.delete(st.getPath, false)
     new IpcDataWriterFactory(schema, dir, confSer, queryId)
   }
@@ -554,24 +606,34 @@ private final class IpcBatchWrite(schema: StructType, dir: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(dir).getFileSystem(confSer.value)
     if (truncateFirst)
-      for (st <- Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
-          .getOrElse(Array()))
+      for (pat <- Seq("*.arrow", "*.arrow.stats");
+           st <- Option(fs.globStatus(new HPath(new HPath(dir), pat)))
+             .getOrElse(Array()))
         fs.delete(st.getPath, false)
-    messages.collect { case IpcCommitMessage(tmp, dst) =>
+    messages.collect { case IpcCommitMessage(tmp, dst, tmpStats, dstStats) =>
+      // data file FIRST: a concurrent planner can then see at worst a
+      // file without stats (no pruning), never stats without data
       if (!fs.rename(new HPath(tmp), new HPath(dst)))
         throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
+      if (tmpStats != null &&
+          !fs.rename(new HPath(tmpStats), new HPath(dstStats)))
+        fs.delete(new HPath(tmpStats), false) // advisory: drop, don't fail
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(dir).getFileSystem(confSer.value)
-    messages.collect { case IpcCommitMessage(tmp, _) =>
+    messages.collect { case IpcCommitMessage(tmp, _, tmpStats, _) =>
       fs.delete(new HPath(tmp), false)
+      if (tmpStats != null) fs.delete(new HPath(tmpStats), false)
     }
   }
 }
 
-private final case class IpcCommitMessage(tmpPath: String, finalPath: String)
+/** `tmpStats`/`finalStats` are null when the sidecar write failed
+  * (stats are advisory; the data commit must not depend on them). */
+private final case class IpcCommitMessage(tmpPath: String, finalPath: String,
+    tmpStats: String = null, finalStats: String = null)
     extends WriterCommitMessage
 
 /** A lazy (streaming) writer that saw no rows — nothing to rename. */
@@ -617,21 +679,26 @@ private final class IpcStreamingWrite(schema: StructType, dir: String,
     val fs = new HPath(dir).getFileSystem(confSer.value)
     // Complete mode: this epoch's snapshot replaces everything;
     // otherwise scrub only a replayed epoch's half-committed set
-    val scrubGlob = if (replaceEachEpoch) "part-*.arrow"
-                    else s"part-e$epochId-*.arrow"
-    for (st <- Option(fs.globStatus(
-        new HPath(new HPath(dir), scrubGlob))).getOrElse(Array()))
+    val scrubGlobs = if (replaceEachEpoch)
+      Seq("part-*.arrow", "part-*.arrow.stats")
+    else Seq(s"part-e$epochId-*.arrow", s"part-e$epochId-*.arrow.stats")
+    for (g <- scrubGlobs; st <- Option(fs.globStatus(
+        new HPath(new HPath(dir), g))).getOrElse(Array()))
       fs.delete(st.getPath, false)
-    messages.collect { case IpcCommitMessage(tmp, dst) =>
+    messages.collect { case IpcCommitMessage(tmp, dst, tmpStats, dstStats) =>
       if (!fs.rename(new HPath(tmp), new HPath(dst)))
         throw new java.io.IOException(s"epoch $epochId commit rename failed: $tmp -> $dst")
+      if (tmpStats != null &&
+          !fs.rename(new HPath(tmpStats), new HPath(dstStats)))
+        fs.delete(new HPath(tmpStats), false)
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(dir).getFileSystem(confSer.value)
-    messages.collect { case IpcCommitMessage(tmp, _) =>
+    messages.collect { case IpcCommitMessage(tmp, _, tmpStats, _) =>
       fs.delete(new HPath(tmp), false)
+      if (tmpStats != null) fs.delete(new HPath(tmpStats), false)
     }
   }
 }
@@ -672,8 +739,15 @@ private final class IpcDataWriter(schema: StructType,
 
   private val buf = new Array[InternalRow](Ipc.BatchRows)
   private var n = 0
+  // per-column min/max/null accumulators for the .stats sidecar
+  private val accs: Array[IpcStats.ColAcc] =
+    schema.fields.map(new IpcStats.ColAcc(_))
+  private var totalRows = 0L
 
   override def write(row: InternalRow): Unit = {
+    var c = 0
+    while (c < schema.length) { accs(c).update(row, c); c += 1 }
+    totalRows += 1
     // InternalRow is reused by the caller — copy before buffering
     buf(n) = row.copy(); n += 1
     if (n == Ipc.BatchRows) flush()
@@ -718,7 +792,21 @@ private final class IpcDataWriter(schema: StructType,
     if (writer == null) IpcEmptyCommit // lazy writer saw no rows
     else {
       writer.end(); writer.close(); out.close()
-      IpcCommitMessage(tmpPath.toString, finalPath.toString)
+      // stats sidecar rides the same temp→rename protocol; failure to
+      // write it is non-fatal (stats are advisory — a data file with
+      // no sidecar simply never prunes)
+      val tmpStats = new HPath(tmpPath.toString + ".stats")
+      val okStats =
+        try {
+          val o = fs.create(tmpStats, true)
+          try o.write(IpcStats.toJson(totalRows, accs)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally o.close()
+          true
+        } catch { case _: Throwable => false }
+      IpcCommitMessage(tmpPath.toString, finalPath.toString,
+        if (okStats) tmpStats.toString else null,
+        if (okStats) finalPath.toString + ".stats" else null)
     }
   }
 

@@ -1,0 +1,218 @@
+package graft.sources.ipc
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for the graft-ipc format — the
+  * data-skipping layer the Arrow file format itself lacks (an IPC
+  * footer has batch offsets but no column min/max, unlike parquet
+  * row groups; the reference's dataset layer solves the same gap
+  * with partition/statistics expressions, `dataset/file_base.h`,
+  * `dataset/filter.h`).
+  *
+  * Each committed `part-*.arrow` gains a `part-*.arrow.stats` sidecar
+  * (JSON: row count + per-column min/max/null-count) written through
+  * the same temp→rename commit as the data file. Pruning is
+  * PLANNING-side and advisory only: a file is skipped only when its
+  * stats PROVE no row can satisfy the pushed conjuncts; a missing or
+  * unparsable sidecar, an unsupported filter shape, or an untracked
+  * column type just keeps the file — and every pushed filter remains
+  * a residual Spark re-evaluates, so correctness never rests on the
+  * sidecars. Commit order (data file before sidecar) means a
+  * concurrent planner sees at worst a data file without stats =
+  * no pruning, never pruning without data.
+  *
+  * Tracked kinds: int/long/date/timestamp as `l` (their Catalyst
+  * encodings are ordered integers), float/double as `d`, string as
+  * `s`, boolean as `b`; binary columns record null counts only.
+  * String min/max order on Java String comparison, which matches
+  * UTF8String binary order on the fixture's ASCII data but NOT for
+  * general UTF-8 supplementary characters — so string pruning uses
+  * equality bounds only (a range [min,max] from Java order could
+  * wrongly exclude), while numeric kinds prune on full ranges.
+  */
+private[ipc] object IpcStats {
+
+  final class ColAcc(val field: StructField) {
+    val kind: Char = field.dataType match {
+      case LongType | IntegerType | DateType | TimestampType => 'l'
+      case DoubleType | FloatType => 'd'
+      case StringType => 's'
+      case BooleanType => 'b'
+      case _ => 'x' // null counts only
+    }
+    var nulls = 0L
+    var any = false
+    var minL = Long.MaxValue; var maxL = Long.MinValue
+    var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
+    var minS: String = null; var maxS: String = null
+    var minB = true; var maxB = false
+
+    def update(row: InternalRow, c: Int): Unit =
+      if (row.isNullAt(c)) nulls += 1
+      else {
+        any = true
+        kind match {
+          case 'l' =>
+            val v = field.dataType match {
+              case IntegerType | DateType => row.getInt(c).toLong
+              case _ => row.getLong(c)
+            }
+            if (v < minL) minL = v
+            if (v > maxL) maxL = v
+          case 'd' =>
+            val v = field.dataType match {
+              case FloatType => row.getFloat(c).toDouble
+              case _ => row.getDouble(c)
+            }
+            if (v < minD) minD = v
+            if (v > maxD) maxD = v
+          case 's' =>
+            val v = row.getUTF8String(c).toString
+            if (minS == null || v.compareTo(minS) < 0) minS = v
+            if (maxS == null || v.compareTo(maxS) > 0) maxS = v
+          case 'b' =>
+            val v = row.getBoolean(c)
+            if (!v) minB = false
+            if (v) maxB = true
+          case _ => ()
+        }
+      }
+  }
+
+  def toJson(rows: Long, accs: Array[ColAcc]): String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("rows", rows)
+    val cols = root.putObject("cols")
+    for (a <- accs) {
+      val o = cols.putObject(a.field.name)
+      o.put("t", a.kind.toString)
+      o.put("nulls", a.nulls)
+      if (a.any) a.kind match {
+        case 'l' => o.put("min", a.minL.toString); o.put("max", a.maxL.toString)
+        case 'd' => o.put("min", a.minD.toString); o.put("max", a.maxD.toString)
+        case 's' => o.put("min", a.minS); o.put("max", a.maxS)
+        case 'b' => o.put("min", a.minB.toString); o.put("max", a.maxB.toString)
+        case _ => ()
+      }
+    }
+    m.writeValueAsString(root)
+  }
+
+  final case class ColStats(kind: Char, nulls: Long,
+      min: Option[String], max: Option[String])
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  def fromJson(json: String): Option[FileStats] =
+    try {
+      val root = new ObjectMapper().readTree(json)
+      val cols = root.get("cols").fields().asScala.map { e =>
+        val o = e.getValue
+        e.getKey -> ColStats(o.get("t").asText().head,
+          o.get("nulls").asLong(),
+          Option(o.get("min")).map(_.asText()),
+          Option(o.get("max")).map(_.asText()))
+      }.toMap
+      Some(FileStats(root.get("rows").asLong(), cols))
+    } catch { case _: Throwable => None }
+
+  /** Can any row of a file with `stats` satisfy every conjunct?
+    * `true` = keep (also for anything not understood). */
+  def mightMatch(stats: FileStats, filters: Array[Filter]): Boolean =
+    filters.forall(f => conjunctMightMatch(stats, f))
+
+  private def conjunctMightMatch(st: FileStats, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => boundsContain(st, a, v)
+    case GreaterThan(a, v) => upperAbove(st, a, v, strict = true)
+    case GreaterThanOrEqual(a, v) => upperAbove(st, a, v, strict = false)
+    case LessThan(a, v) => lowerBelow(st, a, v, strict = true)
+    case LessThanOrEqual(a, v) => lowerBelow(st, a, v, strict = false)
+    case In(a, vs) => vs.exists(v => boundsContain(st, a, v))
+    case IsNull(a) => st.cols.get(a).forall(_.nulls > 0)
+    case IsNotNull(a) => st.cols.get(a).forall(c => c.nulls < st.rows)
+    case And(l, r) => conjunctMightMatch(st, l) && conjunctMightMatch(st, r)
+    case Or(l, r) => conjunctMightMatch(st, l) || conjunctMightMatch(st, r)
+    case _ => true // Not, StringContains, … — no pruning claim
+  }
+
+  // numeric view of a filter value for an 'l' or 'd' column; None if
+  // the value's type doesn't line up (then: no pruning)
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Long => Some(n)
+    case n: Int => Some(n.toLong)
+    case n: Short => Some(n.toLong)
+    case n: Byte => Some(n.toLong)
+    case _ => None // dates/timestamps arrive as java.sql types: skip
+  }
+  private def asDouble(v: Any): Option[Double] = v match {
+    case n: Double => Some(n)
+    case n: Float => Some(n.toDouble)
+    case n: Long => Some(n.toDouble)
+    case n: Int => Some(n.toDouble)
+    case _ => None
+  }
+
+  private def boundsContain(st: FileStats, a: String, v: Any): Boolean =
+    st.cols.get(a) match {
+      case Some(c) if c.min.isDefined && c.max.isDefined => c.kind match {
+        case 'l' => asLong(v).forall(x =>
+          x >= c.min.get.toLong && x <= c.max.get.toLong)
+        case 'd' => asDouble(v).forall(x =>
+          x >= c.min.get.toDouble && x <= c.max.get.toDouble)
+        case 's' => v match {
+          // sound for EQUALITY with any single consistent total order:
+          // min/max were computed with the same compareTo, so a probe
+          // outside [min,max] in that order equals no stored value.
+          // (Range filters on strings deliberately don't prune — their
+          // semantics are UTF8 byte order, not Java char order.)
+          case s: String =>
+            s.compareTo(c.min.get) >= 0 && s.compareTo(c.max.get) <= 0
+          case _ => true
+        }
+        case 'b' => v match {
+          case b: Boolean =>
+            (b || c.min.get == "false") && (!b || c.max.get == "true")
+          case _ => true
+        }
+        case _ => true
+      }
+      // min/max absent: untracked kind ('x' — keep) or an all-null /
+      // empty file (a non-null probe can never match — prune)
+      case Some(c) => c.kind == 'x'
+      case None => true
+    }
+
+  private def upperAbove(st: FileStats, a: String, v: Any,
+      strict: Boolean): Boolean =
+    st.cols.get(a) match {
+      case Some(c) if c.max.isDefined => c.kind match {
+        case 'l' => asLong(v).forall(x =>
+          if (strict) c.max.get.toLong > x else c.max.get.toLong >= x)
+        case 'd' => asDouble(v).forall(x =>
+          if (strict) c.max.get.toDouble > x else c.max.get.toDouble >= x)
+        case _ => true
+      }
+      case Some(c) => c.kind == 'x' // see boundsContain
+      case None => true
+    }
+
+  private def lowerBelow(st: FileStats, a: String, v: Any,
+      strict: Boolean): Boolean =
+    st.cols.get(a) match {
+      case Some(c) if c.min.isDefined => c.kind match {
+        case 'l' => asLong(v).forall(x =>
+          if (strict) c.min.get.toLong < x else c.min.get.toLong <= x)
+        case 'd' => asDouble(v).forall(x =>
+          if (strict) c.min.get.toDouble < x else c.min.get.toDouble <= x)
+        case _ => true
+      }
+      case Some(c) => c.kind == 'x' // see boundsContain
+      case None => true
+    }
+}

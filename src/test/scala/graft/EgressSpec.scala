@@ -253,6 +253,44 @@ class EgressSpec extends SparkSpec {
     assert(spark.read.format("graft-ipc").load(dir).count() == 20000)
   }
 
+  test("ipc dsv2 stats sidecars: planning skips files whose min/max refute the filter") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/tmp/graft_egress/ipc_stats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // 4 files with disjoint k ranges (range repartition) + sidecars
+    sp.range(0, 40000)
+      .select(col("id").as("k"), concat(lit("u"), col("id")).as("s"))
+      .repartitionByRange(4, col("k"))
+      .write.format("graft-ipc").mode("overwrite").save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".arrow")) == 4 &&
+      names.count(_.endsWith(".arrow.stats")) == 4, names.mkString(","))
+    def scan = spark.read.format("graft-ipc").load(dir)
+    // point lookup: stats confine it to ONE file
+    val hit = scan.filter(col("k") === 12345L)
+    assert(hit.queryExecution.executedPlan.toString.contains("filters="),
+      "plan must show the pushed filters")
+    assert(hit.rdd.getNumPartitions == 1,
+      s"expected 1 surviving file, got ${hit.rdd.getNumPartitions}")
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((12345L, "u12345")))
+    // impossible predicate: zero files opened, empty result
+    val none = scan.filter(col("k") > 999999L)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+    // range predicate: only the tail files survive
+    val hi = scan.filter(col("k") >= 30000L)
+    assert(hi.rdd.getNumPartitions <= 2, s"${hi.rdd.getNumPartitions}")
+    assert(hi.count() == 10000)
+    // stats are ADVISORY: with sidecars gone, nothing prunes but every
+    // answer is identical
+    for (f <- new java.io.File(dir).listFiles() if f.getName.endsWith(".stats"))
+      f.delete()
+    val noStats = scan.filter(col("k") === 12345L)
+    assert(noStats.rdd.getNumPartitions == 4)
+    assert(noStats.as[(Long, String)].collect().toSeq == Seq((12345L, "u12345")))
+  }
+
   test("parquet codec matrix: zstd/snappy/none round-trip losslessly, compression earns its bytes") {
     def dirSize(p: String): Long = {
       val d = new java.io.File(p)
