@@ -111,4 +111,38 @@ object SetOps {
       SELECT c_name, c_acctbal, 'customer', c_mktsegment FROM customer
     ) GROUP BY kind ORDER BY kind
   """.trim
+
+  /** MULTISET set ops (`intersectAll` / `exceptAll`, SQL INTERSECT
+    * ALL / EXCEPT ALL): bag semantics — a value occurring a times on
+    * the left and b on the right survives min(a,b) times in the
+    * intersection and max(a−b, 0) in the difference. Catalyst plans
+    * both as a single count-aggregate + generate replication (one
+    * shuffle), NOT a distinct-then-join — the multiplicities are the
+    * answer. Output folds each result to (op, value, multiplicity)
+    * so the oracle comparison is order-free. */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 150000)
+      .select(col("o_orderpriority").as("p"))
+    val small = o.filter(col("o_totalprice") <= 150000)
+      .select(col("o_orderpriority").as("p"))
+    val ia = big.intersectAll(small)
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("p"), col("n"))
+    val ea = big.exceptAll(small)
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("p"), col("n"))
+    ia.unionAll(ea).orderBy("op", "p")
+  }
+
+  val qSetOpsAllSql: String = """
+    WITH big AS (SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 150000),
+      small AS (SELECT o_orderpriority AS p FROM orders WHERE o_totalprice <= 150000),
+      ia AS (SELECT p FROM big INTERSECT ALL SELECT p FROM small),
+      ea AS (SELECT p FROM big EXCEPT ALL SELECT p FROM small)
+    SELECT 'intersect_all' AS op, p, COUNT(*) AS n FROM ia GROUP BY p
+    UNION ALL
+    SELECT 'except_all' AS op, p, COUNT(*) AS n FROM ea GROUP BY p
+    ORDER BY op, p
+  """.trim
 }

@@ -290,29 +290,45 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
     val kept =
       if (filters.isEmpty) files
       else {
-        // file skipping: one small sidecar read per file, driver-side
-        // (at manifest scale these would be consolidated; the read is
-        // per-PLAN, not per-task). No sidecar / unparsable → keep.
         val statNames = Option(fs.globStatus(
             new HPath(new HPath(dir), "*.arrow.stats")))
           .getOrElse(Array()).map(_.getPath.getName).toSet
-        files.filter { st =>
-          val sidecar = st.getPath.getName + ".stats"
+        val confSer = new SerializableConfiguration(conf)
+        val fltrs = filters
+        // a file survives unless its sidecar's stats refute the filters
+        def survives(filePath: String, fileName: String): Boolean = {
+          val sidecar = fileName + ".stats"
           !statNames.contains(sidecar) || {
-            val p = new HPath(st.getPath.getParent, sidecar)
+            val p = new HPath(new HPath(filePath).getParent, sidecar)
+            val pfs = p.getFileSystem(confSer.value)
             val body = try {
-              val in = fs.open(p)
+              val in = pfs.open(p)
               try {
-                val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+                val bytes = new Array[Byte](pfs.getFileStatus(p).getLen.toInt)
                 in.readFully(bytes)
                 Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
               } finally in.close()
             } catch { case _: Throwable => None }
             body.flatMap(IpcStats.fromJson) match {
-              case Some(stats) => IpcStats.mightMatch(stats, filters)
+              case Some(stats) => IpcStats.mightMatch(stats, fltrs)
               case None => true
             }
           }
+        }
+        // small directories: read sidecars in the driver loop; large
+        // ones: fan the reads out as a Spark job so planning stays
+        // O(files/cluster) — the same escalation Spark's own
+        // InMemoryFileIndex uses for partition discovery
+        // (spark.sql.sources.parallelPartitionDiscovery.threshold)
+        if (files.length <= 64) files.filter(st =>
+          survives(st.getPath.toString, st.getPath.getName))
+        else {
+          val paths = files.map(st => (st.getPath.toString, st.getPath.getName))
+          val keptPaths = SparkSession.active.sparkContext
+            .parallelize(paths.toSeq, math.min(paths.length, 256))
+            .filter { case (p, n) => survives(p, n) }
+            .map(_._1).collect().toSet
+          files.filter(st => keptPaths.contains(st.getPath.toString))
         }
       }
     kept.map(st =>

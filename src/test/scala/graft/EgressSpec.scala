@@ -291,6 +291,23 @@ class EgressSpec extends SparkSpec {
     assert(noStats.as[(Long, String)].collect().toSeq == Seq((12345L, "u12345")))
   }
 
+  test("ipc dsv2 stats skipping >64 files: the distributed pruning path keeps one file") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/tmp/graft_egress/ipc_stats_many"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    sp.range(0, 100000).select(col("id").as("k"))
+      .repartitionByRange(80, col("k"))
+      .write.format("graft-ipc").mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrow")) == 80)
+    val hit = spark.read.format("graft-ipc").load(dir)
+      .filter(col("k") === 54321L)
+    assert(hit.rdd.getNumPartitions == 1,
+      s"expected 1 surviving file, got ${hit.rdd.getNumPartitions}")
+    assert(hit.as[Long].collect().toSeq == Seq(54321L))
+  }
+
   test("parquet codec matrix: zstd/snappy/none round-trip losslessly, compression earns its bytes") {
     def dirSize(p: String): Long = {
       val d = new java.io.File(p)
