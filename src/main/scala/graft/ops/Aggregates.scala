@@ -399,4 +399,27 @@ object Aggregates {
       COUNT(*) AS n
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
   """.trim
+
+  /** NATIVE ordered string aggregation — `listagg(x, sep) WITHIN
+    * GROUP (ORDER BY ...)` (SQL:2016, Spark 4) — vs `string_agg`'s
+    * manual collect_list→sort_array→concat_ws composition: the agg
+    * itself owns the ordering contract, so there is no window where
+    * an unordered intermediate could leak. Suppliers per nation
+    * ordered DESC to exercise a non-default direction. */
+  def qListagg(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.Session(s)
+    sess.registerTable("supplier", graft.sources.Tables(s, dir, "supplier"))
+    sess.sql("""
+      SELECT s_nationkey,
+        listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name DESC) AS names,
+        COUNT(*) AS n
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+  }
+
+  val qListaggSql: String = """
+    SELECT s_nationkey,
+      STRING_AGG(s_name, '|' ORDER BY s_name DESC) AS names,
+      COUNT(*) AS n
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+  """.trim
 }

@@ -204,6 +204,19 @@ object Sql {
   def qSqlScalarCorr(s: SparkSession, dir: String): DataFrame =
     run(s, dir, scalarCorrSql, "customer", "orders")
 
+  /** GROUP BY ALL — infer the grouping keys from the non-aggregate
+    * select items (DuckDB-pioneered, SQL-standard-track, native in
+    * Spark 4); one text, both engines. */
+  val groupByAllSql: String = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY ALL
+    ORDER BY o_orderpriority, o_orderstatus
+  """.trim
+
+  def qSqlGroupByAll(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, groupByAllSql, "orders")
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
