@@ -381,7 +381,7 @@ private object IpcSourceOffset {
 private final class IpcMicroBatchStream(fullSchema: StructType,
     required: StructType, dir: String, maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val confSer = new SerializableConfiguration(
@@ -389,9 +389,26 @@ private final class IpcMicroBatchStream(fullSchema: StructType,
 
   private def fs = new HPath(dir).getFileSystem(confSer.value)
 
-  private def listAll(): Set[String] =
+  /** Trigger.AvailableNow (the backfill/drain pattern: process all
+    * data present at query START, respecting maxFilesPerTrigger
+    * batching, then stop): the engine calls
+    * `prepareForTriggerAvailableNow` once; the file universe is
+    * frozen there so files landing DURING the drain are left for the
+    * next incarnation — without the snapshot, a steady producer
+    * could keep an "available now" query running forever. */
+  @volatile private var availableNowSnapshot: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(listAllRaw())
+
+  private def listAllRaw(): Set[String] =
     Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
       .getOrElse(Array()).map(_.getPath.toString).toSet
+
+  private def listAll(): Set[String] = availableNowSnapshot match {
+    case Some(frozen) => frozen
+    case None => listAllRaw()
+  }
 
   override def initialOffset(): Offset = IpcSourceOffset(Set.empty)
 

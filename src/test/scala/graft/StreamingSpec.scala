@@ -484,6 +484,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-ipc Trigger.AvailableNow: drains the start-time snapshot in bounded batches, then stops") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/tmp/graft_egress/ipc_available_now"
+    val ckpt = dir + "_ckpt"
+    for (d <- Seq(dir, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"a$i"), (i + 100L, s"b$i")).toDF("k", "s").repartition(1)
+        .write.format("graft-ipc").mode(if (i == 1) "overwrite" else "append").save(dir)
+    }
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-ipc")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) sizes.add(n): Unit
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // AvailableNow must TERMINATE by itself once the snapshot drains
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    val got = sizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(got.sum == 10, s"all seeded rows exactly once: $got")
+    assert(got.forall(_ <= 4), s"admission control must bound batches: $got")
+    assert(got.length >= 3, s"5 files at 2/trigger needs >= 3 batches: $got")
+  }
+
   test("graft-ipc micro-batch source: new files picked up exactly once") {
     val sp = spark
     import sp.implicits._
