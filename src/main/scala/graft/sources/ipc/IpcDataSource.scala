@@ -152,20 +152,65 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
     * Grouped or non-count aggregates are declined and run the normal
     * scan path. The reference's dataset scanner exposes the same
     * fast path (`CountRows`, `dataset/scanner.h`). */
+  /** MIN/MAX pushdown from the stats sidecars — the COUNT(*) fast
+    * path's sibling: a global MIN/MAX over a directory is the
+    * fold of per-file sidecar minima/maxima, zero column data read.
+    * Partial pushdown (one row per file; Spark folds). Accepted only
+    * when EVERY data file has a sidecar (one glob to check — if any
+    * is missing the whole pushdown declines and the normal scan
+    * computes the answer) and only for integral-kind columns
+    * (int/long/date/timestamp) and boolean: string stats order by
+    * Java char order, not Spark's UTF8 binary order, and float/double
+    * stats ignore NaN — both would be silently wrong in the corners,
+    * so they scan. */
+  private var statsAggs: Seq[IpcStatsAggScan.AggSpec] = Nil
+
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countStar = true
-    ok
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions().nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case fr: NamedReference if fr.fieldNames().length == 1 =>
+          fullSchema.fields.find(_.name == fr.fieldNames()(0))
+        case _ => None
+      }
+    def statable(f: StructField): Boolean = f.dataType match {
+      case LongType | IntegerType | DateType | TimestampType | BooleanType => true
+      case _ => false
+    }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(IpcStatsAggScan.CountSpec)
+      case m: Min => colOf(m.column).filter(statable)
+        .map(f => IpcStatsAggScan.MinSpec(f.name, f.dataType))
+      case m: Max => colOf(m.column).filter(statable)
+        .map(f => IpcStatsAggScan.MaxSpec(f.name, f.dataType))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    if (specs.length == 1 && specs.head.contains(IpcStatsAggScan.CountSpec)) {
+      // pure COUNT(*): batch-header metadata path, needs no sidecars
+      countStar = true
+      return true
+    }
+    // min/max answers come from sidecars: require full coverage
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new HPath(dir).getFileSystem(conf)
+    def names(glob: String): Set[String] =
+      Option(fs.globStatus(new HPath(new HPath(dir), glob)))
+        .getOrElse(Array()).map(_.getPath.getName).toSet
+    val stats = names("*.arrow.stats")
+    if (!names("*.arrow").forall(f => stats.contains(f + ".stats"))) return false
+    statsAggs = specs.flatten
+    true
   }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def build(): Scan =
     if (countStar) new IpcCountScan(dir)
+    else if (statsAggs.nonEmpty) new IpcStatsAggScan(dir, statsAggs)
     else new IpcScan(fullSchema, required, dir, maxFilesPerTrigger, limit,
       pushed)
 }
@@ -243,6 +288,95 @@ private object IpcCountScan {
       } finally { rd.close(); allocator.close() }
     } finally in.close()
   }
+}
+
+/** Sidecar-answered global MIN/MAX (+COUNT(*)) scan: one partition per
+  * file, each emitting a single partial row read from the `.stats`
+  * sidecar — column data is never opened. Spark's final aggregate
+  * folds the per-file partials. All-null / empty files emit null
+  * min/max partials (null-skipping fold handles them). */
+private final class IpcStatsAggScan(dir: String,
+    specs: Seq[IpcStatsAggScan.AggSpec]) extends Scan with Batch {
+  import IpcStatsAggScan._
+
+  private val outSchema = StructType(specs.map {
+    case CountSpec => StructField("count(*)", LongType, nullable = false)
+    case MinSpec(n, dt) => StructField(s"min($n)", dt)
+    case MaxSpec(n, dt) => StructField(s"max($n)", dt)
+  })
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val shown = specs.map {
+      case CountSpec => "COUNT(*)"
+      case MinSpec(n, _) => s"MIN($n)"
+      case MaxSpec(n, _) => s"MAX($n)"
+    }
+    s"graft-ipc $dir, PushedAggregates: [${shown.mkString(", ")}] (sidecar-metadata-only)"
+  }
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new HPath(dir).getFileSystem(conf)
+    Option(fs.globStatus(new HPath(new HPath(dir), "*.arrow")))
+      .getOrElse(Array()).sortBy(_.getPath.toString)
+      .map(st => IpcInputPartition(st.getPath.toString, st.getLen): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confSer = new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val localSpecs = specs
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[IpcInputPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = !done
+          override def get(): InternalRow = {
+            done = true
+            val sp = new HPath(part.path + ".stats")
+            val fs = sp.getFileSystem(confSer.value)
+            val bytes = new Array[Byte](fs.getFileStatus(sp).getLen.toInt)
+            val in = fs.open(sp)
+            try in.readFully(bytes) finally in.close()
+            val stats = IpcStats.fromJson(
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+              .getOrElse(throw new java.io.IOException(
+                s"unreadable stats sidecar during pushed aggregate: $sp"))
+            new GenericInternalRow(localSpecs.map(s => eval(s, stats)).toArray)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private object IpcStatsAggScan {
+  sealed trait AggSpec
+  case object CountSpec extends AggSpec
+  final case class MinSpec(name: String, dt: DataType) extends AggSpec
+  final case class MaxSpec(name: String, dt: DataType) extends AggSpec
+
+  /** Catalyst-encoded partial value for one spec from one file's
+    * stats; null when the file has no non-null values. */
+  def eval(spec: AggSpec, stats: IpcStats.FileStats): Any = spec match {
+    case CountSpec => stats.rows
+    case MinSpec(n, dt) => bound(stats, n, dt, isMin = true)
+    case MaxSpec(n, dt) => bound(stats, n, dt, isMin = false)
+  }
+
+  private def bound(stats: IpcStats.FileStats, col: String, dt: DataType,
+      isMin: Boolean): Any =
+    stats.cols.get(col).flatMap(c => if (isMin) c.min else c.max) match {
+      case None => null
+      case Some(raw) => dt match {
+        case LongType | TimestampType => raw.toLong
+        case IntegerType | DateType => raw.toLong.toInt
+        case BooleanType => raw.toBoolean
+        case other => throw new IllegalStateException(
+          s"unexpected pushed-aggregate type $other")
+      }
+    }
 }
 
 private final class IpcScan(fullSchema: StructType, required: StructType,

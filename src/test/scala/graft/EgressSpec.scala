@@ -308,6 +308,35 @@ class EgressSpec extends SparkSpec {
     assert(hit.as[Long].collect().toSeq == Seq(54321L))
   }
 
+  test("ipc dsv2 MIN/MAX pushdown: answered from sidecars, declines without full coverage") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/tmp/graft_egress/ipc_minmax"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    sp.range(0, 40000).select(col("id").as("k"), (col("id") % 2 === 0).as("b"))
+      .repartitionByRange(4, col("k"))
+      .write.format("graft-ipc").mode("overwrite").save(dir)
+    def scan = spark.read.format("graft-ipc").load(dir)
+    val agg = scan.agg(min("k"), max("k"), count(lit(1)), max("b"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("sidecar-metadata-only"),
+      s"expected the sidecar aggregate scan:\n$plan")
+    assert(agg.collect().toSeq.map(_.toSeq) ==
+      Seq(Seq(0L, 39999L, 40000L, true)))
+    // doubles decline (NaN corner): same answer via the normal scan
+    val dagg = scan.select(col("k"), (col("k") * 0.5).as("d"))
+      .agg(min("d"), max("d"))
+    assert(dagg.collect().toSeq.map(_.toSeq) == Seq(Seq(0.0, 19999.5)))
+    // remove one sidecar: pushdown declines wholesale, answers unchanged
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".stats"))
+      .take(1).foreach(_.delete())
+    val agg2 = scan.agg(min("k"), max("k"))
+    val plan2 = agg2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("sidecar-metadata-only"),
+      s"must decline with a missing sidecar:\n$plan2")
+    assert(agg2.collect().toSeq.map(_.toSeq) == Seq(Seq(0L, 39999L)))
+  }
+
   test("parquet codec matrix: zstd/snappy/none round-trip losslessly, compression earns its bytes") {
     def dirSize(p: String): Long = {
       val d = new java.io.File(p)
