@@ -417,4 +417,60 @@ object Ipc {
       ${dsumSql("o_totalprice")} AS total_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Stats-based file skipping under an ORACLE: orders written as a
+    * range-partitioned graft-ipc layout (8 files with disjoint
+    * o_orderkey ranges + min/max sidecars), then a key-range query
+    * reads it back — planning opens only the files whose sidecar
+    * ranges intersect the predicate, and the answer must equal the
+    * same query on the parquet original. The skipping is invisible to
+    * semantics (every filter stays residual); this row pins that. */
+  def qIpcSkip(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/orders_ipc_skip"
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.format("graft-ipc").mode("overwrite").save(out)
+    s.read.format("graft-ipc").load(out)
+      .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qIpcSkipSql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
+  /** Sidecar-answered MIN/MAX/COUNT under an oracle: the whole
+    * directory's extremes fold from per-file sidecar bounds (column
+    * data never opened — EgressSpec asserts the plan), equal to the
+    * parquet-side answer bit-for-bit. */
+  def qIpcMinMax(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/orders_ipc_minmax"
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast(org.apache.spark.sql.types.DateType).as("odate"))
+      .repartition(4, col("o_orderkey"))
+      .write.format("graft-ipc").mode("overwrite").save(out)
+    s.read.format("graft-ipc").load(out)
+      .agg(min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("odate")).as("first_date"),
+        max(col("odate")).as("last_date"),
+        count(lit(1)).as("n"))
+  }
+
+  val qIpcMinMaxSql: String = """
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      MIN(CAST(o_orderdate AS DATE)) AS first_date,
+      MAX(CAST(o_orderdate AS DATE)) AS last_date,
+      COUNT(*) AS n
+    FROM orders
+  """.trim
 }

@@ -169,7 +169,11 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions().nonEmpty) return false
+    // an EMPTY aggregate list happens when an outer count() prunes the
+    // inner aggregate's expressions away — accepting it would promise
+    // a zero-column scan while build() falls back to the full one
+    if (agg.groupByExpressions().nonEmpty ||
+        agg.aggregateExpressions().isEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case fr: NamedReference if fr.fieldNames().length == 1 =>
