@@ -16,9 +16,25 @@ import org.apache.spark.sql.SparkSession
 object Repl {
 
   /** One read-eval-print step: SQL text → rendered result or error.
-    * Mirrors the reference REPL's eager collect-and-print loop. */
+    * Mirrors the reference REPL's eager collect-and-print loop.
+    * `:explain <sql>` renders the FORMATTED physical plan instead of
+    * executing — the plan-shape feedback loop (pushed filters,
+    * broadcast vs shuffle, codegen spans) at the prompt. */
   def execute(session: Session, line: String, maxRows: Int = 20): String =
     try {
+      if (line.trim.startsWith(":explain")) {
+        val sql = line.trim.stripPrefix(":explain").trim
+        if (sql.isEmpty) "usage: :explain <sql>"
+        else session.sql(sql).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      } else executeQuery(session, line, maxRows)
+    } catch {
+      case e: Exception => s"error: ${e.getMessage}"
+    }
+
+  private def executeQuery(session: Session, line: String,
+      maxRows: Int): String =
+    {
       val df = session.sql(line)
       val shown = df.limit(maxRows + 1).collect()
       val header = df.columns.mkString("\t")
@@ -26,8 +42,6 @@ object Repl {
         .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString("\t"))
       val more = if (shown.length > maxRows) Seq(s"... (> $maxRows rows)") else Nil
       ((header +: body) ++ more).mkString("\n")
-    } catch {
-      case e: Exception => s"error: ${e.getMessage}"
     }
 
   def main(args: Array[String]): Unit = {

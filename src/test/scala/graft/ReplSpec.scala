@@ -26,4 +26,13 @@ class ReplSpec extends SparkSpec {
     val out = Repl.execute(session, "SELECT FROM nothing")
     assert(out.startsWith("error:"))
   }
+
+  test(":explain renders the formatted physical plan without executing") {
+    val out = Repl.execute(session,
+      ":explain SELECT r_name FROM region WHERE r_regionkey = 2")
+    assert(out.contains("Physical Plan"), out.take(200))
+    assert(out.contains("PushedFilters"), "formatted plan should show pushdown")
+    assert(!out.contains("\tAFRICA"), "must not execute the query")
+    assert(Repl.execute(session, ":explain") == "usage: :explain <sql>")
+  }
 }
