@@ -254,14 +254,19 @@ object Similarity {
     * PipelineSpec pins recall@10 vs the exact L2 answer, code-range
     * sanity, and run-to-run determinism. */
   def knnPq(s: SparkSession, dir: String, mSub: Int = 8, kCodes: Int = 16,
-      topk: Int = 10): DataFrame = {
+      topk: Int = 10, lloydPasses: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val e = t(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).head.getInt(0)
     require(dim % mSub == 0, s"dim $dim not divisible by $mSub subspaces")
     val d = dim / mSub
 
-    // ---- train: deterministic seeds + one decimal-exact Lloyd pass
+    // ---- train: deterministic seeds + `lloydPasses` decimal-exact
+    // Lloyd refinements, each one distributed job over all subspaces.
+    // On the fixture the second pass buys ~+1pt recall@10 (0.34→0.35)
+    // — near-converged after one pass; kept at 2 because pass count
+    // doesn't touch query cost (encode/ADC are training-independent)
+    // and real corpora converge slower than 500 synthetic vectors
     val seedRows: Seq[Seq[Double]] = e.filter(col("vec_id") < kCodes)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
@@ -281,21 +286,25 @@ object Similarity {
         explode(sequence(lit(0), lit(mSub - 1))).as("m"))
       .select(col("m"),
         slice(col("embedding"), col("m") * d + 1, lit(d)).as("sv"))
-    val costBySub = (1 until mSub).foldLeft(
-        when(col("m") === 0, costs(seeds(0), col("sv")))) {
-      (acc, m) => acc.when(col("m") === m, costs(seeds(m), col("sv")))
+    def refine(cb: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+      val costBySub = (1 until mSub).foldLeft(
+          when(col("m") === 0, costs(cb(0), col("sv")))) {
+        (acc, m) => acc.when(col("m") === m, costs(cb(m), col("sv")))
+      }
+      val means = sub.withColumn("code", argmin(costBySub))
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq).toMap
+      (0 until mSub).map(m =>
+        (0 until kCodes).map(j => means.getOrElse((m, j + 1), cb(m)(j))))
     }
-    val means = sub.withColumn("code", argmin(costBySub))
-      .select(col("m"), col("code"), posexplode(col("sv")))
-      .groupBy(col("m"), col("code"), col("pos"))
-      .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
-        count(lit(1))).as("mean"))
-      .collect()
-      .groupBy(r => (r.getInt(0), r.getInt(1)))
-      .view.mapValues(rows =>
-        rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq).toMap
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until mSub).map(m =>
-      (0 until kCodes).map(j => means.getOrElse((m, j + 1), seeds(m)(j))))
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      (1 to lloydPasses).foldLeft(seeds)((cb, _) => refine(cb))
 
     // ---- encode every vector: mSub codes, map-only
     def subvec(v: Column, m: Int): Column = slice(v, m * d + 1, d)
