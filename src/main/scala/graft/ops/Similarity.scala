@@ -254,7 +254,7 @@ object Similarity {
     * PipelineSpec pins recall@10 vs the exact L2 answer, code-range
     * sanity, and run-to-run determinism. */
   def knnPq(s: SparkSession, dir: String, mSub: Int = 8, kCodes: Int = 16,
-      topk: Int = 10, lloydPasses: Int = 2): DataFrame = {
+      topk: Int = 10, lloydPasses: Int = 1): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val e = t(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).head.getInt(0)
@@ -263,10 +263,10 @@ object Similarity {
 
     // ---- train: deterministic seeds + `lloydPasses` decimal-exact
     // Lloyd refinements, each one distributed job over all subspaces.
-    // On the fixture the second pass buys ~+1pt recall@10 (0.34→0.35)
-    // — near-converged after one pass; kept at 2 because pass count
-    // doesn't touch query cost (encode/ADC are training-independent)
-    // and real corpora converge slower than 500 synthetic vectors
+    // Default 1: the fixture is near-converged after one pass (a
+    // second buys +1pt recall@10, 0.34→0.35, for a full extra
+    // training job). Raise for real corpora — pass count never
+    // touches query cost (encode/ADC are training-independent).
     val seedRows: Seq[Seq[Double]] = e.filter(col("vec_id") < kCodes)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
