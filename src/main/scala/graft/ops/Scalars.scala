@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{acos, asin, atan2, coalesce, col, cos, countDistinct, date_trunc, greatest, least, lit, make_dt_interval, make_ym_interval, month, nullif, round, signum, sin, struct, tan, unix_micros, when}
+import org.apache.spark.sql.functions.{acos, asin, atan2, coalesce, col, cos, countDistinct, date_trunc, expr, greatest, least, lit, make_dt_interval, make_ym_interval, month, nullif, round, signum, sin, struct, tan, try_divide, unix_micros, when, width_bucket}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
@@ -701,5 +701,36 @@ object Scalars {
        'acct': {'bal': s_acctbal}} AS info,
       s_name AS info_name, s_acctbal AS info_bal
     FROM supplier ORDER BY s_suppkey
+  """.trim
+
+  /** Error-SAFE scalar surface — `try_divide` / `try_cast` return
+    * NULL where the strict forms raise (ANSI) or silently wrap
+    * (legacy): the semantics a 100 TB pipeline wants, where one
+    * malformed row must not kill a stage NOR corrupt an aggregate.
+    * Plus `width_bucket`, the SQL histogram-binning primitive (the
+    * oracle emulates it with floor arithmetic — DuckDB lacks it —
+    * including both out-of-range edge buckets 0 and n+1). The /0 rows
+    * (l_linenumber = 3) and the unparsable casts (l_returnflag) are
+    * genuine NULL paths, not dead branches. */
+  def qSafeMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_quantity"), col("l_linenumber") - 3).as("safe_div"),
+        expr("try_cast(l_returnflag AS INT)").as("not_a_number"),
+        expr("try_cast(cast(l_linenumber AS STRING) AS INT)").as("roundtrip_int"),
+        width_bucket(col("l_quantity"), lit(0), lit(50), lit(10)).as("qty_bucket"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qSafeMathSql: String = """
+    SELECT l_orderkey, l_linenumber,
+      CASE WHEN l_linenumber - 3 = 0 THEN NULL
+           ELSE CAST(l_quantity / (l_linenumber - 3) AS DOUBLE) END AS safe_div,
+      TRY_CAST(l_returnflag AS INT) AS not_a_number,
+      TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS roundtrip_int,
+      CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 50 THEN 11
+           ELSE CAST(FLOOR(l_quantity / 5) + 1 AS BIGINT) END AS qty_bucket
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    ORDER BY l_orderkey, l_linenumber
   """.trim
 }
