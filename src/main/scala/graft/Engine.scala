@@ -28,7 +28,8 @@ object Engine {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
     spark.experimental.extraOptimizations =
-      Seq(graft.plans.SmallDimBroadcastRule())
+      Seq(graft.plans.SmallDimBroadcastRule(),
+        graft.plans.WindowTopKRewriteRule())
     spark.experimental.extraStrategies =
       Seq(graft.plans.TopKPerGroupStrategy)
     spark

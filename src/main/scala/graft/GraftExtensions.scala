@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.SmallDimBroadcastRule())
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewriteRule())
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -74,4 +74,55 @@ class RulesSpec extends SparkSpec {
         col("c_nationkey") === col("n_nationkey"))
     assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  // ---- WindowTopKRewriteRule --------------------------------------------
+
+  private def windowIdiom(k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)))
+      .filter(col("rn") <= k)
+  }
+
+  test("row_number<=k idiom with rn dropped rewrites to TopKPerGroup, no Window/Sort") {
+    val rewritten = windowIdiom(5).drop("rn")
+    val optimized = rewritten.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerGroup"),
+      s"window idiom not rewritten:\n$optimized")
+    assert(!optimized.contains("Window") && !optimized.contains("Sort"),
+      s"Window/Sort must vanish under the rewrite:\n$optimized")
+    // answer identical to the direct operator (total order, so exact)
+    val direct = graft.plans.TopKPerGroup(
+      graft.sources.Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice")),
+      Seq("l_returnflag"),
+      Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+        "l_linenumber" -> true), 5)
+    assert(rewritten.count() == direct.count() &&
+      rewritten.exceptAll(direct).isEmpty && direct.exceptAll(rewritten).isEmpty)
+  }
+
+  test("rank-observable queries are NOT rewritten (rn kept or rank() used)") {
+    // rn kept in the output: the rank is observable, must be computed
+    val keepsRn = windowIdiom(5) // no drop
+      .queryExecution.optimizedPlan.toString
+    assert(!keepsRn.contains("TopKPerGroup") && keepsRn.contains("Window"),
+      s"must not rewrite when rn is in the output:\n$keepsRn")
+    // rank() admits >k rows on ties — different semantics, no rewrite
+    import org.apache.spark.sql.expressions.Window
+    val rankForm = graft.sources.Tables(spark, sfDir, "lineitem")
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc)))
+      .filter(col("rk") <= 5).drop("rk")
+      .queryExecution.optimizedPlan.toString
+    assert(!rankForm.contains("TopKPerGroup"),
+      s"rank() must not be treated as row_number:\n$rankForm")
+  }
 }
