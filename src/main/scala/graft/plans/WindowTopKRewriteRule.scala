@@ -71,17 +71,35 @@ case class WindowTopKRewriteRule() extends Rule[LogicalPlan] {
         if order.nonEmpty && !wchild.isStreaming &&
           spec.partitionSpec == part && spec.orderSpec == order &&
           !plist.exists(_.references.contains(al.toAttribute)) =>
-      limitOf(cond, al.toAttribute) match {
-        case Some(k) if k >= 1 =>
-          // absorb an InferWindowGroupLimit insertion if present: its
-          // pruning is subsumed by the top-k operator itself
-          val source = wchild match {
-            case WindowGroupLimit(gPart, gOrder, _: RowNumber, _, inner)
-              if gPart == part && gOrder == order => inner
-            case other => other
-          }
-          Project(plist, TopKPerGroupNode(part, order, k, source))
-        case _ => p
-      }
+      // split the conjunction: exactly ONE rn-bound conjunct; the rest
+      // must not touch rn. Residual conjuncts stay as a filter ABOVE
+      // the top-k — same semantics as the original, where rn was also
+      // assigned over ALL rows before any of them filtered.
+      val conjuncts = splitConjuncts(cond)
+      val (bounds, rest) =
+        conjuncts.partition(c => limitOf(c, al.toAttribute).isDefined)
+      if (bounds.length == 1 &&
+          !rest.exists(_.references.contains(al.toAttribute))) {
+        limitOf(bounds.head, al.toAttribute) match {
+          case Some(k) if k >= 1 =>
+            // absorb an InferWindowGroupLimit insertion if present: its
+            // pruning is subsumed by the top-k operator itself
+            val source = wchild match {
+              case WindowGroupLimit(gPart, gOrder, _: RowNumber, _, inner)
+                if gPart == part && gOrder == order => inner
+              case other => other
+            }
+            val topk = TopKPerGroupNode(part, order, k, source)
+            Project(plist,
+              if (rest.isEmpty) topk
+              else Filter(rest.reduce(And), topk))
+          case _ => p
+        }
+      } else p
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 }

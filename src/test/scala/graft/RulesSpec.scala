@@ -108,6 +108,24 @@ class RulesSpec extends SparkSpec {
       rewritten.exceptAll(direct).isEmpty && direct.exceptAll(rewritten).isEmpty)
   }
 
+  test("conjunction form rn<=k AND p(x): rewrites with p as a residual filter above top-k") {
+    val df = windowIdiom(5)
+    val conj = df.filter(col("l_extendedprice") > 1000).drop("rn")
+    val optimized = conj.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerGroup") && !optimized.contains("Window"),
+      s"conjunction not rewritten:\n$optimized")
+    // equality vs the unrewritten semantics: the rank-KEPT form cannot
+    // be rewritten (rn observable), so it computes the original plan;
+    // compare multisets with rn projected away driver-side
+    val reference = windowIdiom(5).filter(col("l_extendedprice") > 1000)
+    assert(reference.queryExecution.optimizedPlan.toString.contains("Window"))
+    val got = conj.collect().map(_.toSeq).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val want = reference.collect().map(_.toSeq.dropRight(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(got == want, s"rewritten:\n$got\nreference:\n$want")
+  }
+
   test("rank-observable queries are NOT rewritten (rn kept or rank() used)") {
     // rn kept in the output: the rank is observable, must be computed
     val keepsRn = windowIdiom(5) // no drop
