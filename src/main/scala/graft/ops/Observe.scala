@@ -26,4 +26,16 @@ object Observe {
       max(length(col("text"))).as("max_chars"))
     (instrumented, obs)
   }
+
+  /** Streaming twin: the `Observation` handle is batch-only, so a
+    * stream instruments with the name-based `observe` and reads each
+    * trigger's metric row from
+    * `StreamingQueryProgress.observedMetrics(name)` — per-micro-batch
+    * stage metrics with zero extra passes (StreamingSpec drives it). */
+  def docMetricsStream(df: DataFrame, name: String): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      sum(length(col("text"))).as("chars"),
+      min(length(col("text"))).as("min_chars"),
+      max(length(col("text"))).as("max_chars"))
 }

@@ -484,6 +484,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observed metrics surface per micro-batch via StreamingQueryProgress") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Long, String)]
+    val df = graft.ops.Observe.docMetricsStream(
+      in.toDF().toDF("doc_id", "text"), "stage_metrics")
+    val q = df.writeStream.format("memory").queryName("obs_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "hello"), (2L, "worlds!"))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("stage_metrics")))
+      assert(metrics.nonEmpty, "no observedMetrics in any progress event")
+      val m = metrics.last
+      assert(m.getAs[Long]("rows") == 2 && m.getAs[Long]("chars") == 12 &&
+        m.getAs[Int]("min_chars") == 5 && m.getAs[Int]("max_chars") == 7,
+        s"unexpected metric row: $m")
+    } finally q.stop()
+  }
+
   test("graft-ipc Trigger.AvailableNow: drains the start-time snapshot in bounded batches, then stops") {
     val sp = spark
     import sp.implicits._
