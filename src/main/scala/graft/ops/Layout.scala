@@ -116,4 +116,74 @@ object Layout {
       MIN(y) AS y_min, MAX(y) AS y_max
     FROM z GROUP BY 1 ORDER BY 1
   """.trim
+
+  /** Hash-bucketed table layout + co-located join — the write-side
+    * answer to the join shuffle, and the 100 TB companion to
+    * [[zorderBy]]: z-order makes FILTERS cheap, bucketing makes JOINS
+    * cheap. Both fact tables are written `bucketBy(N, key)` on the
+    * join key; a scan of a bucketed table reports
+    * `HashPartitioning(key, N)` as its output partitioning, so the
+    * sort-merge join's distribution requirement is already satisfied
+    * and NEITHER side shuffles — at 100 TB that deletes the two
+    * largest exchanges in the plan entirely (the nightly-join shape:
+    * pay one bucketed write, then every subsequent join is
+    * exchange-free). Reference context: the dataset layer's
+    * directory-partition guarantees (`cpp/src/arrow/dataset/
+    * partition.h:46-62`) give per-file key invariants for PRUNING;
+    * bucketing is the same invariant aimed at join CO-LOCATION,
+    * which the reference leaves to its single-node hash join.
+    *
+    * `sortBy(key)` clusters each bucket file on the key so the merge
+    * side reads presorted runs; Spark still inserts a (local,
+    * exchange-free) Sort when a bucket spans several files — the
+    * guarantee being bought here is zero ShuffleExchange, asserted in
+    * ScaleSpec. The `merge` hint pins the sort-merge strategy so the
+    * demonstration doesn't degenerate to a broadcast join at the small
+    * test SF (at 100 TB neither side fits a broadcast anyway).
+    */
+  private def bucketedTable(s: SparkSession, dir: String, table: String,
+      cols: Seq[String], key: String, nBuckets: Int): String = {
+    val name = ("bj_" + table + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+    // one write per (session, fixture): the whole point of bucketing
+    // is write-once / join-many
+    if (!s.catalog.tableExists(name)) {
+      // repartition(nBuckets, key) uses the SAME murmur3-mod-N id
+      // expression bucketing does, so each write task sees exactly one
+      // bucket -> one file per bucket (256 task-files otherwise), and
+      // single-file buckets let the scan trust the sortBy order. At
+      // real scale use more buckets, not more files per bucket.
+      Tables(s, dir, table).select(cols.map(col): _*)
+        .repartition(nBuckets, col(key))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .option("path", Egress.outRoot(dir) + "/bucketed/" + name)
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** lineitem ⋈ orders on orderkey over the bucketed layout (zero
+    * exchanges below the join), then the usual deterministic rollup.
+    * The only shuffle in the whole plan is the 5-group aggregate
+    * above the join — O(groups), not O(rows). */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val lt = bucketedTable(s, dir, "lineitem",
+      Seq("l_orderkey", "l_extendedprice"), "l_orderkey", 8)
+    val ot = bucketedTable(s, dir, "orders",
+      Seq("o_orderkey", "o_orderpriority"), "o_orderkey", 8)
+    s.table(lt).hint("merge")
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qBucketJoinSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
 }

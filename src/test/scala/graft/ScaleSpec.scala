@@ -258,4 +258,31 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"no pruning:\n$plan")
   }
+
+  test("bucketed layout joins without any exchange below the join") {
+    val df = graft.ops.Layout.qBucketJoin(spark, sfDir)
+    // run THIS queryExecution so AQE's final plan is available (the
+    // stage tree prints only after execution materializes it)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    // toString prints the SMJ's two scan subtrees last; an Exchange
+    // after the join marker would mean a side re-shuffled
+    val joinPart = plan.split("SortMergeJoin").last
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed join still shuffles:\n$joinPart")
+    assert(joinPart.contains("Bucketed: true") &&
+      joinPart.contains("SelectedBucketsCount: 8 out of 8"),
+      s"scan did not use the bucketed layout:\n$joinPart")
+    // the join result itself must match the plain (shuffling) join
+    val plain = graft.sources.Tables(spark, sfDir, "lineitem")
+      .join(graft.sources.Tables(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.ops.dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    assert(rows.toSeq == plain.toSeq)
+  }
 }
