@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSigs, ShingleHashes, SimHash64, VectorDots}
+import graft.functions.{CosineSimilarity, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, VectorDots}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * install the engine's native expressions into a cluster session:
@@ -50,5 +50,8 @@ object GraftExtensions {
     ("vector_dots",
       new ExpressionInfo(classOf[VectorDots].getName, "vector_dots"),
       (children: Seq[Expression]) =>
-        VectorDots(children(0), children(1))))
+        VectorDots(children(0), children(1))),
+    ("normalize_text",
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children(0))))
 }

@@ -272,6 +272,10 @@ package object functions {
   /** Dot product of each plane in `planes` against `vec`. */
   def vector_dots(planes: Column, vec: Column): Column =
     call_function("vector_dots", planes, vec)
+  /** NFD + strip-accents + lowercase + whitespace-collapse (one
+    * codegen'd kernel; NormalizeText.scala). */
+  def normalize_text(text: Column): Column =
+    call_function("normalize_text", text)
 
   // ---- hash (function_registry_hash.cc:20-33) ----
   def hash32(c: Column): Column = org.apache.spark.sql.functions.hash(c)

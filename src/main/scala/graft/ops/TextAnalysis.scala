@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
+import graft.{functions => gf}
 
 /** Text-analysis tier for LLM training-data pipelines (builder brief;
   * SURVEY §7.6 milestone 4): token/char statistics, quality scoring,
@@ -653,5 +654,50 @@ object TextAnalysis {
       MIN(p5) AS p5, MIN(p95) AS p95
     FROM documents d JOIN cuts ON d.lang = cuts.lang
     GROUP BY d.lang ORDER BY d.lang
+  """.trim
+
+  /** Unicode text normalization via the native [[graft.functions.NormalizeText]]
+    * kernel (NFD → strip combining marks → lower → collapse
+    * whitespace) — the standard preprocessing stage before any
+    * shingle/minhash dedup pass. The fixture text is ASCII, so the
+    * query first INJECTS accents deterministically (a→U+00E1,
+    * o→U+00F6, plus a decomposed e+COMBINING-ACUTE probe column) and
+    * the kernel must fold them all back; the DuckDB oracle replays
+    * the identical injection and normalizes with its own
+    * strip_accents/lower/regexp pipeline, so the row hash
+    * cross-checks two independent Unicode implementations
+    * (utf8proc vs java.text.Normalizer). Single scan, zero shuffles
+    * below the final order-by. */
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    // a -> a-acute (U+00E1), o -> o-diaeresis (U+00F6); escapes keep
+    // the source file ASCII
+    val accented = replace(replace(col("text"), lit("a"), lit("\u00e1")),
+      lit("o"), lit("\u00f6"))
+    // decomposed probe " No<U+0308>e<U+0301>l " must normalize to "noel"
+    val probe = lit(" No\u0308e\u0301l ")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        gf.normalize_text(accented).as("norm"),
+        gf.normalize_text(probe).as("probe"))
+      .select(col("doc_id"),
+        substring(col("norm"), 1, 60).as("norm60"),
+        length(col("norm")).as("n_norm"),
+        col("probe"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextNormalizeSql: String = """
+    WITH a AS (
+      SELECT doc_id,
+        trim(regexp_replace(lower(strip_accents(
+          replace(replace(text, 'a', chr(225)), 'o', chr(246)))),
+          '\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT doc_id, substr(norm, 1, 60) AS norm60,
+      CAST(length(norm) AS INT) AS n_norm,
+      trim(regexp_replace(lower(strip_accents(
+        ' N' || chr(111) || chr(776) || 'e' || chr(769) || 'l ')),
+        '\s+', ' ', 'g')) AS probe
+    FROM a ORDER BY doc_id
   """.trim
 }

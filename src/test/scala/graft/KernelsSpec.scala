@@ -113,4 +113,26 @@ class KernelsSpec extends SparkSpec {
     // fall back and log — correctness here is the compile not throwing
     assert(q.filter(col("mh").isNotNull).count() > 0)
   }
+
+  test("normalize_text folds precomposed AND decomposed forms to the same bytes") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      "  Cr\u00e8me  BR\u00dbL\u00c9E  ",          // precomposed accents + case + runs
+      " Cre\u0300me  BRU\u0302LE\u0301E ",        // the same string, decomposed
+      "plain ascii stays",
+      "tabs\tand\nnewlines collapse",
+      "").toDF("text")
+    val got = rows.select(graft.functions.normalize_text(col("text")))
+      .collect().map(_.getString(0))
+    assert(got(0) == "creme brulee")
+    assert(got(1) == got(0), "NFD must unify precomposed and decomposed input")
+    assert(got(2) == "plain ascii stays")
+    assert(got(3) == "tabs and newlines collapse")
+    assert(got(4) == "")
+    // interpreted eval path (constant folding) agrees with codegen
+    val folded = rows.sparkSession.range(1)
+      .select(graft.functions.normalize_text(lit("  Cr\u00e8me  BR\u00dbL\u00c9E  ")))
+      .head().getString(0)
+    assert(folded == "creme brulee")
+  }
 }
