@@ -131,4 +131,39 @@ class CurationSpec extends SparkSpec {
     // "*(1)" prefix = the filter sits inside a whole-stage-codegen span
     assert(plan.contains("*(1) Filter"), s"gate left codegen:\n$plan")
   }
+
+  test("semantic dedup: dropped docs have a smaller similar keeper; " +
+      "kept docs are pairwise dissimilar within a cell") {
+    val tau = 0.40
+    val d = graft.ops.Similarity.semanticDedupDetail(spark, sfDir, tau)
+      .cache()
+    try {
+      val a = d.select(col("cell"), col("vec_id").as("i"),
+        col("embedding").as("ei"), col("dropped").as("di"))
+      val b = d.select(col("cell"), col("vec_id").as("j"),
+        col("embedding").as("ej"), col("dropped").as("dj"))
+      val pairs = a.join(b, Seq("cell")).where(col("i") < col("j"))
+        .withColumn("sim",
+          graft.functions.cosine_sim(col("ei"), col("ej")) >= tau)
+        .cache()
+      // SemDeDup contract 1: j dropped  <=>  exists i<j similar in cell
+      val shouldDrop = pairs.filter(col("sim"))
+        .select(col("cell"), col("j")).distinct()
+      val marked = d.filter(col("dropped"))
+        .select(col("cell"), col("vec_id").as("j"))
+      assert(shouldDrop.exceptAll(marked).count() == 0 &&
+        marked.exceptAll(shouldDrop).count() == 0,
+        "dropped set != {docs with a smaller similar neighbor}")
+      // contract 2 (implied): no two KEPT docs in one cell are similar
+      assert(pairs.filter(col("sim") && !col("di") && !col("dj")).count() == 0)
+      // and the threshold actually separates on this corpus: some
+      // drops happen, but not everything drops
+      val nd = d.filter(col("dropped")).count()
+      assert(nd > 0 && nd < d.count(), s"degenerate tau: $nd dropped")
+      // summary query agrees with the detail view
+      val summary = graft.ops.Similarity.semanticDedup(spark, sfDir, tau)
+        .agg(sum("n_dropped")).head().getLong(0)
+      assert(summary == nd)
+    } finally { d.unpersist() }
+  }
 }
