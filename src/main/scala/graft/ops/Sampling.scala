@@ -324,4 +324,105 @@ object Sampling {
     SELECT source, doc_id, pri FROM r WHERE rn <= 5
     ORDER BY source, pri, doc_id
   """.trim
+
+  /** Token-budget corpus selection: per source, keep the
+    * highest-quality documents until a token budget fills — the data-
+    * selection step between quality scoring and training (every run
+    * has a token target per source, not a row target).
+    *
+    * Semantics: order each source's docs by (quality desc, doc_id
+    * asc), keep the maximal prefix whose cumulative token count stays
+    * ≤ B. Quality here = unique-token ratio (exact int/int double).
+    *
+    * Scale shape — deliberately NOT one `Window.partitionBy(source)
+    * .orderBy(quality)` cumsum: at 100 TB one source can be half the
+    * corpus and a per-source window is a single reducer. Instead the
+    * two-phase form (same pattern as Windows.qWindowNtile):
+    *
+    *  1. quantize quality to 1001 integer buckets; aggregate
+    *     (source, bucket) → token sums — a normal partial+final agg;
+    *  2. pull the O(#sources × #buckets) bucket table to the driver,
+    *     walk each source's buckets best-first to find the boundary
+    *     bucket b* and the budget remainder entering it;
+    *  3. broadcast the per-source (b*, remainder): docs in better
+    *     buckets pass a codegen'd filter outright; ONLY the boundary
+    *     bucket — 1/1001 of the source under any non-degenerate
+    *     quality distribution — runs an exact doc_id-ordered cumsum
+    *     window, partitioned by (source, bucket). A degenerate
+    *     distribution (mass concentrated in one bucket) refines with
+    *     a second bucketing level; the fixture needs one.
+    *
+    * The greedy-prefix rule makes the two phases provably equal to
+    * the single global ordered cumsum (cumulative totals are strictly
+    * monotone, so once the budget overflows it never re-fits), which
+    * is exactly the form the DuckDB oracle runs. */
+  def qBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val w = split(col("text"), " ")
+    val ratio = size(array_distinct(w)).cast(DoubleType) /
+      size(w).cast(DoubleType)
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), size(w).as("ntok"),
+        floor(ratio * 1000.0).cast(IntegerType).as("ib"))
+    // phase 1+2: bucket totals -> driver walk (O(sources x 1001) rows)
+    val buckets = scored.groupBy(col("source"), col("ib"))
+      .agg(sum(col("ntok")).as("btok"))
+      .collect()
+      .groupBy(_.getString(0))
+    val rules: Map[String, (Int, Long)] = buckets.map { case (src, rows) =>
+      var left = budget
+      var bStar = -1; var rem = 0L
+      val it = rows.sortBy(-_.getInt(1)).iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val r = it.next(); val tok = r.getLong(2)
+        if (tok > left) { bStar = r.getInt(1); rem = left; found = true }
+        else left -= tok
+      }
+      // bStar = -1: everything fits; rem only spends inside bStar
+      src -> (bStar, rem)
+    }
+    val ruleDf = broadcast(s.createDataFrame(
+      rules.toSeq.map { case (src, (b, r)) => (src, b, r) })
+      .toDF("source", "b_star", "rem"))
+    val withRule = scored.join(ruleDf, Seq("source"))
+    val boundary = withRule.filter(col("ib") === col("b_star"))
+      .withColumn("cum", sum(col("ntok")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("ib"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= col("rem"))
+      .select(col("source"), col("doc_id"), col("ntok"))
+    val kept = withRule
+      .filter(col("b_star") === -1 || col("ib") > col("b_star"))
+      .select(col("source"), col("doc_id"), col("ntok"))
+      .unionAll(boundary)
+    scored.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_kept"), sum(col("ntok")).as("tok_kept")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept", "tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  val qBudgetSelectSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+        len(string_split(text, ' ')) AS ntok,
+        CAST(floor(1000.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE))) AS INT) AS ib
+      FROM documents),
+    o AS (
+      SELECT *, SUM(ntok) OVER (PARTITION BY source
+        ORDER BY ib DESC, doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d),
+    kept AS (SELECT * FROM o WHERE cum <= 800)
+    SELECT d.source, COUNT(DISTINCT d.doc_id) AS n_docs,
+      CAST(COALESCE(COUNT(kept.doc_id), 0) AS BIGINT) AS n_kept,
+      CAST(COALESCE(SUM(kept.ntok), 0) AS BIGINT) AS tok_kept
+    FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+    GROUP BY d.source ORDER BY d.source
+  """.trim
 }

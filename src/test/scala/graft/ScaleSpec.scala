@@ -17,7 +17,7 @@ class ScaleSpec extends SparkSpec {
     // never change an answer. Representative set: float-sum rollup,
     // multi-shuffle join+agg, windowed regimes, sampled gate.
     val names = Seq("q1_agg", "quality_repetition", "join_sortmerge",
-      "mix_temperature", "scd2_intervals")
+      "mix_temperature", "scd2_intervals", "budget_select")
     for (name <- names) {
       val at32 = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
