@@ -197,6 +197,47 @@ class EgressSpec extends SparkSpec {
     check(spark.read.format("graft-ipc").load(out2))
   }
 
+  test("avro full type subset round-trips; one container file per partition") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, 2, 1.5f, 2.5, "α", true, Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-06-01"), ts),
+      Row(null, null, null, null, null, null, null, null, null),
+      Row(7L, 8, -0.5f, 9.5, "z", false, Array[Byte](),
+        java.sql.Date.valueOf("1999-12-31"), ts))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val out = "/tmp/graft_egress/avro_types"
+    graft.ops.Avro.writeAvro(df, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 2, "one avro container per partition")
+    val back = graft.ops.Avro.readAvro(spark, out)
+    assert(back.schema.map(_.dataType) == schema.map(_.dataType))
+    val got = back.orderBy(col("l").asc_nulls_last).collect()
+    assert(got.length == 3)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 2 && r.getFloat(2) == 1.5f)
+    assert(r.getDouble(3) == 2.5 && r.getString(4) == "α" && r.getBoolean(5))
+    assert(r.getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getDate(7) == java.sql.Date.valueOf("2024-06-01"))
+    assert(r.getTimestamp(8) == ts, s"got ${r.getTimestamp(8)}")
+    assert(got(1).getLong(0) == 7L && got(1).getAs[Array[Byte]](6).isEmpty)
+    assert((0 until 9).forall(got(2).isNullAt), "null row survives")
+    // a second write to the same dir replaces the files (overwrite
+    // semantics incl. stale-part cleanup)
+    graft.ops.Avro.writeAvro(df.limit(1).repartition(1), out)
+    assert(graft.ops.Avro.readAvro(spark, out).count() == 1)
+  }
+
   test("ipc dsv2 reports size stats: small ipc side broadcasts in a join") {
     val sp = spark; import sp.implicits._
     val out = "/tmp/graft_egress/ipc_dsv2_stats"
