@@ -259,6 +259,36 @@ class ScaleSpec extends SparkSpec {
       s"no pruning:\n$plan")
   }
 
+  test("ANALYZE TABLE column stats drive CBO row estimates") {
+    // at 100 TB the optimizer can't afford to guess from file sizes:
+    // join order/strategy come from catalog statistics. Pin that the
+    // engine's saveAsTable + ANALYZE path feeds Catalyst's CBO — exact
+    // table rowCount, and a column-stats-based shrink for a selective
+    // range predicate (min/max interpolation, no data read).
+    val tbl = "orders_cbo_stats"
+    graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .option("path", "/tmp/graft_egress/cbo_orders").saveAsTable(tbl)
+    try {
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val total = spark.table(tbl).count()
+      val full = spark.table(tbl).queryExecution.optimizedPlan.stats
+      assert(full.rowCount.contains(BigInt(total)),
+        s"catalog rowCount ${full.rowCount} != $total")
+      val maxKey = spark.table(tbl).agg(max(col("o_orderkey"))).head().getLong(0)
+      val sel = spark.table(tbl)
+        .filter(col("o_orderkey") < lit(maxKey / 10))
+        .queryExecution.optimizedPlan.stats
+      assert(sel.rowCount.exists(rc => rc > 0 && rc < BigInt(total) / 2),
+        s"column stats did not shrink the estimate: ${sel.rowCount} of $total")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("bucketed layout joins without any exchange below the join") {
     val df = graft.ops.Layout.qBucketJoin(spark, sfDir)
     // run THIS queryExecution so AQE's final plan is available (the
