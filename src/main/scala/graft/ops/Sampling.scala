@@ -361,9 +361,14 @@ object Sampling {
     val w = split(col("text"), " ")
     val ratio = size(array_distinct(w)).cast(DoubleType) /
       size(w).cast(DoubleType)
+    // materialize the 4-column scoring projection once: the bucket
+    // aggregate, both keep branches and the per-source totals all
+    // consume it, and re-deriving it would re-split every document's
+    // text per consumer (4 full-corpus tokenization passes at 100 TB)
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), size(w).as("ntok"),
         floor(ratio * 1000.0).cast(IntegerType).as("ib"))
+      .localCheckpoint(true)
     // phase 1+2: bucket totals -> driver walk (O(sources x 1001) rows)
     val buckets = scored.groupBy(col("source"), col("ib"))
       .agg(sum(col("ntok")).as("btok"))
