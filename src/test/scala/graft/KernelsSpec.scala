@@ -108,10 +108,18 @@ class KernelsSpec extends SparkSpec {
   test("kernels survive whole-stage codegen (plan contains no fallback eval)") {
     val q = docs.select(
       graft.functions.minhash_sigs(
-        graft.functions.shingle_hashes(col("text"), 3), 16).as("mh"))
+        graft.functions.shingle_hashes(col("text"), 3), 16).as("mh"),
+      graft.functions.normalize_text(col("text")).as("norm"))
     // evaluating forces codegen compilation; a Janino failure would
     // fall back and log — correctness here is the compile not throwing
-    assert(q.filter(col("mh").isNotNull).count() > 0)
+    assert(q.filter(col("mh").isNotNull && col("norm").isNotNull).count() > 0)
+    // and the generated Java really contains the static kernel calls
+    // (i.e. the expressions sit INSIDE the codegen span, they didn't
+    // fall out to interpreted eval)
+    import org.apache.spark.sql.execution.debug._
+    val gen = q.queryExecution.debug.codegenToSeq().map(_._2).mkString
+    assert(gen.contains("TextNorm.normalize"),
+      "normalize_text not in generated code")
   }
 
   test("normalize_text folds precomposed AND decomposed forms to the same bytes") {
