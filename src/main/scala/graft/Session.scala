@@ -79,6 +79,14 @@ class Session(val spark: SparkSession) {
   def writeIpc(df: DataFrame, path: String): Unit =
     df.write.format("graft-ipc").mode("overwrite").save(path)
 
+  /** Avro container registration/sink (`graft.ops.Avro`): distributed
+    * one-file-per-partition write, one-partition-per-file read. */
+  def registerAvro(name: String, path: String): Unit =
+    graft.ops.Avro.readAvro(spark, path).createOrReplaceTempView(name)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    graft.ops.Avro.writeAvro(df, path)
+
   /** sql (context.rs:71): SQL text → lazy DataFrame (the reference
     * collects eagerly; we keep Spark laziness — .collect() matches). */
   def sql(query: String): DataFrame = spark.sql(query)

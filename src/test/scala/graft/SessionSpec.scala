@@ -53,6 +53,16 @@ class SessionSpec extends SparkSpec {
       src.count())
   }
 
+  test("registerAvro/writeAvro round-trip through the session surface") {
+    val src = session.table("orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    session.writeAvro(src, "/tmp/graft_egress/session_avro")
+    session.registerAvro("orders_avro", "/tmp/graft_egress/session_avro")
+    assert(session.sql(
+      "SELECT COUNT(*) c, COUNT(DISTINCT o_orderstatus) s FROM orders_avro")
+      .head.toSeq == Seq(src.count(), 3L))
+  }
+
   test("extension-type metadata survives projection and parquet round-trip") {
     val e = graft.ops.Arrays.annotateVector(
       graft.sources.Tables(spark, sfDir, "embeddings"), "embedding", 64)
