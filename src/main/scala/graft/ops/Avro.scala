@@ -214,6 +214,48 @@ object Avro {
     s.createDataFrame(rowRdd, sparkSchema)
   }
 
+  // ---- in-memory byte codec (spec surface, same mapping as the
+  //      file paths — lets the property fuzz run without Spark jobs) ----
+
+  private[graft] def writeAvroBytes(rows: Seq[Row],
+      schema: StructType): Array[Byte] = {
+    val avroSchema = toAvroSchema(schema)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.create(avroSchema, bos)
+    for (row <- rows) {
+      val rec = new GenericData.Record(avroSchema)
+      var c = 0
+      while (c < schema.length) {
+        rec.put(c, if (row.isNullAt(c)) null
+          else toAvroValue(row, c, schema(c).dataType))
+        c += 1
+      }
+      writer.append(rec)
+    }
+    writer.close()
+    bos.toByteArray
+  }
+
+  private[graft] def readAvroBytes(bytes: Array[Byte]): (Seq[Row], StructType) = {
+    val rd = DataFileReader.openReader(
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    val aSchema = rd.getSchema
+    val st = StructType(aSchema.getFields.asScala.toSeq.map(f =>
+      StructField(f.name(), toSparkType(f.schema()), nullable = true)))
+    val types = st.fields.map(_.dataType)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (rd.hasNext) {
+      val rec = rd.next()
+      out += Row.fromSeq(types.indices.map(c =>
+        fromAvroValue(rec.get(c).asInstanceOf[AnyRef], types(c))))
+    }
+    rd.close()
+    (out.toSeq, st)
+  }
+
   // ---- declared query ----
 
   /** Avro write + read-back round-trip over the orders projection,

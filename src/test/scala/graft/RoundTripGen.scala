@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Shared generator for the seeded round-trip property suites
+  * (IpcPropertySpec, AvroPropertySpec): random schemas over the nine
+  * wire types × random values including the adversarial edge set
+  * (extremes, NaN/±Inf bit patterns, empty/multi-byte strings, empty
+  * binaries). Each suite owns its seed so failures reproduce.
+  */
+trait RoundTripGen {
+
+  protected def rnd: scala.util.Random
+
+  protected val wireTypes: Seq[DataType] = Seq(LongType, IntegerType,
+    DoubleType, FloatType, StringType, BooleanType, BinaryType, DateType,
+    TimestampType)
+
+  protected def randValue(dt: DataType): Any = dt match {
+    case LongType => rnd.nextInt(5) match {
+      case 0 => Long.MinValue
+      case 1 => Long.MaxValue
+      case _ => rnd.nextLong()
+    }
+    case IntegerType => rnd.nextInt(5) match {
+      case 0 => Int.MinValue
+      case 1 => Int.MaxValue
+      case _ => rnd.nextInt()
+    }
+    case DoubleType => rnd.nextInt(7) match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case 2 => Double.NegativeInfinity
+      case 3 => -0.0
+      case _ => rnd.nextDouble() * math.pow(10, rnd.nextInt(300) - 150)
+    }
+    case FloatType => rnd.nextInt(6) match {
+      case 0 => Float.NaN
+      case 1 => Float.MinPositiveValue
+      case _ => rnd.nextFloat() * 1e6f
+    }
+    case StringType => rnd.nextInt(5) match {
+      case 0 => ""
+      case 1 => "héllo é世界" // multi-byte UTF-8
+      case 2 => "line\nbreak\ttab\"quote"
+      case _ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+    }
+    case BooleanType => rnd.nextBoolean()
+    case BinaryType =>
+      val b = new Array[Byte](rnd.nextInt(24)); rnd.nextBytes(b); b
+    case DateType => new Date(rnd.nextInt(30000).toLong * 86400000L)
+    case TimestampType =>
+      val t = new Timestamp(math.abs(rnd.nextLong()) % 4102444800000L)
+      t.setNanos((rnd.nextInt(1000000)) * 1000) // µs precision only
+      t
+  }
+
+  protected def sameValue(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+    case (x: Double, y: Double) =>
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+    case (x: Float, y: Float) =>
+      java.lang.Float.floatToIntBits(x) == java.lang.Float.floatToIntBits(y)
+    case (x, y) => x == y
+  }
+
+  protected def randSchema(maxCols: Int): StructType =
+    StructType((0 until (1 + rnd.nextInt(maxCols))).map { i =>
+      StructField(s"c$i", wireTypes(rnd.nextInt(wireTypes.length)),
+        nullable = true)
+    })
+
+  protected def randRows(schema: StructType, nRows: Int): Seq[Row] =
+    (0 until nRows).map { _ =>
+      Row.fromSeq(schema.fields.map(f =>
+        if (rnd.nextInt(5) == 0) null else randValue(f.dataType)).toSeq)
+    }
+
+  protected def assertSameRows(trial: Int, schema: StructType,
+      rows: Seq[Row], back: Seq[Row], backSchema: StructType): Unit = {
+    assert(backSchema.map(_.dataType) == schema.map(_.dataType),
+      s"trial $trial: schema changed: $schema -> $backSchema")
+    assert(back.length == rows.length,
+      s"trial $trial: ${rows.length} -> ${back.length} rows")
+    for (r <- rows.indices; c <- 0 until schema.length) {
+      assert(sameValue(rows(r).get(c), back(r).get(c)),
+        s"trial $trial row $r col $c (${schema(c).dataType}): " +
+          s"${rows(r).get(c)} -> ${back(r).get(c)}")
+    }
+  }
+}
