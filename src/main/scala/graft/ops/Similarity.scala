@@ -389,6 +389,10 @@ object Similarity {
       .join(assigned.select(col("cell"), col("vec_id").as("j"),
         col("embedding").as("ej")), Seq("cell"))
       .where(col("i") < col("j"))
+      // the SemDeDup cost driver is Σ|cell|² — observed into
+      // BENCH_DETAIL so a clustering regression (mega-cell) is
+      // visible as a candidate-count jump, not just a slow query
+      .observe("semantic_candidates", count(lit(1)).as("n_cell_pairs"))
       .where(cosine(col("ei"), col("ej")) >= tau)
       .select(col("cell"), col("j")).distinct()
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
