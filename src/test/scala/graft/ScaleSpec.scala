@@ -304,6 +304,22 @@ class ScaleSpec extends SparkSpec {
     assert(joinPart.contains("Bucketed: true") &&
       joinPart.contains("SelectedBucketsCount: 8 out of 8"),
       s"scan did not use the bucketed layout:\n$joinPart")
+    // bucket pruning: an equality filter on the bucket column must
+    // scan ONE bucket, not eight — the point-lookup path at 100 TB.
+    // autoBucketedScan (rightly) drops the bucketed layout for a bare
+    // filter to regain split parallelism; pin it on to show pruning.
+    val lt = ("bj_lineitem_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+    val key = spark.table(lt).agg(max(col("l_orderkey"))).head().getLong(0)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val point = spark.table(lt).filter(col("l_orderkey") === key)
+      assert(point.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount: 1 out of 8"),
+        "point filter did not prune buckets")
+      assert(point.count() > 0)
+    } finally spark.conf
+      .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     // the join result itself must match the plain (shuffling) join
     val plain = graft.sources.Tables(spark, sfDir, "lineitem")
       .join(graft.sources.Tables(spark, sfDir, "orders"),
