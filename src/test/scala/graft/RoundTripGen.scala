@@ -51,9 +51,12 @@ trait RoundTripGen {
     case BooleanType => rnd.nextBoolean()
     case BinaryType =>
       val b = new Array[Byte](rnd.nextInt(24)); rnd.nextBytes(b); b
-    case DateType => new Date(rnd.nextInt(30000).toLong * 86400000L)
+    case DateType => // incl. pre-epoch (negative epoch-day) dates
+      new Date((rnd.nextInt(60000) - 25000).toLong * 86400000L)
     case TimestampType =>
-      val t = new Timestamp(math.abs(rnd.nextLong()) % 4102444800000L)
+      // pre-epoch timestamps exercise the floorDiv/floorMod µs math
+      val t = new Timestamp(
+        math.abs(rnd.nextLong()) % 8204889600000L - 4102444800000L)
       t.setNanos((rnd.nextInt(1000000)) * 1000) // µs precision only
       t
   }
