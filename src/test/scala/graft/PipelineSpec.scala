@@ -214,4 +214,44 @@ class PipelineSpec extends SparkSpec {
     assert(m("min_chars").asInstanceOf[Int] >= 0 &&
       m("max_chars").asInstanceOf[Int] > 0)
   }
+
+  test("checkpointed pipeline resumes: finished stages load, broken stage recomputes") {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_egress/ckpt_pipeline"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val stages: Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "normalize" -> (df => df.select(col("doc_id"), col("source"),
+        graft.functions.normalize_text(col("text")).as("text"))),
+      "quality"   -> (df => df.filter(size(split(col("text"), " ")) >= 10)),
+      "summary"   -> (df => df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n")).orderBy(col("source"))))
+    val first = graft.ops.Checkpoints.run(docs, root, stages).collect()
+    assert(first.nonEmpty)
+    assert((0 until 3).forall(i =>
+      graft.ops.Checkpoints.isDone(spark, root, i,
+        Seq("normalize", "quality", "summary")(i))))
+    def mtime(idx: Int, name: String): Long =
+      new java.io.File(s"$root/${idx}_$name/_SUCCESS").lastModified()
+    val m0 = mtime(0, "normalize")
+    // simulate a failed stage-1: kill its commit marker mid-pipeline
+    Thread.sleep(1100)
+    assert(new java.io.File(s"$root/1_quality/_SUCCESS").delete())
+    val second = graft.ops.Checkpoints.run(docs, root, stages).collect()
+    assert(second.toSeq == first.toSeq, "resume must be byte-identical")
+    assert(mtime(0, "normalize") == m0,
+      "finished stage 0 must NOT recompute on resume")
+    assert(mtime(1, "quality") > m0, "broken stage 1 must recompute")
+    // stage 2 had a marker, so it loads — only the broken stage reruns
+    // (its input is re-read from stage 1's fresh output on the NEXT
+    // forced run); force=0 recomputes everything
+    Thread.sleep(1100)
+    val m1 = mtime(1, "quality")
+    val third = graft.ops.Checkpoints.run(docs, root, stages, force = 0)
+      .collect()
+    assert(third.toSeq == first.toSeq)
+    assert(mtime(0, "normalize") > m0 && mtime(1, "quality") > m1,
+      "force=0 recomputes every stage")
+  }
 }
