@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, VectorDots}
+import graft.functions.{CosineSimilarity, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, TextSegments, VectorDots}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * install the engine's native expressions into a cluster session:
@@ -53,5 +53,9 @@ object GraftExtensions {
         VectorDots(children(0), children(1))),
     ("normalize_text",
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
-      (children: Seq[Expression]) => NormalizeText(children(0))))
+      (children: Seq[Expression]) => NormalizeText(children(0))),
+    ("text_segments",
+      new ExpressionInfo(classOf[TextSegments].getName, "text_segments"),
+      (children: Seq[Expression]) =>
+        TextSegments(children(0), children(1))))
 }

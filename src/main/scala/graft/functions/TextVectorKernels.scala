@@ -71,6 +71,48 @@ object TextVectorKernels {
     new GenericArrayData(if (w == out.length) out else out.take(w))
   }
 
+  /** Consecutive n-token segments of `text` — the corpus-dedup
+    * granularity between exact-document and shingle: segment i covers
+    * tokens [i·n, min((i+1)·n, tokens)) joined by single spaces (the
+    * final segment may be shorter). Tokenization matches
+    * `split(text, ' ')` limit -1 (empty tokens kept), so — like
+    * [[shingleHashes]] — every segment is a contiguous byte range of
+    * the original text and each output is a zero-copy view over one
+    * materialized byte array. Replaces a `transform(sequence(..),
+    * i -> concat_ws(" ", slice(w, i*n+1, n)))` chain whose per-element
+    * `slice(w, ..)` re-evaluates (and with an inlined `split`,
+    * re-splits) the token array once per segment — O(len²/n) per doc,
+    * interpreted. */
+  def textSegments(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numBytes()
+    var nTokens = 1
+    var i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') nTokens += 1
+      i += 1
+    }
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val nSegs = (nTokens + n - 1) / n
+    val bytes = text.getBytes
+    val out = new Array[AnyRef](nSegs)
+    i = 0
+    while (i < nSegs) {
+      val s = starts(i * n)
+      val e = starts(math.min((i + 1) * n, nTokens)) - 1
+      out(i) = UTF8String.fromBytes(bytes, s, e - s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k MinHash signatures over a shingle-hash set: sig(i) = min over h
     * of the chained xxhash64 value of (h, i) — bit-equal to
     * `min(xxhash64(col, lit(i)))`, whose chain is
@@ -172,6 +214,34 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** text_segments(text, n): consecutive n-token segments of text. */
+case class TextSegments(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"text_segments requires (string, foldable int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "text_segments"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextVectorKernels.textSegments(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.TextVectorKernels.textSegments($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TextSegments =
     copy(left = newLeft, right = newRight)
 }
 

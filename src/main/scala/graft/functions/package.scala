@@ -276,6 +276,11 @@ package object functions {
     * codegen'd kernel; NormalizeText.scala). */
   def normalize_text(text: Column): Column =
     call_function("normalize_text", text)
+  /** Consecutive n-token segments of text (final segment may be
+    * shorter); the corpus-dedup granularity between whole-document
+    * and shingle. */
+  def text_segments(text: Column, n: Int): Column =
+    call_function("text_segments", text, lit(n))
 
   // ---- hash (function_registry_hash.cc:20-33) ----
   def hash32(c: Column): Column = org.apache.spark.sql.functions.hash(c)

@@ -529,6 +529,81 @@ object Dedup {
     SELECT d1, d2, cont FROM pairs WHERE cont >= 0.9 ORDER BY d1, d2
   """.trim
 
+  // ---- paragraph-level corpus dedup (C4-style) -------------------------
+
+  /** Paragraph-granularity exact dedup with document reassembly — the
+    * C4 "discard duplicate spans" stage (arXiv:1910.10683 §2.2; same
+    * role as RefinedWeb's line-dedup, arXiv:2306.01116): a span that
+    * appears in many documents (boilerplate, licence headers, quoted
+    * chunks) is kept ONLY at its first corpus occurrence (min
+    * (doc_id, position)) and removed everywhere else; each document's
+    * surviving spans are re-joined in original order, and documents
+    * that lose every span are dropped.
+    *
+    * The fixture has no newlines, so "paragraph" is a deterministic
+    * proxy: consecutive [[segLen]]-token segments, cut by the native
+    * [[graft.functions.TextSegments]] kernel (one fused O(len) loop
+    * per row, zero-copy slices — no per-segment re-split, no shuffle
+    * to segment).
+    *
+    * 100 TB posture: the winner-election aggregate shuffles
+    * (h1, h2, doc_id, seg_idx) — 32 bytes/segment, never the text —
+    * where (h1, h2) is a 128-bit double-xxhash64 key: at 10^12
+    * segments the collision odds are n²/2^129 ≈ 1.5e-15, so unlike a
+    * single 64-bit key (born-colliding at that scale) the hash pair
+    * can stand in for segment equality. The only shuffle that carries
+    * text is the reassembly groupBy(doc_id), whose width is the
+    * output itself. Winner election is min(struct), so the result is
+    * partitioning-invariant; the DuckDB oracle replays it on raw
+    * segment strings. */
+  private[graft] val segLen = 10
+
+  private[graft] def paragraphDedup(docs: DataFrame, L: Int): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.text_segments(col("text"), L))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        xxhash64(col("seg")).as("h1"),
+        xxhash64(lit(1), col("seg")).as("h2"))
+    val winners = segs
+      .groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("win"))
+    segs.join(winners, Seq("h1", "h2"))
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        (struct(col("doc_id"), col("seg_idx")) === col("win")).as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          e => e.getField("seg"))).as("text"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(col("n_kept") >= 1)
+      .select(col("doc_id"), col("text"), col("n_kept"), col("n_dropped"))
+  }
+
+  def qDedupParagraph(s: SparkSession, dir: String): DataFrame =
+    paragraphDedup(t(s, dir, "documents"), segLen).orderBy("doc_id")
+
+  val qDedupParagraphSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        array_to_string(list_slice(w, i*10+1, LEAST((i+1)*10, len(w))), ' ') AS seg
+      FROM toks, UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
+    flagged AS (
+      SELECT doc_id, seg_idx, seg,
+        ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+      FROM seg)
+    SELECT doc_id,
+      string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx) AS text,
+      COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+      COUNT(*) - COUNT(CASE WHEN kept THEN 1 END) AS n_dropped
+    FROM flagged GROUP BY doc_id HAVING n_kept >= 1 ORDER BY doc_id
+  """.trim
+
   // ---- SimHash near-dup (rows-only: 64-bit signature is engine-local) ----
 
   /** SimHash near-dup: 64-bit signature over the document's trigram

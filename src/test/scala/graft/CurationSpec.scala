@@ -166,4 +166,28 @@ class CurationSpec extends SparkSpec {
       assert(summary == nd)
     } finally { d.unpersist() }
   }
+
+  test("paragraph dedup keeps first corpus occurrence and reassembles in order") {
+    val sp = spark; import sp.implicits._
+    // L=4 segments: doc0 = [s0 s1 s2]; doc1 repeats doc0's s1 between
+    // two unique segments; doc2 is an exact copy of doc0
+    val s0 = "a b c d"; val s1 = "e f g h"; val s2 = "i j k l"
+    val u1 = "m n o p"; val u2 = "q r s t"
+    val docs = Seq(
+      (0L, s"$s0 $s1 $s2"),
+      (1L, s"$u1 $s1 $u2"),
+      (2L, s"$s0 $s1 $s2")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.paragraphDedup(docs, 4)
+      .orderBy("doc_id").collect()
+    // doc2 lost every segment -> dropped from the output entirely
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val r0 = out(0); val r1 = out(1)
+    assert(r0.getString(1) == s"$s0 $s1 $s2" &&
+      r0.getLong(2) == 3 && r0.getLong(3) == 0,
+      s"first occurrence must survive intact: $r0")
+    assert(r1.getString(1) == s"$u1 $u2" &&
+      r1.getLong(2) == 2 && r1.getLong(3) == 1,
+      s"repeated span must drop, order must hold: $r1")
+  }
 }

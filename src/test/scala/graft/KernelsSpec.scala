@@ -143,4 +143,40 @@ class KernelsSpec extends SparkSpec {
       .head().getString(0)
     assert(folded == "creme brulee")
   }
+
+  test("text_segments == composed split/slice chunking over the fixture") {
+    val L = 10
+    val w = split(col("text"), " ")
+    val nSegs = ceil(size(w).cast(DoubleType) / L).cast(LongType)
+    val composed = docs.select(col("doc_id"),
+      transform(sequence(lit(0L), nSegs - 1),
+        i => concat_ws(" ",
+          slice(w, (i * L + 1).cast(IntegerType), lit(L)))).as("expected"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.text_segments(col("text"), L).as("got"))
+    val diff = composed.join(native, "doc_id")
+      .filter(col("expected") =!= col("got"))
+    assert(diff.count() == 0)
+  }
+
+  test("text_segments edge cases match split-on-single-space semantics") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      "",                       // split("", " ") = [""] -> one empty segment
+      "a",                      // single short doc -> one short segment
+      "a b c",                  // < L tokens -> one segment, whole doc
+      "a b c d e f",            // exact multiple of L
+      "a b c d e f g",          // one full + one short segment
+      "a  b c d e f g h"        // double space -> empty token kept
+    ).toDF("text")
+    val got = rows
+      .select(graft.functions.text_segments(col("text"), 3).as("segs"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq(""))
+    assert(got(1) == Seq("a"))
+    assert(got(2) == Seq("a b c"))
+    assert(got(3) == Seq("a b c", "d e f"))
+    assert(got(4) == Seq("a b c", "d e f", "g"))
+    assert(got(5) == Seq("a  b", "c d e", "f g h"))
+  }
 }
