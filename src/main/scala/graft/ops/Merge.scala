@@ -101,4 +101,60 @@ object Merge {
       MAX(key) AS max_key
     FROM merged GROUP BY status ORDER BY status
   """.trim
+
+  // ---- incremental materialized-view maintenance -----------------------
+
+  /** Incremental aggregate refresh — the standard "don't rescan the
+    * lake" pattern for a 100 TB rollup: the view's aggregate STATE
+    * (count / decimal sum / min / max per group — all mergeable
+    * monoids under insert-only deltas) is persisted once over the
+    * base data, and a refresh reads ONLY the new delta rows plus that
+    * O(#groups) state, merging partials with a full-outer join. Here
+    * base = orders before 1999, delta = the rest; the persisted state
+    * lives in the pid-scoped egress scratch like the other sink
+    * queries. The refresh never touches a base ROW — at scale the
+    * refresh cost is O(delta + groups), not O(lake).
+    *
+    * The oracle recomputes the view from ALL rows, so the hash check
+    * proves the merge algebra is exact: decimal sums are associative,
+    * count adds, min/max take least/greatest (Spark's least/greatest
+    * skip nulls, which handles groups present on only one side). */
+  def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val cutoff = lit("1999-01-01").cast(TimestampType)
+    def partial(df: DataFrame) = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_dec"),
+        min(col("o_orderdate")).as("min_d"),
+        max(col("o_orderdate")).as("max_d"))
+    val stateDir = Egress.outRoot(dir) + "/mv_state"
+    partial(orders.filter(col("o_orderdate") < cutoff))
+      .write.mode("overwrite").parquet(stateDir)
+    val base = s.read.parquet(stateDir)
+      .select(col("o_orderpriority"), col("n").as("b_n"),
+        col("sum_dec").as("b_sum"), col("min_d").as("b_min"),
+        col("max_d").as("b_max"))
+    val delta = partial(orders.filter(col("o_orderdate") >= cutoff))
+      .select(col("o_orderpriority"), col("n").as("d_n"),
+        col("sum_dec").as("d_sum"), col("min_d").as("d_min"),
+        col("max_d").as("d_max"))
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("b_sum"), lit(BigDecimal(0)).cast(DecimalType(28, 2))) +
+          coalesce(col("d_sum"), lit(BigDecimal(0)).cast(DecimalType(28, 2))))
+          .cast(DoubleType).as("sum_price"),
+        least(col("b_min"), col("d_min")).as("min_date"),
+        greatest(col("b_max"), col("d_max")).as("max_date"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qMvRefreshSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
 }
