@@ -331,4 +331,47 @@ class ScaleSpec extends SparkSpec {
       .collect()
     assert(rows.toSeq == plain.toSeq)
   }
+
+  test("aggregate is bit-identical when a task fails its first attempt " +
+      "(retry determinism — lost-executor recovery at scale)") {
+    // Every attempt-0 task of shuffle-map partition 3 throws; the
+    // local[4, 2] scheduler retries it (clusters default to
+    // maxFailures=4). The recomputed partition must reproduce the
+    // same partial aggregates — which holds because every query-path
+    // operator is deterministic (no rand, no time, no partition-
+    // dependent state), the invariant this spec pins.
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .repartition(8)
+    RetryProbe.reset()
+    val faulted = li.withColumn("k", RetryProbe.failOnce(col("l_orderkey")))
+    val got = faulted.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .orderBy("l_returnflag").collect()
+    assert(RetryProbe.injected >= 1,
+      "fault never fired - the injection point no longer runs as its own task")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("s"))
+      .orderBy("l_returnflag").collect()
+    assert(got.toSeq == want.toSeq,
+      "retried computation diverged from the clean run")
+  }
+}
+
+/** Fault injector for the retry-determinism spec: passes values
+  * through untouched, but the first attempt of partition 3 throws.
+  * Local mode = one JVM, so a static counter sees executor-side
+  * updates (cluster accumulators drop failed-task updates, which is
+  * exactly the half we need to observe). */
+object RetryProbe {
+  @volatile var injected: Int = 0
+  def reset(): Unit = injected = 0
+  val failOnce = org.apache.spark.sql.functions.udf { (x: Long) =>
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 3) {
+      injected += 1
+      throw new RuntimeException("injected first-attempt task failure")
+    }
+    x
+  }
 }

@@ -9,7 +9,11 @@ import org.scalatest.BeforeAndAfterAll
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: allow ONE task retry so specs can
+      // inject attempt-0 failures and assert retry determinism — the
+      // cluster default is maxFailures=4; plain local[4] would fail
+      // the whole job on the first injected fault
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
