@@ -234,4 +234,47 @@ object Egress {
       .write.mode("overwrite").parquet(outDir)
     nFiles
   }
+
+  /** Declared query for the transaction-logged table
+    * ([[graft.sources.TableLog]]): build a two-commit table (orders
+    * before 1999, then the rest), read BOTH versions through the log
+    * — version 0 by time travel, version 1 as latest — and profile
+    * each. The oracle reconstructs the same two snapshots with date
+    * filters, so the hash check proves the log's file accounting:
+    * v0 sees exactly the base commit, v1 sees base + delta, and
+    * neither double-counts nor leaks files across commits. */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_orders"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+    val cutoff = lit("1999-01-01").cast(TimestampType)
+    val v0 = graft.sources.TableLog.append(
+      s, root, orders.filter(col("o_orderdate") < cutoff))
+    val v1 = graft.sources.TableLog.append(
+      s, root, orders.filter(col("o_orderdate") >= cutoff))
+    def profile(df: DataFrame, v: Int) = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .withColumn("version", lit(v))
+    profile(graft.sources.TableLog.snapshot(s, root, v0), v0)
+      .unionByName(profile(graft.sources.TableLog.snapshot(s, root, v1), v1))
+      .select(col("version"), col("o_orderstatus"), col("n"),
+        col("total_price"))
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val qTimeTravelSql: String = s"""
+    SELECT * FROM (
+      SELECT CAST(0 AS INTEGER) AS version, o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT CAST(1 AS INTEGER) AS version, o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders GROUP BY o_orderstatus)
+    ORDER BY version, o_orderstatus
+  """.trim
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableLog
+
+/** Transaction-log contracts the time_travel oracle can't express:
+  * snapshot stability under concurrent commits, atomic compaction
+  * swap, vacuum reachability, and the CAS version race. */
+class TableLogSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_tlog").toString + "/t"
+
+  private def nums(from: Int, until: Int) = {
+    val sp = spark; import sp.implicits._
+    (from until until).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+  }
+
+  test("append versions accumulate; time travel replays any prefix") {
+    val root = freshRoot()
+    val v0 = TableLog.append(spark, root, nums(0, 100))
+    val v1 = TableLog.append(spark, root, nums(100, 150))
+    val v2 = TableLog.append(spark, root, nums(150, 160))
+    assert(Seq(v0, v1, v2) == Seq(0, 1, 2))
+    assert(TableLog.snapshot(spark, root, 0).count() == 100)
+    assert(TableLog.snapshot(spark, root, 1).count() == 150)
+    assert(TableLog.snapshot(spark, root).count() == 160)
+    // content, not just counts: ids are exactly the committed range
+    val ids = TableLog.snapshot(spark, root, 1)
+      .agg(min("id"), max("id"), count_distinct(col("id"))).head()
+    assert((ids.getLong(0), ids.getLong(1), ids.getLong(2)) == (0L, 149L, 150L))
+  }
+
+  test("an open snapshot is isolated from later appends and overwrites") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 50))
+    val snap = TableLog.snapshot(spark, root) // resolves files NOW
+    TableLog.append(spark, root, nums(50, 90))
+    TableLog.overwrite(spark, root, nums(0, 5))
+    assert(snap.count() == 50, "open snapshot saw a later commit")
+    assert(TableLog.snapshot(spark, root).count() == 5,
+      "overwrite must replace the whole live set")
+    assert(TableLog.snapshot(spark, root, 1).count() == 90,
+      "pre-overwrite version must remain readable")
+  }
+
+  test("compaction swaps the live set atomically and preserves content") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 30).repartition(6))
+    TableLog.append(spark, root, nums(30, 60).repartition(6))
+    val before = TableLog.snapshot(spark, root)
+      .inputFiles.length
+    assert(before >= 12, s"expected >=12 small files, got $before")
+    val cv = TableLog.compact(spark, root, 2)
+    val after = TableLog.snapshot(spark, root)
+    assert(after.inputFiles.length == 2, "compaction file count")
+    assert(after.count() == 60 &&
+      after.agg(sum("id")).head().getLong(0) == (0 until 60).sum,
+      "compaction changed table content")
+    // pre-compaction snapshot still reads the OLD files
+    assert(TableLog.snapshot(spark, root, cv - 1).count() == 60)
+  }
+
+  test("vacuum reclaims only files unreachable from retained versions") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 40))
+    TableLog.append(spark, root, nums(40, 50))
+    val cv = TableLog.compact(spark, root, 1)
+    TableLog.vacuum(spark, root, retainFrom = cv)
+    // latest still intact
+    assert(TableLog.snapshot(spark, root).count() == 50)
+    // the pre-compaction version's files are gone
+    intercept[Exception] {
+      TableLog.snapshot(spark, root, cv - 1).count()
+    }
+  }
+
+  test("concurrent commits CAS onto distinct versions, none lost") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 10))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 4).toList.map { i =>
+        Future(TableLog.append(spark, root, nums(i * 100, i * 100 + 10)))
+      }), 120.seconds)
+    assert(results.distinct.size == 4, s"version collision: $results")
+    assert(TableLog.snapshot(spark, root).count() == 50,
+      "a racing commit's rows were lost")
+  }
+}
