@@ -277,4 +277,40 @@ object Egress {
       FROM orders GROUP BY o_orderstatus)
     ORDER BY version, o_orderstatus
   """.trim
+
+  /** Row-level delete on the transaction-logged table — the GDPR
+    * erasure path at lake scale: write orders range-clustered on
+    * o_orderkey with per-file stats in the commit log, delete a key
+    * range (the log stats pick the files to rewrite — TableLogSpec
+    * asserts untouched files keep their identity), then profile the
+    * surviving table read back through a stats-pruned range scan.
+    * The oracle reconstructs both predicates on the raw table, so
+    * the hash check proves deletion semantics AND that metadata
+    * pruning never changed an answer. */
+  def qLogDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_delete"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.sources.TableLog.append(s, root, orders,
+      statsCols = Seq("o_orderkey"))
+    graft.sources.TableLog.deleteRange(s, root, "o_orderkey", 200L, 599L)
+    graft.sources.TableLog
+      .readRange(s, root, "o_orderkey", 0L, 20000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogDeleteSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders
+    WHERE NOT (o_orderkey >= 200 AND o_orderkey <= 599)
+      AND o_orderkey >= 0 AND o_orderkey <= 20000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

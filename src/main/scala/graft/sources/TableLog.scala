@@ -6,6 +6,8 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Minimal transaction-logged table format — the snapshot/time-travel
   * layer a 100 TB lake needs on top of raw parquet directories
@@ -42,9 +44,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - **Compaction is a commit.** [[compact]] rewrites the live set
   *    into fewer files and publishes {add: new, remove: old} in ONE
   *    entry — readers switch atomically, old snapshots keep working.
+  *  - **Per-file stats → metadata-level pruning.** A commit written
+  *    with `statsCols` carries a TSV sidecar of per-file min/max for
+  *    those (long-valued) columns; [[readRange]] drops files whose
+  *    range cannot intersect the predicate WITHOUT opening them. At
+  *    millions of files this is the difference between O(matching)
+  *    and O(all footers) planning; parquet's own row-group stats
+  *    still prune WITHIN the files that survive. Files with no stats
+  *    are always read (pruning can drop a file only when its stats
+  *    prove it irrelevant), and the residual filter is always
+  *    applied, so stats can never change an answer — only planning.
+  *  - **Row-level delete rewrites only matching files.**
+  *    [[deleteRange]] uses the same stats to rewrite ONLY files that
+  *    can contain matches, publishing {add: rewritten, remove:
+  *    matched} in one commit; untouched files keep their identity
+  *    (and stats). Pre-delete versions remain time-travelable.
   *
-  * Scale posture: the log is O(#commits) driver-side metadata; data
-  * moves only through distributed parquet jobs. Nothing here shuffles.
+  * Scale posture: the log is O(#commits) driver-side metadata and
+  * stats are O(#files · #statsCols); data moves only through
+  * distributed parquet jobs. Nothing here shuffles.
   */
 object TableLog {
 
@@ -57,9 +75,11 @@ object TableLog {
   // (kept trivially regular so the hand-rolled parser below cannot
   // drift from the writer: paths are uuid/part names, never quoted
   // metacharacters)
-  private def render(version: Int, add: Seq[String], remove: Seq[String]): String = {
+  private def render(version: Int, add: Seq[String], remove: Seq[String],
+      statsFile: Option[String]): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}}"""
+    val st = statsFile.map(p => s""","stats":"$p"""").getOrElse("")
+    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st}"""
   }
 
   private def parseArr(json: String, key: String): Seq[String] = {
@@ -67,6 +87,17 @@ object TableLog {
     m.map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
       .getOrElse(Seq.empty)
+  }
+
+  private def parseStats(json: String): Option[String] =
+    "\"stats\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes); new String(bytes, "UTF-8")
+    } finally in.close()
   }
 
   /** Committed versions in ascending order (empty for a fresh root). */
@@ -80,38 +111,40 @@ object TableLog {
       .sorted.toSeq
   }
 
-  /** Live file set (paths relative to root) after replaying the log
-    * prefix up to and including `version` (-1 = latest). */
-  private def liveFiles(s: SparkSession, root: String, version: Int): Seq[String] = {
+  /** Live file set (relative paths, insertion-ordered) plus the stats
+    * sidecar of the commit that added each file, after replaying the
+    * log prefix up to `version` (-1 = latest). */
+  private def liveState(s: SparkSession, root: String,
+      version: Int): Seq[(String, Option[String])] = {
     val f = fs(s, root)
     val vs = versions(s, root)
     require(vs.nonEmpty, s"TableLog at $root has no commits")
     val upto = if (version < 0) vs else vs.filter(_ <= version)
     require(upto.nonEmpty, s"no committed version <= $version at $root")
-    val live = mutable.LinkedHashSet.empty[String]
+    val live = mutable.LinkedHashMap.empty[String, Option[String]]
     upto.foreach { v =>
-      val in = f.open(logPath(root, v))
-      val json = try {
-        val bytes = new Array[Byte](f.getFileStatus(logPath(root, v)).getLen.toInt)
-        in.readFully(bytes); new String(bytes, "UTF-8")
-      } finally in.close()
+      val json = readText(f, logPath(root, v))
+      val st = parseStats(json)
       parseArr(json, "remove").foreach(live.remove)
-      parseArr(json, "add").foreach(live.add)
+      parseArr(json, "add").foreach(a => live.put(a, st))
     }
     live.toSeq
   }
 
+  private def liveFiles(s: SparkSession, root: String, version: Int): Seq[String] =
+    liveState(s, root, version).map(_._1)
+
   /** Publish one commit via exists-guarded rename CAS; returns the
     * version that won. */
-  private def publish(s: SparkSession, root: String,
-      add: Seq[String], remove: Seq[String]): Int = {
+  private def publish(s: SparkSession, root: String, add: Seq[String],
+      remove: Seq[String], statsFile: Option[String] = None): Int = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/_log"))
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(render(attempt, add, remove).getBytes("UTF-8"))
+      try out.write(render(attempt, add, remove, statsFile).getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
       if (!f.exists(target) && f.rename(tmp, target)) return attempt
@@ -122,28 +155,61 @@ object TableLog {
     -1 // unreachable
   }
 
-  /** Append `df` as a new commit; returns the committed version. */
-  def append(s: SparkSession, root: String, df: DataFrame): Int = {
+  /** Write `df` into a fresh per-commit subdir; returns (subdir,
+    * relative file list). */
+  private def writeData(s: SparkSession, root: String,
+      df: DataFrame): (String, Seq[String]) = {
     val sub = s"data/${UUID.randomUUID()}"
     df.write.parquet(s"$root/$sub")
     val f = fs(s, root)
     val files = f.listStatus(new Path(s"$root/$sub"))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$sub/$n").toSeq
-    publish(s, root, files, Seq.empty)
+    (sub, files)
+  }
+
+  /** One distributed pass over the just-written files computing
+    * per-file min/max for `statsCols` (long-valued columns), written
+    * as a TSV sidecar inside the commit's subdir. Returns its
+    * relative path. */
+  private def writeStats(s: SparkSession, root: String, sub: String,
+      statsCols: Seq[String]): Option[String] = {
+    if (statsCols.isEmpty) return None
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c).cast(LongType)).as(s"mn_$c"),
+        max(col(c).cast(LongType)).as(s"mx_$c")))
+    val rows = s.read.parquet(s"$root/$sub")
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()                      // O(#files) — driver metadata
+    val lines = rows.flatMap { r =>
+      val file = sub + "/" + r.getString(0).split('/').last
+      statsCols.map(c => s"$file\t$c\t${r.getAs[Long](s"mn_$c")}\t${r.getAs[Long](s"mx_$c")}")
+    }
+    val rel = s"$sub/_stats.tsv"
+    val f = fs(s, root)
+    val out = f.create(new Path(s"$root/$rel"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    Some(rel)
+  }
+
+  /** Append `df` as a new commit; returns the committed version.
+    * `statsCols` (long-valued columns) adds a per-file min/max
+    * sidecar enabling [[readRange]]/[[deleteRange]] pruning. */
+  def append(s: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Int = {
+    val (sub, files) = writeData(s, root, df)
+    publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols))
   }
 
   /** Replace the whole table content with `df` in one commit. */
-  def overwrite(s: SparkSession, root: String, df: DataFrame): Int = {
+  def overwrite(s: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Int = {
     val old = if (versions(s, root).isEmpty) Seq.empty[String]
       else liveFiles(s, root, -1)
-    val sub = s"data/${UUID.randomUUID()}"
-    df.write.parquet(s"$root/$sub")
-    val f = fs(s, root)
-    val files = f.listStatus(new Path(s"$root/$sub"))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .sorted.map(n => s"$sub/$n").toSeq
-    publish(s, root, files, old)
+    val (sub, files) = writeData(s, root, df)
+    publish(s, root, files, old, writeStats(s, root, sub, statsCols))
   }
 
   /** The table as of `version` (-1 = latest). File list is resolved
@@ -153,17 +219,66 @@ object TableLog {
     s.read.parquet(files: _*)
   }
 
+  /** Per-file [lo, hi] bounds of `column` for the given live state,
+    * loaded from the commits' TSV sidecars (None = file has no stats
+    * for the column and must always be read). */
+  private def bounds(s: SparkSession, root: String,
+      state: Seq[(String, Option[String])],
+      column: String): Map[String, (Long, Long)] = {
+    val f = fs(s, root)
+    state.flatMap(_._2).distinct.flatMap { rel =>
+      readText(f, new Path(s"$root/$rel")).split('\n').filter(_.nonEmpty)
+        .map(_.split('\t'))
+        .collect { case Array(file, c, mn, mx) if c == column =>
+          file -> (mn.toLong, mx.toLong) }
+    }.toMap
+  }
+
+  /** Live files that can contain a row with `column` in [lo, hi]:
+    * stats-pruned when bounds exist, kept when they don't. */
+  private def candidateFiles(s: SparkSession, root: String, version: Int,
+      column: String, lo: Long, hi: Long): (Seq[String], Seq[String]) = {
+    val state = liveState(s, root, version)
+    val b = bounds(s, root, state, column)
+    state.map(_._1).partition(file =>
+      b.get(file).forall { case (mn, mx) => mx >= lo && mn <= hi })
+  }
+
+  /** Range read with metadata-level file skipping: opens only files
+    * whose logged [min, max] intersects [lo, hi] (plus any file
+    * without stats), then applies the exact residual filter — stats
+    * affect planning, never the answer. */
+  def readRange(s: SparkSession, root: String, column: String,
+      lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    val (keep, _) = candidateFiles(s, root, version, column, lo, hi)
+    s.read.parquet(keep.map(rel => s"$root/$rel"): _*)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Delete every row with `column` in [lo, hi], rewriting ONLY the
+    * files whose stats admit a match; the swap publishes as one
+    * commit and untouched files keep their identity and stats.
+    * Returns the committed version. */
+  def deleteRange(s: SparkSession, root: String, column: String,
+      lo: Long, hi: Long): Int = {
+    val (touched, _) = candidateFiles(s, root, -1, column, lo, hi)
+    require(touched.nonEmpty, "deleteRange: nothing to delete")
+    val survivors = s.read
+      .parquet(touched.map(rel => s"$root/$rel"): _*)
+      .filter(!(col(column) >= lo && col(column) <= hi))
+    val (sub, files) = writeData(s, root, survivors)
+    publish(s, root, files, touched,
+      writeStats(s, root, sub, Seq(column)))
+  }
+
   /** Rewrite the live set into `numFiles` files and publish the swap
     * as one atomic commit. Old snapshots keep reading the old files. */
-  def compact(s: SparkSession, root: String, numFiles: Int): Int = {
+  def compact(s: SparkSession, root: String, numFiles: Int,
+      statsCols: Seq[String] = Nil): Int = {
     val old = liveFiles(s, root, -1)
-    val sub = s"data/${UUID.randomUUID()}"
-    snapshot(s, root).coalesce(numFiles).write.parquet(s"$root/$sub")
-    val f = fs(s, root)
-    val files = f.listStatus(new Path(s"$root/$sub"))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .sorted.map(n => s"$sub/$n").toSeq
-    publish(s, root, files, old)
+    val (sub, files) = writeData(s, root,
+      snapshot(s, root).coalesce(numFiles))
+    publish(s, root, files, old, writeStats(s, root, sub, statsCols))
   }
 
   /** Reclaim data files no snapshot at version >= `retainFrom` can
@@ -176,15 +291,7 @@ object TableLog {
       .flatMap(v => liveFiles(s, root, v)).toSet ++
       liveFiles(s, root, -1).toSet
     val all = versions(s, root)
-      .flatMap { v =>
-        val in = f.open(logPath(root, v))
-        val json = try {
-          val bytes = new Array[Byte](
-            f.getFileStatus(logPath(root, v)).getLen.toInt)
-          in.readFully(bytes); new String(bytes, "UTF-8")
-        } finally in.close()
-        parseArr(json, "add")
-      }.toSet
+      .flatMap(v => parseArr(readText(f, logPath(root, v)), "add")).toSet
     (all -- reachable).foreach(rel => f.delete(new Path(s"$root/$rel"), false))
   }
 }

@@ -78,6 +78,47 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("readRange prunes files from log stats without opening them; " +
+      "files without stats are never pruned") {
+    val root = freshRoot()
+    val sp = spark; import sp.implicits._
+    // 8 range-clustered files over ids 0..799 -> tight per-file bounds
+    val df = (0 until 800).map(i => (i.toLong, i % 7)).toDF("id", "v")
+      .repartitionByRange(8, col("id"))
+    TableLog.append(spark, root, df, statsCols = Seq("id"))
+    val pruned = TableLog.readRange(spark, root, "id", 100L, 199L)
+    assert(pruned.inputFiles.length < 8,
+      s"stats pruned nothing: ${pruned.inputFiles.length} of 8 files read")
+    assert(pruned.count() == 100 &&
+      pruned.agg(min("id"), max("id")).head().toSeq == Seq(100L, 199L),
+      "pruned read lost or leaked rows")
+    // a stats-less commit must always be read (pruning can only drop
+    // a file whose stats PROVE it irrelevant)
+    TableLog.append(spark, root, Seq((5000L, 1)).toDF("id", "v"))
+    assert(TableLog.readRange(spark, root, "id", 100L, 199L)
+      .inputFiles.length >= pruned.inputFiles.length + 1,
+      "a file without stats was pruned")
+  }
+
+  test("deleteRange rewrites only files whose stats admit a match") {
+    val root = freshRoot()
+    val sp = spark; import sp.implicits._
+    val df = (0 until 800).map(i => (i.toLong, s"u$i")).toDF("id", "u")
+      .repartitionByRange(8, col("id"))
+    TableLog.append(spark, root, df, statsCols = Seq("id"))
+    val before = TableLog.snapshot(spark, root).inputFiles.toSet
+    val dv = TableLog.deleteRange(spark, root, "id", 100L, 149L)
+    val after = TableLog.snapshot(spark, root)
+    assert(after.count() == 750 &&
+      after.filter(col("id").between(100, 149)).count() == 0,
+      "delete semantics wrong")
+    // untouched files keep their identity: only matching files swapped
+    val kept = before.intersect(after.inputFiles.toSet)
+    assert(kept.size >= 6, s"delete rewrote non-matching files (${kept.size} kept of 8)")
+    // pre-delete version still time-travels to the full table
+    assert(TableLog.snapshot(spark, root, dv - 1).count() == 800)
+  }
+
   test("concurrent commits CAS onto distinct versions, none lost") {
     val root = freshRoot()
     TableLog.append(spark, root, nums(0, 10))
