@@ -76,10 +76,10 @@ object TableLog {
   // drift from the writer: paths are uuid/part names, never quoted
   // metacharacters)
   private def render(version: Int, add: Seq[String], remove: Seq[String],
-      statsFile: Option[String]): String = {
+      statsFile: Option[String], dataChange: Boolean): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val st = statsFile.map(p => s""","stats":"$p"""").getOrElse("")
-    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st}"""
+    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st,"dataChange":$dataChange}"""
   }
 
   private def parseArr(json: String, key: String): Seq[String] = {
@@ -91,6 +91,11 @@ object TableLog {
 
   private def parseStats(json: String): Option[String] =
     "\"stats\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+
+  // absent (pre-flag entries) defaults to true: treat unknown commits
+  // as data changes, never silently skip rows
+  private def parseDataChange(json: String): Boolean =
+    !json.contains("\"dataChange\":false")
 
   private def readText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -137,14 +142,16 @@ object TableLog {
   /** Publish one commit via exists-guarded rename CAS; returns the
     * version that won. */
   private def publish(s: SparkSession, root: String, add: Seq[String],
-      remove: Seq[String], statsFile: Option[String] = None): Int = {
+      remove: Seq[String], statsFile: Option[String] = None,
+      dataChange: Boolean = true): Int = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/_log"))
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(render(attempt, add, remove, statsFile).getBytes("UTF-8"))
+      try out.write(render(attempt, add, remove, statsFile, dataChange)
+        .getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
       if (!f.exists(target) && f.rename(tmp, target)) return attempt
@@ -216,7 +223,27 @@ object TableLog {
     * NOW — the returned frame is a stable snapshot. */
   def snapshot(s: SparkSession, root: String, version: Int = -1): DataFrame = {
     val files = liveFiles(s, root, version).map(rel => s"$root/$rel")
-    s.read.parquet(files: _*)
+    // mergeSchema: commits may evolve the schema additively (new
+    // nullable columns); older files read the union schema with nulls
+    s.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Rows ADDED by data-changing commits with version > `sinceVersion`
+    * — incremental consumption: a consumer that remembers the last
+    * version it processed reads only the new files. Compaction and
+    * delete rewrites publish dataChange=false, so their re-written
+    * (old) rows are never re-emitted; row DELETIONS are not emitted
+    * either (this is append-stream semantics, not full CDC — a
+    * consumer needing reconciled state re-reads a snapshot). */
+  def changesSince(s: SparkSession, root: String, sinceVersion: Int): DataFrame = {
+    val f = fs(s, root)
+    val files = versions(s, root).filter(_ > sinceVersion).flatMap { v =>
+      val json = readText(f, logPath(root, v))
+      if (parseDataChange(json)) parseArr(json, "add") else Seq.empty
+    }
+    if (files.isEmpty) snapshot(s, root).limit(0)
+    else s.read.option("mergeSchema", "true")
+      .parquet(files.map(rel => s"$root/$rel"): _*)
   }
 
   /** Per-file [lo, hi] bounds of `column` for the given live state,
@@ -268,7 +295,7 @@ object TableLog {
       .filter(!(col(column) >= lo && col(column) <= hi))
     val (sub, files) = writeData(s, root, survivors)
     publish(s, root, files, touched,
-      writeStats(s, root, sub, Seq(column)))
+      writeStats(s, root, sub, Seq(column)), dataChange = false)
   }
 
   /** Rewrite the live set into `numFiles` files and publish the swap
@@ -278,7 +305,8 @@ object TableLog {
     val old = liveFiles(s, root, -1)
     val (sub, files) = writeData(s, root,
       snapshot(s, root).coalesce(numFiles))
-    publish(s, root, files, old, writeStats(s, root, sub, statsCols))
+    publish(s, root, files, old, writeStats(s, root, sub, statsCols),
+      dataChange = false)
   }
 
   /** Reclaim data files no snapshot at version >= `retainFrom` can

@@ -119,6 +119,34 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(spark, root, dv - 1).count() == 800)
   }
 
+  test("changesSince emits appended rows once; compaction and delete " +
+      "rewrites are not data changes") {
+    val root = freshRoot()
+    val v0 = TableLog.append(spark, root, nums(0, 50))
+    TableLog.append(spark, root, nums(50, 90))
+    assert(TableLog.changesSince(spark, root, v0).count() == 40)
+    val cv = TableLog.compact(spark, root, 1)
+    assert(TableLog.changesSince(spark, root, cv - 1).count() == 0,
+      "compaction re-emitted old rows as changes")
+    TableLog.append(spark, root, nums(90, 95))
+    assert(TableLog.changesSince(spark, root, cv).count() == 5)
+    assert(TableLog.changesSince(spark, root, 9999).count() == 0)
+  }
+
+  test("schema evolves additively: old files read the union schema") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    TableLog.append(spark, root,
+      Seq((2L, "b", 7.5)).toDF("id", "s", "score"))
+    val snap = TableLog.snapshot(spark, root).orderBy("id")
+    assert(snap.columns.toSet == Set("id", "s", "score"))
+    val rows = snap.collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")),
+      "pre-evolution row must read NULL for the new column")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 7.5)
+  }
+
   test("concurrent commits CAS onto distinct versions, none lost") {
     val root = freshRoot()
     TableLog.append(spark, root, nums(0, 10))
