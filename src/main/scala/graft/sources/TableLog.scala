@@ -282,6 +282,26 @@ object TableLog {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Box read over TWO stats columns — the z-order payoff: a file
+    * survives only if BOTH its logged ranges intersect the box, so a
+    * z-ordered (Morton-clustered) layout prunes on either dimension
+    * alone or both together, where a single-column sort helps only
+    * its own column. Residual filters applied as always. */
+  def readBox(s: SparkSession, root: String,
+      c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long, version: Int = -1): DataFrame = {
+    val state = liveState(s, root, version)
+    val b1 = bounds(s, root, state, c1)
+    val b2 = bounds(s, root, state, c2)
+    val keep = state.map(_._1).filter { file =>
+      b1.get(file).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
+      b2.get(file).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
+    }
+    s.read.parquet(keep.map(rel => s"$root/$rel"): _*)
+      .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
+        col(c2) >= lo2 && col(c2) <= hi2)
+  }
+
   /** Delete every row with `column` in [lo, hi], rewriting ONLY the
     * files whose stats admit a match; the swap publishes as one
     * commit and untouched files keep their identity and stats.
@@ -298,15 +318,31 @@ object TableLog {
       writeStats(s, root, sub, Seq(column)), dataChange = false)
   }
 
+  /** Replace the live set with whatever `write` produces into the
+    * fresh directory it is handed — the general layout-rewrite commit
+    * (compaction, z-ordering, re-sorting): same rows, new physical
+    * organization, published atomically with dataChange=false and
+    * fresh per-file stats for `statsCols`. */
+  def rewrite(s: SparkSession, root: String, statsCols: Seq[String] = Nil)(
+      write: String => Unit): Int = {
+    val old = liveFiles(s, root, -1)
+    val sub = s"data/${UUID.randomUUID()}"
+    write(s"$root/$sub")
+    val f = fs(s, root)
+    val files = f.listStatus(new Path(s"$root/$sub"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$sub/$n").toSeq
+    publish(s, root, files, old, writeStats(s, root, sub, statsCols),
+      dataChange = false)
+  }
+
   /** Rewrite the live set into `numFiles` files and publish the swap
     * as one atomic commit. Old snapshots keep reading the old files. */
   def compact(s: SparkSession, root: String, numFiles: Int,
       statsCols: Seq[String] = Nil): Int = {
-    val old = liveFiles(s, root, -1)
-    val (sub, files) = writeData(s, root,
-      snapshot(s, root).coalesce(numFiles))
-    publish(s, root, files, old, writeStats(s, root, sub, statsCols),
-      dataChange = false)
+    val snap = snapshot(s, root)
+    rewrite(s, root, statsCols)(dir =>
+      snap.coalesce(numFiles).write.parquet(dir))
   }
 
   /** Reclaim data files no snapshot at version >= `retainFrom` can

@@ -147,6 +147,37 @@ class TableLogSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 7.5)
   }
 
+  test("z-order rewrite makes box reads prune on BOTH dimensions; " +
+      "single-column clustering prunes only its own") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    // 64x64 grid: x and y are independent, so x-sorted files have
+    // full-range y bounds and vice versa
+    val grid = (0 until 4096).map(i => (i.toLong / 64, i.toLong % 64))
+      .toDF("x", "y")
+    TableLog.append(spark, root, grid.repartitionByRange(16, col("x")),
+      statsCols = Seq("x", "y"))
+    // x-clustered: an x-slice prunes, a y-slice cannot
+    val xScan = TableLog.readBox(spark, root, "x", 0, 7, "y", 0, 63)
+    val yScan = TableLog.readBox(spark, root, "x", 0, 63, "y", 0, 7)
+    assert(xScan.inputFiles.length <= 4, "x-cluster failed to prune x")
+    assert(yScan.inputFiles.length == 16, "y pruned without y clustering?")
+    // z-order rewrite through the log: same rows, both dims prune
+    val snap = TableLog.snapshot(spark, root)
+    TableLog.rewrite(spark, root, statsCols = Seq("x", "y"))(dir =>
+      graft.ops.Layout.zorderBy(snap, "x", "y", 16, dir))
+    val zx = TableLog.readBox(spark, root, "x", 0, 7, "y", 0, 63)
+    val zy = TableLog.readBox(spark, root, "x", 0, 63, "y", 0, 7)
+    val zbox = TableLog.readBox(spark, root, "x", 0, 15, "y", 0, 15)
+    assert(zx.inputFiles.length < 16 && zy.inputFiles.length < 16,
+      s"z-order should prune BOTH dims (x: ${zx.inputFiles.length}, " +
+        s"y: ${zy.inputFiles.length} of 16)")
+    assert(zbox.inputFiles.length < 16 / 2, "box query should prune hard")
+    // pruning never changes answers
+    assert(zx.count() == 8 * 64 && zy.count() == 64 * 8 &&
+      zbox.count() == 16 * 16)
+  }
+
   test("concurrent commits CAS onto distinct versions, none lost") {
     val root = freshRoot()
     TableLog.append(spark, root, nums(0, 10))
