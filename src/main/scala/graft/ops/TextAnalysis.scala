@@ -243,10 +243,18 @@ object TextAnalysis {
     * Scale shape: the benchmark side is tiny by construction →
     * exploded shingles BROADCAST to the training side; the training
     * corpus streams through one hash join + one partial+final agg —
-    * never a corpus×corpus comparison. */
+    * never a corpus×corpus comparison. Shingles ride as 8-byte
+    * xxhash64 values from the native [[graft.functions.ShingleHashes]]
+    * kernel (Dedup.scala:59-67 precedent: the shingle TEXT never
+    * leaves the scan stage, the broadcast shrinks ~3×, and the join
+    * probes compare longs; same collision-probability argument —
+    * a single 2⁻⁶⁴ collision adds one phantom shared shingle to one
+    * pair, which the >= 3 threshold absorbs). The oracle counts the
+    * same equivalence classes on raw strings. */
   private val ContamSplit = 450
   def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingled(t(s, dir, "documents"))
+    val sh = t(s, dir, "documents").select(col("doc_id"),
+      graft.functions.shingle_hashes(col("text"), 3).as("shingles"))
     val train = sh.filter(col("doc_id") < ContamSplit)
       .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
     val bench = sh.filter(col("doc_id") >= ContamSplit)
