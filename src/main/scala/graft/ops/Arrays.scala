@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.sources.Tables
 
@@ -142,6 +142,17 @@ object Arrays {
           .as("doubled"),
         array_sort(map_keys(col("m"))).as("keys_sorted"),
         col("total"))
+      // Output boundary: entry arrays render as pinned "k:v,k:v"
+      // strings (the harness compare can't sort by map/struct
+      // columns); the map algebra above is unchanged.
+      .select(
+        col("user_id"),
+        array_join(transform(col("busy_entries"),
+          e => concat_ws(":", e("key"), e("value"))), ",").as("busy_entries"),
+        array_join(transform(col("doubled"),
+          e => concat_ws(":", e("key"), e("value"))), ",").as("doubled"),
+        array_join(col("keys_sorted"), ",").as("keys_sorted"),
+        col("total"))
       .orderBy("user_id")
   }
 
@@ -153,9 +164,13 @@ object Arrays {
             CAST(SUM(c) AS BIGINT) AS total
           FROM per GROUP BY user_id)
     SELECT user_id,
-      list_filter(entries, e -> e.value > 14) AS busy_entries,
-      list_transform(entries, e -> struct_pack(key := e.key, value := e.value * 2)) AS doubled,
-      list_sort(list_transform(entries, e -> e.key)) AS keys_sorted,
+      COALESCE(array_to_string(list_transform(
+        list_filter(entries, e -> e.value > 14),
+        e -> e.key || ':' || CAST(e.value AS VARCHAR)), ','), '') AS busy_entries,
+      array_to_string(list_transform(entries,
+        e -> e.key || ':' || CAST(e.value * 2 AS VARCHAR)), ',') AS doubled,
+      array_to_string(list_sort(list_transform(entries, e -> e.key)), ',')
+        AS keys_sorted,
       total
     FROM m ORDER BY user_id
   """.trim
@@ -181,6 +196,20 @@ object Arrays {
         flatten(array(col("xs"), col("ys"))).as("flat"),
         array_position(col("xs"), 7).as("pos7"),
         size(array_distinct(col("xs"))).as("n_uniq"))
+      // Output boundary: int arrays render as pinned CSV strings
+      // (the harness compare can't sort by array columns); the set
+      // algebra above is unchanged.
+      .select(
+        col("n_nationkey"),
+        array_join(transform(col("arr_union"),
+          x => x.cast(StringType)), ",").as("arr_union"),
+        array_join(transform(col("arr_intersect"),
+          x => x.cast(StringType)), ",").as("arr_intersect"),
+        array_join(transform(col("arr_except"),
+          x => x.cast(StringType)), ",").as("arr_except"),
+        array_join(transform(col("flat"),
+          x => x.cast(StringType)), ",").as("flat"),
+        col("pos7"), col("n_uniq"))
       .orderBy(col("n_nationkey"))
   }
 
@@ -190,10 +219,13 @@ object Arrays {
         list_sort([n_nationkey % 3, 2, 7]) AS ys
       FROM nation)
     SELECT n_nationkey,
-      list_sort(list_distinct(list_concat(xs, ys))) AS arr_union,
-      list_sort(list_distinct(list_intersect(xs, ys))) AS arr_intersect,
-      list_sort(list_distinct(list_filter(xs, x -> NOT list_contains(ys, x)))) AS arr_except,
-      flatten([xs, ys]) AS flat,
+      array_to_string(list_sort(list_distinct(list_concat(xs, ys))), ',')
+        AS arr_union,
+      COALESCE(array_to_string(list_sort(list_distinct(
+        list_intersect(xs, ys))), ','), '') AS arr_intersect,
+      COALESCE(array_to_string(list_sort(list_distinct(
+        list_filter(xs, x -> NOT list_contains(ys, x)))), ','), '') AS arr_except,
+      array_to_string(flatten([xs, ys]), ',') AS flat,
       CAST(list_position(xs, 7) AS BIGINT) AS pos7,
       CAST(len(list_distinct(xs)) AS INT) AS n_uniq
     FROM a ORDER BY n_nationkey

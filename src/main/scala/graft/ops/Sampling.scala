@@ -246,6 +246,10 @@ object Sampling {
       .withColumn("pri", weightedPriority(col("doc_id"), col("n_chars")))
     graft.plans.TopKPerGroup(docs, Seq("source"),
         Seq(("pri", false), ("doc_id", true)), 10)
+      // DECIMAL(20,6) stays internal (the deterministic snap); the
+      // OUTPUT is DOUBLE so both engines hash the same byte image —
+      // a 6-dp decimal maps to one nearest double on either side.
+      .withColumn("pri", col("pri").cast(DoubleType))
       .orderBy(col("source"), col("pri").desc, col("doc_id"))
   }
 
@@ -265,7 +269,8 @@ object Sampling {
       SELECT *, row_number() OVER
         (PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
       FROM pri)
-    SELECT source, doc_id, n_chars, pri FROM ranked WHERE rn <= 10
+    SELECT source, doc_id, n_chars, CAST(pri AS DOUBLE) AS pri
+    FROM ranked WHERE rn <= 10
     ORDER BY source, pri DESC, doc_id
   """.trim
 
