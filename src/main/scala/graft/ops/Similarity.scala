@@ -149,6 +149,14 @@ object Similarity {
     * PipelineSpec pins nprobe=all == brute force and recall@5 > 0). */
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = knnIvf(s, dir, 3)
 
+  /** IVF with nprobe = k (all 10 cells probed): the candidate set is
+    * every vector, so the answer provably equals the brute-force
+    * top-k — which gives the IVF machinery (train, assign, probe,
+    * cell-keyed candidate join) a full exact-value oracle instead of
+    * the rows-only check the nprobe<k approximation gets. */
+  def qKnnIvfExact(s: SparkSession, dir: String): DataFrame =
+    knnIvf(s, dir, 10)
+
   /** Int8 scalar quantization of embeddings — the compression step of
     * a vector pipeline (4x smaller index, dot products in int8):
     * per-vector scale = max|x| / 127, q_i = floor(x_i/scale + 0.5).
@@ -412,6 +420,88 @@ object Similarity {
     * separates.) */
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
     semanticDedup(s, dir, 0.40)
+
+  /** The SemDeDup keep/drop SET at τ=0.40, with a FULL-SEMANTICS
+    * oracle: the SQL below reproduces the whole pipeline in DuckDB —
+    * seed selection, sequential-fold normalization, the dot-product
+    * argmax assignment, the decimal-exact Lloyd refinement, the
+    * second assignment, and the within-cell τ filter. Every float op
+    * is mirrored in the same evaluation order (`list_reduce` with a
+    * prepended 0.0 = the kernels' strict left-to-right folds;
+    * DECIMAL(28,12) sums = the partition-independent mean
+    * convention), so cell assignment agrees bit-for-bit and the
+    * keep/drop set is EXACT — no "cells are engine-local" carve-out.
+    * The cell column itself is still omitted from the output only
+    * because its 1-based index is an implementation detail, not
+    * because it disagrees. */
+  def qDedupSemanticKeep(s: SparkSession, dir: String): DataFrame =
+    semanticDedupDetail(s, dir, 0.40)
+      .select(col("vec_id"), col("dropped").as("is_dropped"))
+      .orderBy("vec_id")
+
+  val qDedupSemanticKeepSql: String = """
+    WITH seeds AS (
+      SELECT vec_id AS c, list_transform(embedding, x -> x::DOUBLE) AS raw,
+        list_transform(embedding, x -> x::DOUBLE /
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)), (a,b) -> a+b))) AS ctr
+      FROM embeddings WHERE vec_id < 10),
+    s0 AS (
+      SELECT v.vec_id, s.c,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len(v.embedding)+1),
+            i -> s.ctr[i] * v.embedding[i]::DOUBLE)), (a,b)->a+b) AS dot
+      FROM embeddings v CROSS JOIN seeds s),
+    a0 AS (
+      SELECT vec_id, c AS cell0 FROM (
+        SELECT vec_id, c, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM s0)
+      WHERE rn = 1),
+    m AS (
+      SELECT a0.cell0 AS c, u.pos,
+        CAST(SUM(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean
+      FROM embeddings v JOIN a0 ON a0.vec_id = v.vec_id,
+      LATERAL (SELECT generate_subscripts(v.embedding,1) AS pos,
+               unnest(v.embedding)::DOUBLE AS x) u
+      GROUP BY 1, 2),
+    c1raw AS (
+      SELECT s.c, list(COALESCE(m.mean, s.raw[p.pos]) ORDER BY p.pos) AS rawc
+      FROM seeds s
+      CROSS JOIN (SELECT unnest(range(1, len(embedding)+1)) AS pos
+                  FROM (SELECT embedding FROM embeddings LIMIT 1)) p
+      LEFT JOIN m ON m.c = s.c AND m.pos = p.pos
+      GROUP BY s.c),
+    c1 AS (
+      SELECT c, list_transform(rawc, x -> x /
+        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(rawc, y -> y*y)), (a,b)->a+b))) AS ctr
+      FROM c1raw),
+    s1 AS (
+      SELECT v.vec_id, s.c,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len(v.embedding)+1),
+            i -> s.ctr[i] * v.embedding[i]::DOUBLE)), (a,b)->a+b) AS dot
+      FROM embeddings v CROSS JOIN c1 s),
+    a1 AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM s1)
+      WHERE rn = 1),
+    d AS (
+      SELECT DISTINCT y.vec_id AS j
+      FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+          i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.40)
+    SELECT e.vec_id, (d.j IS NOT NULL) AS is_dropped
+    FROM embeddings e LEFT JOIN d ON e.vec_id = d.j
+    ORDER BY e.vec_id
+  """.trim
 
   /** Kept-set view for the spec: (cell, vec_id, embedding, kept). */
   private[graft] def semanticDedupDetail(s: SparkSession, dir: String,
