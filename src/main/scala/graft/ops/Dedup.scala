@@ -329,39 +329,66 @@ object Dedup {
 
   // ---- near-dup clustering (connected components) ------------------------
 
-  /** Connected components by iterative min-label propagation: each
-    * node's label starts as itself; every pass each node takes the
-    * minimum label among itself and its neighbors until fixpoint —
-    * converging to the component's minimum doc_id as the cluster
-    * representative (keep-one-per-cluster is then `doc_id == rep_id`).
+  /** Connected components, hybrid: min-label propagation for up to 3
+    * passes (near-dup components are shallow — dup clusters, not
+    * social graphs — so the common case converges here with one
+    * join+groupBy per pass), then large-star/small-star edge
+    * rewriting (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") for anything deeper: O(log n) rounds in
+    * the component SIZE, not O(diameter) — a 100 TB corpus with one
+    * pathological duplicate chain no longer degrades to
+    * chain-length full joins.
     *
-    * Scale posture: the driver loop runs O(component diameter)
-    * distributed join+groupBy passes (near-dup components are shallow —
-    * dup clusters, not social graphs), with a hard [[maxIters]] guard
-    * so a pathological graph (or a bug) can never spin the driver
-    * forever. Edges are hash-partitioned on `src` once up front, so
-    * every pass re-uses that layout and shuffles only the (node,
-    * label) pairs, never documents. The convergence check is FUSED
-    * into the propagation aggregate — each label row carries its
-    * previous rep, so "did anything change" is a column filter over
-    * the just-materialized result, not an extra join against the old
-    * labels (which doubled the per-pass job count).
+    * The converged label is the component's minimum doc_id — the
+    * deterministic cluster representative (keep-one-per-cluster is
+    * then `doc_id == rep_id`), identical under both paths.
     *
-    * Checkpoint durability: `localCheckpoint` stores label partitions
-    * on executors — flat lineage at zero HDFS cost, but a lost
-    * executor kills the job (acceptable: the loop is minutes, and a
-    * retry is idempotent). On a real cluster with long loops, swap for
+    * Checkpoint durability: `localCheckpoint` stores partitions on
+    * executors — flat lineage at zero HDFS cost, but a lost executor
+    * kills the job (acceptable: the loop is minutes, and a retry is
+    * idempotent). On a real cluster with long loops, swap for
     * reliable `checkpoint` + `spark.cleaner.referenceTracking` if
-    * executor churn is expected. Large-star/small-star pointer
-    * jumping is the drop-in upgrade if diameters ever grow. */
+    * executor churn is expected. */
   private[graft] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 50): DataFrame =
     connectedComponentsWithStats(pairs, maxIters)._1
 
   /** [[connectedComponents]] plus the pass count, for iteration-bound
-    * asserts (ScaleSpec). */
+    * asserts (ScaleSpec). `maxIters` caps TOTAL passes across both
+    * phases; exceeding it throws rather than spinning the driver. */
   private[graft] def connectedComponentsWithStats(pairs: DataFrame,
       maxIters: Int = 50): (DataFrame, Int) = {
+    val fastBudget = math.min(3, maxIters)
+    val (labels0, fastIters, converged) = minLabelComponents(pairs, fastBudget)
+    if (converged) (labels0, fastIters)
+    else {
+      // the fast path's partial labels are distance-≤3 shortcuts —
+      // feed them to the star phase as extra edges (rep is in the
+      // same component by construction) so its first rounds start
+      // from a contracted graph instead of rediscovering them
+      val shortcuts = labels0.where(col("node") =!= col("rep"))
+        .select(col("node").as("d1"), col("rep").as("d2"))
+      val (labels, starIters) = starComponents(
+        pairs.select(col("d1"), col("d2")).unionAll(shortcuts),
+        maxIters - fastBudget, fastBudget)
+      (labels, fastBudget + starIters)
+    }
+  }
+
+  /** Min-label propagation fast path: every pass each node takes the
+    * minimum label among itself and its neighbors; converges in
+    * diameter+1 passes. Edges are hash-partitioned on `src` once up
+    * front, so every pass re-uses that layout and shuffles only the
+    * (node, label) pairs, never documents. The convergence check is
+    * FUSED into the propagation aggregate — each label row carries
+    * its previous rep, so "did anything change" is a column filter
+    * over the just-materialized result, not an extra join. The third
+    * element of the result reports whether the fixpoint was reached
+    * within `budget` passes; if false, the labels are still valid
+    * partial contractions (each node's minimum within distance
+    * `budget`). */
+  private def minLabelComponents(pairs: DataFrame,
+      budget: Int): (DataFrame, Int, Boolean) = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(col("src"))
@@ -370,13 +397,7 @@ object Dedup {
       .select(col("node"), col("node").as("rep"))
       .localCheckpoint(true)
     var iters = 0
-    var converged = false
-    while (!converged) {
-      if (iters >= maxIters)
-        throw new IllegalStateException(
-          s"connectedComponents: no fixpoint after $maxIters passes - " +
-            "component diameter exceeds the bound; raise maxIters or " +
-            "switch to large-star/small-star pointer jumping")
+    while (iters < budget) {
       iters += 1
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("rep"), lit(false).as("own"))
@@ -387,9 +408,81 @@ object Dedup {
           min(when(col("own"), col("rep"))).as("prev_rep"))
         .localCheckpoint(true)
       // scan of the checkpointed partitions only — no join, no recompute
-      converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
+      val converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
       labels = next.select(col("node"), col("rep"))
+      if (converged) return (labels, iters, true)
     }
+    (labels, iters, false)
+  }
+
+  /** Large-star/small-star: edges are kept canonical (u → smaller v)
+    * and REWRITTEN each round — large-star hangs every
+    * bigger-than-center neighbor off the neighborhood minimum,
+    * small-star collapses each node's smaller-neighbor set onto its
+    * minimum — until the edge set is a fixpoint, which is exactly a
+    * star forest rooted at each component's minimum node. Rounds are
+    * O(log n) in component size (vs O(diameter) for propagation);
+    * per-round cost is two groupBy+join passes over the shrinking
+    * edge set. The fixpoint test is exact and round-free: a set is
+    * final iff it already IS a star forest (one pointer per child,
+    * no child doubling as a root), checked on each round's output
+    * directly rather than by re-running a round to observe "no
+    * change". */
+  private def starComponents(pairs: DataFrame, budget: Int,
+      priorPasses: Int): (DataFrame, Int) = {
+    val nodes = pairs.select(col("d1").as("node"))
+      .unionAll(pairs.select(col("d2").as("node")))
+      .distinct().localCheckpoint(true)
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged) {
+      if (iters >= budget)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after ${priorPasses + iters} " +
+            "passes - raise maxIters (large-star/small-star converges in " +
+            "O(log n) rounds, so this is almost certainly a bug)")
+      iters += 1
+      // large-star over undirected neighborhoods: m = min(N(a) ∪ {a});
+      // every neighbor b > a re-hangs onto m
+      val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbrs.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = nbrs.join(mins, Seq("a"))
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the (big → small) pointers: each node's
+      // smaller-neighbor set collapses onto its minimum
+      val smins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(smins, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .where(col("x") =!= col("m"))
+        .unionAll(smins.select(col("u").as("x"), col("m")))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint = the edge set IS a star forest: one pointer per
+      // child and no child is also a root. Tested directly on the
+      // just-produced set (two scans + one semi-join of the
+      // checkpointed partitions) instead of burning a whole extra
+      // round to observe "nothing changed".
+      converged =
+        next.count() == next.select(col("u")).distinct().count() &&
+        next.select(col("u"))
+          .join(next.select(col("v").as("u")), Seq("u"), "left_semi")
+          .isEmpty
+      edges = next
+    }
+    val labels = nodes
+      .join(edges.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .groupBy(col("node")).agg(min(col("v")).as("mn"))
+      .select(col("node"), coalesce(col("mn"), col("node")).as("rep"))
     (labels, iters)
   }
 

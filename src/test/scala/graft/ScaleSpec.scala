@@ -184,6 +184,22 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixpoint after 3"))
   }
 
+  test("connectedComponents: a 1000-node path converges in O(log n) " +
+      "star rounds, not O(diameter) propagation passes") {
+    val ss = spark
+    import ss.implicits._
+    // diameter 999 — min-label propagation would need 1000 passes;
+    // the large-star/small-star phase must crack it in ~log n rounds
+    val longChain = (0L until 999L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, iters) =
+      graft.ops.Dedup.connectedComponentsWithStats(longChain, maxIters = 20)
+    assert(iters <= 12, s"expected <= 12 total passes, took $iters")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 0L),
+      s"non-root labels: ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
   test("z-order layout keeps per-file bounds narrow on BOTH dimensions; " +
       "single-column sort only on its own") {
     import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
