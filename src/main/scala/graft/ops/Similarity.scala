@@ -369,10 +369,12 @@ object Similarity {
     * scale: LSH targets NEAR-duplicates (τ→1); semantic dedup runs at
     * lower τ where hyperplane-bucket recall collapses, and clustering
     * keeps the candidate set dense-but-local. Cost is the classic
-    * SemDeDup Σ|cell|² — bounded by construction because k grows with
-    * N (cells stay ~constant-sized; a skewed mega-cell is handled by
-    * AQE skew split since the pair join shuffles on the cell key,
-    * or by re-clustering that cell with a larger k).
+    * SemDeDup Σ|cell|² — bounded by construction: [[adaptiveCells]]
+    * derives k from the corpus size (constant target occupancy, so
+    * Σ|cell|² stays linear in N) and recursively re-clusters any
+    * cell that still exceeds the occupancy cap, so a skewed
+    * mega-cell cannot go quadratic (CurationSpec asserts the
+    * resulting pair-count bound).
     *
     * Shape at 100 TB: one vector_dots assignment pass (the same
     * persisted (id, cell) index the IVF path builds), one cell-keyed
@@ -380,18 +382,54 @@ object Similarity {
     * assignment is engine-local (k-means) → rows-only driver check;
     * the keep/drop invariants are pinned in CurationSpec.
     */
-  def semanticDedup(s: SparkSession, dir: String, tau: Double): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
-      .orderBy("vec_id").collect()
+  /** Scale-adaptive cell assignment: k is DERIVED from the corpus
+    * size (k = ⌈N / targetOcc⌉, so cells stay ~constant-occupancy as
+    * N grows and the SemDeDup Σ|cell|² pair cost stays linear in N),
+    * and any cell that still exceeds `capFactor × targetOcc` members
+    * (skewed clustering) is recursively re-clustered with its own
+    * derived sub-k — the mega-cell quadratic blowup cannot happen by
+    * construction. Sub-cells are labelled `parent·10⁵ + sub`
+    * (collision-free for k < 10⁵). Driver state per level is the
+    * O(k·d) centroid pull of [[refineCentroids]] plus one bounded
+    * hot-cell list; the recursion splits at most the `maxSplits`
+    * largest offenders per level (more than that means targetOcc is
+    * mis-set for the corpus, and the remainder still shrinks the
+    * next round). */
+  private[graft] def adaptiveCells(e: DataFrame, targetOcc: Int = 50,
+      capFactor: Int = 4, depth: Int = 2, maxSplits: Int = 64): DataFrame = {
+    val n = e.count()
+    val k = math.max(2, math.min(((n + targetOcc - 1) / targetOcc).toInt, 100000))
+    val seeds: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cents = refineCentroids(e, seeds)
     val scores = centroidScores(cents, col("embedding"))
-    val assigned = e
+    var assigned = e
       .withColumn("cell",
-        array_position(scores, array_max(scores)).cast("int"))
+        array_position(scores, array_max(scores)).cast("long"))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint(true)
+    if (depth > 1) {
+      val cap = capFactor.toLong * targetOcc
+      val hot = assigned.groupBy(col("cell")).count()
+        .filter(col("count") > cap)
+        .orderBy(col("count").desc).limit(maxSplits)
+        .collect().map(_.getLong(0))
+      for (h <- hot) {
+        val sub = assigned.filter(col("cell") === h)
+          .select(col("vec_id"), col("embedding"))
+        val recl = adaptiveCells(sub, targetOcc, capFactor, depth - 1, maxSplits)
+          .select(col("vec_id"), col("embedding"),
+            (lit(h * 100000L) + col("cell")).as("cell"))
+        assigned = assigned.filter(col("cell") =!= h).unionAll(recl)
+      }
+      if (hot.nonEmpty) assigned = assigned.localCheckpoint(true)
+    }
+    assigned
+  }
+
+  def semanticDedup(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val assigned = adaptiveCells(e)
     val dropped = assigned
       .select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
       .join(assigned.select(col("cell"), col("vec_id").as("j"),
@@ -412,8 +450,9 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
-  /** Declared semantic-dedup query: τ = 0.40 over the 10-cell k-means
-    * of the embeddings fixture. (A production corpus runs τ ≈ 0.95+;
+  /** Declared semantic-dedup query: τ = 0.40 over the size-adaptive
+    * k-means of the embeddings fixture (k = ⌈N/50⌉; 10 cells at
+    * sf0.01). (A production corpus runs τ ≈ 0.95+;
     * the synthetic embeddings are near-orthogonal — max pairwise
     * cosine ≈ 0.51 — so the discriminative threshold sits at 0.40,
     * where the cell-local tail of the similarity distribution actually
@@ -433,7 +472,10 @@ object Similarity {
     * keep/drop set is EXACT — no "cells are engine-local" carve-out.
     * The cell column itself is still omitted from the output only
     * because its 1-based index is an implementation detail, not
-    * because it disagrees. */
+    * because it disagrees. The oracle pins the sf0.01-derived shape
+    * (k = ⌈500/50⌉ = 10 seeds, no over-cap cell, so no recursive
+    * split) — exactly what [[adaptiveCells]] computes on the data
+    * the driver runs this oracle against. */
   def qDedupSemanticKeep(s: SparkSession, dir: String): DataFrame =
     semanticDedupDetail(s, dir, 0.40)
       .select(col("vec_id"), col("dropped").as("is_dropped"))
@@ -507,15 +549,7 @@ object Similarity {
   private[graft] def semanticDedupDetail(s: SparkSession, dir: String,
       tau: Double): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    val cents = refineCentroids(e, seeds)
-    val scores = centroidScores(cents, col("embedding"))
-    val assigned = e
-      .withColumn("cell",
-        array_position(scores, array_max(scores)).cast("int"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val assigned = adaptiveCells(e)
     val dropped = assigned
       .select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
       .join(assigned.select(col("cell"), col("vec_id").as("j"),

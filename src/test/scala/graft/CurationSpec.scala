@@ -167,6 +167,44 @@ class CurationSpec extends SparkSpec {
     } finally { d.unpersist() }
   }
 
+  test("adaptiveCells: occupancy stays under the cap on the fixture, " +
+      "and a synthetic mega-cell is recursively split") {
+    val sp = spark; import sp.implicits._
+    // fixture: k = ceil(N/50), no cell may exceed 4*50 — which also
+    // bounds the SemDeDup pair count at N*(cap-1)/2 (linear in N)
+    val e = graft.sources.Tables(spark, sfDir, "embeddings")
+    val counts = graft.ops.Similarity.adaptiveCells(e)
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    val n = counts.sum
+    assert(counts.max <= 200, s"over-cap cell: ${counts.max}")
+    val pairs = counts.map(c => c * (c - 1) / 2).sum
+    assert(pairs <= n * 199 / 2, s"pair count $pairs breaks the linear bound")
+
+    // synthetic skew: 12 one-hot seed directions, then two tight
+    // clusters (A = e1+0.3*e13, B = e1+0.3*e14) that BOTH argmax to
+    // cell 1 -> 361-member mega-cell over the 200 cap. The recursive
+    // split re-clusters it: A lands on an A sub-seed, B stays with
+    // the e1 sub-seed -> all sub-cells back under the cap.
+    val dim = 16
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d == i) 1f else 0f)
+    def mix(main: Int, minor: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        if (d == main) 1f else if (d == minor) 0.3f else 0f)
+    val rows =
+      (0 until 12).map(i => (i.toLong, oneHot(i))) ++
+      (12 until 192).map(i => (i.toLong, mix(0, 12))) ++
+      (192 until 372).map(i => (i.toLong, mix(0, 13)))
+    val skewed = rows.toDF("vec_id", "embedding")
+    val cells = graft.ops.Similarity.adaptiveCells(skewed)
+      .groupBy(col("cell")).count().collect()
+    val occ = cells.map(_.getLong(1))
+    assert(occ.max <= 200,
+      s"mega-cell survived the recursive split: ${cells.mkString(",")}")
+    assert(cells.exists(_.getLong(0) > 100000L),
+      "expected sub-cell labels (parent*1e5 + sub) after the split")
+  }
+
   test("paragraph dedup keeps first corpus occurrence and reassembles in order") {
     val sp = spark; import sp.implicits._
     // L=4 segments: doc0 = [s0 s1 s2]; doc1 repeats doc0's s1 between
