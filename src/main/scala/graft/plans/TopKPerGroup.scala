@@ -1,12 +1,15 @@
 package graft.plans
 
+import org.apache.spark.{SparkEnv, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 import scala.collection.mutable
 
@@ -116,12 +119,19 @@ case class TopKPerGroupExec(
     *    degrade-to-passthrough HashAggregate uses).
     *  - FINAL phase (post-shuffle): sees only groups/shuffle-partitions
     *    distinct keys, so its map is smaller by the shuffle fan-out; it
-    *    cannot flush (its output is final). For group cardinalities
-    *    where groups/numPartitions × k rows strain an executor, set
-    *    `spark.graft.topk.strategy=sort`: the final phase then demands
-    *    a (group, order) child sort — the external sorter spills past
-    *    memory — and streams group runs with O(1) state (no hash map
-    *    at all). Same answer, TopKPerGroupSpec-pinned. */
+    *    cannot flush (its output is final). When ITS map crosses the
+    *    same bound, the task switches itself to sort mode at runtime:
+    *    the retained heap rows (a correct substitute for everything
+    *    consumed so far — heap pruning only discards rows provably
+    *    outside their group's top k) plus the rest of the input go
+    *    through an `UnsafeExternalRowSorter` on (group, order) — which
+    *    SPILLS past memory — and group runs stream out k-at-a-time
+    *    with O(1) state. So high group cardinality degrades to the
+    *    sort strategy automatically, per task, with no conf needed;
+    *    `spark.graft.topk.strategy=sort` still forces the plan-level
+    *    sort mode up front (saving the hash attempt) when the user
+    *    knows the cardinality. Same answer either way,
+    *    TopKPerGroupSpec-pinned. */
   override protected def doExecute(): RDD[InternalRow] = {
     val (groupE, orders, kk, childOutput) = (groupExprs, sortOrders, k, child.output)
     if (!partial && sortBased) {
@@ -140,10 +150,9 @@ case class TopKPerGroupExec(
       }, preservesPartitioning = true)
     }
     val flushThreshold =
-      if (partial)
-        conf.getConfString("spark.graft.topk.maxGroupsPerPartition",
-          (1 << 20).toString).toInt
-      else Int.MaxValue
+      conf.getConfString("spark.graft.topk.maxGroupsPerPartition",
+        (1 << 20).toString).toInt
+    val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       // re-encode retained rows as UnsafeRow: heap contents must own
@@ -174,20 +183,62 @@ case class TopKPerGroupExec(
         heaps.clear()
         retained.iterator.flatMap(_.iterator)
       }
+      // FINAL-phase runtime fallback: past the group bound, dump the
+      // retained heap rows + the rest of the input into an external
+      // sorter (spills past memory) and stream k-per-group runs
+      def spillToSort(): Iterator[InternalRow] = {
+        val schema = DataTypeUtils.fromAttributes(childOutput)
+        val fullOrd = RowOrdering.create(
+          groupE.map(SortOrder(_, Ascending)) ++ orders, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(
+              row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.value = 0L; p.isNull = false; p
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(schema, fullOrd,
+          PrefixComparators.LONG, prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, false)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+        heaps.valuesIterator.foreach(_.foreach(sorter.insertRow))
+        heaps.clear()
+        iter.foreach(r => sorter.insertRow(toUnsafe(r)))
+        var curKey: UnsafeRow = null
+        var seen = 0
+        sorter.sort().filter { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); seen = 0 }
+          seen += 1
+          seen <= kk
+        }
+      }
       // lazily interleave consumption with (rare) early flushes so a
       // flush streams out instead of re-buffering
       new Iterator[InternalRow] {
         private var pending: Iterator[InternalRow] = Iterator.empty
+        private var sortedTail: Iterator[InternalRow] = null
         private def refill(): Unit = {
+          if (sortedTail != null) return
           while (!pending.hasNext && iter.hasNext) {
             insert(iter.next())
-            if (heaps.size >= flushThreshold) pending = drain()
+            if (heaps.size >= flushThreshold) {
+              if (isPartial) pending = drain()
+              else { sortedTail = spillToSort(); return }
+            }
           }
           if (!pending.hasNext && !iter.hasNext && heaps.nonEmpty)
             pending = drain()
         }
-        override def hasNext: Boolean = { refill(); pending.hasNext }
-        override def next(): InternalRow = { refill(); pending.next() }
+        override def hasNext: Boolean = {
+          refill()
+          pending.hasNext || (sortedTail != null && sortedTail.hasNext)
+        }
+        override def next(): InternalRow = {
+          refill()
+          if (pending.hasNext) pending.next() else sortedTail.next()
+        }
       }: Iterator[InternalRow]
     }, preservesPartitioning = true)
   }

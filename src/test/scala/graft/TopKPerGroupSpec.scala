@@ -111,6 +111,23 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!planHeap.contains("Sort ["), s"heap mode must not sort:\n$planHeap")
   }
 
+  test("final phase auto-switches hash -> external sort past the group " +
+      "bound, with no strategy conf, and the answer is exact") {
+    val key = "spark.graft.topk.maxGroupsPerPartition"
+    spark.conf.set(key, "8") // thousands of l_orderkey groups >> 8
+    try {
+      // no spark.graft.topk.strategy set: the plan is heap mode, the
+      // TASKS must degrade themselves to the spilling sorter
+      assert(spark.conf.getOption("spark.graft.topk.strategy").isEmpty)
+      val a = customTopK("l_orderkey", orderAsc = true, 2)
+      assert(!a.queryExecution.executedPlan.toString.contains("Sort ["),
+        "fallback must be runtime, not a planned SortExec")
+      val b = windowTopK("l_orderkey", orderAsc = true, 2)
+      assert(a.count() == b.count() && a.exceptAll(b).isEmpty &&
+        b.exceptAll(a).isEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("k larger than every group returns the whole table") {
     val n = graft.sources.Tables(spark, sfDir, "orders").count()
     val all = TopKPerGroup(
