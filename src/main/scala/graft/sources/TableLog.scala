@@ -41,6 +41,18 @@ import org.apache.spark.sql.types.LongType
   *    so the exists() guard carries local runs where the race window
   *    is within-JVM nanoseconds. Object stores without atomic rename
   *    need a commit coordinator, as Delta's S3 LogStore does.
+  *    Removing commits additionally re-validate on every attempt
+  *    that their whole remove set is still live, so a layout rewrite
+  *    racing a delete ABORTS rather than resurrecting deleted rows;
+  *    add-only appends still merge freely.
+  *  - **Log checkpoints.** Every `spark.graft.tablelog
+  *    .checkpointInterval` (default 100) commits, the winning writer
+  *    materializes the live state as `_log/ckpt-v%05d.tsv`; readers
+  *    load the newest checkpoint at or below their target version
+  *    and replay only the JSON suffix — O(interval) planning I/O per
+  *    snapshot instead of O(#commits) (Delta's checkpoint.parquet
+  *    analogue). Checkpoints are caches: best-effort, deletable,
+  *    never consulted below their own version.
   *  - **Compaction is a commit.** [[compact]] rewrites the live set
   *    into fewer files and publishes {add: new, remove: old} in ONE
   *    entry — readers switch atomically, old snapshots keep working.
@@ -116,31 +128,95 @@ object TableLog {
       .sorted.toSeq
   }
 
+  // ---- log checkpoints ---------------------------------------------------
+  // Replaying O(#commits) JSON entries per snapshot is the metadata
+  // bottleneck a long-lived table hits (Delta's checkpoint.parquet
+  // analogue). Every `checkpointInterval` commits the PUBLISHING
+  // writer also materializes the full live state as one TSV
+  // (`_log/ckpt-v%05d.tsv`, "relpath<TAB>statsRel" per line, in
+  // insertion order); liveState then loads the newest checkpoint at
+  // or below the requested version and replays only the JSON suffix.
+  // Checkpoints are pure caches: best-effort to write (a loser of the
+  // create race just skips), safe to delete, and never consulted for
+  // versions below their own.
+
+  private def ckptPath(root: String, v: Int): Path =
+    new Path(f"$root/_log/ckpt-v$v%05d.tsv")
+
+  private def checkpointInterval(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.tablelog.checkpointInterval")
+      .map(_.toInt).getOrElse(100)
+
+  private def checkpointVersions(s: SparkSession, root: String): Seq[Int] = {
+    val f = fs(s, root)
+    val dir = new Path(s"$root/_log")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("ckpt-v") && n.endsWith(".tsv"))
+      .map(n => n.stripPrefix("ckpt-v").stripSuffix(".tsv").toInt)
+      .sorted.toSeq
+  }
+
+  private def writeCheckpoint(s: SparkSession, root: String, v: Int): Unit = {
+    val state = replayState(s, root, v, useCheckpoint = true)._1
+    val body = state.map { case (p, st) => s"$p\t${st.getOrElse("")}" }
+      .mkString("", "\n", "\n")
+    val f = fs(s, root)
+    try {
+      val out = f.create(ckptPath(root, v), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // lost the race: skip
+  }
+
   /** Live file set (relative paths, insertion-ordered) plus the stats
-    * sidecar of the commit that added each file, after replaying the
-    * log prefix up to `version` (-1 = latest). */
+    * sidecar of the commit that added each file, as of `version`
+    * (-1 = latest): newest checkpoint at or below the target plus a
+    * replay of only the JSON entries after it. */
   private def liveState(s: SparkSession, root: String,
-      version: Int): Seq[(String, Option[String])] = {
+      version: Int): Seq[(String, Option[String])] =
+    replayState(s, root, version, useCheckpoint = true)._1
+
+  /** The replay itself; also reports (checkpoint used, #JSON entries
+    * replayed) so TableLogSpec can pin the read footprint. */
+  private[graft] def replayState(s: SparkSession, root: String, version: Int,
+      useCheckpoint: Boolean): (Seq[(String, Option[String])], Option[Int], Int) = {
     val f = fs(s, root)
     val vs = versions(s, root)
     require(vs.nonEmpty, s"TableLog at $root has no commits")
     val upto = if (version < 0) vs else vs.filter(_ <= version)
     require(upto.nonEmpty, s"no committed version <= $version at $root")
     val live = mutable.LinkedHashMap.empty[String, Option[String]]
-    upto.foreach { v =>
+    val base = if (useCheckpoint)
+      checkpointVersions(s, root).filter(_ <= upto.last).lastOption
+    else None
+    base.foreach { cv =>
+      readText(f, ckptPath(root, cv)).split('\n').filter(_.nonEmpty)
+        .foreach { line =>
+          val i = line.indexOf('\t')
+          val st = line.substring(i + 1)
+          live.put(line.substring(0, i), if (st.isEmpty) None else Some(st))
+        }
+    }
+    val tail = upto.filter(v => base.forall(_ < v))
+    tail.foreach { v =>
       val json = readText(f, logPath(root, v))
       val st = parseStats(json)
       parseArr(json, "remove").foreach(live.remove)
       parseArr(json, "add").foreach(a => live.put(a, st))
     }
-    live.toSeq
+    (live.toSeq, base, tail.size)
   }
 
   private def liveFiles(s: SparkSession, root: String, version: Int): Seq[String] =
     liveState(s, root, version).map(_._1)
 
   /** Publish one commit via exists-guarded rename CAS; returns the
-    * version that won. */
+    * version that won. A commit that REMOVES files re-validates, on
+    * every attempt, that its whole remove set is still live — so a
+    * rewrite/compact racing a deleteRange aborts (with
+    * `ConcurrentModificationException`) instead of committing a swap
+    * that would resurrect deleted rows. Add-only commits never
+    * conflict and retry freely. */
   private def publish(s: SparkSession, root: String, add: Seq[String],
       remove: Seq[String], statsFile: Option[String] = None,
       dataChange: Boolean = true): Int = {
@@ -148,13 +224,25 @@ object TableLog {
     f.mkdirs(new Path(s"$root/_log"))
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
+      if (remove.nonEmpty) {
+        val live = liveFiles(s, root, -1).toSet
+        val gone = remove.filterNot(live)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          "TableLog: commit would remove files a concurrent commit " +
+            s"already removed (rebase and retry): ${gone.take(3).mkString(", ")}")
+      }
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(render(attempt, add, remove, statsFile, dataChange)
         .getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
-      if (!f.exists(target) && f.rename(tmp, target)) return attempt
+      if (!f.exists(target) && f.rename(tmp, target)) {
+        val interval = checkpointInterval(s)
+        if (attempt > 0 && attempt % interval == 0)
+          writeCheckpoint(s, root, attempt)
+        return attempt
+      }
       f.delete(tmp, false)            // lost the race: next version
       attempt = math.max(attempt + 1,
         versions(s, root).lastOption.getOrElse(-1) + 1)
@@ -191,7 +279,12 @@ object TableLog {
       .collect()                      // O(#files) — driver metadata
     val lines = rows.flatMap { r =>
       val file = sub + "/" + r.getString(0).split('/').last
-      statsCols.map(c => s"$file\t$c\t${r.getAs[Long](s"mn_$c")}\t${r.getAs[Long](s"mx_$c")}")
+      // an all-NULL column yields NULL min/max — emit NO line (the
+      // file stays in the no-stats always-read class) rather than
+      // unboxing null to a bogus (0, 0) range that would mis-prune
+      statsCols.filter(c => !r.isNullAt(r.fieldIndex(s"mn_$c")) &&
+          !r.isNullAt(r.fieldIndex(s"mx_$c")))
+        .map(c => s"$file\t$c\t${r.getAs[Long](s"mn_$c")}\t${r.getAs[Long](s"mx_$c")}")
     }
     val rel = s"$sub/_stats.tsv"
     val f = fs(s, root)
@@ -278,7 +371,13 @@ object TableLog {
   def readRange(s: SparkSession, root: String, column: String,
       lo: Long, hi: Long, version: Int = -1): DataFrame = {
     val (keep, _) = candidateFiles(s, root, version, column, lo, hi)
-    s.read.parquet(keep.map(rel => s"$root/$rel"): _*)
+    // stats may prune every live file — an empty path list would make
+    // the reader throw instead of returning zero rows
+    if (keep.isEmpty) return snapshot(s, root, version).limit(0)
+    // mergeSchema, like snapshot: the pruned subset may predate an
+    // additive schema evolution
+    s.read.option("mergeSchema", "true")
+      .parquet(keep.map(rel => s"$root/$rel"): _*)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -297,7 +396,9 @@ object TableLog {
       b1.get(file).forall { case (mn, mx) => mx >= lo1 && mn <= hi1 } &&
       b2.get(file).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
     }
-    s.read.parquet(keep.map(rel => s"$root/$rel"): _*)
+    if (keep.isEmpty) return snapshot(s, root, version).limit(0)
+    s.read.option("mergeSchema", "true")
+      .parquet(keep.map(rel => s"$root/$rel"): _*)
       .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
         col(c2) >= lo2 && col(c2) <= hi2)
   }
@@ -312,7 +413,12 @@ object TableLog {
     require(touched.nonEmpty, "deleteRange: nothing to delete")
     val survivors = s.read
       .parquet(touched.map(rel => s"$root/$rel"): _*)
-      .filter(!(col(column) >= lo && col(column) <= hi))
+      // NULL in the delete column is inside neither range nor its
+      // negation — keep such rows explicitly, or every rewritten
+      // file (including stats-less ones, always rewritten) would
+      // silently drop them: data loss beyond the requested range
+      .filter(col(column).isNull ||
+        !(col(column) >= lo && col(column) <= hi))
     val (sub, files) = writeData(s, root, survivors)
     publish(s, root, files, touched,
       writeStats(s, root, sub, Seq(column)), dataChange = false)

@@ -783,7 +783,14 @@ private final class IpcBatchWrite(schema: StructType, dir: String,
         fs.delete(st.getPath, false)
     messages.collect { case IpcCommitMessage(tmp, dst, tmpStats, dstStats) =>
       // data file FIRST: a concurrent planner can then see at worst a
-      // file without stats (no pruning), never stats without data
+      // file without stats (no pruning), never stats without data.
+      // exists-guard parity with TableLog.publish: HDFS rename refuses
+      // an existing destination but RawLocalFileSystem silently
+      // overwrites — the query UUID makes dst collisions
+      // near-impossible, so an existing dst means a duplicated commit
+      // and must fail loudly, not clobber
+      if (fs.exists(new HPath(dst)))
+        throw new java.io.IOException(s"commit destination exists: $dst")
       if (!fs.rename(new HPath(tmp), new HPath(dst)))
         throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
       if (tmpStats != null &&

@@ -192,4 +192,73 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(spark, root).count() == 50,
       "a racing commit's rows were lost")
   }
+
+  test("log checkpoint: snapshot after many commits replays checkpoint " +
+      "+ suffix only, and answers are unchanged") {
+    val key = "spark.graft.tablelog.checkpointInterval"
+    spark.conf.set(key, "10")
+    try {
+      val root = freshRoot()
+      (0 until 25).foreach(i => TableLog.append(spark, root, nums(i * 10, i * 10 + 10)))
+      val (state, base, tail) =
+        TableLog.replayState(spark, root, -1, useCheckpoint = true)
+      assert(base.contains(20), s"expected checkpoint v20 used, got $base")
+      assert(tail == 4, s"expected 4-entry suffix replay, got $tail")
+      assert(TableLog.snapshot(spark, root).count() == 250)
+      // time travel below the checkpoint still works (earlier ckpt or raw replay)
+      assert(TableLog.snapshot(spark, root, 12).count() == 130)
+      // checkpointed replay = raw replay, exactly
+      val raw = TableLog.replayState(spark, root, -1, useCheckpoint = false)._1
+      assert(state == raw, "checkpointed live state diverged from raw replay")
+    } finally spark.conf.unset(key)
+  }
+
+  test("deleteRange keeps NULL-valued rows in rewritten files") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    val df = Seq((Some(1L), "a"), (None, "null-row"), (Some(5L), "b"),
+      (Some(9L), "c")).toDF("id", "s")
+    TableLog.append(spark, root, df, statsCols = Seq("id"))
+    TableLog.deleteRange(spark, root, "id", 4L, 6L)
+    val left = TableLog.snapshot(spark, root).select("s")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("a", "c", "null-row"),
+      s"NULL row lost by deleteRange rewrite: $left")
+  }
+
+  test("readRange returns empty (not an error) when stats prune every " +
+      "file, and all-NULL stats columns stay in the always-read class") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 50).repartition(1), Seq("id"))
+    assert(TableLog.readRange(spark, root, "id", 1000L, 2000L).count() == 0)
+    // second commit whose id column is all NULL: no stats line emitted,
+    // so the file is always read and its rows reachable via residual-
+    // compatible ranges; it must NOT be mis-pruned by a bogus (0,0)
+    val nullDf = Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("id", "s")
+    TableLog.append(spark, root, nullDf.repartition(1), Seq("id"))
+    // range far outside (0,0): the null-id file must still be OPENED
+    // (always-read), though its rows fail the residual filter
+    val r = TableLog.readRange(spark, root, "id", 40L, 45L)
+    assert(r.count() == 6) // ids 40..45; null rows filtered by residual
+  }
+
+  test("a layout rewrite racing a delete aborts instead of resurrecting " +
+      "deleted rows") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 100).repartition(2), Seq("id"))
+    val snap = TableLog.snapshot(spark, root)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TableLog.rewrite(spark, root, Seq("id")) { dir =>
+        snap.coalesce(1).write.parquet(dir)
+        // intervening committer deletes rows AFTER the rewrite read
+        // its base state but BEFORE it publishes
+        TableLog.deleteRange(spark, root, "id", 0L, 10L)
+      }
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the delete's outcome survives; the rewrite never published
+    assert(TableLog.snapshot(spark, root).count() == 89)
+  }
 }
