@@ -313,4 +313,61 @@ object Egress {
       AND o_orderkey >= 0 AND o_orderkey <= 20000
     GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Batch MERGE (upsert-by-key) on the transaction-logged table —
+    * the lake-side CDC-apply twin of the streaming foreachBatch
+    * upsert: write orders range-clustered with per-file key stats,
+    * merge a source of UPDATES (keys 300-699, re-priced, status 'U')
+    * plus INSERTS (fresh keys offset by 1e6, status 'I') in ONE
+    * commit, and profile the merged snapshot. The source's key
+    * bounds + the log stats confine the rewrite to the files that
+    * can hold a matched key (TableLogSpec asserts untouched files
+    * keep their identity); the oracle reconstructs the merged
+    * content relationally, so the hash check proves replace/insert
+    * semantics end-to-end through the log. */
+  def qLogMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_merge"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.sources.TableLog.append(s, root, orders,
+      statsCols = Seq("o_orderkey"))
+    val priceT = orders.schema("o_totalprice").dataType
+    val updates = orders
+      .filter(col("o_orderkey") >= 300 && col("o_orderkey") <= 699)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice",
+        (col("o_totalprice") + 1000).cast(priceT))
+    val inserts = orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderstatus", lit("I"))
+    graft.sources.TableLog.merge(s, root,
+      updates.unionByName(inserts), "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    graft.sources.TableLog.snapshot(s, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogMergeSql: String = s"""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE NOT (o_orderkey >= 300 AND o_orderkey <= 699)
+      UNION ALL
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+        o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey >= 300 AND o_orderkey <= 699
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS o_orderkey, 'I' AS o_orderstatus,
+        o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

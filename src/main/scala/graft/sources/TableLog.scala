@@ -424,6 +424,62 @@ object TableLog {
       writeStats(s, root, sub, Seq(column)), dataChange = false)
   }
 
+  /** MERGE (upsert-by-key): every target row whose `keyCol` appears
+    * in `source` is REPLACED by the source row (all columns), and
+    * source rows with new keys are INSERTED — one atomic commit.
+    *
+    * Scale shape: file selection is PER-FILE EXACT — one distributed
+    * semi-join of the source keys against the broadcast per-file
+    * [min,max] ranges from the log stats — so an INSERT-heavy source
+    * (fresh keys outside every file's range) rewrites nothing it
+    * doesn't have to; a global source bounding box would smear
+    * updates and inserts together and touch everything in between.
+    * Touched files are rewritten with a broadcast LEFT ANTI join
+    * against the source keys (drop matched, keep the rest) and the
+    * source unioned in; every other file keeps its identity, stats,
+    * and bytes. Files without stats for `keyCol` are always
+    * rewritten (the no-stats always-read class — never a correctness
+    * risk, only write amplification). Duplicate or NULL keys in the
+    * SOURCE are rejected (one deterministic winner per key);
+    * duplicate keys in the target simply all get replaced. Returns
+    * the committed version. */
+  def merge(s: SparkSession, root: String, source: DataFrame,
+      keyCol: String, statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    val src = source.cache()
+    try {
+      require(src.filter(col(keyCol).isNull).isEmpty,
+        s"merge: NULL $keyCol values in source")
+      val dup = src.groupBy(col(keyCol)).count().filter(col("count") > 1)
+      require(dup.isEmpty, s"merge: duplicate $keyCol values in source")
+      val state = liveState(s, root, -1)
+      val b = bounds(s, root, state, keyCol)
+      val (withStats, noStats) = state.map(_._1).partition(b.contains)
+      val ranges = s.createDataFrame(
+        java.util.Arrays.asList(withStats.map(fl =>
+          org.apache.spark.sql.Row(fl, b(fl)._1, b(fl)._2)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("mn", LongType),
+          org.apache.spark.sql.types.StructField("mx", LongType))))
+      val matched = src.select(col(keyCol).cast(LongType).as("k"))
+        .join(broadcast(ranges), col("k") >= col("mn") && col("k") <= col("mx"))
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet   // O(#files) driver metadata
+      val touched = state.map(_._1).filter(fl =>
+        matched.contains(fl) || noStats.contains(fl))
+      val keys = src.select(col(keyCol))
+      val kept =
+        if (touched.isEmpty) src.limit(0)
+        else s.read.option("mergeSchema", "true")
+          .parquet(touched.map(rel => s"$root/$rel"): _*)
+          .join(broadcast(keys), Seq(keyCol), "left_anti")
+      val (sub, files) = writeData(s, root, kept.unionByName(src))
+      publish(s, root, files, touched, writeStats(s, root, sub, statsCols))
+    } finally src.unpersist()
+  }
+
   /** Replace the live set with whatever `write` produces into the
     * fresh directory it is handed — the general layout-rewrite commit
     * (compaction, z-ordering, re-sorting): same rows, new physical

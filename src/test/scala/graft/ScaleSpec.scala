@@ -184,6 +184,39 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixpoint after 3"))
   }
 
+  test("connectedComponents: random graphs match a driver-side " +
+      "union-find exactly (both the fast path and the star phase)") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 12) {
+      val n = 8 + rnd.nextInt(25)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth (min element as root)
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = touched.map(v => v -> find(v.toInt).toLong).toMap
+        // deep components exercise the star phase; shallow ones the
+        // fast path — the 1000-node path test pins the former alone
+        val got = graft.ops.Dedup
+          .connectedComponentsWithStats(edges.toDF("d1", "d2"), maxIters = 40)
+          ._1.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == want,
+          s"trial $trial (n=$n edges=${edges.size}): $got != $want")
+      }
+    }
+  }
+
   test("connectedComponents: a 1000-node path converges in O(log n) " +
       "star rounds, not O(diameter) propagation passes") {
     val ss = spark

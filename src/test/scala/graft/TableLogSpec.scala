@@ -244,6 +244,36 @@ class TableLogSpec extends SparkSpec {
     assert(r.count() == 6) // ids 40..45; null rows filtered by residual
   }
 
+  test("merge rewrites only files whose key stats admit a match; " +
+      "updates replace, inserts append, duplicate source keys reject") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    // two range-disjoint files: [0,49] and [100,149]
+    TableLog.append(spark, root, nums(0, 50).repartition(1), Seq("id"))
+    TableLog.append(spark, root, nums(100, 150).repartition(1), Seq("id"))
+    val before = TableLog.replayState(spark, root, -1, useCheckpoint = false)._1
+      .map(_._1).toSet
+    // source touches only the low file's range + fresh insert keys
+    val source = Seq((10L, "updated10"), (20L, "updated20"),
+      (500L, "ins500")).toDF("id", "s")
+    TableLog.merge(spark, root, source, "id", Seq("id"))
+    val after = TableLog.replayState(spark, root, -1, useCheckpoint = false)._1
+      .map(_._1).toSet
+    val untouched = before.filter(after)
+    assert(untouched.nonEmpty, "high file should keep its identity")
+    assert(TableLog.snapshot(spark, root).count() == 101) // 100 + 1 insert
+    val got = TableLog.snapshot(spark, root)
+      .filter(col("id").isin(10L, 20L, 500L, 30L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(10L -> "updated10", 20L -> "updated20",
+      500L -> "ins500", 30L -> "row30"))
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.merge(spark, root, dup, "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("a layout rewrite racing a delete aborts instead of resurrecting " +
       "deleted rows") {
     val root = freshRoot()
