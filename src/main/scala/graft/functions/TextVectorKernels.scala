@@ -186,6 +186,40 @@ object TextVectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** [[vectorDots]] against a plain JVM matrix — the broadcast-variable
+    * form (see [[BroadcastVectorDots]]). Same loop, same operand order,
+    * so dots are bit-equal to the plan-literal path. */
+  def vectorDotsMat(planes: Array[Array[Double]], vec: ArrayData,
+      vecIsFloat: Boolean): ArrayData = {
+    val p = planes.length
+    val out = new Array[Double](p)
+    var i = 0
+    while (i < p) {
+      val plane = planes(i)
+      val n = math.min(plane.length, vec.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val v = if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        dot += plane(j) * v
+        j += 1
+      }
+      out(i) = dot
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Keyed [[vectorDotsMat]]: look the matrix up by `key` in a
+    * broadcast map (one matrix per k-means cell in the batched
+    * SemDeDup resplit). Unknown key → null. */
+  def vectorDotsByKey(
+      mats: java.util.HashMap[java.lang.Long, Array[Array[Double]]],
+      key: Long, vec: ArrayData, vecIsFloat: Boolean): ArrayData = {
+    val m = mats.get(key)
+    if (m == null) null else vectorDotsMat(m, vec, vecIsFloat)
+  }
 }
 
 /** shingle_hashes(text, n): sorted distinct xxhash64 values of the
@@ -338,5 +372,104 @@ case class VectorDots(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDots =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[VectorDots]] with the plane matrix on a `SparkContext.broadcast`
+  * instead of a plan literal: a `typedlit` centroid matrix serializes
+  * O(k·d) doubles into every plan fragment and task closure, which caps
+  * usable k (the documented adaptive-cells ceiling is k = 100,000 — a
+  * ~25 MB literal at d=32). The broadcast rides the torrent block
+  * store once per executor, and the plan/codegen size is independent
+  * of k. Constructed directly via `GraftBridge.column` (the broadcast
+  * handle is not an `Expression` child, so registry registration does
+  * not apply). Kernel loop is identical to `vector_dots` → dots are
+  * bit-equal (KernelsSpec pins the parity at k = 10,000).
+  */
+case class BroadcastVectorDots(
+    mat: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    child: Expression) extends UnaryExpression {
+
+  private def vecIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bcast_vector_dots requires array<float|double>, got $t")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bcast_vector_dots"
+
+  override def nullSafeEval(vec: Any): Any =
+    TextVectorKernels.vectorDotsMat(
+      mat.value, vec.asInstanceOf[ArrayData], vecIsFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("planesBc", mat,
+      "org.apache.spark.broadcast.Broadcast")
+    val m = ctx.addMutableState("double[][]", "planesMat",
+      v => s"$v = (double[][]) $bc.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextVectorKernels" +
+        s".vectorDotsMat($m, $v, $vecIsFloat);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BroadcastVectorDots = copy(child = newChild)
+}
+
+/** Keyed [[BroadcastVectorDots]]: `left` is a LONG key selecting the
+  * plane matrix from a broadcast map — one matrix per k-means cell.
+  * This is what lets the SemDeDup hot-cell resplit run as ONE map-only
+  * assignment pass over every hot cell at once (each row scores
+  * against its own cell's sub-centroids) instead of a driver-side loop
+  * of per-cell Spark jobs. Unknown key → null (callers pre-filter to
+  * hot cells, so a null marks a logic error loudly, not silently).
+  */
+case class BroadcastVectorDotsByKey(
+    mats: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[java.lang.Long, Array[Array[Double]]]],
+    left: Expression, right: Expression) extends BinaryExpression {
+
+  private def vecIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bcast_vector_dots_by_key requires (bigint, array<float|double>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true // unknown key → null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bcast_vector_dots_by_key"
+
+  override def nullSafeEval(key: Any, vec: Any): Any =
+    TextVectorKernels.vectorDotsByKey(mats.value,
+      key.asInstanceOf[Long], vec.asInstanceOf[ArrayData], vecIsFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("planesByKeyBc", mats,
+      "org.apache.spark.broadcast.Broadcast")
+    val m = ctx.addMutableState("java.util.HashMap", "planesByKey",
+      v => s"$v = (java.util.HashMap) $bc.value();")
+    nullSafeCodeGen(ctx, ev, (k, v) => s"""
+      ${ev.value} = graft.functions.TextVectorKernels.vectorDotsByKey($m, $k, $v, $vecIsFloat);
+      ${ev.isNull} = (${ev.value} == null);
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BroadcastVectorDotsByKey =
     copy(left = newLeft, right = newRight)
 }

@@ -272,6 +272,25 @@ package object functions {
   /** Dot product of each plane in `planes` against `vec`. */
   def vector_dots(planes: Column, vec: Column): Column =
     call_function("vector_dots", planes, vec)
+  /** `vector_dots` with the plane matrix on a broadcast variable
+    * instead of a plan literal — plan size independent of k. */
+  def vector_dots_bcast(
+      planes: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      vec: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      BroadcastVectorDots(planes, GraftBridge.expression(vec)))
+  }
+  /** Keyed broadcast `vector_dots`: per-row matrix selected by the
+    * LONG `key` column from a broadcast map (matrix per k-means cell). */
+  def vector_dots_by_key(
+      planes: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[java.lang.Long, Array[Array[Double]]]],
+      key: Column, vec: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(BroadcastVectorDotsByKey(planes,
+      GraftBridge.expression(key), GraftBridge.expression(vec)))
+  }
   /** NFD + strip-accents + lowercase + whitespace-collapse (one
     * codegen'd kernel; NormalizeText.scala). */
   def normalize_text(text: Column): Column =

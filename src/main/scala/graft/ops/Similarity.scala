@@ -34,9 +34,18 @@ object Similarity {
     * Caveat: for a zero-norm embedding or centroid, cosine is NaN
     * (sorts greatest, deterministically winning array_max) while the
     * dot form yields 0.0 — cell assignment can differ on such rows.
-    * Fixture embeddings are non-degenerate, so rankings agree there. */
-  private def centroidScores(cents: Seq[Seq[Double]], vec: Column): Column =
-    graft.functions.vector_dots(typedlit(cents.map(normalize)), vec)
+    * Fixture embeddings are non-degenerate, so rankings agree there.
+    *
+    * The centroid matrix rides a `SparkContext.broadcast` (r7; was a
+    * `typedlit` plan literal): plan/task/codegen size is independent
+    * of k, so the documented adaptive-cells k = 100,000 ceiling is
+    * actually runnable. Same kernel loop → dots stay bit-equal
+    * (KernelsSpec pins parity at k = 10,000). */
+  private def centroidScores(s: SparkSession, cents: Seq[Seq[Double]],
+      vec: Column): Column =
+    graft.functions.vector_dots_bcast(
+      s.sparkContext.broadcast(cents.map(c => normalize(c).toArray).toArray),
+      vec)
 
   private def normalize(v: Seq[Double]): Seq[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -93,7 +102,7 @@ object Similarity {
   private def refineCentroids(e: DataFrame,
       cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val scores = centroidScores(cents, col("embedding"))
+    val scores = centroidScores(e.sparkSession, cents, col("embedding"))
     val means = e
       .withColumn("cell", array_position(scores, array_max(scores)).cast("int"))
       .select(col("cell"), posexplode(col("embedding")))
@@ -119,7 +128,7 @@ object Similarity {
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cents = refineCentroids(e, seeds)
-    val scores = centroidScores(cents, col("embedding"))
+    val scores = centroidScores(s, cents, col("embedding"))
     // the assignment (a vector_dots pass over every embedding) feeds
     // BOTH the probe selection and the candidate side — materialize it
     // once instead of recomputing per consumer. This is the standard
@@ -386,43 +395,110 @@ object Similarity {
     * size (k = ⌈N / targetOcc⌉, so cells stay ~constant-occupancy as
     * N grows and the SemDeDup Σ|cell|² pair cost stays linear in N),
     * and any cell that still exceeds `capFactor × targetOcc` members
-    * (skewed clustering) is recursively re-clustered with its own
-    * derived sub-k — the mega-cell quadratic blowup cannot happen by
-    * construction. Sub-cells are labelled `parent·10⁵ + sub`
-    * (collision-free for k < 10⁵). Driver state per level is the
-    * O(k·d) centroid pull of [[refineCentroids]] plus one bounded
-    * hot-cell list; the recursion splits at most the `maxSplits`
-    * largest offenders per level (more than that means targetOcc is
-    * mis-set for the corpus, and the remainder still shrinks the
-    * next round). */
+    * (skewed clustering) is re-clustered with its own derived sub-k —
+    * the mega-cell quadratic blowup cannot happen by construction.
+    *
+    * The resplit is BATCHED (r7; the r6 form looped hot cells
+    * sequentially on the driver, chaining up to `maxSplits` per-cell
+    * count/collect/refine job cascades — the 6.2× dedup_semantic
+    * regression): every hot cell of a level is re-clustered together
+    * in a CONSTANT number of Spark jobs —
+    *  1. one job finds the hot cells and their sizes;
+    *  2. one job gathers the sub-k smallest vec_ids of EVERY hot cell
+    *     (the same deterministic seed rule the top level uses) via a
+    *     per-cell row_number against a broadcast (cell → sub-k) frame;
+    *  3. one decimal-exact Lloyd means job across all hot cells at
+    *     once, rows assigned by [[graft.functions.vector_dots_by_key]]
+    *     — each row scores against its own cell's sub-centroids from
+    *     one broadcast map, map-only;
+    *  4. one map-only re-assignment against the refined sub-centroids
+    *     and a union with the cold cells.
+    * Sub-cells are labelled `parent·10⁵ + sub` (collision-free: sub-k
+    * is capped below 10⁵). Driver state per level is the O(k·d)
+    * centroid pull of [[refineCentroids]] plus the O(Σ sub-k · d)
+    * hot-cell seed pull — both bounded by construction. `depth` levels
+    * run as a loop (depth 2 = one batched resplit + exit; a still-hot
+    * sub-cell would be caught by the next level's recheck). */
   private[graft] def adaptiveCells(e: DataFrame, targetOcc: Int = 50,
       capFactor: Int = 4, depth: Int = 2, maxSplits: Int = 64): DataFrame = {
+    val s = e.sparkSession
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val n = e.count()
     val k = math.max(2, math.min(((n + targetOcc - 1) / targetOcc).toInt, 100000))
     val seeds: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cents = refineCentroids(e, seeds)
-    val scores = centroidScores(cents, col("embedding"))
+    val scores = centroidScores(s, cents, col("embedding"))
     var assigned = e
       .withColumn("cell",
         array_position(scores, array_max(scores)).cast("long"))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint(true)
-    if (depth > 1) {
-      val cap = capFactor.toLong * targetOcc
-      val hot = assigned.groupBy(col("cell")).count()
+    val cap = capFactor.toLong * targetOcc
+    var level = depth
+    while (level > 1) {
+      level -= 1
+      val hot: Array[(Long, Long)] = assigned.groupBy(col("cell")).count()
         .filter(col("count") > cap)
         .orderBy(col("count").desc).limit(maxSplits)
-        .collect().map(_.getLong(0))
-      for (h <- hot) {
-        val sub = assigned.filter(col("cell") === h)
-          .select(col("vec_id"), col("embedding"))
-        val recl = adaptiveCells(sub, targetOcc, capFactor, depth - 1, maxSplits)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (hot.isEmpty) level = 0
+      else {
+        val hotIds: Seq[Any] = hot.map(_._1).toSeq
+        val hotRows = assigned.filter(col("cell").isin(hotIds: _*))
+        // sub-k per hot cell, derived on the driver from the counts
+        // the hot-cell job already returned (no extra count jobs)
+        import s.implicits._
+        val kDf = hot.toSeq.map { case (c, cnt) =>
+          (c, math.max(2, math.min(((cnt + targetOcc - 1) / targetOcc).toInt, 99999)))
+        }.toDF("cell", "sub_k")
+        val seedRows = hotRows
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+          .join(broadcast(kDf), Seq("cell"))
+          .filter(col("rn") <= col("sub_k"))
+          .select(col("cell"), col("rn"), col("embedding"))
+          .collect()
+        val seedMats =
+          new java.util.HashMap[java.lang.Long, Array[Array[Double]]]
+        seedRows.groupBy(_.getLong(0)).foreach { case (c, rows) =>
+          seedMats.put(c, rows.sortBy(_.getInt(1)).map(r =>
+            normalize(r.getSeq[Float](2).map(_.toDouble).toSeq).toArray))
+        }
+        def assignSub(
+            mats: java.util.HashMap[java.lang.Long, Array[Array[Double]]])
+            : Column = {
+          val sc = graft.functions.vector_dots_by_key(
+            s.sparkContext.broadcast(mats), col("cell"), col("embedding"))
+          array_position(sc, array_max(sc)).cast("long")
+        }
+        // one Lloyd pass for ALL hot cells: partition-count-independent
+        // decimal means, keyed by (cell, sub-cell)
+        val means = hotRows.withColumn("sc", assignSub(seedMats))
+          .select(col("cell"), col("sc"), posexplode(col("embedding")))
+          .groupBy(col("cell"), col("sc"), col("pos"))
+          .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
+            count(lit(1))).as("m"))
+          .collect()
+          .groupBy(r => (r.getLong(0), r.getLong(1)))
+          .view.mapValues(rows =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq).toMap
+        val refMats =
+          new java.util.HashMap[java.lang.Long, Array[Array[Double]]]
+        seedMats.forEach { (c, sm) =>
+          refMats.put(c, Array.tabulate(sm.length)(i =>
+            means.get((c.longValue(), (i + 1).toLong)) match {
+              case Some(m) => normalize(m).toArray
+              case None => sm(i) // lost all members → keep seed
+            }))
+        }
+        val resplit = hotRows.withColumn("sc", assignSub(refMats))
           .select(col("vec_id"), col("embedding"),
-            (lit(h * 100000L) + col("cell")).as("cell"))
-        assigned = assigned.filter(col("cell") =!= h).unionAll(recl)
+            (col("cell") * 100000L + col("sc")).as("cell"))
+        assigned = assigned.filter(!col("cell").isin(hotIds: _*))
+          .unionAll(resplit)
+          .localCheckpoint(true)
       }
-      if (hot.nonEmpty) assigned = assigned.localCheckpoint(true)
     }
     assigned
   }

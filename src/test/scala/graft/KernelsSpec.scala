@@ -105,6 +105,53 @@ class KernelsSpec extends SparkSpec {
     assert(j.filter(col("expected") =!= col("got")).count() == 0)
   }
 
+  test("vector_dots_bcast == vector_dots at k=10,000; plan size independent of k") {
+    val e = graft.sources.Tables(spark, sfDir, "embeddings").limit(20)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    // k=10,000 planes — far past where a typedlit literal is sane
+    val planes: Seq[Seq[Double]] = (0 until 10000).map(i =>
+      (0 until dim).map(j => math.sin(i * 31 + j).toDouble))
+    val bc = spark.sparkContext.broadcast(planes.map(_.toArray).toArray)
+    val got = e.select(col("vec_id"),
+      graft.functions.vector_dots_bcast(bc, col("embedding")).as("d")).collect()
+    // literal path only over the first 50 planes (keep the plan sane),
+    // bit-compared against the same slice of the broadcast result
+    val lit50 = e.select(col("vec_id"),
+      graft.functions.vector_dots(typedlit(planes.take(50)),
+        col("embedding")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { r =>
+      val full = r.getSeq[Double](1)
+      assert(full.length == 10000)
+      assert(full.take(50) == lit50(r.getLong(0)),
+        "broadcast and literal kernels must be bit-equal")
+    }
+    // the plan must NOT embed the matrix: its string stays tiny
+    val plan = e.select(graft.functions.vector_dots_bcast(bc,
+      col("embedding"))).queryExecution.optimizedPlan.toString
+    assert(plan.length < 10000, s"plan grew with k: ${plan.length} chars")
+    bc.destroy()
+  }
+
+  test("vector_dots_by_key routes each row to its own cell's matrix") {
+    val sp = spark; import sp.implicits._
+    val mats = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]
+    mats.put(1L, Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    mats.put(2L, Array(Array(2.0, 2.0)))
+    val bc = sp.sparkContext.broadcast(mats)
+    val rows = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(3.0, 4.0)),
+      (9L, Seq(1.0, 1.0))).toDF("cell", "vec")
+    val got = rows.select(col("cell"),
+      graft.functions.vector_dots_by_key(bc, col("cell"), col("vec")).as("d"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1)))
+      .toMap
+    assert(got(1L) == Seq(3.0, 4.0))
+    assert(got(2L) == Seq(14.0))
+    assert(got(9L) == null, "unknown key must be null, not a wrong answer")
+    bc.destroy()
+  }
+
   test("kernels survive whole-stage codegen (plan contains no fallback eval)") {
     val q = docs.select(
       graft.functions.minhash_sigs(
