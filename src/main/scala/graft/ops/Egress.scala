@@ -370,4 +370,71 @@ object Egress {
       ${dsumSql("o_totalprice")} AS total_price
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Conditional-update MERGE (WHEN MATCHED AND pred THEN UPDATE SET)
+    * on the transaction-logged table — the column-level CDC-apply form
+    * the replace-whole-row `log_merge` cannot express: the source
+    * re-prices keys 300-699, but only target rows whose status is not
+    * 'F' actually take the update (SET price = src price, status =
+    * 'U'); matched-but-'F' rows keep every column, and fresh source
+    * keys (offset 1e6) insert wholesale. The oracle reconstructs the
+    * same CASE-per-column semantics relationally, so the hash check
+    * proves predicate gating, partial-column update, AND
+    * insert-unmatched end-to-end through the log. */
+  def qLogMerge2(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_merge2"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.sources.TableLog.append(s, root, orders,
+      statsCols = Seq("o_orderkey"))
+    val priceT = orders.schema("o_totalprice").dataType
+    val updates = orders
+      .filter(col("o_orderkey") >= 300 && col("o_orderkey") <= 699)
+      .withColumn("o_orderstatus", lit("S"))
+      .withColumn("o_totalprice", (col("o_totalprice") + 500).cast(priceT))
+    val inserts = orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderstatus", lit("I"))
+    graft.sources.TableLog.mergeUpdate(s, root,
+      updates.unionByName(inserts), "o_orderkey",
+      cond = col("o_orderstatus") =!= lit("F"),
+      set = Map(
+        "o_totalprice" -> col("src_o_totalprice"),
+        "o_orderstatus" -> lit("U")),
+      statsCols = Seq("o_orderkey"))
+    graft.sources.TableLog.snapshot(s, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogMerge2Sql: String = s"""
+    WITH src AS (
+      SELECT o_orderkey, 'S' AS o_orderstatus,
+        o_totalprice + 500 AS o_totalprice
+      FROM orders WHERE o_orderkey >= 300 AND o_orderkey <= 699
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS o_orderkey, 'I' AS o_orderstatus,
+        o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0),
+    merged AS (
+      SELECT t.o_orderkey,
+        CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus <> 'F'
+          THEN 'U' ELSE t.o_orderstatus END AS o_orderstatus,
+        CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus <> 'F'
+          THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+      FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+      FROM src s LEFT JOIN orders t ON s.o_orderkey = t.o_orderkey
+      WHERE t.o_orderkey IS NULL)
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

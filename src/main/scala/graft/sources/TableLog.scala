@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -157,15 +157,47 @@ object TableLog {
       .sorted.toSeq
   }
 
+  /** Sentinel last line of a checkpoint: a reader that finds it knows
+    * the file was completely written (create+write+close in place
+    * would expose an empty or torn prefix to a concurrent
+    * [[replayState]], silently dropping every file <= the checkpoint
+    * version from the live set). Belt: the tmp+rename below makes the
+    * file appear atomically, same CAS protocol as [[publish]].
+    * Suspenders: a checkpoint missing the sentinel (pre-sentinel
+    * writer, torn non-atomic filesystem copy) is treated as absent and
+    * the reader falls back to raw JSON replay — checkpoints are pure
+    * caches, never trusted over the log. */
+  private val CkptEnd = "#end"
+
   private def writeCheckpoint(s: SparkSession, root: String, v: Int): Unit = {
     val state = replayState(s, root, v, useCheckpoint = true)._1
-    val body = state.map { case (p, st) => s"$p\t${st.getOrElse("")}" }
-      .mkString("", "\n", "\n")
+    val body = (state.map { case (p, st) => s"$p\t${st.getOrElse("")}" } :+
+      CkptEnd).mkString("", "\n", "\n")
     val f = fs(s, root)
     try {
-      val out = f.create(ckptPath(root, v), false)
+      val tmp = new Path(s"$root/_log/.tmp-ckpt-${UUID.randomUUID()}")
+      val out = f.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-    } catch { case _: java.io.IOException => () } // lost the race: skip
+      val target = ckptPath(root, v)
+      if (f.exists(target) || !f.rename(tmp, target))
+        f.delete(tmp, false)          // lost the race: a ckpt exists, skip
+    } catch { case _: java.io.IOException => () } // best-effort cache
+  }
+
+  /** Parse a checkpoint body into live state; None when the file is
+    * incomplete (no [[CkptEnd]] sentinel) or malformed (a line without
+    * a tab) — the caller then ignores the checkpoint entirely. */
+  private def parseCheckpoint(body: String)
+      : Option[Seq[(String, Option[String])]] = {
+    val lines = body.split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty || lines.last != CkptEnd) return None
+    val entries = lines.dropRight(1)
+    if (entries.exists(!_.contains('\t'))) return None
+    Some(entries.toSeq.map { line =>
+      val i = line.indexOf('\t')
+      val st = line.substring(i + 1)
+      (line.substring(0, i), if (st.isEmpty) None else Some(st))
+    })
   }
 
   /** Live file set (relative paths, insertion-ordered) plus the stats
@@ -186,25 +218,25 @@ object TableLog {
     val upto = if (version < 0) vs else vs.filter(_ <= version)
     require(upto.nonEmpty, s"no committed version <= $version at $root")
     val live = mutable.LinkedHashMap.empty[String, Option[String]]
-    val base = if (useCheckpoint)
+    // a checkpoint that doesn't parse (torn write, pre-sentinel format)
+    // is treated as ABSENT — fall back to full JSON replay rather than
+    // trust a prefix that would silently drop live files
+    val base = (if (useCheckpoint)
       checkpointVersions(s, root).filter(_ <= upto.last).lastOption
-    else None
-    base.foreach { cv =>
-      readText(f, ckptPath(root, cv)).split('\n').filter(_.nonEmpty)
-        .foreach { line =>
-          val i = line.indexOf('\t')
-          val st = line.substring(i + 1)
-          live.put(line.substring(0, i), if (st.isEmpty) None else Some(st))
-        }
+    else None).flatMap { cv =>
+      parseCheckpoint(readText(f, ckptPath(root, cv))).map(cv -> _)
     }
-    val tail = upto.filter(v => base.forall(_ < v))
+    base.foreach { case (_, entries) =>
+      entries.foreach { case (p, st) => live.put(p, st) }
+    }
+    val tail = upto.filter(v => base.forall(_._1 < v))
     tail.foreach { v =>
       val json = readText(f, logPath(root, v))
       val st = parseStats(json)
       parseArr(json, "remove").foreach(live.remove)
       parseArr(json, "add").foreach(a => live.put(a, st))
     }
-    (live.toSeq, base, tail.size)
+    (live.toSeq, base.map(_._1), tail.size)
   }
 
   private def liveFiles(s: SparkSession, root: String, version: Int): Seq[String] =
@@ -434,10 +466,13 @@ object TableLog {
     * (fresh keys outside every file's range) rewrites nothing it
     * doesn't have to; a global source bounding box would smear
     * updates and inserts together and touch everything in between.
-    * Touched files are rewritten with a broadcast LEFT ANTI join
-    * against the source keys (drop matched, keep the rest) and the
-    * source unioned in; every other file keeps its identity, stats,
-    * and bytes. Files without stats for `keyCol` are always
+    * Touched files are rewritten with a LEFT ANTI join against the
+    * source keys (drop matched, keep the rest) and the source unioned
+    * in; the key set is broadcast while it fits
+    * (`spark.graft.merge.broadcastMaxKeys`, default 1M keys) and
+    * falls back to a shuffle anti-join for bulk backfill sources —
+    * only the O(#files) range frame is unconditionally broadcast.
+    * Every other file keeps its identity, stats, and bytes. Files without stats for `keyCol` are always
     * rewritten (the no-stats always-read class — never a correctness
     * risk, only write amplification). Duplicate or NULL keys in the
     * SOURCE are rejected (one deterministic winner per key);
@@ -448,34 +483,112 @@ object TableLog {
     import org.apache.spark.sql.functions.broadcast
     val src = source.cache()
     try {
-      require(src.filter(col(keyCol).isNull).isEmpty,
-        s"merge: NULL $keyCol values in source")
-      val dup = src.groupBy(col(keyCol)).count().filter(col("count") > 1)
-      require(dup.isEmpty, s"merge: duplicate $keyCol values in source")
-      val state = liveState(s, root, -1)
-      val b = bounds(s, root, state, keyCol)
-      val (withStats, noStats) = state.map(_._1).partition(b.contains)
-      val ranges = s.createDataFrame(
-        java.util.Arrays.asList(withStats.map(fl =>
-          org.apache.spark.sql.Row(fl, b(fl)._1, b(fl)._2)): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("file",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("mn", LongType),
-          org.apache.spark.sql.types.StructField("mx", LongType))))
-      val matched = src.select(col(keyCol).cast(LongType).as("k"))
-        .join(broadcast(ranges), col("k") >= col("mn") && col("k") <= col("mx"))
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSet   // O(#files) driver metadata
-      val touched = state.map(_._1).filter(fl =>
-        matched.contains(fl) || noStats.contains(fl))
+      val (touched, smallSrc) = mergeTouched(s, root, src, keyCol)
       val keys = src.select(col(keyCol))
       val kept =
         if (touched.isEmpty) src.limit(0)
-        else s.read.option("mergeSchema", "true")
-          .parquet(touched.map(rel => s"$root/$rel"): _*)
-          .join(broadcast(keys), Seq(keyCol), "left_anti")
+        else {
+          val tgt = s.read.option("mergeSchema", "true")
+            .parquet(touched.map(rel => s"$root/$rel"): _*)
+          if (smallSrc) tgt.join(broadcast(keys), Seq(keyCol), "left_anti")
+          else tgt.join(keys, Seq(keyCol), "left_anti")
+        }
       val (sub, files) = writeData(s, root, kept.unionByName(src))
+      publish(s, root, files, touched, writeStats(s, root, sub, statsCols))
+    } finally src.unpersist()
+  }
+
+  /** Shared MERGE front half: validate the source (no NULL, no
+    * duplicate keys), then pick the files to rewrite PER-FILE EXACTLY
+    * — a distributed semi-join of source keys against the broadcast
+    * per-file [min,max] ranges — plus the stats-less always-rewrite
+    * class. Also decides whether the source key set is small enough
+    * to broadcast in the rewrite joins
+    * (`spark.graft.merge.broadcastMaxKeys`, default 1M): the O(#files)
+    * range frame is always broadcast, but a bulk backfill source must
+    * fall back to shuffle joins instead of OOMing the driver. */
+  private def mergeTouched(s: SparkSession, root: String, src: DataFrame,
+      keyCol: String): (Seq[String], Boolean) = {
+    import org.apache.spark.sql.functions.broadcast
+    require(src.filter(col(keyCol).isNull).isEmpty,
+      s"merge: NULL $keyCol values in source")
+    val dup = src.groupBy(col(keyCol)).count().filter(col("count") > 1)
+    require(dup.isEmpty, s"merge: duplicate $keyCol values in source")
+    val state = liveState(s, root, -1)
+    val b = bounds(s, root, state, keyCol)
+    val (withStats, noStats) = state.map(_._1).partition(b.contains)
+    val ranges = s.createDataFrame(
+      java.util.Arrays.asList(withStats.map(fl =>
+        org.apache.spark.sql.Row(fl, b(fl)._1, b(fl)._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("mn", LongType),
+        org.apache.spark.sql.types.StructField("mx", LongType))))
+    val matched = src.select(col(keyCol).cast(LongType).as("k"))
+      .join(broadcast(ranges), col("k") >= col("mn") && col("k") <= col("mx"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet   // O(#files) driver metadata
+    val noStatsSet = noStats.toSet          // Seq.contains would be O(F²)
+    val touched = state.map(_._1).filter(fl =>
+      matched.contains(fl) || noStatsSet.contains(fl))
+    val bcastMaxKeys =
+      s.conf.getOption("spark.graft.merge.broadcastMaxKeys")
+        .map(_.toLong).getOrElse(1000000L)
+    (touched, src.count() <= bcastMaxKeys)
+  }
+
+  /** MERGE, conditional-update form (Delta parity:
+    * `WHEN MATCHED AND <cond> THEN UPDATE SET c = expr, ...` +
+    * optional `WHEN NOT MATCHED THEN INSERT *`):
+    *
+    *  - Target rows join the source by `keyCol`; inside `cond` and the
+    *    `set` expressions, target columns appear under their own names
+    *    and source columns under a `src_` prefix (e.g.
+    *    `col("src_price") > col("price")`).
+    *  - A matched target row satisfying `cond` gets EXACTLY the `set`
+    *    columns replaced; all other columns — and matched rows failing
+    *    `cond` — keep their target values (this is the column-level
+    *    update [[merge]]'s replace-whole-row form cannot express).
+    *  - Source rows whose key matches nothing are inserted wholesale
+    *    when `insertUnmatched` (aligned by name), else dropped.
+    *
+    * File selection, rewrite confinement, and the broadcast-vs-shuffle
+    * source threshold are identical to [[merge]] ([[mergeTouched]]);
+    * matched keys can only live in touched files (stats-exact
+    * selection), so the unmatched-insert anti-join needs only the
+    * touched files' keys. One atomic commit; returns the version. */
+  def mergeUpdate(s: SparkSession, root: String, source: DataFrame,
+      keyCol: String, cond: Column, set: Map[String, Column],
+      insertUnmatched: Boolean = true, statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    val src = source.cache()
+    try {
+      val (touched, smallSrc) = mergeTouched(s, root, src, keyCol)
+      val srcPref = src.columns.foldLeft(src)((d, c) =>
+        d.withColumnRenamed(c, s"src_$c"))
+      def maybeBcast(df: DataFrame) = if (smallSrc) broadcast(df) else df
+      val kept =
+        if (touched.isEmpty) src.limit(0)
+        else {
+          val tgt = s.read.option("mergeSchema", "true")
+            .parquet(touched.map(rel => s"$root/$rel"): _*)
+          val joined = tgt.join(maybeBcast(srcPref),
+            tgt(keyCol) === srcPref(s"src_$keyCol"), "left")
+          val hit = col(s"src_$keyCol").isNotNull && cond
+          val updated = set.foldLeft(joined) { case (df, (c, expr)) =>
+            df.withColumn(c, when(hit, expr).otherwise(col(c)))
+          }
+          // right side here is the TARGET keys (not the source), so
+          // the smallSrc guard doesn't apply — leave the strategy to
+          // AQE, which sizes the touched-file key set at runtime
+          val inserts =
+            if (!insertUnmatched) src.limit(0)
+            else src.join(tgt.select(col(keyCol)), Seq(keyCol), "left_anti")
+          updated.select(tgt.columns.map(col).toSeq: _*)
+            .unionByName(inserts)
+        }
+      val (sub, files) = writeData(s, root, kept)
       publish(s, root, files, touched, writeStats(s, root, sub, statsCols))
     } finally src.unpersist()
   }

@@ -274,6 +274,93 @@ class TableLogSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("a torn or empty checkpoint is ignored: replay falls back to the " +
+      "raw JSON log instead of silently dropping live files") {
+    val key = "spark.graft.tablelog.checkpointInterval"
+    spark.conf.set(key, "10")
+    try {
+      val root = freshRoot()
+      (0 until 12).foreach(i =>
+        TableLog.append(spark, root, nums(i * 10, i * 10 + 10)))
+      val truth = TableLog.snapshot(spark, root).count()
+      // simulate the torn write writeCheckpoint's tmp+rename prevents:
+      // a concurrent reader observing the file mid-create
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckpt = new org.apache.hadoop.fs.Path(f"$root/_log/ckpt-v${10}%05d.tsv")
+      assert(f.exists(ckpt), "expected a checkpoint at v10")
+      def overwrite(body: String): Unit = {
+        f.delete(ckpt, false)
+        val out = f.create(ckpt, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
+      overwrite("") // empty: reader must NOT treat as empty live set
+      assert(TableLog.snapshot(spark, root).count() == truth,
+        "empty checkpoint dropped live files")
+      overwrite("data/x/part-0.parquet") // torn: no tab, no #end
+      assert(TableLog.snapshot(spark, root).count() == truth,
+        "torn checkpoint trusted")
+      val (_, base, _) =
+        TableLog.replayState(spark, root, -1, useCheckpoint = true)
+      assert(base.isEmpty, "malformed checkpoint must be treated as absent")
+    } finally spark.conf.unset(key)
+  }
+
+  test("merge larger than the broadcast key budget falls back to a " +
+      "shuffle anti-join and produces the same table") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 200).repartition(2), Seq("id"))
+    val source = (0 until 300).map(i =>
+      (i.toLong * 2, s"merged${i * 2}")).toDF("id", "s")
+    val key = "spark.graft.merge.broadcastMaxKeys"
+    spark.conf.set(key, "10") // force every join onto the shuffle path
+    try TableLog.merge(spark, root, source, "id", Seq("id"))
+    finally spark.conf.unset(key)
+    val snap = TableLog.snapshot(spark, root)
+    // 200 originals, evens 0..198 replaced (100), evens 200..598
+    // inserted (200), odds kept (100) -> 400 rows
+    assert(snap.count() == 400)
+    val got = snap.filter(col("id").isin(4L, 5L, 400L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(4L -> "merged4", 5L -> "row5", 400L -> "merged400"))
+  }
+
+  test("mergeUpdate: predicate gates the update, only SET columns " +
+      "change, unmatched source rows insert") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    val target = Seq((1L, "keep", 10L), (2L, "upd", 20L), (3L, "upd", 30L),
+      (4L, "other", 40L)).toDF("id", "tag", "v")
+    TableLog.append(spark, root, target.repartition(1), Seq("id"))
+    // source hits ids 1,2,3 (1 fails the predicate via tag=keep) and
+    // brings fresh id 9
+    val source = Seq((1L, "src", 100L), (2L, "src", 200L),
+      (3L, "src", 300L), (9L, "src", 900L)).toDF("id", "tag", "v")
+    TableLog.mergeUpdate(spark, root, source, "id",
+      cond = col("tag") =!= lit("keep"),
+      set = Map("v" -> (col("src_v") + 1L)))
+    val got = TableLog.snapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ("keep", 10L), "predicate-failing row must not change")
+    assert(got(2L) == ("upd", 201L), "SET expression over src_ column")
+    assert(got(3L) == ("upd", 301L))
+    assert(got(4L) == ("other", 40L), "unmatched target row untouched")
+    assert(got(9L) == ("src", 900L), "unmatched source row inserted")
+    // tag was not in SET -> matched rows keep their target tag
+    assert(got.size == 5)
+    // insertUnmatched = false drops fresh keys instead
+    val root2 = freshRoot()
+    TableLog.append(spark, root2, target.repartition(1), Seq("id"))
+    TableLog.mergeUpdate(spark, root2, source, "id",
+      cond = lit(true), set = Map("v" -> col("src_v")),
+      insertUnmatched = false)
+    assert(TableLog.snapshot(spark, root2).count() == 4)
+    assert(TableLog.snapshot(spark, root2).filter(col("id") === 2L)
+      .head.getLong(2) == 200L)
+  }
+
   test("a layout rewrite racing a delete aborts instead of resurrecting " +
       "deleted rows") {
     val root = freshRoot()
