@@ -71,6 +71,64 @@ object TextVectorKernels {
     new GenericArrayData(if (w == out.length) out else out.take(w))
   }
 
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Word-n-gram shingle hashes like [[shingleHashes]], but the hash
+    * is the FIRST 64 BITS OF MD5 (big-endian, two's complement) —
+    * the one 64-bit-capable hash this engine and DuckDB compute
+    * identically, which is what lets the SimHash pipeline carry a
+    * full-semantics exact oracle. Value-equal to parsing the first
+    * 16 hex chars of `md5(shingle)` as two 32-bit halves
+    * ((hi << 32) | lo), which is exactly what the composed
+    * `conv(substring(md5(..)))` expression form (and the DuckDB
+    * mirror) computes — KernelsSpec pins the equivalence. Distinct,
+    * sorted ascending, fused in one loop over the text bytes. */
+  def md5Shingles64(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numBytes()
+    var nTokens = 1
+    var i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') nTokens += 1
+      i += 1
+    }
+    if (nTokens < n) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val bytes = text.getBytes
+    val md = md5Digest.get()
+    val out = new Array[Long](nTokens - n + 1)
+    i = 0
+    while (i < nTokens - n + 1) {
+      val s = starts(i)
+      val e = starts(i + n) - 1 // end of token i+n-1 (strip trailing sep)
+      md.reset()
+      md.update(bytes, s, e - s)
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == out.length) out else out.take(w))
+  }
+
   /** Consecutive n-token segments of `text` — the corpus-dedup
     * granularity between exact-document and shingle: segment i covers
     * tokens [i·n, min((i+1)·n, tokens)) joined by single spaces (the
@@ -248,6 +306,36 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** md5_shingles64(text, n): sorted distinct first-64-md5-bits hashes of
+  * the word-n-gram shingles of `text` (cross-engine: DuckDB computes
+  * the same values from `md5(shingle)` hex — the SimHash oracle hash). */
+case class Md5Shingles64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"md5_shingles64 requires (string, foldable int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_shingles64"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextVectorKernels.md5Shingles64(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.TextVectorKernels.md5Shingles64($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5Shingles64 =
     copy(left = newLeft, right = newRight)
 }
 

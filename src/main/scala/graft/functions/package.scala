@@ -264,6 +264,10 @@ package object functions {
   /** Sorted distinct xxhash64 values of word-n-gram shingles. */
   def shingle_hashes(text: Column, n: Int): Column =
     call_function("shingle_hashes", text, lit(n))
+  /** Sorted distinct first-64-md5-bit hashes of word-n-gram shingles
+    * (the cross-engine hash of the SimHash exact oracle). */
+  def md5_shingles64(text: Column, n: Int): Column =
+    call_function("md5_shingles64", text, lit(n))
   /** k chained-xxhash64 MinHash signatures over a shingle-hash set. */
   def minhash_sigs(hs: Column, k: Int): Column =
     call_function("minhash_sigs", hs, lit(k))

@@ -697,26 +697,39 @@ object Dedup {
     FROM flagged GROUP BY doc_id HAVING n_kept >= 1 ORDER BY doc_id
   """.trim
 
-  // ---- SimHash near-dup (rows-only: 64-bit signature is engine-local) ----
+  // ---- SimHash near-dup (EXACT full-pipeline oracle, r7) -----------------
 
   /** SimHash near-dup: 64-bit signature over the document's trigram
-    * shingle set (each bit is the sign of the vote of that xxhash64
-    * bit across shingles). Shingle-level, not unigram: on a shared
+    * shingle set (each bit is the sign of the vote of that bit across
+    * shingle hashes). Shingle-level, not unigram: on a shared
     * vocabulary, bag-of-words signatures collapse (all docs have
     * near-identical word profiles), while shingle sets of unrelated
     * docs are near-disjoint → independent signatures, hamming ~32.
     * Candidates via an 8x8-bit band bucket join (pigeonhole: hamming
     * <= 7 pairs always share a byte; random pairs almost never do),
     * then exact bit_count(xor) <= 8 verification on candidates only.
-    * Signature values are engine-specific → rows-only driver check;
-    * PipelineSpec pins recall against exact Jaccard pairs.
     *
-    * The signature comes from the native [[graft.functions.SimHash64]]
-    * kernel, per row over the shingle-hash array — replacing an
-    * explode + 64-sum-buffer aggregate with zero shuffle; bit votes and
-    * >= 0 tie semantics are identical (KernelsSpec pins it). */
+    * The shingle hash is the first 64 bits of md5(shingle), parsed
+    * big-endian from the hex form as two 32-bit halves (r7; was
+    * xxhash64). md5 is the one 64-bit-capable hash this engine and
+    * DuckDB compute IDENTICALLY, which upgrades this query from the
+    * rows-only check the engine-local xxhash64 signature forced to a
+    * FULL-SEMANTICS exact oracle: the SQL mirrors shingling, the
+    * md5-derived hash, the per-bit vote (>= 0 tie semantics), band
+    * bucketing, and the hamming verification bit-for-bit. The vote
+    * itself still runs in the native [[graft.functions.SimHash64]]
+    * kernel (hash-agnostic: any array<bigint>), per row, zero
+    * shuffle; PipelineSpec additionally pins recall against exact
+    * Jaccard pairs. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = hashedShingles(t(s, dir, "documents"))
+    // fused native kernel: shingling + first-64-md5-bits hashing in
+    // one loop over the text bytes ([[graft.functions.Md5Shingles64]]
+    // — the composed split/transform/md5/conv expression form computed
+    // the same values ~10x slower, all interpreted HOF lambdas;
+    // KernelsSpec pins the bit-equality of the two forms)
+    val sig = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.md5_shingles64(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"),
         graft.functions.simhash64(col("hs")).as("simhash"))
@@ -733,6 +746,47 @@ object Dedup {
       .filter(col("hamming") <= 8)
       .orderBy("d1", "d2")
   }
+
+  /** Full-semantics DuckDB mirror of [[qDedupSimhash]]: same shingles,
+    * same md5-derived 64-bit hash (signed two's complement built from
+    * the two 32-bit hex halves — DuckDB lacks a 64-bit left shift
+    * below the sign bit, so the hi half recenters arithmetically),
+    * same >= 0 vote ties, same bands, same hamming cut. */
+  val qDedupSimhashSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toks WHERE len(w) >= 3),
+    hs AS (SELECT doc_id, list_transform(shingles, sh ->
+        (('0x' || substr(md5(sh), 1, 8))::BIGINT
+          - CASE WHEN ('0x' || substr(md5(sh), 1, 8))::BIGINT >= 2147483648
+                 THEN 4294967296 ELSE 0 END) * 4294967296
+        + ('0x' || substr(md5(sh), 9, 8))::BIGINT) AS hl
+      FROM sh),
+    votes AS (
+      SELECT doc_id, j, SUM((h >> j) & 1) AS cnt, COUNT(*) AS n
+      FROM hs, UNNEST(hl) AS u(h), range(64) r(j)
+      GROUP BY doc_id, j),
+    halves AS (
+      SELECT doc_id,
+        SUM(CASE WHEN j < 32 AND 2 * cnt >= n THEN (1::BIGINT << j) ELSE 0 END) AS lo,
+        SUM(CASE WHEN j >= 32 AND 2 * cnt >= n THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS hi
+      FROM votes GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, CAST(
+        (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+          * 4294967296 + lo AS BIGINT) AS simhash
+      FROM halves),
+    bands AS (
+      SELECT doc_id, simhash, k AS band, (simhash >> (k * 8)) & 255 AS byte
+      FROM sig CROSS JOIN range(8) r(k)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+    SELECT d1, d2, hamming FROM pairs WHERE hamming <= 8 ORDER BY d1, d2
+  """.trim
 
   // ---- embedding-cosine near-dup ----------------------------------------
 

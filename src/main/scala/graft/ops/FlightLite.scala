@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.StructType
   *  - DoPut (`Flight.proto:89`) — client uploads an Arrow stream;
   *    the server registers it as a temp view under the descriptor
   *    name and replies with the row count.
+  *  - GetFlightInfo + endpoint DoGet (`Flight.proto:138-160`,
+  *    `FlightInfo.endpoint`) — 'F' returns the ticket's schema and
+  *    its endpoint count (one per partition of the server-side
+  *    plan); 'g' streams ONE partition, so a consumer drains all
+  *    endpoints on parallel sockets ([[doGetParallel]]) instead of
+  *    serializing the result through a single DoGet.
   *
   * Wire framing: request = 1 verb byte ('L'/'S'/'G'/'P'), UTF-8 name
   * (int32 length prefix), payload (int64 length prefix; only DoPut
@@ -35,11 +41,13 @@ import org.apache.spark.sql.types.StructType
   * marker), an int32-prefixed UTF-8 string for the other verbs.
   *
   * Scale note: this is a control/egress surface, not a distributed
-  * operator. DoGet pulls the result through the driver via
-  * `toLocalIterator` — one partition resident at a time, so serving a
-  * large result is bounded-memory but single-socket; the cluster-scale
-  * path for bulk data remains the partition-parallel file/DSv2 IPC
-  * sources. That matches the reference, where Flight serves
+  * operator. Single-ticket DoGet pulls the result through the driver
+  * via `toLocalIterator` — one partition resident at a time, so
+  * serving a large result is bounded-memory but single-socket; the
+  * endpoint tickets lift that to one socket PER PARTITION (each
+  * endpoint computes only its own partition via `runJob`), and the
+  * cluster-scale path for bulk data remains the partition-parallel
+  * file/DSv2 IPC sources. That matches the reference, where Flight serves
   * result-sets while bulk interchange is dataset files. DoPut
   * materializes the uploaded rows on the driver (dimension-table
   * sized, like the reference's DoPut-into-MemTable use).
@@ -70,12 +78,25 @@ object FlightLite {
         while (running) {
           try {
             val conn = sock.accept()
-            try handle(conn)
-            finally conn.close()
+            // one daemon thread per connection: parallel endpoint
+            // tickets (DoGet of different partitions) must stream
+            // CONCURRENTLY, not queue behind one accept loop —
+            // SparkSession job submission is thread-safe
+            val worker = new Thread(() => {
+              try handle(conn)
+              catch {
+                case e: Throwable =>
+                  System.err.println(s"[flight-lite] request failed: $e")
+              } finally {
+                try conn.close() catch { case _: Throwable => () }
+              }
+            }, "flight-lite-conn")
+            worker.setDaemon(true)
+            worker.start()
           } catch {
             case _: java.net.SocketException => () // closed in close()
             case e: Throwable if running =>
-              System.err.println(s"[flight-lite] request failed: $e")
+              System.err.println(s"[flight-lite] accept failed: $e")
           }
         }
       }, "flight-lite-server")
@@ -124,6 +145,25 @@ object FlightLite {
               spark.sparkContext.parallelize(rows, math.max(1, rows.size / Ipc.BatchRows)),
               schema).createOrReplaceTempView(name)
             out.writeByte('O'); writeStr(out, rows.size.toString)
+          case 'F' =>
+            // GetFlightInfo (Flight.proto:138-160): schema + how many
+            // endpoint tickets exist — one per RDD partition of the
+            // resolved plan, so a consumer can pull them in parallel
+            val df = resolve(name)
+            val parts = df.rdd.getNumPartitions
+            out.writeByte('O'); writeStr(out, df.schema.json)
+            out.writeInt(parts)
+          case 'g' =>
+            // endpoint DoGet: stream ONE partition of the ticket's
+            // result. runJob(Seq(p)) computes exactly that partition —
+            // for a file-backed plan that is that endpoint's file
+            // splits, the real parallel-consumer shape
+            val p = in.readInt()
+            val df = resolve(name)
+            val rows = spark.sparkContext.runJob(
+              df.rdd, (it: Iterator[Row]) => it.toArray, Seq(p)).head
+            out.writeByte('O')
+            Ipc.writeIpcStreamTo(rows.iterator, df.schema, out)
           case other =>
             out.writeByte('E'); writeStr(out, s"unknown verb: $other")
         }
@@ -185,6 +225,58 @@ object FlightLite {
       val bytes = Ipc.writeIpcStream(rows, schema)
       out.writeLong(bytes.length.toLong); out.write(bytes)
     } { in => readName(in).toLong }
+
+  /** GetFlightInfo: the ticket's schema and its endpoint count — one
+    * endpoint per partition of the server-side plan
+    * (`FlightInfo.endpoint`, Flight.proto:138-160). */
+  def getFlightInfo(host: String, port: Int,
+      ticket: String): (StructType, Int) =
+    request(host, port) { out => out.writeByte('F'); writeStr(out, ticket) } {
+      in =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(readName(in)).asInstanceOf[StructType]
+        (schema, in.readInt())
+    }
+
+  /** DoGet of ONE endpoint ticket (partition `p` of the ticket's
+    * result). */
+  def doGetPartition(host: String, port: Int, ticket: String,
+      p: Int): (Seq[Row], StructType) =
+    request(host, port) { out =>
+      out.writeByte('g'); writeStr(out, ticket); out.writeInt(p)
+    } { in => Ipc.readIpcStreamFrom(in) }
+
+  /** Parallel DoGet: resolve the ticket's endpoints via
+    * [[getFlightInfo]], pull every endpoint on its own socket
+    * concurrently, and concatenate in endpoint order — the
+    * multi-endpoint consumption pattern of Flight's
+    * `FlightInfo.endpoint` list, where a bulk consumer drains
+    * partitions in parallel instead of serializing the whole result
+    * through one DoGet stream. Row order equals the single-ticket
+    * DoGet (both walk partitions in index order). */
+  def doGetParallel(host: String, port: Int, ticket: String,
+      maxParallel: Int = 8): (Seq[Row], StructType) = {
+    val (schema, parts) = getFlightInfo(host, port, ticket)
+    if (parts == 0) return (Seq.empty, schema)
+    val out = new Array[Seq[Row]](parts)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[Integer]
+    (0 until parts).foreach(p => queue.add(p))
+    val workers = (0 until math.min(maxParallel, parts)).map { _ =>
+      val t = new Thread(() => {
+        var p = queue.poll()
+        while (p != null && err.get() == null) {
+          try out(p) = doGetPartition(host, port, ticket, p)._1
+          catch { case e: Throwable => err.compareAndSet(null, e) }
+          p = queue.poll()
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    workers.foreach(_.join())
+    if (err.get() != null) throw err.get()
+    (out.toSeq.flatten, schema)
+  }
 
   // ---- oracle-checked query ----------------------------------------------
 

@@ -548,22 +548,32 @@ object Similarity {
     * keep/drop set is EXACT — no "cells are engine-local" carve-out.
     * The cell column itself is still omitted from the output only
     * because its 1-based index is an implementation detail, not
-    * because it disagrees. The oracle pins the sf0.01-derived shape
-    * (k = ⌈500/50⌉ = 10 seeds, no over-cap cell, so no recursive
-    * split) — exactly what [[adaptiveCells]] computes on the data
-    * the driver runs this oracle against. */
+    * because it disagrees. The seed count is DERIVED in the SQL the
+    * same way [[adaptiveCells]] derives it (k = max(2, min(⌈N/50⌉,
+    * 1e5)) smallest vec_ids via ROW_NUMBER — r7; a hardcoded
+    * `vec_id < 10` diverged at any N ≠ 500 or with non-contiguous
+    * ids). Remaining precondition, stated: no cell exceeds the
+    * 4×targetOcc cap at the verified scale, so the engine performs no
+    * recursive resplit (true at sf0.01; the resplit path is covered
+    * by CurationSpec's pair-bound asserts instead). */
   def qDedupSemanticKeep(s: SparkSession, dir: String): DataFrame =
     semanticDedupDetail(s, dir, 0.40)
       .select(col("vec_id"), col("dropped").as("is_dropped"))
       .orderBy("vec_id")
 
   val qDedupSemanticKeepSql: String = """
-    WITH seeds AS (
+    WITH sel AS (
+      SELECT vec_id, embedding,
+        ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+        COUNT(*) OVER () AS nn
+      FROM embeddings),
+    seeds AS (
       SELECT vec_id AS c, list_transform(embedding, x -> x::DOUBLE) AS raw,
         list_transform(embedding, x -> x::DOUBLE /
           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)), (a,b) -> a+b))) AS ctr
-      FROM embeddings WHERE vec_id < 10),
+      FROM sel
+      WHERE rn <= GREATEST(2, LEAST(CAST(CEIL(nn / 50.0) AS BIGINT), 100000))),
     s0 AS (
       SELECT v.vec_id, s.c,
         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -4,12 +4,11 @@ import org.apache.spark.{SparkEnv, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, RowOrdering, SortOrder, SortPrefix, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
-import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+import org.apache.spark.sql.execution.{SortPrefixUtils, SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 
 import scala.collection.mutable
 
@@ -188,18 +187,35 @@ case class TopKPerGroupExec(
       // sorter (spills past memory) and stream k-per-group runs
       def spillToSort(): Iterator[InternalRow] = {
         val schema = DataTypeUtils.fromAttributes(childOutput)
-        val fullOrd = RowOrdering.create(
-          groupE.map(SortOrder(_, Ascending)) ++ orders, childOutput)
+        val fullSortOrder = groupE.map(SortOrder(_, Ascending)) ++ orders
+        val fullOrd = RowOrdering.create(fullSortOrder, childOutput)
+        // real sort prefix from the leading key (the first group
+        // expression), as SortExec does — a constant-zero prefix would
+        // fall through to the full RowOrdering comparator on EVERY
+        // record comparison, the exact degraded path the prefix
+        // mechanism exists to avoid, on the branch that only fires at
+        // high group cardinality. Radix stays available when the
+        // single leading key alone fully sorts (never here: group key
+        // + order key), but prefix comparison still short-circuits
+        // most comparisons
+        val boundHead = BindReferences.bindReference(
+          fullSortOrder.head, childOutput)
+        val prefixProj = UnsafeProjection.create(Seq(SortPrefix(boundHead)))
         val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
           private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
           override def computePrefix(
               row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
-            p.value = 0L; p.isNull = false; p
+            val r = prefixProj.apply(row)
+            p.isNull = r.isNullAt(0)
+            p.value = if (p.isNull) 0L else r.getLong(0)
+            p
           }
         }
+        val canRadix = fullSortOrder.length == 1 &&
+          SortPrefixUtils.canSortFullyWithPrefix(boundHead)
         val sorter = UnsafeExternalRowSorter.create(schema, fullOrd,
-          PrefixComparators.LONG, prefixComputer,
-          SparkEnv.get.memoryManager.pageSizeBytes, false)
+          SortPrefixUtils.getPrefixComparator(boundHead), prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, canRadix)
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
         heaps.valuesIterator.foreach(_.foreach(sorter.insertRow))

@@ -95,4 +95,38 @@ class FlightLiteSpec extends SparkSpec {
       assert(got.map(_.getLong(0)).sum === (n.toLong * (n - 1) / 2))
     } finally server.close()
   }
+
+  test("multi-endpoint parallel tickets: GetFlightInfo exposes one " +
+      "endpoint per partition and the parallel union equals single DoGet") {
+    val server = new FlightLite.Server(spark).start()
+    try {
+      import org.apache.spark.sql.functions.col
+      val n = 9000
+      spark.range(n.toLong).repartition(7)
+        .select(col("id"), (col("id") % 13).as("m"))
+        .createOrReplaceTempView("fl_par")
+      val (schema, parts) =
+        FlightLite.getFlightInfo("127.0.0.1", server.boundPort, "fl_par")
+      assert(parts === 7, s"one endpoint per partition, got $parts")
+      assert(schema.fieldNames.toSeq === Seq("id", "m"))
+      // drain all endpoints concurrently; single-ticket DoGet is truth
+      val (par, parSchema) =
+        FlightLite.doGetParallel("127.0.0.1", server.boundPort, "fl_par",
+          maxParallel = 4)
+      val (single, _) =
+        FlightLite.doGet("127.0.0.1", server.boundPort, "fl_par")
+      assert(parSchema === schema)
+      assert(par.size === n)
+      assert(par === single,
+        "parallel endpoint union must equal the single-ticket stream, in order")
+      // one endpoint alone returns a strict subset
+      val (p0, _) = FlightLite.doGetPartition(
+        "127.0.0.1", server.boundPort, "fl_par", 0)
+      assert(p0.nonEmpty && p0.size < n)
+      // SQL (CMD) tickets get endpoints too
+      val (_, sqlParts) = FlightLite.getFlightInfo("127.0.0.1",
+        server.boundPort, "SELECT m, COUNT(*) AS c FROM fl_par GROUP BY m")
+      assert(sqlParts >= 1)
+    } finally server.close()
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -103,6 +104,30 @@ class KernelsSpec extends SparkSpec {
     // exact equality expected: both are strict left-to-right double folds
     val j = expected.join(native, "vec_id")
     assert(j.filter(col("expected") =!= col("got")).count() == 0)
+  }
+
+  test("md5_shingles64 == composed split/slice/md5/conv form, bit-for-bit") {
+    import org.apache.spark.sql.types.LongType
+    def h64(sh: Column): Column = {
+      val hex = md5(sh)
+      shiftleft(conv(substring(hex, 1, 8), 16, 10).cast(LongType), 32)
+        .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast(LongType))
+    }
+    val w = split(col("text"), " ")
+    val expected = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3)))), h64(_))))
+        .as("expected"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.md5_shingles64(col("text"), 3).as("got"))
+      .filter(size(col("got")) > 0)
+    val j = expected.join(native, "doc_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("expected") =!= col("got")).count() == 0,
+      "kernel md5-shingle hashes must equal the composed expression form")
   }
 
   test("vector_dots_bcast == vector_dots at k=10,000; plan size independent of k") {

@@ -1,9 +1,16 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
 /** Plan lint over EVERY declared query: the blanket scale guards that
   * must hold no matter what an individual query does — no cartesian
-  * products, no interpreted Python-style UDF stages outside the
-  * declared UDF-registry demos.
+  * products, no unplanned nested-loop joins, deterministic output
+  * order, predicates pushed into parquet scans, and column-pruned
+  * scans. Plan regressions gate like perf regressions: a new query
+  * (or an optimizer-defeating refactor of an old one) fails here
+  * before it ships.
   */
 class PlanLintSpec extends SparkSpec {
 
@@ -36,6 +43,50 @@ class PlanLintSpec extends SparkSpec {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name uses an unplanned nested-loop join")
+    }
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan
+    val inner: SparkPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    inner.collectWithSubqueries { case s: FileSourceScanExec => s }
+  }
+
+  // scans whose ONLY data filters are computed expressions parquet
+  // cannot evaluate (size(split(text)), shingle_hashes(text),
+  // aggregate-lambda norms, derived-column isnotnull) — nothing to
+  // push by construction; each query's residual filter still runs
+  private val pushdownExempt = Set("range_join", "quality_repetition",
+    "quality_cap", "ngram_lm", "embed_norm", "dedup_ngram", "dedup_embed",
+    "dedup_containment")
+
+  test("a parquet scan with data filters pushes at least one predicate") {
+    for ((name, fn) <- SparkEntry.queries if !pushdownExempt(name)) {
+      scans(fn(spark, sfDir)).foreach { sc =>
+        if (sc.dataFilters.nonEmpty)
+          assert(sc.metadata.getOrElse("PushedFilters", "[]") != "[]",
+            s"$name: scan filters ${sc.dataFilters.mkString("; ")} but " +
+              "pushes none into parquet")
+      }
+    }
+  }
+
+  // deliberate full-row reads: limit/limit_offset are SELECT *
+  // pagination demos; mv_refresh replays its own 5-column state table
+  private val fullWidthAllowed = Set("limit", "limit_offset", "mv_refresh")
+
+  test("scans of wide tables prune columns (ReadSchema < full schema)") {
+    for ((name, fn) <- SparkEntry.queries if !fullWidthAllowed(name)) {
+      scans(fn(spark, sfDir)).foreach { sc =>
+        val full = sc.relation.dataSchema.size
+        if (full > 4)
+          assert(sc.requiredSchema.size < full,
+            s"$name: reads all $full columns of " +
+              s"${sc.relation.location.rootPaths.headOption.getOrElse("?")}")
+      }
     }
   }
 
