@@ -205,6 +205,55 @@ class CurationSpec extends SparkSpec {
       "expected sub-cell labels (parent*1e5 + sub) after the split")
   }
 
+  test("adaptiveCells resplit is BATCHED: Spark job count stays constant " +
+      "as the number of hot cells grows") {
+    val sp = spark; import sp.implicits._
+    // many hot cells at once: H one-hot seed directions, each with 250
+    // members (cap is 4*50=200) — the r6 driver loop ran a per-cell
+    // count/collect/refine cascade (job count ~ O(H)); the batched
+    // form must stay at a constant number of jobs regardless of H
+    val dim = 16
+    def cluster(seedDim: Int, base: Int, n: Int) =
+      (0 until n).map(i => ((base + i).toLong,
+        Array.tabulate(dim)(d => if (d == seedDim) 1f
+          else if (d == (seedDim + 1) % dim) i % 5 * 0.01f else 0f)))
+    def jobsFor(h: Int): (Int, Array[org.apache.spark.sql.Row]) = {
+      val rows = (0 until h).flatMap(c => cluster(c, c * 1000, 250))
+      val df = rows.toDF("vec_id", "embedding").repartition(8)
+        .localCheckpoint(true) // isolate input lineage from the count
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      sp.sparkContext.addSparkListener(listener)
+      try {
+        val cells = graft.ops.Similarity.adaptiveCells(df)
+          .groupBy(col("cell")).count().collect()
+        Thread.sleep(1500) // listener bus is async; let job events drain
+        (counter.get(), cells)
+      } finally sp.sparkContext.removeSparkListener(listener)
+    }
+    val (jobs2, cells2) = jobsFor(2)
+    val (jobs8, cells8) = jobsFor(8)
+    // h=2: the hot cluster's own members seed its resplit — it lands
+    // back under the cap. (h=8 mixes orthogonal clusters into one hot
+    // cell whose min-id sub-seeds all come from one cluster: one
+    // resplit level can't fully separate that adversarial geometry —
+    // a depth/clustering-quality matter, not a batching one.)
+    assert(cells2.map(_.getLong(1)).max <= 200,
+      s"resplit failed: ${cells2.mkString(",")}")
+    // both scales actually exercised the resplit path
+    assert(cells2.exists(_.getLong(0) > 100000L))
+    assert(cells8.exists(_.getLong(0) > 100000L))
+    // THE property under test: 4x the hot cells may not cost more than
+    // a couple of extra jobs (AQE re-plans wiggle, driver loops don't —
+    // the r6 loop was ~5 jobs PER hot cell)
+    assert(jobs8 <= jobs2 + 3,
+      s"job count grew with hot-cell count: $jobs2 -> $jobs8 (driver loop?)")
+  }
+
   test("paragraph dedup keeps first corpus occurrence and reassembles in order") {
     val sp = spark; import sp.implicits._
     // L=4 segments: doc0 = [s0 s1 s2]; doc1 repeats doc0's s1 between
