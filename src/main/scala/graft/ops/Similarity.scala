@@ -290,12 +290,30 @@ object Similarity {
     val seeds: Seq[Seq[Seq[Double]]] =
       (0 until mSub).map(m => seedRows.map(_.slice(m * d, (m + 1) * d)))
 
-    // ‖c‖²−2c·x per centroid of one codebook, as a kCodes-length array
-    def costs(cb: Seq[Seq[Double]], sv: Column): Column = {
-      val n2 = cb.map(c => c.map(x => x * x).sum)
-      zip_with(typedlit(n2), graft.functions.vector_dots(typedlit(cb), sv),
-        (a, b) => a - lit(2.0) * b)
+    // ‖c‖²−2c·x per centroid of one codebook, as a kCodes-length
+    // array. r7 shape: ONE keyed-broadcast kernel call — the cost
+    // folds into a plain dot product of the augmented plane
+    // [-2c…, ‖c‖²] against [x…, 1] (exactly n2 − 2c·x per element),
+    // so the per-subspace codebooks ride a single broadcast map keyed
+    // by subspace index instead of mSub typedlit matrices chained
+    // through when()/zip_with — the generated code shrinks from
+    // O(mSub·kCodes·d) literals to one kernel call, and plan size is
+    // codebook-independent (same argument as the centroid broadcast)
+    def augMats(cb: Seq[Seq[Seq[Double]]])
+        : java.util.HashMap[java.lang.Long, Array[Array[Double]]] = {
+      val mats = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]
+      cb.indices.foreach { i =>
+        mats.put(i.toLong, cb(i).map(c =>
+          (c.map(-2.0 * _) :+ c.map(x => x * x).sum).toArray).toArray)
+      }
+      mats
     }
+    def costsByKey(
+        bc: org.apache.spark.broadcast.Broadcast[
+          java.util.HashMap[java.lang.Long, Array[Array[Double]]]],
+        key: Column, sv: Column): Column =
+      graft.functions.vector_dots_by_key(bc, key,
+        concat(sv, array(lit(1.0f))))
     def argmin(cost: Column): Column =
       array_position(cost, array_min(cost)).cast("int")
 
@@ -304,10 +322,8 @@ object Similarity {
       .select(col("m"),
         slice(col("embedding"), col("m") * d + 1, lit(d)).as("sv"))
     def refine(cb: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
-      val costBySub = (1 until mSub).foldLeft(
-          when(col("m") === 0, costs(cb(0), col("sv")))) {
-        (acc, m) => acc.when(col("m") === m, costs(cb(m), col("sv")))
-      }
+      val bc = s.sparkContext.broadcast(augMats(cb))
+      val costBySub = costsByKey(bc, col("m").cast("long"), col("sv"))
       val means = sub.withColumn("code", argmin(costBySub))
         .select(col("m"), col("code"), posexplode(col("sv")))
         .groupBy(col("m"), col("code"), col("pos"))
@@ -324,16 +340,19 @@ object Similarity {
       (1 to lloydPasses).foldLeft(seeds)((cb, _) => refine(cb))
 
     // ---- encode every vector: mSub codes, map-only
+    val cbBc = s.sparkContext.broadcast(augMats(codebooks))
     def subvec(v: Column, m: Int): Column = slice(v, m * d + 1, d)
     val codes = e.select(col("vec_id").as("cid"),
       array((0 until mSub).map(m =>
-        argmin(costs(codebooks(m), subvec(col("embedding"), m)))): _*).as("codes"))
+        argmin(costsByKey(cbBc, lit(m.toLong),
+          subvec(col("embedding"), m)))): _*).as("codes"))
 
     // ---- query: per-query distance tables, broadcast; ADC scoring
     val qtab = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"),
         array((0 until mSub).map(m =>
-          costs(codebooks(m), subvec(col("embedding"), m))): _*).as("tab"))
+          costsByKey(cbBc, lit(m.toLong),
+            subvec(col("embedding"), m))): _*).as("tab"))
     val scored = codes.join(broadcast(qtab), col("qid") =!= col("cid"))
       .withColumn("adist", aggregate(
         zip_with(col("tab"), col("codes"), (tbl, c) => element_at(tbl, c)),
