@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Minimal Flight-style RPC transport — the socket analogue of the
-  * reference's FlightService (`format/Flight.proto:38-105`): the four
-  * verbs a reference user actually exercises, served over a plain TCP
+  * reference's FlightService (`format/Flight.proto:38-160`): the verbs
+  * a reference user actually exercises, served over a plain TCP
   * socket with the engine's own Arrow IPC STREAM codec
   * ([[Ipc.writeIpcStreamTo]] / [[Ipc.readIpcStreamFrom]]) as the data
   * plane.
@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.StructType
   *  - DoPut (`Flight.proto:89`) — client uploads an Arrow stream;
   *    the server registers it as a temp view under the descriptor
   *    name and replies with the row count.
+  *  - ListActions / DoAction (`Flight.proto:92-105`) — the
+  *    server-side command surface: drop_view, row_count, clear_cache
+  *    ('T' lists "type: description" lines; 'A' runs "type body").
   *  - GetFlightInfo + endpoint DoGet (`Flight.proto:138-160`,
   *    `FlightInfo.endpoint`) — 'F' returns the ticket's schema and
   *    its endpoint count (one per partition of the server-side
@@ -153,6 +156,32 @@ object FlightLite {
             val parts = df.rdd.getNumPartitions
             out.writeByte('O'); writeStr(out, df.schema.json)
             out.writeInt(parts)
+          case 'T' =>
+            // ListActions (Flight.proto:99-105): the action verbs this
+            // server understands, newline-joined "type: description"
+            out.writeByte('O')
+            writeStr(out, Seq(
+              "drop_view: unregister the named temp view",
+              "row_count: rows in the named view/SQL ticket",
+              "clear_cache: uncache all cached tables").mkString("\n"))
+          case 'A' =>
+            // DoAction (Flight.proto:92-98): name = "type body"
+            val sep = name.indexOf(' ')
+            val (action, body) =
+              if (sep < 0) (name, "") else (name.take(sep), name.drop(sep + 1))
+            action match {
+              case "drop_view" =>
+                val dropped = spark.catalog.dropTempView(body)
+                out.writeByte('O'); writeStr(out, dropped.toString)
+              case "row_count" =>
+                out.writeByte('O')
+                writeStr(out, resolve(body).count().toString)
+              case "clear_cache" =>
+                spark.catalog.clearCache()
+                out.writeByte('O'); writeStr(out, "ok")
+              case other =>
+                out.writeByte('E'); writeStr(out, s"unknown action: $other")
+            }
           case 'g' =>
             // endpoint DoGet: stream ONE partition of the ticket's
             // result. runJob(Seq(p)) computes exactly that partition —
@@ -225,6 +254,21 @@ object FlightLite {
       val bytes = Ipc.writeIpcStream(rows, schema)
       out.writeLong(bytes.length.toLong); out.write(bytes)
     } { in => readName(in).toLong }
+
+  /** ListActions (Flight.proto:99-105): "type: description" lines. */
+  def listActions(host: String, port: Int): Seq[String] =
+    request(host, port) { out => out.writeByte('T'); writeStr(out, "") } {
+      in => readName(in).split("\n").toSeq.filter(_.nonEmpty)
+    }
+
+  /** DoAction (Flight.proto:92-98): run `action` with `body`, returns
+    * the result string. Actions: drop_view, row_count, clear_cache. */
+  def doAction(host: String, port: Int, action: String,
+      body: String = ""): String =
+    request(host, port) { out =>
+      out.writeByte('A')
+      writeStr(out, if (body.isEmpty) action else s"$action $body")
+    } { in => readName(in) }
 
   /** GetFlightInfo: the ticket's schema and its endpoint count — one
     * endpoint per partition of the server-side plan

@@ -129,4 +129,24 @@ class FlightLiteSpec extends SparkSpec {
       assert(sqlParts >= 1)
     } finally server.close()
   }
+
+  test("ListActions names the verbs; DoAction runs them; unknown rejects") {
+    val server = new FlightLite.Server(spark).start()
+    try {
+      val actions = FlightLite.listActions("127.0.0.1", server.boundPort)
+      assert(actions.exists(_.startsWith("drop_view:")))
+      assert(actions.exists(_.startsWith("row_count:")))
+      FlightLite.doPut("127.0.0.1", server.boundPort, "fl_act", rows, schema)
+      assert(FlightLite.doAction("127.0.0.1", server.boundPort,
+        "row_count", "fl_act") == "3")
+      assert(FlightLite.doAction("127.0.0.1", server.boundPort,
+        "drop_view", "fl_act") == "true")
+      assert(!FlightLite.listFlights("127.0.0.1", server.boundPort)
+        .contains("fl_act"), "dropped view still listed")
+      val e = intercept[RuntimeException] {
+        FlightLite.doAction("127.0.0.1", server.boundPort, "nope", "x")
+      }
+      assert(e.getMessage.contains("unknown action"))
+    } finally server.close()
+  }
 }
