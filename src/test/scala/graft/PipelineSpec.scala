@@ -74,6 +74,35 @@ class PipelineSpec extends SparkSpec {
     // little signal, but the machinery must still surface true neighbors
   }
 
+  test("persisted IVF index: build once, query many; nprobe<k served " +
+      "from the stored index matches the fresh IVF path") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString + "/idx"
+    Similarity.buildIvfIndex(spark, sfDir, root)
+    val queries = graft.sources.TableLog.snapshot(spark, s"$root/vectors")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // same training (min-id seeds + one Lloyd pass) -> the persisted
+    // nprobe=3 answer must EQUAL the per-call knn_ivf answer
+    val fresh = Similarity.knnIvf(spark, sfDir, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stored = Similarity.queryIvfIndex(spark, root, queries, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored == fresh, "persisted index diverged from fresh training")
+    // query MANY: a second query hits the same stored index (no
+    // rebuild) and is deterministic
+    val again = Similarity.queryIvfIndex(spark, root, queries, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == stored)
+    // the candidate scan carries the probed-cell filter down to the
+    // parquet scan (log-stats file skip happens above it; the pushed
+    // IN prunes row groups within surviving files)
+    val plan = Similarity.queryIvfIndex(spark, root, queries, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(cell"),
+      s"probed-cell filter not pushed to the index scan:\n$plan")
+  }
+
   /** Exact L2 top-10 per query, computed in-test (500 vectors). */
   private def exactL2Top10: Map[Long, Set[Long]] = {
     val e = graft.sources.Tables(spark, sfDir, "embeddings")
