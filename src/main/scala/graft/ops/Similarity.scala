@@ -330,6 +330,42 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- shared PQ machinery ----------------------------------------------
+  // ‖c‖²−2c·x per centroid of one codebook, as a kCodes-length array,
+  // in ONE keyed-broadcast kernel call: the cost folds into a plain
+  // dot product of the augmented plane [-2c…, ‖c‖²] against [x…, 1]
+  // (exactly n2 − 2c·x per element), so per-subspace codebooks ride a
+  // single broadcast map keyed by subspace index instead of mSub
+  // typedlit matrices chained through when()/zip_with — generated
+  // code shrinks from O(mSub·kCodes·d) literals to one kernel call,
+  // and plan size is codebook-independent (same argument as the
+  // centroid broadcast).
+
+  private type PqMats = org.apache.spark.broadcast.Broadcast[
+    java.util.HashMap[java.lang.Long, Array[Array[Double]]]]
+
+  private def pqAugMats(cb: Seq[Seq[Seq[Double]]])
+      : java.util.HashMap[java.lang.Long, Array[Array[Double]]] = {
+    val mats = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]
+    cb.indices.foreach { i =>
+      mats.put(i.toLong, cb(i).map(c =>
+        (c.map(-2.0 * _) :+ c.map(x => x * x).sum).toArray).toArray)
+    }
+    mats
+  }
+
+  /** Augmented input: works for float (raw embedding slices) and
+    * double (residual slices) vectors — the kernel accepts both;
+    * `floatVec` picks the type of the appended 1 so concat unifies. */
+  private def pqCosts(bc: PqMats, key: Column, sv: Column,
+      floatVec: Boolean = true): Column = {
+    val one: Column = if (floatVec) array(lit(1.0f)) else array(lit(1.0))
+    graft.functions.vector_dots_by_key(bc, key, concat(sv, one))
+  }
+
+  private def pqArgmin(cost: Column): Column =
+    array_position(cost, array_min(cost)).cast("int")
+
   /** Product quantization (PQ) ANN — the memory-scale path past IVF:
     * each D-dim float vector is encoded as `mSub` one-byte codes (its
     * nearest centroid per subspace), so a 100 TB float corpus becomes
@@ -379,41 +415,15 @@ object Similarity {
     val seeds: Seq[Seq[Seq[Double]]] =
       (0 until mSub).map(m => seedRows.map(_.slice(m * d, (m + 1) * d)))
 
-    // ‖c‖²−2c·x per centroid of one codebook, as a kCodes-length
-    // array. r7 shape: ONE keyed-broadcast kernel call — the cost
-    // folds into a plain dot product of the augmented plane
-    // [-2c…, ‖c‖²] against [x…, 1] (exactly n2 − 2c·x per element),
-    // so the per-subspace codebooks ride a single broadcast map keyed
-    // by subspace index instead of mSub typedlit matrices chained
-    // through when()/zip_with — the generated code shrinks from
-    // O(mSub·kCodes·d) literals to one kernel call, and plan size is
-    // codebook-independent (same argument as the centroid broadcast)
-    def augMats(cb: Seq[Seq[Seq[Double]]])
-        : java.util.HashMap[java.lang.Long, Array[Array[Double]]] = {
-      val mats = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]
-      cb.indices.foreach { i =>
-        mats.put(i.toLong, cb(i).map(c =>
-          (c.map(-2.0 * _) :+ c.map(x => x * x).sum).toArray).toArray)
-      }
-      mats
-    }
-    def costsByKey(
-        bc: org.apache.spark.broadcast.Broadcast[
-          java.util.HashMap[java.lang.Long, Array[Array[Double]]]],
-        key: Column, sv: Column): Column =
-      graft.functions.vector_dots_by_key(bc, key,
-        concat(sv, array(lit(1.0f))))
-    def argmin(cost: Column): Column =
-      array_position(cost, array_min(cost)).cast("int")
 
     val sub = e.select(col("embedding"),
         explode(sequence(lit(0), lit(mSub - 1))).as("m"))
       .select(col("m"),
         slice(col("embedding"), col("m") * d + 1, lit(d)).as("sv"))
     def refine(cb: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
-      val bc = s.sparkContext.broadcast(augMats(cb))
-      val costBySub = costsByKey(bc, col("m").cast("long"), col("sv"))
-      val means = sub.withColumn("code", argmin(costBySub))
+      val bc = s.sparkContext.broadcast(pqAugMats(cb))
+      val costBySub = pqCosts(bc, col("m").cast("long"), col("sv"))
+      val means = sub.withColumn("code", pqArgmin(costBySub))
         .select(col("m"), col("code"), posexplode(col("sv")))
         .groupBy(col("m"), col("code"), col("pos"))
         .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
@@ -429,18 +439,18 @@ object Similarity {
       (1 to lloydPasses).foldLeft(seeds)((cb, _) => refine(cb))
 
     // ---- encode every vector: mSub codes, map-only
-    val cbBc = s.sparkContext.broadcast(augMats(codebooks))
+    val cbBc = s.sparkContext.broadcast(pqAugMats(codebooks))
     def subvec(v: Column, m: Int): Column = slice(v, m * d + 1, d)
     val codes = e.select(col("vec_id").as("cid"),
       array((0 until mSub).map(m =>
-        argmin(costsByKey(cbBc, lit(m.toLong),
+        pqArgmin(pqCosts(cbBc, lit(m.toLong),
           subvec(col("embedding"), m)))): _*).as("codes"))
 
     // ---- query: per-query distance tables, broadcast; ADC scoring
     val qtab = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"),
         array((0 until mSub).map(m =>
-          costsByKey(cbBc, lit(m.toLong),
+          pqCosts(cbBc, lit(m.toLong),
             subvec(col("embedding"), m))): _*).as("tab"))
     val scored = codes.join(broadcast(qtab), col("qid") =!= col("cid"))
       .withColumn("adist", aggregate(
@@ -453,6 +463,123 @@ object Similarity {
   }
 
   def qKnnPq(s: SparkSession, dir: String): DataFrame = knnPq(s, dir)
+
+  /** IVF-PQ composed index (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search" §IV — the standard FAISS `IVFPQ`
+    * shape): coarse IVF cells prune the candidate set, PQ codes over
+    * RESIDUALS (x − centroid(cell)) score the survivors by ADC table
+    * lookup. This is the composition that actually serves corpus-scale
+    * ANN: IVF alone still reads full vectors for candidates; PQ alone
+    * scans every code; together the scan is |probed cells| candidates
+    * × mSub byte lookups.
+    *
+    * Spark-first shape, reusing the oracle-checked parts:
+    *  - COARSE: identical training/assignment to [[knnIvf]] (min-id
+    *    seeds, decimal-exact Lloyd, broadcast-kernel argmax).
+    *  - RESIDUALS: one broadcast join against the O(k·d) centroid
+    *    frame + a per-row zip_with — map-only.
+    *  - PQ TRAIN on residual sub-vectors (seeds = first kCodes
+    *    residuals, one batched Lloyd pass via the keyed-broadcast cost
+    *    kernel — same partition-count-independent decimal means).
+    *  - ENCODE map-only; QUERY builds one (qid, cell) distance table
+    *    per PROBED pair — tab_m[j] = ‖r_q,m − c_j‖² (the full squared
+    *    distance, so rankings compare across a query's probed cells) —
+    *    broadcast, then candidates join on cell and sum mSub lookups.
+    *
+    * Doubly approximate by design (candidate pruning + lossy codes) →
+    * engine API asserted by PipelineSpec (recall vs exact L2,
+    * determinism, probe monotonicity) rather than a declared oracle
+    * row; every building block it composes is oracle-checked
+    * (`knn_ivf_exact`, `knn_ivf_persisted`, `knn_pq` specs). */
+  def knnIvfPq(s: SparkSession, dir: String, nprobe: Int = 3,
+      mSub: Int = 8, kCodes: Int = 16, topk: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    require(dim % mSub == 0, s"dim $dim not divisible by $mSub subspaces")
+    val d = dim / mSub
+    val sp = s; import sp.implicits._
+
+    // ---- coarse cells (as knnIvf) + residuals
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val cents = refineCentroids(e, seeds)
+    val scores = centroidScores(s, cents, col("embedding"))
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i + 1, c) }.toDF("cell", "ctr"))
+    val resid = e
+      .withColumn("cell",
+        array_position(scores, array_max(scores)).cast("int"))
+      .join(centDf, Seq("cell"))
+      .withColumn("r", zip_with(col("embedding"), col("ctr"),
+        (x, c) => x.cast(DoubleType) - c))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("r"))
+      .localCheckpoint(true)
+
+    // ---- PQ train on residual sub-vectors: first-kCodes seeds + one
+    // batched decimal-exact Lloyd pass over all subspaces
+    def subvec(v: Column, m: Int): Column = slice(v, m * d + 1, d)
+    val seedRows: Seq[Seq[Double]] = resid.filter(col("vec_id") < kCodes)
+      .orderBy("vec_id").select(col("r")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val seedCb: Seq[Seq[Seq[Double]]] =
+      (0 until mSub).map(m => seedRows.map(_.slice(m * d, (m + 1) * d)))
+    val sub = resid.select(col("r"),
+        explode(sequence(lit(0), lit(mSub - 1))).as("m"))
+      .select(col("m"), slice(col("r"), col("m") * d + 1, lit(d)).as("sv"))
+    val seedBc = s.sparkContext.broadcast(pqAugMats(seedCb))
+    val means = sub.withColumn("code",
+        pqArgmin(pqCosts(seedBc, col("m").cast("long"), col("sv"),
+          floatVec = false)))
+      .select(col("m"), col("code"), posexplode(col("sv")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1))).as("mean"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .view.mapValues(rows =>
+        rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq).toMap
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until mSub).map(m =>
+      (0 until kCodes).map(j => means.getOrElse((m, j + 1), seedCb(m)(j))))
+    val cbBc = s.sparkContext.broadcast(pqAugMats(codebooks))
+
+    // ---- encode residuals: mSub codes per vector, map-only
+    val codes = resid.select(col("vec_id").as("cid"), col("cell"),
+      array((0 until mSub).map(m =>
+        pqArgmin(pqCosts(cbBc, lit(m.toLong), subvec(col("r"), m),
+          floatVec = false))): _*).as("codes"))
+
+    // ---- query: per-(qid, probed cell) residual distance tables.
+    // ‖r_q,m − c_j‖² = (‖c_j‖² − 2c_j·r_q,m) + ‖r_q,m‖² — the second
+    // term varies per (q, cell, m), so it stays in the table (cross-
+    // cell rankings need the full distance, unlike single-codebook PQ)
+    def sumSq(c: Column): Column =
+      aggregate(c, lit(0.0), (a, x) => a + x * x)
+    val probes = resid.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        posexplode(centroidScores(s, cents, col("embedding"))))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("col").desc, col("pos").asc)))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qe"), (col("pos") + 1).cast("int").as("cell"))
+    val qtab = probes.join(centDf, Seq("cell"))
+      .withColumn("rq", zip_with(col("qe"), col("ctr"),
+        (x, c) => x.cast(DoubleType) - c))
+      .select(col("qid"), col("cell"),
+        array((0 until mSub).map { m =>
+          val sv = subvec(col("rq"), m)
+          transform(pqCosts(cbBc, lit(m.toLong), sv, floatVec = false),
+            t => t + sumSq(sv))
+        }: _*).as("tab"))
+    val scored = codes.join(broadcast(qtab), Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("adist", aggregate(
+        zip_with(col("tab"), col("codes"), (tbl, c) => element_at(tbl, c)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("cos_sim", -col("adist"))
+    topK(scored, topk)
+  }
 
   val qEmbedNormSql: String = """
     WITH n AS (

@@ -144,6 +144,33 @@ class PipelineSpec extends SparkSpec {
     assert(pq.toSeq == again.toSeq, "PQ pipeline must be run-to-run deterministic")
   }
 
+  test("IVF-PQ: residual ADC over probed cells recalls true neighbors, " +
+      "deterministically, and more probes never hurt") {
+    def run(nprobe: Int) = Similarity.knnIvfPq(spark, sfDir, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ivfpq = run(3)
+    val byQ = ivfpq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = exactL2Top10
+    def meanRecall(m: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (q, truth) =>
+        (m.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val r3 = meanRecall(byQ)
+    // candidate set is ~3/10 of the corpus AND codes are lossy —
+    // chance is 0.02; near-orthogonal fixture vectors put little
+    // signal in cells, so the bar sits above chance, below plain PQ
+    assert(r3 >= 0.05, s"IVF-PQ mean recall@10 $r3 vs chance 0.02")
+    // probing every cell reduces to plain residual-PQ over the whole
+    // corpus: strictly more candidates may never lose recall
+    val r10 = meanRecall(run(10).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap)
+    assert(r10 >= r3, s"recall fell as probes grew: $r3 -> $r10")
+    assert(r10 >= 0.15, s"probe-all residual PQ recall $r10")
+    // deterministic end-to-end (coarse train + residuals + PQ train)
+    assert(run(3).toSeq == ivfpq.toSeq, "IVF-PQ must be deterministic")
+  }
+
   test("no cartesian product in any candidate-generation plan") {
     def planOf(df: DataFrame) = df.queryExecution.executedPlan.toString
     for (df <- Seq(Dedup.qDedupMinhash(spark, sfDir),
