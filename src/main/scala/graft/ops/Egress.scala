@@ -371,6 +371,45 @@ object Egress {
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** Idempotent transactional loading into the transaction log — the
+    * exactly-once ingestion contract (Delta's txn appId/version): the
+    * orders table loads as four epoch-chunked appends through
+    * `appendIdempotent("loader", epoch)`, then epochs 1 and 2 REPLAY
+    * (the crash-between-write-and-offset-commit case a streaming
+    * foreachBatch sink hits) and must be NO-OPS. The profile of the
+    * final snapshot against the plain orders oracle proves it: one
+    * duplicated epoch would double its chunk's counts and fail the
+    * hash. Streaming twin: `streaming/Streaming.sinkToTableLog`
+    * (StreamingSpec drives the live foreachBatch path, including a
+    * full checkpoint-loss replay). */
+  def qLogTxnSink(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_txn"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def chunk(i: Int) = orders.filter(col("o_orderkey") % 4 === i)
+    (0 until 4).foreach(i =>
+      graft.sources.TableLog.appendIdempotent(s, root, chunk(i),
+        "loader", i.toLong, statsCols = Seq("o_orderkey")))
+    // epoch replays: already-committed versions must be skipped
+    require(graft.sources.TableLog.appendIdempotent(s, root, chunk(1),
+      "loader", 1L).isEmpty, "replayed epoch 1 was not skipped")
+    require(graft.sources.TableLog.appendIdempotent(s, root, chunk(2),
+      "loader", 2L).isEmpty, "replayed epoch 2 was not skipped")
+    graft.sources.TableLog.snapshot(s, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogTxnSinkSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
   /** Conditional-update MERGE (WHEN MATCHED AND pred THEN UPDATE SET)
     * on the transaction-logged table — the column-level CDC-apply form
     * the replace-whole-row `log_merge` cannot express: the source

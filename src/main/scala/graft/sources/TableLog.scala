@@ -88,11 +88,21 @@ object TableLog {
   // drift from the writer: paths are uuid/part names, never quoted
   // metacharacters)
   private def render(version: Int, add: Seq[String], remove: Seq[String],
-      statsFile: Option[String], dataChange: Boolean): String = {
+      statsFile: Option[String], dataChange: Boolean,
+      txn: Option[(String, Long)] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val st = statsFile.map(p => s""","stats":"$p"""").getOrElse("")
-    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st,"dataChange":$dataChange}"""
+    val tx = txn.map { case (a, v) =>
+      require(!a.contains('"') && !a.contains(':'),
+        s"txn app id must not contain quotes or ':': $a")
+      s""","txn":"$a:$v""""
+    }.getOrElse("")
+    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st$tx,"dataChange":$dataChange}"""
   }
+
+  private def parseTxn(json: String): Option[(String, Long)] =
+    "\"txn\":\"([^\":]+):(-?\\d+)\"".r.findFirstMatchIn(json)
+      .map(m => (m.group(1), m.group(2).toLong))
 
   private def parseArr(json: String, key: String): Seq[String] = {
     val m = ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
@@ -251,7 +261,7 @@ object TableLog {
     * conflict and retry freely. */
   private def publish(s: SparkSession, root: String, add: Seq[String],
       remove: Seq[String], statsFile: Option[String] = None,
-      dataChange: Boolean = true): Int = {
+      dataChange: Boolean = true, txn: Option[(String, Long)] = None): Int = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/_log"))
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
@@ -263,9 +273,17 @@ object TableLog {
           "TableLog: commit would remove files a concurrent commit " +
             s"already removed (rebase and retry): ${gone.take(3).mkString(", ")}")
       }
+      // transactional idempotency re-checked on EVERY attempt: if a
+      // concurrent writer committed the same (app, >=version) between
+      // our check and our CAS, bow out instead of double-appending
+      txn.foreach { case (app, v) =>
+        if (lastTxnVersion(s, root, app).exists(_ >= v))
+          throw new java.util.ConcurrentModificationException(
+            s"TableLog: txn $app:$v already committed")
+      }
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(render(attempt, add, remove, statsFile, dataChange)
+      try out.write(render(attempt, add, remove, statsFile, dataChange, txn)
         .getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
@@ -333,6 +351,42 @@ object TableLog {
       statsCols: Seq[String] = Nil): Int = {
     val (sub, files) = writeData(s, root, df)
     publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols))
+  }
+
+  /** Highest committed transaction version for `app`, scanning the
+    * log's `txn` records (Delta's `setTransaction`/`txnVersion`
+    * analogue) — the idempotency watermark for [[appendIdempotent]].
+    * O(#commits) driver metadata reads. */
+  def lastTxnVersion(s: SparkSession, root: String, app: String): Option[Long] = {
+    val f = fs(s, root)
+    versions(s, root)
+      .flatMap(v => parseTxn(readText(f, logPath(root, v))))
+      .collect { case (a, v) if a == app => v }
+      .maxOption
+  }
+
+  /** Idempotent transactional append — the streaming/exactly-once
+    * ingestion primitive (Delta's idempotent writes: each commit
+    * records an (application id, monotonically increasing version);
+    * re-applying a version at or below the recorded watermark is a
+    * NO-OP instead of a duplicate append). This is what makes a
+    * Structured Streaming `foreachBatch(epochId)` sink into the log
+    * effectively-exactly-once: epoch replays after a crash (or a full
+    * checkpoint loss) skip instead of double-writing. Returns the
+    * committed log version, or None when the transaction was already
+    * applied (including a concurrent writer winning the same version
+    * mid-commit). */
+  def appendIdempotent(s: SparkSession, root: String, df: DataFrame,
+      app: String, txnVersion: Long, statsCols: Seq[String] = Nil): Option[Int] = {
+    val dir = new Path(s"$root/_log")
+    if (fs(s, root).exists(dir) &&
+        lastTxnVersion(s, root, app).exists(_ >= txnVersion)) return None
+    val (sub, files) = writeData(s, root, df)
+    try Some(publish(s, root, files, Seq.empty,
+      writeStats(s, root, sub, statsCols), txn = Some(app -> txnVersion)))
+    catch {
+      case _: java.util.ConcurrentModificationException => None // raced: applied
+    }
   }
 
   /** Replace the whole table content with `df` in one commit. */

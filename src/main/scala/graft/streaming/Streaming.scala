@@ -315,6 +315,28 @@ object Streaming {
     fs.delete(old, true)
   }
 
+  /** Streaming ingestion INTO the transaction log — the
+    * lakehouse-streaming integration: each micro-batch commits through
+    * [[graft.sources.TableLog.appendIdempotent]] keyed by (app,
+    * epochId), so Structured Streaming's epoch replays (crash before
+    * offsets commit, or even a FULL checkpoint loss + restart from
+    * scratch) skip instead of double-appending — exactly-once
+    * end-to-end, readers see each batch atomically via the log, and
+    * time travel / changesSince work over the ingested stream for
+    * free. StreamingSpec replays the whole stream against the same
+    * root and pins the row count unchanged. */
+  def sinkToTableLog(stream: DataFrame, root: String, app: String,
+      checkpoint: String, statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.TableLog.appendIdempotent(
+          batch.sparkSession, root, batch, app, epochId, statsCols): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   // ---- transformWithState (Spark 4 arbitrary-state API) ------------------
 
   case class Change(key: Long, ts: java.sql.Timestamp, value: String)

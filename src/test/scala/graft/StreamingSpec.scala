@@ -596,4 +596,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 4, s"restart must neither drop nor duplicate: $got")
     assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
+
+  test("sinkToTableLog: streaming appends commit through the log " +
+      "exactly-once, even across a FULL checkpoint loss") {
+    val sp = spark
+    import sp.implicits._
+    val src = "/tmp/graft_egress/tlog_sink_src"
+    val ckpt = src + "_ckpt"
+    val root = src + "_table"
+    for (d <- Seq(src, ckpt, root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"row$i"), (i + 10L, s"row${i + 10}")).toDF("k", "s")
+        .repartition(1).write.format("graft-ipc")
+        .mode(if (i == 1) "overwrite" else "append").save(src)
+    }
+    def run(): Unit = {
+      val q = graft.streaming.Streaming.sinkToTableLog(
+        spark.readStream.format("graft-ipc")
+          .option("maxFilesPerTrigger", "1").load(src),
+        root, app = "ipc-loader", checkpoint = ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterFirst = graft.sources.TableLog.snapshot(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(afterFirst.size == 6, s"expected 6 ingested rows: $afterFirst")
+    // catastrophic restart: checkpoint GONE, epochs replay from 0 —
+    // the log's txn watermark (not the checkpoint) must dedupe them
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    run()
+    val afterReplay = graft.sources.TableLog.snapshot(spark, root)
+      .as[(Long, String)].collect().toSeq
+    assert(afterReplay.size == 6,
+      s"checkpoint-loss replay duplicated rows: ${afterReplay.size}")
+    assert(afterReplay.toSet == afterFirst)
+    // the ingested stream is incrementally consumable from the log
+    assert(graft.sources.TableLog.changesSince(spark, root, -1)
+      .count() == 6)
+  }
 }
