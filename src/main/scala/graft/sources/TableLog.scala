@@ -181,8 +181,14 @@ object TableLog {
 
   private def writeCheckpoint(s: SparkSession, root: String, v: Int): Unit = {
     val state = replayState(s, root, v, useCheckpoint = true)._1
-    val body = (state.map { case (p, st) => s"$p\t${st.getOrElse("")}" } :+
-      CkptEnd).mkString("", "\n", "\n")
+    // txn watermarks ride the checkpoint too ("#txn\tapp\tversion"
+    // lines), so lastTxnVersion — the exactly-once ingestion check run
+    // on EVERY appendIdempotent — replays O(interval) JSON entries,
+    // not O(#commits)
+    val txns = txnState(s, root, v).toSeq.sortBy(_._1)
+      .map { case (a, tv) => s"#txn\t$a\t$tv" }
+    val body = (state.map { case (p, st) => s"$p\t${st.getOrElse("")}" } ++
+      txns :+ CkptEnd).mkString("", "\n", "\n")
     val f = fs(s, root)
     try {
       val tmp = new Path(s"$root/_log/.tmp-ckpt-${UUID.randomUUID()}")
@@ -194,20 +200,47 @@ object TableLog {
     } catch { case _: java.io.IOException => () } // best-effort cache
   }
 
-  /** Parse a checkpoint body into live state; None when the file is
-    * incomplete (no [[CkptEnd]] sentinel) or malformed (a line without
-    * a tab) — the caller then ignores the checkpoint entirely. */
+  /** Parse a checkpoint body into (live state, txn watermarks); None
+    * when the file is incomplete (no [[CkptEnd]] sentinel) or
+    * malformed (a line without a tab, a bad #txn directive) — the
+    * caller then ignores the checkpoint entirely. */
   private def parseCheckpoint(body: String)
-      : Option[Seq[(String, Option[String])]] = {
+      : Option[(Seq[(String, Option[String])], Map[String, Long])] = {
     val lines = body.split('\n').filter(_.nonEmpty)
     if (lines.isEmpty || lines.last != CkptEnd) return None
-    val entries = lines.dropRight(1)
+    val (directives, entries) = lines.dropRight(1).partition(_.startsWith("#"))
     if (entries.exists(!_.contains('\t'))) return None
-    Some(entries.toSeq.map { line =>
+    val txns = directives.map(_.split('\t')).map {
+      case Array("#txn", app, v) => app -> v.toLong
+      case _ => return None
+    }.toMap
+    Some((entries.toSeq.map { line =>
       val i = line.indexOf('\t')
       val st = line.substring(i + 1)
       (line.substring(0, i), if (st.isEmpty) None else Some(st))
-    })
+    }, txns))
+  }
+
+  /** Per-app transaction watermarks as of `version` (-1 = latest):
+    * newest usable checkpoint's #txn directives + a JSON-suffix scan. */
+  private[graft] def txnState(s: SparkSession, root: String,
+      version: Int): Map[String, Long] = {
+    val f = fs(s, root)
+    val vs = versions(s, root)
+    val upto = if (version < 0) vs else vs.filter(_ <= version)
+    if (upto.isEmpty) return Map.empty
+    val base = checkpointVersions(s, root).filter(_ <= upto.last).lastOption
+      .flatMap { cv =>
+        parseCheckpoint(readText(f, ckptPath(root, cv))).map(cv -> _._2)
+      }
+    val m = mutable.Map.empty[String, Long]
+    base.foreach { case (_, txns) => m ++= txns }
+    upto.filter(v => base.forall(_._1 < v)).foreach { v =>
+      parseTxn(readText(f, logPath(root, v))).foreach { case (a, tv) =>
+        if (m.get(a).forall(_ < tv)) m(a) = tv
+      }
+    }
+    m.toMap
   }
 
   /** Live file set (relative paths, insertion-ordered) plus the stats
@@ -234,7 +267,7 @@ object TableLog {
     val base = (if (useCheckpoint)
       checkpointVersions(s, root).filter(_ <= upto.last).lastOption
     else None).flatMap { cv =>
-      parseCheckpoint(readText(f, ckptPath(root, cv))).map(cv -> _)
+      parseCheckpoint(readText(f, ckptPath(root, cv))).map(cv -> _._1)
     }
     base.foreach { case (_, entries) =>
       entries.foreach { case (p, st) => live.put(p, st) }
@@ -353,17 +386,12 @@ object TableLog {
     publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols))
   }
 
-  /** Highest committed transaction version for `app`, scanning the
-    * log's `txn` records (Delta's `setTransaction`/`txnVersion`
-    * analogue) — the idempotency watermark for [[appendIdempotent]].
-    * O(#commits) driver metadata reads. */
-  def lastTxnVersion(s: SparkSession, root: String, app: String): Option[Long] = {
-    val f = fs(s, root)
-    versions(s, root)
-      .flatMap(v => parseTxn(readText(f, logPath(root, v))))
-      .collect { case (a, v) if a == app => v }
-      .maxOption
-  }
+  /** Highest committed transaction version for `app` (Delta's
+    * `setTransaction`/`txnVersion` analogue) — the idempotency
+    * watermark for [[appendIdempotent]]. Checkpoint-accelerated via
+    * [[txnState]]: O(checkpoint interval) JSON reads, not O(#commits). */
+  def lastTxnVersion(s: SparkSession, root: String, app: String): Option[Long] =
+    txnState(s, root, -1).get(app)
 
   /** Idempotent transactional append — the streaming/exactly-once
     * ingestion primitive (Delta's idempotent writes: each commit
@@ -672,6 +700,30 @@ object TableLog {
     val snap = snapshot(s, root)
     rewrite(s, root, statsCols)(dir =>
       snap.coalesce(numFiles).write.parquet(dir))
+  }
+
+  /** Commit history as a DataFrame — `DESCRIBE HISTORY` parity:
+    * (version, n_add, n_remove, data_change, txn_app, txn_version)
+    * per commit, ascending. Driver-side log metadata (O(#commits)),
+    * surfaced relationally so audits compose with the query engine. */
+  def history(s: SparkSession, root: String): DataFrame = {
+    val f = fs(s, root)
+    val rows = versions(s, root).map { v =>
+      val json = readText(f, logPath(root, v))
+      val txn = parseTxn(json)
+      org.apache.spark.sql.Row(v, parseArr(json, "add").size,
+        parseArr(json, "remove").size, parseDataChange(json),
+        txn.map(_._1).orNull,
+        txn.map(t => java.lang.Long.valueOf(t._2)).orNull)
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("n_add", IntegerType, nullable = false),
+      StructField("n_remove", IntegerType, nullable = false),
+      StructField("data_change", BooleanType, nullable = false),
+      StructField("txn_app", StringType),
+      StructField("txn_version", LongType))))
   }
 
   /** Reclaim data files no snapshot at version >= `retainFrom` can

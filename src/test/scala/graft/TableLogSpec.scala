@@ -361,6 +361,32 @@ class TableLogSpec extends SparkSpec {
       .head.getLong(2) == 200L)
   }
 
+  test("txn watermarks survive checkpointing; replays skip; history " +
+      "reports commits relationally") {
+    val key = "spark.graft.tablelog.checkpointInterval"
+    spark.conf.set(key, "5")
+    try {
+      val root = freshRoot()
+      (0 until 12).foreach(i => assert(
+        TableLog.appendIdempotent(spark, root, nums(i * 10, i * 10 + 10),
+          "loader", i.toLong).isDefined))
+      // checkpoints at v5 and v10 carry the #txn watermark; the replay
+      // check must see it THROUGH the checkpoint (suffix-only scan)
+      assert(TableLog.lastTxnVersion(spark, root, "loader").contains(11L))
+      assert(TableLog.appendIdempotent(spark, root, nums(0, 5),
+        "loader", 7L).isEmpty, "replayed epoch must skip")
+      assert(TableLog.appendIdempotent(spark, root, nums(0, 5),
+        "other-app", 0L).isDefined, "watermarks are per-app")
+      assert(TableLog.snapshot(spark, root).count() == 125)
+      val h = TableLog.history(spark, root).collect()
+      assert(h.length == 13)
+      assert(h.forall(r => r.getInt(1) >= 1 && r.getInt(2) == 0))
+      assert(h.take(12).forall(_.getString(4) == "loader"))
+      assert(h.take(12).map(_.getLong(5)).toSeq == (0L until 12L))
+      assert(h.last.getString(4) == "other-app")
+    } finally spark.conf.unset(key)
+  }
+
   test("a layout rewrite racing a delete aborts instead of resurrecting " +
       "deleted rows") {
     val root = freshRoot()
