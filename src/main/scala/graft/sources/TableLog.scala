@@ -702,6 +702,29 @@ object TableLog {
       snap.coalesce(numFiles).write.parquet(dir))
   }
 
+  /** RESTORE parity: make the live set equal what it was at `version`
+    * by publishing ONE commit (add = files live then but not now,
+    * remove = files live now but not then). History is preserved — the
+    * restore is itself a new version, the undone commits remain
+    * time-travelable, and a racing writer conflicts through the normal
+    * remove-set CAS validation. Fails if `version`'s files were
+    * vacuumed. Re-added files rejoin the no-stats always-read class
+    * (a commit carries one stats sidecar; the originals' sidecars
+    * stay with their own commits) — pruning weakens until the next
+    * stats-bearing rewrite, answers never change. Returns the
+    * committed version. */
+  def restore(s: SparkSession, root: String, version: Int): Int = {
+    val f = fs(s, root)
+    val then_ = liveFiles(s, root, version)
+    then_.foreach(rel => require(f.exists(new Path(s"$root/$rel")),
+      s"restore: $rel was vacuumed; version $version is not restorable"))
+    val now = liveFiles(s, root, -1)
+    val nowSet = now.toSet
+    val thenSet = then_.toSet
+    publish(s, root, then_.filterNot(nowSet), now.filterNot(thenSet),
+      dataChange = true)
+  }
+
   /** Commit history as a DataFrame — `DESCRIBE HISTORY` parity:
     * (version, n_add, n_remove, data_change, txn_app, txn_version)
     * per commit, ascending. Driver-side log metadata (O(#commits)),

@@ -387,6 +387,31 @@ class TableLogSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("restore reverts the live set to an old version as a NEW commit, " +
+      "keeping history time-travelable") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 50))         // v0
+    TableLog.append(spark, root, nums(50, 80), Seq("id")) // v1
+    TableLog.deleteRange(spark, root, "id", 0L, 9L)   // v2: 70 rows
+    assert(TableLog.snapshot(spark, root).count() == 70)
+    val rv = TableLog.restore(spark, root, 1)
+    assert(rv == 3, s"restore must be a new commit, got v$rv")
+    // content equals v1 exactly (deleted rows back)
+    assert(TableLog.snapshot(spark, root).count() == 80)
+    assert(TableLog.snapshot(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet == (0L until 80L).toSet)
+    // the undone delete remains time-travelable
+    assert(TableLog.snapshot(spark, root, 2).count() == 70)
+    assert(TableLog.history(spark, root).count() == 4)
+    // restoring to a vacuumed version refuses loudly
+    TableLog.compact(spark, root, 1)                  // v4
+    TableLog.vacuum(spark, root, retainFrom = 4)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.restore(spark, root, 0)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("a layout rewrite racing a delete aborts instead of resurrecting " +
       "deleted rows") {
     val root = freshRoot()
