@@ -435,4 +435,80 @@ object Sampling {
     FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
     GROUP BY d.source ORDER BY d.source
   """.trim
+
+  // ---- global id assignment + corpus shuffle (r7) ----------------------
+
+  /** Contiguous global row ids WITHOUT a single-partition sort — the
+    * id-assignment pattern every 100 TB corpus build needs (shard ids,
+    * sample manifests, stable joins back to provenance).
+    *
+    * A naive `row_number() OVER (ORDER BY key)` funnels the whole
+    * table through ONE reducer. The scalable shape is two-phase:
+    * (1) range-partition + sort within partitions on the order key —
+    * Spark's distributed sort, no global funnel; (2) count rows per
+    * partition (a #partitions-row job), prefix-sum the counts on the
+    * driver (O(#partitions), ~KBs at any scale), broadcast the
+    * offsets; (3) one map pass adds offset + local position. Ids are
+    * identical regardless of where range boundaries land, because the
+    * global order (doc_id) fully determines position: partitions hold
+    * disjoint key ranges, so offset + within-partition rank = global
+    * rank. The oracle IS the naive single-reducer form — same answer,
+    * different scalability. */
+  def qGlobalRowIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    globalIds(s, docs, Seq("doc_id"), "row_id").orderBy("doc_id")
+  }
+
+  /** The two-phase assignment itself: range-partition + sort within
+    * partitions on `orderCols`, then `zipWithIndex` — which runs the
+    * count job and the assignment job over ONE RDD instance, so both
+    * see the same range boundaries and the same shuffle output
+    * (constructing the sorted frame twice would re-sample the range
+    * partitioner and could mismatch counts against contents). */
+  private def globalIds(s: SparkSession, df: DataFrame,
+      orderCols: Seq[String], idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val sorted = df
+      .repartitionByRange(8, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idCol, LongType, nullable = false))
+    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    s.createDataFrame(withIds, outSchema)
+  }
+
+  val qGlobalRowIdsSql: String = """
+    SELECT doc_id, n_chars,
+      row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+    FROM documents ORDER BY doc_id
+  """.trim
+
+  /** Deterministic corpus shuffle — global training-order permutation
+    * as a hash-sort: rank documents by md5(salt || doc_id). At 100 TB
+    * this is Spark's distributed range-partition sort (no single
+    * reducer), the permutation is reproducible from the salt alone
+    * across runs/engines/repartitionings, and changing epochs = one
+    * salt bump, zero state. Tie-break on doc_id is unreachable for
+    * distinct ids (md5 collision) but keeps the declared order total. */
+  def qCorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("epoch42:"), col("doc_id").cast(StringType)))
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), key.as("shuffle_key"))
+    // rank in shuffled order via the same two-phase assignment — a
+    // row_number() window here would funnel the corpus through one
+    // reducer, the exact anti-pattern this op exists to avoid
+    globalIds(s, keyed, Seq("shuffle_key", "doc_id"), "shuffle_rank")
+      .orderBy("shuffle_rank")
+  }
+
+  val qCorpusShuffleSql: String = """
+    SELECT doc_id, md5('epoch42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      row_number() OVER (
+        ORDER BY md5('epoch42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        AS shuffle_rank
+    FROM documents ORDER BY shuffle_rank
+  """.trim
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+
+import graft.sources.Tables
+
+/** Tensor / sparse-tensor / dictionary-encode tier — the last three
+  * reference components previously documented out-of-relational-scope
+  * (SURVEY §1.2 row `Tensor, SparseTensor`; §2.8 row DictionaryEncode).
+  *
+  * Reference behavior being re-expressed:
+  *  - `cpp/src/arrow/tensor.h` — a dense n-dim numeric array is a flat
+  *    row-major buffer plus a shape vector; transpose/slice are index
+  *    arithmetic over that buffer.
+  *  - `cpp/src/arrow/sparse_tensor.h` — COO format: a (position,
+  *    value) list holding only the non-zero cells, convertible to and
+  *    from the dense buffer.
+  *  - CK `hash.h:80-81` DictionaryEncode + `isin.h` Match — map each
+  *    value of a low-cardinality column to its index in a sorted
+  *    unique-value dictionary, and back.
+  *
+  * Spark-first shape: a tensor is a plain `array<double>` column next
+  * to a shape literal — all tensor algebra is per-row higher-order
+  * functions (`transform`/`aggregate`/`zip_with` over `sequence`),
+  * which stay inside whole-stage codegen: ZERO shuffle at any scale,
+  * so the tier is embarrassingly parallel over 100 TB of rows. The
+  * dictionary is the one genuinely relational piece: build once
+  * (distinct + rank = one tiny shuffle on O(cardinality) rows), then
+  * broadcast-join — the classic dimension-encode pattern; no shuffle
+  * touches the fact table.
+  *
+  * Float determinism: every fold runs left-to-right from identical
+  * float32 inputs cast to double, so Spark and DuckDB produce
+  * bit-identical doubles; outputs additionally render through a
+  * fixed-point `floor(x*1e4 + 0.5)` bigint so the compare is immune
+  * to formatting.
+  */
+object Tensors {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** floor(x*1e4 + 0.5) as bigint — identical arithmetic in DuckDB. */
+  private def fx(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast(LongType)
+  private def fxArr(c: Column): Column =
+    array_join(transform(c, x => fx(x).cast(StringType)), ",")
+  private val fxSql = "CAST(floor(%s * 10000.0 + 0.5) AS BIGINT)"
+
+  /** Left fold sum matching DuckDB's list_reduce(list_prepend(0.0,..)). */
+  private def fsum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  /** Dense tensor algebra (`cpp/src/arrow/tensor.h`): each embedding's
+    * first 8 components as a row-major 2x4 tensor. Shape/ndim/numel
+    * metadata, transpose (4x2), row slice, scalar scale, full
+    * reduction, and the 2x2 Gram matrix A·Aᵀ (matmul with the
+    * transpose) — all index arithmetic over the flat buffer, exactly
+    * the tensor.h contract, as codegen'd per-row expressions. */
+  def qTensorFuncs(s: SparkSession, dir: String): DataFrame = {
+    val d = col("d")
+    // element p of the 4x2 transpose, row-major: column j = p/2 of A,
+    // row i = p%2  →  A[i*4 + j]; emitted per-column to avoid integer
+    // division: for each j, [A[0*4+j], A[1*4+j]].
+    val transposed = flatten(transform(sequence(lit(0), lit(3)),
+      j => array(element_at(d, j + 1), element_at(d, j + 5))))
+    // Gram g[i][j] = Σ_k A[i*4+k]·A[j*4+k], i,j ∈ {0,1}
+    val gram = flatten(transform(sequence(lit(0), lit(1)), i =>
+      transform(sequence(lit(0), lit(1)), j =>
+        aggregate(sequence(lit(0), lit(3)), lit(0.0),
+          (acc, k) => acc + element_at(d, i * 4 + k + 1) *
+            element_at(d, j * 4 + k + 1)))))
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 8), x => x.cast(DoubleType))
+          .as("d"))
+      .select(
+        col("vec_id"),
+        lit("2x4").as("shape"),
+        lit(2).as("ndim"),
+        lit(8).as("numel"),
+        lit("4x2").as("t_shape"),
+        fxArr(transposed).as("transposed"),
+        fxArr(slice(d, 5, 4)).as("row1"),
+        fxArr(transform(d, x => x * 2.0)).as("scaled"),
+        fx(fsum(d)).as("total"),
+        fxArr(gram).as("gram"))
+      .orderBy("vec_id")
+  }
+
+  val qTensorFuncsSql: String = s"""
+    WITH a AS (
+      SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings WHERE vec_id < 50)
+    SELECT vec_id, '2x4' AS shape, 2 AS ndim, 8 AS numel, '4x2' AS t_shape,
+      array_to_string(list_transform(
+        flatten(list_transform(range(0, 4), j -> [d[j+1], d[j+5]])),
+        x -> CAST(${fxSql.format("x")} AS VARCHAR)), ',') AS transposed,
+      array_to_string(list_transform(d[5:8],
+        x -> CAST(${fxSql.format("x")} AS VARCHAR)), ',') AS row1,
+      array_to_string(list_transform(d,
+        x -> CAST(${fxSql.format("x * 2.0")} AS VARCHAR)), ',') AS scaled,
+      ${fxSql.format(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), d), (acc, x) -> acc + x)")}
+        AS total,
+      array_to_string(list_transform(
+        flatten(list_transform(range(0, 2), i ->
+          list_transform(range(0, 2), j ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(0, 4), k -> d[i*4+k+1] * d[j*4+k+1])),
+              (acc, x) -> acc + x)))),
+        x -> CAST(${fxSql.format("x")} AS VARCHAR)), ',') AS gram
+    FROM a ORDER BY vec_id
+  """.trim
+
+  /** COO sparse tensor (`cpp/src/arrow/sparse_tensor.h`): threshold
+    * the same 8-element tensor at |x| > 0.1 (≈half the cells — abs
+    * median of the fixture is 0.085), keep (position, value) pairs of
+    * the survivors, and prove the round-trip: COO → dense re-expansion
+    * equals the thresholded dense buffer cell-for-cell. nnz/density
+    * are the sparse-tensor metadata fields. */
+  def qSparseTensor(s: SparkSession, dir: String): DataFrame = {
+    val d = col("d")
+    val dense2 = transform(sequence(lit(0), lit(7)), p =>
+      when(abs(element_at(d, p + 1)) > 0.1, element_at(d, p + 1))
+        .otherwise(lit(0.0)))
+    val thresholded = transform(d,
+      x => when(abs(x) > 0.1, x).otherwise(lit(0.0)))
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 8), x => x.cast(DoubleType))
+          .as("d"))
+      // COO index list projected once (a named column, not re-derived
+      // per consumer) so the position filter runs one time per row
+      .withColumn("coo", filter(sequence(lit(0), lit(7)),
+        p => abs(element_at(d, p + 1)) > 0.1))
+      .select(
+        col("vec_id"),
+        size(col("coo")).as("nnz"),
+        array_join(transform(col("coo"), x => x.cast(StringType)), ",")
+          .as("coo_idx"),
+        fxArr(transform(col("coo"), p => element_at(d, p + 1)))
+          .as("coo_val"),
+        fx(size(col("coo")).cast(DoubleType) / 8.0).as("density"),
+        (fxArr(dense2) === fxArr(thresholded)).as("roundtrip_ok"))
+      .orderBy("vec_id")
+  }
+
+  val qSparseTensorSql: String = s"""
+    WITH a AS (
+      SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings WHERE vec_id < 100),
+    b AS (SELECT vec_id, d,
+            list_filter(range(0, 8), p -> abs(d[p+1]) > 0.1) AS idx
+          FROM a)
+    SELECT vec_id,
+      CAST(len(idx) AS INT) AS nnz,
+      array_to_string(list_transform(idx, x -> CAST(x AS VARCHAR)), ',')
+        AS coo_idx,
+      array_to_string(list_transform(idx,
+        p -> CAST(${fxSql.format("d[p+1]")} AS VARCHAR)), ',') AS coo_val,
+      ${fxSql.format("CAST(len(idx) AS DOUBLE) / 8.0")} AS density,
+      TRUE AS roundtrip_ok
+    FROM b ORDER BY vec_id
+  """.trim
+
+  /** User-facing DictionaryEncode + Match (CK `hash.h:80-81`,
+    * `isin.h`): encode `documents.lang` (5 values) and `source` (20)
+    * to dense codes = position in the sorted unique-value dictionary,
+    * then Match decodes back through the same dictionary and the
+    * query asserts the round-trip per row.
+    *
+    * 100 TB shape: the dictionary build is distinct + rank over
+    * O(cardinality) rows — a shuffle of a few dozen values — and the
+    * encode/decode are broadcast hash joins, so the fact table is
+    * never shuffled. The rank window is a single partition BY DESIGN:
+    * it only ever sees the distinct dictionary values (dictionary
+    * encoding presumes low cardinality), never fact rows. */
+  def qDictEncode(s: SparkSession, dir: String): DataFrame = {
+    def dict(src: DataFrame, c: String, code: String): DataFrame =
+      src.select(c).distinct()
+        .withColumn(code,
+          (dense_rank().over(Window.orderBy(col(c))) - 1).cast(IntegerType))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .filter(col("doc_id") < 300)
+    val dl = dict(docs, "lang", "lang_code")
+    val ds = dict(docs, "source", "source_code")
+    val encoded = docs
+      .join(broadcast(dl), Seq("lang"))
+      .join(broadcast(ds), Seq("source"))
+    // Match: decode lang back via the dictionary keyed by code
+    val decode = dl.withColumnRenamed("lang", "lang_decoded")
+    encoded.join(broadcast(decode), Seq("lang_code"))
+      .select(col("doc_id"), col("lang"), col("lang_code"),
+        col("source_code"),
+        (col("lang_decoded") === col("lang")).as("decoded_ok"))
+      .orderBy("doc_id")
+  }
+
+  val qDictEncodeSql: String = """
+    WITH dl AS (SELECT lang,
+          CAST(row_number() OVER (ORDER BY lang) - 1 AS INT) AS lang_code
+        FROM (SELECT DISTINCT lang FROM documents WHERE doc_id < 300)),
+    ds AS (SELECT source,
+          CAST(row_number() OVER (ORDER BY source) - 1 AS INT) AS source_code
+        FROM (SELECT DISTINCT source FROM documents WHERE doc_id < 300))
+    SELECT d.doc_id, d.lang, dl.lang_code, ds.source_code,
+      TRUE AS decoded_ok
+    FROM documents d
+    JOIN dl USING (lang) JOIN ds USING (source)
+    WHERE d.doc_id < 300
+    ORDER BY d.doc_id
+  """.trim
+}

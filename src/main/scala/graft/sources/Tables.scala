@@ -51,16 +51,28 @@ object Tables {
     val perSession = cache.computeIfAbsent(spark, _ =>
       new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     perSession.computeIfAbsent((dir, name), { _ =>
-      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-      // Spark 4 rejects outright. Engine.configure reads nanos as long;
-      // here we truncate to micros (integer `div`, not `/` —
-      // ns-since-epoch exceeds double's 2^53 exact-integer range) to
-      // match DuckDB/our µs convention (SURVEY §1.2 ns-truncation note).
+      // The events fixture's ts column has shipped as either parquet
+      // TIMESTAMP(NANOS) — which Spark 4 rejects outright, so
+      // Engine.configure reads nanos as long and we truncate to micros
+      // (integer `div`, not `/` — ns-since-epoch exceeds double's 2^53
+      // exact-integer range) — or, in newer fixture generations, as
+      // TIMESTAMP(MICROS) without timezone, which loads as
+      // TimestampNTZ. Normalize BY LOADED TYPE so both generations
+      // land on session-UTC TimestampType, the µs convention every
+      // query and oracle assumes (SURVEY §1.2 ns-truncation note).
       graft.Engine.configure(spark)
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") {
+        import org.apache.spark.sql.functions.{col, expr}
+        import org.apache.spark.sql.types.{LongType, TimestampType}
+        df.schema("ts").dataType match {
+          case LongType => // nanos-as-long generation
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampType => df
+          case _ => // TimestampNTZ: UTC session tz makes this lossless
+            df.withColumn("ts", col("ts").cast(TimestampType))
+        }
+      } else df
     })
   }
 

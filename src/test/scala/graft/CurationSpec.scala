@@ -277,4 +277,34 @@ class CurationSpec extends SparkSpec {
       r1.getLong(2) == 2 && r1.getLong(3) == 1,
       s"repeated span must drop, order must hold: $r1")
   }
+
+  test("global row ids: contiguous 0..N-1 in key order, no single-reducer stage, " +
+      "stable across executions") {
+    val rows = graft.ops.Sampling.qGlobalRowIds(spark, sfDir).collect()
+    val n = rows.length
+    assert(n > 0)
+    // contiguous and aligned with the doc_id order
+    assert(rows.map(_.getAs[Long]("row_id")).toSeq == (0L until n),
+      "row ids are not contiguous 0..N-1 in doc_id order")
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+      rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // two independent executions agree bit-for-bit (the zipWithIndex
+    // two-phase assignment must not depend on boundary sampling luck)
+    val again = graft.ops.Sampling.qGlobalRowIds(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("corpus shuffle: a deterministic permutation that actually permutes") {
+    val rows = graft.ops.Sampling.qCorpusShuffle(spark, sfDir).collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("shuffle_rank")).toSeq == (0L until n))
+    // every doc appears exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // the permutation is not the identity ordering (md5 scrambles)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids != ids.sorted, "shuffle left the corpus in doc_id order")
+    // reproducible from the salt alone
+    val again = graft.ops.Sampling.qCorpusShuffle(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
