@@ -59,7 +59,24 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Hermetic timing: several queries localCheckpoint/persist
+    // intermediates (IVF assignment, SemDeDup cells, CC iterations)
+    // and nothing unpersists them after the query returns — 200
+    // queries into the suite the block manager is full of dead blocks,
+    // and storage-memory pressure was observed to inflate the
+    // late-alphabet knn family ~16x vs isolated runs. Each query's
+    // persisted state is invocation-local (Tables caches PLANS, not
+    // blocks), so dropping all persistent RDDs + cached tables between
+    // queries cannot change any answer — it only makes each timing
+    // independent of suite position, which is also the semantics a
+    // fresh-session production run would see.
+    def dropDeadBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     val results = selected.map { case (name, fn) =>
+      dropDeadBlocks()
       val t0 = System.nanoTime()
       val elapsed =
         try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }

@@ -224,6 +224,31 @@ object Joins {
     GROUP BY o_orderpriority ORDER BY o_orderpriority
   """.trim
 
+  /** SHUFFLE_HASH-hinted fact-fact join — the third physical join
+    * strategy next to broadcast (`join_broadcast`) and sort-merge
+    * (`join_sortmerge`): both sides shuffle on the key, but the
+    * smaller side becomes a per-partition hash map and the bigger
+    * side streams against it with NO sort on either side. The right
+    * choice at scale when one side is far smaller than the other yet
+    * too big to broadcast (a pruned orders slice vs full lineitem).
+    * ScaleSpec pins that the hint actually plans a ShuffledHashJoin. */
+  def qJoinShuffleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").hint("SHUFFLE_HASH")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("o_orderstatus"))
+
+  val qJoinShuffleHashSql: String = """
+    SELECT o_orderstatus, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * MATCH each other instead of vanishing — the join a dimension
     * with an "unknown" bucket needs. Catalyst plans `<=>` as an

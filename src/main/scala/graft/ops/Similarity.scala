@@ -255,6 +255,74 @@ object Similarity {
     queryIvfIndex(s, root, queries, nprobe = 10)
   }
 
+  /** Random projection (Johnson–Lindenstrauss) of the 64-dim
+    * embeddings to 8 dims — the dimensionality-reduction step a
+    * vector pipeline runs before LSH bucketing or a cheap pre-filter
+    * index. The projection matrix is NOT data-dependent: entry
+    * W[r][c] is an integer in [-1000, 1000] derived from
+    * md5("w:r:c"), so the matrix is reproducible from the salt alone
+    * on any engine (the same md5-portable-weights idiom as
+    * `quality_classify`) and the DuckDB oracle replays the projection
+    * bit-for-bit. y[r] = Σ_c W[r][c]·x[c] folds left in index order —
+    * identical IEEE doubles both engines — rendered through the
+    * fixed-point `floor(x·1e4 + 0.5)` convention.
+    *
+    * Scale posture: per-row codegen'd higher-order fns over a
+    * driver-computed 8×64 literal (512 ints — constant, unlike the
+    * data-derived k·d centroid matrices that ride broadcasts); zero
+    * shuffle at any corpus size. */
+  def qEmbedProject(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(r: Int, c: Int): Long = {
+      val hex = md.digest(s"w:$r:$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 3)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val mat: Seq[Seq[Long]] =
+      (0 until 8).map(r => (0 until 64).map(c => w(r, c)).toSeq)
+    val matCol = typedlit(mat)
+    val d = col("d")
+    val projected = transform(sequence(lit(0), lit(7)), r =>
+      aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, c) =>
+        acc + element_at(element_at(matCol, r + 1), c + 1).cast(DoubleType) *
+          element_at(d, c + 1)))
+    def fx(x: Column): Column =
+      floor(x * lit(10000.0) + lit(0.5)).cast(LongType)
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("d"))
+      .select(col("vec_id"),
+        array_join(transform(projected, x => fx(x).cast(StringType)), ",")
+          .as("projected"),
+        fx(aggregate(projected, lit(0.0), (a, y) => a + y * y)).as("sq_norm"))
+      .orderBy("vec_id")
+  }
+
+  val qEmbedProjectSql: String = """
+    WITH a AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings WHERE vec_id < 200),
+    p AS (
+      SELECT vec_id,
+        list_transform(range(0, 8), r ->
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(0, 64), c ->
+              CAST(CAST('0x' || substr(md5('w:' || r || ':' || c), 1, 3)
+                     AS BIGINT) % 2001 - 1000 AS DOUBLE) * d[c+1])),
+            (acc, x) -> acc + x)) AS y
+      FROM a)
+    SELECT vec_id,
+      array_to_string(list_transform(y,
+        x -> CAST(CAST(floor(x * 10000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',')
+        AS projected,
+      CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(y, v -> v * v)), (a, b) -> a + b) * 10000.0 + 0.5)
+        AS BIGINT) AS sq_norm
+    FROM p ORDER BY vec_id
+  """.trim
+
   /** Int8 scalar quantization of embeddings — the compression step of
     * a vector pipeline (4x smaller index, dot products in int8):
     * per-vector scale = max|x| / 127, q_i = floor(x_i/scale + 0.5).

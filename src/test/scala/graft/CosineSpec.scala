@@ -54,4 +54,34 @@ class CosineSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [cosine_sim"), s"no codegen span:\n$plan")
     assert(df.filter(col("c").isNotNull).count() == 500)
   }
+
+  test("embed_project: 8 dims, matches a driver-side recompute, no shuffle") {
+    val df = graft.ops.Similarity.qEmbedProject(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("projected").split(",").length == 8))
+    // independent recompute of vec 0 from the raw fixture
+    val raw = graft.sources.Tables(spark, sfDir, "embeddings")
+      .filter("vec_id = 0").selectExpr("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(r: Int, c: Int): Long = {
+      val hex = md.digest(s"w:$r:$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 3)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val expect = (0 until 8).map { r =>
+      var acc = 0.0
+      for (c <- 0 until 64) acc += w(r, c).toDouble * raw(c)
+      math.floor(acc * 10000.0 + 0.5).toLong
+    }
+    val got = rows.find(_.getLong(0) == 0L).get
+      .getAs[String]("projected").split(",").map(_.toLong).toSeq
+    assert(got == expect, s"projection mismatch: $got vs $expect")
+    // per-row expressions only — the single shuffle is the declared
+    // output ORDER BY's range exchange (no aggregation/join exchange)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle:\n$plan")
+  }
 }

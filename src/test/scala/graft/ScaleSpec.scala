@@ -104,6 +104,15 @@ class ScaleSpec extends SparkSpec {
       "fact-fact join must not broadcast under the MERGE hint")
   }
 
+  test("SHUFFLE_HASH hint plans a ShuffledHashJoin with no sort on either side") {
+    val plan = graft.ops.Joins.qJoinShuffleHash(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint ignored:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "shuffled-hash join must not fall back to sort-merge")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = graft.sources.Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
