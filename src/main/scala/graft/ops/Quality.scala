@@ -74,4 +74,49 @@ object Quality {
     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
     ORDER BY check_name
   """.trim
+
+  /** Winsorization (percentile outlier clipping) of `n_chars` at
+    * p05/p95 — the length-outlier repair every corpus-cleaning
+    * pipeline runs before length-sensitive sampling or packing.
+    *
+    * Scale shape: the quantiles are ONE tiny global aggregate
+    * (2 doubles) cross-joined back onto the corpus — a broadcast of a
+    * 1-row frame, then a per-row codegen'd clip. NOT a window: a
+    * percentile window over the full table would sort everything in
+    * one frame. Exact `percentile` (Spark) and `quantile_cont`
+    * (DuckDB) both interpolate by the same R-7 rule index =
+    * p·(n−1), so the bounds agree bit-for-bit on the int64 input;
+    * the rendered bounds go through the fixed-point convention
+    * anyway. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    def fx(c: org.apache.spark.sql.Column) =
+      floor(c * lit(10000.0) + lit(0.5)).cast(LongType)
+    docs.crossJoin(broadcast(bounds))
+      .select(
+        col("doc_id"), col("n_chars"),
+        fx(col("lo")).as("p05_fx"),
+        fx(col("hi")).as("p95_fx"),
+        fx(greatest(least(col("n_chars").cast("double"), col("hi")),
+          col("lo"))).as("clipped_fx"),
+        (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+          .as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  val qWinsorizeSql: String = """
+    WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi FROM documents)
+    SELECT doc_id, n_chars,
+      CAST(floor(lo * 10000.0 + 0.5) AS BIGINT) AS p05_fx,
+      CAST(floor(hi * 10000.0 + 0.5) AS BIGINT) AS p95_fx,
+      CAST(floor(greatest(least(CAST(n_chars AS DOUBLE), hi), lo)
+        * 10000.0 + 0.5) AS BIGINT) AS clipped_fx,
+      (n_chars < lo OR n_chars > hi) AS is_outlier
+    FROM documents, b ORDER BY doc_id
+  """.trim
 }

@@ -294,6 +294,27 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("winsorize: clip stays inside [p05,p95], ~10% outliers, no full-table window") {
+    val df = graft.ops.Quality.qWinsorize(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val lo = rows.head.getAs[Long]("p05_fx"); val hi = rows.head.getAs[Long]("p95_fx")
+    assert(lo < hi)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("clipped_fx")
+      assert(c >= lo && c <= hi, s"clip escaped bounds: $r")
+      val raw = r.getAs[Long]("n_chars") * 10000L
+      assert(r.getAs[Boolean]("is_outlier") == (raw < lo || raw > hi))
+    }
+    val frac = rows.count(_.getAs[Boolean]("is_outlier")).toDouble / rows.length
+    assert(frac <= 0.12, s"outlier fraction $frac implausible for p05/p95 clipping")
+    // scale shape: bounds come from a broadcast 1-row agg, not a window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"winsorize must not plan a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"quantile bounds should broadcast:\n$plan")
+  }
+
   test("corpus shuffle: a deterministic permutation that actually permutes") {
     val rows = graft.ops.Sampling.qCorpusShuffle(spark, sfDir).collect()
     val n = rows.length

@@ -27,9 +27,12 @@ class PlanLintSpec extends SparkSpec {
   //  - cross_join: the deliberate non-equi cross product over two
   //    broadcast-sized dims (Joins.qCrossJoin) — BNLJ with the 5-row
   //    side broadcast IS the intended physical plan
+  //  - winsorize: cross-broadcast of the single-row p05/p95 quantile
+  //    aggregate onto the corpus (the alternative is a full-table
+  //    window — the exact plan the op exists to avoid)
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "knn_pq", "window_ntile", "tpch_q15",
-      "tpch_q22", "tpch_q11", "hash_funcs", "cross_join")
+      "tpch_q22", "tpch_q11", "hash_funcs", "cross_join", "winsorize")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
