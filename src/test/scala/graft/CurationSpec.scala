@@ -315,6 +315,15 @@ class CurationSpec extends SparkSpec {
       s"quantile bounds should broadcast:\n$plan")
   }
 
+  test("incremental minhash equals the batch answer restricted to delta pairs") {
+    val batch = graft.ops.Dedup.qDedupMinhash(spark, sfDir)
+      .filter(col("d2") >= 400).collect().map(_.toSeq).toSeq
+    val incr = graft.ops.Dedup.qDedupMinhashIncr(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(incr == batch,
+      s"incremental path diverged from batch:\n$incr\nvs\n$batch")
+  }
+
   test("corpus shuffle: a deterministic permutation that actually permutes") {
     val rows = graft.ops.Sampling.qCorpusShuffle(spark, sfDir).collect()
     val n = rows.length
