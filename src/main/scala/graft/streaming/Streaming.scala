@@ -53,6 +53,42 @@ object Streaming {
     FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
   """.trim
 
+  // ---- stream-static enrichment join -------------------------------------
+
+  /** Stream-static enrichment: each arriving event joins a BROADCAST
+    * static dimension (customer → market segment) before the windowed
+    * aggregate — the canonical streaming-enrichment shape. The static
+    * side is planned as a broadcast hash join, so the stream never
+    * shuffles for the join and the dim is read once per trigger batch
+    * at most (Spark re-resolves static sources per micro-batch, which
+    * is also what makes slowly-changing dims pick up updates). State
+    * is O(open windows × segments), same watermark bound as
+    * [[windowedCounts]]. */
+  def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("w.start").as("win_start"),
+        col("c_mktsegment").as("segment"), col("n"), col("total_value"))
+
+  /** Batch twin of the enrichment join, DuckDB-checked. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    enrichJoin(Tables(s, dir, "events"),
+      Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
+      .orderBy(col("win_start"), col("segment"))
+
+  val qStreamEnrichSql: String = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+      c_mktsegment AS segment, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2 ORDER BY win_start, segment
+  """.trim
+
   // ---- custom keyed state (mapGroupsWithState) ---------------------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -46,6 +46,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a broadcast dim and closes windows by watermark") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val dim = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = Streaming.enrichJoin(events, dim).writeStream
+      .format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 2L, 2.0),
+        (ts("2024-01-01 10:20:00"), 1L, 4.0),
+        (ts("2024-01-01 10:25:00"), 9L, 8.0)) // 9 has no dim row -> dropped
+      q.processAllAvailable()
+      assert(spark.table("enriched").count() == 0) // window still open
+      in.addData((ts("2024-01-01 12:00:00"), 1L, 0.5)) // advances watermark
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("win_start", "segment", "n", "total_value")
+        .orderBy("segment").collect()
+      assert(rows.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+        Seq(("AUTOMOBILE", 2L, 5.0), ("BUILDING", 1L, 2.0)),
+        s"wrong enrichment result: ${rows.mkString(",")}")
+      assert(rows.forall(_.getTimestamp(0) == ts("2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
   test("native session_window closes a session after the watermark passes the gap") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
