@@ -315,6 +315,33 @@ class CurationSpec extends SparkSpec {
       s"quantile bounds should broadcast:\n$plan")
   }
 
+  test("global row ids run as the zipWithIndex two-job shape, not a per-phase re-sort") {
+    // the two-phase assignment must stay ONE RDD instance driving two
+    // jobs (count + assign); re-deriving the sorted frame per phase
+    // would re-sample range boundaries (correctness drift risk) and
+    // add sort jobs. Allow the final collect()'s job and AQE wiggle:
+    // the property is a small CONSTANT, not O(phases × partitions).
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try {
+        graft.ops.Sampling.qGlobalRowIds(spark, sfDir).collect()
+        Thread.sleep(1500) // listener bus is async
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // observed decomposition: range-boundary sampling (1) +
+    // zipWithIndex count (1) + assign (1) + AQE shuffle-stage jobs for
+    // the output ORDER BY (2-3) + result collect (1) ≈ 7. The failure
+    // mode guarded against — re-deriving the sorted frame per phase —
+    // adds a sort+sample pair PER PHASE and lands well past 9.
+    assert(n <= 9, s"id assignment ran $n jobs — expected a small constant")
+  }
+
   test("incremental minhash equals the batch answer restricted to delta pairs") {
     val batch = graft.ops.Dedup.qDedupMinhash(spark, sfDir)
       .filter(col("d2") >= 400).collect().map(_.toSeq).toSeq
