@@ -71,6 +71,55 @@ object Layout {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** OPTIMIZE ZORDER (Delta parity) over a [[graft.sources.TableLog]]
+    * table: rewrite the live set into `nFiles` Morton-clustered files
+    * ([[zorderBy]]) and publish the swap as ONE atomic dataChange=false
+    * commit with FRESH per-file stats on both clustering columns —
+    * so a [[graft.sources.TableLog.readBox]] after the optimize
+    * prunes files on either dimension or both, where the pre-optimize
+    * commit layout (each commit spanning the full key range) could
+    * prune nothing. Old snapshots keep reading the old files; time
+    * travel across the optimize sees identical rows. */
+  def optimizeZorder(s: SparkSession, root: String,
+      c1: String, c2: String, nFiles: Int): Int = {
+    val snap = graft.sources.TableLog.snapshot(s, root)
+    graft.sources.TableLog.rewrite(s, root, statsCols = Seq(c1, c2))(
+      dir => zorderBy(snap, c1, c2, nFiles, dir))
+  }
+
+  /** Declared OPTIMIZE query: three appends that each span the whole
+    * key range (the worst layout for pruning — every range read must
+    * open every file), then OPTIMIZE ZORDER BY (l_orderkey,
+    * l_partkey), then a stats-pruned box read off the optimized
+    * snapshot. The oracle replays the box predicate over raw
+    * lineitem — the optimize must be answer-invariant; the PRUNING
+    * payoff is pinned by TableLogSpec (files opened drops after
+    * optimize). */
+  def qLogOptimize(s: SparkSession, dir: String): DataFrame = {
+    val root = Egress.outRoot(dir) + "/log_optimize"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val li = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    for (i <- 0 until 3)
+      graft.sources.TableLog.append(s, root,
+        li.filter(pmod(col("l_partkey"), lit(3)) === i),
+        statsCols = Seq("l_orderkey", "l_partkey"))
+    optimizeZorder(s, root, "l_orderkey", "l_partkey", 8)
+    graft.sources.TableLog
+      .readBox(s, root, "l_orderkey", 100, 400, "l_partkey", 0, 1000000000L)
+      .orderBy("l_orderkey", "l_partkey", "l_quantity")
+  }
+
+  val qLogOptimizeSql: String = """
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_orderkey < 2000
+      AND l_orderkey BETWEEN 100 AND 400
+      AND l_partkey BETWEEN 0 AND 1000000000
+    ORDER BY l_orderkey, l_partkey, l_quantity
+  """.trim
+
   /** Oracle-checked Morton math: 16-bit dims from lineitem keys,
     * interleaved, grouped by the top byte of the curve position —
     * every z-key crosses the DuckDB twin, which re-derives the spread

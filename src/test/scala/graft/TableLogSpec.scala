@@ -429,4 +429,33 @@ class TableLogSpec extends SparkSpec {
     // the delete's outcome survives; the rewrite never published
     assert(TableLog.snapshot(spark, root).count() == 89)
   }
+
+  test("OPTIMIZE ZORDER: box reads open fewer files after the rewrite, " +
+      "answers and time travel are unchanged") {
+    val root = freshRoot()
+    val sp = spark; import sp.implicits._
+    // worst pruning layout: every commit spans the full range of BOTH
+    // dims, in 3 files each — no box read can skip anything
+    for (salt <- 0 until 3) {
+      val df = (0 until 600).map { i =>
+        (i.toLong * 3 + salt, (i % 100).toLong, ((i * 37 + salt) % 100).toLong)
+      }.toDF("id", "x", "y").repartition(3)
+      TableLog.append(spark, root, df, statsCols = Seq("x", "y"))
+    }
+    val before = TableLog.readBox(spark, root, "x", 10, 19, "y", 10, 19)
+    val beforeFiles = before.inputFiles.length
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    assert(beforeFiles == 9, s"expected the unpruned 9-file layout: $beforeFiles")
+    val preVersion = TableLog.versions(spark, root).max
+    graft.ops.Layout.optimizeZorder(spark, root, "x", "y", 8)
+    val after = TableLog.readBox(spark, root, "x", 10, 19, "y", 10, 19)
+    assert(after.inputFiles.length < beforeFiles,
+      s"z-order rewrite did not improve pruning: ${after.inputFiles.length} of 8")
+    assert(after.collect().map(_.toSeq).toSet == beforeRows,
+      "optimize changed the box answer")
+    // the optimize is dataChange=false physical reorganization only:
+    // the pre-optimize version still reads the same logical table
+    assert(TableLog.snapshot(spark, root, preVersion).count() == 1800)
+    assert(TableLog.snapshot(spark, root).count() == 1800)
+  }
 }
