@@ -160,4 +160,51 @@ object Multimodal {
       lower(hex(media)) AS media_hex, 'grft' AS format
     FROM m WHERE media_id < 50 ORDER BY media_id
   """.trim
+
+  /** Exact multimodal dedup by content hash — the image-dedup step of
+    * a multimodal pipeline: fingerprint the OPAQUE payload bytes
+    * (sha-256 of the hex encoding — bijective with the bytes, and
+    * DuckDB's sha256 is VARCHAR-only; never decode), group identical
+    * blobs, keep the min-media_id copy. The fixture has no binary
+    * duplicates, so the query seeds them deterministically: re-keyed
+    * copies of the first ten blobs (ids +10000) — a re-crawled-asset
+    * stand-in the oracle replays identically. At 100 TB the shuffle
+    * carries (digest, id, n_bytes) per blob — never media bytes —
+    * the `dedup_exact` shape lifted to binary columns. */
+  def qMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(s, dir)
+    val recrawled = m.filter(col("media_id") < 10)
+      .withColumn("media_id", col("media_id") + 10000)
+    m.unionByName(recrawled)
+      .select(col("media_id"),
+        sha2(lower(hex(col("media"))), 256).as("content_sha"),
+        octet_length(col("media")).as("n_bytes"))
+      .groupBy(col("content_sha"))
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") >= 2)
+      .select(col("keeper_id"), col("n_copies"), col("n_bytes"),
+        col("content_sha"))
+      .orderBy("keeper_id")
+  }
+
+  val qMediaDedupSql: String = """
+    WITH m0 AS (
+      SELECT doc_id AS media_id,
+        'GRFT'::BLOB ||
+        from_hex(lpad(hex(CAST(n_chars % 640 + 1 AS INT)), 4, '0')) ||
+        from_hex(lpad(hex(CAST(n_chars % 480 + 1 AS INT)), 4, '0')) ||
+        from_hex(md5(text)) AS media
+      FROM documents),
+    m AS (
+      SELECT * FROM m0
+      UNION ALL
+      SELECT media_id + 10000 AS media_id, media FROM m0 WHERE media_id < 10)
+    SELECT min(media_id) AS keeper_id, COUNT(*) AS n_copies,
+      CAST(max(octet_length(media)) AS INT) AS n_bytes,
+      sha256(lower(hex(media))) AS content_sha
+    FROM m GROUP BY sha256(lower(hex(media))) HAVING COUNT(*) >= 2
+    ORDER BY keeper_id
+  """.trim
 }

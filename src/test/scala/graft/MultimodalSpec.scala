@@ -93,4 +93,15 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("width") =!= col("exp_w") || col("height") =!= col("exp_h"))
     assert(bad.count() == 0)
   }
+
+  test("media dedup groups the seeded re-crawls under their original keeper") {
+    val rows = Multimodal.qMediaDedup(spark, sfDir).collect()
+    // exactly the ten seeded duplicates, each a (original, +10000) pair
+    // kept under the ORIGINAL id
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("keeper_id")).sorted.toSeq == (0L until 10L))
+    assert(rows.forall(_.getAs[Long]("n_copies") == 2L))
+    // digests are distinct across groups (no accidental collisions)
+    assert(rows.map(_.getAs[String]("content_sha")).distinct.length == 10)
+  }
 }
