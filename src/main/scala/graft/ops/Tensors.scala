@@ -124,9 +124,6 @@ object Tensors {
     * are the sparse-tensor metadata fields. */
   def qSparseTensor(s: SparkSession, dir: String): DataFrame = {
     val d = col("d")
-    val dense2 = transform(sequence(lit(0), lit(7)), p =>
-      when(abs(element_at(d, p + 1)) > 0.1, element_at(d, p + 1))
-        .otherwise(lit(0.0)))
     val thresholded = transform(d,
       x => when(abs(x) > 0.1, x).otherwise(lit(0.0)))
     t(s, dir, "embeddings")
@@ -138,15 +135,24 @@ object Tensors {
       // per consumer) so the position filter runs one time per row
       .withColumn("coo", filter(sequence(lit(0), lit(7)),
         p => abs(element_at(d, p + 1)) > 0.1))
+      .withColumn("coo_v", transform(col("coo"), p => element_at(d, p + 1)))
+      // dense re-expansion built STRICTLY from the COO pair (positions
+      // in `coo`, values in `coo_v`) — the original dense buffer is
+      // never consulted, so equality with the thresholded buffer
+      // actually proves the COO round-trip cell-for-cell
+      .withColumn("rebuilt", transform(sequence(lit(0), lit(7)), p =>
+        when(array_position(col("coo"), p) > 0,
+          element_at(col("coo_v"),
+            array_position(col("coo"), p).cast(IntegerType)))
+          .otherwise(lit(0.0))))
       .select(
         col("vec_id"),
         size(col("coo")).as("nnz"),
         array_join(transform(col("coo"), x => x.cast(StringType)), ",")
           .as("coo_idx"),
-        fxArr(transform(col("coo"), p => element_at(d, p + 1)))
-          .as("coo_val"),
+        fxArr(col("coo_v")).as("coo_val"),
         fx(size(col("coo")).cast(DoubleType) / 8.0).as("density"),
-        (fxArr(dense2) === fxArr(thresholded)).as("roundtrip_ok"))
+        (fxArr(col("rebuilt")) === fxArr(thresholded)).as("roundtrip_ok"))
       .orderBy("vec_id")
   }
 
@@ -156,16 +162,25 @@ object Tensors {
       FROM embeddings WHERE vec_id < 100),
     b AS (SELECT vec_id, d,
             list_filter(range(0, 8), p -> abs(d[p+1]) > 0.1) AS idx
-          FROM a)
+          FROM a),
+    c AS (SELECT vec_id, d, idx,
+            list_transform(idx, p -> d[p+1]) AS vals
+          FROM b)
     SELECT vec_id,
       CAST(len(idx) AS INT) AS nnz,
       array_to_string(list_transform(idx, x -> CAST(x AS VARCHAR)), ',')
         AS coo_idx,
-      array_to_string(list_transform(idx,
-        p -> CAST(${fxSql.format("d[p+1]")} AS VARCHAR)), ',') AS coo_val,
+      array_to_string(list_transform(vals,
+        x -> CAST(${fxSql.format("x")} AS VARCHAR)), ',') AS coo_val,
       ${fxSql.format("CAST(len(idx) AS DOUBLE) / 8.0")} AS density,
-      TRUE AS roundtrip_ok
-    FROM b ORDER BY vec_id
+      (array_to_string(list_transform(range(0, 8), p ->
+         CAST(${fxSql.format(
+           "CASE WHEN list_contains(idx, p) THEN vals[list_position(idx, p)] ELSE 0.0 END")}
+           AS VARCHAR)), ',')
+       = array_to_string(list_transform(d, x ->
+         CAST(${fxSql.format("CASE WHEN abs(x) > 0.1 THEN x ELSE 0.0 END")}
+           AS VARCHAR)), ',')) AS roundtrip_ok
+    FROM c ORDER BY vec_id
   """.trim
 
   /** User-facing DictionaryEncode + Match (CK `hash.h:80-81`,

@@ -331,7 +331,12 @@ class CurationSpec extends SparkSpec {
     val n =
       try {
         graft.ops.Sampling.qGlobalRowIds(spark, sfDir).collect()
-        Thread.sleep(1500) // listener bus is async
+        // drain the async listener bus deterministically — a fixed
+        // sleep undercounts on a slow bus and overpays on a fast one
+        // (listenerBus is private[spark], hence the reflective call)
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
         counter.get()
       } finally spark.sparkContext.removeSparkListener(listener)
     // observed decomposition: range-boundary sampling (1) +
