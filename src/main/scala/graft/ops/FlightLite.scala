@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.StructType
   *  - ListActions / DoAction (`Flight.proto:92-105`) — the
   *    server-side command surface: drop_view, row_count, clear_cache
   *    ('T' lists "type: description" lines; 'A' runs "type body").
+  *  - Handshake (`Flight.proto:38-47`) — one credential/token
+  *    exchange: the client's payload is its credential, the server
+  *    answers with a deterministic bearer token or rejects. AUTH
+  *    STUB: the other verbs do not (yet) demand the token — this
+  *    implements the verb's wire exchange and reject path, which is
+  *    the protocol surface; per-call enforcement is a policy layer.
   *  - GetFlightInfo + endpoint DoGet (`Flight.proto:138-160`,
   *    `FlightInfo.endpoint`) — 'F' returns the ticket's schema and
   *    its endpoint count (one per partition of the server-side
@@ -67,7 +73,8 @@ object FlightLite {
 
   /** One-session Flight endpoint. `start()` binds loopback:port (0 =
     * ephemeral) and serves on a daemon thread until `close()`. */
-  final class Server(spark: SparkSession, port: Int = 0)
+  final class Server(spark: SparkSession, port: Int = 0,
+      authSecret: Option[String] = None)
       extends AutoCloseable {
     private val sock = new ServerSocket(port, 16,
       InetAddress.getLoopbackAddress)
@@ -156,6 +163,23 @@ object FlightLite {
             val parts = df.rdd.getNumPartitions
             out.writeByte('O'); writeStr(out, df.schema.json)
             out.writeInt(parts)
+          case 'H' =>
+            // Handshake (Flight.proto:38-47): name = the client's
+            // credential. A server built with an authSecret rejects a
+            // mismatch; an open server accepts anything. The returned
+            // token is a deterministic digest so reconnecting clients
+            // get a stable identity (no Random — see file scaladoc).
+            authSecret match {
+              case Some(secret) if name != secret =>
+                out.writeByte('E')
+                writeStr(out, "handshake rejected: invalid credentials")
+              case _ =>
+                val tok = java.security.MessageDigest
+                  .getInstance("SHA-256")
+                  .digest(("graft-flight:" + name).getBytes(UTF_8))
+                  .map("%02x".format(_)).mkString.take(32)
+                out.writeByte('O'); writeStr(out, tok)
+            }
           case 'T' =>
             // ListActions (Flight.proto:99-105): the action verbs this
             // server understands, newline-joined "type: description"
@@ -254,6 +278,13 @@ object FlightLite {
       val bytes = Ipc.writeIpcStream(rows, schema)
       out.writeLong(bytes.length.toLong); out.write(bytes)
     } { in => readName(in).toLong }
+
+  /** Handshake (Flight.proto:38-47): exchange `credential` for the
+    * server's bearer token; throws on rejection. */
+  def handshake(host: String, port: Int, credential: String = ""): String =
+    request(host, port) { out =>
+      out.writeByte('H'); writeStr(out, credential)
+    } { in => readName(in) }
 
   /** ListActions (Flight.proto:99-105): "type: description" lines. */
   def listActions(host: String, port: Int): Seq[String] =

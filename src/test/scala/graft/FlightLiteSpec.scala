@@ -149,4 +149,27 @@ class FlightLiteSpec extends SparkSpec {
       assert(e.getMessage.contains("unknown action"))
     } finally server.close()
   }
+
+  test("Handshake: open server accepts any credential with a stable " +
+      "token; authed server rejects a bad one and accepts the secret") {
+    val open = new FlightLite.Server(spark).start()
+    try {
+      val t1 = FlightLite.handshake("127.0.0.1", open.boundPort, "anything")
+      val t2 = FlightLite.handshake("127.0.0.1", open.boundPort, "anything")
+      assert(t1.nonEmpty && t1 == t2, "token must be deterministic")
+      assert(t1.matches("[0-9a-f]{32}"), s"unexpected token shape: $t1")
+      // different credential -> different identity
+      assert(FlightLite.handshake("127.0.0.1", open.boundPort, "other") != t1)
+    } finally open.close()
+    val authed =
+      new FlightLite.Server(spark, authSecret = Some("sesame")).start()
+    try {
+      val e = intercept[RuntimeException] {
+        FlightLite.handshake("127.0.0.1", authed.boundPort, "wrong")
+      }
+      assert(e.getMessage.contains("handshake rejected"))
+      val tok = FlightLite.handshake("127.0.0.1", authed.boundPort, "sesame")
+      assert(tok.matches("[0-9a-f]{32}"))
+    } finally authed.close()
+  }
 }
