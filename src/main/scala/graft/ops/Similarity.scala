@@ -99,20 +99,34 @@ object Similarity {
     * recompute per-cell means through exact decimal sums (the answer
     * is independent of partitioning — double sums would not be), pull
     * back O(k·d) values. Cells that lost all members keep their seed. */
-  private def refineCentroids(e: DataFrame,
-      cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+  /** The per-cell decimal-exact Lloyd means as ONE array row per cell
+    * — `array_agg(struct(pos, m)) → sort → array` folds the k·d
+    * scalar rows into k rows BEFORE they cross to the driver, so at
+    * the documented k=1e5 / d=64 cap the collect moves 1e5 Rows, not
+    * 6.4M. Exposed for the CosineSpec O(k)-not-O(k·d) assert. */
+  private[graft] def lloydMeans(e: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val scores = centroidScores(e.sparkSession, cents, col("embedding"))
-    val means = e
-      .withColumn("cell", array_position(scores, array_max(scores)).cast("int"))
+    e.withColumn("cell",
+        array_position(scores, array_max(scores)).cast("int"))
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
         count(lit(1))).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .view.mapValues(rows =>
-        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+      // pos is unique within a cell, so array_sort on struct(pos, m)
+      // orders deterministically by pos regardless of collect_list's
+      // arrival order
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        pm => pm.getField("m")).as("mv"))
+  }
+
+  private def refineCentroids(e: DataFrame,
+      cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val means = lloydMeans(e, cents).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
     cents.indices.map(i => means.getOrElse(i + 1, cents(i)))
   }
 
@@ -777,15 +791,21 @@ object Similarity {
         }
         // one Lloyd pass for ALL hot cells: partition-count-independent
         // decimal means, keyed by (cell, sub-cell)
+        // same O(k)-rows driver shape as lloydMeans: fold the d
+        // per-position means into one array row per (cell, sub-cell)
+        // before the collect
         val means = hotRows.withColumn("sc", assignSub(seedMats))
           .select(col("cell"), col("sc"), posexplode(col("embedding")))
           .groupBy(col("cell"), col("sc"), col("pos"))
           .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
             count(lit(1))).as("m"))
+          .groupBy(col("cell"), col("sc"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            pm => pm.getField("m")).as("mv"))
           .collect()
-          .groupBy(r => (r.getLong(0), r.getLong(1)))
-          .view.mapValues(rows =>
-            rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq).toMap
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2).toSeq)
+          .toMap
         val refMats =
           new java.util.HashMap[java.lang.Long, Array[Array[Double]]]
         seedMats.forEach { (c, sm) =>
@@ -864,75 +884,146 @@ object Similarity {
       .select(col("vec_id"), col("dropped").as("is_dropped"))
       .orderBy("vec_id")
 
-  val qDedupSemanticKeepSql: String = """
+  /** Shared DuckDB replay of the k-means training both IVF and
+    * SemDeDup run on: seed selection (`seedFilter` over a rank/size
+    * window — the two pipelines differ ONLY here), sequential-fold
+    * normalization, the dot-argmax first assignment (a0), one
+    * decimal-exact Lloyd refinement (m → c1, lost cells keep their
+    * seed), and the second assignment `a1(vec_id, cell)`, where
+    * `cell` is the seed's 1-based rank — exactly Spark's
+    * `array_position` index. Query-specific tails are appended by the
+    * three oracle vals below, so the float-op-for-float-op replay is
+    * written (and maintained) once. */
+  private def ivfReplaySql(seedFilter: String): String = s"""
     WITH sel AS (
       SELECT vec_id, embedding,
         ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
         COUNT(*) OVER () AS nn
       FROM embeddings),
     seeds AS (
-      SELECT vec_id AS c, list_transform(embedding, x -> x::DOUBLE) AS raw,
+      SELECT vec_id AS c, ROW_NUMBER() OVER (ORDER BY vec_id) AS sid,
+        list_transform(embedding, x -> x::DOUBLE) AS raw,
         list_transform(embedding, x -> x::DOUBLE /
           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)), (a,b) -> a+b))) AS ctr
       FROM sel
-      WHERE rn <= GREATEST(2, LEAST(CAST(CEIL(nn / 50.0) AS BIGINT), 100000))),
+      WHERE $seedFilter),
     s0 AS (
-      SELECT v.vec_id, s.c,
+      SELECT v.vec_id, s.sid,
         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           list_transform(range(1, len(v.embedding)+1),
             i -> s.ctr[i] * v.embedding[i]::DOUBLE)), (a,b)->a+b) AS dot
       FROM embeddings v CROSS JOIN seeds s),
     a0 AS (
-      SELECT vec_id, c AS cell0 FROM (
-        SELECT vec_id, c, ROW_NUMBER() OVER
-          (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM s0)
+      SELECT vec_id, sid AS cell0 FROM (
+        SELECT vec_id, sid, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, sid ASC) AS rn FROM s0)
       WHERE rn = 1),
     m AS (
-      SELECT a0.cell0 AS c, u.pos,
+      SELECT a0.cell0 AS sid, u.pos,
         CAST(SUM(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean
       FROM embeddings v JOIN a0 ON a0.vec_id = v.vec_id,
       LATERAL (SELECT generate_subscripts(v.embedding,1) AS pos,
                unnest(v.embedding)::DOUBLE AS x) u
       GROUP BY 1, 2),
     c1raw AS (
-      SELECT s.c, list(COALESCE(m.mean, s.raw[p.pos]) ORDER BY p.pos) AS rawc
+      SELECT s.sid, list(COALESCE(m.mean, s.raw[p.pos]) ORDER BY p.pos) AS rawc
       FROM seeds s
       CROSS JOIN (SELECT unnest(range(1, len(embedding)+1)) AS pos
                   FROM (SELECT embedding FROM embeddings LIMIT 1)) p
-      LEFT JOIN m ON m.c = s.c AND m.pos = p.pos
-      GROUP BY s.c),
+      LEFT JOIN m ON m.sid = s.sid AND m.pos = p.pos
+      GROUP BY s.sid),
     c1 AS (
-      SELECT c, list_transform(rawc, x -> x /
+      SELECT sid, list_transform(rawc, x -> x /
         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           list_transform(rawc, y -> y*y)), (a,b)->a+b))) AS ctr
       FROM c1raw),
     s1 AS (
-      SELECT v.vec_id, s.c,
+      SELECT v.vec_id, s.sid,
         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           list_transform(range(1, len(v.embedding)+1),
             i -> s.ctr[i] * v.embedding[i]::DOUBLE)), (a,b)->a+b) AS dot
       FROM embeddings v CROSS JOIN c1 s),
     a1 AS (
-      SELECT vec_id, c AS cell FROM (
-        SELECT vec_id, c, ROW_NUMBER() OVER
-          (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM s1)
-      WHERE rn = 1),
+      SELECT vec_id, sid AS cell FROM (
+        SELECT vec_id, sid, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, sid ASC) AS rn FROM s1)
+      WHERE rn = 1)"""
+
+  /** The adaptiveCells seed rule: k = max(2, min(ceil(N/50), 1e5))
+    * smallest vec_ids. */
+  private val semSeedFilter =
+    "rn <= GREATEST(2, LEAST(CAST(CEIL(nn / 50.0) AS BIGINT), 100000))"
+
+  /** The list_sum cosine between embeddings a (aliased qid side) and b. */
+  private val cosSql = """list_sum(list_transform(range(1, len(a.embedding)+1),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+          i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))"""
+
+  val qDedupSemanticKeepSql: String = (ivfReplaySql(semSeedFilter) + s""",
     d AS (
       SELECT DISTINCT y.vec_id AS j
       FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
       JOIN embeddings a ON a.vec_id = x.vec_id
       JOIN embeddings b ON b.vec_id = y.vec_id
-      WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
-          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-        (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
-          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-         sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
-          i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.40)
+      WHERE $cosSql >= 0.40)
     SELECT e.vec_id, (d.j IS NOT NULL) AS is_dropped
     FROM embeddings e LEFT JOIN d ON e.vec_id = d.j
     ORDER BY e.vec_id
-  """.trim
+  """).trim
+
+  /** The SemDeDup cell summary (cell, n_docs, n_dropped, n_kept) with
+    * the SAME full-semantics replay — the cell label IS comparable
+    * because a1's `cell` is the seed rank, bit-for-bit the
+    * `array_position` index the Spark side emits. Precondition shared
+    * with the keep oracle: no cell exceeds the resplit cap at the
+    * verified scale (true at sf0.01; the resplit path is covered by
+    * CurationSpec). */
+  val qDedupSemanticSql: String = (ivfReplaySql(semSeedFilter) + s""",
+    d AS (
+      SELECT DISTINCT y.cell, y.vec_id AS j
+      FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE $cosSql >= 0.40),
+    g AS (SELECT cell, COUNT(*) AS n_docs FROM a1 GROUP BY 1),
+    dg AS (SELECT cell, COUNT(*) AS n_dropped FROM d GROUP BY 1)
+    SELECT CAST(g.cell AS BIGINT) AS cell, g.n_docs,
+      CAST(COALESCE(dg.n_dropped, 0) AS BIGINT) AS n_dropped,
+      CAST(g.n_docs - COALESCE(dg.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM g LEFT JOIN dg ON dg.cell = g.cell
+    ORDER BY cell
+  """).trim
+
+  /** knn_ivf (nprobe=3) full exact oracle: the same training replay
+    * with the IVF seed rule (vec_id < 10), then probe selection =
+    * top-3 refined-centroid dots per query (s1 restricted to the
+    * query vectors — identical scores to Spark's posexplode over the
+    * assignment column), candidates = probed cells' members, exact
+    * cosine scoring, top-5. Approximation lives ONLY in candidate
+    * selection, and the replay reproduces that selection exactly. */
+  val qKnnIvfSql: String = (ivfReplaySql("vec_id < 10") + s""",
+    probes AS (
+      SELECT vec_id AS qid, sid AS cell FROM (
+        SELECT vec_id, sid, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dot DESC, sid ASC) AS prn
+        FROM s1 WHERE vec_id < 10)
+      WHERE prn <= 3),
+    cand AS (
+      SELECT p.qid, a1.vec_id AS cid
+      FROM probes p JOIN a1 ON a1.cell = p.cell
+      WHERE a1.vec_id <> p.qid),
+    sc AS (
+      SELECT cd.qid, cd.cid, $cosSql AS cos_sim
+      FROM cand cd JOIN embeddings a ON a.vec_id = cd.qid
+      JOIN embeddings b ON b.vec_id = cd.cid),
+    r AS (SELECT qid, cid, ROW_NUMBER() OVER
+      (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn FROM sc)
+    SELECT qid, rn, cid FROM r WHERE rn <= 5 ORDER BY qid, rn
+  """).trim
 
   /** Kept-set view for the spec: (cell, vec_id, embedding, kept). */
   private[graft] def semanticDedupDetail(s: SparkSession, dir: String,

@@ -38,6 +38,25 @@ class CosineSpec extends SparkSpec {
     assert(math.abs(same - 1.0) < 1e-15)
   }
 
+  test("lloydMeans collects O(k) array rows, not O(k*d) scalars") {
+    val e = graft.sources.Tables(spark, sfDir, "embeddings")
+    val seeds = e.orderBy("vec_id").limit(10).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val means = graft.ops.Similarity.lloydMeans(e, seeds)
+    val d = e.selectExpr("size(embedding)").first().getInt(0)
+    val rows = means.collect()
+    // the driver transfer is one row per NON-EMPTY cell (<= k), each
+    // carrying the full d-length mean vector — the k*d scalar-row
+    // shape would return rows.length == k*d here
+    assert(rows.length <= seeds.length,
+      s"${rows.length} rows collected for k=${seeds.length} (O(k*d) shape?)")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](1).length == d,
+        s"mean vector truncated: ${r.getSeq[Double](1).length} != $d")
+    }
+  }
+
   test("null array yields null, not an error") {
     val df = spark.createDataFrame(
       java.util.List.of(Row(Seq(1.0f), null)),
