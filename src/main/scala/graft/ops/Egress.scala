@@ -314,6 +314,42 @@ object Egress {
     GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** Explicit schema evolution on the transaction-logged table —
+    * Delta's ADD COLUMN parity: commit nation (key, name), declare a
+    * new nullable `review_score` column as a METADATA-ONLY commit
+    * ([[graft.sources.TableLog.addColumn]] — no data file touched),
+    * then append the remaining rows WITH the column populated, and
+    * read the evolved snapshot. Rows written before the evolution
+    * surface the declared column as NULL — the declared schema is
+    * the table's contract, not the union of whatever file footers
+    * happen to exist. The reject path (type change / dropped
+    * non-nullable at CAS time) is TableLogSpec-asserted; this row
+    * oracle-proves the accept path end-to-end. */
+  def qLogSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_evolve"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val nation = Tables(s, dir, "nation")
+    graft.sources.TableLog.append(s, root,
+      nation.filter(col("n_nationkey") < 13)
+        .select(col("n_nationkey"), col("n_name")))
+    graft.sources.TableLog.addColumn(s, root, "review_score",
+      org.apache.spark.sql.types.IntegerType)
+    graft.sources.TableLog.append(s, root,
+      nation.filter(col("n_nationkey") >= 13)
+        .select(col("n_nationkey"), col("n_name"),
+          (col("n_nationkey") * 2).as("review_score")))
+    graft.sources.TableLog.snapshot(s, root).orderBy("n_nationkey")
+  }
+
+  val qLogSchemaEvolveSql: String = """
+    SELECT n_nationkey, n_name,
+      CASE WHEN n_nationkey >= 13
+        THEN CAST(n_nationkey * 2 AS INTEGER) ELSE NULL END AS review_score
+    FROM nation ORDER BY n_nationkey
+  """.trim
+
   /** Batch MERGE (upsert-by-key) on the transaction-logged table —
     * the lake-side CDC-apply twin of the streaming foreachBatch
     * upsert: write orders range-clustered with per-file key stats,

@@ -66,6 +66,21 @@ import org.apache.spark.sql.types.LongType
   *    are always read (pruning can drop a file only when its stats
   *    prove it irrelevant), and the residual filter is always
   *    applied, so stats can never change an answer — only planning.
+  *  - **Explicit schema evolution.** Every data-writing commit
+  *    records its DataFrame schema (base64 of the DataType JSON, so
+  *    the log line stays one-line-regular); [[tableSchema]] resolves
+  *    the declared schema as of any version. Writes whose schema
+  *    CHANGES an existing column's type, or DROPS a non-nullable
+  *    column, are rejected at CAS time (re-checked on every publish
+  *    attempt, so a racing evolution cannot slip through) — before
+  *    this, evolution was implicit via `mergeSchema` reads and a bad
+  *    writer corrupted silently. Additive evolution is first-class:
+  *    [[addColumn]] publishes a metadata-only commit declaring a new
+  *    nullable column, and [[snapshot]] presents the declared schema
+  *    (missing-on-disk columns read as null, declared order, extras
+  *    from dropped nullable columns hidden). Logs written before
+  *    this feature have no schema records and keep the old implicit
+  *    behavior.
   *  - **Row-level delete rewrites only matching files.**
   *    [[deleteRange]] uses the same stats to rewrite ONLY files that
   *    can contain matches, publishing {add: rewritten, remove:
@@ -89,7 +104,8 @@ object TableLog {
   // metacharacters)
   private def render(version: Int, add: Seq[String], remove: Seq[String],
       statsFile: Option[String], dataChange: Boolean,
-      txn: Option[(String, Long)] = None): String = {
+      txn: Option[(String, Long)] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val st = statsFile.map(p => s""","stats":"$p"""").getOrElse("")
     val tx = txn.map { case (a, v) =>
@@ -97,8 +113,20 @@ object TableLog {
         s"txn app id must not contain quotes or ':': $a")
       s""","txn":"$a:$v""""
     }.getOrElse("")
-    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st$tx,"dataChange":$dataChange}"""
+    // base64 keeps the schema's own JSON (quotes, braces) out of the
+    // line so the regex parsers above stay sound
+    val sc = schema.map(sch => s""","schema":"${java.util.Base64.getEncoder
+      .encodeToString(sch.json.getBytes("UTF-8"))}"""").getOrElse("")
+    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st$tx$sc,"dataChange":$dataChange}"""
   }
+
+  private def parseSchema(json: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    "\"schema\":\"([^\"]+)\"".r.findFirstMatchIn(json).map { m =>
+      org.apache.spark.sql.types.DataType.fromJson(new String(
+        java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
 
   private def parseTxn(json: String): Option[(String, Long)] =
     "\"txn\":\"([^\":]+):(-?\\d+)\"".r.findFirstMatchIn(json)
@@ -285,6 +313,41 @@ object TableLog {
   private def liveFiles(s: SparkSession, root: String, version: Int): Seq[String] =
     liveState(s, root, version).map(_._1)
 
+  /** The declared table schema as of `version` (-1 = latest): the
+    * newest commit at or below `version` that recorded one. None for
+    * logs written before schema recording existed. O(#commits) JSON
+    * reads worst-case, but every data commit records a schema, so in
+    * practice the walk stops at the first or second entry. */
+  def tableSchema(s: SparkSession, root: String, version: Int = -1)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(s, root)
+    val vs = versions(s, root)
+    val upTo = if (version < 0) vs else vs.filter(_ <= version)
+    upTo.reverseIterator
+      .map(v => parseSchema(readText(f, logPath(root, v))))
+      .collectFirst { case Some(sc) => sc }
+  }
+
+  /** Violations that make writing `next` into a table currently
+    * declared as `cur` unsafe: changing an existing column's type
+    * (readers would see conflicting parquet types — mergeSchema
+    * fails or coerces silently) or dropping a column `cur` declares
+    * non-nullable (old readers assume it present). Adding nullable
+    * columns and omitting nullable columns are legal evolution. */
+  private def schemaViolations(cur: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    val typeChanged = cur.fields.toSeq.flatMap { f =>
+      nextByName.get(f.name)
+        .filter(_.dataType != f.dataType)
+        .map(n => s"type change on '${f.name}': ${f.dataType.simpleString} -> ${n.dataType.simpleString}")
+    }
+    val droppedRequired = cur.fields.toSeq
+      .filter(f => !f.nullable && !nextByName.contains(f.name))
+      .map(f => s"dropped non-nullable column '${f.name}'")
+    typeChanged ++ droppedRequired
+  }
+
   /** Publish one commit via exists-guarded rename CAS; returns the
     * version that won. A commit that REMOVES files re-validates, on
     * every attempt, that its whole remove set is still live — so a
@@ -294,11 +357,21 @@ object TableLog {
     * conflict and retry freely. */
   private def publish(s: SparkSession, root: String, add: Seq[String],
       remove: Seq[String], statsFile: Option[String] = None,
-      dataChange: Boolean = true, txn: Option[(String, Long)] = None): Int = {
+      dataChange: Boolean = true, txn: Option[(String, Long)] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      enforceSchema: Boolean = true): Int = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/_log"))
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
+      // schema compatibility re-checked on EVERY attempt (CAS time):
+      // a concurrent commit may have evolved the declared schema
+      // between our check and our rename
+      if (enforceSchema) for (next <- schema; cur <- tableSchema(s, root)) {
+        val bad = schemaViolations(cur, next)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"TableLog: incompatible schema change rejected: ${bad.mkString("; ")}")
+      }
       if (remove.nonEmpty) {
         val live = liveFiles(s, root, -1).toSet
         val gone = remove.filterNot(live)
@@ -316,8 +389,9 @@ object TableLog {
       }
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(render(attempt, add, remove, statsFile, dataChange, txn)
-        .getBytes("UTF-8"))
+      try out.write(
+        render(attempt, add, remove, statsFile, dataChange, txn, schema)
+          .getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
       if (!f.exists(target) && f.rename(tmp, target)) {
@@ -383,7 +457,8 @@ object TableLog {
   def append(s: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Int = {
     val (sub, files) = writeData(s, root, df)
-    publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols))
+    publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols),
+      schema = Some(df.schema))
   }
 
   /** Highest committed transaction version for `app` (Delta's
@@ -411,19 +486,46 @@ object TableLog {
         lastTxnVersion(s, root, app).exists(_ >= txnVersion)) return None
     val (sub, files) = writeData(s, root, df)
     try Some(publish(s, root, files, Seq.empty,
-      writeStats(s, root, sub, statsCols), txn = Some(app -> txnVersion)))
+      writeStats(s, root, sub, statsCols), txn = Some(app -> txnVersion),
+      schema = Some(df.schema)))
     catch {
       case _: java.util.ConcurrentModificationException => None // raced: applied
     }
   }
 
-  /** Replace the whole table content with `df` in one commit. */
+  /** Replace the whole table content with `df` in one commit. An
+    * overwrite that also changes the schema incompatibly (type
+    * change / dropped non-nullable) still rejects unless
+    * `overwriteSchema = true` — replacing every row makes the change
+    * safe for NEW snapshots, but it must be asked for explicitly
+    * (Delta's `overwriteSchema` option), because time travel across
+    * the boundary changes meaning. */
   def overwrite(s: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, overwriteSchema: Boolean = false): Int = {
     val old = if (versions(s, root).isEmpty) Seq.empty[String]
       else liveFiles(s, root, -1)
     val (sub, files) = writeData(s, root, df)
-    publish(s, root, files, old, writeStats(s, root, sub, statsCols))
+    publish(s, root, files, old, writeStats(s, root, sub, statsCols),
+      schema = Some(df.schema), enforceSchema = !overwriteSchema)
+  }
+
+  /** ADD COLUMN as a metadata-only commit: declares a new NULLABLE
+    * column in the table schema without touching any data file.
+    * Subsequent snapshots present the column (null for every row
+    * written before it existed); subsequent appends may populate it.
+    * Rejects if the column already exists or the log has no declared
+    * schema yet (pre-schema logs must append once first). */
+  def addColumn(s: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(
+      s"TableLog: $root has no declared schema to evolve (append data first)"))
+    require(!cur.fieldNames.contains(name),
+      s"TableLog: column '$name' already exists")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    publish(s, root, Seq.empty, Seq.empty, dataChange = false,
+      schema = Some(next))
   }
 
   /** The table as of `version` (-1 = latest). File list is resolved
@@ -432,7 +534,21 @@ object TableLog {
     val files = liveFiles(s, root, version).map(rel => s"$root/$rel")
     // mergeSchema: commits may evolve the schema additively (new
     // nullable columns); older files read the union schema with nulls
-    s.read.option("mergeSchema", "true").parquet(files: _*)
+    val raw = s.read.option("mergeSchema", "true").parquet(files: _*)
+    // when the log declares a schema (as of the requested version),
+    // the DECLARED schema is the contract: columns added by
+    // addColumn but not yet written read as null, column order is
+    // the declared order, and stragglers from dropped nullable
+    // columns are hidden. Pre-schema logs keep the raw union frame.
+    tableSchema(s, root, version) match {
+      case None => raw
+      case Some(decl) =>
+        val present = raw.columns.toSet
+        raw.select(decl.fields.toSeq.map { f =>
+          if (present.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
   }
 
   /** Rows ADDED by data-changing commits with version > `sinceVersion`

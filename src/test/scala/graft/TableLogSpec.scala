@@ -458,4 +458,84 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(spark, root, preVersion).count() == 1800)
     assert(TableLog.snapshot(spark, root).count() == 1800)
   }
+
+  test("addColumn declares a nullable column: metadata-only commit, " +
+      "nulls before data arrives, populated after") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 10))
+    val evolveV = TableLog.addColumn(spark, root, "score",
+      org.apache.spark.sql.types.LongType)
+    // metadata-only: no data files added or removed by the commit
+    val hist = TableLog.history(spark, root)
+      .filter(col("version") === evolveV).head()
+    assert(hist.getInt(1) == 0 && hist.getInt(2) == 0, s"not metadata-only: $hist")
+    assert(!hist.getBoolean(3), "schema commit must be dataChange=false")
+    // declared column reads as null for pre-evolution rows
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("id", "s", "score"))
+    assert(snap.filter(col("score").isNull).count() == 10)
+    // post-evolution append populates it; old rows stay null
+    val sp = spark; import sp.implicits._
+    TableLog.append(spark, root,
+      (10 until 15).map(i => (i.toLong, s"row$i", i.toLong * 7))
+        .toDF("id", "s", "score"))
+    val out = TableLog.snapshot(spark, root)
+    assert(out.filter(col("score").isNotNull).count() == 5)
+    assert(out.filter(col("id") === 12).head().getLong(2) == 84L)
+    // time travel below the evolution version sees the OLD schema
+    assert(TableLog.snapshot(spark, root, 0).columns.toSeq == Seq("id", "s"))
+    // duplicate declaration rejects
+    intercept[IllegalArgumentException] {
+      TableLog.addColumn(spark, root, "score",
+        org.apache.spark.sql.types.LongType)
+    }
+  }
+
+  test("incompatible writes reject at CAS time: type change and " +
+      "dropped non-nullable column; legal evolution still lands") {
+    val root = freshRoot()
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.types._
+    // base schema with a NON-nullable id
+    val base = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("s", StringType))))
+    TableLog.append(spark, root, base)
+    // type change on an existing column -> reject
+    val typeChanged = Seq((3, "c")).toDF("id", "s") // id: Int, not Long
+    val e1 = intercept[IllegalStateException] {
+      TableLog.append(spark, root, typeChanged)
+    }
+    assert(e1.getMessage.contains("type change"), e1.getMessage)
+    // dropping the non-nullable column -> reject
+    val droppedId = Seq(("c")).toDF("s")
+    val e2 = intercept[IllegalStateException] {
+      TableLog.append(spark, root, droppedId)
+    }
+    assert(e2.getMessage.contains("non-nullable"), e2.getMessage)
+    // nothing landed: the log still has exactly the base commit
+    assert(TableLog.versions(spark, root) == Seq(0))
+    assert(TableLog.snapshot(spark, root).count() == 2)
+    // legal: adding a nullable column in an append
+    val widened = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(3L, "c", "extra")),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("s", StringType), StructField("note", StringType))))
+    TableLog.append(spark, root, widened)
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("id", "s", "note"))
+    assert(snap.count() == 3 && snap.filter(col("note").isNull).count() == 2)
+    // legal: omitting a nullable column (old writer) after evolution
+    TableLog.append(spark, root, Seq((4L, "d")).toDF("id", "s"))
+    assert(TableLog.snapshot(spark, root).count() == 4)
+    // overwrite with an incompatible schema rejects unless explicit
+    intercept[IllegalStateException] {
+      TableLog.overwrite(spark, root, Seq((1, "z")).toDF("id", "s"))
+    }
+    TableLog.overwrite(spark, root, Seq((1, "z")).toDF("id", "s"),
+      overwriteSchema = true)
+    assert(TableLog.snapshot(spark, root).count() == 1)
+  }
 }
