@@ -189,6 +189,165 @@ object Multimodal {
       .orderBy("keeper_id")
   }
 
+  /** Perceptual near-duplicate media detection — the aHash/dHash
+    * step a multimodal crawl runs AFTER exact dedup: re-encoded or
+    * slightly-recompressed assets have different bytes (so
+    * [[qMediaDedup]]'s content hash misses them) but nearly identical
+    * downsampled grids. The stub decoder exposes the payload's 16
+    * high nibbles as a 4x4 grayscale grid (resolution reduction IS
+    * the perceptual-hash trick: small re-encodings perturb low bits,
+    * the kept high nibble is stable); from it:
+    *
+    *  - aHash (16 bits): cell > grid mean (mean is /16.0 — a power
+    *    of two, so the double is exact and the compare is portable);
+    *  - dHash-H (16 bits): circular row gradient, cell > next cell;
+    *  - dHash-V (16 bits): circular column gradient, cell > the cell
+    *    4 below — the 4x4-grid vertical analogue;
+    *  - candidate generation: band b (0..3) takes nibble b of EACH
+    *    hash → a 12-bit band value, LSH-style — pairs sharing any
+    *    band collide, so any pair within 3 flipped bits of the
+    *    combined 48 is GUARANTEED a candidate (pigeonhole: 3 flips
+    *    cannot touch all 4 bands), and a random pair collides with
+    *    P ≈ 4·2⁻¹² ≈ 0.1% — the band width is what keeps the
+    *    candidate count ~N²/1000, not the N²/64 a 4-bit band would
+    *    give (a production pipeline over billions of images widens
+    *    the grid and the bands further; the structure is the same);
+    *  - verify: combined Hamming distance over all 48 bits <= 3.
+    *
+    * The fixture has no near-dups, so the query seeds them: copies of
+    * the first ten blobs with the LOW nibble of payload byte 0
+    * incremented (ids +20000) — bytes differ, the decoded grid does
+    * not, the re-encoded-asset stand-in. Everything derives from
+    * md5(text) hex arithmetic, so DuckDB replays the pipeline
+    * bit-for-bit. At 100 TB the shuffle carries (id, 2 ints, band)
+    * per blob — never media bytes. */
+  def qMediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hexd = "0123456789abcdef"
+    def nib(c: org.apache.spark.sql.Column) = conv(c, 16, 10).cast(IntegerType)
+    // both generations come out of ONE projection (explode of a 1- or
+    // 2-element array) instead of a self-union — no second scan, and
+    // it sidesteps a Catalyst Union constraint-rewrite bug on the
+    // pruned `text` attribute (Spark 4.1)
+    val ph0 = col("ph0")
+    val perturbedPh = concat(substring(ph0, 1, 1),
+      lit(hexd).substr(pmod(nib(substring(ph0, 2, 1)) + 1, lit(16)) + 1, lit(1)),
+      substring(ph0, 3, 30))
+    val orig = struct(col("doc_id").as("media_id"), ph0.as("ph"))
+    val fake = struct((col("doc_id") + 20000).as("media_id"),
+      perturbedPh.as("ph"))
+    val cells = transform(sequence(lit(0), lit(15)),
+      i => nib(col("ph").substr(i * 2 + 1, lit(1))))
+    def foldBits(bit: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(sequence(lit(0), lit(15)),
+        i => when(bit(i), 1).otherwise(0)),
+        lit(0), (acc, b) => acc * 2 + b)
+    // materialize (media_id, v) ONCE: higher-order functions are not
+    // codegen'd, so without a plan barrier CollapseProject inlines the
+    // `cells` transform (and the md5 beneath it) into all ~96 lambda
+    // references of the three hash folds — a 100x per-row recompute
+    // (measured 7 s -> 1.8 s at sf0.1). The 17-value-per-media grid
+    // frame is exactly the "decoded perceptual index" a production
+    // pipeline persists before banding, so the barrier is the honest
+    // 100 TB shape, not a local hack.
+    val grid = Tables(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("ph0"))
+      .select(explode(when(col("doc_id") < 10, array(orig, fake))
+        .otherwise(array(orig))).as("r"))
+      .select(col("r.media_id").as("media_id"), col("r.ph").as("ph"))
+      .select(col("media_id"), cells.as("v"))
+      .localCheckpoint(true)
+    val hashed = grid
+      .withColumn("mean",
+        aggregate(col("v"), lit(0), (a, b) => a + b).cast(DoubleType) / 16.0)
+      .select(col("media_id"),
+        foldBits(i => element_at(col("v"), i + 1) > col("mean")).as("ahash"),
+        foldBits(i => element_at(col("v"), i + 1) >
+          element_at(col("v"), pmod(i + 1, lit(16)) + 1)).as("dhash"),
+        foldBits(i => element_at(col("v"), i + 1) >
+          element_at(col("v"), pmod(i + 4, lit(16)) + 1)).as("vhash"))
+      // second barrier: both sides of the banded self-join read the
+      // 4-int hash table instead of re-running the interpreted folds
+      .localCheckpoint(true)
+    def nibble(h: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      pmod(floor(h / pow(lit(16.0), b)).cast(IntegerType), lit(16))
+    val banded = hashed
+      .select(col("media_id"), col("ahash"), col("dhash"), col("vhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv",
+        nibble(col("ahash"), col("b")) * 256 +
+          nibble(col("dhash"), col("b")) * 16 +
+          nibble(col("vhash"), col("b")))
+    val x = banded.select(col("b"), col("bv"), col("media_id").as("i"),
+      col("ahash").as("ai"), col("dhash").as("di"), col("vhash").as("vi"))
+    val y = banded.select(col("b"), col("bv"), col("media_id").as("j"),
+      col("ahash").as("aj"), col("dhash").as("dj"), col("vhash").as("vj"))
+    val ham = bit_count(col("ai").bitwiseXOR(col("aj"))) +
+      bit_count(col("di").bitwiseXOR(col("dj"))) +
+      bit_count(col("vi").bitwiseXOR(col("vj")))
+    x.join(y, Seq("b", "bv")).where(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ai"), col("aj"),
+        col("di"), col("dj"), col("vi"), col("vj"))
+      .distinct()
+      .where(ham <= 3)
+      .select(col("i").as("keeper_id"), col("j").as("dup_id"),
+        ham.cast(IntegerType).as("hamming"))
+      .orderBy("keeper_id", "dup_id")
+  }
+
+  val qMediaNearDupSql: String = """
+    WITH d0 AS (SELECT doc_id AS media_id, md5(text) AS ph FROM documents),
+    pert AS (
+      SELECT media_id + 20000 AS media_id,
+        substr(ph, 1, 1) ||
+        substr('0123456789abcdef',
+          ((strpos('0123456789abcdef', substr(ph, 2, 1)) - 1 + 1) % 16) + 1, 1) ||
+        substr(ph, 3, 30) AS ph
+      FROM d0 WHERE media_id < 10),
+    m AS (SELECT * FROM d0 UNION ALL SELECT * FROM pert),
+    c AS (
+      SELECT media_id,
+        list_transform(range(0, 16), i ->
+          strpos('0123456789abcdef', substr(ph, CAST(i*2+1 AS INT), 1)) - 1) AS v
+      FROM m),
+    h AS (SELECT media_id, v,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), v), (a,b) -> a+b) AS DOUBLE) / 16.0 AS mean
+      FROM c),
+    hh AS (
+      SELECT media_id,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 16),
+            i -> CASE WHEN v[i+1] > mean THEN 1 ELSE 0 END)),
+          (a,b) -> a*2+b) AS INT) AS ahash,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 16),
+            i -> CASE WHEN v[i+1] > v[((i+1)%16)+1] THEN 1 ELSE 0 END)),
+          (a,b) -> a*2+b) AS INT) AS dhash,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 16),
+            i -> CASE WHEN v[i+1] > v[((i+4)%16)+1] THEN 1 ELSE 0 END)),
+          (a,b) -> a*2+b) AS INT) AS vhash
+      FROM h),
+    bands AS (
+      SELECT media_id, ahash, dhash, vhash, b,
+        (CAST(FLOOR(ahash / POWER(16, b)) AS INT) % 16) * 256 +
+        (CAST(FLOOR(dhash / POWER(16, b)) AS INT) % 16) * 16 +
+        (CAST(FLOOR(vhash / POWER(16, b)) AS INT) % 16) AS bv
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+    cand AS (
+      SELECT DISTINCT x.media_id AS i, y.media_id AS j,
+        x.ahash AS ai, y.ahash AS aj, x.dhash AS di, y.dhash AS dj,
+        x.vhash AS vi, y.vhash AS vj
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bv = y.bv AND x.media_id < y.media_id)
+    SELECT i AS keeper_id, j AS dup_id,
+      CAST(bit_count(xor(ai, aj)) + bit_count(xor(di, dj)) +
+           bit_count(xor(vi, vj)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ai, aj)) + bit_count(xor(di, dj)) +
+          bit_count(xor(vi, vj)) <= 3
+    ORDER BY keeper_id, dup_id
+  """.trim
+
   val qMediaDedupSql: String = """
     WITH m0 AS (
       SELECT doc_id AS media_id,

@@ -104,4 +104,26 @@ class MultimodalSpec extends SparkSpec {
     // digests are distinct across groups (no accidental collisions)
     assert(rows.map(_.getAs[String]("content_sha")).distinct.length == 10)
   }
+
+  test("perceptual near-dup finds every planted re-encoded pair at " +
+      "hamming 0, and the join is banded, not all-pairs") {
+    val df = Multimodal.qMediaNearDup(spark, sfDir)
+    val rows = df.collect()
+    // recall: all ten planted (i, i+20000) pairs — the low-nibble
+    // perturbation changes bytes but not the decoded 4x4 grid, so
+    // their perceptual distance is exactly 0
+    val planted = rows.filter(r => r.getAs[Long]("dup_id") >= 20000)
+    assert(planted.map(r =>
+      (r.getAs[Long]("keeper_id"), r.getAs[Long]("dup_id"))).toSet ==
+      (0L until 10L).map(i => (i, i + 20000L)).toSet,
+      s"planted near-dups missed: ${planted.mkString(",")}")
+    assert(planted.forall(_.getAs[Int]("hamming") == 0))
+    // precision at the fixture scale: random 32-bit pairs at
+    // hamming <= 3 are ~1e-6 likely, so the planted pairs should
+    // dominate the output
+    assert(rows.length <= 30, s"near-dup output implausibly large: ${rows.length}")
+    // scale shape: banded LSH join, never a cartesian pair blowup
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
 }
