@@ -188,6 +188,61 @@ object Streaming {
         col("purchase_id"), col("purchase_value"))
   }
 
+  /** FULL-OUTER stream-stream join (Spark >= 3.1) — attribution
+    * including BOTH dangling sides: unconverted clicks null-pad the
+    * purchase columns AND orphan purchases (no click in the preceding
+    * hour — organic/direct conversions) null-pad the click columns.
+    * Same watermarks + event-time range condition as
+    * [[attributionJoin]]; each side's null emission is deferred until
+    * the OTHER side's watermark proves no match can still arrive for
+    * its window, so every null row is a watermark-certified fact and
+    * state keeps the same horizon-bounded eviction. In batch the
+    * null rows appear immediately (`qStreamJoinFull`, oracle-checked
+    * FULL JOIN). */
+  def attributionJoinFullOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("c_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      // exactly one of (c_user, user_id) is null on the padded rows
+      .select(coalesce(col("c_user"), col("user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"), col("purchase_value"))
+  }
+
+  /** Batch twin of the full-outer join. (click_id, purchase_id) with
+    * NULLS LAST is a total order: unmatched purchases sort after
+    * every click under their null click_id, then uniquely by their
+    * own id. */
+  def qStreamJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    attributionJoinFullOuter(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("click_id").asc_nulls_last,
+        col("purchase_id").asc_nulls_last)
+  }
+
+  val qStreamJoinFullSql: String = """
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      c.event_id AS click_id,
+      p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id NULLS LAST, purchase_id NULLS LAST
+  """.trim
+
   /** Batch twin of the outer join. Total order: purchase_id NULLS
     * LAST to match the oracle's ASC default (Spark's asc is
     * nulls-first — the one cross-engine sort divergence). */

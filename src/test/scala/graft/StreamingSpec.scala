@@ -221,6 +221,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join: watermark-certified null emission " +
+      "on BOTH sides") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Streaming.attributionJoinFullOuter(cdf, pdf).writeStream
+      .format("memory").queryName("attrib_full")
+      .outputMode("append").start()
+    def rows(): Set[(Option[Long], Option[Long])] =
+      spark.table("attrib_full").select("click_id", "purchase_id").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L), // will convert
+        (2L, ts("2024-01-01 10:05:00"), 101L))              // never converts
+      purchases.addData((1L, ts("2024-01-01 10:30:00"), 200L, 9.99),
+        (3L, ts("2024-01-01 10:10:00"), 201L, 5.00))        // organic: no click
+      q.processAllAvailable()
+      // only the matched pair may emit now: the unmatched click's
+      // window is still open, and the orphan purchase could still be
+      // preceded by a late click within ITS lookback hour
+      assert(rows() == Set((Some(100L), Some(200L))),
+        s"premature outer emission: ${rows()}")
+      // advance both watermarks far past every horizon
+      clicks.addData((9L, ts("2024-01-01 23:00:00"), 999L))
+      purchases.addData((9L, ts("2024-01-01 23:00:00"), 998L, 0.0))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-01 23:30:00"), 997L))
+      purchases.addData((9L, ts("2024-01-01 23:30:00"), 996L, 0.0))
+      q.processAllAvailable()
+      assert(rows().contains((Some(101L), None)),
+        s"expired click must null-emit: ${rows()}")
+      assert(rows().contains((None, Some(201L))),
+        s"expired orphan purchase must null-emit: ${rows()}")
+      assert(!rows().exists { case (c, p) => c == Some(100L) && p.isEmpty },
+        "a matched click must never also null-emit")
+      assert(!rows().exists { case (c, p) => c.isEmpty && p == Some(200L) },
+        "a matched purchase must never also null-emit")
+    } finally q.stop()
+  }
+
   test("transformWithState changelog: emits only changes, event-time timer expires idle keys") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
