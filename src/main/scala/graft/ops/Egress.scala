@@ -512,4 +512,128 @@ object Egress {
       ${dsumSql("o_totalprice")} AS total_price
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Change data feed on the transaction-logged table — Delta CDF
+    * parity ([[graft.sources.TableLog.tableChanges]]): with capture
+    * on, load orders (v0), MERGE updates+inserts (v1), delete a key
+    * range (v2), then read the ROW-LEVEL feed for the whole history
+    * and profile it by (commit, change type). The oracle reconstructs
+    * every change class relationally — v0 inserts = the base table,
+    * v1 pre/postimages = the matched keys before/after re-pricing,
+    * v1 inserts = the fresh keys, v2 deletes = the range — so the
+    * hash check proves capture completeness AND classification: one
+    * row mis-tagged (e.g. an untouched row leaking into the feed, or
+    * an update counted as insert) shifts a group and fails the hash.
+    * The downstream consumer this feeds is incremental view
+    * maintenance / CDC replication: O(changed rows) per sync, never a
+    * snapshot diff. */
+  def qLogCdf(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_cdf"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val prev = s.conf.getOption("spark.graft.tablelog.cdf")
+    s.conf.set("spark.graft.tablelog.cdf", "true")
+    try {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+      graft.sources.TableLog.append(s, root, orders,
+        statsCols = Seq("o_orderkey"))
+      val priceT = orders.schema("o_totalprice").dataType
+      val updates = orders
+        .filter(col("o_orderkey") >= 300 && col("o_orderkey") <= 699)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", (col("o_totalprice") + 1000).cast(priceT))
+      val inserts = orders
+        .filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("I"))
+      graft.sources.TableLog.merge(s, root,
+        updates.unionByName(inserts), "o_orderkey",
+        statsCols = Seq("o_orderkey"))
+      // keys 100-199 sit outside the update range, so the deleted
+      // preimages are bit-for-bit the base rows — oracle-reconstructible
+      graft.sources.TableLog.deleteRange(s, root, "o_orderkey", 100L, 199L)
+      graft.sources.TableLog.tableChanges(s, root, -1)
+        .groupBy(col(graft.sources.TableLog.CommitVersionCol),
+          col(graft.sources.TableLog.ChangeTypeCol))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(graft.sources.TableLog.CommitVersionCol,
+          graft.sources.TableLog.ChangeTypeCol)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.tablelog.cdf", v)
+      case None => s.conf.unset("spark.graft.tablelog.cdf")
+    }
+  }
+
+  val qLogCdfSql: String = s"""
+    WITH chg AS (
+      SELECT 0 AS _commit_version, 'insert' AS _change_type, o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT 1, 'update_preimage', o_totalprice
+      FROM orders WHERE o_orderkey >= 300 AND o_orderkey <= 699
+      UNION ALL
+      SELECT 1, 'update_postimage', o_totalprice + 1000
+      FROM orders WHERE o_orderkey >= 300 AND o_orderkey <= 699
+      UNION ALL
+      SELECT 1, 'insert', o_totalprice FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT 2, 'delete', o_totalprice
+      FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 199)
+    SELECT CAST(_commit_version AS INTEGER) AS _commit_version, _change_type,
+      COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total_price
+    FROM chg GROUP BY 1, 2 ORDER BY 1, 2
+  """.trim
+
+  /** CHECK constraints on the transaction-logged table — Delta's
+    * ADD CONSTRAINT parity ([[graft.sources.TableLog.addConstraint]]):
+    * load the sub-10k-key orders, declare `o_totalprice >= 0` and
+    * `o_orderkey IS NOT NULL` (metadata-only commits, validated
+    * against the snapshot), append a clean batch, then attempt a
+    * POISONED batch (negative prices) — which must reject at write
+    * time, before any log entry exists — and profile the final
+    * snapshot. (One-bad-row-rejects-whole-batch atomicity is
+    * TableLogSpec-asserted.) The oracle reconstructs clean-rows-only, so the hash
+    * check proves both directions: the good batch landed, and not one
+    * row of the rejected batch leaked into the table (a torn write —
+    * files published despite the violation — would shift a group).
+    * The write-amplification story: enforcement is one aggregate over
+    * just-written files, never a table rescan. */
+  def qLogConstraints(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_check"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") < 10000))
+    graft.sources.TableLog.addConstraint(s, root,
+      "price_nonneg", "o_totalprice >= 0")
+    graft.sources.TableLog.addConstraint(s, root,
+      "key_present", "o_orderkey IS NOT NULL")
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") >= 10000))
+    val priceT = orders.schema("o_totalprice").dataType
+    val poisoned = orders.orderBy("o_orderkey").limit(50)
+      .withColumn("o_totalprice", lit(-1).cast(priceT))
+    val rejected =
+      try { graft.sources.TableLog.append(s, root, poisoned); false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("price_nonneg") }
+    require(rejected, "poisoned append was not rejected by CHECK")
+    graft.sources.TableLog.snapshot(s, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogConstraintsSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

@@ -389,6 +389,91 @@ object Similarity {
     FROM q GROUP BY vec_id ORDER BY vec_id
   """.trim
 
+  /** Binary (1-bit) quantization ANN — the memory-floor path past
+    * int8 ([[qQuantize]]) and PQ ([[knnPq]]): sign-quantize each
+    * 64-dim embedding into two 32-bit words (8 bytes a vector, 32×
+    * smaller than float32), rank every candidate per query by HAMMING
+    * distance — two XOR + popcount integer ops, no float math at all
+    * — keep the top-50, and exact-cosine rerank only those for the
+    * final top-5. Sign-bit Hamming approximates angular distance
+    * (each bit is a fixed axis-aligned hyperplane test — the
+    * degenerate SimHash), so the rerank recovers most of brute-force
+    * quality at a candidate-generation cost of 2 popcounts/pair.
+    *
+    * Scale posture: the quantized index is 8 bytes/vector (a billion
+    * vectors fit in 8 GB — broadcastable per executor, or scanned at
+    * memory bandwidth), the Hamming top-50 runs the same two-phase
+    * per-partition pruning as every top-k here (no single reducer
+    * sees N rows), and the float vectors are touched only for the
+    * ≤50·Q rerank rows. Everything is integer or
+    * IEEE-exactly-reproducible, so DuckDB replays the ENTIRE
+    * pipeline — quantization, Hamming ranking, cut, rerank —
+    * bit-for-bit: a full exact oracle for an ANN method. */
+  def qKnnBinary(s: SparkSession, dir: String): DataFrame = {
+    // word(f) = bits f..f+31 as a bigint: bit i set iff embedding
+    // dim f+i is strictly positive (0.0 and -0.0 both clear — the
+    // only cross-engine-stable convention)
+    def word(from: Int): Column = expr(
+      s"""aggregate(sequence($from, ${from + 31}), 0L, (acc, i) ->
+         |acc + IF(element_at(embedding, i + 1) > 0,
+         |shiftleft(1L, i - $from), 0L))""".stripMargin.replace("\n", " "))
+    val b = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      word(0).as("lo"), word(32).as("hi"))
+    val q = b.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+      col("lo").as("qlo"), col("hi").as("qhi"), col("embedding").as("qe"))
+    val c = b.select(col("vec_id").as("cid"),
+      col("lo").as("clo"), col("hi").as("chi"), col("embedding").as("ce"))
+    val hammed = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("ham",
+        expr("bit_count(qlo ^ clo) + bit_count(qhi ^ chi)"))
+    // two-phase Hamming top-50 (same shape as topK, ascending)
+    val wL = Window.partitionBy(col("qid"), col("part"))
+      .orderBy(col("ham").asc, col("cid").asc)
+    val wG = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("cid").asc)
+    val cand = hammed
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= 50)
+      .withColumn("hrn", row_number().over(wG)).filter(col("hrn") <= 50)
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid").asc)
+    cand
+      .withColumn("cos_sim", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(wR)).filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid"), col("ham"))
+      .orderBy("qid", "rn")
+  }
+
+  val qKnnBinarySql: String = """
+    WITH b AS (
+      SELECT vec_id, embedding,
+        CAST(list_sum(list_transform(range(0, 32), i ->
+          CASE WHEN embedding[i + 1] > 0
+            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS lo,
+        CAST(list_sum(list_transform(range(32, 64), i ->
+          CASE WHEN embedding[i + 1] > 0
+            THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS BIGINT) AS hi
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi, embedding AS qe
+      FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, lo AS clo, hi AS chi, embedding AS ce FROM b),
+    h AS (SELECT qid, cid, qe, ce,
+        CAST(bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi)) AS INTEGER) AS ham
+      FROM q JOIN c ON qid <> cid),
+    cand AS (SELECT qid, cid, qe, ce, ham,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham ASC, cid ASC) AS hrn
+      FROM h),
+    rr AS (SELECT qid, cid, ham,
+        list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS cos_sim
+      FROM cand WHERE hrn <= 50),
+    r AS (SELECT qid, cid, ham,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+      FROM rr)
+    SELECT qid, rn, cid, ham FROM r WHERE rn <= 5 ORDER BY qid, rn
+  """.trim
+
   /** L2 normalization of the embedding column — the mandatory prep
     * step before cosine-as-dot-product ANN. The squared-norm fold is
     * a sequential left fold over the array (`aggregate`), mirrored by

@@ -86,6 +86,19 @@ import org.apache.spark.sql.types.LongType
   *    can contain matches, publishing {add: rewritten, remove:
   *    matched} in one commit; untouched files keep their identity
   *    (and stats). Pre-delete versions remain time-travelable.
+  *  - **CHECK constraints.** [[addConstraint]] declares a named
+  *    boolean SQL expression (validated against the current snapshot
+  *    first) as a metadata-only commit; every subsequent data write
+  *    is rejected — files deleted before any log entry exists — if a
+  *    row definitively violates one (SQL semantics: NULL passes).
+  *    Zero cost while no constraints are declared.
+  *  - **Change data feed (Delta CDF parity).** With
+  *    `spark.graft.tablelog.cdf` on, mutating commits capture their
+  *    changed rows (tagged `_change_type`) as a parquet sidecar the
+  *    log entry points at; [[tableChanges]] serves the row-level feed
+  *    for any version range — appends derive 'insert' from their add
+  *    lists with no sidecar, layout rewrites emit nothing, and a
+  *    mutating commit captured without the feed refuses loudly.
   *
   * Scale posture: the log is O(#commits) driver-side metadata and
   * stats are O(#files · #statsCols); data moves only through
@@ -105,7 +118,10 @@ object TableLog {
   private def render(version: Int, add: Seq[String], remove: Seq[String],
       statsFile: Option[String], dataChange: Boolean,
       txn: Option[(String, Long)] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      cdc: Option[String] = None,
+      check: Option[(String, String)] = None,
+      uncheck: Option[String] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val st = statsFile.map(p => s""","stats":"$p"""").getOrElse("")
     val tx = txn.map { case (a, v) =>
@@ -117,8 +133,27 @@ object TableLog {
     // line so the regex parsers above stay sound
     val sc = schema.map(sch => s""","schema":"${java.util.Base64.getEncoder
       .encodeToString(sch.json.getBytes("UTF-8"))}"""").getOrElse("")
-    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st$tx$sc,"dataChange":$dataChange}"""
+    val cd = cdc.map(p => s""","cdc":"$p"""").getOrElse("")
+    // constraint expression rides base64 for the same reason as schema
+    val ck = check.map { case (n, e) =>
+      require(n.matches("[A-Za-z0-9_]+"), s"constraint name must be [A-Za-z0-9_]+: $n")
+      s""","check":"$n:${java.util.Base64.getEncoder
+        .encodeToString(e.getBytes("UTF-8"))}""""
+    }.getOrElse("")
+    val uk = uncheck.map(n => s""","uncheck":"$n"""").getOrElse("")
+    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st$tx$sc$cd$ck$uk,"dataChange":$dataChange}"""
   }
+
+  private def parseCdc(json: String): Option[String] =
+    "\"cdc\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+
+  private def parseCheck(json: String): Option[(String, String)] =
+    "\"check\":\"([A-Za-z0-9_]+):([^\"]+)\"".r.findFirstMatchIn(json).map(m =>
+      (m.group(1), new String(
+        java.util.Base64.getDecoder.decode(m.group(2)), "UTF-8")))
+
+  private def parseUncheck(json: String): Option[String] =
+    "\"uncheck\":\"([A-Za-z0-9_]+)\"".r.findFirstMatchIn(json).map(_.group(1))
 
   private def parseSchema(json: String)
       : Option[org.apache.spark.sql.types.StructType] =
@@ -328,6 +363,81 @@ object TableLog {
       .collectFirst { case Some(sc) => sc }
   }
 
+  // ---- CHECK constraints -------------------------------------------------
+  // Delta's `ALTER TABLE ADD CONSTRAINT` parity: named boolean SQL
+  // expressions recorded in the log as metadata-only commits
+  // ("check":"name:base64(expr)" / "uncheck":"name"), enforced on
+  // every data write. SQL CHECK semantics: a row violates only when
+  // the expression is definitively FALSE (NULL passes); NOT NULL is
+  // the special case `c IS NOT NULL`. Adding a constraint validates
+  // the CURRENT snapshot first — a table can never be in a state its
+  // declared constraints reject. Enforcement is one extra aggregate
+  // over just-written files per commit, and only when constraints
+  // exist: an unconstrained table pays nothing.
+
+  /** Declared constraints as of `version` (-1 = latest), by name. */
+  def constraints(s: SparkSession, root: String,
+      version: Int = -1): Map[String, String] = {
+    val f = fs(s, root)
+    val vs = versions(s, root)
+    val upto = if (version < 0) vs else vs.filter(_ <= version)
+    val m = mutable.LinkedHashMap.empty[String, String]
+    upto.foreach { v =>
+      val json = readText(f, logPath(root, v))
+      parseCheck(json).foreach { case (n, e) => m(n) = e }
+      parseUncheck(json).foreach(m.remove)
+    }
+    m.toMap
+  }
+
+  /** Rows that DEFINITIVELY violate `e` (false, not null — SQL CHECK). */
+  private def violating(df: DataFrame, e: String): DataFrame =
+    df.filter(!coalesce(expr(e), lit(true)))
+
+  /** ADD CONSTRAINT: validate the current snapshot against `exprSql`
+    * (a constraint the existing data violates is rejected — Delta
+    * semantics), then publish a metadata-only commit declaring it.
+    * Every subsequent data write is checked; [[dropConstraint]]
+    * lifts it. Returns the committed version. */
+  def addConstraint(s: SparkSession, root: String, name: String,
+      exprSql: String): Int = {
+    val bad = violating(snapshot(s, root), exprSql).limit(1).count()
+    require(bad == 0,
+      s"addConstraint: existing rows violate CHECK $name ($exprSql)")
+    publish(s, root, Seq.empty, Seq.empty, dataChange = false,
+      check = Some(name -> exprSql))
+  }
+
+  /** DROP CONSTRAINT as a metadata-only commit. */
+  def dropConstraint(s: SparkSession, root: String, name: String): Int = {
+    require(constraints(s, root).contains(name),
+      s"dropConstraint: no constraint named $name")
+    publish(s, root, Seq.empty, Seq.empty, dataChange = false,
+      uncheck = Some(name))
+  }
+
+  /** Enforce all declared constraints on freshly-written (not yet
+    * published) files: ONE aggregate job counting violations per
+    * constraint; on any violation the unpublished files are deleted
+    * (they were never visible — data-before-log) and the write
+    * throws with the per-constraint counts. */
+  private def enforceConstraints(s: SparkSession, root: String,
+      sub: String): Unit = {
+    val cs = constraints(s, root)
+    if (cs.isEmpty) return
+    val named = cs.toSeq
+    val counts = s.read.parquet(s"$root/$sub").select(named.map { case (n, e) =>
+      count(when(!coalesce(expr(e), lit(true)), 1)).as(n)
+    }: _*).head()
+    val bad = named.indices.filter(i => counts.getLong(i) > 0)
+      .map(i => s"${named(i)._1} (${named(i)._2}): ${counts.getLong(i)} rows")
+    if (bad.nonEmpty) {
+      fs(s, root).delete(new Path(s"$root/$sub"), true)
+      throw new IllegalStateException(
+        s"TableLog: CHECK constraint violation — ${bad.mkString("; ")}")
+    }
+  }
+
   /** Violations that make writing `next` into a table currently
     * declared as `cur` unsafe: changing an existing column's type
     * (readers would see conflicting parquet types — mergeSchema
@@ -359,7 +469,9 @@ object TableLog {
       remove: Seq[String], statsFile: Option[String] = None,
       dataChange: Boolean = true, txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      enforceSchema: Boolean = true): Int = {
+      enforceSchema: Boolean = true, cdc: Option[String] = None,
+      check: Option[(String, String)] = None,
+      uncheck: Option[String] = None): Int = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/_log"))
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
@@ -390,8 +502,8 @@ object TableLog {
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(
-        render(attempt, add, remove, statsFile, dataChange, txn, schema)
-          .getBytes("UTF-8"))
+        render(attempt, add, remove, statsFile, dataChange, txn, schema, cdc,
+          check, uncheck).getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
       if (!f.exists(target) && f.rename(tmp, target)) {
@@ -413,6 +525,11 @@ object TableLog {
       df: DataFrame): (String, Seq[String]) = {
     val sub = s"data/${UUID.randomUUID()}"
     df.write.parquet(s"$root/$sub")
+    // every data write (append / overwrite / merge / delete-survivor
+    // rewrite) passes the declared CHECK constraints before it can be
+    // published; layout-only rewrites ([[rewrite]]/[[compact]]) carry
+    // the same rows by contract and skip the scan
+    enforceConstraints(s, root, sub)
     val f = fs(s, root)
     val files = f.listStatus(new Path(s"$root/$sub"))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
@@ -569,6 +686,93 @@ object TableLog {
       .parquet(files.map(rel => s"$root/$rel"): _*)
   }
 
+  // ---- change data feed (Delta CDF parity) -------------------------------
+  // Row-level change capture: when `spark.graft.tablelog.cdf` is true,
+  // the row-mutating commits (deleteRange / merge / mergeUpdate) write
+  // their changed rows — tagged with `_change_type` — as a parquet
+  // sidecar inside the commit's data area, and the log entry records
+  // it ("cdc":"<dir>"). Plain appends need no sidecar (their adds ARE
+  // the inserts); layout rewrites (dataChange=false, no cdc) change
+  // nothing. [[tableChanges]] then reads the feed for a version range.
+  // Capture cost is O(changed rows) extra write per mutating commit —
+  // the same contract as Delta's _change_data directory; the sidecar
+  // is data-before-log like everything else (written, then published).
+
+  /** Change-type tag column of the feed ('insert', 'delete',
+    * 'update_preimage', 'update_postimage'). */
+  val ChangeTypeCol = "_change_type"
+  /** Commit-version column added by [[tableChanges]]. */
+  val CommitVersionCol = "_commit_version"
+
+  private def cdfEnabled(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.tablelog.cdf").exists(_.toBoolean)
+
+  /** Write a tagged change frame as this commit's CDC sidecar; returns
+    * its relative directory. An empty frame still writes (Spark emits
+    * a schema-bearing empty file), so "captured but no rows" reads
+    * back as zero changes, distinct from "not captured". */
+  private def writeCdc(s: SparkSession, root: String,
+      changes: DataFrame): Option[String] = {
+    if (!cdfEnabled(s)) return None
+    val sub = s"data/${UUID.randomUUID()}-cdc"
+    changes.write.parquet(s"$root/$sub")
+    Some(sub)
+  }
+
+  /** The row-level change feed for commits in (sinceVersion, toVersion]
+    * (toVersion = -1 → latest): every data column plus
+    * [[ChangeTypeCol]] and [[CommitVersionCol]].
+    *
+    *  - Append commits emit their added rows as 'insert' (derived from
+    *    the add list — no sidecar needed or written).
+    *  - Mutating commits emit their captured sidecar
+    *    ('delete' / 'update_preimage' / 'update_postimage' / 'insert').
+    *  - Layout rewrites (dataChange=false, no sidecar) emit nothing —
+    *    same rows, new files.
+    *  - A row-mutating commit WITHOUT a sidecar (capture was off, or a
+    *    restore/overwrite — whose change set is not captured) REFUSES
+    *    loudly rather than fabricating an incomplete feed, exactly as
+    *    Delta errors when CDF wasn't enabled for the range.
+    *
+    * Scale: planning is O(#commits in range) driver metadata; data
+    * moves only through distributed parquet reads of exactly the
+    * added/changed files. */
+  def tableChanges(s: SparkSession, root: String, sinceVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val f = fs(s, root)
+    val hi = if (toVersion < 0) Int.MaxValue else toVersion
+    val range = versions(s, root).filter(v => v > sinceVersion && v <= hi)
+    val parts = range.flatMap { v =>
+      val json = readText(f, logPath(root, v))
+      val adds = parseArr(json, "add")
+      val removes = parseArr(json, "remove")
+      parseCdc(json) match {
+        case Some("") => throw new IllegalStateException(
+          s"TableLog: version $v of $root mutated rows with change capture " +
+            "off (enable spark.graft.tablelog.cdf before mutating commits)")
+        case Some(rel) =>
+          val df = s.read.option("mergeSchema", "true").parquet(s"$root/$rel")
+          Some(df.withColumn(CommitVersionCol, lit(v)))
+        case None if !parseDataChange(json) => None // layout: no row changes
+        case None if removes.isEmpty && adds.nonEmpty =>
+          Some(s.read.option("mergeSchema", "true")
+            .parquet(adds.map(rel => s"$root/$rel"): _*)
+            .withColumn(ChangeTypeCol, lit("insert"))
+            .withColumn(CommitVersionCol, lit(v)))
+        case None if adds.isEmpty && removes.isEmpty => None // metadata-only
+        case None => throw new IllegalStateException(
+          s"TableLog: change data not captured for version $v of $root " +
+            "(enable spark.graft.tablelog.cdf before mutating commits; " +
+            "restore/overwrite feeds are never captured)")
+      }
+    }
+    if (parts.isEmpty) {
+      snapshot(s, root).limit(0)
+        .withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitVersionCol, lit(0))
+    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Per-file [lo, hi] bounds of `column` for the given live state,
     * loaded from the commits' TSV sidecars (None = file has no stats
     * for the column and must always be read). */
@@ -641,17 +845,26 @@ object TableLog {
       lo: Long, hi: Long): Int = {
     val (touched, _) = candidateFiles(s, root, -1, column, lo, hi)
     require(touched.nonEmpty, "deleteRange: nothing to delete")
-    val survivors = s.read
-      .parquet(touched.map(rel => s"$root/$rel"): _*)
+    val src = s.read.parquet(touched.map(rel => s"$root/$rel"): _*)
+    val survivors = src
       // NULL in the delete column is inside neither range nor its
       // negation — keep such rows explicitly, or every rewritten
       // file (including stats-less ones, always rewritten) would
       // silently drop them: data loss beyond the requested range
       .filter(col(column).isNull ||
         !(col(column) >= lo && col(column) <= hi))
+    // CDF: the deleted rows (the range complement of the survivors)
+    // are the feed — captured before the log entry that removes them.
+    // With capture OFF, record the EMPTY sentinel: a delete commit is
+    // otherwise indistinguishable from a layout rewrite (both publish
+    // dataChange=false), and the feed must refuse, not silently skip
+    val cdc = writeCdc(s, root, src
+      .filter(col(column) >= lo && col(column) <= hi)
+      .withColumn(ChangeTypeCol, lit("delete")))
+      .orElse(Some(""))
     val (sub, files) = writeData(s, root, survivors)
     publish(s, root, files, touched,
-      writeStats(s, root, sub, Seq(column)), dataChange = false)
+      writeStats(s, root, sub, Seq(column)), dataChange = false, cdc = cdc)
   }
 
   /** MERGE (upsert-by-key): every target row whose `keyCol` appears
@@ -683,16 +896,32 @@ object TableLog {
     try {
       val (touched, smallSrc) = mergeTouched(s, root, src, keyCol)
       val keys = src.select(col(keyCol))
+      val tgt =
+        if (touched.isEmpty) src.limit(0)
+        else s.read.option("mergeSchema", "true")
+          .parquet(touched.map(rel => s"$root/$rel"): _*)
       val kept =
         if (touched.isEmpty) src.limit(0)
-        else {
-          val tgt = s.read.option("mergeSchema", "true")
-            .parquet(touched.map(rel => s"$root/$rel"): _*)
-          if (smallSrc) tgt.join(broadcast(keys), Seq(keyCol), "left_anti")
-          else tgt.join(keys, Seq(keyCol), "left_anti")
-        }
+        else if (smallSrc) tgt.join(broadcast(keys), Seq(keyCol), "left_anti")
+        else tgt.join(keys, Seq(keyCol), "left_anti")
+      // CDF: matched keys can only live in touched files (stats-exact
+      // selection), so `tgt` is the complete preimage universe —
+      // replaced target rows are the update preimages, their source
+      // counterparts the postimages, and fresh-key source rows inserts
+      val cdc = if (!cdfEnabled(s)) None else {
+        val tgtKeys = tgt.select(col(keyCol))
+        val pre = tgt.join(if (smallSrc) broadcast(keys) else keys,
+          Seq(keyCol), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = src.join(tgtKeys, Seq(keyCol), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = src.join(tgtKeys, Seq(keyCol), "left_anti")
+          .withColumn(ChangeTypeCol, lit("insert"))
+        writeCdc(s, root, pre.unionByName(post).unionByName(ins))
+      }
       val (sub, files) = writeData(s, root, kept.unionByName(src))
-      publish(s, root, files, touched, writeStats(s, root, sub, statsCols))
+      publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
+        cdc = cdc)
     } finally src.unpersist()
   }
 
@@ -766,9 +995,13 @@ object TableLog {
       val srcPref = src.columns.foldLeft(src)((d, c) =>
         d.withColumnRenamed(c, s"src_$c"))
       def maybeBcast(df: DataFrame) = if (smallSrc) broadcast(df) else df
-      val kept =
-        if (touched.isEmpty) src.limit(0)
-        else {
+      val (kept, cdc) =
+        if (touched.isEmpty) {
+          // no file can contain a matched key (stats-exact selection),
+          // so EVERY source row is unmatched: insert them all (or none)
+          val ins = if (insertUnmatched) src else src.limit(0)
+          (ins, writeCdc(s, root, ins.withColumn(ChangeTypeCol, lit("insert"))))
+        } else {
           val tgt = s.read.option("mergeSchema", "true")
             .parquet(touched.map(rel => s"$root/$rel"): _*)
           val joined = tgt.join(maybeBcast(srcPref),
@@ -783,11 +1016,22 @@ object TableLog {
           val inserts =
             if (!insertUnmatched) src.limit(0)
             else src.join(tgt.select(col(keyCol)), Seq(keyCol), "left_anti")
-          updated.select(tgt.columns.map(col).toSeq: _*)
-            .unionByName(inserts)
+          val tgtCols = tgt.columns.map(col).toSeq
+          // CDF: only predicate-passing matches are updates — rows the
+          // condition leaves untouched are NOT changes; preimages come
+          // from the joined frame pre-SET, postimages post-SET
+          val changes = if (!cdfEnabled(s)) None else Some(
+            joined.filter(hit).select(tgtCols: _*)
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(updated.filter(hit).select(tgtCols: _*)
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(inserts.withColumn(ChangeTypeCol, lit("insert"))))
+          (updated.select(tgtCols: _*).unionByName(inserts),
+            changes.flatMap(writeCdc(s, root, _)))
         }
       val (sub, files) = writeData(s, root, kept)
-      publish(s, root, files, touched, writeStats(s, root, sub, statsCols))
+      publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
+        cdc = cdc)
     } finally src.unpersist()
   }
 

@@ -74,6 +74,22 @@ class PipelineSpec extends SparkSpec {
     // little signal, but the machinery must still surface true neighbors
   }
 
+  test("binary-quantized ANN: hamming top-50 + cosine rerank recovers " +
+      "most brute-force neighbors; 8-byte signatures, integer candidate math") {
+    val brute = Similarity.qKnnBrute(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bin = Similarity.qKnnBinary(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bin & brute).size.toDouble / brute.size
+    // sign-bit hamming tracks angle (E[ham] = 64·θ/π): with a top-50
+    // cut of 500 candidates the rerank should recover well over half
+    // of the true top-5 — far above the 0.1 a random 50-cut gives
+    assert(recall >= 0.5, s"recall@5 $recall")
+    // deterministic: a second run is bit-identical
+    assert(Similarity.qKnnBinary(spark, sfDir).collect().toSeq ==
+      Similarity.qKnnBinary(spark, sfDir).collect().toSeq)
+  }
+
   test("persisted IVF index: build once, query many; nprobe<k served " +
       "from the stored index matches the fresh IVF path") {
     val root = java.nio.file.Files

@@ -538,4 +538,109 @@ class TableLogSpec extends SparkSpec {
       overwriteSchema = true)
     assert(TableLog.snapshot(spark, root).count() == 1)
   }
+
+  test("change data feed: appends derive inserts, merge captures " +
+      "pre/post/insert, delete captures preimages, layout emits nothing") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    spark.conf.set("spark.graft.tablelog.cdf", "true")
+    try {
+      TableLog.append(spark, root, nums(0, 20), statsCols = Seq("id")) // v0
+      val src = ((5 until 10).map(i => (i.toLong, "upd")) ++
+        (100 until 105).map(i => (i.toLong, s"new$i"))).toDF("id", "s")
+      TableLog.merge(spark, root, src, "id", statsCols = Seq("id"))    // v1
+      TableLog.deleteRange(spark, root, "id", 0L, 2L)                  // v2
+      TableLog.compact(spark, root, 1)                                 // v3
+      val feed = TableLog.tableChanges(spark, root, -1).cache()
+      def slice(v: Int, t: String) = feed
+        .filter(col(TableLog.CommitVersionCol) === v &&
+          col(TableLog.ChangeTypeCol) === t)
+      assert(slice(0, "insert").count() == 20, "v0 inserts")
+      val pre = slice(1, "update_preimage")
+      assert(pre.count() == 5 &&
+        pre.filter(col("s").startsWith("row")).count() == 5,
+        "preimages carry the OLD values")
+      val post = slice(1, "update_postimage")
+      assert(post.count() == 5 && post.filter(col("s") === "upd").count() == 5,
+        "postimages carry the NEW values")
+      val ins = slice(1, "insert")
+      assert(ins.count() == 5 &&
+        ins.agg(min("id"), max("id")).head() ==
+          org.apache.spark.sql.Row(100L, 104L),
+        "fresh keys classify as inserts, not updates")
+      val del = slice(2, "delete")
+      assert(del.count() == 3 &&
+        del.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L),
+        "delete preimages are exactly the range")
+      assert(feed.filter(col(TableLog.CommitVersionCol) === 3).count() == 0,
+        "layout rewrite emitted row changes")
+      // incremental window: only the commits after the merge
+      assert(TableLog.tableChanges(spark, root, 1).count() == 3)
+      feed.unpersist()
+    } finally spark.conf.unset("spark.graft.tablelog.cdf")
+  }
+
+  test("change feed refuses mutations captured without CDF instead of " +
+      "emitting an incomplete feed") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 20), statsCols = Seq("id"))
+    TableLog.deleteRange(spark, root, "id", 0L, 2L) // capture off
+    // the append-only prefix still serves
+    assert(TableLog.tableChanges(spark, root, -1, toVersion = 0).count() == 20)
+    val e = intercept[IllegalStateException] {
+      TableLog.tableChanges(spark, root, -1).count()
+    }
+    assert(e.getMessage.contains("change capture"), e.getMessage)
+    // restore's change set is never captured -> range including it refuses
+    val root2 = freshRoot()
+    TableLog.append(spark, root2, nums(0, 10))
+    TableLog.append(spark, root2, nums(10, 15))
+    TableLog.restore(spark, root2, 0)
+    intercept[IllegalStateException] {
+      TableLog.tableChanges(spark, root2, -1).count()
+    }
+  }
+
+  test("CHECK constraints: add validates the snapshot, one bad row " +
+      "rejects the whole batch atomically, NULL passes, drop lifts") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 10))
+    // a constraint the existing data violates cannot be declared
+    intercept[IllegalArgumentException] {
+      TableLog.addConstraint(spark, root, "small", "id < 5")
+    }
+    TableLog.addConstraint(spark, root, "id_bound", "id < 1000")
+    assert(TableLog.constraints(spark, root) == Map("id_bound" -> "id < 1000"))
+    TableLog.append(spark, root, nums(10, 20)) // clean batch passes
+    val vBefore = TableLog.versions(spark, root).last
+    // 990..994 pass, 1000..1004 violate -> WHOLE batch rejected
+    val e = intercept[IllegalStateException] {
+      TableLog.append(spark, root, nums(990, 1005))
+    }
+    assert(e.getMessage.contains("id_bound"), e.getMessage)
+    assert(TableLog.versions(spark, root).last == vBefore,
+      "rejected batch published a version")
+    assert(TableLog.snapshot(spark, root).count() == 20,
+      "rejected rows leaked into the table")
+    // SQL CHECK: NULL evaluates to unknown -> passes
+    TableLog.append(spark, root,
+      Seq((Some(1L), "x"), (None: Option[Long], "y")).toDF("id", "s"))
+    assert(TableLog.snapshot(spark, root).count() == 22)
+    // drop, then the formerly-bad keys land
+    TableLog.dropConstraint(spark, root, "id_bound")
+    TableLog.append(spark, root, nums(2000, 2005))
+    assert(TableLog.snapshot(spark, root).count() == 27)
+  }
+
+  test("mergeUpdate with an insert-only source touching no file still " +
+      "inserts (stats-exact selection proves every key unmatched)") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 20), statsCols = Seq("id"))
+    TableLog.mergeUpdate(spark, root, nums(1000, 1005), "id",
+      cond = lit(true), set = Map("s" -> col("src_s")))
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.count() == 25, "inserts were dropped when touched was empty")
+    assert(snap.filter(col("id") >= 1000L).count() == 5)
+  }
 }
