@@ -350,6 +350,60 @@ object Egress {
     FROM nation ORDER BY n_nationkey
   """.trim
 
+  /** Deletion vectors on the transaction-logged table
+    * ([[graft.sources.TableLog.deleteVector]] — Delta DV / Iceberg
+    * positional-delete parity): load orders, then run TWO vector
+    * deletes ('F'-status keys ≡ 3 mod 7, then all 450k+ prices —
+    * deliberately overlapping, so the second vector's dedup-vs-first
+    * path is on the oracle hash too) withOUT rewriting a single data
+    * file; profile the live snapshot AND the v0 time-travel snapshot.
+    * The oracle reconstructs both from raw orders, so the hash proves
+    * the anti-join read path end-to-end: exactly the predicate rows
+    * vanish, everything else survives bit-for-bit, and the pre-delete
+    * version still serves every row. Zero-rewrite file identity, CDF
+    * capture, compaction materialization, and the CAS lost-update
+    * guard are TableLogSpec-asserted. At 100 TB this is the deletes-
+    * without-rewrites primitive: kilobytes of sidecar vs terabytes of
+    * copy, the vector side broadcast into every scan. */
+  def qLogDv(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_dv"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.sources.TableLog.append(s, root, orders,
+      statsCols = Seq("o_orderkey"))
+    graft.sources.TableLog.deleteVector(s, root,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 3)
+    graft.sources.TableLog.deleteVector(s, root,
+      col("o_totalprice") > 450000.0)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("tag", lit(tag))
+    agg(graft.sources.TableLog.snapshot(s, root), "live")
+      .unionByName(agg(graft.sources.TableLog.snapshot(s, root, 0), "v0"))
+      .orderBy("tag", "o_orderstatus")
+  }
+
+  val qLogDvSql: String = s"""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE NOT ((o_orderstatus = 'F' AND o_orderkey % 7 = 3)
+        OR o_totalprice > 450000))
+    SELECT 'live' AS tag, o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM live GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v0' AS tag, o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    ORDER BY tag, o_orderstatus
+  """.trim
+
   /** Batch MERGE (upsert-by-key) on the transaction-logged table —
     * the lake-side CDC-apply twin of the streaming foreachBatch
     * upsert: write orders range-clustered with per-file key stats,

@@ -82,8 +82,13 @@ object Layout {
     * travel across the optimize sees identical rows. */
   def optimizeZorder(s: SparkSession, root: String,
       c1: String, c2: String, nFiles: Int): Int = {
+    // DV state captured BEFORE the snapshot read: the rewrite
+    // materializes active deletion vectors, and publish CAS-verifies
+    // none landed between this read and the commit
+    val dv0 = graft.sources.TableLog.dvState(s, root, -1)
     val snap = graft.sources.TableLog.snapshot(s, root)
-    graft.sources.TableLog.rewrite(s, root, statsCols = Seq(c1, c2))(
+    graft.sources.TableLog.rewrite(s, root, statsCols = Seq(c1, c2),
+      expectDvs = Some(dv0))(
       dir => zorderBy(snap, c1, c2, nFiles, dir))
   }
 

@@ -99,6 +99,27 @@ import org.apache.spark.sql.types.LongType
   *    for any version range — appends derive 'insert' from their add
   *    lists with no sidecar, layout rewrites emit nothing, and a
   *    mutating commit captured without the feed refuses loudly.
+  *  - **Deletion vectors (Delta DV / Iceberg positional-delete
+  *    parity).** [[deleteVector]] deletes rows WITHOUT rewriting any
+  *    data file: the matching (file, row position) pairs are written
+  *    as a parquet sidecar and the commit records the active sidecar
+  *    list (`"dvs":[...]` = the FULL post-commit state, so replay is
+  *    last-writer-wins and old logs parse unchanged). Every read path
+  *    ([[snapshot]]/[[readRange]]/[[readBox]]) and every rewriting
+  *    mutation ([[deleteRange]]/[[merge]]/[[mergeUpdate]]) anti-joins
+  *    the active vectors by (file key, `_metadata.row_index`) — the DV
+  *    side auto-broadcasts below
+  *    `spark.graft.tablelog.dv.broadcastMaxBytes` (32 MB default,
+  *    decided from driver-side file lengths, no extra job). Layout
+  *    rewrites ([[rewrite]]/[[compact]]/[[overwrite]]) MATERIALIZE the
+  *    deletes (they rewrite from the DV-filtered snapshot) and clear
+  *    the vector state; [[restore]] restores it; [[vacuum]] reclaims
+  *    unreachable sidecars. At 100 TB this is the difference between
+  *    deleting 0.1% of rows by appending kilobytes and rewriting
+  *    terabytes. Lost-update races (a delete landing between a
+  *    rewrite's read and its publish, or vice versa) abort through
+  *    CAS-time expected-state revalidation, same posture as the
+  *    remove-set check.
   *
   * Scale posture: the log is O(#commits) driver-side metadata and
   * stats are O(#files · #statsCols); data moves only through
@@ -121,7 +142,8 @@ object TableLog {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       cdc: Option[String] = None,
       check: Option[(String, String)] = None,
-      uncheck: Option[String] = None): String = {
+      uncheck: Option[String] = None,
+      dvs: Option[Seq[String]] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val st = statsFile.map(p => s""","stats":"$p"""").getOrElse("")
     val tx = txn.map { case (a, v) =>
@@ -141,11 +163,28 @@ object TableLog {
         .encodeToString(e.getBytes("UTF-8"))}""""
     }.getOrElse("")
     val uk = uncheck.map(n => s""","uncheck":"$n"""").getOrElse("")
-    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st$tx$sc$cd$ck$uk,"dataChange":$dataChange}"""
+    // dvs renders the FULL post-commit deletion-vector state: absence
+    // means "unchanged", an empty array means "cleared" — so replay is
+    // a plain last-writer-wins scan and pre-DV logs need no migration
+    val dv = dvs.map(ds => s""","dvs":${arr(ds)}""").getOrElse("")
+    s"""{"version":$version,"add":${arr(add)},"remove":${arr(remove)}$st$tx$sc$cd$ck$uk$dv,"dataChange":$dataChange}"""
   }
 
   private def parseCdc(json: String): Option[String] =
     "\"cdc\":\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** None = this commit does not change deletion-vector state;
+    * Some(list) = the full active-sidecar list after this commit. */
+  private def parseDvs(json: String): Option[Seq[String]] =
+    if (!json.contains("\"dvs\":")) None else Some(parseArr(json, "dvs"))
+
+  /** An entry naming a file OUTSIDE this table's root (absolute path or
+    * URI) — introduced by [[clone]]; read as-is, never vacuumed here. */
+  private def isExternal(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains("://")
+
+  private def abs(root: String, rel: String): String =
+    if (isExternal(rel)) rel else s"$root/$rel"
 
   private def parseCheck(json: String): Option[(String, String)] =
     "\"check\":\"([A-Za-z0-9_]+):([^\"]+)\"".r.findFirstMatchIn(json).map(m =>
@@ -250,8 +289,11 @@ object TableLog {
     // not O(#commits)
     val txns = txnState(s, root, v).toSeq.sortBy(_._1)
       .map { case (a, tv) => s"#txn\t$a\t$tv" }
+    // active deletion vectors ride too ("#dv\t<dir>"), so dvState —
+    // consulted by every snapshot — replays O(interval), not O(#commits)
+    val dvLines = dvState(s, root, v, useCheckpoint = true).map(d => s"#dv\t$d")
     val body = (state.map { case (p, st) => s"$p\t${st.getOrElse("")}" } ++
-      txns :+ CkptEnd).mkString("", "\n", "\n")
+      txns ++ dvLines :+ CkptEnd).mkString("", "\n", "\n")
     val f = fs(s, root)
     try {
       val tmp = new Path(s"$root/_log/.tmp-ckpt-${UUID.randomUUID()}")
@@ -263,25 +305,29 @@ object TableLog {
     } catch { case _: java.io.IOException => () } // best-effort cache
   }
 
-  /** Parse a checkpoint body into (live state, txn watermarks); None
-    * when the file is incomplete (no [[CkptEnd]] sentinel) or
-    * malformed (a line without a tab, a bad #txn directive) — the
-    * caller then ignores the checkpoint entirely. */
+  /** Parse a checkpoint body into (live state, txn watermarks, active
+    * deletion vectors); None when the file is incomplete (no
+    * [[CkptEnd]] sentinel) or malformed (a line without a tab, an
+    * unknown directive) — the caller then ignores the checkpoint
+    * entirely. */
   private def parseCheckpoint(body: String)
-      : Option[(Seq[(String, Option[String])], Map[String, Long])] = {
+      : Option[(Seq[(String, Option[String])], Map[String, Long], Seq[String])] = {
     val lines = body.split('\n').filter(_.nonEmpty)
     if (lines.isEmpty || lines.last != CkptEnd) return None
     val (directives, entries) = lines.dropRight(1).partition(_.startsWith("#"))
     if (entries.exists(!_.contains('\t'))) return None
-    val txns = directives.map(_.split('\t')).map {
-      case Array("#txn", app, v) => app -> v.toLong
+    val txns = mutable.Map.empty[String, Long]
+    val dvs = mutable.ArrayBuffer.empty[String]
+    directives.map(_.split('\t')).foreach {
+      case Array("#txn", app, v) => txns(app) = v.toLong
+      case Array("#dv", dir) => dvs += dir
       case _ => return None
-    }.toMap
+    }
     Some((entries.toSeq.map { line =>
       val i = line.indexOf('\t')
       val st = line.substring(i + 1)
       (line.substring(0, i), if (st.isEmpty) None else Some(st))
-    }, txns))
+    }, txns.toMap, dvs.toSeq))
   }
 
   /** Per-app transaction watermarks as of `version` (-1 = latest):
@@ -347,6 +393,71 @@ object TableLog {
 
   private def liveFiles(s: SparkSession, root: String, version: Int): Seq[String] =
     liveState(s, root, version).map(_._1)
+
+  /** Active deletion-vector sidecar dirs as of `version` (-1 = latest):
+    * newest checkpoint's `#dv` directives plus a last-writer-wins scan
+    * of the JSON suffix ("dvs" records the full state, so replay keeps
+    * only the newest record). */
+  private[graft] def dvState(s: SparkSession, root: String, version: Int,
+      useCheckpoint: Boolean = true): Seq[String] = {
+    val f = fs(s, root)
+    val vs = versions(s, root)
+    val upto = if (version < 0) vs else vs.filter(_ <= version)
+    if (upto.isEmpty) return Seq.empty
+    val base = (if (useCheckpoint)
+      checkpointVersions(s, root).filter(_ <= upto.last).lastOption
+    else None).flatMap { cv =>
+      parseCheckpoint(readText(f, ckptPath(root, cv))).map(cv -> _._3)
+    }
+    var dvs: Seq[String] = base.map(_._2).getOrElse(Seq.empty)
+    upto.filter(v => base.forall(_._1 < v)).foreach { v =>
+      parseDvs(readText(f, logPath(root, v))).foreach(dvs = _)
+    }
+    dvs
+  }
+
+  /** File key shared by deletion vectors and `_metadata.file_path`:
+    * the last three path components (`data/<uuid>/<part>.parquet`) —
+    * identical for internal and [[clone]]-referenced external files,
+    * collision-free by the per-commit uuid. */
+  private def fileKey(c: Column): Column = substring_index(c, "/", -3)
+
+  private def dvBroadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.tablelog.dv.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+
+  /** `df` (a parquet scan of this table's files) minus the rows the
+    * active deletion vectors name — an anti-join on (file key,
+    * `_metadata.row_index`). The DV side broadcasts while its on-disk
+    * size (driver metadata, no job) stays under
+    * `spark.graft.tablelog.dv.broadcastMaxBytes`; past that the join
+    * shuffles and a [[compact]] is overdue. No-op without active DVs. */
+  /** The union of `dvs` as a keyed (_g_dv_file, _g_dv_pos) frame,
+    * broadcast-hinted while the sidecars' total on-disk size (driver
+    * metadata, no job) fits `spark.graft.tablelog.dv.broadcastMaxBytes`. */
+  private def dvJoinFrame(s: SparkSession, root: String,
+      dvs: Seq[String]): DataFrame = {
+    val f = fs(s, root)
+    val bytes = dvs.map { d =>
+      val p = new Path(abs(root, d))
+      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    }.sum
+    val dvRaw = s.read.parquet(dvs.map(abs(root, _)): _*)
+      .select(fileKey(col("file")).as("_g_dv_file"),
+        col("pos").as("_g_dv_pos"))
+    if (bytes <= dvBroadcastMaxBytes(s)) broadcast(dvRaw) else dvRaw
+  }
+
+  private def applyDv(s: SparkSession, root: String, df: DataFrame,
+      dvs: Seq[String]): DataFrame = {
+    if (dvs.isEmpty) return df
+    val cols = df.columns.map(col).toSeq
+    df.withColumn("_g_file", fileKey(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+      .join(dvJoinFrame(s, root, dvs), col("_g_file") === col("_g_dv_file") &&
+        col("_g_pos") === col("_g_dv_pos"), "left_anti")
+      .select(cols: _*)
+  }
 
   /** The declared table schema as of `version` (-1 = latest): the
     * newest commit at or below `version` that recorded one. None for
@@ -464,14 +575,25 @@ object TableLog {
     * rewrite/compact racing a deleteRange aborts (with
     * `ConcurrentModificationException`) instead of committing a swap
     * that would resurrect deleted rows. Add-only commits never
-    * conflict and retry freely. */
+    * conflict and retry freely.
+    *
+    * `expectFiles` / `expectDvs` extend the same CAS posture to
+    * deletion vectors: a commit whose row math was computed against a
+    * specific live-file set or DV state (a [[deleteVector]], or a
+    * layout rewrite that materializes DVs) re-validates, per attempt,
+    * that the state is STILL exactly that — otherwise a delete landing
+    * between a rewrite's read and its publish (or vice versa) would be
+    * silently lost. */
   private def publish(s: SparkSession, root: String, add: Seq[String],
       remove: Seq[String], statsFile: Option[String] = None,
       dataChange: Boolean = true, txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       enforceSchema: Boolean = true, cdc: Option[String] = None,
       check: Option[(String, String)] = None,
-      uncheck: Option[String] = None): Int = {
+      uncheck: Option[String] = None,
+      dvs: Option[Seq[String]] = None,
+      expectFiles: Option[Set[String]] = None,
+      expectDvs: Option[Seq[String]] = None): Int = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/_log"))
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
@@ -491,6 +613,18 @@ object TableLog {
           "TableLog: commit would remove files a concurrent commit " +
             s"already removed (rebase and retry): ${gone.take(3).mkString(", ")}")
       }
+      expectFiles.foreach { exp =>
+        if (liveFiles(s, root, -1).toSet != exp)
+          throw new java.util.ConcurrentModificationException(
+            "TableLog: live file set changed under this commit " +
+              "(rebase and retry)")
+      }
+      expectDvs.foreach { exp =>
+        if (dvState(s, root, -1) != exp)
+          throw new java.util.ConcurrentModificationException(
+            "TableLog: deletion-vector state changed under this commit " +
+              "(rebase and retry)")
+      }
       // transactional idempotency re-checked on EVERY attempt: if a
       // concurrent writer committed the same (app, >=version) between
       // our check and our CAS, bow out instead of double-appending
@@ -503,7 +637,7 @@ object TableLog {
       val out = f.create(tmp, false)
       try out.write(
         render(attempt, add, remove, statsFile, dataChange, txn, schema, cdc,
-          check, uncheck).getBytes("UTF-8"))
+          check, uncheck, dvs).getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
       if (!f.exists(target) && f.rename(tmp, target)) {
@@ -622,8 +756,10 @@ object TableLog {
     val old = if (versions(s, root).isEmpty) Seq.empty[String]
       else liveFiles(s, root, -1)
     val (sub, files) = writeData(s, root, df)
+    // replacing every row discharges any pending deletion vectors
     publish(s, root, files, old, writeStats(s, root, sub, statsCols),
-      schema = Some(df.schema), enforceSchema = !overwriteSchema)
+      schema = Some(df.schema), enforceSchema = !overwriteSchema,
+      dvs = Some(Seq.empty))
   }
 
   /** ADD COLUMN as a metadata-only commit: declares a new NULLABLE
@@ -648,10 +784,12 @@ object TableLog {
   /** The table as of `version` (-1 = latest). File list is resolved
     * NOW — the returned frame is a stable snapshot. */
   def snapshot(s: SparkSession, root: String, version: Int = -1): DataFrame = {
-    val files = liveFiles(s, root, version).map(rel => s"$root/$rel")
+    val files = liveFiles(s, root, version).map(rel => abs(root, rel))
     // mergeSchema: commits may evolve the schema additively (new
     // nullable columns); older files read the union schema with nulls
-    val raw = s.read.option("mergeSchema", "true").parquet(files: _*)
+    val raw = applyDv(s, root,
+      s.read.option("mergeSchema", "true").parquet(files: _*),
+      dvState(s, root, version))
     // when the log declares a schema (as of the requested version),
     // the DECLARED schema is the contract: columns added by
     // addColumn but not yet written read as null, column order is
@@ -683,7 +821,7 @@ object TableLog {
     }
     if (files.isEmpty) snapshot(s, root).limit(0)
     else s.read.option("mergeSchema", "true")
-      .parquet(files.map(rel => s"$root/$rel"): _*)
+      .parquet(files.map(rel => abs(root, rel)): _*)
   }
 
   // ---- change data feed (Delta CDF parity) -------------------------------
@@ -751,12 +889,12 @@ object TableLog {
           s"TableLog: version $v of $root mutated rows with change capture " +
             "off (enable spark.graft.tablelog.cdf before mutating commits)")
         case Some(rel) =>
-          val df = s.read.option("mergeSchema", "true").parquet(s"$root/$rel")
+          val df = s.read.option("mergeSchema", "true").parquet(abs(root, rel))
           Some(df.withColumn(CommitVersionCol, lit(v)))
         case None if !parseDataChange(json) => None // layout: no row changes
         case None if removes.isEmpty && adds.nonEmpty =>
           Some(s.read.option("mergeSchema", "true")
-            .parquet(adds.map(rel => s"$root/$rel"): _*)
+            .parquet(adds.map(rel => abs(root, rel)): _*)
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
         case None if adds.isEmpty && removes.isEmpty => None // metadata-only
@@ -781,7 +919,7 @@ object TableLog {
       column: String): Map[String, (Long, Long)] = {
     val f = fs(s, root)
     state.flatMap(_._2).distinct.flatMap { rel =>
-      readText(f, new Path(s"$root/$rel")).split('\n').filter(_.nonEmpty)
+      readText(f, new Path(abs(root, rel))).split('\n').filter(_.nonEmpty)
         .map(_.split('\t'))
         .collect { case Array(file, c, mn, mx) if c == column =>
           file -> (mn.toLong, mx.toLong) }
@@ -809,9 +947,12 @@ object TableLog {
     // the reader throw instead of returning zero rows
     if (keep.isEmpty) return snapshot(s, root, version).limit(0)
     // mergeSchema, like snapshot: the pruned subset may predate an
-    // additive schema evolution
-    s.read.option("mergeSchema", "true")
-      .parquet(keep.map(rel => s"$root/$rel"): _*)
+    // additive schema evolution; DV-filtered, like snapshot: a pruned
+    // read must not resurrect vector-deleted rows
+    applyDv(s, root,
+      s.read.option("mergeSchema", "true")
+        .parquet(keep.map(rel => abs(root, rel)): _*),
+      dvState(s, root, version))
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -831,8 +972,10 @@ object TableLog {
       b2.get(file).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
     }
     if (keep.isEmpty) return snapshot(s, root, version).limit(0)
-    s.read.option("mergeSchema", "true")
-      .parquet(keep.map(rel => s"$root/$rel"): _*)
+    applyDv(s, root,
+      s.read.option("mergeSchema", "true")
+        .parquet(keep.map(rel => abs(root, rel)): _*),
+      dvState(s, root, version))
       .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
         col(c2) >= lo2 && col(c2) <= hi2)
   }
@@ -845,7 +988,14 @@ object TableLog {
       lo: Long, hi: Long): Int = {
     val (touched, _) = candidateFiles(s, root, -1, column, lo, hi)
     require(touched.nonEmpty, "deleteRange: nothing to delete")
-    val src = s.read.parquet(touched.map(rel => s"$root/$rel"): _*)
+    // DV-filtered: rewriting a touched file must not resurrect its
+    // vector-deleted rows (the survivors land in fresh files the
+    // vectors don't name); untouched files keep their DV entries live.
+    // The state is captured ONCE and CAS-revalidated at publish — a
+    // deleteVector landing mid-rewrite aborts this commit, never loses
+    val dv0 = dvState(s, root, -1)
+    val src = applyDv(s, root,
+      s.read.parquet(touched.map(rel => abs(root, rel)): _*), dv0)
     val survivors = src
       // NULL in the delete column is inside neither range nor its
       // negation — keep such rows explicitly, or every rewritten
@@ -864,7 +1014,65 @@ object TableLog {
       .orElse(Some(""))
     val (sub, files) = writeData(s, root, survivors)
     publish(s, root, files, touched,
-      writeStats(s, root, sub, Seq(column)), dataChange = false, cdc = cdc)
+      writeStats(s, root, sub, Seq(column)), dataChange = false, cdc = cdc,
+      expectDvs = Some(dv0))
+  }
+
+  /** DELETE WHERE `predicate` without rewriting ANY data file — the
+    * deletion-vector form (Delta DV / Iceberg positional-delete
+    * parity). The matching rows' (file key, `_metadata.row_index`)
+    * pairs are written as a parquet sidecar (O(deleted rows) bytes,
+    * distributed write) and ONE metadata commit appends it to the
+    * active-vector list; every data file keeps its identity, bytes,
+    * and stats. Reads anti-join the vectors (see [[applyDv]]); a later
+    * [[compact]]/[[rewrite]] materializes and clears them. Pre-delete
+    * versions remain time-travelable (the vectors are versioned state,
+    * not file mutations).
+    *
+    * Why it matters at scale: deleting 0.1% of a 100 TB table by
+    * rewrite copies ~100 TB; by vector it appends kilobytes and defers
+    * the copy to the next scheduled compaction. The trade is read-side
+    * work — one broadcast anti-join per scan while vectors are active.
+    *
+    * Publish CAS-revalidates that BOTH the live-file set and the DV
+    * state still equal what this delete computed against — a
+    * concurrent compact/merge/delete aborts one side loudly instead of
+    * silently losing rows (same posture as the remove-set check).
+    * Already-vector-deleted rows are excluded from the read, so
+    * re-deleting an overlapping predicate records only the NEW rows
+    * and the CDF feed never double-reports a delete. Requires at least
+    * one matching row (like [[deleteRange]]). Returns the version. */
+  def deleteVector(s: SparkSession, root: String, predicate: Column): Int = {
+    val dv0 = dvState(s, root, -1)
+    val files = liveFiles(s, root, -1)
+    require(files.nonEmpty, "deleteVector: empty table")
+    val raw = s.read.option("mergeSchema", "true")
+      .parquet(files.map(rel => abs(root, rel)): _*)
+    val dataCols = raw.columns.map(col).toSeq
+    // key FIRST (metadata columns resolve only on the scan itself),
+    // then drop already-vector-deleted rows, then apply the predicate
+    val keyed = raw
+      .withColumn("_g_file", fileKey(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+    val alive = if (dv0.isEmpty) keyed
+      else keyed.join(dvJoinFrame(s, root, dv0),
+        col("_g_file") === col("_g_dv_file") &&
+          col("_g_pos") === col("_g_dv_pos"), "left_anti")
+    val matched = alive.filter(predicate).cache()
+    try {
+      require(matched.limit(1).count() > 0, "deleteVector: nothing to delete")
+      val dvSub = s"data/${UUID.randomUUID()}-dv"
+      matched.select(col("_g_file").as("file"), col("_g_pos").as("pos"))
+        .write.parquet(s"$root/$dvSub")
+      // CDF: same contract as deleteRange — captured sidecar with the
+      // feed on, the EMPTY sentinel (refuse-at-read) with it off
+      val cdc = writeCdc(s, root, matched.select(dataCols: _*)
+        .withColumn(ChangeTypeCol, lit("delete")))
+        .orElse(Some(""))
+      publish(s, root, Seq.empty, Seq.empty, dataChange = true, cdc = cdc,
+        dvs = Some(dv0 :+ dvSub), expectFiles = Some(files.toSet),
+        expectDvs = Some(dv0))
+    } finally matched.unpersist()
   }
 
   /** MERGE (upsert-by-key): every target row whose `keyCol` appears
@@ -895,11 +1103,12 @@ object TableLog {
     val src = source.cache()
     try {
       val (touched, smallSrc) = mergeTouched(s, root, src, keyCol)
+      val dv0 = dvState(s, root, -1)
       val keys = src.select(col(keyCol))
       val tgt =
         if (touched.isEmpty) src.limit(0)
-        else s.read.option("mergeSchema", "true")
-          .parquet(touched.map(rel => s"$root/$rel"): _*)
+        else applyDv(s, root, s.read.option("mergeSchema", "true")
+          .parquet(touched.map(rel => abs(root, rel)): _*), dv0)
       val kept =
         if (touched.isEmpty) src.limit(0)
         else if (smallSrc) tgt.join(broadcast(keys), Seq(keyCol), "left_anti")
@@ -921,7 +1130,7 @@ object TableLog {
       }
       val (sub, files) = writeData(s, root, kept.unionByName(src))
       publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
-        cdc = cdc)
+        cdc = cdc, expectDvs = Some(dv0))
     } finally src.unpersist()
   }
 
@@ -992,6 +1201,7 @@ object TableLog {
     val src = source.cache()
     try {
       val (touched, smallSrc) = mergeTouched(s, root, src, keyCol)
+      val dv0 = dvState(s, root, -1)
       val srcPref = src.columns.foldLeft(src)((d, c) =>
         d.withColumnRenamed(c, s"src_$c"))
       def maybeBcast(df: DataFrame) = if (smallSrc) broadcast(df) else df
@@ -1002,8 +1212,8 @@ object TableLog {
           val ins = if (insertUnmatched) src else src.limit(0)
           (ins, writeCdc(s, root, ins.withColumn(ChangeTypeCol, lit("insert"))))
         } else {
-          val tgt = s.read.option("mergeSchema", "true")
-            .parquet(touched.map(rel => s"$root/$rel"): _*)
+          val tgt = applyDv(s, root, s.read.option("mergeSchema", "true")
+            .parquet(touched.map(rel => abs(root, rel)): _*), dv0)
           val joined = tgt.join(maybeBcast(srcPref),
             tgt(keyCol) === srcPref(s"src_$keyCol"), "left")
           val hit = col(s"src_$keyCol").isNotNull && cond
@@ -1031,7 +1241,7 @@ object TableLog {
         }
       val (sub, files) = writeData(s, root, kept)
       publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
-        cdc = cdc)
+        cdc = cdc, expectDvs = Some(dv0))
     } finally src.unpersist()
   }
 
@@ -1039,9 +1249,19 @@ object TableLog {
     * fresh directory it is handed — the general layout-rewrite commit
     * (compaction, z-ordering, re-sorting): same rows, new physical
     * organization, published atomically with dataChange=false and
-    * fresh per-file stats for `statsCols`. */
-  def rewrite(s: SparkSession, root: String, statsCols: Seq[String] = Nil)(
+    * fresh per-file stats for `statsCols`.
+    *
+    * Contract: `write` must materialize the rows of the CURRENT
+    * snapshot (all callers read through [[snapshot]], which applies
+    * active deletion vectors) — so a rewrite MATERIALIZES pending DV
+    * deletes and clears the vector state. `expectDvs` should be the DV
+    * state as of the caller's snapshot read (defaults to the state at
+    * entry); publish CAS-revalidates it so a deleteVector racing the
+    * rewrite aborts one side instead of losing the delete. */
+  def rewrite(s: SparkSession, root: String, statsCols: Seq[String] = Nil,
+      expectDvs: Option[Seq[String]] = None)(
       write: String => Unit): Int = {
+    val dv0 = expectDvs.getOrElse(dvState(s, root, -1))
     val old = liveFiles(s, root, -1)
     val sub = s"data/${UUID.randomUUID()}"
     write(s"$root/$sub")
@@ -1050,15 +1270,16 @@ object TableLog {
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$sub/$n").toSeq
     publish(s, root, files, old, writeStats(s, root, sub, statsCols),
-      dataChange = false)
+      dataChange = false, dvs = Some(Seq.empty), expectDvs = Some(dv0))
   }
 
   /** Rewrite the live set into `numFiles` files and publish the swap
     * as one atomic commit. Old snapshots keep reading the old files. */
   def compact(s: SparkSession, root: String, numFiles: Int,
       statsCols: Seq[String] = Nil): Int = {
+    val dv0 = dvState(s, root, -1)
     val snap = snapshot(s, root)
-    rewrite(s, root, statsCols)(dir =>
+    rewrite(s, root, statsCols, expectDvs = Some(dv0))(dir =>
       snap.coalesce(numFiles).write.parquet(dir))
   }
 
@@ -1076,13 +1297,20 @@ object TableLog {
   def restore(s: SparkSession, root: String, version: Int): Int = {
     val f = fs(s, root)
     val then_ = liveFiles(s, root, version)
-    then_.foreach(rel => require(f.exists(new Path(s"$root/$rel")),
+    then_.foreach(rel => require(f.exists(new Path(abs(root, rel))),
       s"restore: $rel was vacuumed; version $version is not restorable"))
+    // the deletion-vector state restores with the file set — a restore
+    // across a deleteVector resurrects its rows, a restore across a
+    // materializing compact re-applies the then-active vectors
+    val thenDvs = dvState(s, root, version)
+    thenDvs.foreach(d => require(f.exists(new Path(abs(root, d))),
+      s"restore: deletion vector $d was vacuumed; " +
+        s"version $version is not restorable"))
     val now = liveFiles(s, root, -1)
     val nowSet = now.toSet
     val thenSet = then_.toSet
     publish(s, root, then_.filterNot(nowSet), now.filterNot(thenSet),
-      dataChange = true)
+      dataChange = true, dvs = Some(thenDvs))
   }
 
   /** Commit history as a DataFrame — `DESCRIBE HISTORY` parity:
@@ -1115,11 +1343,23 @@ object TableLog {
     * snapshots are untouched. */
   def vacuum(s: SparkSession, root: String, retainFrom: Int): Unit = {
     val f = fs(s, root)
-    val reachable = versions(s, root).filter(_ >= retainFrom)
-      .flatMap(v => liveFiles(s, root, v)).toSet ++
+    val vs = versions(s, root)
+    val retained = vs.filter(_ >= retainFrom)
+    val reachable = retained.flatMap(v => liveFiles(s, root, v)).toSet ++
       liveFiles(s, root, -1).toSet
-    val all = versions(s, root)
+    val all = vs
       .flatMap(v => parseArr(readText(f, logPath(root, v)), "add")).toSet
-    (all -- reachable).foreach(rel => f.delete(new Path(s"$root/$rel"), false))
+    // external (clone-referenced) files belong to their source table —
+    // never reclaimed from the referencing side
+    (all -- reachable).filterNot(isExternal)
+      .foreach(rel => f.delete(new Path(s"$root/$rel"), false))
+    // deletion-vector sidecars no retained version can need (a compact
+    // cleared them, or the declaring commit fell out of retention)
+    val dvReachable = (retained.map(v => dvState(s, root, v)) :+
+      dvState(s, root, -1)).flatten.toSet
+    val dvAll = vs.flatMap(v =>
+      parseDvs(readText(f, logPath(root, v))).getOrElse(Seq.empty)).toSet
+    (dvAll -- dvReachable).filterNot(isExternal)
+      .foreach(rel => f.delete(new Path(s"$root/$rel"), true))
   }
 }

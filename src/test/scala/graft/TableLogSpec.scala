@@ -643,4 +643,131 @@ class TableLogSpec extends SparkSpec {
     assert(snap.count() == 25, "inserts were dropped when touched was empty")
     assert(snap.filter(col("id") >= 1000L).count() == 5)
   }
+
+  // ---- deletion vectors --------------------------------------------------
+
+  private def dataFiles(root: String): Seq[String] =
+    TableLog.snapshot(spark, root).inputFiles
+      .filter(f => !f.contains("-dv")).sorted.toSeq
+
+  test("deleteVector: rows vanish with ZERO data files rewritten; " +
+      "pre-delete versions stay time-travelable") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 100).repartition(4))
+    val before = dataFiles(root)
+    val v = TableLog.deleteVector(spark, root, col("id") % 10 === 3)
+    assert(v == 1)
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.count() == 90)
+    assert(snap.filter(col("id") % 10 === 3).isEmpty,
+      "vector-deleted rows still visible")
+    assert(dataFiles(root) == before,
+      "deleteVector must not add, remove, or rewrite any data file")
+    assert(TableLog.snapshot(spark, root, 0).count() == 100,
+      "pre-delete version lost rows")
+  }
+
+  test("deleteVector composes: an overlapping second delete records " +
+      "only NEW rows; compact materializes and clears the vectors") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 100).repartition(4))
+    TableLog.deleteVector(spark, root, col("id") % 10 === 3) // 10 rows
+    TableLog.deleteVector(spark, root, col("id") < 40)       // 36 NEW rows
+    assert(TableLog.snapshot(spark, root).count() == 54)
+    val dvs = TableLog.dvState(spark, root, -1)
+    assert(dvs.size == 2, s"expected two active vectors, got $dvs")
+    val second = spark.read.parquet(s"$root/${dvs(1)}")
+    assert(second.count() == 36,
+      "already-deleted rows must not be re-recorded by an overlapping delete")
+    TableLog.compact(spark, root, 2)
+    assert(TableLog.dvState(spark, root, -1).isEmpty,
+      "compact must clear materialized vectors")
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.count() == 54 && snap.filter(col("id") < 40).isEmpty,
+      "compact resurrected vector-deleted rows")
+    // the vectors are now unreachable from the latest version only if
+    // retention drops the declaring commits
+    TableLog.vacuum(spark, root, retainFrom = 3)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(dvs.forall(d => !fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d"))),
+      "vacuum must reclaim unreachable deletion-vector sidecars")
+    assert(TableLog.snapshot(spark, root).count() == 54)
+  }
+
+  test("stats-pruned reads and merges on a vectored table never " +
+      "resurrect deleted rows") {
+    val root = freshRoot()
+    TableLog.append(spark, root,
+      nums(0, 100).repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    TableLog.deleteVector(spark, root, col("id") >= 10 && col("id") < 20)
+    val r = TableLog.readRange(spark, root, "id", 0L, 29L)
+    assert(r.count() == 20, "readRange resurrected vector-deleted rows")
+    // merge rewrites the touched files; the rewrite must carry the DV
+    val sp = spark; import sp.implicits._
+    TableLog.merge(spark, root,
+      Seq((5L, "upd5"), (200L, "new200")).toDF("id", "s"), "id",
+      statsCols = Seq("id"))
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.count() == 91, s"expected 91 rows, got ${snap.count()}")
+    assert(snap.filter(col("id") >= 10 && col("id") < 20).isEmpty,
+      "merge rewrite resurrected vector-deleted rows")
+    assert(snap.filter(col("s") === "upd5").count() == 1)
+  }
+
+  test("restore across a deleteVector resurrects its rows; restore " +
+      "forward re-applies the vector") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 50))           // v0
+    TableLog.deleteVector(spark, root, col("id") < 10)  // v1
+    assert(TableLog.snapshot(spark, root).count() == 40)
+    TableLog.restore(spark, root, 0)                    // v2: undo the delete
+    assert(TableLog.snapshot(spark, root).count() == 50,
+      "restore did not resurrect vector-deleted rows")
+    TableLog.restore(spark, root, 1)                    // v3: redo it
+    assert(TableLog.snapshot(spark, root).count() == 40,
+      "restore did not re-apply the vector")
+  }
+
+  test("deleteVector rides the CDF and the checkpoint") {
+    val root = freshRoot()
+    spark.conf.set("spark.graft.tablelog.cdf", "true")
+    spark.conf.set("spark.graft.tablelog.checkpointInterval", "2")
+    try {
+      TableLog.append(spark, root, nums(0, 30))
+      TableLog.deleteVector(spark, root, col("id") >= 25)
+      val feed = TableLog.tableChanges(spark, root, 0)
+      assert(feed.filter(col(TableLog.ChangeTypeCol) === "delete")
+        .count() == 5, "CDF missed the vector delete")
+      TableLog.append(spark, root, nums(100, 110)) // v2 → checkpoint lands
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckpt = s"$root/_log/ckpt-v00002.tsv"
+      assert(fs.exists(new org.apache.hadoop.fs.Path(ckpt)),
+        "expected a checkpoint at v2")
+      val body = scala.io.Source.fromFile(ckpt).mkString
+      assert(body.contains("#dv\t"),
+        "checkpoint must carry the active deletion vectors")
+      assert(TableLog.snapshot(spark, root).count() == 35,
+        "checkpoint-replayed snapshot lost the vector state")
+    } finally {
+      spark.conf.unset("spark.graft.tablelog.cdf")
+      spark.conf.unset("spark.graft.tablelog.checkpointInterval")
+    }
+  }
+
+  test("a rewrite whose DV expectation went stale aborts instead of " +
+      "losing the racing delete") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 50))
+    val staleDvs = TableLog.dvState(spark, root, -1) // empty
+    val snap = TableLog.snapshot(spark, root)        // pre-delete rows
+    TableLog.deleteVector(spark, root, col("id") < 5) // races in between
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.rewrite(spark, root, expectDvs = Some(staleDvs))(dir =>
+        snap.coalesce(1).write.parquet(dir))
+    }
+    assert(TableLog.snapshot(spark, root).count() == 45,
+      "the racing delete must survive the aborted rewrite")
+  }
 }
