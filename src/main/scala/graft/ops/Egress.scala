@@ -404,6 +404,73 @@ object Egress {
     ORDER BY tag, o_orderstatus
   """.trim
 
+  /** Shallow CLONE of the transaction-logged table
+    * ([[graft.sources.TableLog.shallowClone]] — Delta CLONE parity):
+    * load orders with per-file stats, vector-delete a slice (so the
+    * carried-DV path is on the oracle hash), clone — zero data bytes
+    * copied, O(#files) metadata — then DIVERGE both sides: the clone
+    * inserts re-keyed 'C' rows, the source vector-deletes its 450k+
+    * prices AFTER the clone. The output unions both tables' profiles;
+    * the oracle reconstructs each side relationally, so the hash
+    * proves clone = source-at-clone-time (including the inherited
+    * deletion vector) plus only its OWN divergence, and that neither
+    * side's post-clone mutations leaked into the other. Zero-copy
+    * file identity, stats carry, and vacuum safety are
+    * TableLogSpec-asserted. At 100 TB a clone is the free test/dev
+    * branch: metadata now, independence via compact when needed. */
+  def qLogClone(s: SparkSession, dir: String): DataFrame = {
+    val base = outRoot(dir) + "/tlog_clone"
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = base + "/src"
+    val dst = base + "/dst"
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.sources.TableLog.append(s, src, orders,
+      statsCols = Seq("o_orderkey"))
+    graft.sources.TableLog.deleteVector(s, src,
+      col("o_orderstatus") === "O" && col("o_orderkey") % 11 === 0)
+    graft.sources.TableLog.shallowClone(s, src, dst)
+    graft.sources.TableLog.append(s, dst,
+      orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("C")))
+    graft.sources.TableLog.deleteVector(s, src,
+      col("o_totalprice") > 450000.0)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("tbl", lit(tag))
+    agg(graft.sources.TableLog.snapshot(s, src), "src")
+      .unionByName(agg(graft.sources.TableLog.snapshot(s, dst), "clone"))
+      .orderBy("tbl", "o_orderstatus")
+  }
+
+  val qLogCloneSql: String = s"""
+    WITH at_clone AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 11 = 0)),
+    src_now AS (
+      SELECT * FROM at_clone WHERE NOT (o_totalprice > 450000)),
+    clone_now AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM at_clone
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS o_orderkey, 'C' AS o_orderstatus,
+        o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0)
+    SELECT 'src' AS tbl, o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM src_now GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone' AS tbl, o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM clone_now GROUP BY o_orderstatus
+    ORDER BY tbl, o_orderstatus
+  """.trim
+
   /** Batch MERGE (upsert-by-key) on the transaction-logged table —
     * the lake-side CDC-apply twin of the streaming foreachBatch
     * upsert: write orders range-clustered with per-file key stats,

@@ -1337,6 +1337,60 @@ object TableLog {
       StructField("txn_version", LongType))))
   }
 
+  /** Shallow CLONE (Delta parity): start a NEW log at `dstRoot` whose
+    * first commit references the source's current live files BY
+    * ABSOLUTE PATH — zero data bytes copied, O(#files) metadata only.
+    * The clone then evolves independently: appends/merges/deletes on
+    * either side never touch the other (the referenced files are
+    * immutable by the log contract — mutation always writes NEW
+    * files). Carried over: the per-file min/max stats (remapped into
+    * one dst-local sidecar, so stats pruning keeps working), the
+    * declared schema, and the active deletion vectors (also by
+    * absolute path). NOT carried: CHECK constraints and txn
+    * watermarks (a clone is a new table, not a continuation of the
+    * writer's exactly-once stream). [[vacuum]] on either side never
+    * reclaims external (absolute-path) references — but the same
+    * Delta caveat applies: a vacuum on the SOURCE that drops files
+    * the clone still references breaks the clone. Retain source
+    * history for the clone's lifetime, or compact the clone (which
+    * rewrites it onto its own files) to sever the dependency.
+    *
+    * Why it matters at scale: CLONE is the zero-cost test/dev branch
+    * of a 100 TB table — experiment with deletes, schema evolution,
+    * or OPTIMIZE on the clone; throw it away or compact it into
+    * independence. Returns the clone's first committed version (0). */
+  def shallowClone(s: SparkSession, srcRoot: String, dstRoot: String): Int = {
+    require(versions(s, dstRoot).isEmpty,
+      s"shallowClone: $dstRoot already has a log")
+    val srcFs = fs(s, srcRoot)
+    val state = liveState(s, srcRoot, -1)
+    require(state.nonEmpty, s"shallowClone: $srcRoot is empty")
+    val files = state.map { case (rel, _) => abs(srcRoot, rel) }
+    // one merged dst-local sidecar, keyed by the absolute names the
+    // clone's add list uses (each source commit's sidecar keyed its
+    // own relative names — a cross-root lookup would silently miss
+    // and demote every file to the always-read class)
+    val statLines = state.flatMap(_._2).distinct.flatMap { rel =>
+      readText(srcFs, new Path(abs(srcRoot, rel))).split('\n')
+        .filter(_.nonEmpty).map(_.split('\t'))
+        .collect { case Array(file, c, mn, mx) =>
+          s"${abs(srcRoot, file)}\t$c\t$mn\t$mx" }
+    }
+    val statsFile = if (statLines.isEmpty) None else {
+      val rel = s"data/clone-${UUID.randomUUID()}/_stats.tsv"
+      val f = fs(s, dstRoot)
+      f.mkdirs(new Path(s"$dstRoot/${rel.split('/').dropRight(1).mkString("/")}"))
+      val out = f.create(new Path(s"$dstRoot/$rel"), false)
+      try out.write((statLines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      Some(rel)
+    }
+    val srcDvs = dvState(s, srcRoot, -1).map(abs(srcRoot, _))
+    publish(s, dstRoot, files, Seq.empty, statsFile,
+      schema = tableSchema(s, srcRoot), enforceSchema = false,
+      dvs = if (srcDvs.isEmpty) None else Some(srcDvs))
+  }
+
   /** Reclaim data files no snapshot at version >= `retainFrom` can
     * reach (the files delisted by the retained log prefix). Time
     * travel to versions before `retainFrom` stops working; newer

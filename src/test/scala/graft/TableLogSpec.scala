@@ -756,6 +756,64 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  // ---- shallow clone -----------------------------------------------------
+
+  test("shallowClone copies zero data bytes, carries stats + DVs, and " +
+      "the two tables evolve independently") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    TableLog.append(spark, src,
+      nums(0, 100).repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    TableLog.deleteVector(spark, src, col("id") >= 90)
+    assert(TableLog.shallowClone(spark, src, dst) == 0)
+    // metadata-only: the clone's data dir holds just the stats sidecar
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val copied = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dst/data"))
+    assert(copied.forall(_.getPath.getName.startsWith("clone-")),
+      "shallowClone must not copy data files")
+    // content identical, including the carried deletion vector
+    assert(TableLog.snapshot(spark, dst).count() == 90)
+    assert(TableLog.snapshot(spark, dst).filter(col("id") >= 90).isEmpty,
+      "clone lost the source's deletion vector")
+    // carried stats prune: a narrow range read opens a strict subset
+    val opened = TableLog.readRange(spark, dst, "id", 0L, 10L)
+      .inputFiles.filter(f => !f.contains("-dv")).length
+    assert(opened < 4, s"clone stats must prune range reads, opened $opened")
+    // divergence: mutations on one side never reach the other
+    val sp = spark; import sp.implicits._
+    TableLog.append(spark, dst, Seq((1000L, "c")).toDF("id", "s"))
+    TableLog.deleteVector(spark, dst, col("id") < 10)
+    TableLog.append(spark, src, Seq((2000L, "s")).toDF("id", "s"))
+    assert(TableLog.snapshot(spark, dst).count() == 81,  // 90 + 1 - 10
+      "clone content wrong after divergence")
+    assert(TableLog.snapshot(spark, src).count() == 91,  // 90 + 1
+      "source saw the clone's mutations")
+    assert(TableLog.snapshot(spark, src).filter(col("id") < 10).count() == 10,
+      "the clone's deleteVector leaked into the source")
+  }
+
+  test("vacuum on a clone never reclaims the source's files; compact " +
+      "severs the dependency") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    TableLog.append(spark, src, nums(0, 50))
+    TableLog.shallowClone(spark, src, dst)
+    // delist every cloned file, then vacuum aggressively
+    TableLog.overwrite(spark, dst, nums(0, 5))
+    TableLog.vacuum(spark, dst, retainFrom = 1)
+    assert(TableLog.snapshot(spark, src).count() == 50,
+      "clone vacuum deleted source files")
+    // a compacted clone survives source vacuum
+    val dst2 = freshRoot()
+    TableLog.shallowClone(spark, src, dst2)
+    TableLog.compact(spark, dst2, 1)
+    TableLog.overwrite(spark, src, nums(0, 1))
+    TableLog.vacuum(spark, src, retainFrom = 2)
+    assert(TableLog.snapshot(spark, dst2).count() == 50,
+      "compacted clone must be independent of source vacuum")
+  }
+
   test("a rewrite whose DV expectation went stale aborts instead of " +
       "losing the racing delete") {
     val root = freshRoot()
