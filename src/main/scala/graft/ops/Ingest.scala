@@ -277,4 +277,62 @@ object Ingest {
       ON o_orderpriority = prio
     GROUP BY tier ORDER BY tier
   """.trim
+
+  /** Malformed-row CSV ingest (the reference CSV reader's
+    * invalid-row handling, `cpp/src/arrow/csv/parser.h:62`
+    * ParseOptions::ignore_empty_lines + reader error modes; Spark
+    * surface: PERMISSIVE / DROPMALFORMED / FAILFAST). A 100 TB crawl
+    * ingest ALWAYS contains broken lines, and one of them must never
+    * kill a stage — but silently dropping them is just as wrong, so
+    * the PERMISSIVE contract is: every input line lands EXACTLY once,
+    * either parsed or quarantined in the corrupt-record column.
+    *
+    * The query plants corruption deterministically (every 37th event
+    * id emits a truncated non-numeric line), writes the mix as a
+    * distributed text dataset, re-reads it with a declared schema +
+    * `columnNameOfCorruptRecord`, and profiles both classes. Corrupt
+    * rows' ids are recovered from the QUARANTINED raw string (not the
+    * parser's partial output, which is engine-defined); the oracle
+    * replays the classification relationally, so the hash proves
+    * exactly the planted lines — no more, no fewer — were quarantined
+    * and every healthy line parsed losslessly (doubles round-trip via
+    * shortest-representation formatting). DROPMALFORMED (= the
+    * healthy class) and FAILFAST (throws on first bad line) are
+    * IngestSpec-asserted. */
+  def qCsvMalformed(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/events_malformed_csv"
+    val ev = Tables(s, dir, "events").select(col("event_id"),
+      unix_micros(col("ts")).as("t_us"), col("value"))
+    val line = when(col("event_id") % 37 === 0,
+        concat(col("event_id").cast(StringType), lit(",oops")))
+      .otherwise(concat_ws(",", col("event_id").cast(StringType),
+        col("t_us").cast(StringType), col("value").cast(StringType)))
+    ev.select(line.as("value")).write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("t_us", LongType),
+      StructField("value", DoubleType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(out)
+      .groupBy(col("_corrupt").isNotNull.as("is_corrupt"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("event_id"),
+          split(col("_corrupt"), ",").getItem(0).cast(LongType))).as("sum_id"),
+        dsum(when(col("_corrupt").isNull, col("value"))).as("sum_value"),
+        max(when(col("_corrupt").isNull, col("t_us"))).as("max_t"))
+      .orderBy("is_corrupt")
+  }
+
+  val qCsvMalformedSql: String = s"""
+    WITH cls AS (
+      SELECT event_id, epoch_us(ts) AS t_us, value,
+        event_id % 37 = 0 AS is_corrupt
+      FROM events)
+    SELECT is_corrupt, COUNT(*) AS n,
+      CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      ${dsumSql("CASE WHEN is_corrupt THEN NULL ELSE value END")} AS sum_value,
+      CAST(MAX(CASE WHEN is_corrupt THEN NULL ELSE t_us END) AS BIGINT) AS max_t
+    FROM cls GROUP BY is_corrupt ORDER BY is_corrupt
+  """.trim
 }

@@ -342,4 +342,103 @@ object Temporal {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
     FROM j ORDER BY event_type, h
   """.trim
+
+  /** Interval-OVERLAP join (both sides are intervals — the shape
+    * [[qRangeJoin]]'s point-in-interval bucketing cannot express):
+    * which user pairs were active at the same time, and for how long?
+    *
+    * Sessions ([[qSessionize]]'s 30-min-gap islands, reduced to
+    * [start, end] µs) self-join on OVERLAP — a classic inequality
+    * join that a naive engine runs as an O(N²) nested loop. The
+    * distributed decomposition:
+    *
+    *  1. explode each interval to the 6-hour buckets it covers
+    *     (intervals are gap-bounded, so almost always 1-2 buckets);
+    *  2. equi-join on the bucket (a plain hash join — candidates are
+    *     only pairs sharing a bucket, never the cartesian);
+    *  3. keep a pair only in the bucket containing the LATER start
+    *     (`bucket = later_start DIV width`) — every overlapping pair
+    *     survives in EXACTLY one bucket, so no distinct is needed;
+    *  4. exact overlap filter + per-pair aggregation.
+    *
+    * Bucket ids use integer DIV (a double quotient could round across
+    * a bucket boundary at µs magnitudes). The oracle runs the
+    * inequality join directly (DuckDB IEJoin) — the hash proves the
+    * decomposition finds every overlapping pair exactly once. Top-100
+    * by total overlap with a full deterministic tiebreak. */
+  /** The decomposition itself, over any (user_id, s_us, e_us) interval
+    * frame — exposed so TemporalSpec can stress multi-bucket intervals
+    * and boundary-touching pairs against a naive inequality join.
+    * Emits one row per overlapping pair (ua < ub): (ua, ub, sa, ea,
+    * sb, eb, overlap_us) — each pair survives in EXACTLY one bucket
+    * (the one containing the later start), so no dedup pass exists. */
+  def overlapJoin(sess: DataFrame, bucketUs: Long): DataFrame = {
+    val exploded = sess.withColumn("bucket",
+      explode(sequence(expr(s"s_us DIV ${bucketUs}L"),
+        expr(s"e_us DIV ${bucketUs}L"))))
+    val a = exploded.select(col("user_id").as("ua"), col("s_us").as("sa"),
+      col("e_us").as("ea"), col("bucket"))
+    val b = exploded.select(col("user_id").as("ub"), col("s_us").as("sb"),
+      col("e_us").as("eb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("ua") < col("ub") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        col("bucket") === expr(s"greatest(sa, sb) DIV ${bucketUs}L"))
+      .select(col("ua"), col("ub"), col("sa"), col("ea"), col("sb"),
+        col("eb"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("overlap_us"))
+  }
+
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 21600L * 1000000L // 6 h
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = t(s, dir, "events")
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("t_us") - lag(col("t_us"), 1).over(wOrd) > 1800L * 1000000L
+          || lag(col("t_us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("t_us")).as("s_us"), max(col("t_us")).as("e_us"))
+      // real sessions only (>= 2 events, nonzero duration): co-presence
+      // of singleton pings is noise, and since candidates grow as
+      // (sessions)²/buckets, dropping the ~95% singleton class keeps
+      // the pair stage output-bound instead of ping-bound at scale
+      .filter(col("e_us") > col("s_us"))
+      .select(col("user_id"), col("s_us"), col("e_us"))
+    overlapJoin(sess, bucketUs)
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("overlap_us")).as("total_overlap_us"))
+      .orderBy(col("total_overlap_us").desc, col("ua"), col("ub"))
+      .limit(100)
+  }
+
+  val qIntervalJoinSql: String = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+    flagged AS (
+      SELECT user_id, t_us,
+        CASE WHEN t_us - LAG(t_us) OVER w > 1800 * 1000000
+          OR LAG(t_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)),
+    sess_ids AS (
+      SELECT user_id, t_us,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    sess AS (
+      SELECT user_id, MIN(t_us) AS s_us, MAX(t_us) AS e_us
+      FROM sess_ids GROUP BY user_id, session_id
+      HAVING MAX(t_us) > MIN(t_us))
+    SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_overlaps,
+      CAST(SUM(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)) AS BIGINT)
+        AS total_overlap_us
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    GROUP BY ua, ub
+    ORDER BY total_overlap_us DESC, ua, ub LIMIT 100
+  """.trim
 }

@@ -191,4 +191,52 @@ class IngestSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<c1:string,c3:tinyint,c6:bigint>"),
       s"columns not pruned:\n$scan")
   }
+
+  test("malformed CSV: PERMISSIVE quarantines every planted line, " +
+      "DROPMALFORMED keeps exactly the healthy class, FAILFAST throws") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_badcsv").toString
+    val sp = spark; import sp.implicits._
+    // 20 healthy lines + 3 planted corruptions (bad long, bad double,
+    // truncated line)
+    val good = (0 until 20).map(i => s"$i,${i * 100L},${i / 2.0}")
+    val bad = Seq("bad,1,2.0", "21,2100,notadouble", "22,oops")
+    (good ++ bad).toDF("value").coalesce(1)
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    // cache first: Spark refuses corrupt-column-only projections over
+    // the raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt").csv(out).cache()
+    try {
+      assert(permissive.count() == 23, "PERMISSIVE must keep every line")
+      val quarantined = permissive.filter(col("_corrupt").isNotNull)
+        .select("_corrupt").as[String].collect().sorted.toSeq
+      assert(quarantined == bad.sorted,
+        s"quarantine must hold exactly the planted lines, got $quarantined")
+    } finally permissive.unpersist()
+    val dropped = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(out)
+    // project EVERY column: CSV column pruning means a bare count()
+    // parses no fields, detects no malformation, and drops nothing —
+    // the malformed-row contract is per-parsed-column
+    assert(dropped.select("id", "t", "v").collect().length == 20,
+      "DROPMALFORMED must keep exactly the healthy class")
+    intercept[org.apache.spark.SparkException] {
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType(schema.fields.dropRight(1)))
+        .option("mode", "FAILFAST").csv(out)
+        .select("id", "t", "v").collect() // same pruning caveat as above
+    }
+  }
 }
