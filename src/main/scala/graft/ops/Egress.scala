@@ -471,6 +471,42 @@ object Egress {
     ORDER BY tbl, o_orderstatus
   """.trim
 
+  /** Bloom-filter file skipping on the transaction-logged table
+    * ([[graft.sources.TableLog.readPoint]]): orders land
+    * HASH-distributed across files — the adversarial layout for
+    * min/max stats, since every file spans ~the full key range and
+    * range pruning keeps everything — then five point lookups (four
+    * present keys, one absent) run through the per-file bloom
+    * sidecars, which skip every file that provably lacks the key at
+    * PLANNING time, before any footer is opened. The oracle is the
+    * plain IN-list over raw orders: blooms are advisory (no false
+    * negatives by construction, false positives only cost I/O), so
+    * the hash proves answers are untouched; the files-opened payoff
+    * and the sidecar-deleted fallback are TableLogSpec-asserted. At
+    * 100 TB this is the needle-in-haystack path: O(k) files opened
+    * per lookup instead of O(all), on keys no sort order serves. */
+  def qLogBloom(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_bloom"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(8, col("o_orderkey"))
+    graft.sources.TableLog.append(s, root, orders,
+      statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+    Seq(42L, 137L, 777L, 1337L, 99999999L)
+      .map(k => graft.sources.TableLog.readPoint(s, root, "o_orderkey", k))
+      .reduce(_.unionByName(_))
+      .orderBy("o_orderkey")
+  }
+
+  val qLogBloomSql: String = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey IN (42, 137, 777, 1337, 99999999)
+    ORDER BY o_orderkey
+  """.trim
+
   /** Batch MERGE (upsert-by-key) on the transaction-logged table —
     * the lake-side CDC-apply twin of the streaming foreachBatch
     * upsert: write orders range-clustered with per-file key stats,

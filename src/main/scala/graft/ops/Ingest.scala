@@ -311,10 +311,16 @@ object Ingest {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("t_us", LongType),
       StructField("value", DoubleType), StructField("_corrupt", StringType)))
-    s.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .csv(out)
+    // from_csv over the text scan rather than DataFrameReader.csv:
+    // identical univocity PERMISSIVE semantics, but plans that prune
+    // down to the corrupt column alone stay legal (the raw CSV reader
+    // refuses corrupt-only projections — QUERY_ONLY_CORRUPT_RECORD_
+    // COLUMN; the reader path itself is IngestSpec-asserted)
+    s.read.text(out)
+      .select(from_csv(col("value"), schema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+      .select(col("r.*"))
       .groupBy(col("_corrupt").isNotNull.as("is_corrupt"))
       .agg(count(lit(1)).as("n"),
         sum(coalesce(col("event_id"),

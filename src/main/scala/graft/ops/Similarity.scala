@@ -95,6 +95,43 @@ object Similarity {
     SELECT qid, rn, cid FROM r WHERE rn <= 5 ORDER BY qid, rn
   """.trim
 
+  /** Radius (range) search — the vector-search API beside top-k: ALL
+    * candidates within cosine >= τ of each query, not a fixed count.
+    * Exact form: query set broadcast against the corpus scan, native
+    * [[graft.functions.CosineSimilarity]] kernel (bit-parity with the
+    * oracle's sequential fold — CosineSpec — which is what makes a
+    * τ-threshold membership test hash-comparable at all), threshold as
+    * a codegen'd filter. Top-k answers "the best k even if poor";
+    * radius answers "everything actually similar" — the dedup/retrieval
+    * primitive where match COUNT is the signal. Scale path: the same
+    * threshold filter composes over the LSH bucket candidates
+    * (`dedup_embed`) or IVF probe candidates (`knn_ivf`) instead of
+    * the full cross — this query pins the exact semantics those
+    * approximations are graded against. */
+  def qKnnRange(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos_sim", cosine(col("qe"), col("ce")))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("qid"), col("cid"), round(col("cos_sim"), 8).as("cos_sim"))
+      .orderBy("qid", "cid")
+  }
+
+  val qKnnRangeSql: String = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    s AS (SELECT qid, cid,
+      list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+      (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+       sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS cos_sim
+      FROM q JOIN c ON qid <> cid)
+    SELECT qid, cid, ROUND(cos_sim, 8) AS cos_sim
+    FROM s WHERE cos_sim >= 0.35 ORDER BY qid, cid
+  """.trim
+
   /** One deterministic Lloyd refinement: assign to max-cosine cell,
     * recompute per-cell means through exact decimal sums (the answer
     * is independent of partitioning — double sums would not be), pull

@@ -704,10 +704,14 @@ object TableLog {
 
   /** Append `df` as a new commit; returns the committed version.
     * `statsCols` (long-valued columns) adds a per-file min/max
-    * sidecar enabling [[readRange]]/[[deleteRange]] pruning. */
+    * sidecar enabling [[readRange]]/[[deleteRange]] pruning;
+    * `bloomCols` adds per-file bloom filters enabling [[readPoint]]
+    * file skipping on high-cardinality keys min/max ranges can't
+    * prune. */
   def append(s: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     val (sub, files) = writeData(s, root, df)
+    writeBloom(s, root, sub, bloomCols)
     publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols),
       schema = Some(df.schema))
   }
@@ -934,6 +938,146 @@ object TableLog {
     val b = bounds(s, root, state, column)
     state.map(_._1).partition(file =>
       b.get(file).forall { case (mn, mx) => mx >= lo && mn <= hi })
+  }
+
+  // ---- bloom-filter file skipping ----------------------------------------
+  // Per-file bloom sidecars for POINT lookups — the pruning class
+  // min/max stats structurally cannot serve: a hash-distributed or
+  // unsorted high-cardinality key gives every file the full [min,max]
+  // span, so range stats prune nothing, while a bloom answers "key
+  // definitely not in this file" per file. The sidecar
+  // (`<commit-dir>/_bloom.tsv`: file \t column \t base64(bitset))
+  // lives INSIDE the commit's data directory at a FIXED name, so no
+  // log-format or checkpoint change is needed — [[readPoint]] derives
+  // each live file's sidecar path from its own. Advisory by
+  // construction: a missing/unparsable sidecar (pre-bloom commits,
+  // merge/compact rewrites) leaves the file in the always-read class;
+  // the exact residual filter always applies, so blooms change
+  // planning I/O, never answers. k=5 xxhash64 probes; size via
+  // `spark.graft.tablelog.bloom.bits` (default 2^20 bits = 128 KiB per
+  // file·column — at ~10 bits/distinct-key that holds ~100k keys per
+  // file at <1% false-positive; size it to your file row count).
+  // False NEGATIVES are impossible (the writer sets every probed bit
+  // of every present key), which is what makes the skip safe. Parquet's
+  // own row-group blooms (write option
+  // `parquet.bloom.filter.enabled#<col>`) compose WITHIN the files
+  // that survive this file-level skip.
+
+  private val BloomK = 5
+  private def bloomBits(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.tablelog.bloom.bits")
+      .map(_.toInt).getOrElse(1 << 20)
+
+  /** Typed bloom-bitset aggregator: input = bit position, buffer =
+    * byte-array bitset (reduce sets, merge ORs). */
+  private class BloomAgg(mBits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    def reduce(b: Array[Byte], pos: java.lang.Long): Array[Byte] = {
+      val p = pos.longValue().toInt
+      b(p >>> 3) = (b(p >>> 3) | (1 << (p & 7))).toByte; b
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0; while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** The k probe positions of `value` — same math on both sides:
+    * writer as a codegen'd column over (value, seed), reader
+    * driver-side via the identical catalyst XxHash64 evaluation. */
+  private def bloomPosCol(c: Column, mBits: Int): Seq[Column] =
+    (0 until BloomK).map(i => pmod(xxhash64(lit(i), c), lit(mBits.toLong)))
+
+  private def bloomPositions(value: Long, mBits: Int): Seq[Int] =
+    (0 until BloomK).map { i =>
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(i),
+        org.apache.spark.sql.catalyst.expressions.Literal(value)))
+        .eval(null).asInstanceOf[Long]
+      val m = h % mBits
+      (if (m < 0) m + mBits else m).toInt
+    }
+
+  /** One distributed pass building a per-file bloom bitset for each of
+    * `bloomCols` (long-valued), written as `_bloom.tsv` inside the
+    * commit subdir. O(#files · mBits/8) driver transfer. */
+  private def writeBloom(s: SparkSession, root: String, sub: String,
+      bloomCols: Seq[String]): Unit = {
+    if (bloomCols.isEmpty) return
+    val m = bloomBits(s)
+    val agg = udaf(new BloomAgg(m))
+    val src = s.read.parquet(s"$root/$sub")
+    val lines = bloomCols.flatMap { c =>
+      val pos = explode(array(bloomPosCol(col(c).cast(LongType), m): _*))
+      src.select(input_file_name().as("f"), pos.as("pos"))
+        .filter(col("pos").isNotNull) // NULL keys probe nothing
+        .groupBy(col("f")).agg(agg(col("pos")).as("bits"))
+        .collect().map { r =>
+          val file = sub + "/" + r.getString(0).split('/').last
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]]("bits"))
+          s"$file\t$c\t$b64"
+        }
+    }
+    val f = fs(s, root)
+    val out = f.create(new Path(s"$root/$sub/_bloom.tsv"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The bloom bitsets declared for the live `files`, keyed by file —
+    * loaded lazily per distinct commit dir (one small TSV read each;
+    * dirs without a sidecar contribute nothing). */
+  private def bloomIndex(s: SparkSession, root: String,
+      files: Seq[String], column: String): Map[String, Array[Byte]] = {
+    val f = fs(s, root)
+    files.map(_.split('/').dropRight(1).mkString("/")).distinct.flatMap { d =>
+      val p = new Path(s"${abs(root, d)}/_bloom.tsv")
+      if (!f.exists(p)) Seq.empty
+      else readText(f, p).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+        .collect { case Array(file, c, b64) if c == column =>
+          file -> java.util.Base64.getDecoder.decode(b64) }
+    }.toMap
+  }
+
+  /** Point lookup with bloom + stats file skipping: opens only live
+    * files whose bloom admits `value` (or that have no bloom) AND
+    * whose min/max range admits it (or that have no stats), then
+    * applies the exact residual filter — both sidecars are advisory,
+    * neither can change an answer. The planning payoff on a
+    * hash-distributed key: stats prune nothing (every file spans the
+    * key range), the bloom prunes to ~1 file + the false-positive
+    * tail. */
+  def readPoint(s: SparkSession, root: String, column: String,
+      value: Long, version: Int = -1): DataFrame = {
+    val state = liveState(s, root, version)
+    val files = state.map(_._1)
+    val blooms = bloomIndex(s, root, files, column)
+    // probe positions depend on the bitset size, which may vary across
+    // commits (conf change) — memoize per distinct size
+    val posFor = mutable.Map.empty[Int, Seq[Int]]
+    val rangeOk = bounds(s, root, state, column)
+    val keep = files.filter { fl =>
+      blooms.get(fl).forall { bits =>
+        posFor.getOrElseUpdate(bits.length * 8,
+          bloomPositions(value, bits.length * 8))
+          .forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
+      } &&
+      rangeOk.get(fl).forall { case (mn, mx) => value >= mn && value <= mx }
+    }
+    if (keep.isEmpty) return snapshot(s, root, version).limit(0)
+    applyDv(s, root,
+      s.read.option("mergeSchema", "true")
+        .parquet(keep.map(rel => abs(root, rel)): _*),
+      dvState(s, root, version))
+      .filter(col(column) === value)
   }
 
   /** Range read with metadata-level file skipping: opens only files

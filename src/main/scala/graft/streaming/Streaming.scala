@@ -223,6 +223,54 @@ object Streaming {
     * NULLS LAST is a total order: unmatched purchases sort after
     * every click under their null click_id, then uniquely by their
     * own id. */
+  /** LEFT-SEMI stream-stream join — "which clicks converted", as a
+    * set: each click emits AT MOST ONCE, with no purchase columns,
+    * however many in-window purchases arrive. Same watermarks and
+    * event-time range condition as [[attributionJoin]]; the semi
+    * semantics are what an inner join + downstream dedup cannot give
+    * on a stream (the dedup would need its own unbounded state —
+    * here the join state itself marks a click emitted, and the same
+    * watermark horizon that bounds the inner join's state evicts it).
+    * In batch this is EXISTS (`qStreamJoinSemi`, oracle-checked). */
+  def attributionJoinSemi(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("c_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("click_ts"))
+  }
+
+  /** Batch twin of the semi join (EXISTS form in the oracle). */
+  def qStreamJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    attributionJoinSemi(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .select(col("user_id"), col("click_id"))
+      .orderBy("click_id")
+  }
+
+  val qStreamJoinSemiSql: String = """
+    SELECT c.user_id AS user_id, c.event_id AS click_id
+    FROM events c
+    WHERE c.event_type = 'click' AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    ORDER BY click_id
+  """.trim
+
   def qStreamJoinFull(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     attributionJoinFullOuter(

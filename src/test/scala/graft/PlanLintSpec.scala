@@ -15,10 +15,11 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 class PlanLintSpec extends SparkSpec {
 
   // deliberate exceptions, each justified at the definition site:
-  //  - knn_brute/knn_ivf/knn_pq/knn_binary: BroadcastNestedLoopJoin
-  //    with a <=10-row broadcast side is the intended plan (query set
-  //    vs candidates; for PQ the broadcast side is the 10 distance
-  //    tables; for binary, 10 quantized query signatures)
+  //  - knn_brute/knn_ivf/knn_pq/knn_binary/knn_range:
+  //    BroadcastNestedLoopJoin with a <=10-row broadcast side is the
+  //    intended plan (query set vs candidates; for PQ the broadcast
+  //    side is the 10 distance tables; for binary, 10 quantized query
+  //    signatures; for range, the 10-query radius probe)
   //  - window_ntile: cross-broadcast of the single-row global count
   //  - tpch_q15/tpch_q22: cross-broadcast of a single-row global
   //    aggregate (max revenue / average balance) into the filter
@@ -32,7 +33,8 @@ class PlanLintSpec extends SparkSpec {
   //    aggregate onto the corpus (the alternative is a full-table
   //    window — the exact plan the op exists to avoid)
   private val bnljAllowed =
-    Set("knn_brute", "knn_ivf", "knn_pq", "knn_binary", "window_ntile",
+    Set("knn_brute", "knn_ivf", "knn_pq", "knn_binary", "knn_range",
+      "window_ntile",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
       "winsorize")
 

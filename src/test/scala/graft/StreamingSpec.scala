@@ -266,6 +266,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-semi stream-stream join: a click emits at most once " +
+      "however many purchases match, and never without a match") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Streaming.attributionJoinSemi(cdf, pdf).writeStream
+      .format("memory").queryName("attrib_semi")
+      .outputMode("append").start()
+    def clickIds(): Seq[Long] =
+      spark.table("attrib_semi").select("click_id").collect()
+        .map(_.getLong(0)).toSeq
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L), // 2 purchases
+        (2L, ts("2024-01-01 10:05:00"), 101L))              // none
+      purchases.addData((1L, ts("2024-01-01 10:20:00"), 200L, 1.0),
+        (1L, ts("2024-01-01 10:40:00"), 201L, 2.0))
+      q.processAllAvailable()
+      assert(clickIds().sorted == Seq(100L),
+        s"semi must emit the converted click exactly once: ${clickIds()}")
+      // a third matching purchase must NOT re-emit the click
+      purchases.addData((1L, ts("2024-01-01 10:50:00"), 202L, 3.0))
+      q.processAllAvailable()
+      assert(clickIds() == Seq(100L),
+        s"late extra purchase re-emitted a semi row: ${clickIds()}")
+      // watermarks past every horizon: the unmatched click still never emits
+      clicks.addData((9L, ts("2024-01-01 23:00:00"), 999L))
+      purchases.addData((9L, ts("2024-01-01 23:30:00"), 998L, 0.0))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-02 01:00:00"), 997L))
+      purchases.addData((9L, ts("2024-01-02 01:00:00"), 996L, 0.0))
+      q.processAllAvailable()
+      assert(!clickIds().contains(101L),
+        "unconverted click must never appear in a semi join")
+    } finally q.stop()
+  }
+
   test("transformWithState changelog: emits only changes, event-time timer expires idle keys") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext

@@ -756,6 +756,38 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  // ---- bloom file skipping -----------------------------------------------
+
+  test("bloom sidecar: point lookups on a hash-distributed key prune " +
+      "files min/max stats cannot; no false negatives; advisory when absent") {
+    val root = freshRoot()
+    // hash distribution: every file spans ~the whole key range, so the
+    // range sidecar prunes nothing — exactly the bloom's territory
+    TableLog.append(spark, root, nums(0, 4000).repartition(8, col("id")),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val hit = TableLog.readPoint(spark, root, "id", 1234L)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    val opened = hit.inputFiles.count(f => !f.contains("-dv"))
+    assert(opened < 8, s"bloom pruned nothing (opened $opened of 8)")
+    assert(TableLog.readPoint(spark, root, "id", 99999999L).isEmpty)
+    // no false negatives, ever: every present key must be found
+    (0L until 4000L by 397L).foreach { k =>
+      assert(TableLog.readPoint(spark, root, "id", k).count() == 1,
+        s"bloom false negative for key $k")
+    }
+    // sidecar removed → every file reads, answer identical
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/data/*/_bloom.tsv"))
+    assert(sidecars.nonEmpty, "expected a bloom sidecar")
+    sidecars.foreach(st => fs.delete(st.getPath, false))
+    val again = TableLog.readPoint(spark, root, "id", 1234L)
+    assert(again.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    assert(again.inputFiles.count(f => !f.contains("-dv")) == 8,
+      "without a sidecar every file must be read")
+  }
+
   // ---- shallow clone -----------------------------------------------------
 
   test("shallowClone copies zero data bytes, carries stats + DVs, and " +
