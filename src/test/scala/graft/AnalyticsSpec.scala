@@ -50,6 +50,45 @@ class AnalyticsSpec extends SparkSpec {
         "(a split leaked into the per-segment lambda)")
   }
 
+  test("pagerank conserves scaled mass, bounds every rank by teleport, and is bit-deterministic") {
+    val rows = graft.ops.Graph.qPageRank(spark, sfDir).collect()
+    val n = rows.length
+    assert(n > 0)
+    val prs = rows.map(_.getLong(1))
+    // integer mass: 1e12 minus only floor-division dust (< ~10 per node
+    // across the 6 iterations), never more than the full scale
+    val mass = prs.sum
+    assert(mass <= 1000000000000L && mass >= 999999000000L,
+      s"scaled PageRank mass drifted: $mass")
+    val teleport = (1000000000000L / n) * 15 / 100
+    assert(prs.forall(_ >= teleport), "a rank fell below the teleport floor")
+    assert(prs.head == prs.max, "output not ordered highest-rank first")
+    // integer arithmetic + localCheckpoint => bit-identical re-run
+    val again = graft.ops.Graph.qPageRank(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("pagerank favors in-degree: top decile mean in-degree beats corpus mean") {
+    val pr = graft.ops.Graph.qPageRank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = pr.length
+    // rebuild the derived link graph's in-degrees driver-side (500 nodes)
+    def hex4(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString, 16)
+    val inDeg = new scala.collection.mutable.HashMap[Long, Long].withDefaultValue(0L)
+    for (i <- 0L until n.toLong; k <- 1 to 3) {
+      val es = (1 to 3).map(kk => hex4(s"$i#L$kk") % n).distinct
+      if (k == 1) es.foreach(d => inDeg(d) += 1)
+    }
+    val meanAll = inDeg.values.sum.toDouble / n
+    val top = pr.take(n / 10).map { case (id, _) => inDeg(id).toDouble }
+    assert(top.sum / top.length > meanAll,
+      s"top-decile mean in-degree ${top.sum / top.length} <= corpus mean $meanAll")
+  }
+
   test("length gate keeps roughly 90 percent per language") {
     val rows = TextAnalysis.qLengthFilter(spark, sfDir).collect()
     assert(rows.nonEmpty)
