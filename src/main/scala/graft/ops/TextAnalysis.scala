@@ -764,4 +764,127 @@ object TextAnalysis {
         '\s+', ' ', 'g')) AS probe
     FROM a ORDER BY doc_id
   """.trim
+
+  // ---- BPE tokenizer training ------------------------------------------
+
+  private val BpeIters = 8
+  private val BpeVocab = 300
+
+  /** Distributed BPE tokenizer training (arXiv:1508.07909): learn the
+    * top-[[BpeIters]] merge rules from corpus word frequencies.
+    *
+    * Each iteration counts adjacent-symbol pairs over the word-
+    * frequency table (explode + partial+final agg — O(vocab), the
+    * corpus is scanned exactly once up front), elects the most
+    * frequent pair (ties broken lexicographically, so the learned
+    * table is deterministic), and re-segments every word by merging
+    * that pair. The merge table — the model — is the O(#iterations)
+    * driver state this op exists to produce, exactly like k-means
+    * centroids; the corpus itself never leaves the cluster.
+    *
+    * Cross-engine representation: a word is its symbols each PREFIXED
+    * with '~' plus a trailing sentinel ("the" -> "~t~h~e~_~", '_' =
+    * end-of-word). Merging pair (x,y) is `replace(seq, "~x~y~",
+    * "~xy~")` applied twice: the first leftmost-nonoverlapping pass
+    * can skip an occurrence whose leading '~' was consumed by the
+    * preceding match, and the second pass always catches it (two
+    * skipped occurrences are separated by a pass-1 merge, so they
+    * never share a delimiter). Spark and DuckDB `replace` share
+    * leftmost-nonoverlapping semantics, so the oracle replays every
+    * iteration exactly. (For a symbol merged with ITSELF inside an
+    * odd-length run, the pairing parity differs from the pair-list
+    * reference algorithm — deterministic and engine-identical, and
+    * unreachable for the lexical fixture vocabulary.)
+    *
+    * Scale posture: word counting is the only corpus-sized stage (one
+    * scan, one shuffle of distinct words); the iterations touch the
+    * frequency-truncated vocabulary only — a 300-row (real pipeline:
+    * ~1M-row) model table kept as a single-partition DataFrame and
+    * localCheckpoint'ed per iteration so 8 replace generations don't
+    * stack lineage. */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")).between(2, 12))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word")).limit(BpeVocab)
+    var vocab = words
+      .withColumn("seq",
+        concat(lit("~"), regexp_replace(col("word"), "(.)", "$1~"), lit("_~")))
+      .repartition(1) // 300-row model table: one partition, tiny jobs
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to BpeIters) {
+      val best = vocab
+        .select(explode(expr(
+          """zip_with(slice(filter(split(seq, '~'), x -> x != ''), 1,
+            |           size(filter(split(seq, '~'), x -> x != '')) - 1),
+            |         slice(filter(split(seq, '~'), x -> x != ''), 2,
+            |           size(filter(split(seq, '~'), x -> x != '')) - 1),
+            |         (x, y) -> concat(x, '~', y))""".stripMargin)).as("pair"),
+          col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), col("pair")).limit(1)
+        .collect()(0)
+      val pair = best.getString(0)
+      val freq = best.getLong(1)
+      val Array(lhs, rhs) = pair.split("~")
+      val merged = lhs + rhs
+      merges += ((step, lhs, rhs, merged, freq))
+      val pat = s"~$pair~"
+      val rep = s"~$merged~"
+      vocab = vocab
+        .withColumn("seq",
+          expr(s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')"))
+        .localCheckpoint(true)
+    }
+    import s.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "merged", "freq")
+      .orderBy("step")
+  }
+
+  /** The oracle replays all [[BpeIters]] iterations with MATERIALIZED
+    * CTEs (each layer's best-pair scalar is referenced several times;
+    * inlined CTEs would re-expand the whole chain exponentially). */
+  val qBpeTrainSql: String = {
+    def layer(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr AS pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |                  i -> syms[i] || '~' || syms[i+1])) AS pr, cnt
+         |    FROM (SELECT list_filter(string_split(seq, '~'),
+         |                             x -> x <> '') AS syms, cnt
+         |          FROM $prev) ) GROUP BY pr),
+         |b$i AS MATERIALIZED (
+         |  SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, cnt,
+         |  replace(replace(seq,
+         |      '~' || (SELECT pair FROM b$i) || '~',
+         |      '~' || replace((SELECT pair FROM b$i), '~', '') || '~'),
+         |    '~' || (SELECT pair FROM b$i) || '~',
+         |    '~' || replace((SELECT pair FROM b$i), '~', '') || '~') AS seq
+         |  FROM $prev)""".stripMargin
+    }
+    val layers = (1 to BpeIters).map(layer).mkString(",\n")
+    val finals = (1 to BpeIters).map { i =>
+      s"""SELECT $i AS step,
+         |  string_split((SELECT pair FROM b$i), '~')[1] AS lhs,
+         |  string_split((SELECT pair FROM b$i), '~')[2] AS rhs,
+         |  replace((SELECT pair FROM b$i), '~', '') AS merged,
+         |  (SELECT c FROM b$i) AS freq""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) BETWEEN 2 AND 12 GROUP BY w
+       |  ORDER BY cnt DESC, w LIMIT $BpeVocab),
+       |w0 AS MATERIALIZED (SELECT word, cnt,
+       |  '~' || regexp_replace(word, '(.)', '\\1~', 'g') || '_~' AS seq
+       |  FROM words),
+       |$layers
+       |SELECT * FROM ($finals) ORDER BY step
+       |""".stripMargin
+  }
 }

@@ -89,6 +89,27 @@ class AnalyticsSpec extends SparkSpec {
       s"top-decile mean in-degree ${top.sum / top.length} <= corpus mean $meanAll")
   }
 
+  test("bpe_train learns a deterministic, compositional merge table with non-increasing frequency") {
+    val rows = TextAnalysis.qBpeTrain(spark, sfDir).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8), "steps not 1..8 in order")
+    for (r <- rows) {
+      assert(r.getString(3) == r.getString(1) + r.getString(2),
+        s"merged symbol != lhs+rhs at step ${r.getInt(0)}")
+      assert(r.getLong(4) > 0)
+    }
+    // BPE invariant: the best pair's frequency never increases — a merge
+    // can only create pairs at most as frequent as the pair it consumed
+    val freqs = rows.map(_.getLong(4))
+    assert(freqs.sliding(2).forall(p => p(0) >= p(1)),
+      s"merge frequency increased: ${freqs.mkString(",")}")
+    // determinism: integer counts + lexicographic tie-break
+    val again = TextAnalysis.qBpeTrain(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // symbols stay within the corpus alphabet + end-of-word marker
+    assert(rows.forall(r => r.getString(3).matches("[a-z_]+")))
+  }
+
   test("length gate keeps roughly 90 percent per language") {
     val rows = TextAnalysis.qLengthFilter(spark, sfDir).collect()
     assert(rows.nonEmpty)
