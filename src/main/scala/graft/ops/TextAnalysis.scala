@@ -843,6 +843,85 @@ object TextAnalysis {
       .orderBy("step")
   }
 
+  /** The trained artifact [[qBpeTrain]] produces on the sf0.01
+    * fixture, pinned for [[qBpeEncode]] the way the quality
+    * classifier pins its weights: a real pipeline trains once and
+    * ships the merge table with the tokenizer. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "e" -> "_", "n" -> "_", "er" -> "_",
+    "o" -> "w", "ow" -> "_", "o" -> "r", "s" -> "t")
+
+  /** BPE tokenization of the corpus with the pinned [[BpeMerges]]
+    * table — the downstream map stage of [[qBpeTrain]]: per-language
+    * token counts and fertility (tokens per 100 00 words, an integer
+    * so the per-group sums and the ratio are order-independent and
+    * oracle-exact).
+    *
+    * The whole document is encoded in ONE string pass: words become
+    * '~'-prefixed symbol runs terminated by the '_' marker
+    * ("the cat" -> "~t~h~e~_~c~a~t~_~"), then the 8 merges apply as
+    * chained two-pass replaces in training order. Sequential
+    * whole-string application equals the reference rank-priority
+    * algorithm: a merge only fuses neighbors, never deletes a symbol,
+    * so a lower-rank pair's adjacency can never be newly created by a
+    * later merge. Everything is codegen'd string expressions — one
+    * scan, one partial+final aggregation, no explode. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        expr(s"size(filter(split($sparkEnc, '~'), x -> x != ''))")
+          .cast("long").as("toks"),
+        expr(s"size(filter(split($sparkNorm, '#'), x -> x != ''))")
+          .cast("long").as("words"))
+      .groupBy("lang")
+      .agg(sum("words").as("n_words"), sum("toks").as("n_tokens"),
+        expr("(10000 * sum(toks)) DIV sum(words)").as("fert_bp"))
+      .orderBy("lang")
+
+  /** lower(text) with edge punctuation stripped and runs of
+    * non-letters collapsed to one '#' word delimiter (Spark SQL
+    * dialect; Java regex). */
+  private val sparkNorm: String =
+    "regexp_replace(regexp_replace(lower(text), '^[^a-z]+|[^a-z]+$', '')," +
+      " '[^a-z]+', '#')"
+
+  /** Full-document BPE encoding: '~'-interspersed symbols, '#'
+    * delimiters rewritten to the '_' end-of-word marker, then the
+    * pinned merges in training order, each as the two-pass replace
+    * proven in [[qBpeTrain]]. Built textually so the identical chain
+    * reads back in the plan and the oracle. */
+  private val sparkEnc: String = {
+    val base = s"replace('~' || regexp_replace($sparkNorm || '#'," +
+      " '(.)', '$1~'), '#~', '_~')"
+    BpeMerges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace(replace($acc, '~$l~$r~', '~$l$r~'), '~$l~$r~', '~$l$r~')"
+    }
+  }
+
+  val qBpeEncodeSql: String = {
+    val norm =
+      "regexp_replace(regexp_replace(lower(text), '^[^a-z]+|[^a-z]+$', '')," +
+        " '[^a-z]+', '#', 'g')"
+    val base = s"replace('~' || regexp_replace($norm || '#'," +
+      " '(.)', '\\1~', 'g'), '#~', '_~')"
+    val enc = BpeMerges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace(replace($acc, '~$l~$r~', '~$l$r~'), '~$l~$r~', '~$l$r~')"
+    }
+    s"""WITH enc AS MATERIALIZED (
+       |  SELECT lang,
+       |    CAST(len(list_filter(string_split($enc, '~'),
+       |      x -> x <> '')) AS BIGINT) AS toks,
+       |    CAST(len(list_filter(string_split($norm, '#'),
+       |      x -> x <> '')) AS BIGINT) AS words
+       |  FROM documents)
+       |SELECT lang, CAST(SUM(words) AS BIGINT) AS n_words,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  CAST((10000 * SUM(toks)) // SUM(words) AS BIGINT) AS fert_bp
+       |FROM enc GROUP BY lang ORDER BY lang
+       |""".stripMargin
+  }
+
+
   /** The oracle replays all [[BpeIters]] iterations with MATERIALIZED
     * CTEs (each layer's best-pair scalar is referenced several times;
     * inlined CTEs would re-expand the whole chain exponentially). */

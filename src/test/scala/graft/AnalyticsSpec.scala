@@ -110,6 +110,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(3).matches("[a-z_]+")))
   }
 
+  test("bpe_encode fertility is coherent: words <= tokens <= chars+1 per word, ratio exact") {
+    val rows = TextAnalysis.qBpeEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, tk, f) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w > 0 && tk >= w, s"lang ${r.getString(0)}: tokens $tk < words $w")
+      // 12-char word cap + end marker bounds tokens per word
+      assert(tk <= 13 * w, s"lang ${r.getString(0)}: fertility implausible")
+      assert(f == 10000L * tk / w, "fert_bp is not the exact floor ratio")
+    }
+    // the 8 learned merges must actually fire: strictly fewer tokens
+    // corpus-wide than the unmerged symbol count (letters + end markers)
+    val unmerged = graft.sources.Tables(spark, sfDir, "documents")
+      .select(sum(length(regexp_replace(lower(col("text")), "[^a-z]", ""))))
+      .collect()(0).getLong(0) + rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(2)).sum < unmerged,
+      "no merge fired: token count equals the unmerged symbol count")
+  }
+
   test("length gate keeps roughly 90 percent per language") {
     val rows = TextAnalysis.qLengthFilter(spark, sfDir).collect()
     assert(rows.nonEmpty)
