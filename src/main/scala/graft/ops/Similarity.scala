@@ -595,10 +595,14 @@ object Similarity {
     *    per-query ranking.
     *
     * argmin uses ‖c‖²−2c·x (monotone in L2 distance); first-minimum
-    * tie-break via array_position keeps encoding deterministic. Like
-    * `knn_ivf`, approximate by design → rows-only driver check;
-    * PipelineSpec pins recall@10 vs the exact L2 answer, code-range
-    * sanity, and run-to-run determinism. */
+    * tie-break via array_position keeps encoding deterministic.
+    * Approximate by design — but fully DETERMINISTIC: seeds are the
+    * first-16 rank, the kernel is a sequential fold, `-2c` is an
+    * exact power-of-two scaling, Lloyd means are decimal sums, and
+    * ADC folds in subspace order — so [[qKnnPqSql]] replays the whole
+    * pipeline float-op-for-float-op (r8; the same lift `knn_ivf` and
+    * `dedup_semantic` got). PipelineSpec additionally pins recall@10
+    * vs the exact L2 answer, code-range sanity, and determinism. */
   def knnPq(s: SparkSession, dir: String, mSub: Int = 8, kCodes: Int = 16,
       topk: Int = 10, lloydPasses: Int = 1): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -667,6 +671,84 @@ object Similarity {
   }
 
   def qKnnPq(s: SparkSession, dir: String): DataFrame = knnPq(s, dir)
+
+  /** Full exact replay of [[knnPq]] (mSub=8, kCodes=16, one Lloyd
+    * pass, top-10): seeds → kernel-fold costs → first-min assignment
+    * → decimal Lloyd means (lost codes keep their seed) → encode →
+    * per-query ADC tables → subspace-ordered distance fold → top-10.
+    * Every float op mirrors the Spark side exactly: `(-2.0*c[i]) *
+    * x[i]` matches the kernel's driver-prescaled plane rows (×2 is
+    * exact in IEEE), `list_reduce(list_prepend(0.0, …))` matches its
+    * left fold with the appended ‖c‖²·1 term added last, and the ADC
+    * fold runs in subspace order via `list(term ORDER BY m)` — SUM()
+    * would be order-unspecified and hash-unstable. */
+  val qKnnPqSql: String = """
+    WITH seeds AS (
+      SELECT s.j, mm.m,
+        list_transform(range(1, 9), i -> s.embedding[mm.m*8 + i]::DOUBLE) AS c
+      FROM (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS j
+            FROM embeddings WHERE vec_id < 16) s
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+    sv AS (
+      SELECT vec_id, mm.m,
+        list_transform(range(1, 9), i -> embedding[mm.m*8 + i]::DOUBLE) AS sv
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+    cost0 AS (
+      SELECT v.vec_id, v.m, s.j,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 9), i -> (-2.0 * s.c[i]) * v.sv[i])),
+          (a,b) -> a+b)
+        + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(s.c, y -> y*y)), (a,b) -> a+b) AS cost
+      FROM sv v JOIN seeds s ON s.m = v.m),
+    a0 AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER
+          (PARTITION BY vec_id, m ORDER BY cost ASC, j ASC) AS rn FROM cost0)
+      WHERE rn = 1),
+    mns AS (
+      SELECT a0.m, a0.code, u.pos,
+        CAST(SUM(CAST(v.sv[u.pos] AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*) AS mean
+      FROM sv v JOIN a0 ON a0.vec_id = v.vec_id AND a0.m = v.m,
+      LATERAL (SELECT unnest(range(1, 9)) AS pos) u
+      GROUP BY 1, 2, 3),
+    c1 AS (
+      SELECT s.m, s.j,
+        list(COALESCE(mns.mean, s.c[p.pos]) ORDER BY p.pos) AS c
+      FROM seeds s
+      CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p
+      LEFT JOIN mns ON mns.m = s.m AND mns.code = s.j AND mns.pos = p.pos
+      GROUP BY s.m, s.j),
+    cost1 AS (
+      SELECT v.vec_id, v.m, s.j,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 9), i -> (-2.0 * s.c[i]) * v.sv[i])),
+          (a,b) -> a+b)
+        + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(s.c, y -> y*y)), (a,b) -> a+b) AS cost
+      FROM sv v JOIN c1 s ON s.m = v.m),
+    codes AS (
+      SELECT vec_id AS cid, m, j AS code FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER
+          (PARTITION BY vec_id, m ORDER BY cost ASC, j ASC) AS rn FROM cost1)
+      WHERE rn = 1),
+    qtab AS (
+      SELECT vec_id AS qid, m, list(cost ORDER BY j) AS tab
+      FROM cost1 WHERE vec_id < 10 GROUP BY 1, 2),
+    terms AS (
+      SELECT q.qid, c.cid, c.m, q.tab[c.code] AS term
+      FROM codes c JOIN qtab q ON q.m = c.m AND q.qid <> c.cid),
+    adist AS (
+      SELECT qid, cid,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY m)),
+          (a,b) -> a+b) AS adist
+      FROM terms GROUP BY qid, cid),
+    r AS (
+      SELECT qid, cid, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY adist ASC, cid ASC) AS rn FROM adist)
+    SELECT qid, rn, cid FROM r WHERE rn <= 10 ORDER BY qid, rn
+  """.trim
 
   /** IVF-PQ composed index (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search" §IV — the standard FAISS `IVFPQ`
