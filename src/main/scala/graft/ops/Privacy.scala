@@ -92,6 +92,51 @@ object Privacy {
     FROM classes GROUP BY c_mktsegment ORDER BY c_mktsegment
   """.trim
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the gate AFTER
+    * k-anonymity: a class of 5 identical quasi-identifier rows still
+    * leaks if all 5 share the sensitive value. Classes = coarsened
+    * (status, order year, 5000-wide price bucket); sensitive =
+    * o_orderpriority; l = distinct sensitive values per class. Emits
+    * per-status class counts, the minimum l, sub-l=2 class counts and
+    * their exposed rows — the suppression worklist.
+    *
+    * Scale posture: two hash aggregations (class roll-up, then
+    * segment roll-up) — the distinct-count runs inside the first
+    * partial+final agg over class-local rows, never a global
+    * distinct; one scan end-to-end. */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), year(col("o_orderdate")).as("yr"),
+        (floor(col("o_totalprice") / 5000) * 5000).cast(LongType)
+          .as("price_bucket"),
+        col("o_orderpriority"))
+      .groupBy(col("o_orderstatus"), col("yr"), col("price_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("o_orderpriority")).as("l"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < 2, 1L).otherwise(0L)).as("n_below_l"),
+        sum(when(col("l") < 2, col("class_size")).otherwise(0L))
+          .as("rows_exposed"),
+        sum(col("class_size")).as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
+  val qLDiversitySql: String = """
+    WITH classes AS (
+      SELECT o_orderstatus, EXTRACT(year FROM o_orderdate) AS yr,
+        CAST(FLOOR(o_totalprice / 5000) * 5000 AS BIGINT) AS price_bucket,
+        COUNT(*) AS class_size,
+        COUNT(DISTINCT o_orderpriority) AS l
+      FROM orders GROUP BY 1, 2, 3)
+    SELECT o_orderstatus, COUNT(*) AS n_classes,
+      CAST(MIN(l) AS BIGINT) AS min_l,
+      CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_l,
+      CAST(SUM(CASE WHEN l < 2 THEN class_size ELSE 0 END) AS BIGINT) AS rows_exposed,
+      CAST(SUM(class_size) AS BIGINT) AS n_rows
+    FROM classes GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
   /** The deterministic deletion list: a pure function of the key so
     * the oracle can recompute it (a real run would read a requests
     * table). ~3% of customers. */
