@@ -603,6 +603,49 @@ object Egress {
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** The TableLog streaming SOURCE end-to-end (the read half of the
+    * CDC loop; `log_txn_sink` is the write half): three append
+    * commits land in the log with a compaction in the middle of the
+    * history, `readStream.format("graft-log-stream")` tails the
+    * commit feed into a parquet sink, and the aggregate over the sink
+    * must equal the table — every appended row exactly once, the
+    * compaction's rewritten files never re-emitted. Offsets are
+    * commit versions riding the engine's checkpoint; visibility is
+    * log publish, so un-committed data files can never leak into a
+    * batch. */
+  def qLogStream(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_stream"
+    val sink = root + "_sink"
+    val ckpt = root + "_ckpt"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (d <- Seq(root, sink, ckpt))
+      f.delete(new org.apache.hadoop.fs.Path(d), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def chunk(i: Int) = orders.filter(col("o_orderkey") % 3 === i)
+    graft.sources.TableLog.append(s, root, chunk(0))
+    graft.sources.TableLog.append(s, root, chunk(1))
+    graft.sources.TableLog.compact(s, root, 2) // reorganization: skipped
+    graft.sources.TableLog.append(s, root, chunk(2))
+    val q = s.readStream.format("graft-log-stream").option("path", root)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(sink)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogStreamSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
   /** Conditional-update MERGE (WHEN MATCHED AND pred THEN UPDATE SET)
     * on the transaction-logged table — the column-level CDC-apply form
     * the replace-whole-row `log_merge` cannot express: the source

@@ -801,13 +801,36 @@ object TableLog {
     // columns are hidden. Pre-schema logs keep the raw union frame.
     tableSchema(s, root, version) match {
       case None => raw
-      case Some(decl) =>
-        val present = raw.columns.toSet
-        raw.select(decl.fields.toSeq.map { f =>
-          if (present.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*)
+      case Some(decl) => alignDeclared(decl, raw)
     }
+  }
+
+  /** Present `raw` under the DECLARED schema: declared column order,
+    * columns added by addColumn but not yet written read as null,
+    * stragglers from dropped nullable columns hidden. Shared by
+    * [[snapshot]] and the streaming source. */
+  private[sources] def alignDeclared(
+      decl: org.apache.spark.sql.types.StructType, raw: DataFrame): DataFrame = {
+    val present = raw.columns.toSet
+    raw.select(decl.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** One commit as the streaming source sees it: (dataChange,
+    * absolute add paths, remove count, whether the commit records
+    * deletion-vector state, whether it carries a CDC record). The CDC
+    * record is what separates a row-DELETING rewrite from a pure
+    * layout rewrite — both publish dataChange=false, but deletes
+    * always record cdc (the empty sentinel when capture is off),
+    * exactly so feeds can refuse instead of silently skipping. */
+  private[sources] def commitFeed(s: SparkSession, root: String, v: Int)
+      : (Boolean, Seq[String], Int, Boolean, Boolean) = {
+    val json = readText(fs(s, root), logPath(root, v))
+    (parseDataChange(json), parseArr(json, "add").map(abs(root, _)),
+      parseArr(json, "remove").size, parseDvs(json).isDefined,
+      parseCdc(json).isDefined)
   }
 
   /** Rows ADDED by data-changing commits with version > `sinceVersion`

@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[TableLog]] table — the read
+  * half of the lakehouse CDC loop whose write half is
+  * `Streaming.sinkToTableLog`: `readStream.format("graft-log-stream")`
+  * tails the commit log and emits each data commit's appended rows
+  * exactly once (Delta streaming-source parity).
+  *
+  * Offsets are commit VERSIONS — a single long riding the engine's
+  * offset checkpoint, so restart resumes at the first unprocessed
+  * commit with no source-side state. Visibility is log publish, never
+  * file listing: a data file that exists but whose commit hasn't
+  * published is invisible, the same snapshot-isolation contract every
+  * batch read path honors (a plain file-stream over the data dir
+  * would break it).
+  *
+  * Commit semantics:
+  *  - dataChange=false commits (compaction, OPTIMIZE ZORDER, metadata,
+  *    checkpoints) are reorganizations — skipped, never re-emitted.
+  *  - data commits that REMOVE rows (delete, merge rewrites, restore,
+  *    deletion vectors) cannot be represented in an append stream:
+  *    the source REFUSES loudly, or skips the whole commit when
+  *    `skipChangeCommits=true` (Delta's option, same name).
+  *  - schema evolution: rows are presented under the DECLARED schema
+  *    captured at stream start (pre-evolution files read as null in
+  *    added columns, declared order) — [[TableLog.alignDeclared]].
+  *
+  * Options: `path` (table root, required), `startingVersion` (first
+  * version to emit, inclusive; `latest` = only commits after stream
+  * start; default 0), `maxCommitsPerTrigger` (admission control: at
+  * most N commits per micro-batch — backpressure so a backfilled
+  * table doesn't become one giant first batch),
+  * `skipChangeCommits` (see above).
+  *
+  * V1 `Source` is the right API here deliberately: `getBatch` returns
+  * the add-files as an ordinary parquet-backed DataFrame (flipping
+  * `isStreaming` on the leaf relation, exactly what FileStreamSource
+  * does), so the scan keeps Spark's full parquet stack — vectorized
+  * reader, column pruning, filter pushdown — with zero custom reader
+  * code. Scale posture: planning I/O is O(new commits) per trigger;
+  * the data path is the same pruned scan as any batch read.
+  */
+final class TableLogStreamProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-log-stream"
+
+  private def opt(params: Map[String, String], key: String): Option[String] =
+    params.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private def declaredSchema(s: SparkSession, root: String): StructType =
+    TableLog.tableSchema(s, root)
+      .getOrElse(TableLog.snapshot(s, root).schema)
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, params: Map[String, String])
+      : (String, StructType) = {
+    val root = opt(params, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-log-stream requires .option(\"path\", <table root>)"))
+    (shortName(), schema.getOrElse(declaredSchema(ctx.sparkSession, root)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source = {
+    val s = ctx.sparkSession
+    val root = opt(params, "path").get
+    val startExclusive = opt(params, "startingVersion") match {
+      case Some("latest") => TableLog.versions(s, root).lastOption.getOrElse(-1)
+      case Some(v) => v.toInt - 1
+      case None => -1
+    }
+    new TableLogSource(s, root,
+      schema.getOrElse(declaredSchema(s, root)),
+      startExclusive = startExclusive,
+      skipChangeCommits = opt(params, "skipChangeCommits").exists(_.toBoolean),
+      maxCommitsPerTrigger = opt(params, "maxCommitsPerTrigger").map(_.toInt))
+  }
+}
+
+private final class TableLogSource(spark: SparkSession, root: String,
+    declared: StructType, startExclusive: Int, skipChangeCommits: Boolean,
+    maxCommitsPerTrigger: Option[Int]) extends Source {
+
+  override def schema: StructType = declared
+
+  /** Highest version already handed to a batch (advanced in getBatch
+    * and commit) — the admission-control base. The engine's offset
+    * checkpoint remains the durable truth; this is only the in-memory
+    * cursor for capping the NEXT batch. */
+  @volatile private var planned: Long = startExclusive.toLong
+
+  override def getOffset: Option[V1Offset] = {
+    val vs = TableLog.versions(spark, root).filter(_ > planned)
+    val target = maxCommitsPerTrigger match {
+      case Some(n) => vs.take(n).lastOption
+      case None => vs.lastOption
+    }
+    target.map(v => LongOffset(v.toLong))
+      .orElse(if (planned > startExclusive) Some(LongOffset(planned)) else None)
+  }
+
+  private def ver(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startExclusive.toLong)
+    val to = ver(end)
+    planned = math.max(planned, to)
+    val adds = TableLog.versions(spark, root)
+      .filter(v => v > from && v <= to)
+      .flatMap { v =>
+        val (dataChange, add, nRemove, dvRecord, cdcRecord) =
+          TableLog.commitFeed(spark, root, v)
+        // a change commit removes rows downstream has already seen:
+        // delete rewrites publish dataChange=false + a cdc record
+        // (pure layout rewrites carry none), deletion vectors and
+        // merge/overwrite/restore publish dataChange=true with a dv
+        // record or removes
+        val changesRows =
+          if (dataChange) nRemove > 0 || dvRecord else cdcRecord
+        if (changesRows) {
+          if (skipChangeCommits) Seq.empty
+          else throw new IllegalStateException(
+            s"TableLog stream at $root: version $v removes or re-deletes " +
+              "rows, which an append stream cannot represent. Set " +
+              "skipChangeCommits=true to skip change commits, or " +
+              "reprocess from a snapshot.")
+        } else if (!dataChange) Seq.empty // reorganization, never re-emit
+        else add
+      }
+    val batch =
+      if (adds.isEmpty) emptyStreaming()
+      else streamify(TableLog.alignDeclared(declared,
+        spark.read.option("mergeSchema", "true").parquet(adds: _*)))
+    batch
+  }
+
+  /** Re-root the batch plan as a streaming plan (`isStreaming = true`
+    * on the leaf) — MicroBatchExecution asserts it; FileStreamSource
+    * does the same flip on its LogicalRelation. */
+  private def streamify(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transformUp {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case lr: LocalRelation => lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
+  }
+
+  private def emptyStreaming(): DataFrame =
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
+      LocalRelation(DataTypeUtils.toAttributes(declared), Nil,
+        isStreaming = true))
+
+  override def commit(end: V1Offset): Unit =
+    planned = math.max(planned, ver(end))
+
+  override def stop(): Unit = ()
+}

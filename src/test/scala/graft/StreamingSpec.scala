@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -749,5 +751,128 @@ class StreamingSpec extends SparkSpec {
     // the ingested stream is incrementally consumable from the log
     assert(graft.sources.TableLog.changesSince(spark, root, -1)
       .count() == 6)
+  }
+
+  // ---- TableLog streaming SOURCE -----------------------------------------
+
+  private def freshLogDirs(name: String): (String, String) = {
+    val root = s"/tmp/graft_egress/$name"
+    val ckpt = root + "_ckpt"
+    for (d <- Seq(root, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    (root, ckpt)
+  }
+
+  test("log stream source: resumes exactly-once across restart; reorganizations never re-emit") {
+    val sp = spark
+    import sp.implicits._
+    val (root, ckpt) = freshLogDirs("tlog_src")
+    val TL = graft.sources.TableLog
+    TL.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    TL.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-log-stream")
+        .option("path", root).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[(Long, String)].collect().foreach(out.add): Unit
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(out.asScala.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // offline: one more append AND a compaction (dataChange=false
+    // rewrite of every live file) — the restart must emit ONLY the
+    // append; the compaction's re-added files are a reorganization
+    TL.append(spark, root, Seq((4L, "d")).toDF("k", "s"))
+    TL.compact(spark, root, 1)
+    out.clear()
+    drain()
+    assert(out.asScala.toSeq == Seq((4L, "d")),
+      s"restart re-emitted or dropped rows: ${out.asScala.toSeq}")
+  }
+
+  test("log stream source: change commits refuse loudly, skipChangeCommits skips them") {
+    val sp = spark
+    import sp.implicits._
+    val (root, ckpt) = freshLogDirs("tlog_src_chg")
+    val TL = graft.sources.TableLog
+    TL.append(spark, root, Seq((1L, "a"), (2L, "b"), (9L, "z")).toDF("k", "s"),
+      statsCols = Seq("k"))
+    TL.deleteRange(spark, root, "k", 9L, 9L)
+    TL.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    def run(skip: Boolean): Seq[(Long, String)] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(ckpt + skip))
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+      val q = spark.readStream.format("graft-log-stream")
+        .option("path", root).option("skipChangeCommits", skip.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[(Long, String)].collect().foreach(out.add): Unit
+        }
+        .option("checkpointLocation", ckpt + skip).outputMode("append").start()
+      try { q.processAllAvailable(); out.asScala.toSeq }
+      finally q.stop()
+    }
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(skip = false)
+    }
+    assert(err.getMessage.contains("skipChangeCommits") ||
+      Option(err.getCause).exists(_.getMessage.contains("skipChangeCommits")),
+      s"refusal must name the escape hatch: ${err.getMessage}")
+    // skipChangeCommits: the delete commit vanishes from the feed —
+    // append-only rows flow, the deleted row STAYS (append semantics)
+    assert(run(skip = true).toSet ==
+      Set((1L, "a"), (2L, "b"), (9L, "z"), (3L, "c")))
+  }
+
+  test("log stream source: admission control and startingVersion bound each batch") {
+    val sp = spark
+    import sp.implicits._
+    val (root, ckpt) = freshLogDirs("tlog_src_adm")
+    val TL = graft.sources.TableLog
+    (1 to 4).foreach(i => TL.append(spark, root, Seq((i.toLong, s"v$i")).toDF("k", "s")))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]
+    val q = spark.readStream.format("graft-log-stream")
+      .option("path", root)
+      .option("startingVersion", "1")      // skip the version-0 commit
+      .option("maxCommitsPerTrigger", "1") // one commit per micro-batch
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.count().toInt): Unit
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batches.asScala.toSeq.filter(_ > 0)
+    assert(sizes == Seq(1, 1, 1),
+      s"expected 3 one-commit batches (versions 1..3), got $sizes")
+  }
+
+  test("log stream CDC loop: log -> stream transform -> log, exactly-once across incarnations") {
+    val sp = spark
+    import sp.implicits._
+    val (src, ckpt) = freshLogDirs("tlog_loop_src")
+    val (dst, _) = freshLogDirs("tlog_loop_dst")
+    val TL = graft.sources.TableLog
+    TL.append(spark, src, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"))
+    def pump(): Unit = {
+      val q = graft.streaming.Streaming.sinkToTableLog(
+        spark.readStream.format("graft-log-stream").option("path", src).load()
+          .withColumn("x2", col("x") * 2),
+        dst, "loop", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    pump()
+    TL.append(spark, src, Seq((3L, 30.0)).toDF("k", "x"))
+    pump() // second incarnation: only the new commit flows
+    val got = TL.snapshot(spark, dst).as[(Long, Double, Double)]
+      .collect().toSet
+    assert(got == Set((1L, 10.0, 20.0), (2L, 20.0, 40.0), (3L, 30.0, 60.0)),
+      s"CDC loop lost or duplicated rows: $got")
   }
 }
