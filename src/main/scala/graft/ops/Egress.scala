@@ -646,6 +646,60 @@ object Egress {
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** CDF STREAMING read (readChangeFeed=true — Delta parity): the
+    * exact `log_cdf` history (append → merge upserts → range delete),
+    * consumed as a STREAM of tagged change rows into a parquet sink;
+    * the same per-(version, change-type) aggregate as the batch feed
+    * must come out — change commits flow as data, not refusals, and
+    * the oracle is the identical relational replay. */
+  def qLogStreamCdf(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_stream_cdf"
+    val sink = root + "_sink"
+    val ckpt = root + "_ckpt"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (d <- Seq(root, sink, ckpt))
+      f.delete(new org.apache.hadoop.fs.Path(d), true)
+    val prev = s.conf.getOption("spark.graft.tablelog.cdf")
+    s.conf.set("spark.graft.tablelog.cdf", "true")
+    try {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+      graft.sources.TableLog.append(s, root, orders,
+        statsCols = Seq("o_orderkey"))
+      val priceT = orders.schema("o_totalprice").dataType
+      val updates = orders
+        .filter(col("o_orderkey") >= 300 && col("o_orderkey") <= 699)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", (col("o_totalprice") + 1000).cast(priceT))
+      val inserts = orders
+        .filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("I"))
+      graft.sources.TableLog.merge(s, root,
+        updates.unionByName(inserts), "o_orderkey",
+        statsCols = Seq("o_orderkey"))
+      graft.sources.TableLog.deleteRange(s, root, "o_orderkey", 100L, 199L)
+      val q = s.readStream.format("graft-log-stream")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(sink)
+        .groupBy(col(graft.sources.TableLog.CommitVersionCol),
+          col(graft.sources.TableLog.ChangeTypeCol))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(graft.sources.TableLog.CommitVersionCol,
+          graft.sources.TableLog.ChangeTypeCol)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.tablelog.cdf", v)
+      case None => s.conf.unset("spark.graft.tablelog.cdf")
+    }
+  }
+
   /** Conditional-update MERGE (WHEN MATCHED AND pred THEN UPDATE SET)
     * on the transaction-logged table — the column-level CDC-apply form
     * the replace-whole-row `log_merge` cannot express: the source

@@ -39,7 +39,11 @@ import org.apache.spark.sql.types.StructType
   * start; default 0), `maxCommitsPerTrigger` (admission control: at
   * most N commits per micro-batch — backpressure so a backfilled
   * table doesn't become one giant first batch),
-  * `skipChangeCommits` (see above).
+  * `skipChangeCommits` (see above), and `readChangeFeed` (Delta CDF
+  * parity: emit the full row-level change feed — `_change_type` +
+  * `_commit_version` columns — so change commits flow as data
+  * instead of refusing; requires capture to have been on for
+  * mutating commits, enforced by [[TableLog.tableChanges]]).
   *
   * V1 `Source` is the right API here deliberately: `getBatch` returns
   * the add-files as an ordinary parquet-backed DataFrame (flipping
@@ -57,9 +61,20 @@ final class TableLogStreamProvider
   private def opt(params: Map[String, String], key: String): Option[String] =
     params.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  private def declaredSchema(s: SparkSession, root: String): StructType =
-    TableLog.tableSchema(s, root)
+  private def declaredSchema(s: SparkSession, root: String,
+      changeFeed: Boolean): StructType = {
+    val base = TableLog.tableSchema(s, root)
       .getOrElse(TableLog.snapshot(s, root).schema)
+    if (!changeFeed) base
+    else StructType(base.fields.toSeq :+
+      org.apache.spark.sql.types.StructField(TableLog.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField(TableLog.CommitVersionCol,
+        org.apache.spark.sql.types.IntegerType))
+  }
+
+  private def changeFeed(params: Map[String, String]): Boolean =
+    opt(params, "readChangeFeed").exists(_.toBoolean)
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, params: Map[String, String])
@@ -67,7 +82,8 @@ final class TableLogStreamProvider
     val root = opt(params, "path").getOrElse(
       throw new IllegalArgumentException(
         "graft-log-stream requires .option(\"path\", <table root>)"))
-    (shortName(), schema.getOrElse(declaredSchema(ctx.sparkSession, root)))
+    (shortName(), schema.getOrElse(
+      declaredSchema(ctx.sparkSession, root, changeFeed(params))))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -81,16 +97,18 @@ final class TableLogStreamProvider
       case None => -1
     }
     new TableLogSource(s, root,
-      schema.getOrElse(declaredSchema(s, root)),
+      schema.getOrElse(declaredSchema(s, root, changeFeed(params))),
       startExclusive = startExclusive,
       skipChangeCommits = opt(params, "skipChangeCommits").exists(_.toBoolean),
-      maxCommitsPerTrigger = opt(params, "maxCommitsPerTrigger").map(_.toInt))
+      maxCommitsPerTrigger = opt(params, "maxCommitsPerTrigger").map(_.toInt),
+      readChangeFeed = changeFeed(params))
   }
 }
 
 private final class TableLogSource(spark: SparkSession, root: String,
     declared: StructType, startExclusive: Int, skipChangeCommits: Boolean,
-    maxCommitsPerTrigger: Option[Int]) extends Source {
+    maxCommitsPerTrigger: Option[Int], readChangeFeed: Boolean = false)
+    extends Source {
 
   override def schema: StructType = declared
 
@@ -120,6 +138,16 @@ private final class TableLogSource(spark: SparkSession, root: String,
     val from = start.map(ver).getOrElse(startExclusive.toLong)
     val to = ver(end)
     planned = math.max(planned, to)
+    if (readChangeFeed) {
+      // CDF streaming (Delta readChangeFeed parity): instead of the
+      // append-only wall, emit the FULL row-level feed — inserts from
+      // add lists, mutation sidecars with their _change_type tags —
+      // so change commits flow as data rather than refusing. All
+      // capture/refusal contracts live in [[TableLog.tableChanges]].
+      if (to <= from) return emptyStreaming()
+      return streamify(TableLog.alignDeclared(declared,
+        TableLog.tableChanges(spark, root, from.toInt, to.toInt)))
+    }
     val adds = TableLog.versions(spark, root)
       .filter(v => v > from && v <= to)
       .flatMap { v =>

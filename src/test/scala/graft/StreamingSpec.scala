@@ -853,6 +853,49 @@ class StreamingSpec extends SparkSpec {
       s"expected 3 one-commit batches (versions 1..3), got $sizes")
   }
 
+  test("log stream readChangeFeed: the full CDC feed streams, change commits included, exactly-once") {
+    val sp = spark
+    import sp.implicits._
+    val (root, ckpt) = freshLogDirs("tlog_src_cdf")
+    val TL = graft.sources.TableLog
+    val prev = spark.conf.getOption("spark.graft.tablelog.cdf")
+    spark.conf.set("spark.graft.tablelog.cdf", "true")
+    try {
+      TL.append(spark, root, Seq((1L, 10.0), (2L, 20.0), (9L, 90.0))
+        .toDF("k", "x"), statsCols = Seq("k"))
+      TL.deleteRange(spark, root, "k", 9L, 9L)
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String, Int)]
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-log-stream")
+          .option("path", root).option("readChangeFeed", "true").load()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.as[(Long, Double, String, Int)].collect().foreach(out.add): Unit
+          }
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      assert(out.asScala.toSet == Set(
+        (1L, 10.0, "insert", 0), (2L, 20.0, "insert", 0),
+        (9L, 90.0, "insert", 0), (9L, 90.0, "delete", 1)),
+        s"CDF stream diverged from the feed: ${out.asScala.toSet}")
+      // restart after a merge lands offline: only version 2's feed flows
+      TL.merge(spark, root, Seq((1L, 11.0)).toDF("k", "x"), "k",
+        statsCols = Seq("k"))
+      out.clear()
+      drain()
+      assert(out.asScala.toSet ==
+        TL.tableChanges(spark, root, 1).as[(Long, Double, String, Int)]
+          .collect().toSet,
+        "restarted CDF stream must equal the batch feed for the new range")
+      assert(out.asScala.forall(_._4 == 2), "old versions re-emitted")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.tablelog.cdf", v)
+      case None => spark.conf.unset("spark.graft.tablelog.cdf")
+    }
+  }
+
   test("log stream CDC loop: log -> stream transform -> log, exactly-once across incarnations") {
     val sp = spark
     import sp.implicits._
