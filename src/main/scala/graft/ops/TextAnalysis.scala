@@ -799,9 +799,12 @@ object TextAnalysis {
     * Scale posture: word counting is the only corpus-sized stage (one
     * scan, one shuffle of distinct words); the iterations touch the
     * frequency-truncated vocabulary only — a 300-row (real pipeline:
-    * ~1M-row) model table kept as a single-partition DataFrame and
-    * localCheckpoint'ed per iteration so 8 replace generations don't
-    * stack lineage. */
+    * ~1M-row) model table kept as a single-partition DataFrame,
+    * checkpointed ONCE after the corpus aggregation (so no iteration
+    * ever re-scans the corpus); the per-iteration re-segmentations
+    * stay as plain lineage — recomputing <=8 chained replaces over
+    * the vocab costs microseconds, where a materialization job per
+    * iteration costs a scheduler round-trip each. */
   def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val words = t(s, dir, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
@@ -836,7 +839,6 @@ object TextAnalysis {
       vocab = vocab
         .withColumn("seq",
           expr(s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')"))
-        .localCheckpoint(true)
     }
     import s.implicits._
     merges.result().toDF("step", "lhs", "rhs", "merged", "freq")
