@@ -765,6 +765,70 @@ object TextAnalysis {
     FROM a ORDER BY doc_id
   """.trim
 
+  // ---- inverted-index search -------------------------------------------
+
+  private val SearchTerms = ("hash", "join")
+
+  private def termBucket(c: Column): Column =
+    conv(substring(md5(c), 1, 1), 16, 10).cast("int")
+
+  private def termBucketOf(term: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    (d(0) >> 4) & 0xf
+  }
+
+  /** Persisted inverted index + conjunctive search — the text twin of
+    * `knn_ivf_persisted`'s build-once/query-many posture: posting
+    * lists (term, doc_id, tf) are written ONCE, hash-bucketed into 16
+    * partition directories by the term's leading md5 nibble; a query
+    * then reads ONLY its terms' buckets (partition pruning) and, via
+    * the pushed term equality, only the matching row groups inside
+    * them — query cost is O(postings of the query terms), never
+    * O(corpus). The conjunctive (AND) query is a posting-list
+    * intersection: one hash join on doc_id between two pruned index
+    * scans, scored by summed term frequency.
+    *
+    * At 100 TB the bucket count scales with the term cardinality and
+    * the posting files are sorted by term so min/max row-group stats
+    * prune within a bucket — the same stats-skipping story as the
+    * TableLog sidecars. PlanLint-style asserts pin both pruning layers
+    * in AnalyticsSpec. */
+  def qTextSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = Egress.outRoot(dir) + "/postings"
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")).between(2, 12))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", termBucket(col("term")))
+      .sortWithinPartitions("term") // row-group stats stay term-clustered
+      .write.mode("overwrite").partitionBy("bkt").parquet(idx)
+    val posts = s.read.parquet(idx)
+    def lookup(term: String, as: String) = posts
+      .filter(col("bkt") === termBucketOf(term) && col("term") === term)
+      .select(col("doc_id"), col("tf").as(as))
+    lookup(SearchTerms._1, "tf_a").join(lookup(SearchTerms._2, "tf_b"), "doc_id")
+      .withColumn("score", col("tf_a") + col("tf_b"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** The oracle needs no index: same tokenization, direct
+    * intersection — the index is an ACCESS PATH, not a semantics
+    * change, which is exactly what this row proves. */
+  val qTextSearchSql: String = s"""
+    WITH tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+      WHERE len(w) BETWEEN 2 AND 12 GROUP BY doc_id, w)
+    SELECT a.doc_id, a.tf AS tf_a, b.tf AS tf_b, a.tf + b.tf AS score
+    FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+    WHERE a.term = '${SearchTerms._1}' AND b.term = '${SearchTerms._2}'
+    ORDER BY score DESC, a.doc_id LIMIT 20
+  """.trim
+
   // ---- BPE tokenizer training ------------------------------------------
 
   private val BpeIters = 8

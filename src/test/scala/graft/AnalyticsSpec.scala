@@ -129,6 +129,23 @@ class AnalyticsSpec extends SparkSpec {
       "no merge fired: token count equals the unmerged symbol count")
   }
 
+  test("text_search prunes the posting index on BOTH layers: bucket partitions and pushed term filter") {
+    val df = TextAnalysis.qTextSearch(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partition pruning: each index scan keeps only its term's bucket dir
+    assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(plan).isDefined,
+      "bucket partition filter missing from the index scan:\n" + plan)
+    // predicate pushdown: the term equality reaches the parquet reader
+    for (term <- Seq("hash", "join"))
+      assert(plan.contains(s"EqualTo(term,$term)"),
+        s"term '$term' not pushed into the posting scan:\n" + plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "conjunctive query found no documents")
+    // intersection semantics: every hit carries both term frequencies
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    assert(rows.forall(r => r.getLong(3) == r.getLong(1) + r.getLong(2)))
+  }
+
   test("length gate keeps roughly 90 percent per language") {
     val rows = TextAnalysis.qLengthFilter(spark, sfDir).collect()
     assert(rows.nonEmpty)
