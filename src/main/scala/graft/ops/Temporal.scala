@@ -441,4 +441,47 @@ object Temporal {
     GROUP BY ua, ub
     ORDER BY total_overlap_us DESC, ua, ub LIMIT 100
   """.trim
+
+  /** Exponentially-weighted moving average over each user's event
+    * stream — the time-series smoothing primitive (metric dashboards,
+    * sensor denoising) the frame aggregates (`window_frame`) don't
+    * cover. α = 1/2 over the last 8 events: weights 2^(i)/(2^L − 1)
+    * (newest highest), so smoothing is EXACT INTEGER arithmetic on
+    * cent-scaled values — binary weights make the weighted sum a
+    * shift-add fold and the normalization one floor division,
+    * order-independent and replayed bit-for-bit by the oracle, where
+    * float EWMA would drift per reduction order.
+    *
+    * Scale posture: one window (hash-partition by user, sort by time
+    * within) — identical shuffle shape to every ranking window; the
+    * frame is ROWS-bounded so state per row is O(8). */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, 0)
+    t(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .withColumn("x_c", floor(col("value") * 100).cast("long"))
+      .withColumn("l", collect_list(col("x_c")).over(w))
+      .select(col("user_id"), col("event_id"), col("x_c"),
+        expr("""aggregate(transform(l, (x, i) -> x * shiftleft(1L, i)),
+                0L, (a, b) -> a + b)
+                DIV (shiftleft(1L, size(l)) - 1)""").as("ewma_c"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qEwmaSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id,
+        CAST(FLOOR(value * 100) AS BIGINT) AS x_c,
+        list(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+      FROM events WHERE user_id < 20)
+    SELECT user_id, event_id, x_c,
+      CAST(CAST(list_sum(list_transform(range(1, len(l)+1),
+             j -> l[j] * (CAST(1 AS BIGINT) << (j-1)))) AS BIGINT)
+           // ((CAST(1 AS BIGINT) << len(l)) - 1) AS BIGINT) AS ewma_c
+    FROM e ORDER BY user_id, event_id
+  """.trim
 }
