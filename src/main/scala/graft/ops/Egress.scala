@@ -646,6 +646,61 @@ object Egress {
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** Full three-clause MERGE (Delta >= 2.4 parity): matched
+    * conditional update + unmatched insert + WHEN NOT MATCHED BY
+    * SOURCE THEN DELETE in ONE atomic commit — the
+    * source-is-the-truth sync shape (replicating a dimension table:
+    * rows the source dropped must disappear). Keys < 500 update
+    * (source price wins via the src>tgt condition), 500-599 match but
+    * fail the condition and keep target values, keys absent from the
+    * source die only where the BY SOURCE condition (key % 10 = 7)
+    * says so, and shifted source keys insert. The aggregate hash
+    * would catch any clause bleeding into another's row class. */
+  def qLogMerge3(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_merge3"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.sources.TableLog.append(s, root, orders,
+      statsCols = Seq("o_orderkey"))
+    val priceT = orders.schema("o_totalprice").dataType
+    val matchedSrc = orders.filter(col("o_orderkey") < 600)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") < 500, col("o_totalprice") + 500)
+          .otherwise(col("o_totalprice")).cast(priceT))
+    val insertSrc = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 2000000L)
+      .withColumn("o_orderstatus", lit("I"))
+    graft.sources.TableLog.mergeFull(s, root,
+      matchedSrc.unionByName(insertSrc), "o_orderkey",
+      cond = col("src_o_totalprice") > col("o_totalprice"),
+      set = Map("o_totalprice" -> col("src_o_totalprice")),
+      bySourceCond = col("o_orderkey") % 10 === 7,
+      statsCols = Seq("o_orderkey"))
+    graft.sources.TableLog.snapshot(s, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogMerge3Sql: String = s"""
+    WITH res AS (
+      SELECT o_orderstatus,
+        CASE WHEN o_orderkey < 500 THEN o_totalprice + 500
+             ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey < 600
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 600 AND o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT 'I', o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("p")} AS total_price
+    FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
   /** CDF STREAMING read (readChangeFeed=true — Delta parity): the
     * exact `log_cdf` history (append → merge upserts → range delete),
     * consumed as a STREAM of tagged change rows into a parquet sink;

@@ -860,4 +860,44 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(spark, root).count() == 45,
       "the racing delete must survive the aborted rewrite")
   }
+
+  test("mergeFull: the three clauses partition the rows exactly; the delete rides the CDF") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    val prev = spark.conf.getOption("spark.graft.tablelog.cdf")
+    spark.conf.set("spark.graft.tablelog.cdf", "true")
+    try {
+      TableLog.append(spark, root, nums(0, 10), statsCols = Seq("id"))
+      // source keeps keys 0-4 (0-2 pass the update cond), drops 5-9;
+      // BY SOURCE deletes only the even dropped keys; key 100 inserts
+      val src = ((0 until 5).map(i =>
+        (i.toLong, if (i < 3) s"upd$i" else s"row$i")) :+ (100L, "new"))
+        .toDF("id", "s")
+      TableLog.mergeFull(spark, root, src, "id",
+        cond = col("src_s") =!= col("s"),
+        set = Map("s" -> col("src_s")),
+        bySourceCond = col("id") % 2 === 0)
+      val snap = TableLog.snapshot(spark, root)
+        .as[(Long, String)].collect().toMap
+      // updated where cond, kept where matched-but-cond-false
+      assert((0 until 5).forall(i =>
+        snap(i.toLong) == (if (i < 3) s"upd$i" else s"row$i")))
+      // not-matched-by-source: even ids (6, 8) deleted, odd (5, 7, 9) kept
+      assert(!snap.contains(6L) && !snap.contains(8L))
+      assert(Seq(5L, 7L, 9L).forall(snap.contains))
+      assert(snap(100L) == "new")
+      assert(snap.size == 9)
+      // CDF: exactly the clause-touched rows, correctly tagged
+      val feed = TableLog.tableChanges(spark, root, 0)
+        .as[(Long, String, String, Int)].collect()
+      val byType = feed.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+      assert(byType("delete") == Set(6L, 8L))
+      assert(byType("update_preimage") == Set(0L, 1L, 2L))
+      assert(byType("update_postimage") == Set(0L, 1L, 2L))
+      assert(byType("insert") == Set(100L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.tablelog.cdf", v)
+      case None => spark.conf.unset("spark.graft.tablelog.cdf")
+    }
+  }
 }
