@@ -701,6 +701,38 @@ object Egress {
     FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** Zero-rewrite RENAME COLUMN (Delta column-mapping parity): half
+    * the table is written under the old name, the column is renamed
+    * by one metadata commit, the other half lands under the new name
+    * — and the snapshot reads ONE coherent declared column across
+    * both file generations (per-file coalesce over the name mapping;
+    * no byte of data moved). The aggregate would hash-mismatch if a
+    * single pre-rename value failed to surface under the new name. */
+  def qLogRename(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_rename"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") % 2 === 0), statsCols = Seq("o_orderkey"))
+    graft.sources.TableLog.renameColumn(s, root, "o_totalprice", "price")
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_totalprice", "price"))
+    graft.sources.TableLog.snapshot(s, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogRenameSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
   /** CDF STREAMING read (readChangeFeed=true — Delta parity): the
     * exact `log_cdf` history (append → merge upserts → range delete),
     * consumed as a STREAM of tagged change rows into a parquet sink;

@@ -566,7 +566,15 @@ object TableLog {
     val droppedRequired = cur.fields.toSeq
       .filter(f => !f.nullable && !nextByName.contains(f.name))
       .map(f => s"dropped non-nullable column '${f.name}'")
-    typeChanged ++ droppedRequired
+    // a write re-using a column's PREVIOUS name would silently fork
+    // the rename (and re-declare the old schema) — reject with a
+    // pointer to the new name
+    val prevOf = cur.fields.toSeq.flatMap(f =>
+      physNames(f).drop(1).map(_ -> f.name)).toMap
+    val renamedAway = next.fields.toSeq
+      .filter(f => prevOf.contains(f.name) && !cur.fieldNames.contains(f.name))
+      .map(f => s"column '${f.name}' was renamed to '${prevOf(f.name)}'")
+    typeChanged ++ droppedRequired ++ renamedAway
   }
 
   /** Publish one commit via exists-guarded rename CAS; returns the
@@ -596,6 +604,20 @@ object TableLog {
       expectDvs: Option[Seq[String]] = None): Int = {
     val f = fs(s, root)
     f.mkdirs(new Path(s"$root/_log"))
+    // data commits record the WRITE's schema; carry the declared
+    // fields' metadata (the rename name-mapping) onto it by name —
+    // otherwise a post-rename append would re-declare a schema
+    // without the mapping and orphan every pre-rename file's column
+    val schemaRec = schema.map { next =>
+      tableSchema(s, root) match {
+        case None => next
+        case Some(c) =>
+          val metaByName = c.fields.map(fl => fl.name -> fl.metadata).toMap
+          org.apache.spark.sql.types.StructType(next.fields.map(fl =>
+            metaByName.get(fl.name).map(m => fl.copy(metadata = m))
+              .getOrElse(fl)))
+      }
+    }
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
       // schema compatibility re-checked on EVERY attempt (CAS time):
@@ -636,7 +658,7 @@ object TableLog {
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(
-        render(attempt, add, remove, statsFile, dataChange, txn, schema, cdc,
+        render(attempt, add, remove, statsFile, dataChange, txn, schemaRec, cdc,
           check, uncheck, dvs).getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
@@ -772,6 +794,49 @@ object TableLog {
     * written before it existed); subsequent appends may populate it.
     * Rejects if the column already exists or the log has no declared
     * schema yet (pre-schema logs must append once first). */
+  /** StructField metadata key listing a column's PREVIOUS physical
+    * names, newest first — the name-mapping that makes RENAME a
+    * metadata operation (Delta column-mapping parity). */
+  private val PrevNamesKey = "graft.prevNames"
+
+  /** All physical names a declared column may appear under in data
+    * files, current name first. A file is written under exactly ONE
+    * schema generation, so at most one of these is non-absent per
+    * file — which is what makes the read-side coalesce exact. */
+  private def physNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    f.name +: (if (f.metadata.contains(PrevNamesKey))
+      f.metadata.getStringArray(PrevNamesKey).toSeq else Seq.empty)
+
+  /** RENAME COLUMN without rewriting a byte: ONE metadata commit
+    * re-declares the schema with the field under its new name and the
+    * old name recorded in the field's name-mapping metadata. Reads
+    * coalesce the declared name over every previous physical name
+    * ([[alignDeclared]]); writes must use the NEW name — re-using a
+    * previous name is rejected at CAS time with a pointer to the
+    * rename ([[schemaViolations]]). Stats/bloom sidecars keyed by the
+    * old name simply stop pruning (advisory by construction — missing
+    * stats mean always-read, never a wrong answer) until the next
+    * stats-bearing rewrite re-keys them. Time travel to pre-rename
+    * versions presents the old declared schema unchanged. */
+  def renameColumn(s: SparkSession, root: String, oldName: String,
+      newName: String): Int = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(
+      s"TableLog: $root has no declared schema to evolve (append data first)"))
+    require(cur.fieldNames.contains(oldName),
+      s"TableLog: no column '$oldName' to rename")
+    require(!cur.fieldNames.contains(newName),
+      s"TableLog: column '$newName' already exists")
+    val next = StructType(cur.fields.map { f =>
+      if (f.name != oldName) f
+      else StructField(newName, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putStringArray(PrevNamesKey, physNames(f).toArray).build())
+    })
+    publish(s, root, Seq.empty, Seq.empty, dataChange = false,
+      schema = Some(next), enforceSchema = false)
+  }
+
   def addColumn(s: SparkSession, root: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Int = {
     val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(
@@ -813,8 +878,14 @@ object TableLog {
       decl: org.apache.spark.sql.types.StructType, raw: DataFrame): DataFrame = {
     val present = raw.columns.toSet
     raw.select(decl.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      // a renamed column may appear under any of its physical names
+      // (one per schema generation); exactly one is non-absent per
+      // FILE, so coalesce across generations is exact
+      physNames(f).filter(present.contains) match {
+        case Seq() => lit(null).cast(f.dataType).as(f.name)
+        case Seq(one) => col(one).as(f.name)
+        case many => coalesce(many.map(col): _*).as(f.name)
+      }
     }: _*)
   }
 

@@ -861,6 +861,38 @@ class TableLogSpec extends SparkSpec {
       "the racing delete must survive the aborted rewrite")
   }
 
+  test("renameColumn: zero-rewrite rename spans file generations; old name rejected; time travel keeps it") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 5), statsCols = Seq("id"))
+    val filesBefore = TableLog.snapshot(spark, root).inputFiles.sorted.toSeq
+    TableLog.renameColumn(spark, root, "s", "label")
+    // no data moved
+    assert(TableLog.snapshot(spark, root).inputFiles.sorted.toSeq
+      == filesBefore, "rename rewrote data files")
+    // post-rename append under the NEW name: both generations read
+    // back under the declared name, coalesced exactly
+    TableLog.append(spark, root,
+      Seq((100L, "new100")).toDF("id", "label"))
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("id", "label"))
+    val m = snap.as[(Long, String)].collect().toMap
+    assert(m(0L) == "row0" && m(100L) == "new100" && m.size == 6)
+    // a write under the PREVIOUS name forks the rename — rejected
+    val err = intercept[IllegalStateException] {
+      TableLog.append(spark, root, Seq((200L, "x")).toDF("id", "s"))
+    }
+    assert(err.getMessage.contains("renamed to 'label'"), err.getMessage)
+    // chained rename keeps the whole mapping
+    TableLog.renameColumn(spark, root, "label", "tag")
+    val m2 = TableLog.snapshot(spark, root).as[(Long, String)].collect().toMap
+    assert(m2(0L) == "row0" && m2(100L) == "new100")
+    // time travel to pre-rename presents the old declared schema
+    assert(TableLog.snapshot(spark, root, 0).columns.toSeq == Seq("id", "s"))
+    // the streaming source reads through the mapping too
+    assert(TableLog.changesSince(spark, root, -1).count() == 6)
+  }
+
   test("mergeFull: the three clauses partition the rows exactly; the delete rides the CDF") {
     val sp = spark; import sp.implicits._
     val root = freshRoot()
