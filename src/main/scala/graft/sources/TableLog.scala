@@ -837,6 +837,21 @@ object TableLog {
       schema = Some(next), enforceSchema = false)
   }
 
+  /** DROP COLUMN as a metadata-only commit: the declared schema loses
+    * the field, [[alignDeclared]] hides the straggler values in
+    * existing files (no rewrite), and the non-nullable case is
+    * rejected by the standard schema gate — dropping a required
+    * column would make old rows unrepresentable. */
+  def dropColumn(s: SparkSession, root: String, name: String): Int = {
+    val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(
+      s"TableLog: $root has no declared schema to evolve (append data first)"))
+    require(cur.fieldNames.contains(name), s"TableLog: no column '$name'")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == name))
+    publish(s, root, Seq.empty, Seq.empty, dataChange = false,
+      schema = Some(next))
+  }
+
   def addColumn(s: SparkSession, root: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Int = {
     val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(

@@ -893,6 +893,35 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.changesSince(spark, root, -1).count() == 6)
   }
 
+  test("dropColumn: nullable drop hides the column without rewrite; non-nullable drop rejects") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 5))
+    val filesBefore = TableLog.snapshot(spark, root).inputFiles.sorted.toSeq
+    TableLog.dropColumn(spark, root, "s")
+    assert(TableLog.snapshot(spark, root).columns.toSeq == Seq("id"))
+    assert(TableLog.snapshot(spark, root).inputFiles.sorted.toSeq
+      == filesBefore, "drop rewrote data files")
+    // time travel still shows the column
+    assert(TableLog.snapshot(spark, root, 0).columns.toSeq == Seq("id", "s"))
+    // a non-nullable column cannot be dropped: old rows would become
+    // unrepresentable (ids written via toDF are nullable=false longs?
+    // build one explicitly non-nullable to pin the gate)
+    val strict = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, "a"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val root2 = freshRoot()
+    TableLog.append(spark, root2, strict)
+    val err = intercept[IllegalStateException] {
+      TableLog.dropColumn(spark, root2, "k")
+    }
+    assert(err.getMessage.contains("non-nullable"), err.getMessage)
+  }
+
   test("mergeFull: the three clauses partition the rows exactly; the delete rides the CDF") {
     val sp = spark; import sp.implicits._
     val root = freshRoot()
