@@ -893,6 +893,89 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.changesSince(spark, root, -1).count() == 6)
   }
 
+  test("model fuzz: random mutation sequences match an in-memory reference model at every step") {
+    val sp = spark; import sp.implicits._
+    // the strongest correctness artifact for the mutation algebra:
+    // drive the log with random interleavings of every row-mutating
+    // op and assert, AFTER EACH COMMIT, that the snapshot equals a
+    // trivially-correct Map model — any lost update, resurrected
+    // delete, DV/file-selection slip, or merge clause bleeding shows
+    // up at the exact step that caused it
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val root = freshRoot()
+      var model = Map.empty[Long, String]
+      var nextKey = 0L
+      def df(rows: Seq[(Long, String)]) = rows.toDF("id", "s")
+      // seed table
+      val init = (0 until 30).map(i => (i.toLong, s"v$seed-$i"))
+      nextKey = 30
+      TableLog.append(spark, root, df(init), statsCols = Seq("id"))
+      model = init.toMap
+      for (step <- 1 to 14) {
+        rnd.nextInt(6) match {
+          case 0 => // append fresh keys
+            val rows = (0 until 1 + rnd.nextInt(8))
+              .map(i => (nextKey + i, s"a$step-$i"))
+            nextKey += rows.size
+            TableLog.append(spark, root, df(rows), statsCols = Seq("id"))
+            model ++= rows
+          case 1 => // range delete (only when it hits, matching require)
+            val keys = model.keys.toSeq.sorted
+            if (keys.nonEmpty) {
+              val lo = keys(rnd.nextInt(keys.size))
+              val hi = lo + rnd.nextInt(10)
+              TableLog.deleteRange(spark, root, "id", lo, hi)
+              model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            }
+          case 2 => // deletion vector by modulus predicate
+            val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            TableLog.deleteVector(spark, root, col("id") % m === r)
+            model = model.filterNot { case (k, _) => k % m == r }
+          case 3 => // replace-whole-row merge: update some, insert some
+            val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(6))
+              .map(k => (k, s"m$step-$k"))
+            val ins = (0 until rnd.nextInt(4))
+              .map(i => (nextKey + i, s"mi$step-$i"))
+            nextKey += ins.size
+            val src = upd ++ ins
+            if (src.nonEmpty) {
+              TableLog.merge(spark, root, df(src), "id",
+                statsCols = Seq("id"))
+              model ++= src
+            }
+          case 4 => // three-clause merge: cond update + BY SOURCE delete
+            val keep = rnd.shuffle(model.keys.toSeq)
+              .take(model.size / 2 + 1).toSet
+            val src = keep.toSeq.sorted.map(k => (k, s"f$step-$k"))
+            val dm = 2 + rnd.nextInt(4); val dr = rnd.nextInt(dm)
+            if (src.nonEmpty) {
+              TableLog.mergeFull(spark, root, df(src), "id",
+                cond = col("src_s") =!= col("s"),
+                set = Map("s" -> col("src_s")),
+                bySourceCond = col("id") % dm === dr,
+                statsCols = Seq("id"))
+              model = model.flatMap { case (k, v) =>
+                if (keep.contains(k)) Some(k -> s"f$step-$k")
+                else if (k % dm == dr) None
+                else Some(k -> v)
+              }
+            }
+          case 5 => // layout reorganization: answers must not move
+            TableLog.compact(spark, root, 1 + rnd.nextInt(3),
+              statsCols = Seq("id"))
+        }
+        val got = TableLog.snapshot(spark, root)
+          .as[(Long, String)].collect().toMap
+        assert(got == model,
+          s"seed=$seed step=$step diverged: " +
+            s"missing=${(model.keySet -- got.keySet).toSeq.sorted.take(5)} " +
+            s"extra=${(got.keySet -- model.keySet).toSeq.sorted.take(5)} " +
+            s"changed=${model.collect { case (k, v) if got.get(k).exists(_ != v) => k }.take(5)}")
+      }
+    }
+  }
+
   test("dropColumn: nullable drop hides the column without rewrite; non-nullable drop rejects") {
     val sp = spark; import sp.implicits._
     val root = freshRoot()
