@@ -108,7 +108,8 @@ final class TableLogStreamProvider
 private final class TableLogSource(spark: SparkSession, root: String,
     declared: StructType, startExclusive: Int, skipChangeCommits: Boolean,
     maxCommitsPerTrigger: Option[Int], readChangeFeed: Boolean = false)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def schema: StructType = declared
 
@@ -118,8 +119,30 @@ private final class TableLogSource(spark: SparkSession, root: String,
     * cursor for capping the NEXT batch. */
   @volatile private var planned: Long = startExclusive.toLong
 
+  /** Trigger.AvailableNow (drain-and-stop ingest): the commit horizon
+    * is FROZEN at query start — commits landing during the drain wait
+    * for the next incarnation, or a steady writer would keep an
+    * "available now" query running forever. Batching still honors
+    * maxCommitsPerTrigger within the frozen range. */
+  @volatile private var frozenLatest: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenLatest = Some(TableLog.versions(spark, root)
+      .lastOption.map(_.toLong).getOrElse(startExclusive.toLong))
+
+  /** SupportsAdmissionControl surface (pulled in by the AvailableNow
+    * trait): same answer as [[getOffset]] — the commit-cap option
+    * already bounds each batch, so the engine-side ReadLimit stays at
+    * its default. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   override def getOffset: Option[V1Offset] = {
-    val vs = TableLog.versions(spark, root).filter(_ > planned)
+    val vs = TableLog.versions(spark, root)
+      .filter(v => v > planned && frozenLatest.forall(v <= _))
     val target = maxCommitsPerTrigger match {
       case Some(n) => vs.take(n).lastOption
       case None => vs.lastOption

@@ -896,6 +896,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("log stream source: Trigger.AvailableNow drains present commits and terminates") {
+    val sp = spark
+    import sp.implicits._
+    val (root, ckpt) = freshLogDirs("tlog_src_anow")
+    val TL = graft.sources.TableLog
+    TL.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    TL.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+    val q = spark.readStream.format("graft-log-stream")
+      .option("path", root).option("maxCommitsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String)].collect().foreach(out.add): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    // AvailableNow must drain BOTH commits (respecting the one-commit
+    // admission cap per batch) and then terminate on its own
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    assert(out.asScala.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("log stream CDC loop: log -> stream transform -> log, exactly-once across incarnations") {
     val sp = spark
     import sp.implicits._
