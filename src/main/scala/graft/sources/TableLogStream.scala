@@ -131,14 +131,24 @@ private final class TableLogSource(spark: SparkSession, root: String,
       .lastOption.map(_.toLong).getOrElse(startExclusive.toLong))
 
   /** SupportsAdmissionControl surface (pulled in by the AvailableNow
-    * trait): same answer as [[getOffset]] — the commit-cap option
-    * already bounds each batch, so the engine-side ReadLimit stays at
-    * its default. */
+    * trait): same answer as [[getOffset]], after adopting the
+    * engine-provided `start` — a fresh instance after a restart has a
+    * cursor at startExclusive while the checkpoint is further along,
+    * and answering from the stale cursor could hand the engine an
+    * offset BEHIND its committed one. The commit-cap option already
+    * bounds each batch, so the ReadLimit stays at its default. */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    start match {
+      case l: LongOffset => planned = math.max(planned, l.offset)
+      case s: SerializedOffset => planned = math.max(planned, LongOffset(s).offset)
+      case null => ()
+      case other => planned = math.max(planned, other.json.trim.toLong)
+    }
     getOffset.orNull
+  }
 
   override def getOffset: Option[V1Offset] = {
     val vs = TableLog.versions(spark, root)
