@@ -110,6 +110,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(3).matches("[a-z_]+")))
   }
 
+  test("bpe_train equals an independent textbook BPE reference (pair-list greedy, not string replace)") {
+    // the engine applies merges via two-pass string replace; the
+    // scaladoc argues this equals the reference pair-list algorithm
+    // for this vocabulary — PROVE it: an independent driver-side
+    // textbook implementation (greedy leftmost merge over symbol
+    // VECTORS, no string representation anywhere) must produce the
+    // identical merge table
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val words = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")).between(2, 12))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(300)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector :+ "_") -> c }
+    val ref = (1 to 8).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.size - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) =>
+        (-n, a + "~" + b)
+      }
+      vocab = vocab.map { case (syms, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> n
+      }
+      (step, l, r, l + r, c)
+    }
+    val got = TextAnalysis.qBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == ref,
+      s"string-replace pipeline diverged from the pair-list reference:\n" +
+        s"engine: $got\nref:    $ref")
+  }
+
   test("bpe_encode fertility is coherent: words <= tokens <= chars+1 per word, ratio exact") {
     val rows = TextAnalysis.qBpeEncode(spark, sfDir).collect()
     assert(rows.nonEmpty)
