@@ -701,6 +701,33 @@ object Egress {
     FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  /** XML ingest/egress via Spark 4's built-in `xml` source (the
+    * spark-xml lineage): one element per row under a declared rowTag,
+    * distributed one-file-per-partition write, schema-declared read
+    * back (inference exists but a declared schema is the production
+    * posture — XML carries no types). The aggregate proves the
+    * round-trip value- and row-exact. */
+  def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = outRoot(dir) + "/orders_xml"
+    val slice = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    slice.write.format("xml").option("rowTag", "order")
+      .mode("overwrite").save(out)
+    s.read.format("xml").option("rowTag", "order")
+      .schema(slice.schema).load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qXmlRoundtripSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
   /** Zero-rewrite RENAME COLUMN (Delta column-mapping parity): half
     * the table is written under the old name, the column is renamed
     * by one metadata commit, the other half lands under the new name
