@@ -11,10 +11,11 @@ import graft.sources.Tables
   * quality-weighted sampling (`budget_select`, `mix_temperature`).
   *
   * The link graph is derived deterministically from the fixture (3
-  * md5-addressed out-links per document, self-loops and duplicate
-  * targets deduped) so both engines build the IDENTICAL graph; a real
-  * deployment feeds an extracted hyperlink edge table into
-  * [[pageRank]] unchanged.
+  * md5-addressed out-links per document; duplicate targets deduped,
+  * md5-chosen self-loops KEPT — a node may retain part of its own
+  * mass, which both engines model identically) so the graphs are
+  * bit-equal; a real deployment feeds an extracted hyperlink edge
+  * table into [[pageRank]] unchanged.
   *
   * Arithmetic contract: ranks are scaled integers (1e12 total mass)
   * and every step is integer floor-division on non-negative values —

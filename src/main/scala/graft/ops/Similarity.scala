@@ -116,7 +116,13 @@ object Similarity {
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("cos_sim", cosine(col("qe"), col("ce")))
       .filter(col("cos_sim") >= 0.35)
-      .select(col("qid"), col("cid"), round(col("cos_sim"), 8).as("cos_sim"))
+      // fixed-point render, NOT round(): Spark rounds the exact decimal
+      // expansion HALF_UP while DuckDB's ROUND goes through a float
+      // scale-multiply — near a 5e-9 boundary they can disagree. floor
+      // of the same double multiply is bit-identical on both engines
+      // (the qQuantize convention).
+      .select(col("qid"), col("cid"),
+        floor(col("cos_sim") * 100000000L).cast("long").as("cos_e8"))
       .orderBy("qid", "cid")
   }
 
@@ -128,7 +134,8 @@ object Similarity {
       (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
        sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS cos_sim
       FROM q JOIN c ON qid <> cid)
-    SELECT qid, cid, ROUND(cos_sim, 8) AS cos_sim
+    SELECT qid, cid,
+      CAST(FLOOR(cos_sim * 100000000) AS BIGINT) AS cos_e8
     FROM s WHERE cos_sim >= 0.35 ORDER BY qid, cid
   """.trim
 

@@ -426,12 +426,6 @@ object TableLog {
     s.conf.getOption("spark.graft.tablelog.dv.broadcastMaxBytes")
       .map(_.toLong).getOrElse(32L * 1024 * 1024)
 
-  /** `df` (a parquet scan of this table's files) minus the rows the
-    * active deletion vectors name — an anti-join on (file key,
-    * `_metadata.row_index`). The DV side broadcasts while its on-disk
-    * size (driver metadata, no job) stays under
-    * `spark.graft.tablelog.dv.broadcastMaxBytes`; past that the join
-    * shuffles and a [[compact]] is overdue. No-op without active DVs. */
   /** The union of `dvs` as a keyed (_g_dv_file, _g_dv_pos) frame,
     * broadcast-hinted while the sidecars' total on-disk size (driver
     * metadata, no job) fits `spark.graft.tablelog.dv.broadcastMaxBytes`. */
@@ -448,6 +442,12 @@ object TableLog {
     if (bytes <= dvBroadcastMaxBytes(s)) broadcast(dvRaw) else dvRaw
   }
 
+  /** `df` (a parquet scan of this table's files) minus the rows the
+    * active deletion vectors name — an anti-join on (file key,
+    * `_metadata.row_index`). The DV side broadcasts while its on-disk
+    * size (driver metadata, no job) stays under
+    * `spark.graft.tablelog.dv.broadcastMaxBytes`; past that the join
+    * shuffles and a [[compact]] is overdue. No-op without active DVs. */
   private def applyDv(s: SparkSession, root: String, df: DataFrame,
       dvs: Seq[String]): DataFrame = {
     if (dvs.isEmpty) return df
@@ -684,8 +684,15 @@ object TableLog {
     // every data write (append / overwrite / merge / delete-survivor
     // rewrite) passes the declared CHECK constraints before it can be
     // published; layout-only rewrites ([[rewrite]]/[[compact]]) carry
-    // the same rows by contract and skip the scan
-    enforceConstraints(s, root, sub)
+    // the same rows by contract and skip the scan. ANY enforcement
+    // failure (violation or unresolved expression) deletes the dir —
+    // an unpublished write is unreachable by vacuum forever
+    try enforceConstraints(s, root, sub)
+    catch { case e: Throwable =>
+      try { fs(s, root).delete(new Path(s"$root/$sub"), true); () }
+      catch { case _: Throwable => () }
+      throw e
+    }
     val f = fs(s, root)
     val files = f.listStatus(new Path(s"$root/$sub"))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
@@ -734,8 +741,10 @@ object TableLog {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     val (sub, files) = writeData(s, root, df)
     writeBloom(s, root, sub, bloomCols)
-    publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols),
-      schema = Some(df.schema))
+    publishOrClean(s, root, Seq(sub)) {
+      publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols),
+        schema = Some(df.schema))
+    }
   }
 
   /** Highest committed transaction version for `app` (Delta's
@@ -762,9 +771,11 @@ object TableLog {
     if (fs(s, root).exists(dir) &&
         lastTxnVersion(s, root, app).exists(_ >= txnVersion)) return None
     val (sub, files) = writeData(s, root, df)
-    try Some(publish(s, root, files, Seq.empty,
-      writeStats(s, root, sub, statsCols), txn = Some(app -> txnVersion),
-      schema = Some(df.schema)))
+    try Some(publishOrClean(s, root, Seq(sub)) {
+      publish(s, root, files, Seq.empty,
+        writeStats(s, root, sub, statsCols), txn = Some(app -> txnVersion),
+        schema = Some(df.schema))
+    })
     catch {
       case _: java.util.ConcurrentModificationException => None // raced: applied
     }
@@ -783,17 +794,13 @@ object TableLog {
       else liveFiles(s, root, -1)
     val (sub, files) = writeData(s, root, df)
     // replacing every row discharges any pending deletion vectors
-    publish(s, root, files, old, writeStats(s, root, sub, statsCols),
-      schema = Some(df.schema), enforceSchema = !overwriteSchema,
-      dvs = Some(Seq.empty))
+    publishOrClean(s, root, Seq(sub)) {
+      publish(s, root, files, old, writeStats(s, root, sub, statsCols),
+        schema = Some(df.schema), enforceSchema = !overwriteSchema,
+        dvs = Some(Seq.empty))
+    }
   }
 
-  /** ADD COLUMN as a metadata-only commit: declares a new NULLABLE
-    * column in the table schema without touching any data file.
-    * Subsequent snapshots present the column (null for every row
-    * written before it existed); subsequent appends may populate it.
-    * Rejects if the column already exists or the log has no declared
-    * schema yet (pre-schema logs must append once first). */
   /** StructField metadata key listing a column's PREVIOUS physical
     * names, newest first — the name-mapping that makes RENAME a
     * metadata operation (Delta column-mapping parity). */
@@ -806,6 +813,27 @@ object TableLog {
   private def physNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
     f.name +: (if (f.metadata.contains(PrevNamesKey))
       f.metadata.getStringArray(PrevNamesKey).toSeq else Seq.empty)
+
+  /** Column names an expression references (unresolved — schema
+    * evolution guards need the NAMES, not a resolution). */
+  private def exprRefs(s: SparkSession, sql: String): Seq[String] =
+    s.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }
+
+  /** Renaming or dropping a column a CHECK constraint references
+    * would break every subsequent write with an unresolved-column
+    * error (and orphan its data dir) — reject up front, like Delta. */
+  private def requireUnconstrained(s: SparkSession, root: String,
+      column: String, op: String): Unit = {
+    val refs = constraints(s, root).collect {
+      case (n, e) if exprRefs(s, e).exists(_.equalsIgnoreCase(column)) => n
+    }
+    require(refs.isEmpty,
+      s"TableLog: cannot $op column '$column' — referenced by CHECK " +
+        s"constraint(s) ${refs.mkString(", ")}; drop them first")
+  }
 
   /** RENAME COLUMN without rewriting a byte: ONE metadata commit
     * re-declares the schema with the field under its new name and the
@@ -827,6 +855,7 @@ object TableLog {
       s"TableLog: no column '$oldName' to rename")
     require(!cur.fieldNames.contains(newName),
       s"TableLog: column '$newName' already exists")
+    requireUnconstrained(s, root, oldName, "rename")
     val next = StructType(cur.fields.map { f =>
       if (f.name != oldName) f
       else StructField(newName, f.dataType, f.nullable,
@@ -846,12 +875,19 @@ object TableLog {
     val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(
       s"TableLog: $root has no declared schema to evolve (append data first)"))
     require(cur.fieldNames.contains(name), s"TableLog: no column '$name'")
+    requireUnconstrained(s, root, name, "drop")
     val next = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name == name))
     publish(s, root, Seq.empty, Seq.empty, dataChange = false,
       schema = Some(next))
   }
 
+  /** ADD COLUMN as a metadata-only commit: declares a new NULLABLE
+    * column in the table schema without touching any data file.
+    * Subsequent snapshots present the column (null for every row
+    * written before it existed); subsequent appends may populate it.
+    * Rejects if the column already exists or the log has no declared
+    * schema yet (pre-schema logs must append once first). */
   def addColumn(s: SparkSession, root: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Int = {
     val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(
@@ -890,7 +926,8 @@ object TableLog {
     * stragglers from dropped nullable columns hidden. Shared by
     * [[snapshot]] and the streaming source. */
   private[sources] def alignDeclared(
-      decl: org.apache.spark.sql.types.StructType, raw: DataFrame): DataFrame = {
+      decl: org.apache.spark.sql.types.StructType, raw: DataFrame,
+      keep: Seq[Column] = Nil): DataFrame = {
     val present = raw.columns.toSet
     raw.select(decl.fields.toSeq.map { f =>
       // a renamed column may appear under any of its physical names
@@ -901,8 +938,41 @@ object TableLog {
         case Seq(one) => col(one).as(f.name)
         case many => coalesce(many.map(col): _*).as(f.name)
       }
-    }: _*)
+    } ++ keep: _*)
   }
+
+  /** Subset read with the SNAPSHOT contract: mergeSchema union over
+    * `files`, active DVs anti-joined, and the declared schema (as of
+    * `version`) presented through the name mapping — every pruned
+    * read or rewrite path must resolve renamed columns exactly like
+    * [[snapshot]], or pre-rename rows would surface null under the
+    * declared name and silently vanish from filters. */
+  private def readAligned(s: SparkSession, root: String,
+      files: Seq[String], version: Int, dv: Seq[String]): DataFrame = {
+    val raw = applyDv(s, root,
+      s.read.option("mergeSchema", "true")
+        .parquet(files.map(rel => abs(root, rel)): _*), dv)
+    tableSchema(s, root, version) match {
+      case None => raw
+      case Some(decl) => alignDeclared(decl, raw)
+    }
+  }
+
+  /** Run `commit`; on failure delete the freshly-written sidecar
+    * `subs` (data/stats/cdc/dv directories) before rethrowing — an
+    * aborted publish (CAS conflict, schema or constraint rejection)
+    * must not orphan unreferenced directories that [[vacuum]], which
+    * only walks PUBLISHED records, could never reclaim. */
+  private def publishOrClean(s: SparkSession, root: String,
+      subs: => Seq[String])(commit: => Int): Int =
+    try commit catch { case e: Throwable =>
+      val f = fs(s, root)
+      subs.filter(_.nonEmpty).foreach { sub =>
+        try { f.delete(new Path(s"$root/$sub"), true); () }
+        catch { case _: Throwable => () }
+      }
+      throw e
+    }
 
   /** One commit as the streaming source sees it: (dataChange,
     * absolute add paths, remove count, whether the commit records
@@ -933,8 +1003,14 @@ object TableLog {
       if (parseDataChange(json)) parseArr(json, "add") else Seq.empty
     }
     if (files.isEmpty) snapshot(s, root).limit(0)
-    else s.read.option("mergeSchema", "true")
-      .parquet(files.map(rel => abs(root, rel)): _*)
+    else {
+      val raw = s.read.option("mergeSchema", "true")
+        .parquet(files.map(rel => abs(root, rel)): _*)
+      tableSchema(s, root) match {
+        case None => raw
+        case Some(decl) => alignDeclared(decl, raw)
+      }
+    }
   }
 
   // ---- change data feed (Delta CDF parity) -------------------------------
@@ -1021,7 +1097,21 @@ object TableLog {
       snapshot(s, root).limit(0)
         .withColumn(ChangeTypeCol, lit("insert"))
         .withColumn(CommitVersionCol, lit(0))
-    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else {
+      val raw = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      // present the feed under the CURRENT declared schema (name
+      // mapping included) + the two meta columns — pre-rename change
+      // rows must surface under the declared name like any other read
+      tableSchema(s, root) match {
+        case None => raw
+        case Some(decl) => alignDeclared(
+          org.apache.spark.sql.types.StructType(decl.fields.toSeq :+
+            org.apache.spark.sql.types.StructField(ChangeTypeCol,
+              org.apache.spark.sql.types.StringType) :+
+            org.apache.spark.sql.types.StructField(CommitVersionCol,
+              org.apache.spark.sql.types.IntegerType)), raw)
+      }
+    }
   }
 
   /** Per-file [lo, hi] bounds of `column` for the given live state,
@@ -1182,10 +1272,7 @@ object TableLog {
       rangeOk.get(fl).forall { case (mn, mx) => value >= mn && value <= mx }
     }
     if (keep.isEmpty) return snapshot(s, root, version).limit(0)
-    applyDv(s, root,
-      s.read.option("mergeSchema", "true")
-        .parquet(keep.map(rel => abs(root, rel)): _*),
-      dvState(s, root, version))
+    readAligned(s, root, keep, version, dvState(s, root, version))
       .filter(col(column) === value)
   }
 
@@ -1199,13 +1286,10 @@ object TableLog {
     // stats may prune every live file — an empty path list would make
     // the reader throw instead of returning zero rows
     if (keep.isEmpty) return snapshot(s, root, version).limit(0)
-    // mergeSchema, like snapshot: the pruned subset may predate an
-    // additive schema evolution; DV-filtered, like snapshot: a pruned
-    // read must not resurrect vector-deleted rows
-    applyDv(s, root,
-      s.read.option("mergeSchema", "true")
-        .parquet(keep.map(rel => abs(root, rel)): _*),
-      dvState(s, root, version))
+    // snapshot contract (mergeSchema + DV filter + declared-name
+    // mapping): a pruned read must neither resurrect vector-deleted
+    // rows nor lose pre-rename rows to a null declared column
+    readAligned(s, root, keep, version, dvState(s, root, version))
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -1225,10 +1309,7 @@ object TableLog {
       b2.get(file).forall { case (mn, mx) => mx >= lo2 && mn <= hi2 }
     }
     if (keep.isEmpty) return snapshot(s, root, version).limit(0)
-    applyDv(s, root,
-      s.read.option("mergeSchema", "true")
-        .parquet(keep.map(rel => abs(root, rel)): _*),
-      dvState(s, root, version))
+    readAligned(s, root, keep, version, dvState(s, root, version))
       .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
         col(c2) >= lo2 && col(c2) <= hi2)
   }
@@ -1247,8 +1328,7 @@ object TableLog {
     // The state is captured ONCE and CAS-revalidated at publish — a
     // deleteVector landing mid-rewrite aborts this commit, never loses
     val dv0 = dvState(s, root, -1)
-    val src = applyDv(s, root,
-      s.read.parquet(touched.map(rel => abs(root, rel)): _*), dv0)
+    val src = readAligned(s, root, touched, -1, dv0)
     val survivors = src
       // NULL in the delete column is inside neither range nor its
       // negation — keep such rows explicitly, or every rewritten
@@ -1266,9 +1346,11 @@ object TableLog {
       .withColumn(ChangeTypeCol, lit("delete")))
       .orElse(Some(""))
     val (sub, files) = writeData(s, root, survivors)
-    publish(s, root, files, touched,
-      writeStats(s, root, sub, Seq(column)), dataChange = false, cdc = cdc,
-      expectDvs = Some(dv0))
+    publishOrClean(s, root, sub +: cdc.toSeq) {
+      publish(s, root, files, touched,
+        writeStats(s, root, sub, Seq(column)), dataChange = false, cdc = cdc,
+        expectDvs = Some(dv0))
+    }
   }
 
   /** DELETE WHERE `predicate` without rewriting ANY data file — the
@@ -1301,9 +1383,10 @@ object TableLog {
     require(files.nonEmpty, "deleteVector: empty table")
     val raw = s.read.option("mergeSchema", "true")
       .parquet(files.map(rel => abs(root, rel)): _*)
-    val dataCols = raw.columns.map(col).toSeq
     // key FIRST (metadata columns resolve only on the scan itself),
-    // then drop already-vector-deleted rows, then apply the predicate
+    // then drop already-vector-deleted rows, then present the
+    // DECLARED schema (name mapping — the predicate names declared
+    // columns, and a pre-rename file must still match), then filter
     val keyed = raw
       .withColumn("_g_file", fileKey(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index"))
@@ -1311,7 +1394,14 @@ object TableLog {
       else keyed.join(dvJoinFrame(s, root, dv0),
         col("_g_file") === col("_g_dv_file") &&
           col("_g_pos") === col("_g_dv_pos"), "left_anti")
-    val matched = alive.filter(predicate).cache()
+    val aligned = tableSchema(s, root) match {
+      case None => alive
+      case Some(decl) =>
+        alignDeclared(decl, alive, Seq(col("_g_file"), col("_g_pos")))
+    }
+    val dataCols = aligned.columns.toSeq
+      .filterNot(Set("_g_file", "_g_pos")).map(col)
+    val matched = aligned.filter(predicate).cache()
     try {
       require(matched.limit(1).count() > 0, "deleteVector: nothing to delete")
       val dvSub = s"data/${UUID.randomUUID()}-dv"
@@ -1322,9 +1412,11 @@ object TableLog {
       val cdc = writeCdc(s, root, matched.select(dataCols: _*)
         .withColumn(ChangeTypeCol, lit("delete")))
         .orElse(Some(""))
-      publish(s, root, Seq.empty, Seq.empty, dataChange = true, cdc = cdc,
-        dvs = Some(dv0 :+ dvSub), expectFiles = Some(files.toSet),
-        expectDvs = Some(dv0))
+      publishOrClean(s, root, dvSub +: cdc.toSeq) {
+        publish(s, root, Seq.empty, Seq.empty, dataChange = true, cdc = cdc,
+          dvs = Some(dv0 :+ dvSub), expectFiles = Some(files.toSet),
+          expectDvs = Some(dv0))
+      }
     } finally matched.unpersist()
   }
 
@@ -1360,8 +1452,7 @@ object TableLog {
       val keys = src.select(col(keyCol))
       val tgt =
         if (touched.isEmpty) src.limit(0)
-        else applyDv(s, root, s.read.option("mergeSchema", "true")
-          .parquet(touched.map(rel => abs(root, rel)): _*), dv0)
+        else readAligned(s, root, touched, -1, dv0)
       val kept =
         if (touched.isEmpty) src.limit(0)
         else if (smallSrc) tgt.join(broadcast(keys), Seq(keyCol), "left_anti")
@@ -1382,8 +1473,10 @@ object TableLog {
         writeCdc(s, root, pre.unionByName(post).unionByName(ins))
       }
       val (sub, files) = writeData(s, root, kept.unionByName(src))
-      publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
-        cdc = cdc, expectDvs = Some(dv0))
+      publishOrClean(s, root, sub +: cdc.toSeq) {
+        publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
+          cdc = cdc, expectDvs = Some(dv0))
+      }
     } finally src.unpersist()
   }
 
@@ -1396,13 +1489,27 @@ object TableLog {
     * (`spark.graft.merge.broadcastMaxKeys`, default 1M): the O(#files)
     * range frame is always broadcast, but a bulk backfill source must
     * fall back to shuffle joins instead of OOMing the driver. */
+  /** Shared MERGE source guard: no NULL keys, no duplicate keys;
+    * returns whether the key set fits the broadcast budget. Split out
+    * of [[mergeTouched]] because [[mergeFull]] needs the guard but
+    * NOT the per-file selection (BY SOURCE touches every file — the
+    * selection job's result would be computed and thrown away). */
+  private def mergeSrcGuard(s: SparkSession, src: DataFrame,
+      keyCol: String): Boolean = {
+    require(src.filter(col(keyCol).isNull).isEmpty,
+      s"merge: NULL $keyCol values in source")
+    require(src.groupBy(col(keyCol)).count().filter(col("count") > 1).isEmpty,
+      s"merge: duplicate $keyCol values in source")
+    val bcastMaxKeys =
+      s.conf.getOption("spark.graft.merge.broadcastMaxKeys")
+        .map(_.toLong).getOrElse(1000000L)
+    src.count() <= bcastMaxKeys
+  }
+
   private def mergeTouched(s: SparkSession, root: String, src: DataFrame,
       keyCol: String): (Seq[String], Boolean) = {
     import org.apache.spark.sql.functions.broadcast
-    require(src.filter(col(keyCol).isNull).isEmpty,
-      s"merge: NULL $keyCol values in source")
-    val dup = src.groupBy(col(keyCol)).count().filter(col("count") > 1)
-    require(dup.isEmpty, s"merge: duplicate $keyCol values in source")
+    val smallSrc = mergeSrcGuard(s, src, keyCol)
     val state = liveState(s, root, -1)
     val b = bounds(s, root, state, keyCol)
     val (withStats, noStats) = state.map(_._1).partition(b.contains)
@@ -1421,10 +1528,7 @@ object TableLog {
     val noStatsSet = noStats.toSet          // Seq.contains would be O(F²)
     val touched = state.map(_._1).filter(fl =>
       matched.contains(fl) || noStatsSet.contains(fl))
-    val bcastMaxKeys =
-      s.conf.getOption("spark.graft.merge.broadcastMaxKeys")
-        .map(_.toLong).getOrElse(1000000L)
-    (touched, src.count() <= bcastMaxKeys)
+    (touched, smallSrc)
   }
 
   /** MERGE, conditional-update form (Delta parity:
@@ -1465,8 +1569,7 @@ object TableLog {
           val ins = if (insertUnmatched) src else src.limit(0)
           (ins, writeCdc(s, root, ins.withColumn(ChangeTypeCol, lit("insert"))))
         } else {
-          val tgt = applyDv(s, root, s.read.option("mergeSchema", "true")
-            .parquet(touched.map(rel => abs(root, rel)): _*), dv0)
+          val tgt = readAligned(s, root, touched, -1, dv0)
           // the clause flag is materialized BEFORE any SET applies:
           // a condition referencing a SET column must see the TARGET
           // value, not the half-updated frame (and every SET column
@@ -1498,8 +1601,10 @@ object TableLog {
             changes.flatMap(writeCdc(s, root, _)))
         }
       val (sub, files) = writeData(s, root, kept)
-      publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
-        cdc = cdc, expectDvs = Some(dv0))
+      publishOrClean(s, root, sub +: cdc.toSeq) {
+        publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
+          cdc = cdc, expectDvs = Some(dv0))
+      }
     } finally src.unpersist()
   }
 
@@ -1525,20 +1630,23 @@ object TableLog {
     import org.apache.spark.sql.functions.broadcast
     val src = source.cache()
     try {
-      val (_, smallSrc) = mergeTouched(s, root, src, keyCol)
+      val smallSrc = mergeSrcGuard(s, src, keyCol)
       val touched = liveFiles(s, root, -1) // BY SOURCE can hit any file
       val dv0 = dvState(s, root, -1)
       val srcPref = src.columns.foldLeft(src)((d, c) =>
         d.withColumnRenamed(c, s"src_$c"))
       def maybeBcast(df: DataFrame) = if (smallSrc) broadcast(df) else df
-      val tgt = applyDv(s, root, s.read.option("mergeSchema", "true")
-        .parquet(touched.map(rel => abs(root, rel)): _*), dv0)
+      val tgt = readAligned(s, root, touched, -1, dv0)
       // clause flags materialize BEFORE any SET applies — conditions
       // must see TARGET values, not the half-updated frame
       val joined = tgt.join(maybeBcast(srcPref),
         tgt(keyCol) === srcPref(s"src_$keyCol"), "left")
         .withColumn("__hit", col(s"src_$keyCol").isNotNull && cond)
-        .withColumn("__doomed", col(s"src_$keyCol").isNull && bySourceCond)
+        // SQL MERGE deletes only on a definitive TRUE: a NULL
+        // bySourceCond row is kept (filter(!NULL) would silently drop
+        // it AND omit it from the CDF — the deleteRange NULL contract)
+        .withColumn("__doomed",
+          coalesce(col(s"src_$keyCol").isNull && bySourceCond, lit(false)))
       val hit = col("__hit")
       val doomed = col("__doomed")
       val updated = set.foldLeft(joined) { case (df, (c, e)) =>
@@ -1564,8 +1672,10 @@ object TableLog {
         // ordinary merge (same contract as deleteRange)
         .orElse(Some(""))
       val (sub, files) = writeData(s, root, kept)
-      publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
-        cdc = cdc, expectDvs = Some(dv0))
+      publishOrClean(s, root, sub +: cdc.toSeq) {
+        publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
+          cdc = cdc, expectDvs = Some(dv0))
+      }
     } finally src.unpersist()
   }
 
@@ -1593,8 +1703,10 @@ object TableLog {
     val files = f.listStatus(new Path(s"$root/$sub"))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$sub/$n").toSeq
-    publish(s, root, files, old, writeStats(s, root, sub, statsCols),
-      dataChange = false, dvs = Some(Seq.empty), expectDvs = Some(dv0))
+    publishOrClean(s, root, Seq(sub)) {
+      publish(s, root, files, old, writeStats(s, root, sub, statsCols),
+        dataChange = false, dvs = Some(Seq.empty), expectDvs = Some(dv0))
+    }
   }
 
   /** Rewrite the live set into `numFiles` files and publish the swap

@@ -976,6 +976,61 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("rename mapping holds on EVERY path: range/point reads, deleteRange, deleteVector, merge; constrained columns refuse") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 10), statsCols = Seq("id"))
+    TableLog.renameColumn(spark, root, "s", "label")
+    TableLog.append(spark, root, Seq((100L, "new")).toDF("id", "label"),
+      statsCols = Seq("id"))
+    // pruned reads must surface pre-rename rows under the new name
+    val ranged = TableLog.readRange(spark, root, "id", 0, 5)
+      .as[(Long, String)].collect().toMap
+    assert(ranged == (0 to 5).map(i => i.toLong -> s"row$i").toMap,
+      s"readRange lost pre-rename rows through the rename: $ranged")
+    // deleteVector predicate on the DECLARED name must hit old files
+    TableLog.deleteVector(spark, root, col("label") === "row3")
+    assert(!TableLog.snapshot(spark, root).as[(Long, String)]
+      .collect().toMap.contains(3L), "deleteVector missed a pre-rename row")
+    // deleteRange keeps NULL-free semantics across generations
+    TableLog.deleteRange(spark, root, "id", 4L, 5L)
+    val after = TableLog.snapshot(spark, root).as[(Long, String)]
+      .collect().toMap
+    assert(!after.contains(4L) && !after.contains(5L) && after.contains(6L))
+    // merge on the renamed table: replaces a PRE-rename row cleanly
+    TableLog.merge(spark, root, Seq((6L, "upd6")).toDF("id", "label"),
+      "id", statsCols = Seq("id"))
+    assert(TableLog.snapshot(spark, root).as[(Long, String)]
+      .collect().toMap.apply(6L) == "upd6")
+    // a CHECK-constrained column refuses rename AND drop
+    TableLog.addConstraint(spark, root, "lbl_nonempty", "label <> ''")
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.renameColumn(spark, root, "label", "tag")
+    }
+    assert(e1.getMessage.contains("lbl_nonempty"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.dropColumn(spark, root, "label")
+    }
+    assert(e2.getMessage.contains("lbl_nonempty"), e2.getMessage)
+  }
+
+  test("mergeFull keeps NOT-MATCHED-BY-SOURCE rows whose condition is NULL (definitive-TRUE deletes only)") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, Seq(
+      (1L, "a", Some(1)), (2L, "b", Some(2)), (3L, "c", None: Option[Int]))
+      .toDF("id", "s", "flag"))
+    // source keeps only id=1; BY SOURCE deletes flag === 1 — id=2 is
+    // definitively FALSE (kept), id=3 is NULL (must ALSO be kept)
+    TableLog.mergeFull(spark, root, Seq((1L, "a2", Some(1))).toDF("id", "s", "flag"),
+      "id", cond = lit(true), set = Map("s" -> col("src_s")),
+      bySourceCond = col("flag") === 1, insertUnmatched = false)
+    val got = TableLog.snapshot(spark, root)
+      .as[(Long, String, Option[Int])].collect().toSet
+    assert(got == Set((1L, "a2", Some(1)), (2L, "b", Some(2)), (3L, "c", None)),
+      s"NULL bySourceCond row was deleted or clause bled: $got")
+  }
+
   test("dropColumn: nullable drop hides the column without rewrite; non-nullable drop rejects") {
     val sp = spark; import sp.implicits._
     val root = freshRoot()
