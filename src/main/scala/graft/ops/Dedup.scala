@@ -960,4 +960,102 @@ object Dedup {
       FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
     SELECT d1, d2 FROM p WHERE cos_sim >= 0.99 ORDER BY d1, d2
   """.trim
+
+  // ---- exact duplicated-substring spans (ExactSubstr) --------------------
+
+  /** Window size (in words) for [[substringSpans]]: a span must repeat
+    * at least this many consecutive words to count as duplicated. */
+  val SubstrWindow = 8
+
+  /** Exact duplicated-SUBSTRING spans — the sub-document twin of
+    * [[qDedupExact]] and the granularity document-level near-dup
+    * structurally misses: a licence header or quoted paragraph pasted
+    * into otherwise-distinct documents (the "ExactSubstr" stage of
+    * arXiv:2107.06499 §4.1, which found it removes 7.5x more text than
+    * document-level dedup on C4).
+    *
+    * The paper builds a corpus-wide suffix array — inherently
+    * single-machine. The distributed equivalent is a positional k-gram
+    * index: a substring of length >= w repeats iff every w-word window
+    * inside it repeats, so (1) hash every w-word window to a 64-bit
+    * key, (2) mark windows whose key occurs more than once in the
+    * corpus (a count-over-key window — one shuffle, no join), (3) merge
+    * overlapping/adjacent marked windows per document into maximal
+    * spans (gaps-and-islands: a break when the gap to the previous
+    * marked position exceeds w — one per-doc shuffle). Windows are
+    * built by the same folded zip_with as [[shingled]] (slice refs
+    * outside the lambdas — a per-element `w[i]` re-splits the text
+    * once per window, O(len²) per doc).
+    *
+    * 100 TB posture: the only corpus-scale shuffle carries
+    * (doc_id, pos, 16-hex-char hash) ≈ 40 bytes/word — the unavoidable
+    * index cost, linear in the corpus and paid once; text never leaves
+    * the scan stage. Span assembly shuffles only MARKED positions,
+    * partitioned by doc_id. The md5-prefix key is what makes the DuckDB
+    * oracle replay the pipeline hash-for-hash (as dedup_simhash).
+    */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("w")
+    val n = size(w)
+    // gram(k) = per-position joins of k consecutive words; fold to w=8
+    val gram8 = {
+      var g: Column = w
+      for (k <- 2 to SubstrWindow)
+        g = zip_with(g, slice(w, lit(k), greatest(n - (k - 1), lit(0))),
+          (a, b) => concat_ws(" ", a, b))
+      slice(g, lit(1), greatest(n - (SubstrWindow - 1), lit(0)))
+    }
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(n >= SubstrWindow)
+      .select(col("doc_id"), posexplode(gram8))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        substring(md5(col("col")), 1, 16).as("h"))
+    val marked = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("c") > 1)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(byDoc) + SubstrWindow, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (SubstrWindow - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_dup_words"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringSpans(t(s, dir, "documents"))
+
+  val qDedupSubstringSql: String = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos, substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS h
+      FROM words, unnest(range(1, len(w) - 6)) AS t(i)
+      WHERE len(w) >= 8),
+    marked AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM wins)
+      WHERE c > 1),
+    lagged AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+          THEN 1 ELSE 0 END AS brk
+      FROM marked),
+    isl AS (
+      SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+      FROM isl GROUP BY doc_id, island)
+    SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS n_dup_words
+    FROM spans ORDER BY doc_id, span_start
+  """.trim
 }

@@ -1004,4 +1004,31 @@ object Egress {
       ${dsumSql("o_totalprice")} AS total_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Hidden-partitioned table on the transaction log (Iceberg-style:
+    * partition values are per-file MANIFEST metadata, not directory
+    * names — TableLog.appendPartitioned / readPartition). Documents
+    * are appended partitioned by `lang`; the 'en' read resolves its
+    * file list from the `_pv.tsv` sidecar alone (TableLogSpec asserts
+    * only the en-bearing files are opened) and the residual filter
+    * keeps the answer exact whatever the pruning did. */
+  def qLogPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val root = outRoot(dir) + "/tlog_part"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    graft.sources.TableLog.appendPartitioned(s, root, docs, Seq("lang"))
+    graft.sources.TableLog.readPartition(s, root, "lang", "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  val qLogPartitionedSql: String = """
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source
+  """.trim
 }

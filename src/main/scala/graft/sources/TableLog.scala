@@ -1276,6 +1276,118 @@ object TableLog {
       .filter(col(column) === value)
   }
 
+  // ---- hidden partitioning (Iceberg-style per-file partition values) -----
+
+  /** Max distinct partition values recorded per (file, column); a
+    * file exceeding it gets NO record — always read, never mis-pruned. */
+  private val PvCap = 64
+
+  /** One distributed pass recording each file's DISTINCT values of
+    * `partCols`, written as `_pv.tsv` inside the commit subdir
+    * (values base64-coded — TSV-safe for arbitrary strings). The
+    * Iceberg manifest-entry analogue: the partition "layout" is
+    * per-file METADATA, not directory names, so the main read path
+    * (snapshot / mergeSchema / DV alignment / rename mapping) is
+    * untouched, and files need not be value-pure — pruning QUALITY
+    * degrades with file purity, correctness never does. */
+  private def writePartValues(s: SparkSession, root: String, sub: String,
+      partCols: Seq[String]): Unit = {
+    if (partCols.isEmpty) return
+    val src = s.read.parquet(s"$root/$sub")
+    val lines = partCols.flatMap { c =>
+      src.select(input_file_name().as("f"), col(c).cast("string").as("v"))
+        .groupBy(col("f"))
+        .agg(collect_set(col("v")).as("vs"))
+        .collect()                    // O(#files) — driver metadata
+        .flatMap { r =>
+          val vs = r.getSeq[String](1)
+          if (vs.size > PvCap) None   // over cap: no record, always read
+          else {
+            val file = sub + "/" + r.getString(0).split('/').last
+            // an all-NULL file records the EMPTY set — prunable for
+            // every probe value (equality never matches NULL)
+            val b64 = vs.sorted.map(v => java.util.Base64.getEncoder
+              .encodeToString(v.getBytes("UTF-8"))).mkString(",")
+            Some(s"$file\t$c\t$b64")
+          }
+        }
+    }
+    val out = fs(s, root).create(new Path(s"$root/$sub/_pv.tsv"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The partition-value sets declared for the live `files` on
+    * `column`, keyed by file — one small TSV per distinct commit dir,
+    * same discovery as [[bloomIndex]]. */
+  private def pvIndex(s: SparkSession, root: String,
+      files: Seq[String], column: String): Map[String, Set[String]] = {
+    val f = fs(s, root)
+    files.map(_.split('/').dropRight(1).mkString("/")).distinct.flatMap { d =>
+      val p = new Path(s"${abs(root, d)}/_pv.tsv")
+      if (!f.exists(p)) Seq.empty
+      else readText(f, p).split('\n').filter(_.nonEmpty)
+        .map(_.split("\t", -1))
+        .collect { case Array(file, c, b64) if c == column =>
+          file -> b64.split(',').filter(_.nonEmpty).map(v =>
+            new String(java.util.Base64.getDecoder.decode(v), "UTF-8")).toSet }
+    }.toMap
+  }
+
+  /** Append with hidden partitioning (Iceberg-style): rows are
+    * repartitioned by `partCols` so data files are (typically)
+    * value-pure, and each file's distinct partition values are logged
+    * as a `_pv.tsv` sidecar; [[readPartition]] then plans its file
+    * list from metadata alone. Unlike Hive directory layout the
+    * partition columns STAY in the data files — nothing to
+    * reconstruct from paths, and every existing read/mutate path
+    * (snapshot, time travel, CDF, DVs, rename alignment, compaction)
+    * works unchanged; a compaction that mixes values merely costs the
+    * pruning until the next partitioned write. At 100 TB the payoff
+    * is Hive-partition-shaped planning — O(matching files) — without
+    * the small-file explosion a high-cardinality directory layout
+    * forces: the cap-and-skip rule keeps manifests bounded and the
+    * writer free to bin-pack. */
+  def appendPartitioned(s: SparkSession, root: String, df: DataFrame,
+      partCols: Seq[String], statsCols: Seq[String] = Nil): Int = {
+    // EXPLICIT partition count: a bare repartition(cols) is an AQE
+    // coalesce target, and a small commit collapses to ONE mixed-value
+    // file — pruning stays correct but prunes nothing. Pinning the
+    // count keeps files value-pure up to hash collisions.
+    val p = s.sessionState.conf.numShufflePartitions
+    val (sub, files) =
+      writeData(s, root, df.repartition(p, partCols.map(col): _*))
+    writePartValues(s, root, sub, partCols)
+    publishOrClean(s, root, Seq(sub)) {
+      publish(s, root, files, Seq.empty, writeStats(s, root, sub, statsCols),
+        schema = Some(df.schema))
+    }
+  }
+
+  /** The file list [[readPartition]] would open for (`column` =
+    * `value`) — planning introspection (Delta `inputFiles` analogue),
+    * and the hook tests use to prove pruned-out files are never
+    * touched. Paths relative to `root`. */
+  def readPartitionFiles(s: SparkSession, root: String, column: String,
+      value: String, version: Int = -1): Seq[String] = {
+    val files = liveState(s, root, version).map(_._1)
+    val pv = pvIndex(s, root, files, column)
+    files.filter(fl => pv.get(fl).forall(_.contains(value)))
+  }
+
+  /** Exact-match partitioned read: opens only live files whose logged
+    * partition-value set contains `value` (files without a record are
+    * always read), then applies the residual filter — the sidecar is
+    * advisory, like stats and blooms: it can change the FILE LIST,
+    * never an answer. */
+  def readPartition(s: SparkSession, root: String, column: String,
+      value: String, version: Int = -1): DataFrame = {
+    val keep = readPartitionFiles(s, root, column, value, version)
+    if (keep.isEmpty) return snapshot(s, root, version).limit(0)
+    readAligned(s, root, keep, version, dvState(s, root, version))
+      .filter(col(column) === value)
+  }
+
   /** Range read with metadata-level file skipping: opens only files
     * whose logged [min, max] intersects [lo, hi] (plus any file
     * without stats), then applies the exact residual filter — stats

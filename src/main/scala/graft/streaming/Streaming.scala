@@ -123,11 +123,36 @@ object Streaming {
     * watermark horizon are dropped, and the dedup state itself is
     * watermark-bounded (O(horizon), not O(stream)) — the only way
     * streaming dedup survives an unbounded stream. */
-  def dedupStream(docs: DataFrame): DataFrame =
-    docs
+  def dedupStream(docs: DataFrame): DataFrame = {
+    val fp = docs
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("fp")
+    // dropDuplicatesWithinWatermark REFUSES batch frames (unlike
+    // withWatermark, which no-ops) — branch to its batch semantics
+    // so the transform stays batch/stream-unified and oracle-checkable
+    if (fp.isStreaming) fp.dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
+
+  /** Batch twin of [[dedupStream]] for the oracle gate: the same
+    * transform over the documents fixture (given a deterministic
+    * doc_id-derived event time — `withWatermark` is a no-op in batch,
+    * and in-batch `dropDuplicatesWithinWatermark` degenerates to plain
+    * dropDuplicates). WHICH physical row survives per fingerprint is
+    * engine-internal, so the query projects the surviving fingerprint
+    * SET — deterministic on both engines — while the streaming
+    * keep-first/state-eviction behavior is StreamingSpec's job
+    * (MemoryStream same-batch + cross-batch dups, and the
+    * IPC-source→sink exactly-once pipeline). */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    dedupStream(
+      Tables(s, dir, "documents")
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id"))))
+      .select(col("fp"))
+      .orderBy("fp")
+
+  val qStreamDedupSql: String =
+    "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"
 
   // ---- stream-stream interval join ---------------------------------------
 

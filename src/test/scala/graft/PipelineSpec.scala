@@ -51,6 +51,28 @@ class PipelineSpec extends SparkSpec {
       s"false positives: $unexplained")
   }
 
+  test("substring dedup: planted spans found, windows merged, islands split, short docs skipped") {
+    val sp = spark; import sp.implicits._
+    val shared  = (1 to 12).map(i => s"s$i").mkString(" ")
+    val shared2 = (1 to 12).map(i => s"t$i").mkString(" ")
+    val u = (1 to 20).map(i => s"u$i").mkString(" ")
+    val v = (1 to 20).map(i => s"v$i").mkString(" ")
+    val x = (1 to 10).map(i => s"x$i").mkString(" ")
+    val y = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $u"),             // span at words 0..11
+      (2L, s"$v $shared"),             // span at words 20..31
+      (3L, "w1 w2 w3 w4 w5 w6 w7"),    // < 8 words: no windows at all
+      (4L, s"$shared $x $shared2"),    // two islands: 0..11 and 22..33
+      (5L, s"$shared2 $y")             // span at words 0..11
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set(
+      (1L, 0L, 11L, 12L), (2L, 20L, 31L, 12L),
+      (4L, 0L, 11L, 12L), (4L, 22L, 33L, 12L), (5L, 0L, 11L, 12L)))
+  }
+
   test("embedding-LSH near-dup finds exactly the planted duplicate pairs") {
     val got = Dedup.qDedupEmbed(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

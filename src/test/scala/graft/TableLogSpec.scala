@@ -1099,4 +1099,51 @@ class TableLogSpec extends SparkSpec {
       case None => spark.conf.unset("spark.graft.tablelog.cdf")
     }
   }
+
+  test("hidden partitioning: readPartition answers from the pv manifest; pruned-out files are NEVER opened; unknown value = empty") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    val langs = Array("en", "de", "fr")
+    val rows = (0 until 300).map { i =>
+      val l = if (i % 10 == 0) null else langs(i % 3)
+      (i.toLong, l, i.toLong * 2)
+    }
+    TableLog.appendPartitioned(spark, root, rows.toDF("id", "lang", "v"),
+      Seq("lang"))
+    val expected = rows.filter(_._2 == "en").map(r => (r._1, r._3)).toSet
+    def got() = TableLog.readPartition(spark, root, "lang", "en")
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got() == expected)
+    assert(TableLog.readPartition(spark, root, "lang", "zz").count() == 0)
+    // corrupt every data file the manifest EXCLUDES for 'en': a
+    // correct answer after this proves the read opened only the
+    // manifest-matching files — behavioral evidence, not a plan string
+    val keep = TableLog.readPartitionFiles(spark, root, "lang", "en")
+      .map(rel => new java.io.File(s"$root/$rel").getCanonicalPath).toSet
+    val parquets = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      else if (f.getName.endsWith(".parquet") &&
+        f.getPath.contains("/data/")) parquets += f
+    walk(new java.io.File(root))
+    val excluded = parquets.filterNot(p => keep.contains(p.getCanonicalPath))
+    assert(excluded.nonEmpty, "manifest should exclude the pure de/fr/null files")
+    assert(keep.nonEmpty && excluded.size < parquets.size)
+    excluded.foreach(p =>
+      java.nio.file.Files.write(p.toPath, "not parquet".getBytes))
+    assert(got() == expected, "pruned read touched a manifest-excluded file")
+  }
+
+  test("compaction drops the pv manifest; partitioned reads fall back to always-read and stay exact") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    val df = (0 until 120).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    TableLog.appendPartitioned(spark, root, df, Seq("lang"))
+    TableLog.compact(spark, root, 2)
+    val ids = TableLog.readPartition(spark, root, "lang", "en")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0 until 120 by 2).map(_.toLong).toSet)
+  }
 }
