@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Md5Shingles64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, TextSegments, VectorDots}
+import graft.functions.{CosineSimilarity, Md5Shingles64, Md5ShinglesPos64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, TextSegments, VectorDots}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * install the engine's native expressions into a cluster session:
@@ -40,6 +40,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Md5Shingles64].getName, "md5_shingles64"),
       (children: Seq[Expression]) =>
         Md5Shingles64(children(0), children(1))),
+    ("md5_shingles_pos64",
+      new ExpressionInfo(
+        classOf[Md5ShinglesPos64].getName, "md5_shingles_pos64"),
+      (children: Seq[Expression]) =>
+        Md5ShinglesPos64(children(0), children(1))),
     ("shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) =>

@@ -86,6 +86,29 @@ object TextVectorKernels {
     * mirror) computes — KernelsSpec pins the equivalence. Distinct,
     * sorted ascending, fused in one loop over the text bytes. */
   def md5Shingles64(text: UTF8String, n: Int): ArrayData = {
+    val out = md5WindowHashes(text, n)
+    java.util.Arrays.sort(out)
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == out.length) out else out.take(w))
+  }
+
+  /** POSITIONAL variant of [[md5Shingles64]]: entry i is the hash of
+    * the n-word window STARTING at token i — order kept, duplicates
+    * kept — so `posexplode` yields the (position, window-hash) pairs
+    * the substring-dedup index is built from, in one fused pass with
+    * no per-position string materialization. */
+  def md5ShinglesPos64(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(md5WindowHashes(text, n))
+
+  /** Shared core: first-64-md5-bits of each n-token window of `text`,
+    * one entry per start position (empty when the text has fewer than
+    * n tokens). */
+  private def md5WindowHashes(text: UTF8String, n: Int): Array[Long] = {
     val len = text.numBytes()
     var nTokens = 1
     var i = 0
@@ -93,7 +116,7 @@ object TextVectorKernels {
       if (text.getByte(i) == ' ') nTokens += 1
       i += 1
     }
-    if (nTokens < n) return new GenericArrayData(Array.empty[Long])
+    if (nTokens < n) return Array.empty[Long]
     val starts = new Array[Int](nTokens + 1)
     starts(0) = 0
     var t = 1
@@ -119,14 +142,7 @@ object TextVectorKernels {
       out(i) = h
       i += 1
     }
-    java.util.Arrays.sort(out)
-    var w = 0
-    i = 0
-    while (i < out.length) {
-      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-      i += 1
-    }
-    new GenericArrayData(if (w == out.length) out else out.take(w))
+    out
   }
 
   /** Consecutive n-token segments of `text` — the corpus-dedup
@@ -306,6 +322,37 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** md5_shingles_pos64(text, n): POSITIONAL first-64-md5-bits hashes of
+  * the word-n-gram windows of `text` — entry i hashes the window
+  * starting at token i, order and duplicates kept (the substring-dedup
+  * index form of [[Md5Shingles64]]; same cross-engine md5 values). */
+case class Md5ShinglesPos64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"md5_shingles_pos64 requires (string, foldable int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_shingles_pos64"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextVectorKernels.md5ShinglesPos64(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.TextVectorKernels.md5ShinglesPos64($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5ShinglesPos64 =
     copy(left = newLeft, right = newRight)
 }
 

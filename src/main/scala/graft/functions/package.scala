@@ -268,6 +268,11 @@ package object functions {
     * (the cross-engine hash of the SimHash exact oracle). */
   def md5_shingles64(text: Column, n: Int): Column =
     call_function("md5_shingles64", text, lit(n))
+  /** Positional first-64-md5-bit hashes of word-n-gram windows —
+    * entry i hashes the window starting at token i (order and
+    * duplicates kept; the substring-dedup index form). */
+  def md5_shingles_pos64(text: Column, n: Int): Column =
+    call_function("md5_shingles_pos64", text, lit(n))
   /** k chained-xxhash64 MinHash signatures over a shingle-hash set. */
   def minhash_sigs(hs: Column, k: Int): Column =
     call_function("minhash_sigs", hs, lit(k))

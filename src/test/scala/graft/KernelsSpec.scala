@@ -130,6 +130,37 @@ class KernelsSpec extends SparkSpec {
       "kernel md5-shingle hashes must equal the composed expression form")
   }
 
+  test("md5_shingles_pos64 == composed positional form, bit-for-bit; sort+distinct recovers md5_shingles64") {
+    import org.apache.spark.sql.types.LongType
+    def h64(sh: Column): Column = {
+      val hex = md5(sh)
+      shiftleft(conv(substring(hex, 1, 8), 16, 10).cast(LongType), 32)
+        .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast(LongType))
+    }
+    val w = split(col("text"), " ")
+    val expected = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        transform(transform(sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ", slice(col("w"), i, lit(5)))), h64(_))
+          .as("expected"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.md5_shingles_pos64(col("text"), 5).as("got"))
+      .filter(size(col("got")) > 0)
+    val j = expected.join(native, "doc_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("expected") =!= col("got")).count() == 0,
+      "positional kernel hashes must equal the composed form IN ORDER")
+    // and the sorted-distinct view must be exactly the set kernel
+    val viaPos = docs.select(col("doc_id"), array_sort(array_distinct(
+      graft.functions.md5_shingles_pos64(col("text"), 5))).as("a"))
+    val direct = docs.select(col("doc_id"),
+      graft.functions.md5_shingles64(col("text"), 5).as("b"))
+    assert(viaPos.join(direct, "doc_id")
+      .filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("vector_dots_bcast == vector_dots at k=10,000; plan size independent of k") {
     val e = graft.sources.Tables(spark, sfDir, "embeddings").limit(20)
     val dim = e.select(size(col("embedding"))).head.getInt(0)
