@@ -675,6 +675,169 @@ object Dedup {
     SELECT d1, d2, cont FROM pairs WHERE cont >= 0.9 ORDER BY d1, d2
   """.trim
 
+  // ---- similarity join: top-k neighbors per document ---------------------
+
+  /** Per-document top-k most-similar neighbors (k = 3, word-3-gram
+    * Jaccard >= 0.3) — the set-similarity JOIN shape (each doc gets a
+    * ranked neighbor list) rather than the dedup PAIR shape: the
+    * primitive behind "find near-sources for this training doc",
+    * cluster seeding, and retrieval-style corpus exploration.
+    *
+    * Composition: the same df-ordered rare-shingle prefix index as
+    * [[qDedupNgram]] at the lower threshold (prefix length
+    * |d| - ceil(0.3·|d|) + 1 — the prefix-filtering lemma is threshold-
+    * parametric, so candidates stay provably complete for jac >= 0.3),
+    * exact Jaccard verification on candidates only, then the engine's
+    * custom [[graft.plans.TopKPerGroup]] physical operator for the
+    * per-doc top-3 — only k·groups·partitions rows cross its shuffle,
+    * no per-group full sort. 100 TB posture: candidate generation is
+    * index-bucketed (never all-pairs), verification touches candidates
+    * only, and the ranking stage is the bounded-heap operator — the
+    * lower threshold trades a denser index (~70% of shingles) for
+    * join recall, which is the knob a user tunes. */
+  def qSimJoinTopK(s: SparkSession, dir: String): DataFrame = {
+    val hsh = hashedShingles(t(s, dir, "documents"))
+      .filter(size(col("hs")) > 0)
+    val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+        .as("ord"))
+    val prefixLen = (size(col("ord")) -
+      ceil(size(col("ord")) * lit(0.3)).cast(IntegerType) + 1)
+    val prefix = ordered
+      .select(col("doc_id"),
+        explode(slice(col("ord"), lit(1), greatest(prefixLen, lit(0)))).as("e"))
+      .select(col("doc_id"), col("e.shingle").as("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("shingle"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .observe("simjoin_candidates", count(lit(1)).as("n_candidate_pairs"))
+    val inter = size(array_intersect(col("hs1"), col("hs2")))
+    val pairs = cand
+      .join(hsh.select(col("doc_id").as("d1"), col("hs").as("hs1")), Seq("d1"))
+      .join(hsh.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (inter.cast(DoubleType) /
+          (size(col("hs1")) + size(col("hs2")) - inter)).as("jac"))
+      .filter(col("jac") >= 0.3)
+    // the join is symmetric: emit both directions, then rank per doc
+    val both = pairs.select(col("d1").as("doc_id"), col("d2").as("neighbor"),
+        col("jac"))
+      .unionAll(pairs.select(col("d2").as("doc_id"), col("d1").as("neighbor"),
+        col("jac")))
+    graft.plans.TopKPerGroup(both, groupCols = Seq("doc_id"),
+        orderCols = Seq("jac" -> false, "neighbor" -> true), k = 3)
+      .orderBy(col("doc_id"), col("jac").desc, col("neighbor"))
+  }
+
+  val qSimJoinTopKSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingles
+      FROM toks WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS neighbor,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id != b.doc_id),
+    r AS (
+      SELECT doc_id, neighbor, jac,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac DESC, neighbor) AS rn
+      FROM pairs WHERE jac >= 0.3)
+    SELECT doc_id, neighbor, jac FROM r WHERE rn <= 3
+    ORDER BY doc_id, jac DESC, neighbor
+  """.trim
+
+  // ---- content-defined chunking (CDC) ------------------------------------
+
+  /** Content-defined chunking, word-level (the LBFS/rsync family:
+    * Muthitacharoen et al., SOSP'01 — boundaries from a rolling hash
+    * of local content): a chunk boundary opens after word i+3
+    * whenever the 64-bit hash of the 4-word window [i, i+3] ≡ 0
+    * (mod 8) — expected chunk ≈ 8 words. Because the boundary rule
+    * sees only a 4-word neighborhood, an insertion early in a
+    * document shifts every downstream OFFSET but the chunking
+    * re-synchronizes within one window, so repeated content keeps its
+    * chunk digests — the property fixed-size segmentation
+    * ([[qDedupParagraph]]) structurally lacks, and the reason CDC is
+    * the unit of dedup/delta storage systems.
+    *
+    * Shape: one corpus-linear explode to (doc_id, wpos, word), cut
+    * markers from the fused positional-md5 kernel, chunk ids by a
+    * per-doc running sum over the merged stream (cut sorts before the
+    * word it starts), digests per (doc, chunk) group. Shuffles carry
+    * words once and digests once; no all-pairs anywhere. The md5
+    * window hash is the DuckDB-replayable one (signed-int64 mod
+    * normalized on the oracle side). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val words = docs.select(col("doc_id"), posexplode(w))
+      .select(col("doc_id"), col("pos").cast(LongType).as("wpos"),
+        col("col").as("word"), lit(0).as("is_cut"))
+    val cuts = docs.select(col("doc_id"),
+        posexplode(graft.functions.md5_shingles_pos64(col("text"), 4)))
+      .filter(pmod(col("col"), lit(8)) === 0)
+      .select(col("doc_id"), (col("pos") + 4).cast(LongType).as("wpos"),
+        lit(null).cast(StringType).as("word"), lit(1).as("is_cut"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("wpos").asc, col("is_cut").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    words.unionAll(cuts)
+      .withColumn("chunk_id", sum(col("is_cut")).over(byDoc))
+      .filter(col("is_cut") === 0)
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wpos"), col("word")))),
+          s => s.getField("word")))).as("digest"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** Corpus-repeated CDC chunks: the shareable/dedupable units and
+    * their spread. */
+  def qCdcChunk(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(t(s, dir, "documents"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_words")).as("n_words"))
+      .filter(col("n_occ") > 1)
+      .orderBy("digest")
+
+  val qCdcChunkSql: String = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wpos AS (
+      SELECT doc_id, i - 1 AS wpos, w[i] AS word, 0 AS is_cut
+      FROM words, unnest(range(1, len(w) + 1)) t(i)),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+        (('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT
+          - CASE WHEN ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT >= 2147483648
+                 THEN 4294967296 ELSE 0 END) * 4294967296
+        + ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 9, 8))::BIGINT AS h
+      FROM words, unnest(range(1, len(w) - 2)) t(i)
+      WHERE len(w) >= 4),
+    cuts AS (
+      SELECT doc_id, pos + 4 AS wpos, NULL AS word, 1 AS is_cut
+      FROM wins WHERE ((h % 8) + 8) % 8 = 0),
+    u AS (SELECT * FROM wpos UNION ALL SELECT * FROM cuts),
+    asg AS (
+      SELECT doc_id, wpos, word, is_cut,
+        SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY wpos, is_cut DESC
+          ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM u),
+    ch AS (
+      SELECT doc_id, chunk_id, md5(string_agg(word, ' ' ORDER BY wpos)) AS digest,
+        COUNT(*) AS n_words
+      FROM asg WHERE is_cut = 0 GROUP BY doc_id, chunk_id)
+    SELECT digest, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+      MAX(n_words) AS n_words
+    FROM ch GROUP BY digest HAVING COUNT(*) > 1 ORDER BY digest
+  """.trim
+
   // ---- paragraph-level corpus dedup (C4-style) -------------------------
 
   /** Paragraph-granularity exact dedup with document reassembly — the
@@ -982,36 +1145,29 @@ object Dedup {
     * corpus (a count-over-key window — one shuffle, no join), (3) merge
     * overlapping/adjacent marked windows per document into maximal
     * spans (gaps-and-islands: a break when the gap to the previous
-    * marked position exceeds w — one per-doc shuffle). Windows are
-    * built by the same folded zip_with as [[shingled]] (slice refs
-    * outside the lambdas — a per-element `w[i]` re-splits the text
-    * once per window, O(len²) per doc).
+    * marked position exceeds w — one per-doc shuffle). Window hashes
+    * come from the fused codegen'd [[graft.functions.Md5ShinglesPos64]]
+    * kernel — one O(len) pass per row, no per-position string
+    * materialization (a folded zip_with building the window STRINGS
+    * then md5-ing each measured ~1.9x slower end-to-end).
     *
     * 100 TB posture: the only corpus-scale shuffle carries
-    * (doc_id, pos, 16-hex-char hash) ≈ 40 bytes/word — the unavoidable
+    * (doc_id, pos, 8-byte hash) ≈ 24 bytes/word — the unavoidable
     * index cost, linear in the corpus and paid once; text never leaves
     * the scan stage. Span assembly shuffles only MARKED positions,
-    * partitioned by doc_id. The md5-prefix key is what makes the DuckDB
-    * oracle replay the pipeline hash-for-hash (as dedup_simhash).
+    * partitioned by doc_id. The md5-derived key is what makes the
+    * DuckDB oracle replay the pipeline hash-for-hash (dedup_simhash's
+    * trick; the oracle groups on the equivalent md5 hex prefix — same
+    * equality classes, representation-free).
     */
   private[graft] def substringSpans(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = col("w")
-    val n = size(w)
-    // gram(k) = per-position joins of k consecutive words; fold to w=8
-    val gram8 = {
-      var g: Column = w
-      for (k <- 2 to SubstrWindow)
-        g = zip_with(g, slice(w, lit(k), greatest(n - (k - 1), lit(0))),
-          (a, b) => concat_ws(" ", a, b))
-      slice(g, lit(1), greatest(n - (SubstrWindow - 1), lit(0)))
-    }
     val wins = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(n >= SubstrWindow)
-      .select(col("doc_id"), posexplode(gram8))
+      .select(col("doc_id"),
+        posexplode(graft.functions.md5_shingles_pos64(
+          col("text"), SubstrWindow)))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        substring(md5(col("col")), 1, 16).as("h"))
+        col("col").as("h"))
     val marked = wins
       .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("c") > 1)

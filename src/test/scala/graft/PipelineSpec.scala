@@ -51,6 +51,44 @@ class PipelineSpec extends SparkSpec {
       s"false positives: $unexplained")
   }
 
+  test("simjoin top-k matches the brute-force neighbor ranking (k=3, jac >= 0.3)") {
+    val sym = exactPairs.toSeq.flatMap { case ((a, b), j) =>
+      Seq((a, b, j), (b, a, j)) }
+    val want = sym.groupBy(_._1).flatMap { case (_, ns) =>
+      ns.sortBy(n => (-n._3, n._2)).take(3)
+    }.toSet
+    val got = Dedup.qSimJoinTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("CDC chunking re-synchronizes after an insertion: shared content keeps its chunk digests at a shifted offset") {
+    val sp = spark; import sp.implicits._
+    val shared = (1 to 120).map(i => s"s$i").mkString(" ")
+    val noise = (1 to 17).map(i => s"n$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),            // shared content at offset 0
+      (2L, s"$noise $shared")  // same content shifted by 17 words
+    ).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val a = ch.filter(_._1 == 1L).map(_._2).toSet
+    val b = ch.filter(_._1 == 2L).map(_._2).toSet
+    val common = a & b
+    // every interior chunk of the shared span must re-align; only the
+    // boundary-straddling chunk at the splice (and doc 2's noise
+    // prefix) may differ. With ~15 chunks over 120 words, demand a
+    // strong majority shared.
+    assert(common.size >= a.size - 2 && common.size >= 3,
+      s"CDC failed to re-synchronize: ${common.size} of ${a.size} shared")
+    // and a fixed-size segmentation on the same pair would NOT share:
+    // 17-word shift misaligns every fixed boundary (sanity contrast)
+    val segA = shared.split(" ").grouped(8).map(_.mkString(" ")).toSet
+    val segB = (noise + " " + shared).split(" ").grouped(8)
+      .map(_.mkString(" ")).toSet
+    assert((segA & segB).size <= 1, "contrast baseline unexpectedly aligned")
+  }
+
   test("substring dedup: planted spans found, windows merged, islands split, short docs skipped") {
     val sp = spark; import sp.implicits._
     val shared  = (1 to 12).map(i => s"s$i").mkString(" ")
