@@ -95,6 +95,123 @@ object Graph {
       .orderBy(desc("pr"), col("doc_id"))
   }
 
+  /** Triangle census of the (undirected) document link graph —
+    * triangle count and global clustering coefficient, the standard
+    * structural-quality signals next to [[qPageRank]] (link farms
+    * show abnormal closure; organic link neighborhoods sit near the
+    * corpus mean).
+    *
+    * Algorithm: DEGREE-ORDERED ORIENTATION (Chiba–Nishizeki / the
+    * MapReduce form of Suri & Vassilvitskii 2011): orient every
+    * undirected edge toward the higher (degree, id) rank, enumerate
+    * wedges only at each edge pair's LOWEST-rank vertex, and close
+    * them against the oriented edge set. Every triangle is counted
+    * exactly once, and out-degrees are bounded by O(√m), so the wedge
+    * self-join — the step that explodes in a naive formulation (a
+    * celebrity node contributes deg² wedges) — stays O(m^1.5) total,
+    * the property that makes the plan survive a 100× scale-up.
+    *
+    * Exactness: counts are integers; the clustering coefficient
+    * 3·T / Σ deg·(deg−1)/2 is one double division — bit-equal on the
+    * DuckDB replay.
+    *
+    * Scale posture: two hash joins + one aggregation over edges; the
+    * undirected edge set and the oriented edge set are each
+    * materialized once (`localCheckpoint`) because both feed two
+    * consumers; no driver state beyond the node count. */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+    val n = nodes.count()
+    val targets = (1 to 3).map(k =>
+      hex4(concat(col("id").cast("string"), lit(s"#L$k"))) % n)
+    val und = nodes
+      .select(col("id").as("src"), explode(array(targets: _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees + orientation
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // rank = deg·2³² + id: one long that totally orders by (deg, id)
+    def rank(d: Column, id: Column): Column = d * 4294967296L + id
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(rank(col("da"), col("a")) < rank(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            rank(col("db"), col("b")).as("rv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            rank(col("da"), col("a")).as("rv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rv").as("rv"))
+      .localCheckpoint(true) // feeds wedge pairs + the closing probe
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("rv").as("rx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("rv").as("ry"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("rx") < col("ry"))
+    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    val tri = wedges.join(closing,
+        wedges("x") === closing("cu") && wedges("y") === closing("cv"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // merge the four single-row aggregates by union+max (a constant-key
+    // join would constant-fold into a nested-loop cross)
+    val nl = lit(null).cast("long")
+    def row(nn: Column, ne: Column, nw: Column, nt: Column) =
+      Seq(nn.as("n_nodes"), ne.as("n_edges"), nw.as("n_wedges"),
+        nt.as("n_triangles"))
+    val parts = Seq(
+      nodes.agg(count(lit(1)).as("c")).select(row(col("c"), nl, nl, nl): _*),
+      und.agg(count(lit(1)).as("c")).select(row(nl, col("c"), nl, nl): _*),
+      deg.agg(sum(expr("(deg * (deg - 1)) DIV 2")).as("c"))
+        .select(row(nl, nl, col("c"), nl): _*),
+      tri.select(row(nl, nl, nl, col("n_triangles")): _*))
+    parts.reduce(_ unionAll _)
+      .agg(max("n_nodes").as("n_nodes"), max("n_edges").as("n_edges"),
+        max("n_wedges").as("n_wedges"), max("n_triangles").as("n_triangles"))
+      .withColumn("clustering",
+        (col("n_triangles") * 3L).cast("double") /
+          col("n_wedges").cast("double"))
+  }
+
+  val qTriangleCountSql: String = {
+    val links = (1 to 3).map { k =>
+      s"""SELECT id AS src, ${duckHex4(s"CAST(id AS VARCHAR) || '#L$k'")}
+         |  % (SELECT n FROM nn) AS dst FROM nodes""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |dedges AS ($links),
+       |und AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM dedges WHERE src <> dst),
+       |deg AS (SELECT v, COUNT(*) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY v),
+       |orient AS (
+       |  SELECT CASE WHEN da.deg * 4294967296 + a < db.deg * 4294967296 + b
+       |              THEN a ELSE b END AS u,
+       |         CASE WHEN da.deg * 4294967296 + a < db.deg * 4294967296 + b
+       |              THEN b ELSE a END AS v,
+       |         CASE WHEN da.deg * 4294967296 + a < db.deg * 4294967296 + b
+       |              THEN db.deg * 4294967296 + b
+       |              ELSE da.deg * 4294967296 + a END AS rv
+       |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+       |wedge AS (
+       |  SELECT e1.v AS x, e2.v AS y
+       |  FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND e1.rv < e2.rv),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM wedge w JOIN orient e ON e.u = w.x AND e.v = w.y),
+       |wcnt AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+       |         FROM deg),
+       |ecnt AS (SELECT COUNT(*) AS n_edges FROM und)
+       |SELECT nn.n AS n_nodes, ecnt.n_edges, wcnt.n_wedges, tri.n_triangles,
+       |  CAST(tri.n_triangles * 3 AS DOUBLE) / CAST(wcnt.n_wedges AS DOUBLE)
+       |    AS clustering
+       |FROM nn, ecnt, wcnt, tri""".stripMargin
+  }
+
   private def duckHex4(x: String): String =
     (1 to 4).map { i =>
       val w = math.pow(16, 4 - i).toLong

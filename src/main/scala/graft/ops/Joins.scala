@@ -181,6 +181,30 @@ object Joins {
       .drop("_salt")
   }
 
+  /** User-facing salted-skew join row: lineitem ⋈ orders through
+    * [[saltedJoin]] (salts=8), aggregated per priority. The salt is
+    * an internal rewrite — provably answer-invariant — so the DuckDB
+    * oracle is the PLAIN join + aggregate, which is exactly the
+    * guarantee a user needs before turning salting on over a skewed
+    * 100 TB fact table: same rows, 8× the reducers on the hot key.
+    * Revenue sums ride decimal (order-independent exact). */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      "l_orderkey", "o_orderkey", 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  val qSkewJoinSql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+      ${dsumSql("l_extendedprice")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
   /** Cross join (`datafusion` CrossJoinExec lineage): cartesian
     * product of the two smallest dims, then a filter that is NOT an
     * equi-condition (so Catalyst cannot turn it into a hash join) —

@@ -137,6 +137,84 @@ object Privacy {
     FROM classes GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
 
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the gate
+    * AFTER [[qLDiversity]]: an l-diverse class still leaks when its
+    * sensitive-value DISTRIBUTION diverges from the table's (5
+    * distinct values that are 96% '5-LOW' tells an attacker plenty).
+    * Classes = (status, order year); sensitive = o_orderpriority, an
+    * ORDERED attribute, so closeness is the 1-D earth-mover's
+    * distance: t = Σᵢ |cum_class(i)/n − cum_global(i)/N| / (m−1),
+    * the normalized area between the two CDFs.
+    *
+    * Exactness: both CDFs stay as integer cumulative counts and the
+    * comparison is cross-multiplied — Σᵢ |cumᵢ·N − gcumᵢ·n| — so the
+    * whole EMD is ONE double division of exact integers (at 100 TB
+    * the products approach 2⁶³: swap the Σ term to decimal there).
+    *
+    * Scale posture: global distribution is one m+1-column aggregate
+    * row collected to the driver (bounded by m, the [[Sketches
+    * .heavyHitters]] precedent) and folded into the class-level
+    * expressions as literals; classes are one partial+final agg with
+    * the m per-category counts as conditional sums — no cross join of
+    * classes × categories, no window, one scan + one shuffle. */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val m = Priorities.size
+    val orders = t(s, dir, "orders").select(col("o_orderstatus"),
+      year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+    def catCounts(alias: Int => String) = Priorities.zipWithIndex.map {
+      case (p, i) => sum(when(col("o_orderpriority") === p, 1L)
+        .otherwise(0L)).as(alias(i))
+    }
+    val gAggs = count(lit(1)).as("n_total") +: catCounts(i => s"g$i")
+    val gRow = orders.agg(gAggs.head, gAggs.tail: _*).head()
+    val bigN = gRow.getAs[Long]("n_total")
+    val gcum = Priorities.indices
+      .map(i => gRow.getAs[Long](s"g$i")).scanLeft(0L)(_ + _).tail
+    val cAggs = count(lit(1)).as("n") +: catCounts(i => s"c$i")
+    val cums = Priorities.indices
+      .map(i => (0 to i).map(j => col(s"c$j")).reduce(_ + _))
+    val tNum = Priorities.indices
+      .map(i => abs(cums(i) * bigN - lit(gcum(i)) * col("n")))
+      .reduce(_ + _)
+    orders.groupBy(col("o_orderstatus"), col("yr"))
+      .agg(cAggs.head, cAggs.tail: _*)
+      .select(col("o_orderstatus"), col("yr"), col("n"),
+        (tNum.cast(DoubleType) /
+          (col("n") * bigN * (m - 1)).cast(DoubleType)).as("t"))
+      .withColumn("breach", col("t") > 0.15)
+      .orderBy("o_orderstatus", "yr")
+  }
+
+  val qTClosenessSql: String = {
+    def cat(i: Int, of: String) =
+      s"SUM(CASE WHEN o_orderpriority = '${Priorities(i)}' THEN 1 ELSE 0 END) AS $of$i"
+    val gSel = Priorities.indices.map(i => cat(i, "g")).mkString(", ")
+    val cSel = Priorities.indices.map(i => cat(i, "c")).mkString(", ")
+    def cum(of: String, i: Int) =
+      (0 to i).map(j => s"$of$j").mkString("(", " + ", ")")
+    val tNum = Priorities.indices
+      .map(i => s"ABS(${cum("c", i)} * g.n_total - ${cum("g", i)} * c.n)")
+      .mkString(" + ")
+    s"""WITH o AS (
+       |  SELECT o_orderstatus, EXTRACT(year FROM o_orderdate) AS yr,
+       |    o_orderpriority FROM orders),
+       |g AS (SELECT COUNT(*) AS n_total, $gSel FROM o),
+       |cls AS (
+       |  SELECT o_orderstatus, yr, COUNT(*) AS n, $cSel
+       |  FROM o GROUP BY 1, 2)
+       |SELECT c.o_orderstatus, c.yr, CAST(c.n AS BIGINT) AS n,
+       |  CAST($tNum AS DOUBLE)
+       |    / CAST(c.n * g.n_total * ${Priorities.size - 1} AS DOUBLE) AS t,
+       |  CAST($tNum AS DOUBLE)
+       |    / CAST(c.n * g.n_total * ${Priorities.size - 1} AS DOUBLE)
+       |    > 0.15 AS breach
+       |FROM cls c, g
+       |ORDER BY o_orderstatus, yr""".stripMargin
+  }
+
   /** The deterministic deletion list: a pure function of the key so
     * the oracle can recompute it (a real run would read a requests
     * table). ~3% of customers. */

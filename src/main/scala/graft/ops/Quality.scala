@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.sources.Tables
 
@@ -118,5 +119,67 @@ object Quality {
         * 10000.0 + 0.5) AS BIGINT) AS clipped_fx,
       (n_chars < lo OR n_chars > hi) AS is_outlier
     FROM documents, b ORDER BY doc_id
+  """.trim
+
+  /** Robust per-group outlier detection — median/MAD, the
+    * distribution-free counterpart to z-scores (a handful of corrupt
+    * billion-value rows drag a mean/stddev fence arbitrarily far; the
+    * median and the median-absolute-deviation have breakdown point
+    * 50%). Per priority class of orders: median price, MAD, and the
+    * rows outside median ± 5·MAD — the standard data-quality fence
+    * before a corpus-level numeric column is trusted.
+    *
+    * Exactness: prices become exact integer cents via a decimal(18,2)
+    * cast (the [[Relational.q1Agg]] money convention); a 0.5-quantile
+    * over integers interpolates to an exact .0/.5 double under ANY
+    * interpolation formula (values ≪ 2⁵³, midpoint exact), so Spark
+    * `percentile` and DuckDB `quantile_cont` agree bit-for-bit, as do
+    * the |x−med| deviations and the 5·MAD fence comparisons.
+    *
+    * Scale posture: groups are low-cardinality (the per-GROUP exact
+    * median is a grouped sort of class-local rows, partial-agg'd;
+    * for high-cardinality keys swap in `approx_quantile`'s GK path);
+    * medians re-attach by BROADCAST hash join — the fact table
+    * streams through map-side only, twice. */
+  def qRobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "orders").select(
+      col("o_orderpriority").as("pri"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"))
+    val med = cents.groupBy("pri")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = cents.join(broadcast(med), "pri")
+      .select(col("pri"), col("cents"), col("med"),
+        abs(col("cents") - col("med")).as("adev"))
+    val mad = dev.groupBy("pri")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "pri")
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("adev") > col("mad") * 5, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(when(col("adev") > col("mad") * 5, col("cents"))).as("worst_cents"))
+      .orderBy("pri")
+  }
+
+  val qRobustOutliersSql: String = """
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    m AS (SELECT pri, quantile_cont(cents, 0.5) AS med FROM c GROUP BY pri),
+    d AS (
+      SELECT c.pri, cents, med, ABS(cents - med) AS adev
+      FROM c JOIN m USING (pri)),
+    md AS (SELECT pri, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY pri)
+    SELECT d.pri, COUNT(*) AS n, MAX(d.med) AS med_cents,
+      MAX(md.mad) AS mad_cents,
+      CAST(SUM(CASE WHEN adev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers,
+      MAX(CASE WHEN adev > mad * 5 THEN cents END) AS worst_cents
+    FROM d JOIN md USING (pri)
+    GROUP BY d.pri ORDER BY d.pri
   """.trim
 }

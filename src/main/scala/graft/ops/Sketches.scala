@@ -90,6 +90,236 @@ object Sketches {
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
     heavyHitters(Tables(s, dir, "documents"), "text", 0.01)
 
+  // ---------------------------------------------------------------- KMV
+
+  private val KmvK = 256
+
+  /** 2^63 and 2^64 as exact doubles — the [-2^63, 2^63) signed-long
+    * domain maps to a [0,1) fraction with two correctly-rounded ops,
+    * so both engines compute the identical estimate. */
+  private val TwoPow63 = 9.223372036854776e18
+  private val TwoPow64 = 1.8446744073709552e19
+
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    * sketch over trigram-shingle sets, plus the KMV set-operation
+    * estimators (union size + Jaccard) between two corpus halves —
+    * the sketch a 100 TB pipeline ships per shard to answer "how many
+    * distinct shingles, and how much do two crawls overlap" without
+    * ever co-shuffling the shard vocabularies.
+    *
+    * Estimator: with h mapping elements uniformly into [0,1), the
+    * k-th smallest hash h_k of a set of D distinct elements
+    * concentrates at k/D, so D̂ = (k-1)/h_k (the unbiased form); a
+    * sketch that never filled (|set| < k) IS the exact distinct set.
+    * Jaccard: the k smallest hashes of A∪B are a uniform k-sample of
+    * the union, so the fraction of them belonging to BOTH sets
+    * estimates |A∩B|/|A∪B|; every union-sketch member that is in A is
+    * necessarily in A's own bottom-k (k smallest of a subset), so
+    * membership needs only the per-set sketches — sketches compose
+    * without revisiting the data.
+    *
+    * Determinism: the hash is the engine's fused [[graft.functions
+    * .md5_shingles64]] kernel (first 64 md5 bits, the cross-engine
+    * hash), the fraction map is two exact double ops, and the
+    * estimate one division — the DuckDB oracle replays every bit, so
+    * even the ESTIMATES are hash-checked (unlike HLL/GK whose sketch
+    * state is engine-private, SURVEY §2.12 oracle floor).
+    *
+    * Scale posture: per-part distinct hashes are one map-side-partial
+    * hash agg; bottom-k rides the [[graft.plans.TopKPerGroup]]
+    * physical operator (per-partition bounded heaps, k-capped
+    * shuffle) and the union sketch a TakeOrderedAndProject — nothing
+    * driver-side beyond the final ≤ 2k+3 rows. Output: one row per
+    * part (a, b) + one union row carrying the Jaccard estimators. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.md5_shingles64
+    val k = KmvK
+    def frac(h: org.apache.spark.sql.Column) =
+      (h.cast(DoubleType) + lit(TwoPow63)) / lit(TwoPow64)
+    def estOf(n: org.apache.spark.sql.Column, hk: org.apache.spark.sql.Column) =
+      when(n < k, n.cast(DoubleType)).otherwise(lit((k - 1).toDouble) / frac(hk))
+    val dh = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(when(col("doc_id") % 2 === 0, "a").otherwise("b").as("part"),
+        explode(md5_shingles64(col("text"), 3)).as("h"))
+      .distinct()
+      .localCheckpoint(true) // reused 5×: sketches, exacts, membership
+    val sk = graft.plans.TopKPerGroup(dh, Seq("part"), Seq("h" -> true), k)
+    val partRows = sk.groupBy("part")
+      .agg(count(lit(1)).as("sketch_n"), max("h").as("hk"))
+      .join(dh.groupBy("part").agg(count(lit(1)).as("n_exact")), "part")
+      .select(col("part"), col("n_exact"), col("sketch_n"),
+        estOf(col("sketch_n"), col("hk")).as("est"),
+        lit(null).cast(DoubleType).as("jacc_est"),
+        lit(null).cast(DoubleType).as("jacc_exact"))
+    val uh = dh.select("h").distinct()
+    val sku = uh.orderBy("h").limit(k) // TakeOrderedAndProject: k-capped
+    val flagged = sku
+      .join(dh.filter(col("part") === "a").select(col("h"), lit(1).as("ina")),
+        Seq("h"), "left")
+      .join(dh.filter(col("part") === "b").select(col("h"), lit(1).as("inb")),
+        Seq("h"), "left")
+    // three single-row aggregates merged by union+max (no join — a
+    // constant-key join would constant-fold into a nested-loop cross)
+    val nulls = lit(null).cast(LongType)
+    val ustat = flagged.agg(
+      count(lit(1)).as("sketch_n"), max("h").as("hk"),
+      sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+        .otherwise(0L)).as("n_inter"))
+      .select(col("sketch_n"), col("hk"), col("n_inter"),
+        nulls.as("n_exact"), nulls.as("n_int_exact"))
+    val uex = uh.agg(count(lit(1)).as("n_exact"))
+      .select(nulls.as("sketch_n"), nulls.as("hk"), nulls.as("n_inter"),
+        col("n_exact"), nulls.as("n_int_exact"))
+    val uinterEx = dh.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2).agg(count(lit(1)).as("n_int_exact"))
+      .select(nulls.as("sketch_n"), nulls.as("hk"), nulls.as("n_inter"),
+        nulls.as("n_exact"), col("n_int_exact"))
+    val unionRow = ustat.unionAll(uex).unionAll(uinterEx)
+      .agg(max("sketch_n").as("sketch_n"), max("hk").as("hk"),
+        max("n_inter").as("n_inter"), max("n_exact").as("n_exact"),
+        max("n_int_exact").as("n_int_exact"))
+      .select(lit("union").as("part"), col("n_exact"), col("sketch_n"),
+        estOf(col("sketch_n"), col("hk")).as("est"),
+        (col("n_inter").cast(DoubleType) / col("sketch_n")).as("jacc_est"),
+        (col("n_int_exact").cast(DoubleType) / col("n_exact")).as("jacc_exact"))
+    partRows.unionAll(unionRow).orderBy("part")
+  }
+
+  /** DuckDB replay: same shingle hash (signed first-64-md5-bits, the
+    * [[graft.ops.Dedup]] hex-parse form), same bottom-k, same two-op
+    * fraction map and divisions. */
+  val qKmvDistinctSql: String = {
+    val g = "array_to_string(w[i:i+2], ' ')"
+    val h64 =
+      s"""(('0x' || substr(md5($g), 1, 8))::BIGINT
+         |  - CASE WHEN ('0x' || substr(md5($g), 1, 8))::BIGINT >= 2147483648
+         |         THEN 4294967296 ELSE 0 END) * 4294967296
+         |+ ('0x' || substr(md5($g), 9, 8))::BIGINT""".stripMargin
+    def est(n: String, hk: String) =
+      s"""CASE WHEN $n < $KmvK THEN CAST($n AS DOUBLE)
+         |  ELSE CAST(${KmvK - 1} AS DOUBLE) /
+         |    ((CAST($hk AS DOUBLE) + CAST(9223372036854775808 AS DOUBLE))
+         |      / CAST(18446744073709551616 AS DOUBLE)) END""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
+       |sh AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS part,
+       |    $h64 AS h
+       |  FROM words, unnest(range(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 3),
+       |dh AS (SELECT DISTINCT part, h FROM sh),
+       |sk AS (SELECT part, h FROM (
+       |    SELECT part, h, ROW_NUMBER() OVER (PARTITION BY part ORDER BY h) rn
+       |    FROM dh) WHERE rn <= $KmvK),
+       |pstat AS (SELECT part, COUNT(*) AS n_exact FROM dh GROUP BY part),
+       |skstat AS (SELECT part, COUNT(*) AS sketch_n, MAX(h) AS hk
+       |           FROM sk GROUP BY part),
+       |uh AS (SELECT DISTINCT h FROM dh),
+       |sku AS (SELECT h FROM (
+       |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn FROM uh)
+       |  WHERE rn <= $KmvK),
+       |uflag AS (
+       |  SELECT s.h, a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb
+       |  FROM sku s
+       |  LEFT JOIN (SELECT h FROM dh WHERE part = 'a') a ON a.h = s.h
+       |  LEFT JOIN (SELECT h FROM dh WHERE part = 'b') b ON b.h = s.h),
+       |ustat AS (SELECT COUNT(*) AS sketch_n, MAX(h) AS hk,
+       |    SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS n_inter
+       |  FROM uflag),
+       |uex AS (SELECT COUNT(*) AS n_exact FROM uh),
+       |uinter AS (SELECT COUNT(*) AS n_int_exact FROM (
+       |    SELECT h FROM dh GROUP BY h HAVING COUNT(*) = 2))
+       |SELECT p.part, p.n_exact, s.sketch_n,
+       |  ${est("s.sketch_n", "s.hk")} AS est,
+       |  CAST(NULL AS DOUBLE) AS jacc_est, CAST(NULL AS DOUBLE) AS jacc_exact
+       |FROM pstat p JOIN skstat s USING (part)
+       |UNION ALL
+       |SELECT 'union', uex.n_exact, u.sketch_n,
+       |  ${est("u.sketch_n", "u.hk")},
+       |  CAST(u.n_inter AS DOUBLE) / u.sketch_n,
+       |  CAST(uinter.n_int_exact AS DOUBLE) / uex.n_exact
+       |FROM ustat u, uex, uinter
+       |ORDER BY part""".stripMargin
+  }
+
+  // ------------------------------------------------------- Count-Min
+
+  private val CmsD = 4   // hash rows
+  private val CmsW = 512 // buckets per row
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over the token
+    * stream, audited against exact counts: d=4 md5-derived hash rows
+    * × w=512 counters; a point estimate is the MIN over rows of the
+    * addressed counters, never an undercount, over by at most the
+    * collision mass (≤ 2N/w per row w.h.p.). The output probes the
+    * exact top-15 tokens and reports estimate vs truth — the
+    * error-audit a pipeline runs before trusting CMS counters for
+    * filtering decisions.
+    *
+    * Determinism: bucket addresses are md5-derived integers and every
+    * counter an integer sum — the DuckDB oracle replays sketch BUILD
+    * and PROBE bit-for-bit (same oracle-floor story as [[qKmvDistinct]]).
+    *
+    * Scale posture: token counts first collapse to one row per
+    * distinct word (map-side-partial agg — the sketch never sees the
+    * raw stream twice), then vocab×d cell contributions sum into a
+    * d×w=2048-cell table that is CONSTANT-SIZE in the corpus; probes
+    * broadcast-join the cell table. */
+  def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    def bucket(j: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(c, lit(s"#c$j"))), 1, 4), 16, 10)
+        .cast(LongType) % CmsW
+    def cellsOf(c: org.apache.spark.sql.Column) = array((1 to CmsD).map(j =>
+      struct(lit(j).as("j"), bucket(j, c).as("b"))): _*)
+    val counts = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused: sketch build + probe selection
+    val cells = counts
+      .select(col("n"), explode(cellsOf(col("word"))).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(sum("n").as("cell"))
+    counts.orderBy(desc("n"), col("word")).limit(15)
+      .select(col("word"), col("n"), explode(cellsOf(col("word"))).as("jb"))
+      .join(cells, col("jb.j") === cells("j") && col("jb.b") === cells("b"))
+      .groupBy("word")
+      .agg(max("n").as("n_exact"), min("cell").as("n_est"))
+      .select(col("word"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(desc("n_exact"), col("word"))
+  }
+
+  val qCmsFreqSql: String = {
+    def bucket(j: Int, c: String) =
+      s"('0x' || substr(md5($c || '#c$j'), 1, 4))::BIGINT % $CmsW"
+    val buildRows = (1 to CmsD).map(j =>
+      s"SELECT $j AS j, ${bucket(j, "word")} AS b, n FROM counts")
+      .mkString("\n  UNION ALL ")
+    val probeRows = (1 to CmsD).map(j =>
+      s"SELECT word, n, $j AS j, ${bucket(j, "word")} AS b FROM probes")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  WHERE text IS NOT NULL),
+       |counts AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+       |cells AS (
+       |  SELECT j, b, CAST(SUM(n) AS BIGINT) AS cell FROM (
+       |  $buildRows) GROUP BY j, b),
+       |probes AS (
+       |  SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 15),
+       |pj AS (
+       |  $probeRows)
+       |SELECT p.word, CAST(MAX(p.n) AS BIGINT) AS n_exact,
+       |  CAST(MIN(c.cell) AS BIGINT) AS n_est,
+       |  CAST(MIN(c.cell) - MAX(p.n) AS BIGINT) AS overcount
+       |FROM pj p JOIN cells c ON c.j = p.j AND c.b = p.b
+       |GROUP BY p.word
+       |ORDER BY n_exact DESC, word""".stripMargin
+  }
+
   val qHeavyHittersSql: String = """
     WITH w AS (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -1032,4 +1032,62 @@ object TextAnalysis {
        |SELECT * FROM ($finals) ORDER BY step
        |""".stripMargin
   }
+
+  /** Character-diversity quality gate (the Gopher/C4 rule family):
+    * per document, the character Simpson diversity index
+    * 1 − Σ n_c²/n² (low = repeated-character junk, near-max = uniform
+    * noise), the distinct-character count, and the exact mean word
+    * length — three of the standard cheap gibberish signals — plus
+    * the keep decision. Complements [[qQualityRepetition]] (word/
+    * n-gram level) at the character level.
+    *
+    * Exactness: Σ n_c² and the space count are integers; each derived
+    * metric is ONE double division of exact integers, so the DuckDB
+    * replay is bit-identical (no ln — Shannon entropy would not
+    * hash-check; Simpson is the collision-probability form of
+    * diversity and needs only integer sums).
+    *
+    * Scale: explode to (doc, char) pairs — bounded by |alphabet| per
+    * doc after the first partial agg — then two hash aggregations.
+    * No windows, no driver state. */
+  def qCharDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100 && col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "") // Spark split keeps a trailing ""
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
+      .groupBy("doc_id").agg(
+        sum("nc").as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("nc") * col("nc")).as("sq"),
+        sum(when(col("ch") === " ", col("nc")).otherwise(0L)).as("n_sp"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        col("n_distinct_chars"),
+        (lit(1.0) - col("sq").cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("simpson"),
+        ((col("n") - col("n_sp")).cast(DoubleType) /
+          (col("n_sp") + 1L).cast(DoubleType)).as("mean_word_len"))
+      .withColumn("kept",
+        col("simpson") >= 0.8 && col("mean_word_len").between(3.0, 10.0))
+      .orderBy("doc_id")
+
+  val qCharDiversitySql: String = """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+    per AS (SELECT doc_id, ch, COUNT(*) AS nc FROM ch GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, SUM(nc) AS n, COUNT(*) AS n_distinct_chars,
+        SUM(nc * nc) AS sq,
+        SUM(CASE WHEN ch = ' ' THEN nc ELSE 0 END) AS n_sp
+      FROM per GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+      1.0 - CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson,
+      CAST(n - n_sp AS DOUBLE) / CAST(n_sp + 1 AS DOUBLE) AS mean_word_len,
+      (1.0 - CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE)) >= 0.8
+        AND CAST(n - n_sp AS DOUBLE) / CAST(n_sp + 1 AS DOUBLE)
+          BETWEEN 3.0 AND 10.0 AS kept
+    FROM agg ORDER BY doc_id
+  """.trim
 }

@@ -53,6 +53,49 @@ object Streaming {
     FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
   """.trim
 
+  // ---- streaming top-k ----------------------------------------------------
+
+  /** Per-window per-user counts — the STREAMABLE half of the
+    * windowed-top-k pipeline: keyed watermark-bounded aggregation
+    * whose state is O(open windows × active users) and is dropped at
+    * window close. Ranking is deliberately NOT in this transform —
+    * append-mode streaming cannot rank inside an open window (the
+    * top-3 is unknowable until the watermark certifies no more
+    * arrivals), so the rank step runs downstream of window close:
+    * in batch via [[graft.plans.TopKPerGroup]], on a stream over the
+    * closed-window rows the sink receives (StreamingSpec drives
+    * exactly that and pins stream == batch). */
+  def windowedUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("user_id"), col("n"))
+
+  /** Top-3 most active users of every hourly window (batch twin):
+    * [[windowedUserCounts]] + the engine's grouped-top-k physical
+    * operator — per-partition bounded heaps, a 3-capped shuffle —
+    * never a full per-window sort. */
+  def qStreamTopk(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      windowedUserCounts(Tables(s, dir, "events")),
+      Seq("win_start"), Seq("n" -> false, "user_id" -> true), 3)
+      .orderBy(col("win_start"), col("n").desc, col("user_id"))
+
+  val qStreamTopkSql: String = """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, user_id,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT win_start, user_id, n,
+        ROW_NUMBER() OVER (PARTITION BY win_start
+          ORDER BY n DESC, user_id) AS rn
+      FROM c)
+    SELECT win_start, user_id, n FROM r WHERE rn <= 3
+    ORDER BY win_start, n DESC, user_id
+  """.trim
+
   // ---- stream-static enrichment join -------------------------------------
 
   /** Stream-static enrichment: each arriving event joins a BROADCAST

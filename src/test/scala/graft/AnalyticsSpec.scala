@@ -201,4 +201,68 @@ class AnalyticsSpec extends SparkSpec {
         s"lang ${r.getString(0)}: dropped fraction $frac outside the p5/p95 gate's plausible band")
     }
   }
+
+  test("triangle count matches a driver-side brute-force recount") {
+    val row = graft.ops.Graph.qTriangleCount(spark, sfDir).head()
+    val (nNodes, nEdges, nWedges, nTri) = (row.getAs[Long]("n_nodes"),
+      row.getAs[Long]("n_edges"), row.getAs[Long]("n_wedges"),
+      row.getAs[Long]("n_triangles"))
+    // rebuild the derived link graph driver-side (500 nodes, ~1500 edges)
+    def hex4(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString, 16)
+    val und = (for {
+      i <- 0L until nNodes
+      k <- 1 to 3
+      d = hex4(s"$i#L$k") % nNodes
+      if d != i
+    } yield (math.min(i, d), math.max(i, d))).toSet
+    assert(und.size.toLong == nEdges, s"edge count ${und.size} vs $nEdges")
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Set.empty[Long])
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(deg.values.map(d => d * (d - 1) / 2).sum == nWedges)
+    def linked(a: Long, b: Long) =
+      adj(math.min(a, b)).contains(math.max(a, b))
+    val bruteTri = und.toSeq.map { case (a, b) =>
+      // count common neighbors above b to hit each triangle once
+      (0L until nNodes).count(c => c != a && c != b &&
+        linked(a, c) && linked(b, c))
+    }.sum / 3 * 1L // each triangle counted once per edge = 3 times
+    assert(bruteTri.toLong == nTri,
+      s"brute-force $bruteTri vs distributed $nTri")
+    val cc = row.getAs[Double]("clustering")
+    assert(cc > 0.0 && cc <= 1.0 && 3 * nTri <= nWedges)
+  }
+
+  test("skew_join equals the unsalted join aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Joins.qSkewJoin(spark, sfDir).collect()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val want = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.ops.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("robust outliers: MAD fence is tighter than the data range and sane") {
+    val rows = graft.ops.Quality.qRobustOutliers(spark, sfDir).collect()
+    assert(rows.length == 5) // the five priorities
+    rows.foreach { r =>
+      val (n, out) = (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"))
+      assert(out >= 0 && out < n / 2,
+        s"breakdown violated: $out outliers of $n in ${r.getString(0)}")
+      assert(r.getAs[Double]("mad_cents") > 0.0)
+      if (out > 0)
+        assert(math.abs(r.getAs[Long]("worst_cents") -
+          r.getAs[Double]("med_cents")) >
+          5 * r.getAs[Double]("mad_cents"))
+    }
+  }
 }

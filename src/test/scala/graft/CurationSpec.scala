@@ -369,4 +369,32 @@ class CurationSpec extends SparkSpec {
     val again = graft.ops.Sampling.qCorpusShuffle(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("t-closeness: EMD is a normalized distance and the audit discriminates") {
+    val rows = Privacy.qTCloseness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("t")
+      assert(t >= 0.0 && t <= 1.0, s"EMD out of [0,1]: $r")
+      assert(r.getAs[Boolean]("breach") == (t > 0.15))
+    }
+    // a non-degenerate fixture has both close and divergent classes
+    val ts = rows.map(_.getAs[Double]("t"))
+    assert(ts.max > ts.min, "all classes equally close — audit is vacuous")
+  }
+
+  test("char diversity: simpson in range, prose keeps, degenerate text would not") {
+    val rows = TextAnalysis.qCharDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("simpson")
+      assert(s > 0.0 && s < 1.0, s"simpson out of range: $r")
+      assert(r.getAs[Long]("n_distinct_chars") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Double]("mean_word_len") > 0.0)
+    }
+    // the fixture corpus is word-salad prose: multi-char alphabet and
+    // space-separated words must clear the diversity gate
+    assert(rows.count(_.getAs[Boolean]("kept")) > rows.length / 2,
+      "prose corpus mostly rejected — gate thresholds are wrong")
+  }
 }

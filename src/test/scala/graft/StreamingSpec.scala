@@ -941,4 +941,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 10.0, 20.0), (2L, 20.0, 40.0), (3L, 30.0, 60.0)),
       s"CDC loop lost or duplicated rows: $got")
   }
+
+  test("windowed top-k: streamed closed-window counts rank to the batch answer") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = Streaming.windowedUserCounts(events).writeStream
+      .format("memory").queryName("topk_counts")
+      .outputMode("append").start()
+    try {
+      // 10:00 window: user 1 ×3, user 2 ×2, users 3..5 ×1 — top-3 is
+      // (1,3),(2,2),(3,1) with the id tie-break killing 4 and 5
+      val base = Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L, 5L).zipWithIndex.map {
+        case (u, i) => (ts(f"2024-01-01 10:${i * 5}%02d:00"), u)
+      }
+      in.addData(base: _*)
+      q.processAllAvailable()
+      assert(sp.table("topk_counts").count() == 0, "window emitted early")
+      in.addData((ts("2024-01-01 12:00:00"), 9L)) // advance the watermark
+      q.processAllAvailable()
+      val closed = sp.table("topk_counts")
+        .filter(col("win_start") === ts("2024-01-01 10:00:00"))
+      val ranked = graft.plans.TopKPerGroup(closed, Seq("win_start"),
+        Seq("n" -> false, "user_id" -> true), 3)
+        .select("user_id", "n").as[(Long, Long)].collect().toSet
+      assert(ranked == Set((1L, 3L), (2L, 2L), (3L, 1L)),
+        s"streamed top-3 diverged: $ranked")
+      // batch twin over the identical rows gives the identical answer
+      val batch = Streaming.windowedUserCounts(
+        base.toDF("ts", "user_id"))
+        .filter(col("win_start") === ts("2024-01-01 10:00:00"))
+      val batchRanked = graft.plans.TopKPerGroup(batch, Seq("win_start"),
+        Seq("n" -> false, "user_id" -> true), 3)
+        .select("user_id", "n").as[(Long, Long)].collect().toSet
+      assert(batchRanked == ranked)
+    } finally q.stop()
+  }
 }
