@@ -696,8 +696,12 @@ object Dedup {
     * lower threshold trades a denser index (~70% of shingles) for
     * join recall, which is the knob a user tunes. */
   def qSimJoinTopK(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the kernel output feeds the df-index build,
+    // the prefix self-join AND both sides of the verify join — without
+    // this the whole-corpus shingle hash re-runs 4x
     val hsh = hashedShingles(t(s, dir, "documents"))
       .filter(size(col("hs")) > 0)
+      .localCheckpoint(true)
     val ex = hsh.select(col("doc_id"), explode(col("hs")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfreq, Seq("shingle"))
@@ -706,12 +710,25 @@ object Dedup {
         .as("ord"))
     val prefixLen = (size(col("ord")) -
       ceil(size(col("ord")) * lit(0.3)).cast(IntegerType) + 1)
+    // prefix entries keep (position, set size) for the PPJoin
+    // positional filter below (Xiao et al., WWW'08)
     val prefix = ordered
-      .select(col("doc_id"),
-        explode(slice(col("ord"), lit(1), greatest(prefixLen, lit(0)))).as("e"))
-      .select(col("doc_id"), col("e.shingle").as("shingle"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        posexplode(slice(col("ord"), lit(1), greatest(prefixLen, lit(0)))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"),
+        col("col.shingle").as("shingle"))
+      .localCheckpoint(true) // both self-join sides
+    // positional filter: Jaccard >= 0.3 needs overlap >= 3/13·(n1+n2),
+    // and at the FIRST common prefix shingle (df order is global, so
+    // everything earlier is disjoint) achievable overlap is at most
+    // 1 + min(remaining suffix lengths) — pairs that cannot reach the
+    // bound never reach distinct() or the verify join. Integer-exact,
+    // provably no false negatives, so the answer (and oracle) is
+    // unchanged: the filter prunes candidates, never survivors.
     val cand = prefix.as("a").join(prefix.as("b"), Seq("shingle"))
-      .where(col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        (lit(1) + least(col("a.n") - col("a.pos"),
+          col("b.n") - col("b.pos"))) * 13 >= (col("a.n") + col("b.n")) * 3)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
       .observe("simjoin_candidates", count(lit(1)).as("n_candidate_pairs"))
