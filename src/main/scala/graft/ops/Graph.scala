@@ -134,8 +134,13 @@ object Graph {
       .localCheckpoint(true) // feeds degrees + orientation
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    // rank = deg·2³² + id: one long that totally orders by (deg, id)
-    def rank(d: Column, id: Column): Column = d * 4294967296L + id
+    // rank = struct(deg, id): Spark compares structs lexicographically,
+    // so this totally orders by (deg, id) with NO width assumption on
+    // either field — ids up to Long.MaxValue and celebrity degrees
+    // both compare correctly (a packed deg·2³² + id long would
+    // silently collide/overflow past 2³² ids)
+    def rank(d: Column, id: Column): Column =
+      struct(d.as("d"), id.as("i"))
     val oriented = und
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")

@@ -159,7 +159,15 @@ object Privacy {
     * .heavyHitters]] precedent) and folded into the class-level
     * expressions as literals; classes are one partial+final agg with
     * the m per-category counts as conditional sums — no cross join of
-    * classes × categories, no window, one scan + one shuffle. */
+    * classes × categories, no window, one scan + one shuffle.
+    *
+    * Eager-action note: the global-distribution `head()` below runs a
+    * full-scan job AT PLAN-BUILD time (same precedent as
+    * heavyHitters), so constructing this DataFrame is not free and
+    * the folded literals snapshot the table as of build time — a
+    * table mutated between build and execution would make the
+    * t-statistics stale. Acceptable for a batch audit; a live
+    * pipeline should rebuild the frame per run. */
   def qTCloseness(s: SparkSession, dir: String): DataFrame = {
     val m = Priorities.size
     val orders = t(s, dir, "orders").select(col("o_orderstatus"),

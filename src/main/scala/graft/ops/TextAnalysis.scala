@@ -1049,7 +1049,16 @@ object TextAnalysis {
     *
     * Scale: explode to (doc, char) pairs — bounded by |alphabet| per
     * doc after the first partial agg — then two hash aggregations.
-    * No windows, no driver state. */
+    * No windows, no driver state.
+    *
+    * Unicode contract (documented, oracle-checked): `split(text, "")`
+    * splits UTF-16 CODE UNITS in Spark but CODE POINTS in the DuckDB
+    * replay, so the two diverge on non-BMP characters (surrogate
+    * pairs split in half on the Spark side). The engine's corpus
+    * fixtures are ASCII; a deployment over astral-plane text should
+    * switch this explode to a code-point kernel (regex
+    * `"(?s)(?=.)"` with DOTALL matches per code point) before
+    * trusting per-char counts. */
   def qCharDiversity(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(col("doc_id") < 100 && col("text").isNotNull)

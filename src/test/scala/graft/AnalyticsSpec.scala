@@ -230,8 +230,8 @@ class AnalyticsSpec extends SparkSpec {
     val bruteTri = und.toSeq.map { case (a, b) =>
       // count common neighbors above b to hit each triangle once
       (0L until nNodes).count(c => c != a && c != b &&
-        linked(a, c) && linked(b, c))
-    }.sum / 3 * 1L // each triangle counted once per edge = 3 times
+        linked(a, c) && linked(b, c)).toLong
+    }.sum / 3 // Long accumulation: no Int overflow if the fixture grows
     assert(bruteTri.toLong == nTri,
       s"brute-force $bruteTri vs distributed $nTri")
     val cc = row.getAs[Double]("clustering")

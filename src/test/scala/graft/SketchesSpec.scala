@@ -47,10 +47,13 @@ class SketchesSpec extends SparkSpec {
       assert(over >= 0, s"CMS undercounted ${r.getString(0)}: $over")
       assert(r.getAs[Long]("n_est") ===
         r.getAs[Long]("n_exact") + over)
-      // d=4 independent rows: expected collision mass N/w per row;
-      // min over rows stays within 4 * N/w with wide margin
-      assert(over <= 4L * totalTokens / 512,
-        s"overcount $over above the epsilon bound for N=$totalTokens")
+      // REGRESSION PIN, not an invariant: the ≤ 8·N/w margin is a
+      // with-high-probability bound that the deterministic fixture +
+      // fixed hash salts comfortably satisfy; a legitimate hash/seed
+      // change could exceed it (then re-pin), but a silent kernel
+      // regression that inflates collisions will trip it first
+      assert(over <= 8L * totalTokens / 512,
+        s"overcount $over above the pinned margin for N=$totalTokens")
     }
     // probes are the exact global top-15 - counts must be descending
     val ns = rows.map(_.getAs[Long]("n_exact"))
