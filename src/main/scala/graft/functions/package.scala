@@ -97,6 +97,12 @@ package object functions {
   /** castVARCHAR(x, len): cast to string truncated to len chars. */
   def castVARCHAR(c: Column, len: Int): Column =
     substring(c.cast(StringType), 1, len)
+  /** convert_fromUTF8(binary) → string (function_registry_string.cc:
+    * 20-97 convert_fromUTF8): reinterpret UTF-8 bytes as text. Spark's
+    * binary→string cast is the same no-validation reinterpretation. */
+  def convert_fromUTF8(c: Column): Column = c.cast(StringType)
+  /** convert_toUTF8 / binary cast: text → its UTF-8 bytes. */
+  def convert_toUTF8(c: Column): Column = c.cast(BinaryType)
   def like(c: Column, pattern: String): Column = c.like(pattern)
   /** substr/substring — 1-based offset like the reference. */
   def substr(c: Column, pos: Int, len: Int): Column = substring(c, pos, len)

@@ -3,10 +3,12 @@ package graft.ops
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, DecimalVector, FieldVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.complex.{ListVector, MapVector, StructVector}
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
-import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -40,16 +42,50 @@ import graft.sources.Tables
   * winning attempt (first successful rename wins; losers delete
   * their temp).
   *
-  * Type subset (documented convention): BIGINT, INT, FLOAT, DOUBLE,
-  * STRING, BOOLEAN, BINARY, DATE, TIMESTAMP(µs, UTC) — nullable
-  * throughout. Nested/decimal types travel via parquet, our primary
-  * interchange (SURVEY §2.1).
+  * Type coverage: the nine flat primitives BIGINT, INT, FLOAT,
+  * DOUBLE, STRING, BOOLEAN, BINARY, DATE, TIMESTAMP(µs, UTC) — plus
+  * the reference's nested/parametric wire types (`format/Schema.fbs:
+  * 235-261` union Type): LIST, STRUCT, MAP and DECIMAL(p,s) as
+  * 128-bit, arbitrarily recursive (`list<float>` embeddings,
+  * `map<string,bigint>` properties, decimal money columns all travel
+  * losslessly). Nullable throughout, at every nesting level.
   */
 object Ipc {
 
-  private[graft] def toArrowSchema(s: StructType): ArrowSchema = {
-    val fields = s.fields.map { f =>
-      val t = f.dataType match {
+  private def ft(nullable: Boolean, t: ArrowType): FieldType =
+    if (nullable) FieldType.nullable(t) else FieldType.notNullable(t)
+
+  private val NoKids = java.util.Collections.emptyList[Field]
+
+  /** Spark field → Arrow field, recursing through LIST/STRUCT/MAP.
+    * Child naming follows the Arrow Java conventions ("element" for
+    * list items; MapVector.DATA_VECTOR_NAME/KEY_NAME/VALUE_NAME for
+    * maps) so files interchange with any Arrow implementation. */
+  private[graft] def toArrowField(name: String, dt: DataType,
+      nullable: Boolean): Field = dt match {
+    case ArrayType(et, containsNull) =>
+      new Field(name, ft(nullable, ArrowType.List.INSTANCE),
+        java.util.Collections.singletonList(
+          toArrowField("element", et, containsNull)))
+    case st: StructType =>
+      new Field(name, ft(nullable, ArrowType.Struct.INSTANCE),
+        st.fields.map(f => toArrowField(f.name, f.dataType, f.nullable))
+          .toSeq.asJava)
+    case MapType(kt, vt, valueContainsNull) =>
+      // map = list<entries: struct<key (non-null), value>>; the
+      // entries struct itself is non-nullable per the Arrow spec
+      val entries = new Field(MapVector.DATA_VECTOR_NAME,
+        ft(nullable = false, ArrowType.Struct.INSTANCE),
+        java.util.Arrays.asList(
+          toArrowField(MapVector.KEY_NAME, kt, nullable = false),
+          toArrowField(MapVector.VALUE_NAME, vt, valueContainsNull)))
+      new Field(name, ft(nullable, new ArrowType.Map(false)),
+        java.util.Collections.singletonList(entries))
+    case d: DecimalType =>
+      new Field(name,
+        ft(nullable, new ArrowType.Decimal(d.precision, d.scale, 128)), NoKids)
+    case flat =>
+      val t = flat match {
         case LongType      => new ArrowType.Int(64, true)
         case IntegerType   => new ArrowType.Int(32, true)
         case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
@@ -63,12 +99,15 @@ object Ipc {
         // applies upstream of this sink)
         case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
         case other => throw new IllegalArgumentException(
-          s"IPC sink supports bigint/int/float/double/string/bool/binary/date/timestamp, got $other for ${f.name}")
+          s"IPC sink supports bigint/int/float/double/string/bool/binary/" +
+            s"date/timestamp/decimal/array/struct/map, got $other for $name")
       }
-      new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList[Field])
-    }
-    new ArrowSchema(fields.toSeq.asJava)
+      new Field(name, ft(nullable, t), NoKids)
   }
+
+  private[graft] def toArrowSchema(s: StructType): ArrowSchema =
+    new ArrowSchema(s.fields.map(f =>
+      toArrowField(f.name, f.dataType, nullable = true)).toSeq.asJava)
 
   private[graft] def toSparkType(f: Field): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
@@ -82,32 +121,96 @@ object Ipc {
     case _: ArrowType.Binary => BinaryType
     case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
     case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND => TimestampType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case _: ArrowType.List =>
+      val elem = f.getChildren.get(0)
+      ArrayType(toSparkType(elem), containsNull = elem.isNullable)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.toSeq.map(ch =>
+        StructField(ch.getName, toSparkType(ch), nullable = ch.isNullable)))
+    case _: ArrowType.Map =>
+      val entries = f.getChildren.get(0)
+      val vf = entries.getChildren.get(1)
+      MapType(toSparkType(entries.getChildren.get(0)), toSparkType(vf),
+        valueContainsNull = vf.isNullable)
     case other => throw new IllegalArgumentException(
-      s"IPC source supports bigint/int/float/double/string/bool/binary/date/timestamp, got $other for ${f.getName}")
+      s"IPC source supports bigint/int/float/double/string/bool/binary/" +
+        s"date/timestamp/decimal/list/struct/map, got $other for ${f.getName}")
   }
 
   /** Shared per-type copy kernels between Spark external rows and
     * Arrow vectors (the Row-based writeIpc/readIpc paths; the DSv2
-    * writer has its own InternalRow variant). */
-  private[graft] def setFromRow(vec: org.apache.arrow.vector.FieldVector,
-      r: Int, row: Row, c: Int): Unit = vec match {
-    case v: BigIntVector => v.setSafe(r, row.getLong(c))
-    case v: IntVector    => v.setSafe(r, row.getInt(c))
-    case v: Float8Vector => v.setSafe(r, row.getDouble(c))
-    case v: Float4Vector => v.setSafe(r, row.getFloat(c))
-    case v: VarCharVector =>
-      v.setSafe(r, row.getString(c).getBytes("UTF-8"))
-    case v: BitVector => v.setSafe(r, if (row.getBoolean(c)) 1 else 0)
-    case v: VarBinaryVector => v.setSafe(r, row.getAs[Array[Byte]](c))
-    case v: DateDayVector =>
-      v.setSafe(r, row.getDate(c).toLocalDate.toEpochDay.toInt)
-    case v: TimeStampMicroTZVector =>
-      val ts = row.getTimestamp(c)
-      v.setSafe(r, math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
-  }
+    * writer uses the Catalyst-encoded variants below). Nested vectors
+    * recurse: a value skipped (null) at any level stays invalid in the
+    * Arrow validity bitmap — Arrow Java's fill-holes machinery
+    * (variable-width fillEmpties, ListVector lastSet) keeps offset
+    * buffers consistent around the gaps. */
+  private[graft] def setFromRow(vec: FieldVector,
+      r: Int, row: Row, c: Int): Unit = setExternal(vec, r, row.get(c))
 
-  private[graft] def getToAny(vec: org.apache.arrow.vector.FieldVector,
-      r: Int): Any = vec match {
+  /** External (Row-side) value → Arrow vector slot. `value` is
+    * non-null; Scala Seq/Array for lists, Row for structs,
+    * scala.collection.Map for maps, java.math.BigDecimal for
+    * decimals. */
+  private[graft] def setExternal(vec: FieldVector, r: Int, value: Any): Unit =
+    vec match {
+      case v: BigIntVector => v.setSafe(r, value.asInstanceOf[Long])
+      case v: IntVector    => v.setSafe(r, value.asInstanceOf[Int])
+      case v: Float8Vector => v.setSafe(r, value.asInstanceOf[Double])
+      case v: Float4Vector => v.setSafe(r, value.asInstanceOf[Float])
+      case v: VarCharVector =>
+        v.setSafe(r, value.asInstanceOf[String].getBytes("UTF-8"))
+      case v: BitVector => v.setSafe(r, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case v: VarBinaryVector => v.setSafe(r, value.asInstanceOf[Array[Byte]])
+      case v: DateDayVector =>
+        v.setSafe(r, value.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case v: TimeStampMicroTZVector =>
+        val ts = value.asInstanceOf[java.sql.Timestamp]
+        v.setSafe(r, math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+      case v: DecimalVector =>
+        // setScale to the vector's declared scale: Arrow stores the
+        // unscaled int128; a mismatched-scale BigDecimal would throw
+        v.setSafe(r, value.asInstanceOf[java.math.BigDecimal]
+          .setScale(v.getScale))
+      case v: MapVector => // before ListVector: MapVector extends it
+        val m = value.asInstanceOf[scala.collection.Map[Any, Any]]
+        val start = v.startNewValue(r)
+        val entries = v.getDataVector.asInstanceOf[StructVector]
+        val kv = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]
+        val vv = entries.getChildByOrdinal(1).asInstanceOf[FieldVector]
+        var i = 0
+        m.foreach { case (k, mv) =>
+          entries.setIndexDefined(start + i)
+          setExternal(kv, start + i, k)
+          if (mv != null) setExternal(vv, start + i, mv)
+          i += 1
+        }
+        v.endValue(r, m.size)
+      case v: ListVector =>
+        val seq: scala.collection.Seq[Any] = value match {
+          case s: scala.collection.Seq[_] => s
+          case a: Array[_] => scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+        }
+        val start = v.startNewValue(r)
+        val dv = v.getDataVector
+        var i = 0
+        seq.foreach { e =>
+          if (e != null) setExternal(dv, start + i, e)
+          i += 1
+        }
+        v.endValue(r, seq.length)
+      case v: StructVector =>
+        val row = value.asInstanceOf[Row]
+        v.setIndexDefined(r)
+        val kids = v.getChildrenFromFields
+        var i = 0
+        while (i < kids.size()) {
+          if (!row.isNullAt(i)) setExternal(kids.get(i), r, row.get(i))
+          i += 1
+        }
+    }
+
+  private[graft] def getToAny(vec: FieldVector, r: Int): Any = vec match {
     case v: BigIntVector    => v.get(r)
     case v: IntVector       => v.get(r)
     case v: Float8Vector    => v.get(r)
@@ -122,14 +225,203 @@ object Ipc {
       val ts = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
       ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
       ts
+    case v: DecimalVector => v.getObject(r) // java.math.BigDecimal
+    case v: MapVector => // before ListVector: MapVector extends it
+      val start = v.getElementStartIndex(r)
+      val end = v.getElementEndIndex(r)
+      val entries = v.getDataVector.asInstanceOf[StructVector]
+      val kv = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]
+      val vv = entries.getChildByOrdinal(1).asInstanceOf[FieldVector]
+      val b = scala.collection.immutable.Map.newBuilder[Any, Any]
+      var i = start
+      while (i < end) {
+        b += ((getToAny(kv, i), if (vv.isNull(i)) null else getToAny(vv, i)))
+        i += 1
+      }
+      b.result()
+    case v: ListVector =>
+      val start = v.getElementStartIndex(r)
+      val end = v.getElementEndIndex(r)
+      val dv = v.getDataVector
+      val out = new Array[Any](end - start)
+      var i = start
+      while (i < end) {
+        out(i - start) = if (dv.isNull(i)) null else getToAny(dv, i)
+        i += 1
+      }
+      out.toIndexedSeq
+    case v: StructVector =>
+      val kids = v.getChildrenFromFields
+      val out = new Array[Any](kids.size())
+      var i = 0
+      while (i < kids.size()) {
+        val ch = kids.get(i)
+        out(i) = if (ch.isNull(r)) null else getToAny(ch, r)
+        i += 1
+      }
+      Row.fromSeq(out.toIndexedSeq)
   }
+
+  /** Catalyst-encoded value → Arrow vector slot, the DSv2 writer's
+    * kernel ([[graft.sources.ipc.IpcDataSource]]). `value` is non-null
+    * and carries InternalRow encodings: UTF8String, days-int dates,
+    * µs-long timestamps, Decimal, ArrayData, InternalRow, MapData. */
+  private[graft] def setCatalystValue(vec: FieldVector, r: Int,
+      dt: DataType, value: Any): Unit = vec match {
+    case v: BigIntVector => v.setSafe(r, value.asInstanceOf[Long])
+    case v: IntVector    => v.setSafe(r, value.asInstanceOf[Int])
+    case v: Float8Vector => v.setSafe(r, value.asInstanceOf[Double])
+    case v: Float4Vector => v.setSafe(r, value.asInstanceOf[Float])
+    case v: VarCharVector =>
+      v.setSafe(r, value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    case v: BitVector => v.setSafe(r, if (value.asInstanceOf[Boolean]) 1 else 0)
+    case v: VarBinaryVector => v.setSafe(r, value.asInstanceOf[Array[Byte]])
+    case v: DateDayVector => v.setSafe(r, value.asInstanceOf[Int])
+    case v: TimeStampMicroTZVector => v.setSafe(r, value.asInstanceOf[Long])
+    case v: DecimalVector =>
+      v.setSafe(r, value.asInstanceOf[Decimal].toJavaBigDecimal
+        .setScale(v.getScale))
+    case v: MapVector => // before ListVector: MapVector extends it
+      val mt = dt.asInstanceOf[MapType]
+      val m = value.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray(); val vals = m.valueArray()
+      val start = v.startNewValue(r)
+      val entries = v.getDataVector.asInstanceOf[StructVector]
+      val kv = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]
+      val vv = entries.getChildByOrdinal(1).asInstanceOf[FieldVector]
+      var i = 0
+      val n = m.numElements()
+      while (i < n) {
+        entries.setIndexDefined(start + i)
+        setCatalystValue(kv, start + i, mt.keyType, keys.get(i, mt.keyType))
+        if (!vals.isNullAt(i))
+          setCatalystValue(vv, start + i, mt.valueType, vals.get(i, mt.valueType))
+        i += 1
+      }
+      v.endValue(r, n)
+    case v: ListVector =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      val arr = value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val start = v.startNewValue(r)
+      val dv = v.getDataVector
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) setCatalystValue(dv, start + i, et, arr.get(i, et))
+        i += 1
+      }
+      v.endValue(r, n)
+    case v: StructVector =>
+      val st = dt.asInstanceOf[StructType]
+      val row = value.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      v.setIndexDefined(r)
+      val kids = v.getChildrenFromFields
+      var i = 0
+      while (i < kids.size()) {
+        if (!row.isNullAt(i))
+          setCatalystValue(kids.get(i), r, st.fields(i).dataType,
+            row.get(i, st.fields(i).dataType))
+        i += 1
+      }
+  }
+
+  /** Arrow vector slot → Catalyst-encoded value, the DSv2 row-based
+    * reader's kernel (the columnar path wraps vectors in Spark's own
+    * nested-aware ArrowColumnVector instead). */
+  private[graft] def getCatalystValue(vec: FieldVector, r: Int): Any =
+    vec match {
+      case v: BigIntVector    => v.get(r)
+      case v: IntVector       => v.get(r)
+      case v: Float8Vector    => v.get(r)
+      case v: Float4Vector    => v.get(r)
+      case v: VarCharVector   =>
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(v.get(r))
+      case v: BitVector       => v.get(r) == 1
+      case v: VarBinaryVector => v.get(r)
+      // Catalyst encodings: date = days int, timestamp = µs long
+      case v: DateDayVector          => v.get(r)
+      case v: TimeStampMicroTZVector => v.get(r)
+      case v: DecimalVector =>
+        Decimal(v.getObject(r), v.getPrecision, v.getScale)
+      case v: MapVector => // before ListVector: MapVector extends it
+        val start = v.getElementStartIndex(r)
+        val end = v.getElementEndIndex(r)
+        val entries = v.getDataVector.asInstanceOf[StructVector]
+        val kv = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]
+        val vv = entries.getChildByOrdinal(1).asInstanceOf[FieldVector]
+        val keys = new Array[Any](end - start)
+        val vals = new Array[Any](end - start)
+        var i = start
+        while (i < end) {
+          keys(i - start) = getCatalystValue(kv, i)
+          vals(i - start) = if (vv.isNull(i)) null else getCatalystValue(vv, i)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+      case v: ListVector =>
+        val start = v.getElementStartIndex(r)
+        val end = v.getElementEndIndex(r)
+        val dv = v.getDataVector
+        val out = new Array[Any](end - start)
+        var i = start
+        while (i < end) {
+          out(i - start) = if (dv.isNull(i)) null else getCatalystValue(dv, i)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case v: StructVector =>
+        val kids = v.getChildrenFromFields
+        val out = new Array[Any](kids.size())
+        var i = 0
+        while (i < kids.size()) {
+          val ch = kids.get(i)
+          out(i) = if (ch.isNull(r)) null else getCatalystValue(ch, r)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    }
 
   private[graft] val BatchRows = 4096
 
   /** Distributed IPC write: each task streams its partition into its
     * own Arrow file in `dir`, batching [[BatchRows]] rows per record
     * batch — rows never leave their executor. */
-  def writeIpc(df: DataFrame, dir: String): Unit = {
+  def writeIpc(df: DataFrame, dir: String): Unit =
+    writeIpcFiles(df, dir, Map.empty)
+
+  /** Dictionary-encoded IPC write (`format/Message.fbs` DictionaryBatch,
+    * `cpp/src/arrow/ipc/writer.h:54` dictionary support): the named
+    * low-cardinality STRING columns ship as int32 indices plus one
+    * dictionary batch per file instead of repeated UTF-8 bytes.
+    *
+    * The dictionary is GLOBAL and driver-built: one distinct-scan job
+    * collects each column's value set (sorted, so ids are
+    * deterministic), bounded at 65536 values — dictionary encoding is
+    * for columns you KNOW are low-cardinality (statuses, priorities,
+    * country codes); anything wider should ship plain — and the
+    * arrays ride the task closure (same broadcast-sized-dimension
+    * posture as the engine's other driver-collected bounds). Every
+    * file carries the full dictionary, so each stays self-describing
+    * and the readers never coordinate across files. [[readIpc]]
+    * decodes transparently. */
+  def writeIpcDict(df: DataFrame, dir: String, dictCols: Seq[String]): Unit = {
+    val dicts: Map[String, Array[String]] = dictCols.map { c =>
+      require(df.schema(c).dataType == StringType,
+        s"dictionary-encoded column $c must be string, is ${df.schema(c).dataType}")
+      val vals = df.select(col(c)).na.drop().distinct().orderBy(col(c))
+        .collect().map(_.getString(0))
+      require(vals.length <= 65536,
+        s"column $c has ${vals.length} distinct values — too wide for a " +
+          "broadcast dictionary; write it plain")
+      c -> vals
+    }.toMap
+    writeIpcFiles(df, dir, dicts)
+  }
+
+  private def writeIpcFiles(df: DataFrame, dir: String,
+      dicts: Map[String, Array[String]]): Unit = {
     val schema = df.schema
     val confSer = new SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -151,10 +443,38 @@ object Ipc {
       val finalPath = new HPath(dir, s"part-$pid.arrow")
       val tmpPath = new HPath(dir, s".part-$pid-a${tc.taskAttemptId()}.arrow.tmp")
       val allocator = new RootAllocator()
-      val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
+      // dictionary vectors + index lookups for the encoded columns
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val encodings = new scala.collection.mutable.HashMap[String, DictionaryEncoding]
+      val lookups = new scala.collection.mutable.HashMap[String, java.util.HashMap[String, Integer]]
+      dicts.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, vals), id) =>
+        val dv = new VarCharVector(s"$c-dictionary", allocator)
+        dv.allocateNew(vals.length)
+        var j = 0
+        while (j < vals.length) { dv.setSafe(j, vals(j).getBytes("UTF-8")); j += 1 }
+        dv.setValueCount(vals.length)
+        val enc = new DictionaryEncoding(id.toLong, false, new ArrowType.Int(32, true))
+        provider.put(new Dictionary(dv, enc))
+        encodings(c) = enc
+        val m = new java.util.HashMap[String, Integer](vals.length * 2)
+        j = 0
+        while (j < vals.length) { m.put(vals(j), j); j += 1 }
+        lookups(c) = m
+      }
+      val fields = schema.fields.map { f =>
+        encodings.get(f.name) match {
+          case Some(enc) => new Field(f.name,
+            new FieldType(true, new ArrowType.Int(32, true), enc), NoKids)
+          case None => toArrowField(f.name, f.dataType, nullable = true)
+        }
+      }
+      val root = VectorSchemaRoot.create(
+        new ArrowSchema(fields.toSeq.asJava), allocator)
+      val dictIdx: Array[java.util.HashMap[String, Integer]] =
+        schema.fields.map(f => lookups.getOrElse(f.name, null))
       val out = taskFs.create(tmpPath, true)
       val ch = java.nio.channels.Channels.newChannel(out)
-      val writer = new ArrowFileWriter(root, null, ch)
+      val writer = new ArrowFileWriter(root, provider, ch)
       writer.start()
       val buf = new Array[Row](BatchRows)
       def flush(n: Int): Unit = if (n > 0) {
@@ -167,7 +487,12 @@ object Ipc {
           while (r < n) {
             val row = buf(r)
             if (row.isNullAt(c)) () // unset = null in Arrow validity
-            else setFromRow(vec, r, row, c)
+            else if (dictIdx(c) != null) {
+              val idx = dictIdx(c).get(row.getString(c))
+              require(idx != null, s"value outside the prebuilt dictionary " +
+                s"for ${schema.fields(c).name} (source mutated mid-write?)")
+              vec.asInstanceOf[IntVector].setSafe(r, idx.intValue())
+            } else setFromRow(vec, r, row, c)
             r += 1
           }
           vec.setValueCount(n)
@@ -182,7 +507,10 @@ object Ipc {
         if (n == BatchRows) { flush(n); n = 0 }
       }
       flush(n)
-      writer.end(); writer.close(); out.close(); root.close(); allocator.close()
+      writer.end(); writer.close(); out.close(); root.close()
+      provider.getDictionaryIds.asScala // release dictionary vectors
+        .foreach(id => provider.lookup(id).getVector.close())
+      allocator.close()
       // commit: first attempt to commit wins; a loser (speculative twin
       // already committed) discards its temp. The exists() guard is
       // load-bearing on POSIX-semantics filesystems (RawLocalFileSystem),
@@ -226,8 +554,32 @@ object Ipc {
     override def close(): Unit = { closed = true; in.close() }
   }
 
+  /** Resolve a (possibly dictionary-encoded) column's Spark type: an
+    * encoded field's in-memory vector is index-typed; the LOGICAL type
+    * lives on the dictionary's value vector. */
+  private def resolvedSparkType(f: Field,
+      dicts: java.util.Map[java.lang.Long, Dictionary]): DataType =
+    if (f.getDictionary == null) toSparkType(f)
+    else toSparkType(dicts.get(f.getDictionary.getId).getVector.getField)
+
+  /** Per-column value getter, decoding through the dictionary when the
+    * column is encoded (`Message.fbs` DictionaryBatch — indices in the
+    * record batches, values in the dictionary batch). */
+  private def columnGetter(vec: FieldVector,
+      dicts: java.util.Map[java.lang.Long, Dictionary]): Int => Any = {
+    val enc = vec.getField.getDictionary
+    if (enc == null) { r => if (vec.isNull(r)) null else getToAny(vec, r) }
+    else {
+      val dv = dicts.get(enc.getId).getVector.asInstanceOf[FieldVector]
+      val iv = vec.asInstanceOf[IntVector]
+      r => if (iv.isNull(r)) null else getToAny(dv, iv.get(r))
+    }
+  }
+
   /** Distributed IPC read: schema discovered from one file's footer,
-    * then one scan partition per file. */
+    * then one scan partition per file. Dictionary-encoded columns
+    * (written by [[writeIpcDict]] or any Arrow producer) decode
+    * transparently to their value types. */
   def readIpc(s: SparkSession, dir: String): DataFrame = {
     val confSer = new SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
@@ -246,9 +598,10 @@ object Ipc {
       val rd = new ArrowFileReader(
         new HadoopSeekableChannel(fs.open(new HPath(headPath)), headLen),
         allocator)
+      val dicts = rd.getDictionaryVectors
       val arrowFields = rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       val st = StructType(arrowFields.map(f =>
-        StructField(f.getName, toSparkType(f), nullable = true)))
+        StructField(f.getName, resolvedSparkType(f, dicts), nullable = true)))
       rd.close(); allocator.close()
       st
     }
@@ -262,6 +615,9 @@ object Ipc {
         val rd = new ArrowFileReader(
           new HadoopSeekableChannel(taskFs.open(p), len), allocator)
         val root = rd.getVectorSchemaRoot
+        val dicts = rd.getDictionaryVectors
+        val getters: Array[Int => Any] =
+          (0 until nCols).map(c => columnGetter(root.getVector(c), dicts)).toArray
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         while (rd.loadNextBatch()) {
           var r = 0
@@ -269,11 +625,7 @@ object Ipc {
           while (r < n) {
             val vals = new Array[Any](nCols)
             var c = 0
-            while (c < nCols) {
-              val vec = root.getVector(c)
-              vals(c) = if (vec.isNull(r)) null else getToAny(vec, r)
-              c += 1
-            }
+            while (c < nCols) { vals(c) = getters(c)(r); c += 1 }
             out += Row.fromSeq(vals.toIndexedSeq)
             r += 1
           }
@@ -340,25 +692,30 @@ object Ipc {
     val allocator = new RootAllocator()
     val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator)
     val root = rd.getVectorSchemaRoot
-    val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(f =>
-      StructField(f.getName, toSparkType(f), nullable = true)))
-    val nCols = sparkSchema.length
+    val nCols = root.getSchema.getFields.size()
+    // dictionary messages arrive on the wire BEFORE the first record
+    // batch, so getters (and dictionary-resolved types) bind after the
+    // first loadNextBatch
+    var getters: Array[Int => Any] = null
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     while (rd.loadNextBatch()) {
+      if (getters == null)
+        getters = (0 until nCols)
+          .map(c => columnGetter(root.getVector(c), rd.getDictionaryVectors))
+          .toArray
       var r = 0
       val n = root.getRowCount
       while (r < n) {
         val vals = new Array[Any](nCols)
         var c = 0
-        while (c < nCols) {
-          val vec = root.getVector(c)
-          vals(c) = if (vec.isNull(r)) null else getToAny(vec, r)
-          c += 1
-        }
+        while (c < nCols) { vals(c) = getters(c)(r); c += 1 }
         out += Row.fromSeq(vals.toIndexedSeq)
         r += 1
       }
     }
+    val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(f =>
+      StructField(f.getName, resolvedSparkType(f, rd.getDictionaryVectors),
+        nullable = true)))
     rd.close(); allocator.close()
     (out.toSeq, sparkSchema)
   }
@@ -472,5 +829,85 @@ object Ipc {
       MAX(CAST(o_orderdate AS DATE)) AS last_date,
       COUNT(*) AS n
     FROM orders
+  """.trim
+
+  /** Nested-type IPC round-trip under an ORACLE: the flagship
+    * `list<float>` embedding column plus a struct, a map and a
+    * DECIMAL(14,2) travel through the Arrow file codec
+    * (`format/Schema.fbs:235-261` LIST/STRUCT/MAP/DECIMAL through
+    * `ipc/writer.h:54`), and the proof of losslessness is per-ELEMENT:
+    * the read-back arrays are exploded so every single float crosses
+    * the hash-compare against the parquet original (float→double cast
+    * is exact — no aggregation ordering in play), and the struct/map/
+    * decimal fields are projected to scalars beside them. */
+  def qIpcNested(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/embeddings_ipc_nested"
+    val src = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < 48)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        struct(col("vec_id").as("id"), size(col("embedding")).as("dim"))
+          .as("meta"),
+        map(lit("dim"), size(col("embedding")).cast(LongType),
+            lit("vid2"), (col("vec_id") * 2).cast(LongType)).as("props"),
+        (col("vec_id").cast(DecimalType(12, 2)) *
+          lit(new java.math.BigDecimal("1.25")).cast(DecimalType(4, 2)))
+          .cast(DecimalType(14, 2)).as("dval"))
+      .repartition(3, col("vec_id"))
+    writeIpc(src, out)
+    readIpc(s, out)
+      .select(col("vec_id"), col("meta"), col("props"), col("dval"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"),
+        (col("pos") + 1).cast(IntegerType).as("pos"),
+        col("col").cast(DoubleType).as("elem"),
+        col("meta.id").as("meta_id"),
+        col("meta.dim").as("meta_dim"),
+        col("props")("dim").as("p_dim"),
+        col("props")("vid2").as("p_vid2"),
+        col("dval").cast(DoubleType).as("dval"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val qIpcNestedSql: String = """
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+      CAST(unnest(embedding) AS DOUBLE) AS elem,
+      vec_id AS meta_id, CAST(len(embedding) AS INT) AS meta_dim,
+      CAST(len(embedding) AS BIGINT) AS p_dim,
+      CAST(vec_id * 2 AS BIGINT) AS p_vid2,
+      CAST(CAST(vec_id AS DECIMAL(12,2)) * CAST(1.25 AS DECIMAL(4,2)) AS DOUBLE) AS dval
+    FROM embeddings WHERE vec_id < 48 ORDER BY vec_id, pos
+  """.trim
+
+  /** Dictionary-encoded IPC round-trip under an oracle: the two
+    * low-cardinality orders string columns ship as int32 indices + a
+    * per-file dictionary batch ([[writeIpcDict]]); [[readIpc]] decodes
+    * transparently and the grouped aggregate must equal the parquet
+    * original. IpcSpec additionally asserts the files really contain
+    * dictionary batches and index-typed columns — that the encoding
+    * happened, not just that the values survived. */
+  def qIpcDict(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/orders_ipc_dict"
+    writeIpcDict(
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .repartition(4, col("o_orderkey")),
+      out, Seq("o_orderstatus", "o_orderpriority"))
+    readIpc(s, out)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val qIpcDictSql: String = s"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price,
+      MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
   """.trim
 }

@@ -599,7 +599,11 @@ object Scalars {
         hex(col("c_name").cast(BinaryType)).as("hexed"),
         format_string("%.2f", col("c_acctbal")).as("bal_fmt"),
         octet_length(col("c_name")).cast(LongType).as("olen"),
-        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
+        // Gandiva convert_toUTF8/convert_fromUTF8: text → UTF-8 bytes
+        // → text, byte-preserving
+        gf.convert_fromUTF8(gf.convert_toUTF8(col("c_mktsegment")))
+          .as("utf8_rt"))
       .orderBy(col("c_custkey"))
   }
 
@@ -612,7 +616,8 @@ object Scalars {
       hex(c_name) AS hexed,
       printf('%.2f', c_acctbal) AS bal_fmt,
       octet_length(CAST(c_name AS BLOB)) AS olen,
-      CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev
+      CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev,
+      decode(CAST(c_mktsegment AS BLOB)) AS utf8_rt
     FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey
   """.trim
 

@@ -68,7 +68,15 @@ final class IpcDataSource extends TableProvider with DataSourceRegister {
     val rd = new ArrowFileReader(
       new Ipc.HadoopSeekableChannel(fs.open(head.getPath), head.getLen), allocator)
     try StructType(rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
-      .map(f => StructField(f.getName, Ipc.toSparkType(f), nullable = true)))
+      .map { f =>
+        // dict-encoded columns carry index-typed vectors the columnar
+        // ArrowColumnVector path would surface as raw ints — refuse
+        // loudly instead of reading indices as values
+        require(f.getDictionary == null,
+          s"graft-ipc DSv2 does not decode dictionary-encoded column " +
+            s"'${f.getName}'; read this directory with graft.ops.Ipc.readIpc")
+        StructField(f.getName, Ipc.toSparkType(f), nullable = true)
+      })
     finally { rd.close(); allocator.close() }
   }
 
@@ -697,18 +705,8 @@ private final class IpcPartitionReader(path: String, len: Long,
     var c = 0
     while (c < fileIdx.length) {
       val vec = root.getVector(fileIdx(c))
-      vals(c) = if (vec.isNull(rowInBatch)) null else vec match {
-        case v: BigIntVector    => v.get(rowInBatch)
-        case v: IntVector       => v.get(rowInBatch)
-        case v: Float8Vector    => v.get(rowInBatch)
-        case v: Float4Vector    => v.get(rowInBatch)
-        case v: VarCharVector   => UTF8String.fromBytes(v.get(rowInBatch))
-        case v: BitVector       => v.get(rowInBatch) == 1
-        case v: VarBinaryVector => v.get(rowInBatch)
-        // Catalyst encodings: date = days int, timestamp = µs long
-        case v: DateDayVector          => v.get(rowInBatch)
-        case v: TimeStampMicroTZVector => v.get(rowInBatch)
-      }
+      vals(c) = if (vec.isNull(rowInBatch)) null
+        else Ipc.getCatalystValue(vec, rowInBatch)
       c += 1
     }
     rowInBatch += 1
@@ -916,6 +914,7 @@ private final class IpcDataWriter(schema: StructType,
   if (!lazyCreate) ensureOpen()
 
   private val buf = new Array[InternalRow](Ipc.BatchRows)
+  private val colTypes: Array[DataType] = schema.fields.map(_.dataType)
   private var n = 0
   // per-column min/max/null accumulators for the .stats sidecar
   private val accs: Array[IpcStats.ColAcc] =
@@ -942,19 +941,7 @@ private final class IpcDataWriter(schema: StructType,
       while (r < n) {
         val row = buf(r)
         if (row.isNullAt(c)) () // unset = null in Arrow validity
-        else vec match {
-          case v: BigIntVector    => v.setSafe(r, row.getLong(c))
-          case v: IntVector       => v.setSafe(r, row.getInt(c))
-          case v: Float8Vector    => v.setSafe(r, row.getDouble(c))
-          case v: Float4Vector    => v.setSafe(r, row.getFloat(c))
-          case v: VarCharVector   => v.setSafe(r, row.getUTF8String(c).getBytes)
-          case v: BitVector       => v.setSafe(r, if (row.getBoolean(c)) 1 else 0)
-          case v: VarBinaryVector => v.setSafe(r, row.getBinary(c))
-          // InternalRow already carries Catalyst encodings: date =
-          // days-since-epoch int, timestamp = µs-since-epoch long
-          case v: DateDayVector          => v.setSafe(r, row.getInt(c))
-          case v: TimeStampMicroTZVector => v.setSafe(r, row.getLong(c))
-        }
+        else Ipc.setCatalystValue(vec, r, colTypes(c), row.get(c, colTypes(c)))
         r += 1
       }
       vec.setValueCount(n)

@@ -420,10 +420,12 @@ class EgressSpec extends SparkSpec {
 
   test("ipc sink rejects out-of-subset types with a clear error") {
     val sp = spark; import sp.implicits._
-    val dec = graft.sources.Tables(spark, sfDir, "orders")
-      .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
+    // decimal/list/struct/map joined the wire subset in round 9 —
+    // SHORT remains outside it (the reference widens int16 on ingest)
+    val bad = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("short").as("k"))
     val e = intercept[Exception] {
-      dec.write.format("graft-ipc").mode("overwrite")
+      bad.write.format("graft-ipc").mode("overwrite")
         .save("/tmp/graft_egress/ipc_badtype")
     }
     def chain(t: Throwable): Seq[Throwable] =

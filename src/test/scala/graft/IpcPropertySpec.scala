@@ -33,4 +33,19 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
       assertSameRows(trial, schema, rows, back, backSchema)
     }
   }
+
+  test("stream codec round-trips 40 random NESTED schemas (list/struct/map/decimal, depth ≤ 2)") {
+    for (trial <- 0 until 40) {
+      val schema = randNestedSchema(4, 2)
+      val nRows = rnd.nextInt(4) match {
+        case 0 => 0
+        case 1 => Ipc.BatchRows - 1 + rnd.nextInt(3)
+        case _ => rnd.nextInt(120)
+      }
+      val rows = randRows(schema, nRows)
+      val bytes = Ipc.writeIpcStream(rows, schema)
+      val (back, backSchema) = Ipc.readIpcStream(bytes)
+      assertSameRows(trial, schema, rows, back, backSchema)
+    }
+  }
 }

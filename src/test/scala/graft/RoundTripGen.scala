@@ -59,6 +59,18 @@ trait RoundTripGen {
         math.abs(rnd.nextLong()) % 8204889600000L - 4102444800000L)
       t.setNanos((rnd.nextInt(1000000)) * 1000) // µs precision only
       t
+    case d: DecimalType => // unscaled fits any precision ≥ 10
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(rnd.nextLong() % 1000000000L), d.scale)
+    case ArrayType(et, _) =>
+      (0 until rnd.nextInt(5)).map(_ =>
+        if (rnd.nextInt(5) == 0) null else randValue(et))
+    case st: StructType =>
+      Row.fromSeq(st.fields.map(f =>
+        if (rnd.nextInt(5) == 0) null else randValue(f.dataType)).toSeq)
+    case MapType(kt, vt, _) =>
+      (0 until rnd.nextInt(4)).map(_ => randValue(kt) ->
+        (if (rnd.nextInt(5) == 0) null else randValue(vt))).toMap
   }
 
   protected def sameValue(a: Any, b: Any): Boolean = (a, b) match {
@@ -68,6 +80,18 @@ trait RoundTripGen {
       java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
     case (x: Float, y: Float) =>
       java.lang.Float.floatToIntBits(x) == java.lang.Float.floatToIntBits(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x == y // scale-exact
+    case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+      x.length == y.length &&
+        x.iterator.zip(y.iterator).forall { case (u, v) => sameValue(u, v) }
+    case (x: scala.collection.Map[_, _], y: scala.collection.Map[_, _]) =>
+      x.size == y.size && x.forall { case (k, v) =>
+        val ym = y.asInstanceOf[scala.collection.Map[Any, Any]]
+        ym.contains(k) && sameValue(v, ym(k))
+      }
+    case (x: Row, y: Row) =>
+      x.length == y.length &&
+        (0 until x.length).forall(i => sameValue(x.get(i), y.get(i)))
     case (x, y) => x == y
   }
 
@@ -75,6 +99,28 @@ trait RoundTripGen {
     StructType((0 until (1 + rnd.nextInt(maxCols))).map { i =>
       StructField(s"c$i", wireTypes(rnd.nextInt(wireTypes.length)),
         nullable = true)
+    })
+
+  /** Random possibly-nested type: list/struct/map over the wire leaves
+    * + decimal, bounded depth. Map keys stay string/long (non-null,
+    * hashable across engines). */
+  protected def randNestedType(depth: Int): DataType =
+    if (depth <= 0 || rnd.nextInt(3) > 0) rnd.nextInt(11) match {
+      case 9  => DecimalType(14, 2)
+      case 10 => DecimalType(38, 9)
+      case i  => wireTypes(i)
+    }
+    else rnd.nextInt(3) match {
+      case 0 => ArrayType(randNestedType(depth - 1), containsNull = true)
+      case 1 => StructType((0 until 1 + rnd.nextInt(3)).map(i =>
+        StructField(s"f$i", randNestedType(depth - 1), nullable = true)))
+      case _ => MapType(if (rnd.nextBoolean()) StringType else LongType,
+        randNestedType(depth - 1), valueContainsNull = true)
+    }
+
+  protected def randNestedSchema(maxCols: Int, depth: Int): StructType =
+    StructType((0 until (1 + rnd.nextInt(maxCols))).map { i =>
+      StructField(s"c$i", randNestedType(depth), nullable = true)
     })
 
   protected def randRows(schema: StructType, nRows: Int): Seq[Row] =
