@@ -250,6 +250,44 @@ object Relational {
     FROM lineitem ORDER BY l_returnflag, l_linestatus
   """.trim
 
+  /** Take — positional gather, the public form (reference:
+    * cpp/src/arrow/compute/kernels/take.cc — output[i] =
+    * input[indices[i]], index order preserved, repeats allowed). Spark
+    * has no row POSITION, so the operator defines one: the two-phase
+    * global id assignment from [[Sampling.globalIds]] (range-partition
+    * sort + zipWithIndex — no single-reducer window) over a declared
+    * total order, then a broadcast hash join of the tiny (ord, pos)
+    * index list gathers the rows; `ord` carries the index-list order
+    * to the output exactly as the kernel contract requires.
+    *
+    * Scale shape: the corpus side never sorts globally and never
+    * moves — only id assignment shuffles; the index list is the
+    * broadcast side. A billion-row gather list would instead shuffle
+    * both sides on pos — same join, swapped build side. */
+  private val TakeIndices: Seq[(Int, Long)] =
+    Seq(0 -> 41L, 1 -> 7L, 2 -> 7L, 3 -> 0L, 4 -> 499L, 5 -> 123L,
+      6 -> 250L, 7 -> 42L)
+
+  def qTakeGather(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val ids = Sampling.globalIds(s, docs, Seq("doc_id"), "pos")
+    val index = TakeIndices.toDF("ord", "take_pos")
+    ids.join(broadcast(index), col("pos") === col("take_pos"))
+      .select(col("ord"), col("pos"), col("doc_id"), col("source"))
+      .orderBy(col("ord"))
+  }
+
+  val qTakeGatherSql: String = """
+    WITH ids AS (
+      SELECT doc_id, source,
+        row_number() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
+    idx(ord, take_pos) AS (VALUES (0, 41), (1, 7), (2, 7), (3, 0),
+      (4, 499), (5, 123), (6, 250), (7, 42))
+    SELECT ord, pos, doc_id, source FROM idx JOIN ids ON pos = take_pos
+    ORDER BY ord
+  """.trim
+
   /** ValueCounts (CK hash.h:69 → {values,counts}); JS countBy. */
   def qValueCounts(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")

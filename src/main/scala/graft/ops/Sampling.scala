@@ -465,7 +465,7 @@ object Sampling {
     * see the same range boundaries and the same shuffle output
     * (constructing the sorted frame twice would re-sample the range
     * partitioner and could mismatch counts against contents). */
-  private def globalIds(s: SparkSession, df: DataFrame,
+  private[ops] def globalIds(s: SparkSession, df: DataFrame,
       orderCols: Seq[String], idCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     val sorted = df

@@ -348,7 +348,10 @@ object TextAnalysis {
     * (an IsIn pushdown), df and doc-length sides are tiny aggregates,
     * and the per-doc pivot is one partial+final agg — no all-corpus
     * state beyond the broadcast term statistics. */
-  def qBm25(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc BM25 over [[Bm25Terms]] (docs with no query term have no
+    * row) — the scored frame behind both `bm25_rank` and the lexical
+    * leg of `hybrid_search`. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val nDocs = docs.count()
     val dl = docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
@@ -371,9 +374,12 @@ object TextAnalysis {
       coalesce(max(when(col("term") === term, col("score"))), lit(0.0)))
     scored.groupBy(col("doc_id"))
       .agg(((perTerm(0) + perTerm(1)) + perTerm(2)).as("bm25"))
+  }
+
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(10)
-  }
 
   val qBm25Sql: String = s"""
     WITH dl AS (
@@ -400,6 +406,126 @@ object TextAnalysis {
         + COALESCE(MAX(CASE WHEN term = 'window' THEN score END), 0.0)) AS bm25
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+  """.trim
+
+  // ---- hybrid retrieval: BM25 + vector, RRF-fused ----------------------
+
+  private val RrfK = 60
+  private val HybridDepth = 50
+
+  /** Depth-bounded global rank WITHOUT a single-partition sort over
+    * the corpus: a per-partition window first prunes each partition to
+    * its local top-`depth`, so the global rank window orders only
+    * depth·P survivors — the two-phase shape of [[Similarity]]'s top-k
+    * and plans/TopKPerGroup, which is what keeps a "rank the whole
+    * corpus" leg runnable when the corpus is 10^11 rows. */
+  private def rankTop(df: DataFrame, depth: Int, score: Column,
+      id: Column, as: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wLocal = w.partitionBy(col("__part")).orderBy(score.desc, id.asc)
+    val wGlobal = w.orderBy(score.desc, id.asc)
+    df.withColumn("__part", spark_partition_id())
+      .withColumn("__lrn", row_number().over(wLocal))
+      .filter(col("__lrn") <= depth)
+      .withColumn(as, row_number().over(wGlobal))
+      .filter(col(as) <= depth)
+      .select(id.as("doc_id"), col(as))
+  }
+
+  /** Hybrid retrieval — the RAG / training-data-curation access path:
+    * a lexical BM25 leg ([[bm25Scored]], terms [[Bm25Terms]]) and a
+    * vector leg (cosine against the `vec_id = 0` embedding, the
+    * corpus-aligned twin of `knn_brute`) are each ranked to depth
+    * [[HybridDepth]], then fused by Reciprocal Rank Fusion (Cormack,
+    * Clarke & Buettcher, SIGIR 2009): score(d) = Σ_legs 1/(K + rank),
+    * K = [[RrfK]], a doc absent from a leg contributing 0. RRF works
+    * on RANKS, not raw scores, so the two legs' incomparable score
+    * scales never need calibration — which is why it is the industry
+    * default fuser.
+    *
+    * Cross-engine contract: ranks are integers (deterministic
+    * tie-break by doc_id), each reciprocal is one correctly-rounded
+    * IEEE divide on identical operands, the two-term sum is in fixed
+    * order, and the result is floor-quantized to e12 (the qQuantize
+    * convention) — bit-identical in both engines.
+    *
+    * Scale shape: both legs are depth-bounded two-phase ranks (no
+    * global sort); the fusion joins two ≤depth-row frames — broadcast
+    * territory. At 100 TB the vector leg swaps to the IVF probe path
+    * (`knn_ivf_persisted`) and the lexical leg to the posting index
+    * (`text_search`); this query pins the exact fusion semantics those
+    * access paths feed. */
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val lex = rankTop(bm25Scored(s, dir), HybridDepth,
+      col("bm25"), col("doc_id"), "rl")
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val scoredVec = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("cid"),
+        gf.cosine_sim(col("qe"), col("embedding")).as("cos_sim"))
+    val vec = rankTop(scoredVec, HybridDepth,
+      col("cos_sim"), col("cid"), "rv")
+    val contrib = (c: Column) => coalesce(lit(1.0) / (lit(RrfK) + c), lit(0.0))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e12",
+        floor((contrib(col("rl")) + contrib(col("rv"))) * lit(1000000000000L))
+          .cast(LongType))
+      .select(col("doc_id"), col("rl"), col("rv"), col("rrf_e12"))
+      .orderBy(col("rrf_e12").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val qHybridSearchSql: String = s"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+        (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) /
+          (SELECT COUNT(*) FROM documents) AS avgdl),
+    terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term,
+        CAST(CAST(((n - df + 0.5) / (df + 0.5)) *
+        ((tf * ${bmK1 + 1.0}) / (tf + $bmK1 * (${1.0 - bmB} +
+          $bmB * (CAST(dl AS DOUBLE) / avgdl)))) AS DECIMAL(20,10)) AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id,
+        ((COALESCE(MAX(CASE WHEN term = 'spark' THEN score END), 0.0)
+          + COALESCE(MAX(CASE WHEN term = 'hash' THEN score END), 0.0))
+          + COALESCE(MAX(CASE WHEN term = 'window' THEN score END), 0.0)) AS bm25
+      FROM scored GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id, rl FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER
+          (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rl FROM bm)
+      WHERE rl <= $HybridDepth),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sv AS (
+      SELECT vec_id AS cid,
+        list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * embedding[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS cos_sim
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+    vec AS (
+      SELECT doc_id, rv FROM (
+        SELECT cid AS doc_id, CAST(ROW_NUMBER() OVER
+          (ORDER BY cos_sim DESC, cid ASC) AS INT) AS rv FROM sv)
+      WHERE rv <= $HybridDepth),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rl, rv
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, rl, rv,
+      CAST(FLOOR((COALESCE(1.0 / ($RrfK + rl), 0.0)
+        + COALESCE(1.0 / ($RrfK + rv), 0.0)) * 1000000000000) AS BIGINT) AS rrf_e12
+    FROM fused ORDER BY rrf_e12 DESC, doc_id ASC LIMIT 20
   """.trim
 
   /** Gopher-style repetition filters — the standard corpus-quality

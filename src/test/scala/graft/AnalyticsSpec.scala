@@ -265,4 +265,33 @@ class AnalyticsSpec extends SparkSpec {
           5 * r.getAs[Double]("mad_cents"))
     }
   }
+
+  test("hybrid search: RRF fusion is rank-consistent and depth-bounded") {
+    val rows = TextAnalysis.qHybridSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // fused scores arrive sorted, and every emitted doc has at least
+    // one leg rank within the declared depth
+    val scores = rows.map(_.getAs[Long]("rrf_e12"))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    rows.foreach { r =>
+      val rl = Option(r.getAs[Any]("rl")).map(_.asInstanceOf[Int])
+      val rv = Option(r.getAs[Any]("rv")).map(_.asInstanceOf[Int])
+      assert(rl.nonEmpty || rv.nonEmpty)
+      (rl ++ rv).foreach(x => assert(x >= 1 && x <= 50))
+      // the RRF identity itself: floor(1e12 * (sum of reciprocals))
+      val want = math.floor((rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)) * 1e12).toLong
+      assert(r.getAs[Long]("rrf_e12") == want)
+    }
+    // fusion must reward cross-leg agreement: any doc ranked in BOTH
+    // legs outscores a doc whose single leg rank is no better
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = rows.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    for {
+      b <- both; s <- single
+      bBest = math.min(b.getAs[Int]("rl"), b.getAs[Int]("rv"))
+      sRank = if (s.isNullAt(1)) s.getAs[Int]("rv") else s.getAs[Int]("rl")
+      if sRank >= bBest
+    } assert(b.getAs[Long]("rrf_e12") > s.getAs[Long]("rrf_e12"))
+  }
 }

@@ -32,9 +32,11 @@ class PlanLintSpec extends SparkSpec {
   //  - winsorize: cross-broadcast of the single-row p05/p95 quantile
   //    aggregate onto the corpus (the alternative is a full-table
   //    window — the exact plan the op exists to avoid)
+  //  - hybrid_search: the vector leg cross-broadcasts the single-row
+  //    query embedding onto the corpus scan — the knn_* shape
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "knn_pq", "knn_binary", "knn_range",
-      "window_ntile",
+      "window_ntile", "hybrid_search",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
       "winsorize")
 

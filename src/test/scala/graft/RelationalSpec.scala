@@ -64,4 +64,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || plan.contains("pushed"),
       s"no pushdown in plan:\n$plan")
   }
+
+  test("take gather: index order preserved, repeats emitted, ids dense") {
+    val rows = graft.ops.Relational.qTakeGather(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // output arrives in index-list order (the take.cc contract)
+    assert(rows.map(_.getAs[Int]("ord")).toSeq ==
+      rows.map(_.getAs[Int]("ord")).sorted.toSeq)
+    // a repeated index yields the row twice (ord 1 and 2 both gather 7)
+    val dup = rows.filter(r => r.getAs[Long]("pos") == 7L)
+    assert(dup.length == 2 &&
+      dup.map(_.getAs[Long]("doc_id")).distinct.length == 1)
+    // position semantics: pos i is the (i+1)-th smallest doc_id, so
+    // gathering pos 0 returns the table's minimum doc_id
+    val minId = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.min("doc_id")).head.getLong(0)
+    rows.filter(_.getAs[Long]("pos") == 0L)
+      .foreach(r => assert(r.getAs[Long]("doc_id") == minId))
+  }
 }
