@@ -24,20 +24,24 @@ import org.apache.spark.sql.functions._
   *    every FK chain (lineitem→orders, facts→dims) intact;
   *  - dims stay fixed — the TPC-H-at-scale shape (facts grow ~linearly,
   *    dims sublinearly) and exactly what keeps them broadcastable;
-  *  - document TEXT is rotated through a 10-letter bijection per
-  *    replica ([[rotated]]), so replicas are lexically disjoint (no
-  *    cross-replica shingle collisions) while every within-replica
-  *    dup/near-dup relationship — and therefore the dup RATE the dedup
-  *    operators see — is preserved verbatim (a bijective character map
-  *    preserves shingle-set equality and Jaccard);
-  *  - embeddings are circularly shifted by replica index — norms (and
-  *    thus cosine geometry within a replica) preserved, cross-replica
-  *    directions decorrelated, so IVF cells stay balanced instead of
-  *    10 copies deep.
+  *  - document TEXT goes through a per-replica letter bijection
+  *    ([[permDst]], 405 distinct composed rotations), so replicas are
+  *    lexically disjoint (no cross-replica shingle collisions) while
+  *    every within-replica dup/near-dup relationship — and therefore
+  *    the dup RATE the dedup operators see — is preserved verbatim (a
+  *    bijective character map preserves shingle-set equality and
+  *    Jaccard);
+  *  - embeddings get a per-replica isometry (circular shift ×
+  *    optional sign flip — 2·dim variants) — norms and within-replica
+  *    cosine geometry preserved, cross-replica directions
+  *    decorrelated, so IVF cells stay balanced instead of mult copies
+  *    deep.
   *
   * Env: SPARK_GRAFT_SF_DIR (base tables, default /root/testdata/sf0.1),
   * SPARK_GRAFT_SCALE_ROOT (scaled-copy cache, default data/scale),
-  * SPARK_GRAFT_SCALE_MULTS (default "1,2,5,10"),
+  * SPARK_GRAFT_SCALE_MULTS (default "1,10,100" — ×100 of sf0.1 ≈
+  * sf10: 60M lineitem rows, 500k documents, 1000× the correctness
+  * gate),
   * SPARK_GRAFT_SCALE_QUERIES (default: one query per heavy shape),
   * SPARK_GRAFT_CPUS (default 32). Emits one JSON line per multiplier
   * and a final {"metric":"scale",...} summary with the exponents.
@@ -47,14 +51,21 @@ object ScaleBench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** 10 distinct rotations cover every default multiplier: replica i
-    * maps c∈Rot to Rot[(idx(c)+i) mod 10] — a bijection on the corpus
-    * alphabet's most frequent letters, identity for i = 0. */
-  private val Rot = "aeiousnrtl"
-  private def rotated(i: Int): String = {
-    val k = i % Rot.length
-    Rot.substring(k) + Rot.substring(0, k)
-  }
+  /** Per-replica text bijection: three independent letter-class
+    * rotations (5 vowels × 9 consonants × 9 consonants = 405 distinct
+    * composed permutations), so every replica up to ×405 rewrites
+    * nearly every word — no cross-replica shingle collisions, while
+    * within-replica dup/near-dup structure (what the dedup operators
+    * measure) is preserved exactly by bijectivity. Identity at i = 0. */
+  private val RotA = "aeiou"
+  private val RotB = "snrtldcmp"
+  private val RotC = "bgkvwfhxy"
+  private def rotAlpha(a: String, k: Int): String =
+    a.substring(k) + a.substring(0, k)
+  private def permSrc: String = RotA + RotB + RotC
+  private def permDst(i: Int): String =
+    rotAlpha(RotA, i % 5) + rotAlpha(RotB, (i / 5) % 9) +
+      rotAlpha(RotC, (i / 45) % 9)
 
   /** One scaled copy: `out/<table>.parquet` mirrors the base layout so
     * every `SparkEntry.queries` entry runs against it unchanged.
@@ -88,19 +99,25 @@ object ScaleBench {
     val docStride = docs.agg(max("doc_id")).head.getLong(0) + 1
     write(replicate(docs, (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * docStride))
-        .withColumn("text", translate(col("text"), Rot, rotated(i)))), "documents")
+        .withColumn("text", translate(col("text"), permSrc, permDst(i)))),
+      "documents")
 
     val emb = read("embeddings")
     val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     write(replicate(emb, (d, i) => {
-      val sh = i % dim
+      // 2·dim distinct isometries: circular shift, then global sign
+      // flip for the second lap — norms and within-replica geometry
+      // preserved, cross-replica directions decorrelated
+      val v = i % (2 * dim)
+      val sh = v % dim
       val shifted =
         if (sh == 0) col("embedding")
         else concat(slice(col("embedding"), sh + 1, dim - sh),
           slice(col("embedding"), 1, sh))
+      val iso = if (v < dim) shifted else transform(shifted, x => -x)
       d.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
-        .withColumn("embedding", shifted)
+        .withColumn("embedding", iso)
     }), "embeddings")
 
     done.createNewFile()
@@ -110,7 +127,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROOT", "data/scale")
-    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,2,5,10")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
       .split(",").map(_.trim.toInt).sorted
     // one query per heavy shape: scan+agg, fact-fact join+agg, shuffle
     // join, window, grouped top-k, hash dedup, LSH dedup, IVF ANN,

@@ -1177,19 +1177,24 @@ object TextAnalysis {
     * doc after the first partial agg — then two hash aggregations.
     * No windows, no driver state.
     *
-    * Unicode contract (documented, oracle-checked): `split(text, "")`
-    * splits UTF-16 CODE UNITS in Spark but CODE POINTS in the DuckDB
-    * replay, so the two diverge on non-BMP characters (surrogate
-    * pairs split in half on the Spark side). The engine's corpus
-    * fixtures are ASCII; a deployment over astral-plane text should
-    * switch this explode to a code-point kernel (regex
-    * `"(?s)(?=.)"` with DOTALL matches per code point) before
-    * trusting per-char counts. */
-  def qCharDiversity(s: SparkSession, dir: String): DataFrame =
+    * Unicode contract (oracle-checked INCLUDING the astral plane):
+    * the split pattern `(?s)(?<=.)` cuts after every CODE POINT —
+    * Java regex `.` consumes a full surrogate pair — matching DuckDB's
+    * `string_split(text, '')` exactly, where the naive `split(text,
+    * "")` would cut UTF-16 code units and halve non-BMP characters.
+    * A synthetic probe row (doc_id −1, emoji + ASCII mix) rides the
+    * corpus through BOTH engines so the code-point agreement is
+    * hash-verified every round, not assumed from the ASCII fixture. */
+  def qCharDiversity(s: SparkSession, dir: String): DataFrame = {
+    val probe = s.range(1).select(lit(-1L).as("doc_id"),
+      lit("ab 😀😀🎉 cd").as("text"))
     t(s, dir, "documents")
       .filter(col("doc_id") < 100 && col("text").isNotNull)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "") // Spark split keeps a trailing ""
+      .select(col("doc_id"), col("text"))
+      .unionByName(probe)
+      .select(col("doc_id"),
+        explode(split(col("text"), "(?s)(?<=.)")).as("ch"))
+      .filter(col("ch") =!= "") // guard the empty-string document
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
       .groupBy("doc_id").agg(
         sum("nc").as("n"),
@@ -1205,11 +1210,15 @@ object TextAnalysis {
       .withColumn("kept",
         col("simpson") >= 0.8 && col("mean_word_len").between(3.0, 10.0))
       .orderBy("doc_id")
+  }
 
   val qCharDiversitySql: String = """
-    WITH ch AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS ch
-      FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+      UNION ALL SELECT -1 AS doc_id,
+        'ab ' || chr(128512) || chr(128512) || chr(127881) || ' cd' AS text),
+    ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM docs),
     per AS (SELECT doc_id, ch, COUNT(*) AS nc FROM ch GROUP BY 1, 2),
     agg AS (
       SELECT doc_id, SUM(nc) AS n, COUNT(*) AS n_distinct_chars,

@@ -396,5 +396,12 @@ class CurationSpec extends SparkSpec {
     // space-separated words must clear the diversity gate
     assert(rows.count(_.getAs[Boolean]("kept")) > rows.length / 2,
       "prose corpus mostly rejected — gate thresholds are wrong")
+    // the astral-plane probe (doc_id -1, "ab 😀😀🎉 cd"): 9 CODE
+    // POINTS, not 12 UTF-16 code units — pins the code-point split
+    // contract the DuckDB oracle replays
+    val probe = rows.find(_.getAs[Long]("doc_id") == -1L).get
+    assert(probe.getAs[Long]("n_chars") == 9L,
+      s"probe counted code units, not code points: $probe")
+    assert(probe.getAs[Long]("n_distinct_chars") == 7L)
   }
 }
