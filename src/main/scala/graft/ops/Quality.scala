@@ -182,4 +182,87 @@ object Quality {
     FROM d JOIN md USING (pri)
     GROUP BY d.pri ORDER BY d.pri
   """.trim
+
+  /** Snapshot-to-snapshot distribution drift — the monitoring gate a
+    * recurring 100 TB ingest runs before mixing a new batch into the
+    * training pool: per categorical feature (language, source, and a
+    * bucketed length), the total-variation distance between the
+    * previous snapshot's distribution and the new one, plus the
+    * single most-shifted bucket. TVD = ½·Σ|p_a − p_b| is used instead
+    * of PSI/KL because it needs NO logarithm: with counts c and
+    * totals n, Σ|c_a·n_b − c_b·n_a| is an exact integer sum (decimal
+    * accumulation — order-independent at any partition count,
+    * overflow-safe at 10^11-row snapshots), and the one double
+    * division per feature at the end is bit-identical in the DuckDB
+    * replay. A bucket absent from one side contributes its full mass,
+    * so schema-adding batches (a NEW language appearing) register as
+    * drift — the case that matters operationally.
+    *
+    * The two snapshots here are the even/odd doc_id halves (the
+    * fixture has no ingest timeline); a deployment would pass two
+    * TableLog versions (`log_time_travel`) instead. Scale shape: one
+    * scan, a 3-way stack to (feature, bucket) pairs, two partial+final
+    * aggs, and a per-feature rollup over O(buckets) rows — no window,
+    * no driver state. */
+  def qDriftDetect(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 200L).cast("string").as("len_bkt"))
+      .select(col("doc_id"),
+        expr("stack(3, 'lang', lang, 'source', source, 'len', len_bkt)")
+          .as(Seq("feature", "bucket")))
+    val counts = d.groupBy("feature", "bucket").agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy("feature").agg(
+      sum("ca").as("na"), sum("cb").as("nb"))
+    val dec = DecimalType(38, 0)
+    val num = abs(col("ca").cast(dec) * col("nb") -
+      col("cb").cast(dec) * col("na"))
+    counts.join(broadcast(totals), Seq("feature"))
+      .withColumn("num", num)
+      .groupBy("feature").agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("num")).as("tvd_num"),
+        max(struct(col("num"), col("bucket"))).getField("bucket")
+          .as("worst_bucket"))
+      .select(col("feature"), col("n_buckets"), col("na"), col("nb"),
+        (col("tvd_num").cast("double") /
+          (lit(2.0) * (col("na").cast(dec) * col("nb")).cast("double")))
+          .as("tvd"),
+        col("worst_bucket"))
+      .withColumn("drifted", col("tvd") > 0.05)
+      .orderBy("feature")
+  }
+
+  val qDriftDetectSql: String = """
+    WITH f AS (
+      SELECT doc_id, feature, bucket FROM (
+        SELECT doc_id, 'lang' AS feature, lang AS bucket FROM documents
+        UNION ALL
+        SELECT doc_id, 'source', source FROM documents
+        UNION ALL
+        SELECT doc_id, 'len', CAST(CAST(FLOOR(n_chars / 200) AS BIGINT) AS VARCHAR)
+        FROM documents)),
+    counts AS (
+      SELECT feature, bucket,
+        SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM f GROUP BY 1, 2),
+    totals AS (
+      SELECT feature, SUM(ca) AS na, SUM(cb) AS nb FROM counts GROUP BY 1),
+    nums AS (
+      SELECT feature, bucket, ca, cb, na, nb,
+        ABS(ca * nb - cb * na) AS num
+      FROM counts JOIN totals USING (feature))
+    SELECT feature, COUNT(*) AS n_buckets,
+      CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+      CAST(SUM(num) AS DOUBLE) /
+        (2.0 * CAST(MAX(na) * MAX(nb) AS DOUBLE)) AS tvd,
+      (MAX(struct_pack(num := num, bucket := bucket))).bucket AS worst_bucket,
+      CAST(SUM(num) AS DOUBLE) /
+        (2.0 * CAST(MAX(na) * MAX(nb) AS DOUBLE)) > 0.05 AS drifted
+    FROM nums GROUP BY feature ORDER BY feature
+  """.trim
 }

@@ -404,4 +404,26 @@ class CurationSpec extends SparkSpec {
       s"probe counted code units, not code points: $probe")
     assert(probe.getAs[Long]("n_distinct_chars") == 7L)
   }
+
+  test("drift detect: TVD bounded, stable features pass, disjoint feature flags") {
+    val rows = graft.ops.Quality.qDriftDetect(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("feature")).toSeq ==
+      Seq("lang", "len", "source"))
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.foreach { r =>
+      val tvd = r.getAs[Double]("tvd")
+      assert(tvd >= 0.0 && tvd <= 1.0, s"TVD out of [0,1]: $r")
+      assert(r.getAs[Long]("na") + r.getAs[Long]("nb") == total)
+      assert(r.getAs[Boolean]("drifted") == (tvd > 0.05))
+    }
+    // fixture structure: lang/length are independent of doc_id parity
+    // (sampling noise only — at sf0.001's 25-doc halves that noise is
+    // O(1/√25), so pin the ORDERING, not the absolute), while
+    // source = f(doc_id) makes the halves fully DISJOINT
+    val byF = rows.map(r => r.getAs[String]("feature") -> r).toMap
+    assert(byF("lang").getAs[Double]("tvd") <
+      byF("source").getAs[Double]("tvd"))
+    assert(byF("source").getAs[Double]("tvd") == 1.0)
+    assert(byF("source").getAs[Boolean]("drifted"))
+  }
 }
