@@ -139,6 +139,106 @@ object Similarity {
     FROM s WHERE cos_sim >= 0.35 ORDER BY qid, cid
   """.trim
 
+  // ---- MMR diversified retrieval ---------------------------------------
+
+  private val MmrPool = 20
+  private val MmrK = 10
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversification stage between retrieval and
+    * consumption: from the top-[[MmrPool]] cosine candidates of the
+    * `vec_id = 0` query, greedily select [[MmrK]] maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 0.5 — each pick
+    * trades relevance against redundancy with what is already picked,
+    * so near-duplicate results can't crowd the answer set.
+    *
+    * Execution shape — and why a driver loop is CORRECT here: the
+    * candidate POOL is O(k) by construction (a rerank stage consumes a
+    * retrieval stage's top-k, never the corpus). All O(corpus) work —
+    * scoring + two-phase top-pool, then the pool×pool cosine matrix —
+    * runs distributed with the native kernel; the greedy then walks
+    * pool²=400 driver-local doubles, the same O(k²) driver bound as
+    * the k-means seed collects. Greedy selection is inherently
+    * sequential (pick i+1 depends on picks 1..i) — spending cluster
+    * jobs on 20-row scans would be the anti-pattern.
+    *
+    * Cross-engine contract: rel and sim come from the bit-parity
+    * cosine kernel (CosineSpec), the score is two multiplies and a
+    * subtract in fixed order, ties break by cid, and the emitted score
+    * is floor-quantized to e12 — the DuckDB oracle replays the greedy
+    * EXACTLY via a recursive CTE carrying the selected list. */
+  def qSearchMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val pool = e.join(broadcast(q), col("vec_id") =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        cosine(col("qe"), col("embedding")).as("rel"))
+      .orderBy(col("rel").desc, col("cid").asc).limit(MmrPool)
+    val a = pool.select(col("cid").as("d1"), col("ce").as("e1"))
+    val b = pool.select(col("cid").as("d2"), col("ce").as("e2"))
+    val rels = pool.select(col("cid"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val simM = a.join(b, col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    var selected = Vector.empty[Long]
+    var picked = Vector.empty[(Int, Long, Double)]
+    var remaining = rels.keySet
+    for (step <- 1 to MmrK) {
+      val (c, score) = remaining.toSeq.map { c =>
+        val pen =
+          if (selected.isEmpty) 0.0 else selected.map(x => simM((c, x))).max
+        (c, 0.5 * rels(c) - 0.5 * pen)
+      }.minBy { case (c, sc) => (-sc, c) }
+      selected :+= c
+      picked :+= ((step, c, score))
+      remaining -= c
+    }
+    picked
+      .map { case (r, c, sc) => (r, c, math.floor(sc * 1e12).toLong) }
+      .toDF("rank", "cid", "score_e12")
+      .orderBy("rank")
+  }
+
+  val qSearchMmrSql: String = s"""
+    WITH RECURSIVE
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id AS cid, embedding AS ce,
+        list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS rel
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+    cand AS (
+      SELECT cid, ce, rel FROM scored ORDER BY rel DESC, cid LIMIT $MmrPool),
+    sims AS (
+      SELECT a.cid AS d1, b.cid AS d2,
+        list_sum(list_transform(range(1, len(a.ce)+1), i -> a.ce[i]::DOUBLE * b.ce[i]::DOUBLE)) /
+        (sqrt(list_sum(list_transform(range(1, len(a.ce)+1), i -> a.ce[i]::DOUBLE * a.ce[i]::DOUBLE))) *
+         sqrt(list_sum(list_transform(range(1, len(b.ce)+1), i -> b.ce[i]::DOUBLE * b.ce[i]::DOUBLE)))) AS sim
+      FROM cand a JOIN cand b ON a.cid <> b.cid),
+    sel AS (
+      SELECT 1 AS step,
+        (SELECT cid FROM cand ORDER BY rel DESC, cid LIMIT 1) AS picked,
+        (SELECT 0.5 * rel FROM cand ORDER BY rel DESC, cid LIMIT 1) AS score,
+        [(SELECT cid FROM cand ORDER BY rel DESC, cid LIMIT 1)] AS sel_list
+      UNION ALL
+      SELECT step + 1, nxt.cid, nxt.score, list_append(sel_list, nxt.cid)
+      FROM sel, LATERAL (
+        SELECT c.cid,
+          0.5 * c.rel - 0.5 * (SELECT MAX(s.sim) FROM sims s
+            WHERE s.d1 = c.cid AND list_contains(sel.sel_list, s.d2)) AS score
+        FROM cand c
+        WHERE NOT list_contains(sel.sel_list, c.cid)
+        ORDER BY score DESC, c.cid LIMIT 1) nxt
+      WHERE step < $MmrK)
+    SELECT CAST(step AS INT) AS rank, picked AS cid,
+      CAST(FLOOR(score * 1000000000000) AS BIGINT) AS score_e12
+    FROM sel ORDER BY rank
+  """.trim
+
   /** One deterministic Lloyd refinement: assign to max-cosine cell,
     * recompute per-cell means through exact decimal sums (the answer
     * is independent of partitioning — double sums would not be), pull

@@ -287,6 +287,60 @@ object Streaming {
         col("click_id"), col("purchase_id"), col("purchase_value"))
   }
 
+  /** RIGHT-OUTER stream-stream join (Spark >= 3.1) — attribution
+    * keeping every PURCHASE: matched ones pair with their preceding
+    * clicks, organic/direct conversions (no click in the lookback
+    * hour) emit null-padded click columns. The mirror of
+    * [[attributionJoinLeftOuter]] with the preserved side swapped —
+    * the shape a revenue pipeline wants (purchases are the ground
+    * truth; clicks are optional context). A purchase's null emission
+    * is deferred until the CLICK watermark passes its lookback hour
+    * (purchase_ts − 1 h horizon + delay), so "organic" is a
+    * watermark-certified fact; state keeps the same horizon-bounded
+    * eviction as the inner join. Batch twin `stream_join_right`
+    * (oracle-checked RIGHT JOIN). */
+  def attributionJoinRightOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("c_user") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "right_outer")
+      // user_id comes from the PURCHASE side: the click side is null
+      // on precisely the rows the outer join adds
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
+  /** Batch twin of the right-outer join. (purchase_id, click_id
+    * NULLS LAST) is a total order: every purchase appears, organic
+    * ones once with a null click_id. */
+  def qStreamJoinRight(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    attributionJoinRightOuter(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id").asc, col("click_id").asc_nulls_last)
+  }
+
+  val qStreamJoinRightSql: String = """
+    SELECT p.user_id AS user_id, c.event_id AS click_id,
+      p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY purchase_id, click_id NULLS LAST
+  """.trim
+
   /** Batch twin of the full-outer join. (click_id, purchase_id) with
     * NULLS LAST is a total order: unmatched purchases sort after
     * every click under their null click_id, then uniquely by their

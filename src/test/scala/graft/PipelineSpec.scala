@@ -134,6 +134,26 @@ class PipelineSpec extends SparkSpec {
     // little signal, but the machinery must still surface true neighbors
   }
 
+  test("MMR rerank: greedy scores non-increasing, first pick is the " +
+      "relevance argmax, picks distinct") {
+    val rows = Similarity.qSearchMmr(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    val cids = rows.map(_.getAs[Long]("cid"))
+    assert(cids.distinct.length == cids.length, "a doc was picked twice")
+    // from step 2 on, every candidate's penalty set only grows, so the
+    // chosen maxima are monotone non-increasing. (Step 1 is excluded:
+    // it scores with NO penalty term, and a NEGATIVE max-similarity at
+    // step 2 can legally raise that pick's score above 0.5·rel.)
+    val scores = rows.map(_.getAs[Long]("score_e12")).drop(1)
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      s"greedy maxima increased: ${scores.mkString(",")}")
+    // step 1 ignores diversity: it must be the plain cosine argmax
+    val bruteTop = Similarity.qKnnBrute(spark, sfDir)
+      .filter("qid = 0 AND rn = 1").collect()
+    assert(bruteTop.isEmpty || cids.head == bruteTop.head.getLong(2),
+      s"first MMR pick ${cids.head} is not the relevance argmax")
+  }
+
   test("binary-quantized ANN: hamming top-50 + cosine rerank recovers " +
       "most brute-force neighbors; 8-byte signatures, integer candidate math") {
     val brute = Similarity.qKnnBrute(spark, sfDir)

@@ -223,6 +223,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("right-outer stream-stream join: organic purchase null-emits only " +
+      "after the click watermark passes its lookback hour") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Streaming.attributionJoinRightOuter(cdf, pdf).writeStream
+      .format("memory").queryName("attrib_right")
+      .outputMode("append").start()
+    def rows(): Set[(Option[Long], Long)] =
+      spark.table("attrib_right").select("click_id", "purchase_id").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1))).toSet
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+      purchases.addData((1L, ts("2024-01-01 10:30:00"), 200L, 9.99),
+        (3L, ts("2024-01-01 10:10:00"), 201L, 5.00)) // organic: no click
+      q.processAllAvailable()
+      // the matched pair emits; the organic purchase must NOT
+      // null-emit yet — a late click inside its lookback hour could
+      // still arrive
+      assert(rows() == Set((Some(100L), 200L)),
+        s"premature right-outer emission: ${rows()}")
+      // advance the click watermark far past the lookback horizon
+      clicks.addData((9L, ts("2024-01-01 23:00:00"), 999L))
+      purchases.addData((9L, ts("2024-01-01 23:00:00"), 998L, 0.0))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-01 23:30:00"), 997L))
+      purchases.addData((9L, ts("2024-01-01 23:30:00"), 996L, 0.0))
+      q.processAllAvailable()
+      assert(rows().contains((None, 201L)),
+        s"expired organic purchase must null-emit: ${rows()}")
+      assert(!rows().exists { case (c, p) => c.isEmpty && p == 200L },
+        "a matched purchase must never also null-emit")
+      // the preserved side is purchases: no click-only rows exist
+      assert(rows().forall { case (_, p) => p != 0L })
+    } finally q.stop()
+  }
+
   test("full-outer stream-stream join: watermark-certified null emission " +
       "on BOTH sides") {
     val sp = spark
