@@ -249,4 +249,94 @@ object Graph {
        |SELECT id AS doc_id, r AS pr FROM r$Iters ORDER BY pr DESC, doc_id
        |""".stripMargin
   }
+
+  // ---- label-propagation communities -----------------------------------
+
+  private val LpaIters = 4
+
+  /** Label-propagation community detection (Raghavan 2007) over the
+    * undirected document link graph — the third structural signal
+    * beside [[qPageRank]] (importance) and [[qTriangleCount]]
+    * (closure): link-farm rings and template families collapse into
+    * single communities a curation pass can cap or down-weight.
+    *
+    * This is the DETERMINISTIC synchronous variant: every node starts
+    * as its own label; each iteration every node adopts the most
+    * frequent label among its neighbors, ties broken by SMALLEST
+    * label, [[LpaIters]] fixed iterations (classic async LPA visits
+    * nodes in random order — useless under a cross-engine hash gate).
+    * Isolated nodes keep their own label via the left-join coalesce.
+    *
+    * Scale shape: per iteration ONE hash join (neighbor labels onto
+    * the adjacency list) + a two-level partial+final aggregation
+    * ((node, label) counts, then the per-node argmax as max over
+    * (count, −label) structs — no window, no sort); labels are
+    * localCheckpoint'ed per iteration exactly like [[pageRank]]'s
+    * ranks, so lineage stays one-iteration deep. Shuffle volume is
+    * O(#edges) per iteration, driver state zero. */
+  def qCommunityLpa(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+    val n = nodes.count()
+    val targets = (1 to 3).map(k =>
+      hex4(concat(col("id").cast("string"), lit(s"#L$k"))) % n)
+    val und = nodes
+      .select(col("id").as("src"), explode(array(targets: _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("id"), col("a").as("nb")))
+      .localCheckpoint(true) // reused every iteration
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      val mode = adj
+        .join(labels.select(col("id").as("nb"), col("lbl")), "nb")
+        .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("mlbl"))
+      labels = labels.join(mode, Seq("id"), "left")
+        .select(col("id"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("community"),
+        col("csize"))
+      .orderBy("doc_id")
+  }
+
+  val qCommunityLpaSql: String = {
+    val links = (1 to 3).map { k =>
+      s"""SELECT id AS src, ${duckHex4(s"CAST(id AS VARCHAR) || '#L$k'")}
+         |  % (SELECT n FROM nn) AS dst FROM nodes""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val iters = (1 to LpaIters).map { i =>
+      s"""l$i AS (
+         |  SELECT p.id, COALESCE(m.mlbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT id, lbl AS mlbl FROM (
+         |      SELECT a.id, l.lbl, COUNT(*) AS c,
+         |        ROW_NUMBER() OVER (PARTITION BY a.id
+         |          ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |      FROM adj a JOIN l${i - 1} l ON l.id = a.nb
+         |      GROUP BY a.id, l.lbl)
+         |    WHERE rn = 1) m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM ($links) WHERE src <> dst),
+       |adj AS (SELECT a AS id, b AS nb FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$iters,
+       |sizes AS (SELECT lbl, COUNT(*) AS csize FROM l$LpaIters GROUP BY lbl)
+       |SELECT l.id AS doc_id, l.lbl AS community, s.csize
+       |FROM l$LpaIters l JOIN sizes s ON s.lbl = l.lbl
+       |ORDER BY doc_id
+       |""".stripMargin
+  }
 }

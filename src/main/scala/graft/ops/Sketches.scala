@@ -329,4 +329,76 @@ object Sketches {
     HAVING COUNT(*) >= CEIL(0.01 * (SELECT n_total FROM tot))
     ORDER BY n DESC, word
   """.trim
+
+  // ---- join-size estimation by correlated key sampling -----------------
+
+  /** Join-cardinality estimation BEFORE executing the join — the
+    * plan-a-100-TB-shuffle-or-broadcast question, answered from a key
+    * sample (correlated sampling, Vengerov et al., VLDB 2015): both
+    * sides keep only keys whose md5 leading nibble ∈ {0,1} (the
+    * engine's standard partitioning-invariant hash gate, rate 1/8 —
+    * CORRELATED because both sides sample the same key subset, which
+    * is what makes Σ f_A·f_B unbiased where independent row samples
+    * square the rate), then |A ⋈ B| ≈ 8·Σ_sampled f_A(v)·f_B(v).
+    * The output row audits the estimate against the true join count
+    * with an integer basis-point error — the cms_freq convention:
+    * sketches ship with their error measured, not assumed.
+    *
+    * Scale shape: each side is ONE scan with the hash gate applied
+    * before the per-key aggregation, so only the 1/8 key sample
+    * shuffles; the estimator join touches sampled keys only. The
+    * audit side runs the real join — at 100 TB a deployment would
+    * skip it (it IS the thing being estimated); here it is the
+    * oracle-checked ground truth. All arithmetic integer (counts,
+    * ×8, floor-div basis points) — exact replay. */
+  def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    def gate(k: org.apache.spark.sql.Column) =
+      substring(md5(k.cast(StringType)), 1, 1).isin("0", "1")
+    val fa = Tables(s, dir, "orders")
+      .filter(gate(col("o_orderkey")))
+      .groupBy(col("o_orderkey").as("key")).agg(count(lit(1)).as("fa"))
+    val fb = Tables(s, dir, "lineitem")
+      .filter(gate(col("l_orderkey")))
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("fb"))
+    val samp = fa.join(fb, "key")
+      .agg(count(lit(1)).as("n_sampled_keys"),
+        (sum(col("fa") * col("fb")) * 8).as("est_rows"))
+    val exact = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    // two single-row aggregates merged by union+max (a constant-key
+    // join would constant-fold into a nested-loop cross)
+    val nl = lit(null).cast(LongType)
+    samp.select(col("n_sampled_keys"), col("est_rows"), nl.as("exact_rows"))
+      .unionAll(exact.select(nl.as("n_sampled_keys"), nl.as("est_rows"),
+        col("exact_rows")))
+      .agg(max("n_sampled_keys").as("n_sampled_keys"),
+        max("est_rows").as("est_rows"), max("exact_rows").as("exact_rows"))
+      .select(col("n_sampled_keys"), col("est_rows"), col("exact_rows"),
+        expr("abs(est_rows - exact_rows) * 10000 DIV exact_rows")
+          .as("err_bp"))
+  }
+
+  val qJoinSizeEstSql: String = """
+    WITH fa AS (
+      SELECT o_orderkey AS key, COUNT(*) AS fa FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+      GROUP BY 1),
+    fb AS (
+      SELECT l_orderkey AS key, COUNT(*) AS fb FROM lineitem
+      WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+      GROUP BY 1),
+    samp AS (
+      SELECT COUNT(*) AS n_sampled_keys,
+        CAST(SUM(fa * fb) * 8 AS BIGINT) AS est_rows
+      FROM fa JOIN fb USING (key)),
+    ex AS (
+      SELECT COUNT(*) AS exact_rows
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT n_sampled_keys, est_rows, exact_rows,
+      CAST(ABS(est_rows - exact_rows) * 10000 // exact_rows AS BIGINT)
+        AS err_bp
+    FROM samp, ex
+  """.trim
 }

@@ -266,6 +266,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("LPA communities: labels are node ids, sizes consistent, " +
+      "deterministic, non-trivial structure") {
+    val rows = graft.ops.Graph.qCommunityLpa(spark, sfDir).collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val byCommunity = rows.groupBy(_.getAs[Long]("community"))
+    // a label can only ever be a node's id (labels start as ids and
+    // propagation copies existing labels)
+    assert(byCommunity.keySet.subsetOf(ids))
+    // the reported size is the actual member count
+    byCommunity.foreach { case (_, members) =>
+      assert(members.map(_.getAs[Long]("csize")).distinct.length == 1)
+      assert(members.head.getAs[Long]("csize") == members.length)
+    }
+    // the fixture link graph is connected enough that propagation must
+    // merge SOME nodes, and sparse enough that it must not collapse to
+    // one community
+    assert(byCommunity.size < ids.size && byCommunity.size > 1,
+      s"degenerate community structure: ${byCommunity.size} of ${ids.size}")
+    val again = graft.ops.Graph.qCommunityLpa(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("hybrid search: RRF fusion is rank-consistent and depth-bounded") {
     val rows = TextAnalysis.qHybridSearch(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

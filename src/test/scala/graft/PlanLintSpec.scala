@@ -70,7 +70,10 @@ class PlanLintSpec extends SparkSpec {
   // push by construction; each query's residual filter still runs
   private val pushdownExempt = Set("range_join", "quality_repetition",
     "quality_cap", "ngram_lm", "embed_norm", "dedup_ngram", "dedup_embed",
-    "dedup_containment", "simjoin_topk")
+    "dedup_containment", "simjoin_topk",
+    // md5-nibble sampling gate: the ONLY data filter is a computed
+    // hash parquet cannot evaluate
+    "join_size_est")
 
   test("a parquet scan with data filters pushes at least one predicate") {
     for ((name, fn) <- SparkEntry.queries if !pushdownExempt(name)) {

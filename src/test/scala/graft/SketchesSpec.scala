@@ -59,4 +59,24 @@ class SketchesSpec extends SparkSpec {
     val ns = rows.map(_.getAs[Long]("n_exact"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
+
+  test("join size estimate: unbiased-sample estimate lands near the " +
+      "true join cardinality, sample rate honest") {
+    val r = graft.ops.Sketches.qJoinSizeEst(spark, sfDir).collect().head
+    val (nk, est, exact, errBp) = (r.getAs[Long]("n_sampled_keys"),
+      r.getAs[Long]("est_rows"), r.getAs[Long]("exact_rows"),
+      r.getAs[Long]("err_bp"))
+    assert(exact > 0 && est > 0 && nk > 0)
+    assert(errBp == math.abs(est - exact) * 10000 / exact)
+    // REGRESSION PIN (cms convention): the 1/8 md5-nibble gate is a
+    // w.h.p. concentration, and the deterministic fixture sits well
+    // inside 25% — a broken gate (wrong rate, one-sided sampling)
+    // lands orders of magnitude off
+    assert(errBp <= 2500, s"estimate off by $errBp bp (est=$est exact=$exact)")
+    // the sampled key count itself reflects the 1/8 rate (loose 2x band)
+    val totalKeys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey").distinct().count()
+    assert(nk * 8 > totalKeys / 2 && nk * 8 < totalKeys * 2,
+      s"sample rate off: $nk sampled of $totalKeys keys")
+  }
 }
