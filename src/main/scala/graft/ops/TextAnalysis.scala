@@ -477,6 +477,80 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** [[qHybridSearch]] answered through the PERSISTED access paths —
+    * the proof of its "at 100 TB the legs swap to the indexes" claim:
+    * the lexical leg reads a postings index (BM25 tokenization, same
+    * 16-way md5-nibble bucket layout as `text_search` — partition
+    * pruning + pushed term equality, so the query touches O(postings
+    * of the 3 query terms)) with doc-length and corpus-stats sidecars
+    * written at build time; the vector leg queries the persisted IVF
+    * TableLog index (`Similarity.queryIvfIndex`, probe-all = exact)
+    * at depth 50. Fusion is byte-identical RRF.
+    *
+    * The ORACLE IS [[qHybridSearchSql]] VERBATIM: an index changes the
+    * access path, never the answer — one row proves the whole
+    * build+query+fusion pipeline against the direct computation. */
+  def qHybridIndexed(s: SparkSession, dir: String): DataFrame = {
+    val root = Egress.outRoot(dir) + "/hybrid_index"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // ---- build: postings + doc lengths + corpus stats ----
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", termBucket(col("term")))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/postings")
+    docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
+      .write.mode("overwrite").parquet(s"$root/doclen")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+    // ---- lexical leg from the index ----
+    val stats = s.read.parquet(s"$root/stats").head
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val posts = s.read.parquet(s"$root/postings")
+    val tf = Bm25Terms.map(term => posts
+        .filter(col("bkt") === termBucketOf(term) && col("term") === term)
+        .select(col("term"), col("doc_id"), col("tf")))
+      .reduce(_ unionByName _)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = s.read.parquet(s"$root/doclen")
+    val idf = (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfPart = (col("tf") * lit(bmK1 + 1.0)) /
+      (col("tf") + lit(bmK1) * (lit(1.0 - bmB) +
+        lit(bmB) * (col("dl").cast(DoubleType) / lit(avgdl))))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score",
+        (idf * tfPart).cast(DecimalType(20, 10)).cast(DoubleType))
+    val perTerm = Bm25Terms.map(term =>
+      coalesce(max(when(col("term") === term, col("score"))), lit(0.0)))
+    val bm = scored.groupBy(col("doc_id"))
+      .agg(((perTerm(0) + perTerm(1)) + perTerm(2)).as("bm25"))
+    val lex = rankTop(bm, HybridDepth, col("bm25"), col("doc_id"), "rl")
+    // ---- vector leg from the persisted IVF index ----
+    Similarity.buildIvfIndex(s, dir, s"$root/ivf")
+    val queries = graft.sources.TableLog.snapshot(s, s"$root/ivf/vectors")
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val vec = Similarity
+      .queryIvfIndex(s, s"$root/ivf", queries, nprobe = 10,
+        topk = HybridDepth)
+      .select(col("cid").as("doc_id"), col("rn").as("rv"))
+    // ---- RRF fusion (identical to qHybridSearch) ----
+    val contrib = (c: Column) => coalesce(lit(1.0) / (lit(RrfK) + c), lit(0.0))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e12",
+        floor((contrib(col("rl")) + contrib(col("rv"))) * lit(1000000000000L))
+          .cast(LongType))
+      .select(col("doc_id"), col("rl"), col("rv"), col("rrf_e12"))
+      .orderBy(col("rrf_e12").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val qHybridSearchSql: String = s"""
     WITH dl AS (
       SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),

@@ -288,6 +288,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("indexed hybrid reproduces the direct hybrid bit-for-bit and " +
+      "prunes the posting index") {
+    val direct = TextAnalysis.qHybridSearch(spark, sfDir).collect()
+    val indexed = TextAnalysis.qHybridIndexed(spark, sfDir)
+    // an index is an access path, not a semantics change: same rows,
+    // same ranks, same fused scores, same order
+    assert(indexed.collect().map(_.toSeq).toSeq ==
+      direct.map(_.toSeq).toSeq)
+    // and it actually uses the index: the postings scan keeps only the
+    // query terms' buckets and pushes the term equalities
+    val plan = TextAnalysis.qHybridIndexed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(plan).isDefined,
+      "bucket partition filter missing from the index scan:\n" + plan)
+    for (term <- Seq("spark", "hash", "window"))
+      assert(plan.contains(s"EqualTo(term,$term)"),
+        s"term '$term' not pushed into the posting scan:\n" + plan)
+  }
+
   test("hybrid search: RRF fusion is rank-consistent and depth-bounded") {
     val rows = TextAnalysis.qHybridSearch(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
