@@ -130,11 +130,14 @@ object ScaleBench {
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
       .split(",").map(_.trim.toInt).sorted
     // one query per heavy shape: scan+agg, fact-fact join+agg, shuffle
-    // join, window, grouped top-k, hash dedup, LSH dedup, IVF ANN,
-    // row-local text scoring, iterative graph
+    // join, window, grouped top-k, hash dedup, LSH dedup, inverted-index
+    // n-gram dedup (the heaviest candidate generator — the one whose
+    // exponent would expose a quadratic), IVF ANN, two-leg hybrid
+    // retrieval, row-local text scoring, iterative graph
     val qs = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
       "q1_agg,tpch_q3,join_inner,window_rank,topk_group,dedup_exact," +
-        "dedup_minhash,knn_ivf,text_quality,pagerank")
+        "dedup_minhash,dedup_ngram,knn_ivf,hybrid_search,text_quality," +
+        "pagerank")
       .split(",").map(_.trim).filter(SparkEntry.queries.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(cpus, cpus)

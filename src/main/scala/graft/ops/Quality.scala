@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -235,6 +235,75 @@ object Quality {
       .withColumn("drifted", col("tvd") > 0.05)
       .orderBy("feature")
   }
+
+  /** Snapshot reconciliation — classify every key of two table
+    * snapshots as unchanged / changed / added / removed with one
+    * full-outer join on the key, the audit a pipeline runs after any
+    * backfill, migration, or vendor re-delivery ("what ACTUALLY
+    * differs?"). Values compare by direct column equality — never via
+    * a rendered-string row hash, whose float/decimal formatting would
+    * be engine-specific. The "new" snapshot here is derived from the
+    * base by a deterministic md5-nibble edit script (nibble 0 deleted,
+    * 1 price-bumped, 2 cloned under a fresh negative key — disjoint by
+    * sign, so no driver-side max-key scalar is needed); a deployment
+    * diffs two real snapshots (e.g. two TableLog versions).
+    *
+    * Scale shape: ONE shuffle join on the key and a 4-group rollup;
+    * per-class min/max keys give the auditor an entry point without
+    * materializing row-level diffs (that's what the classified join
+    * output is for when actually needed). */
+  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    def nib(k: Column) = substring(md5(k.cast("string")), 1, 1)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+    val next = base.filter(nib(col("key")) =!= "0")
+      .withColumn("price",
+        when(nib(col("key")) === "1", col("price") + lit(1.0))
+          .otherwise(col("price")))
+      .unionByName(base.filter(nib(col("key")) === "2")
+        .select((-col("key") - 1).as("key"), col("price"), col("status")))
+    val a = base.select(col("key").as("ak"), col("price").as("ap"),
+      col("status").as("as_"))
+    val b = next.select(col("key").as("bk"), col("price").as("bp"),
+      col("status").as("bs"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(
+        when(col("bk").isNull, "removed")
+          .when(col("ak").isNull, "added")
+          .when(col("ap") =!= col("bp") || col("as_") =!= col("bs"),
+            "changed")
+          .otherwise("unchanged").as("class"),
+        coalesce(col("ak"), col("bk")).as("key"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n"), min("key").as("min_key"),
+        max("key").as("max_key"))
+      .orderBy("class")
+  }
+
+  val qTableDiffSql: String = """
+    WITH base AS (
+      SELECT o_orderkey AS key, o_totalprice AS price,
+        o_orderstatus AS status FROM orders),
+    next AS (
+      SELECT key,
+        CASE WHEN substr(md5(CAST(key AS VARCHAR)), 1, 1) = '1'
+             THEN price + 1.0 ELSE price END AS price, status
+      FROM base WHERE substr(md5(CAST(key AS VARCHAR)), 1, 1) <> '0'
+      UNION ALL
+      SELECT -key - 1, price, status FROM base
+      WHERE substr(md5(CAST(key AS VARCHAR)), 1, 1) = '2'),
+    d AS (
+      SELECT CASE WHEN b.key IS NULL THEN 'removed'
+                  WHEN a.key IS NULL THEN 'added'
+                  WHEN a.price <> b.price OR a.status <> b.status
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS class,
+        COALESCE(a.key, b.key) AS key
+      FROM base a FULL OUTER JOIN next b ON a.key = b.key)
+    SELECT class, COUNT(*) AS n, MIN(key) AS min_key, MAX(key) AS max_key
+    FROM d GROUP BY class ORDER BY class
+  """.trim
 
   val qDriftDetectSql: String = """
     WITH f AS (

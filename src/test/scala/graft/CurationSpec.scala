@@ -405,6 +405,22 @@ class CurationSpec extends SparkSpec {
     assert(probe.getAs[Long]("n_distinct_chars") == 7L)
   }
 
+  test("table diff: classes partition the base, added keys disjoint by sign") {
+    val rows = graft.ops.Quality.qTableDiff(spark, sfDir).collect()
+    val byClass = rows.map(r => r.getString(0) -> r).toMap
+    assert(byClass.keySet == Set("added", "changed", "removed", "unchanged"))
+    val n = (c: String) => byClass(c).getAs[Long]("n")
+    val baseCount = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    // every base key is exactly one of unchanged/changed/removed
+    assert(n("unchanged") + n("changed") + n("removed") == baseCount)
+    // inserts live under fresh negative keys — never colliding with base
+    assert(byClass("added").getAs[Long]("max_key") < 0)
+    // each 1/16 nibble class lands near its expected share
+    for (c <- Seq("added", "changed", "removed"))
+      assert(n(c) > baseCount / 32 && n(c) < baseCount / 8,
+        s"$c count ${n(c)} implausible for a 1/16 edit script")
+  }
+
   test("drift detect: TVD bounded, stable features pass, disjoint feature flags") {
     val rows = graft.ops.Quality.qDriftDetect(spark, sfDir).collect()
     assert(rows.map(_.getAs[String]("feature")).toSeq ==
