@@ -333,6 +333,61 @@ object Dedup {
 
   val qDedupMinhashSql: String = jaccardOracleSql
 
+  /** Eval-set leakage guard — the decontamination pass between
+    * splitting and training: a TRAIN document that is a near-duplicate
+    * (verified Jaccard >= 0.8, the [[qDedupMinhash]] pipeline) of any
+    * VAL/TEST document leaks the benchmark into the training pool, and
+    * length-normalized metrics quietly inflate. Output is the
+    * quarantine worklist: each leaking train doc with the eval doc it
+    * mirrors, the eval split, and the verified similarity. Both
+    * directions of a pair are checked; val↔test pairs are deliberately
+    * NOT flagged (eval-internal duplication does not contaminate
+    * training). Composes two already-oracle-checked primitives — the
+    * banded MinHash candidate path and the partitioning-invariant
+    * md5-split gate ([[Sampling.splitLabel]]) — so the guard inherits
+    * both scale stories: no N² pair enumeration, split membership
+    * stable under re-ingest. */
+  def qSplitLeakageGuard(s: SparkSession, dir: String): DataFrame = {
+    val leak = qDedupMinhash(s, dir)
+      .withColumn("s1", Sampling.splitLabel(col("d1")))
+      .withColumn("s2", Sampling.splitLabel(col("d2")))
+      .select(
+        when(col("s1") === "train" && col("s2") =!= "train",
+          struct(col("d1").as("train_doc"), col("d2").as("eval_doc"),
+            col("s2").as("eval_split")))
+          .when(col("s2") === "train" && col("s1") =!= "train",
+            struct(col("d2").as("train_doc"), col("d1").as("eval_doc"),
+              col("s1").as("eval_split")))
+          .as("leak"),
+        col("jac"))
+      .filter(col("leak").isNotNull)
+    leak.select(col("leak.train_doc").as("train_doc"),
+        col("leak.eval_doc").as("eval_doc"),
+        col("leak.eval_split").as("eval_split"), col("jac"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  val qSplitLeakageGuardSql: String = s"""
+    WITH lbl AS (
+      SELECT doc_id,
+        CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+          (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10) AS b
+        FROM documents))
+    SELECT CASE WHEN sa.split = 'train' THEN p.d1 ELSE p.d2 END AS train_doc,
+      CASE WHEN sa.split = 'train' THEN p.d2 ELSE p.d1 END AS eval_doc,
+      CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS eval_split,
+      p.jac
+    FROM ($jaccardOracleSql) p
+    JOIN lbl sa ON sa.doc_id = p.d1
+    JOIN lbl sb ON sb.doc_id = p.d2
+    WHERE (sa.split = 'train') <> (sb.split = 'train')
+    ORDER BY train_doc, eval_doc
+  """.trim
+
   /** Incremental MinHash dedup — the daily-ingest shape: the corpus's
     * band signatures are a PERSISTED index (built by a prior run;
     * here docs < 400 simulate it, written once and read back), and

@@ -134,6 +134,27 @@ class PipelineSpec extends SparkSpec {
     // little signal, but the machinery must still surface true neighbors
   }
 
+  test("leakage guard: flags exactly the train-eval near-dup pairs") {
+    val leaks = graft.ops.Dedup.qSplitLeakageGuard(spark, sfDir).collect()
+    val label = (id: Long) =>
+      spark.range(1).select(graft.ops.Sampling.splitLabel(
+        org.apache.spark.sql.functions.lit(id))).head.getString(0)
+    leaks.foreach { r =>
+      assert(label(r.getAs[Long]("train_doc")) == "train")
+      val es = r.getAs[String]("eval_split")
+      assert(es == "val" || es == "test")
+      assert(label(r.getAs[Long]("eval_doc")) == es)
+      assert(r.getAs[Double]("jac") >= 0.8)
+    }
+    // completeness: every cross-split verified near-dup pair is flagged
+    val pairs = graft.ops.Dedup.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.count { case (d1, d2) =>
+      (label(d1) == "train") != (label(d2) == "train") }
+    assert(leaks.length == expected,
+      s"${leaks.length} flagged but $expected cross-split pairs exist")
+  }
+
   test("MMR rerank: greedy scores non-increasing, first pick is the " +
       "relevance argmax, picks distinct") {
     val rows = Similarity.qSearchMmr(spark, sfDir).collect()
