@@ -96,6 +96,101 @@ object Streaming {
     ORDER BY win_start, n DESC, user_id
   """.trim
 
+  // ---- streaming distribution drift --------------------------------------
+
+  /** Per-window event-type counts — the STREAMABLE half of the drift
+    * monitor: a watermark-bounded keyed aggregation (state O(open
+    * windows × types), dropped at close), the same append-legal shape
+    * as [[windowedUserCounts]]. The TVD fold runs DOWNSTREAM of
+    * window close ([[driftFold]]) — append mode cannot compare an
+    * OPEN window's distribution (its counts are unknowable until the
+    * watermark certifies no more arrivals), the same reasoning that
+    * keeps ranking out of [[windowedUserCounts]]. */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Per-window total-variation distance against a REFERENCE
+    * distribution (yesterday's profile in production; here the
+    * all-time profile) — [[graft.ops.Quality.qDriftDetect]]'s exact
+    * integer arithmetic on closed windows: Σ|c_w·N_ref − c_ref·N_w|
+    * in decimals, types absent from the window contribute their full
+    * reference mass ((N_ref − Σ_present c_ref)·N_w), NOVEL types
+    * absent from the reference contribute c_w·N_ref (coalesce-0
+    * lookup) — the schema-adding case that matters operationally.
+    * One per-window window-sum + one partial+final agg; the reference
+    * rides a broadcast map literal, O(#types). */
+  def driftFold(counts: DataFrame, ref: Map[String, Long]): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val nRef = ref.values.sum
+    val nRefD = lit(nRef).cast(dec)
+    val refMap = typedlit(ref)
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start"))
+    val cref = coalesce(element_at(refMap, col("event_type")), lit(0L))
+    counts
+      .withColumn("nw", sum(col("n")).over(wWin))
+      .withColumn("num",
+        abs(col("n").cast(dec) * lit(nRef) - cref.cast(dec) * col("nw")))
+      .withColumn("crefp", cref)
+      .groupBy("win_start")
+      .agg(max(col("nw")).as("n_events"),
+        sum(col("num")).as("present_num"),
+        sum(col("crefp")).as("cref_present"))
+      .select(col("win_start"), col("n_events"),
+        ((col("present_num") +
+          (nRefD - col("cref_present").cast(dec)) *
+            col("n_events").cast(dec)).cast(DoubleType) /
+          (lit(2.0) * (nRefD * col("n_events")).cast(DoubleType)))
+          .as("tvd"))
+      .withColumn("drifted", col("tvd") > 0.1)
+  }
+
+  /** Batch twin: every hourly window's type distribution audited
+    * against the all-time profile. The reference collect is
+    * O(#event types) driver state — the k-means-seed precedent. */
+  def qStreamDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    driftFold(windowedTypeCounts(ev), ref)
+      .orderBy("win_start")
+  }
+
+  val qStreamDriftSql: String = """
+    WITH ref AS (
+      SELECT event_type, COUNT(*) AS cref FROM events GROUP BY 1),
+    nref AS (SELECT CAST(SUM(cref) AS BIGINT) AS n FROM ref),
+    wc AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    nw AS (SELECT win_start, CAST(SUM(c) AS BIGINT) AS n_events
+           FROM wc GROUP BY 1),
+    terms AS (
+      SELECT w.win_start,
+        SUM(ABS(w.c * (SELECT n FROM nref) - r.cref * x.n_events))
+          AS present_num,
+        SUM(r.cref) AS cref_present
+      FROM wc w
+      JOIN ref r USING (event_type)
+      JOIN nw x USING (win_start)
+      GROUP BY w.win_start)
+    SELECT t.win_start, x.n_events,
+      CAST(t.present_num
+        + ((SELECT n FROM nref) - t.cref_present) * x.n_events AS DOUBLE)
+        / (2.0 * CAST((SELECT n FROM nref) * x.n_events AS DOUBLE)) AS tvd,
+      CAST(t.present_num
+        + ((SELECT n FROM nref) - t.cref_present) * x.n_events AS DOUBLE)
+        / (2.0 * CAST((SELECT n FROM nref) * x.n_events AS DOUBLE)) > 0.1
+        AS drifted
+    FROM terms t JOIN nw x USING (win_start)
+    ORDER BY win_start
+  """.trim
+
   // ---- stream-static enrichment join -------------------------------------
 
   /** Stream-static enrichment: each arriving event joins a BROADCAST

@@ -984,6 +984,55 @@ class StreamingSpec extends SparkSpec {
       s"CDC loop lost or duplicated rows: $got")
   }
 
+  test("streaming drift: closed-window distributions fold to TVD, " +
+      "skew flagged, balanced window clean") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = Streaming.windowedTypeCounts(events).writeStream
+      .format("memory").queryName("drift_counts")
+      .outputMode("append").start()
+    // reference profile: 50/50 click/view
+    val ref = Map("click" -> 50L, "view" -> 50L)
+    try {
+      // 10:00 window mirrors the reference; 11:00 window is all-click
+      val balanced = (0 until 4).map(i =>
+        (ts(f"2024-01-01 10:${i * 10}%02d:00"),
+          if (i % 2 == 0) "click" else "view"))
+      val skewed = (0 until 4).map(i =>
+        (ts(f"2024-01-01 11:${i * 10}%02d:00"), "click"))
+      in.addData(balanced ++ skewed: _*)
+      q.processAllAvailable()
+      // the skewed events advance the watermark to 11:20, which closes
+      // the 10:00 window — but the 11:00 window (closes at 12:10) must
+      // NOT have emitted yet
+      assert(sp.table("drift_counts")
+        .filter(col("win_start") === ts("2024-01-01 11:00:00")).count() == 0,
+        "open window emitted early")
+      in.addData((ts("2024-01-01 13:00:00"), "view")) // advance watermark
+      q.processAllAvailable()
+      val closed = sp.table("drift_counts")
+        .filter(col("win_start") < ts("2024-01-01 12:00:00"))
+      val drift = Streaming.driftFold(closed, ref)
+        .collect().map(r => r.getAs[java.sql.Timestamp]("win_start") ->
+          (r.getAs[Double]("tvd"), r.getAs[Boolean]("drifted"))).toMap
+      val (tvdBal, flagBal) = drift(ts("2024-01-01 10:00:00"))
+      val (tvdSkew, flagSkew) = drift(ts("2024-01-01 11:00:00"))
+      assert(tvdBal == 0.0 && !flagBal,
+        s"reference-shaped window should read zero drift, got $tvdBal")
+      assert(tvdSkew == 0.5 && flagSkew,
+        s"all-click vs 50/50 is TVD 0.5, got $tvdSkew")
+      // stream fold == batch fold over the identical rows
+      val batch = Streaming.driftFold(Streaming.windowedTypeCounts(
+        (balanced ++ skewed).toDF("ts", "event_type")), ref)
+        .collect().map(r => r.getAs[java.sql.Timestamp]("win_start") ->
+          (r.getAs[Double]("tvd"), r.getAs[Boolean]("drifted"))).toMap
+      assert(batch == drift)
+    } finally q.stop()
+  }
+
   test("windowed top-k: streamed closed-window counts rank to the batch answer") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
