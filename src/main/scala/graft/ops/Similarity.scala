@@ -139,6 +139,49 @@ object Similarity {
     FROM s WHERE cos_sim >= 0.35 ORDER BY qid, cid
   """.trim
 
+  /** Group mean-pooling of embeddings — the chunk→document (or
+    * document→class prototype) pooling step every embedding pipeline
+    * runs between encoding and indexing: element-wise mean per
+    * `label` group, computed with the engine's exact-decimal Lloyd
+    * convention (sum float→DECIMAL(28,12), ONE double division by the
+    * count — order-independent at any partition count, where a double
+    * sum would drift per reduction order). Output renders through the
+    * `embed_project` fixed-point convention so the vector
+    * hash-checks. Scale shape: posexplode to (label, pos) then ONE
+    * partial+final agg — n·d rows shuffled as (int, int, decimal)
+    * triples, never whole vectors; the per-label re-assembly sorts
+    * struct(pos, m) so collect_list arrival order cannot matter. */
+  def qEmbedPool(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
+        count(lit(1))).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          pm => floor(pm.getField("m") * lit(10000.0) + lit(0.5))
+            .cast(LongType).cast(StringType)), ",").as("pooled"))
+      .orderBy("label")
+  }
+
+  val qEmbedPoolSql: String = """
+    WITH x AS (
+      SELECT label, i AS pos, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)),
+    m AS (
+      SELECT label, pos,
+        CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m,
+        COUNT(*) AS n
+      FROM x GROUP BY 1, 2)
+    SELECT label, MAX(n) AS n_vectors,
+      string_agg(CAST(CAST(FLOOR(m * 10000.0 + 0.5) AS BIGINT) AS VARCHAR),
+        ',' ORDER BY pos) AS pooled
+    FROM m GROUP BY label ORDER BY label
+  """.trim
+
   // ---- MMR diversified retrieval ---------------------------------------
 
   private val MmrPool = 20

@@ -134,6 +134,19 @@ class PipelineSpec extends SparkSpec {
     // little signal, but the machinery must still surface true neighbors
   }
 
+  test("embed pool: full-dimension prototypes, counts partition the corpus") {
+    val rows = graft.ops.Similarity.qEmbedPool(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total,
+      "every vector must pool into exactly one label prototype")
+    rows.foreach { r =>
+      val dims = r.getAs[String]("pooled").split(",")
+      assert(dims.length == 64, s"prototype lost dimensions: ${dims.length}")
+      dims.foreach(d => assert(d.matches("-?\\d+")))
+    }
+  }
+
   test("leakage guard: flags exactly the train-eval near-dup pairs") {
     val leaks = graft.ops.Dedup.qSplitLeakageGuard(spark, sfDir).collect()
     val label = (id: Long) =>
