@@ -72,8 +72,12 @@ object ScaleBench {
     * Idempotent via an `_DONE` marker (the copies are a build cache,
     * not a deliverable). */
   def buildScaled(s: SparkSession, base: String, out: String, mult: Int): Unit = {
-    val done = new java.io.File(s"$out/_DONE")
-    if (done.exists()) return
+    // marker through the Hadoop FS (same resolution as the parquet
+    // writes) so the cache contract holds for non-local roots too
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$out/_DONE")
+    if (fs.exists(done)) return
     def read(t: String) = s.read.parquet(s"$base/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -120,8 +124,7 @@ object ScaleBench {
         .withColumn("embedding", iso)
     }), "embeddings")
 
-    done.createNewFile()
-    ()
+    fs.create(done, true).close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -121,7 +121,11 @@ object Ipc {
     case _: ArrowType.Binary => BinaryType
     case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
     case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND => TimestampType
-    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+    // 128-bit only: the read kernels materialize DecimalVector, and a
+    // decimal256 column slipping past inference would MatchError
+    // mid-scan — fail at schema time with the standard message instead
+    case d: ArrowType.Decimal if d.getBitWidth == 128 =>
+      DecimalType(d.getPrecision, d.getScale)
     case _: ArrowType.List =>
       val elem = f.getChildren.get(0)
       ArrayType(toSparkType(elem), containsNull = elem.isNullable)
@@ -571,8 +575,14 @@ object Ipc {
     if (enc == null) { r => if (vec.isNull(r)) null else getToAny(vec, r) }
     else {
       val dv = dicts.get(enc.getId).getVector.asInstanceOf[FieldVector]
-      val iv = vec.asInstanceOf[IntVector]
-      r => if (iv.isNull(r)) null else getToAny(dv, iv.get(r))
+      // index width is part of the producer's DictionaryEncoding —
+      // pandas/pyarrow categoricals pick the narrowest of
+      // int8/int16/int32/int64, so decode through the BaseIntVector
+      // interface instead of assuming int32
+      val iv = vec.asInstanceOf[org.apache.arrow.vector.BaseIntVector]
+      r =>
+        if (vec.isNull(r)) null
+        else getToAny(dv, iv.getValueAsLong(r).toInt)
     }
   }
 

@@ -214,10 +214,14 @@ object Similarity {
     import s.implicits._
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    // materialize the 20-row pool ONCE: the three consumers below
+    // (rels collect + both sides of the sims self-join) would each
+    // re-run the O(corpus) scoring scan otherwise
     val pool = e.join(broadcast(q), col("vec_id") =!= 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         cosine(col("qe"), col("embedding")).as("rel"))
       .orderBy(col("rel").desc, col("cid").asc).limit(MmrPool)
+      .localCheckpoint(true)
     val a = pool.select(col("cid").as("d1"), col("ce").as("e1"))
     val b = pool.select(col("cid").as("d2"), col("ce").as("e2"))
     val rels = pool.select(col("cid"), col("rel")).collect()

@@ -360,9 +360,15 @@ object Sketches {
     val fb = Tables(s, dir, "lineitem")
       .filter(gate(col("l_orderkey")))
       .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("fb"))
+    // DECIMAL(38,0) accumulation (the drift_detect convention): a few
+    // hot keys with fa ~ fb ~ 2^32 would silently wrap a Long product,
+    // and the DuckDB replay sums in int128 — the decimal sum keeps the
+    // engines in agreement at any skew; the final BIGINT cast mirrors
+    // the oracle's
     val samp = fa.join(fb, "key")
       .agg(count(lit(1)).as("n_sampled_keys"),
-        (sum(col("fa") * col("fb")) * 8).as("est_rows"))
+        (sum(col("fa").cast(DecimalType(38, 0)) * col("fb")) * 8)
+          .cast(LongType).as("est_rows"))
     val exact = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))

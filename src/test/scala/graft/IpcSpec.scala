@@ -122,7 +122,13 @@ class IpcSpec extends SparkSpec with RoundTripGen {
   }
 
   test("DSv2 refuses dictionary-encoded directories loudly") {
-    val out = Egress.outRoot(sfDir) + "/ipc_dict_check" // written above
+    // self-contained fixture: do NOT lean on the writeIpcDict test's
+    // output dir — this test must hold under -z isolation too
+    val out = Egress.outRoot(sfDir) + "/ipc_dict_refusal"
+    Ipc.writeIpcDict(
+      graft.sources.Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      out, Seq("o_orderpriority"))
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-ipc").load(out).collect()
     }
