@@ -268,14 +268,24 @@ object Relational {
     Seq(0 -> 41L, 1 -> 7L, 2 -> 7L, 3 -> 0L, 4 -> 499L, 5 -> 123L,
       6 -> 250L, 7 -> 42L)
 
-  def qTakeGather(s: SparkSession, dir: String): DataFrame = {
+  /** The general operator: gather `indices` (index-list order, repeats
+    * allowed, out-of-range positions silently absent — the kernel's
+    * bounds-checked TakeOptions analogue) from `df` positioned by a
+    * total order over `orderCols`. */
+  def takeGather(s: SparkSession, df: DataFrame, orderCols: Seq[String],
+      indices: Seq[(Int, Long)]): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
-    val ids = Sampling.globalIds(s, docs, Seq("doc_id"), "pos")
-    val index = TakeIndices.toDF("ord", "take_pos")
+    val ids = Sampling.globalIds(s, df, orderCols, "pos")
+    val index = indices.toDF("ord", "take_pos")
     ids.join(broadcast(index), col("pos") === col("take_pos"))
-      .select(col("ord"), col("pos"), col("doc_id"), col("source"))
+      .drop("take_pos")
       .orderBy(col("ord"))
+  }
+
+  def qTakeGather(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    takeGather(s, docs, Seq("doc_id"), TakeIndices)
+      .select(col("ord"), col("pos"), col("doc_id"), col("source"))
   }
 
   val qTakeGatherSql: String = """

@@ -65,6 +65,30 @@ class RelationalSpec extends SparkSpec {
       s"no pushdown in plan:\n$plan")
   }
 
+  test("take gather property: random index lists (repeats, out-of-range) " +
+      "match the reference gather") {
+    val rnd = new scala.util.Random(20260814L)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+    val sorted = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    for (trial <- 0 until 5) {
+      val n = rnd.nextInt(12) + 1
+      // ~17% of positions deliberately past the end — must be absent,
+      // not error (the bounds-checked TakeOptions contract)
+      val idx = (0 until n).map(o =>
+        o -> rnd.nextInt(sorted.length + 10).toLong)
+      val got = graft.ops.Relational
+        .takeGather(spark, docs, Seq("doc_id"), idx)
+        .select("ord", "doc_id", "source").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      val want = idx.collect { case (o, p) if p < sorted.length =>
+        (o, sorted(p.toInt)._1, sorted(p.toInt)._2) }
+      assert(got.toSeq == want.toSeq, s"trial $trial diverged: " +
+        s"${got.toSeq} vs ${want.toSeq}")
+    }
+  }
+
   test("take gather: index order preserved, repeats emitted, ids dense") {
     val rows = graft.ops.Relational.qTakeGather(spark, sfDir).collect()
     assert(rows.nonEmpty)
