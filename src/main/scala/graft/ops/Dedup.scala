@@ -333,6 +333,58 @@ object Dedup {
 
   val qDedupMinhashSql: String = jaccardOracleSql
 
+  /** Deterministic negative sampling for contrastive training — k=5
+    * negatives per anchor document, drawn by md5 hash ranking
+    * (partitioning-invariant: the same negatives on any cluster, any
+    * re-ingest, any engine) and EXCLUDING verified near-duplicates of
+    * the anchor (the [[qDedupMinhash]] pair set): a near-dup sampled
+    * as a "negative" is a false negative that actively poisons a
+    * contrastive objective — filtering them is the entire reason this
+    * is an operator and not a `rand()` call. Ranking runs on the
+    * engine's grouped-top-k physical operator (bounded heaps,
+    * k·anchors·partitions shuffle cap), never a per-anchor sort; the
+    * anchor set broadcasts. */
+  def qNegativeSample(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val anchors = ids.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("anchor"))
+    val pairs = qDedupMinhash(s, dir).select(col("d1"), col("d2"))
+    val scored = ids.select(col("doc_id").as("neg_id"))
+      .join(broadcast(anchors), col("anchor") =!= col("neg_id"))
+      .withColumn("hkey", md5(concat(col("anchor").cast(StringType),
+        lit(":"), col("neg_id").cast(StringType))))
+    val filtered = scored.join(broadcast(pairs),
+      least(col("anchor"), col("neg_id")) === col("d1") &&
+        greatest(col("anchor"), col("neg_id")) === col("d2"),
+      "left_anti")
+    graft.plans.TopKPerGroup(filtered, Seq("anchor"),
+      Seq("hkey" -> true, "neg_id" -> true), 5)
+      .orderBy("anchor", "hkey", "neg_id")
+  }
+
+  val qNegativeSampleSql: String = s"""
+    WITH anchors AS (
+      SELECT doc_id AS anchor FROM documents WHERE doc_id < 20),
+    cand AS (
+      SELECT a.anchor, d.doc_id AS neg_id,
+        md5(CAST(a.anchor AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+          AS hkey
+      FROM anchors a JOIN documents d ON d.doc_id <> a.anchor),
+    flt AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ($jaccardOracleSql) p
+        WHERE p.d1 = LEAST(c.anchor, c.neg_id)
+          AND p.d2 = GREATEST(c.anchor, c.neg_id))),
+    r AS (
+      SELECT anchor, neg_id, hkey,
+        ROW_NUMBER() OVER (PARTITION BY anchor
+          ORDER BY hkey, neg_id) AS rn
+      FROM flt)
+    SELECT anchor, neg_id, hkey FROM r WHERE rn <= 5
+    ORDER BY anchor, hkey, neg_id
+  """.trim
+
   /** Eval-set leakage guard — the decontamination pass between
     * splitting and training: a TRAIN document that is a near-duplicate
     * (verified Jaccard >= 0.8, the [[qDedupMinhash]] pipeline) of any

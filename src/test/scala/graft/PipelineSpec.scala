@@ -134,6 +134,23 @@ class PipelineSpec extends SparkSpec {
     // little signal, but the machinery must still surface true neighbors
   }
 
+  test("negative sampling: k per anchor, never self, never a near-dup") {
+    val rows = graft.ops.Dedup.qNegativeSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("neg_id")))
+    val perAnchor = rows.groupBy(_._1)
+    perAnchor.foreach { case (a, ns) =>
+      assert(ns.length == 5, s"anchor $a drew ${ns.length} negatives")
+      assert(ns.map(_._2).distinct.length == 5)
+      assert(!ns.exists(_._2 == a), s"anchor $a sampled itself")
+    }
+    val dups = graft.ops.Dedup.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (a, n) =>
+      assert(!dups.contains((math.min(a, n), math.max(a, n))),
+        s"near-dup ($a, $n) sampled as a negative — a false negative")
+    }
+  }
+
   test("embed pool: full-dimension prototypes, counts partition the corpus") {
     val rows = graft.ops.Similarity.qEmbedPool(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -34,9 +34,11 @@ class PlanLintSpec extends SparkSpec {
   //    window — the exact plan the op exists to avoid)
   //  - hybrid_search: the vector leg cross-broadcasts the single-row
   //    query embedding onto the corpus scan — the knn_* shape
+  //  - negative_sample: the 20-row anchor set cross-broadcasts onto
+  //    the id scan (hash ranking needs every (anchor, cand) pair)
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "knn_pq", "knn_binary", "knn_range",
-      "window_ntile", "hybrid_search",
+      "window_ntile", "hybrid_search", "negative_sample",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
       "winsorize")
 
