@@ -51,21 +51,23 @@ object ScaleBench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Per-replica text bijection: three independent letter-class
-    * rotations (5 vowels × 9 consonants × 9 consonants = 405 distinct
-    * composed permutations), so every replica up to ×405 rewrites
-    * nearly every word — no cross-replica shingle collisions, while
-    * within-replica dup/near-dup structure (what the dedup operators
-    * measure) is preserved exactly by bijectivity. Identity at i = 0. */
-  private val RotA = "aeiou"
-  private val RotB = "snrtldcmp"
-  private val RotC = "bgkvwfhxy"
+  /** Per-replica text bijection: four independent 6-letter-class
+    * rotations over the corpus's 24-letter alphabet (6⁴ = 1296
+    * distinct composed permutations), so every replica up to ×1296
+    * rewrites nearly every word — no cross-replica shingle
+    * collisions, while within-replica dup/near-dup structure (what
+    * the dedup operators measure) is preserved exactly by
+    * bijectivity. Identity at i = 0. */
+  private val RotA = "aeiouy"
+  private val RotB = "snrtld"
+  private val RotC = "cmpbgk"
+  private val RotD = "vwfhjq"
   private def rotAlpha(a: String, k: Int): String =
     a.substring(k) + a.substring(0, k)
-  private def permSrc: String = RotA + RotB + RotC
+  private def permSrc: String = RotA + RotB + RotC + RotD
   private def permDst(i: Int): String =
-    rotAlpha(RotA, i % 5) + rotAlpha(RotB, (i / 5) % 9) +
-      rotAlpha(RotC, (i / 45) % 9)
+    rotAlpha(RotA, i % 6) + rotAlpha(RotB, (i / 6) % 6) +
+      rotAlpha(RotC, (i / 36) % 6) + rotAlpha(RotD, (i / 216) % 6)
 
   /** One scaled copy: `out/<table>.parquet` mirrors the base layout so
     * every `SparkEntry.queries` entry runs against it unchanged.
@@ -110,9 +112,11 @@ object ScaleBench {
     val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     write(replicate(emb, (d, i) => {
-      // 2·dim distinct isometries: circular shift, then global sign
-      // flip for the second lap — norms and within-replica geometry
-      // preserved, cross-replica directions decorrelated
+      // 2·dim·8 = 1024 distinct isometries: circular shift × global
+      // sign flip × prefix negation (first 8·p coordinates) — each a
+      // norm-preserving diagonal-±1 ∘ permutation, so within-replica
+      // cosine geometry is exact while cross-replica directions
+      // decorrelate (IVF cells stay balanced instead of mult deep)
       val v = i % (2 * dim)
       val sh = v % dim
       val shifted =
@@ -120,8 +124,13 @@ object ScaleBench {
         else concat(slice(col("embedding"), sh + 1, dim - sh),
           slice(col("embedding"), 1, sh))
       val iso = if (v < dim) shifted else transform(shifted, x => -x)
+      val prefix = 8 * ((i / (2 * dim)) % 8)
+      val iso2 =
+        if (prefix == 0) iso
+        else concat(transform(slice(iso, 1, prefix), x => -x),
+          slice(iso, prefix + 1, dim - prefix))
       d.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
-        .withColumn("embedding", iso)
+        .withColumn("embedding", iso2)
     }), "embeddings")
 
     fs.create(done, true).close()
