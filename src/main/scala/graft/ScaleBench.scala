@@ -162,6 +162,13 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // shuffle-FILE reclamation is ContextCleaner-driven and the
+      // cleaner only fires on GC; at ×1000 the suite accumulates tens
+      // of GB of dead shuffle files between queries without this nudge
+      // (observed: dedup_ngram's ×1000 run exhausted scratch disk
+      // under three passes' worth of unreclaimed shuffle)
+      System.gc()
+      Thread.sleep(500)
     }
     // untimed warm-up at the smallest multiplier
     for (q <- qs) {
