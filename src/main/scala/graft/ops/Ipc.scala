@@ -582,7 +582,9 @@ object Ipc {
       val iv = vec.asInstanceOf[org.apache.arrow.vector.BaseIntVector]
       r =>
         if (vec.isNull(r)) null
-        else getToAny(dv, iv.getValueAsLong(r).toInt)
+        // toIntExact: an int64 dictionary index above Int.MaxValue
+        // must fail loudly, not truncate into a wrong-but-valid slot
+        else getToAny(dv, Math.toIntExact(iv.getValueAsLong(r)))
     }
   }
 

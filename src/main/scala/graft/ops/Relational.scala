@@ -269,12 +269,28 @@ object Relational {
       6 -> 250L, 7 -> 42L)
 
   /** The general operator: gather `indices` (index-list order, repeats
-    * allowed, out-of-range positions silently absent — the kernel's
-    * bounds-checked TakeOptions analogue) from `df` positioned by a
-    * total order over `orderCols`. */
+    * allowed) from `df` positioned by a total order over `orderCols`.
+    *
+    * Bounds contract (TakeOptions analogue, take_test.cc): with
+    * `boundscheck = true` (the default, matching the reference) any
+    * index outside [0, rowCount) raises IndexOutOfBoundsException
+    * eagerly — the kernel surfaces caller bugs as errors, never as
+    * silently absent rows. `boundscheck = false` is the unchecked
+    * fast path; out-of-range positions simply match nothing. The
+    * validation count is one metadata-cheap job on the input, driver
+    * state O(1). */
   def takeGather(s: SparkSession, df: DataFrame, orderCols: Seq[String],
-      indices: Seq[(Int, Long)]): DataFrame = {
+      indices: Seq[(Int, Long)], boundscheck: Boolean = true): DataFrame = {
     import s.implicits._
+    if (boundscheck) {
+      indices.find(_._2 < 0).foreach { case (o, p) =>
+        throw new IndexOutOfBoundsException(
+          s"Take index $p (ord $o) is negative") }
+      val n = df.count()
+      indices.find(_._2 >= n).foreach { case (o, p) =>
+        throw new IndexOutOfBoundsException(
+          s"Take index $p (ord $o) out of bounds [0, $n)") }
+    }
     val ids = Sampling.globalIds(s, df, orderCols, "pos")
     val index = indices.toDF("ord", "take_pos")
     ids.join(broadcast(index), col("pos") === col("take_pos"))

@@ -171,12 +171,18 @@ object Streaming {
     nw AS (SELECT win_start, CAST(SUM(c) AS BIGINT) AS n_events
            FROM wc GROUP BY 1),
     terms AS (
+      -- LEFT JOIN + COALESCE(cref, 0): an event type present in a
+      -- window but absent from the reference profile (the novel-type
+      -- case) contributes |c_w * N_ref - 0| to the numerator, exactly
+      -- as the Scala driftFold path counts it — the oracle pins that
+      -- contract even though this fixture's all-time reference never
+      -- exercises it
       SELECT w.win_start,
-        SUM(ABS(w.c * (SELECT n FROM nref) - r.cref * x.n_events))
-          AS present_num,
-        SUM(r.cref) AS cref_present
+        SUM(ABS(w.c * (SELECT n FROM nref)
+              - COALESCE(r.cref, 0) * x.n_events)) AS present_num,
+        SUM(COALESCE(r.cref, 0)) AS cref_present
       FROM wc w
-      JOIN ref r USING (event_type)
+      LEFT JOIN ref r USING (event_type)
       JOIN nw x USING (win_start)
       GROUP BY w.win_start)
     SELECT t.win_start, x.n_events,

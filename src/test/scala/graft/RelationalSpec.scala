@@ -65,7 +65,7 @@ class RelationalSpec extends SparkSpec {
       s"no pushdown in plan:\n$plan")
   }
 
-  test("take gather property: random index lists (repeats, out-of-range) " +
+  test("take gather property: random in-range index lists (repeats) " +
       "match the reference gather") {
     val rnd = new scala.util.Random(20260814L)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -74,19 +74,40 @@ class RelationalSpec extends SparkSpec {
       .sortBy(_._1)
     for (trial <- 0 until 5) {
       val n = rnd.nextInt(12) + 1
-      // ~17% of positions deliberately past the end — must be absent,
-      // not error (the bounds-checked TakeOptions contract)
       val idx = (0 until n).map(o =>
-        o -> rnd.nextInt(sorted.length + 10).toLong)
+        o -> rnd.nextInt(sorted.length).toLong)
       val got = graft.ops.Relational
         .takeGather(spark, docs, Seq("doc_id"), idx)
         .select("ord", "doc_id", "source").collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
-      val want = idx.collect { case (o, p) if p < sorted.length =>
+      val want = idx.map { case (o, p) =>
         (o, sorted(p.toInt)._1, sorted(p.toInt)._2) }
       assert(got.toSeq == want.toSeq, s"trial $trial diverged: " +
         s"${got.toSeq} vs ${want.toSeq}")
     }
+  }
+
+  test("take gather bounds contract: out-of-range raises with " +
+      "boundscheck (the reference IndexError), drops without") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+    val n = docs.count()
+    val bad = Seq(0 -> 0L, 1 -> n, 2 -> (n + 9))
+    // boundscheck = true (default): reference Take raises IndexError
+    // on any position >= length (take_test.cc), so must we
+    val e = intercept[IndexOutOfBoundsException] {
+      graft.ops.Relational.takeGather(spark, docs, Seq("doc_id"), bad)
+    }
+    assert(e.getMessage.contains("out of bounds"))
+    intercept[IndexOutOfBoundsException] {
+      graft.ops.Relational.takeGather(
+        spark, docs, Seq("doc_id"), Seq(0 -> -1L))
+    }
+    // boundscheck = false: the unchecked fast path gathers what exists
+    val got = graft.ops.Relational
+      .takeGather(spark, docs, Seq("doc_id"), bad, boundscheck = false)
+      .select("ord").collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(0))
   }
 
   test("take gather: index order preserved, repeats emitted, ids dense") {
