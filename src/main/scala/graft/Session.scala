@@ -88,8 +88,12 @@ class Session(val spark: SparkSession) {
     graft.ops.Avro.writeAvro(df, path)
 
   /** sql (context.rs:71): SQL text → lazy DataFrame (the reference
-    * collects eagerly; we keep Spark laziness — .collect() matches). */
-  def sql(query: String): DataFrame = spark.sql(query)
+    * collects eagerly; we keep Spark laziness — .collect() matches).
+    * Lakehouse statements (CREATE TABLE graft_log / MERGE INTO
+    * graft_log / SELECT over graft_log refs) dispatch to
+    * [[graft.ops.LogSql]]; everything else is native Spark SQL. */
+  def sql(query: String): DataFrame =
+    graft.ops.LogSql.dispatch(spark, query).getOrElse(spark.sql(query))
 
   /** table (context.rs:201): named table → DataFrame for the Table API. */
   def table(name: String): DataFrame = spark.table(name)

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+/** SQL surface for the lakehouse tier (reference lifecycle §3.1 is
+  * SQL-first: DDL/DML statements drive the table log, not a
+  * programmatic API). Three statement forms route to
+  * [[graft.sources.TableLog]]:
+  *
+  *   CREATE TABLE graft_log('<root>') [STATS (c1, c2)] AS <select>
+  *       → TableLog.append of the query result (+ per-file stats)
+  *
+  *   MERGE INTO graft_log('<root>') AS t
+  *   USING (<select>) AS s
+  *   ON t.<key> = s.<key>
+  *   WHEN MATCHED [AND <cond>] THEN UPDATE SET c = <expr>[, ...]
+  *   [WHEN NOT MATCHED THEN INSERT *]
+  *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+  *   [STATS (c1, c2)]
+  *       → TableLog.mergeFull — the full Delta-parity three-clause
+  *         merge, one atomic commit
+  *
+  *   any SELECT mentioning graft_log('<root>')
+  *       → the reference is rewritten to a registered snapshot view,
+  *         then planned by Catalyst like any other query
+  *
+  * Everything else returns None and falls through to `spark.sql` —
+  * [[graft.Session.sql]] is the dispatch point (the engine's
+  * ExecutionContext.sql analogue, `rust/datafusion/src/execution/
+  * context.rs:71`). A ParserInterface injection would need
+  * session-build-time `spark.sql.extensions` config; dispatching in
+  * the engine's own sql() keeps the statements available on ANY
+  * session, including already-built ones.
+  *
+  * Condition/assignment texts are parsed by Catalyst itself
+  * (`functions.expr`) after alias mapping — the dispatcher only
+  * recognizes statement STRUCTURE, never expressions.
+  */
+object LogSql {
+
+  private val LogRef = """(?is)graft_log\s*\(\s*'([^']+)'\s*\)""".r
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.*)$""".r
+  private val MergeHead =
+    """(?is)^\s*MERGE\s+INTO\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+AS\s+(\w+)\s+USING\s*\(""".r
+
+  /** Some(result) when `text` is a lakehouse statement, else None. */
+  def dispatch(s: SparkSession, text: String): Option[DataFrame] = text match {
+    case CreateRe(root, stats, query) =>
+      val statsCols = Option(stats).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val v = graft.sources.TableLog.append(
+        s, root, s.sql(query), statsCols = statsCols)
+      Some(versionDf(s, v))
+    case t if MergeHead.findFirstIn(t).isDefined => Some(merge(s, t))
+    case t if t.trim.toUpperCase.startsWith("SELECT") &&
+        LogRef.findFirstIn(t).isDefined =>
+      Some(s.sql(rewriteRefs(s, t)))
+    case _ => None
+  }
+
+  /** Register each graft_log('<root>') reference as a snapshot view
+    * and substitute the view name — the query then plans natively. */
+  private def rewriteRefs(s: SparkSession, text: String): String =
+    LogRef.replaceAllIn(text, m => {
+      val root = m.group(1)
+      val view = "graft_log_" + math.abs(root.hashCode).toString
+      graft.sources.TableLog.snapshot(s, root).createOrReplaceTempView(view)
+      view
+    })
+
+  private def merge(s: SparkSession, text: String): DataFrame = {
+    val m = MergeHead.findFirstMatchIn(text).get
+    val root = m.group(1)
+    val tgtAlias = m.group(2)
+    // USING (<select>): paren-matched scan — the source query itself
+    // contains parens (CASE, functions), a regex cannot bound it
+    val open = m.end - 1
+    val close = matchParen(text, open)
+    val sourceQuery = text.substring(open + 1, close)
+    val Tail =
+      """(?is)^\s*AS\s+(\w+)\s+ON\s+(.*?)\s+(WHEN\s.*?)\s*(?:STATS\s*\(([^)]*)\)\s*)?$""".r
+    val (srcAlias, onText, clausesText, stats) =
+      text.substring(close + 1) match {
+        case Tail(a, on, cl, st) => (a, on, cl, Option(st))
+        case other => throw new IllegalArgumentException(
+          s"malformed MERGE tail: $other")
+      }
+
+    // ON t.<k> = s.<k> — equality on one shared key column
+    val OnRe = """(?is)^\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$""".r
+    val keyCol = onText match {
+      case OnRe(a1, c1, a2, c2) if c1.equalsIgnoreCase(c2) &&
+          Set(a1.toLowerCase, a2.toLowerCase) ==
+            Set(tgtAlias.toLowerCase, srcAlias.toLowerCase) => c1
+      case _ => throw new IllegalArgumentException(
+        s"MERGE ON must be $tgtAlias.<key> = $srcAlias.<key>: $onText")
+    }
+
+    // alias mapping to mergeFull's joined-frame names: source columns
+    // are src_-prefixed, target columns are bare
+    def mapAliases(e: String): String = e
+      .replaceAll(s"(?i)\\b$srcAlias\\s*\\.\\s*", "src_")
+      .replaceAll(s"(?i)\\b$tgtAlias\\s*\\.\\s*", "")
+
+    // clause split: each WHEN starts a clause (expressions never
+    // contain the keyword WHEN outside CASE...END, which our
+    // structural split tolerates because CASE arms sit inside a
+    // clause's expression text, after THEN UPDATE/DELETE markers)
+    val clauses = """(?is)\bWHEN\s""".r.split(clausesText.trim)
+      .map(_.trim).filter(_.nonEmpty)
+    val MatchedRe =
+      """(?is)^MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+UPDATE\s+SET\s+(.*)$""".r
+    val BySourceRe =
+      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.*?)\s+)?THEN\s+DELETE$""".r
+    val InsertRe = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$""".r
+
+    var cond = lit(true)
+    var set = Map.empty[String, org.apache.spark.sql.Column]
+    var bySource = lit(false)
+    var insertUnmatched = false
+    clauses.foreach {
+      case MatchedRe(c, sets) =>
+        cond = Option(c).map(t => expr(mapAliases(t))).getOrElse(lit(true))
+        set = splitTop(sets, ',').map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"malformed SET assignment: $a")
+          a.take(i).trim -> expr(mapAliases(a.drop(i + 1)))
+        }.toMap
+      case BySourceRe(c) =>
+        bySource = Option(c).map(t => expr(mapAliases(t))).getOrElse(lit(true))
+      case InsertRe() => insertUnmatched = true
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE clause: WHEN $other")
+    }
+    require(set.nonEmpty, "MERGE needs a WHEN MATCHED THEN UPDATE clause")
+
+    val statsCols = stats.toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val v = graft.sources.TableLog.mergeFull(s, root, s.sql(sourceQuery),
+      keyCol, cond, set, bySource, insertUnmatched, statsCols)
+    versionDf(s, v)
+  }
+
+  private def versionDf(s: SparkSession, v: Int): DataFrame = {
+    val sp = s; import sp.implicits._
+    Seq(v).toDF("version")
+  }
+
+  /** Index of the ')' matching the '(' at `open`; single-quote-aware. */
+  private def matchParen(text: String, open: Int): Int = {
+    var depth = 0; var i = open; var inQuote = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parens in statement")
+  }
+
+  /** Split on `sep` at paren depth 0, quote-aware. */
+  private def splitTop(text: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQuote = false; var start = 0
+    text.indices.foreach { i =>
+      val c = text.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 =>
+          out += text.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += text.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -759,24 +759,32 @@ object Similarity {
     * vs the exact L2 answer, code-range sanity, and determinism. */
   def knnPq(s: SparkSession, dir: String, mSub: Int = 8, kCodes: Int = 16,
       topk: Int = 10, lloydPasses: Int = 1): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val e = t(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).head.getInt(0)
     require(dim % mSub == 0, s"dim $dim not divisible by $mSub subspaces")
     val d = dim / mSub
+    val codebooks = pqTrain(s, e, mSub, kCodes, d, lloydPasses)
+    val codes = pqEncode(s, e, codebooks, mSub, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    pqAdcQuery(s, codes, codebooks, queries, mSub, d, topk)
+  }
 
-    // ---- train: deterministic seeds + `lloydPasses` decimal-exact
-    // Lloyd refinements, each one distributed job over all subspaces.
-    // Default 1: the fixture is near-converged after one pass (a
-    // second buys +1pt recall@10, 0.34→0.35, for a full extra
-    // training job). Raise for real corpora — pass count never
-    // touches query cost (encode/ADC are training-independent).
+  /** TRAIN: deterministic seeds + `lloydPasses` decimal-exact Lloyd
+    * refinements, each one distributed job over all subspaces.
+    * Default 1: the fixture is near-converged after one pass (a
+    * second buys +1pt recall@10, 0.34→0.35, for a full extra
+    * training job). Raise for real corpora — pass count never
+    * touches query cost (encode/ADC are training-independent).
+    * Driver state is O(mSub·kCodes·d) ≈ 1k doubles, never O(N). */
+  private def pqTrain(s: SparkSession, e: DataFrame, mSub: Int,
+      kCodes: Int, d: Int, lloydPasses: Int): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val seedRows: Seq[Seq[Double]] = e.filter(col("vec_id") < kCodes)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val seeds: Seq[Seq[Seq[Double]]] =
       (0 until mSub).map(m => seedRows.map(_.slice(m * d, (m + 1) * d)))
-
 
     val sub = e.select(col("embedding"),
         explode(sequence(lit(0), lit(mSub - 1))).as("m"))
@@ -797,23 +805,34 @@ object Similarity {
       (0 until mSub).map(m =>
         (0 until kCodes).map(j => means.getOrElse((m, j + 1), cb(m)(j))))
     }
-    val codebooks: Seq[Seq[Seq[Double]]] =
-      (1 to lloydPasses).foldLeft(seeds)((cb, _) => refine(cb))
+    (1 to lloydPasses).foldLeft(seeds)((cb, _) => refine(cb))
+  }
 
-    // ---- encode every vector: mSub codes, map-only
+  /** ENCODE every vector as mSub one-byte codes: pure per-row
+    * codegen'd expressions (slice + native dots + a kCodes-length
+    * argmin); zero shuffle, map-only — at scale this is the persisted
+    * index build pass. */
+  private def pqEncode(s: SparkSession, e: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], mSub: Int, d: Int): DataFrame = {
     val cbBc = s.sparkContext.broadcast(pqAugMats(codebooks))
-    def subvec(v: Column, m: Int): Column = slice(v, m * d + 1, d)
-    val codes = e.select(col("vec_id").as("cid"),
+    e.select(col("vec_id").as("cid"),
       array((0 until mSub).map(m =>
         pqArgmin(pqCosts(cbBc, lit(m.toLong),
-          subvec(col("embedding"), m)))): _*).as("codes"))
+          slice(col("embedding"), m * d + 1, d)))): _*).as("codes"))
+  }
 
-    // ---- query: per-query distance tables, broadcast; ADC scoring
-    val qtab = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"),
+  /** QUERY: each query precomputes its mSub×kCodes distance TABLE
+    * once (broadcast, tiny); candidate distance = mSub table lookups
+    * over the code column — no float math per candidate. */
+  private def pqAdcQuery(s: SparkSession, codes: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], queries: DataFrame,
+      mSub: Int, d: Int, topk: Int): DataFrame = {
+    val cbBc = s.sparkContext.broadcast(pqAugMats(codebooks))
+    val qtab = queries
+      .select(col("qid"),
         array((0 until mSub).map(m =>
           pqCosts(cbBc, lit(m.toLong),
-            subvec(col("embedding"), m))): _*).as("tab"))
+            slice(col("qe"), m * d + 1, d))): _*).as("tab"))
     val scored = codes.join(broadcast(qtab), col("qid") =!= col("cid"))
       .withColumn("adist", aggregate(
         zip_with(col("tab"), col("codes"), (tbl, c) => element_at(tbl, c)),
@@ -825,6 +844,87 @@ object Similarity {
   }
 
   def qKnnPq(s: SparkSession, dir: String): DataFrame = knnPq(s, dir)
+
+  /** Build-once PQ index (the production shape `knn_pq`'s per-call
+    * retrain is a demo of — same lift [[buildIvfIndex]] gave IVF).
+    * Three tables under `root`:
+    *
+    *  - `codebooks`: the mSub×kCodes×d trained matrix as (m, j, c)
+    *    rows — O(1k) doubles, read back at query time, NEVER
+    *    retrained.
+    *  - `codes`: (cid, codes) — the corpus reduced to mSub small ints
+    *    per vector, committed to a [[graft.sources.TableLog]]. This is the table
+    *    ADC scans: at 100 TB of floats it is a few hundred GB of
+    *    codes, which is the entire point of PQ.
+    *  - `vectors`: (vec_id, embedding) range-clustered on `vec_id`
+    *    with per-file stats, so fetching the handful of query vectors
+    *    file-skips instead of scanning the corpus.
+    *
+    * Training is [[pqTrain]] verbatim — identical seeds, kernel and
+    * decimal means — so the persisted answer EQUALS the per-call
+    * [[knnPq]] answer and inherits its exact oracle replay. */
+  def buildPqIndex(s: SparkSession, dir: String, root: String,
+      mSub: Int = 8, kCodes: Int = 16, lloydPasses: Int = 1): Unit = {
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    require(dim % mSub == 0, s"dim $dim not divisible by $mSub subspaces")
+    val d = dim / mSub
+    val codebooks = pqTrain(s, e, mSub, kCodes, d, lloydPasses)
+    val sp = s; import sp.implicits._
+    codebooks.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, j) => (m, j, c) } }
+      .toDF("m", "j", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+    val codes = pqEncode(s, e, codebooks, mSub, d)
+      .repartitionByRange(8, col("cid"))
+    graft.sources.TableLog.append(s, s"$root/codes", codes,
+      statsCols = Seq("cid"))
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(8, col("vec_id"))
+    graft.sources.TableLog.append(s, s"$root/vectors", vecs,
+      statsCols = Seq("vec_id"))
+  }
+
+  /** Query a persisted PQ index: load the O(mSub·kCodes·d) codebooks,
+    * fetch the query vectors from the stats-clustered `vectors` log
+    * (file-skip on vec_id), build per-query ADC tables, and scan ONLY
+    * the `codes` table — mSub integer lookups per candidate, the
+    * original floats never read. */
+  def queryPqIndex(s: SparkSession, root: String, queries: DataFrame,
+      topk: Int = 10): DataFrame = {
+    val cbRows = s.read.parquet(s"$root/codebooks")
+      .orderBy("m", "j").collect()
+    val mSub = cbRows.map(_.getInt(0)).max + 1
+    val codebooks: Seq[Seq[Seq[Double]]] = cbRows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq }
+    val d = codebooks.head.head.length
+    val codes = graft.sources.TableLog.snapshot(s, s"$root/codes")
+      .select(col("cid"), col("codes"))
+    pqAdcQuery(s, codes, codebooks, queries, mSub, d, topk)
+  }
+
+  /** Declared persisted-PQ query: build (train + encode + commit),
+    * then answer top-10 for the 10 query vectors from the STORED
+    * codebooks and codes. Training/encode/ADC are bit-identical to
+    * [[knnPq]] (parquet round-trips floats and doubles exactly), so
+    * the oracle is the same full replay SQL — one row proves the
+    * persist→load→table-lookup path end-to-end. */
+  def qKnnPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = Egress.outRoot(dir) + "/pq_index"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    buildPqIndex(s, dir, root)
+    // stats-pruned fetch: the vec_id-clustered vectors log serves the
+    // 10 query vectors from ONE file (readRange file-skip), not a
+    // corpus scan
+    val queries = graft.sources.TableLog
+      .readRange(s, s"$root/vectors", "vec_id", 0L, 9L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    queryPqIndex(s, root, queries)
+  }
 
   /** Full exact replay of [[knnPq]] (mSub=8, kCodes=16, one Lloyd
     * pass, top-10): seeds → kernel-fold costs → first-min assignment

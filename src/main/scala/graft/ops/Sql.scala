@@ -224,4 +224,50 @@ object Sql {
     GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) > 100
     ORDER BY l_returnflag, l_linestatus
   """.trim
+
+  /** The lakehouse tier driven ENTIRELY from SQL text ([[graft.ops.LogSql]]
+    * dispatch in `Session.sql`): CREATE TABLE ... AS populates the
+    * log, a full three-clause MERGE INTO (conditional update +
+    * insert * + NOT MATCHED BY SOURCE delete — the same semantics
+    * `log_merge3` pins through the programmatic API) mutates it in
+    * one atomic commit, and a SELECT over the graft_log reference
+    * reads the post-merge snapshot. Same scenario as `log_merge3`,
+    * so the same replay oracle. */
+  def qSqlMergeLog(s: SparkSession, dir: String): DataFrame = {
+    val root = Egress.outRoot(dir) + "/tlog_sql_merge"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val sess = Session(s)
+    sess.registerTable("orders", graft.sources.Tables(s, dir, "orders"))
+    sess.sql(s"""
+      CREATE TABLE graft_log('$root') STATS (o_orderkey) AS
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """.trim)
+    sess.sql(s"""
+      MERGE INTO graft_log('$root') AS t
+      USING (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey < 500 THEN o_totalprice + 500
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey < 600
+        UNION ALL
+        SELECT o_orderkey + 2000000 AS o_orderkey, 'I' AS o_orderstatus,
+          o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+      ) AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_totalprice > t.o_totalprice
+        THEN UPDATE SET o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 7 THEN DELETE
+      STATS (o_orderkey)
+    """.trim)
+    sess.sql(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM graft_log('$root')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.trim)
+  }
 }

@@ -250,6 +250,34 @@ class PipelineSpec extends SparkSpec {
       s"probed-cell filter not pushed to the index scan:\n$plan")
   }
 
+  test("persisted PQ index: build once, query many; stored codebooks+" +
+      "codes reproduce the per-call knn_pq answer; query fetch file-skips") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx").toString + "/idx"
+    Similarity.buildPqIndex(spark, sfDir, root)
+    val fetch = graft.sources.TableLog
+      .readRange(spark, s"$root/vectors", "vec_id", 0L, 9L)
+    val queries = fetch
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // identical training (seeds, kernel, decimal means) + exact
+    // parquet round-trip -> persisted answer EQUALS per-call knn_pq
+    val fresh = Similarity.knnPq(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val stored = Similarity.queryPqIndex(spark, root, queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(stored == fresh, "persisted PQ diverged from fresh training")
+    // query MANY: second query, same stored index, deterministic
+    val again = Similarity.queryPqIndex(spark, root, queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(again == stored)
+    // the query-vector fetch prunes FILES off the vec_id-clustered
+    // vectors log (stats skip), instead of scanning the corpus: with
+    // 8 range partitions and vec_id in [0, 9] only one file survives
+    assert(fetch.inputFiles.length < 8,
+      s"no file skip: ${fetch.inputFiles.length} of 8 files read")
+    assert(fetch.count() == 10, "pruned query fetch lost rows")
+  }
+
   /** Exact L2 top-10 per query, computed in-test (500 vectors). */
   private def exactL2Top10: Map[Long, Set[Long]] = {
     val e = graft.sources.Tables(spark, sfDir, "embeddings")

@@ -78,4 +78,30 @@ class SessionSpec extends SparkSpec {
     assert(meta(back).getString("graft.ext_type") == "vector.float32")
     assert(meta(back).getLong("graft.dim") == 64L)
   }
+
+  test("lakehouse SQL: CREATE/MERGE/SELECT over graft_log equals the " +
+      "programmatic TableLog path; non-log SQL falls through") {
+    // the SQL-driven scenario is log_merge3 verbatim -> identical rows
+    val viaSql = graft.ops.Sql.qSqlMergeLog(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.ops.Egress.qLogMerge3(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == viaApi, "SQL merge diverged from TableLog.mergeFull")
+    // MERGE is one atomic commit on top of the CREATE: version 1
+    val root = graft.ops.Egress.outRoot(sfDir) + "/tlog_sql_merge"
+    val commits = graft.sources.TableLog.history(spark, root).count()
+    assert(commits == 2, s"expected 2 commits, got $commits")
+    // dispatch structure: plain SQL is untouched (None -> spark.sql)
+    assert(graft.ops.LogSql.dispatch(spark, "SELECT 1 AS x").isEmpty)
+    assert(graft.ops.LogSql.dispatch(spark,
+      "CREATE TABLE t (x INT) USING parquet").isEmpty)
+    // malformed merge clause fails loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.LogSql.dispatch(spark,
+        s"MERGE INTO graft_log('$root') AS t USING (SELECT 1 AS k) AS s " +
+        "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("unsupported MERGE clause") ||
+      e.getMessage.contains("UPDATE"))
+  }
 }
