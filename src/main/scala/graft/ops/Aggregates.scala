@@ -195,15 +195,37 @@ object Aggregates {
   """.trim
 
   /** Approximate distinct (HLL) — the 100 TB path for cardinality.
-    * Sketch values are engine-specific → no SQL oracle; accuracy vs
-    * exact is asserted in AggregatesSpec. */
+    * Sketch ESTIMATES are engine-specific, so the query emits the
+    * exact distincts plus within-bound flags: |approx − exact| ≤
+    * 0.15·exact, i.e. 3σ of the default rsd = 0.05 — and the oracle
+    * states the flags as `true` (the same bounded-oracle pattern as
+    * `hll_sketch`). The estimate is deterministic for a given input,
+    * so this is a stable hash check, not a flaky statistical one;
+    * AggregatesSpec additionally pins a tighter 5% bound at rsd 0.02.
+    * The exact recount here is the verification harness — production
+    * keeps only the approx aggregation. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("parts_exact"),
+        countDistinct(col("l_orderkey")).as("orders_exact"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+      .select(col("l_returnflag"), col("parts_exact"), col("orders_exact"),
+        (abs(col("ap") - col("parts_exact")) <=
+          col("parts_exact").cast("double") * 0.15).as("parts_ok"),
+        (abs(col("ao") - col("orders_exact")) <=
+          col("orders_exact").cast("double") * 0.15).as("orders_ok"))
       .orderBy(col("l_returnflag"))
+
+  val qApproxDistinctSql: String = """
+    SELECT l_returnflag,
+      COUNT(DISTINCT l_partkey) AS parts_exact,
+      COUNT(DISTINCT l_orderkey) AS orders_exact,
+      true AS parts_ok, true AS orders_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """.trim
 
   /** MERGEABLE HLL sketches (Apache DataSketches `hll_sketch_agg` /
     * `hll_union_agg`) — what `approx_count_distinct` cannot do: the
@@ -249,18 +271,40 @@ object Aggregates {
   /** Approximate percentiles (Greenwald–Khanna sketch,
     * `percentile_approx` accuracy 10000 → rank error ≤ N/10000) — the
     * 100 TB path where the exact interpolated percentile would shuffle
-    * the full column per group. Sketch outputs are engine-specific →
-    * rows-only; AggregatesSpec pins the rank-error bound against the
-    * exact percentile. */
-  def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    * the full column per group. Sketch outputs are engine-specific, so
+    * the query emits the exact median plus within-bracket flags — the
+    * approx value must land inside the exact value bracket at q ± 0.03
+    * (the bound AggregatesSpec has pinned since r3; GK returns a real
+    * column element, so the interpolated ±3pt bracket is the value
+    * form of its rank guarantee with wide margin) — and the oracle
+    * states the flags as `true`. Deterministic, so a stable hash
+    * check. */
+  def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val tp = col("o_totalprice")
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-          .as("approx_median"),
-        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000))
-          .as("approx_p90"))
+        percentile_approx(tp, lit(0.5), lit(10000)).as("am"),
+        percentile_approx(tp, lit(0.9), lit(10000)).as("a90"),
+        percentile(tp, lit(0.47)).as("lo50"),
+        percentile(tp, lit(0.53)).as("hi50"),
+        percentile(tp, lit(0.87)).as("lo90"),
+        percentile(tp, lit(0.93)).as("hi90"),
+        round(median(tp), 6).as("med_exact"))
+      .select(col("o_orderpriority"), col("med_exact"),
+        (col("am") >= col("lo50") && col("am") <= col("hi50"))
+          .as("median_ok"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+          .as("p90_ok"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  val qApproxQuantileSql: String = """
+    SELECT o_orderpriority,
+      ROUND(MEDIAN(o_totalprice), 6) AS med_exact,
+      true AS median_ok, true AS p90_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
 
   /** Argmin/argmax aggregates: per event type, the user behind the
     * first and last event. Ordering column event_id is unique, so the

@@ -31,10 +31,12 @@ import org.apache.spark.sql.types.StructType
   *    ('T' lists "type: description" lines; 'A' runs "type body").
   *  - Handshake (`Flight.proto:38-47`) — one credential/token
   *    exchange: the client's payload is its credential, the server
-  *    answers with a deterministic bearer token or rejects. AUTH
-  *    STUB: the other verbs do not (yet) demand the token — this
-  *    implements the verb's wire exchange and reject path, which is
-  *    the protocol surface; per-call enforcement is a policy layer.
+  *    answers with a deterministic bearer token or rejects. On a
+  *    server built with an `authSecret`, EVERY other verb must then
+  *    present that bearer token (the per-call auth-header slot in
+  *    the framing below — the gRPC call-metadata analogue);
+  *    token-less or wrong-token calls get 'E' "unauthenticated"
+  *    before any work runs. An open server ignores the slot.
   *  - GetFlightInfo + endpoint DoGet (`Flight.proto:138-160`,
   *    `FlightInfo.endpoint`) — 'F' returns the ticket's schema and
   *    its endpoint count (one per partition of the server-side
@@ -42,9 +44,11 @@ import org.apache.spark.sql.types.StructType
   *    endpoints on parallel sockets ([[doGetParallel]]) instead of
   *    serializing the result through a single DoGet.
   *
-  * Wire framing: request = 1 verb byte ('L'/'S'/'G'/'P'), UTF-8 name
-  * (int32 length prefix), payload (int64 length prefix; only DoPut
-  * sends one). Response = 1 status byte, then 'E' carries an int32
+  * Wire framing: request = 1 verb byte ('L'/'S'/'G'/'P'), bearer
+  * token (int32 length prefix; empty on open servers and for
+  * Handshake itself), UTF-8 name (int32 length prefix), payload
+  * (int64 length prefix; only DoPut sends one). Response = 1 status
+  * byte, then 'E' carries an int32
   * length-prefixed UTF-8 error; 'O' carries the verb's payload — raw
   * Arrow stream bytes for DoGet (self-delimiting via the Arrow EOS
   * marker), an int32-prefixed UTF-8 string for the other verbs.
@@ -70,6 +74,15 @@ object FlightLite {
   private def writeStr(out: DataOutputStream, s: String): Unit = {
     val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
   }
+
+  /** The bearer token Handshake exchanges `credential` for — a
+    * deterministic digest, so reconnecting clients keep a stable
+    * identity and the server can re-derive (never store) the
+    * expected token for per-call enforcement. */
+  private def bearerToken(credential: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("graft-flight:" + credential).getBytes(UTF_8))
+      .map("%02x".format(_)).mkString.take(32)
 
   /** One-session Flight endpoint. `start()` binds loopback:port (0 =
     * ephemeral) and serves on a daemon thread until `close()`. */
@@ -132,7 +145,17 @@ object FlightLite {
         new BufferedOutputStream(conn.getOutputStream))
       try {
         val verb = in.readByte().toChar
+        val token = readName(in)
         val name = readName(in)
+        // per-call auth (the gRPC metadata analogue): an authSecret
+        // server serves nothing but Handshake without the bearer
+        // token Handshake issued — checked BEFORE resolving tickets,
+        // so unauthenticated callers cannot even probe view names
+        if (verb != 'H' && authSecret.exists(s => token != bearerToken(s))) {
+          out.writeByte('E')
+          writeStr(out, "unauthenticated: handshake required")
+          return
+        }
         verb match {
           case 'L' =>
             val names = spark.catalog.listTables()
@@ -174,11 +197,7 @@ object FlightLite {
                 out.writeByte('E')
                 writeStr(out, "handshake rejected: invalid credentials")
               case _ =>
-                val tok = java.security.MessageDigest
-                  .getInstance("SHA-256")
-                  .digest(("graft-flight:" + name).getBytes(UTF_8))
-                  .map("%02x".format(_)).mkString.take(32)
-                out.writeByte('O'); writeStr(out, tok)
+                out.writeByte('O'); writeStr(out, bearerToken(name))
             }
           case 'T' =>
             // ListActions (Flight.proto:99-105): the action verbs this
@@ -255,26 +274,37 @@ object FlightLite {
     } finally conn.close()
   }
 
-  def listFlights(host: String, port: Int): Seq[String] =
-    request(host, port) { out => out.writeByte('L'); writeStr(out, "") } {
+  /** Verb + auth-token + name header — every request starts with
+    * this triple (token empty on open servers; Handshake carries the
+    * CREDENTIAL in the name slot and ignores the token slot). */
+  private def header(out: DataOutputStream, verb: Char, token: String,
+      name: String): Unit = {
+    out.writeByte(verb); writeStr(out, token); writeStr(out, name)
+  }
+
+  def listFlights(host: String, port: Int,
+      token: String = ""): Seq[String] =
+    request(host, port) { out => header(out, 'L', token, "") } {
       in => readName(in).split("\n").toSeq.filter(_.nonEmpty)
     }
 
-  def getSchema(host: String, port: Int, ticket: String): StructType =
-    request(host, port) { out => out.writeByte('S'); writeStr(out, ticket) } {
+  def getSchema(host: String, port: Int, ticket: String,
+      token: String = ""): StructType =
+    request(host, port) { out => header(out, 'S', token, ticket) } {
       in => org.apache.spark.sql.types.DataType.fromJson(readName(in))
         .asInstanceOf[StructType]
     }
 
-  def doGet(host: String, port: Int, ticket: String): (Seq[Row], StructType) =
-    request(host, port) { out => out.writeByte('G'); writeStr(out, ticket) } {
+  def doGet(host: String, port: Int, ticket: String,
+      token: String = ""): (Seq[Row], StructType) =
+    request(host, port) { out => header(out, 'G', token, ticket) } {
       in => Ipc.readIpcStreamFrom(in)
     }
 
   def doPut(host: String, port: Int, name: String,
-      rows: Seq[Row], schema: StructType): Long =
+      rows: Seq[Row], schema: StructType, token: String = ""): Long =
     request(host, port) { out =>
-      out.writeByte('P'); writeStr(out, name)
+      header(out, 'P', token, name)
       val bytes = Ipc.writeIpcStream(rows, schema)
       out.writeLong(bytes.length.toLong); out.write(bytes)
     } { in => readName(in).toLong }
@@ -283,30 +313,31 @@ object FlightLite {
     * server's bearer token; throws on rejection. */
   def handshake(host: String, port: Int, credential: String = ""): String =
     request(host, port) { out =>
-      out.writeByte('H'); writeStr(out, credential)
+      header(out, 'H', "", credential)
     } { in => readName(in) }
 
   /** ListActions (Flight.proto:99-105): "type: description" lines. */
-  def listActions(host: String, port: Int): Seq[String] =
-    request(host, port) { out => out.writeByte('T'); writeStr(out, "") } {
+  def listActions(host: String, port: Int,
+      token: String = ""): Seq[String] =
+    request(host, port) { out => header(out, 'T', token, "") } {
       in => readName(in).split("\n").toSeq.filter(_.nonEmpty)
     }
 
   /** DoAction (Flight.proto:92-98): run `action` with `body`, returns
     * the result string. Actions: drop_view, row_count, clear_cache. */
   def doAction(host: String, port: Int, action: String,
-      body: String = ""): String =
+      body: String = "", token: String = ""): String =
     request(host, port) { out =>
-      out.writeByte('A')
-      writeStr(out, if (body.isEmpty) action else s"$action $body")
+      header(out, 'A', token,
+        if (body.isEmpty) action else s"$action $body")
     } { in => readName(in) }
 
   /** GetFlightInfo: the ticket's schema and its endpoint count — one
     * endpoint per partition of the server-side plan
     * (`FlightInfo.endpoint`, Flight.proto:138-160). */
   def getFlightInfo(host: String, port: Int,
-      ticket: String): (StructType, Int) =
-    request(host, port) { out => out.writeByte('F'); writeStr(out, ticket) } {
+      ticket: String, token: String = ""): (StructType, Int) =
+    request(host, port) { out => header(out, 'F', token, ticket) } {
       in =>
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(readName(in)).asInstanceOf[StructType]
@@ -316,9 +347,9 @@ object FlightLite {
   /** DoGet of ONE endpoint ticket (partition `p` of the ticket's
     * result). */
   def doGetPartition(host: String, port: Int, ticket: String,
-      p: Int): (Seq[Row], StructType) =
+      p: Int, token: String = ""): (Seq[Row], StructType) =
     request(host, port) { out =>
-      out.writeByte('g'); writeStr(out, ticket); out.writeInt(p)
+      header(out, 'g', token, ticket); out.writeInt(p)
     } { in => Ipc.readIpcStreamFrom(in) }
 
   /** Parallel DoGet: resolve the ticket's endpoints via

@@ -339,4 +339,71 @@ object Graph {
        |ORDER BY doc_id
        |""".stripMargin
   }
+
+  private val BfsDepth = 6
+
+  /** Single-source BFS shortest hop counts over the directed document
+    * link graph — the graph primitive beside [[qPageRank]] (crawl
+    * distance from a trusted seed is a classic quality prior, and the
+    * frontier loop is the Pregel iteration shape every other
+    * message-passing algorithm reuses).
+    *
+    * Spark-first iterative frontier expansion: level h's frontier =
+    * (frontier-at-h−1 ⋈ edges).dst minus everything already visited
+    * (left_anti) — one hash join + one anti join per level, shuffle
+    * O(#edges touched), NO driver state beyond the loop counter.
+    * Each level is `localCheckpoint`ed so the plan stays one-level
+    * deep (the same lineage-capping discipline as [[pageRank]] —
+    * without it level h replans h joins deep and a retry re-executes
+    * the whole cascade). Exactly-once level assignment is structural:
+    * a node enters `visited` at the FIRST level that reaches it, so
+    * hops = the true BFS distance; integer hops → bit-stable oracle.
+    *
+    * The oracle replays reachability in DuckDB as a depth-bounded
+    * recursive CTE + MIN(hops) — semantically min-hop distance, the
+    * definition BFS computes level-at-a-time. */
+  def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val nodes = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+    val n = nodes.count()
+    val targets = (1 to 3).map(k =>
+      hex4(concat(col("id").cast("string"), lit(s"#L$k"))) % n)
+    val edges = nodes
+      .select(col("id").as("src"), explode(array(targets: _*)).as("dst"))
+      .distinct()
+      .localCheckpoint(true) // reused every level: scan once, not 6×
+    var frontier = Seq((0L, 0)).toDF("id", "hops")
+    var visited = frontier
+    for (h <- 1 to BfsDepth) {
+      frontier = frontier
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited.orderBy("id")
+  }
+
+  val qGraphBfsSql: String = {
+    val links = (1 to 3).map { k =>
+      s"""SELECT id AS src, ${duckHex4(s"CAST(id AS VARCHAR) || '#L$k'")}
+         |  % (SELECT n FROM nn) AS dst FROM nodes""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  $links)),
+       |walk(id, hops) AS (
+       |  SELECT CAST(0 AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.id
+       |  WHERE w.hops < $BfsDepth)
+       |SELECT id, CAST(MIN(hops) AS INT) AS hops FROM walk
+       |GROUP BY id ORDER BY id
+       |""".stripMargin
+  }
 }

@@ -823,7 +823,8 @@ object Ipc {
     val out = Egress.outRoot(dir) + "/orders_ipc_minmax"
     Tables(s, dir, "orders")
       .select(col("o_orderkey"),
-        col("o_orderdate").cast(org.apache.spark.sql.types.DateType).as("odate"))
+        col("o_orderdate").cast(org.apache.spark.sql.types.DateType).as("odate"),
+        col("o_orderpriority"))
       .repartition(4, col("o_orderkey"))
       .write.format("graft-ipc").mode("overwrite").save(out)
     s.read.format("graft-ipc").load(out)
@@ -831,6 +832,11 @@ object Ipc {
         max(col("o_orderkey")).as("max_key"),
         min(col("odate")).as("first_date"),
         max(col("odate")).as("last_date"),
+        // string extremes fold from UTF8-byte-order sidecar bounds —
+        // same sidecar-only plan, oracle-matched against DuckDB's
+        // (binary-collation) MIN/MAX on the raw table
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"),
         count(lit(1)).as("n"))
   }
 
@@ -839,6 +845,8 @@ object Ipc {
       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
       MIN(CAST(o_orderdate AS DATE)) AS first_date,
       MAX(CAST(o_orderdate AS DATE)) AS last_date,
+      MIN(o_orderpriority) AS min_prio,
+      MAX(o_orderpriority) AS max_prio,
       COUNT(*) AS n
     FROM orders
   """.trim

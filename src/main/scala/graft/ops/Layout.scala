@@ -82,13 +82,13 @@ object Layout {
     * travel across the optimize sees identical rows. */
   def optimizeZorder(s: SparkSession, root: String,
       c1: String, c2: String, nFiles: Int): Int = {
-    // DV state captured BEFORE the snapshot read: the rewrite
-    // materializes active deletion vectors, and publish CAS-verifies
-    // none landed between this read and the commit
-    val dv0 = graft.sources.TableLog.dvState(s, root, -1)
-    val snap = graft.sources.TableLog.snapshot(s, root)
+    // file list + DV state pinned ONCE with the snapshot frame: the
+    // pinned files become the swap's remove set and publish
+    // CAS-verifies the DV state — a racing append keeps its rows, a
+    // racing delete aborts this optimize (never the reverse)
+    val (old, dv0, snap) = graft.sources.TableLog.pinSnapshot(s, root)
     graft.sources.TableLog.rewrite(s, root, statsCols = Seq(c1, c2),
-      expectDvs = Some(dv0))(
+      expectDvs = Some(dv0), base = Some(old))(
       dir => zorderBy(snap, c1, c2, nFiles, dir))
   }
 

@@ -1200,6 +1200,17 @@ object Similarity {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val n = e.count()
     val k = math.max(2, math.min(((n + targetOcc - 1) / targetOcc).toInt, 100000))
+    // Driver-state bound, stated precisely: every Lloyd pass
+    // broadcasts the k×d centroid matrix, so O(k·d) (~50 MB at the
+    // k = 1e5 / d = 64 cap) is the FLOOR of this broadcast-kernel
+    // design, not a removable collect — a "distributed seed election"
+    // would still materialize the same matrix on the driver to build
+    // the broadcast. The seed pull below is one transient copy of
+    // that same bound (orderBy.limit plans as TakeOrderedAndProject:
+    // per-partition heaps of k rows, merged once on the driver — no
+    // global sort), GC-dead after refineCentroids returns. Raising k
+    // past the cap needs a different ASSIGNMENT design (shuffle-join
+    // scoring, O(N·k) work), not a different seeding.
     val seeds: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cents = refineCentroids(e, seeds)

@@ -343,6 +343,94 @@ object Temporal {
     FROM j ORDER BY event_type, h
   """.trim
 
+  /** Gap-fill by LINEAR INTERPOLATION — [[qResampleFfill]]'s sibling
+    * for continuous signals (sensor/metric series), where a step
+    * function misstates the level between observations: a missing
+    * hour h between known points (pt, pv) and (nt, nv) reads
+    * pv + (nv − pv) · (h − pt)/(nt − pv's time span) — with ffill
+    * (backfill) degraded behavior only at the trailing (leading)
+    * edge where one neighbor doesn't exist.
+    *
+    * Two windows per row — running `last(v) ignoreNulls` over the
+    * preceding frame and `first(v) ignoreNulls` over the following —
+    * plus the matching observation TIMES, so the interpolation is
+    * pure per-row arithmetic after one partitioned sort; no self
+    * joins, no gap enumeration. Hash-stable cross-engine because
+    * every operand is exact (decimal-summed values, integer epoch
+    * seconds) and +,−,×,÷ are IEEE-exactly-rounded in both engines;
+    * the oracle mirrors the expression shape operation-for-operation. */
+  def qResampleInterp(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_events"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val et = unix_timestamp(col("h"))
+    val joined = grid.join(hourly, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(when(col("v").isNotNull, et), ignoreNulls = true)
+          .over(wPrev).as("pt"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+        first(when(col("v").isNotNull, et), ignoreNulls = true)
+          .over(wNext).as("nt"))
+    joined.select(col("event_type"), col("h"), col("n_events"),
+      when(col("v").isNotNull, col("v"))
+        .when(col("pv").isNull, col("nv"))
+        .when(col("nv").isNull, col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) *
+          ((et - col("pt")).cast("double") /
+            (col("nt") - col("pt")).cast("double")))
+        .as("v_interp"))
+      .orderBy("event_type", "h")
+  }
+
+  val qResampleInterpSql: String = s"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        ${dsumSql("value")} AS v, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM spans),
+    j AS (
+      SELECT g.event_type, g.h, hourly.v,
+        COALESCE(hourly.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h),
+    w AS (
+      SELECT event_type, h, CAST(n_events AS BIGINT) AS n_events, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+    SELECT event_type, h, n_events,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv) *
+             (CAST(CAST(epoch(h) AS BIGINT) - pt AS DOUBLE)
+              / CAST(nt - pt AS DOUBLE))
+      END AS v_interp
+    FROM w ORDER BY event_type, h
+  """.trim
+
   /** Interval-OVERLAP join (both sides are intervals — the shape
     * [[qRangeJoin]]'s point-in-interval bucketing cannot express):
     * which user pairs were active at the same time, and for how long?

@@ -1308,4 +1308,51 @@ object TextAnalysis {
           BETWEEN 3.0 AND 10.0 AS kept
     FROM agg ORDER BY doc_id
   """.trim
+
+  /** Hashing-trick featurization (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning"): each token lands
+    * in bucket md5(token)·16bits mod 64 with a ±1 sign from the next
+    * md5 nibble's parity — the signed sum per (doc, bucket) is an
+    * unbiased estimator of the inner product in the original
+    * vocabulary space, with NO vocabulary to build, broadcast, or
+    * version. This is the featurizer that survives 100 TB: per-row
+    * codegen'd hashing (zero vocabulary state, zero extra scan —
+    * compare [[qVocabOov]], which must first elect a dictionary), one
+    * partial+final aggregation; md5-portable, so the oracle replays
+    * every bucket and sign bit-for-bit. */
+  def qFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val term = col("term")
+    val bucket =
+      conv(substring(md5(term), 1, 4), 16, 10).cast(LongType) % 64
+    val sgn = when(
+      conv(substring(md5(term), 5, 1), 16, 10).cast(LongType) % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .select(col("doc_id"), bucket.as("bucket"), sgn.as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("fval"), count(lit(1)).as("n_terms"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  val qFeatureHashSql: String = {
+    def hex(pos: Int, of: String) =
+      s"(strpos('0123456789abcdef', substr(md5($of), $pos, 1)) - 1)"
+    val b16 = (1 to 4).map(i =>
+      s"${hex(i, "term")} * ${math.pow(16, 4 - i).toLong}")
+      .mkString("(", " + ", ")")
+    s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 100),
+    h AS (
+      SELECT doc_id, $b16 % 64 AS bucket,
+        CASE WHEN ${hex(5, "term")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM tok)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+      CAST(SUM(sgn) AS BIGINT) AS fval, COUNT(*) AS n_terms
+    FROM h GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim
+  }
 }

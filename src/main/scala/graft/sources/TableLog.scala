@@ -1805,10 +1805,17 @@ object TableLog {
     * entry); publish CAS-revalidates it so a deleteVector racing the
     * rewrite aborts one side instead of losing the delete. */
   def rewrite(s: SparkSession, root: String, statsCols: Seq[String] = Nil,
-      expectDvs: Option[Seq[String]] = None)(
+      expectDvs: Option[Seq[String]] = None,
+      base: Option[Seq[String]] = None)(
       write: String => Unit): Int = {
     val dv0 = expectDvs.getOrElse(dvState(s, root, -1))
-    val old = liveFiles(s, root, -1)
+    // base = the file list the caller's snapshot was RESOLVED against.
+    // Callers materializing a pre-read frame MUST pass it ([[pinSnapshot]]):
+    // re-resolving here would race a commit landing between the
+    // caller's snapshot and this call — the newcomer's file would
+    // join the remove set without its rows joining the rewrite, a
+    // silent lost update (caught by the TableLogSpec CAS storm fuzz).
+    val old = base.getOrElse(liveFiles(s, root, -1))
     val sub = s"data/${UUID.randomUUID()}"
     write(s"$root/$sub")
     val f = fs(s, root)
@@ -1821,14 +1828,29 @@ object TableLog {
     }
   }
 
+  /** Pin the current snapshot for a layout rewrite: DV state and live
+    * file list resolved ONCE, and the returned frame reads EXACTLY
+    * those files under those vectors — so the (files, dvs) pair can
+    * ride into [[rewrite]]'s remove set and CAS revalidation as the
+    * precise state the rows were computed from. A commit landing
+    * after this pin either leaves the pinned files live (add-only —
+    * its rows survive the swap untouched) or invalidates the pin at
+    * publish time (remove/DV change — ConcurrentModificationException,
+    * retryable). */
+  def pinSnapshot(s: SparkSession, root: String)
+      : (Seq[String], Seq[String], DataFrame) = {
+    val dv0 = dvState(s, root, -1)
+    val old = liveFiles(s, root, -1)
+    (old, dv0, readAligned(s, root, old, -1, dv0))
+  }
+
   /** Rewrite the live set into `numFiles` files and publish the swap
     * as one atomic commit. Old snapshots keep reading the old files. */
   def compact(s: SparkSession, root: String, numFiles: Int,
       statsCols: Seq[String] = Nil): Int = {
-    val dv0 = dvState(s, root, -1)
-    val snap = snapshot(s, root)
-    rewrite(s, root, statsCols, expectDvs = Some(dv0))(dir =>
-      snap.coalesce(numFiles).write.parquet(dir))
+    val (old, dv0, snap) = pinSnapshot(s, root)
+    rewrite(s, root, statsCols, expectDvs = Some(dv0), base = Some(old))(
+      dir => snap.coalesce(numFiles).write.parquet(dir))
   }
 
   /** RESTORE parity: make the live set equal what it was at `version`

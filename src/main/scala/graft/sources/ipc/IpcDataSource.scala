@@ -167,10 +167,11 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
     * when EVERY data file has a sidecar (one glob to check — if any
     * is missing the whole pushdown declines and the normal scan
     * computes the answer) and only for integral-kind columns
-    * (int/long/date/timestamp) and boolean: string stats order by
-    * Java char order, not Spark's UTF8 binary order, and float/double
-    * stats ignore NaN — both would be silently wrong in the corners,
-    * so they scan. */
+    * (int/long/date/timestamp), boolean, and binary-collation strings
+    * (sidecar string bounds order by UTF8String byte order — exactly
+    * Spark's MIN/MAX order, any content). float/double decline: their
+    * stats ignore NaN and would be silently wrong in that corner, so
+    * they scan; collated strings never reach 's' kind (IpcStats). */
   private var statsAggs: Seq[IpcStatsAggScan.AggSpec] = Nil
 
   override def pushAggregation(
@@ -190,6 +191,7 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
       }
     def statable(f: StructField): Boolean = f.dataType match {
       case LongType | IntegerType | DateType | TimestampType | BooleanType => true
+      case StringType => true
       case _ => false
     }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -385,6 +387,8 @@ private object IpcStatsAggScan {
         case LongType | TimestampType => raw.toLong
         case IntegerType | DateType => raw.toLong.toInt
         case BooleanType => raw.toBoolean
+        case StringType =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw)
         case other => throw new IllegalStateException(
           s"unexpected pushed-aggregate type $other")
       }

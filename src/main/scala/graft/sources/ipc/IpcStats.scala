@@ -7,6 +7,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-file column statistics for the graft-ipc format — the
   * data-skipping layer the Arrow file format itself lacks (an IPC
@@ -30,11 +31,14 @@ import org.apache.spark.sql.types._
   * Tracked kinds: int/long/date/timestamp as `l` (their Catalyst
   * encodings are ordered integers), float/double as `d`, string as
   * `s`, boolean as `b`; binary columns record null counts only.
-  * String min/max order on Java String comparison, which matches
-  * UTF8String binary order on the fixture's ASCII data but NOT for
-  * general UTF-8 supplementary characters — so string pruning uses
-  * equality bounds only (a range [min,max] from Java order could
-  * wrongly exclude), while numeric kinds prune on full ranges.
+  * String min/max order on UTF8String.compareTo — unsigned UTF-8
+  * byte order, exactly the order Spark's own string comparisons and
+  * pushed range filters use — so string columns prune on FULL ranges
+  * (point, IN, and </>/<=/>=), for any content including
+  * supplementary characters. The decline path for non-binary
+  * collations is structural: a collated StringType instance never
+  * matches the binary-collation singleton, lands in kind 'x', and
+  * records null counts only — no order claim, no pruning.
   */
 private[ipc] object IpcStats {
 
@@ -50,7 +54,7 @@ private[ipc] object IpcStats {
     var any = false
     var minL = Long.MaxValue; var maxL = Long.MinValue
     var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
-    var minS: String = null; var maxS: String = null
+    var minS: UTF8String = null; var maxS: UTF8String = null
     var minB = true; var maxB = false
 
     def update(row: InternalRow, c: Int): Unit =
@@ -73,9 +77,12 @@ private[ipc] object IpcStats {
             if (v < minD) minD = v
             if (v > maxD) maxD = v
           case 's' =>
-            val v = row.getUTF8String(c).toString
-            if (minS == null || v.compareTo(minS) < 0) minS = v
-            if (maxS == null || v.compareTo(maxS) > 0) maxS = v
+            // UTF8String.compareTo is unsigned byte order — the order
+            // Spark's pushed range filters mean. clone(): the row may
+            // reuse its backing buffer across next() calls
+            val v = row.getUTF8String(c)
+            if (minS == null || v.compareTo(minS) < 0) minS = v.clone()
+            if (maxS == null || v.compareTo(maxS) > 0) maxS = v.clone()
           case 'b' =>
             val v = row.getBoolean(c)
             if (!v) minB = false
@@ -97,7 +104,8 @@ private[ipc] object IpcStats {
       if (a.any) a.kind match {
         case 'l' => o.put("min", a.minL.toString); o.put("max", a.maxL.toString)
         case 'd' => o.put("min", a.minD.toString); o.put("max", a.maxD.toString)
-        case 's' => o.put("min", a.minS); o.put("max", a.maxS)
+        case 's' =>
+          o.put("min", a.minS.toString); o.put("max", a.maxS.toString)
         case 'b' => o.put("min", a.minB.toString); o.put("max", a.maxB.toString)
         case _ => ()
       }
@@ -166,13 +174,13 @@ private[ipc] object IpcStats {
         case 'd' => asDouble(v).forall(x =>
           x >= c.min.get.toDouble && x <= c.max.get.toDouble)
         case 's' => v match {
-          // sound for EQUALITY with any single consistent total order:
-          // min/max were computed with the same compareTo, so a probe
-          // outside [min,max] in that order equals no stored value.
-          // (Range filters on strings deliberately don't prune — their
-          // semantics are UTF8 byte order, not Java char order.)
+          // bounds and probe compare in UTF8String binary order — the
+          // same order the stats were accumulated under and the same
+          // order Spark evaluates the residual filter with
           case s: String =>
-            s.compareTo(c.min.get) >= 0 && s.compareTo(c.max.get) <= 0
+            val u = UTF8String.fromString(s)
+            u.compareTo(UTF8String.fromString(c.min.get)) >= 0 &&
+              u.compareTo(UTF8String.fromString(c.max.get)) <= 0
           case _ => true
         }
         case 'b' => v match {
@@ -196,6 +204,13 @@ private[ipc] object IpcStats {
           if (strict) c.max.get.toLong > x else c.max.get.toLong >= x)
         case 'd' => asDouble(v).forall(x =>
           if (strict) c.max.get.toDouble > x else c.max.get.toDouble >= x)
+        case 's' => v match {
+          case s: String =>
+            val mx = UTF8String.fromString(c.max.get)
+            val u = UTF8String.fromString(s)
+            if (strict) mx.compareTo(u) > 0 else mx.compareTo(u) >= 0
+          case _ => true
+        }
         case _ => true
       }
       case Some(c) => c.kind == 'x' // see boundsContain
@@ -210,6 +225,13 @@ private[ipc] object IpcStats {
           if (strict) c.min.get.toLong < x else c.min.get.toLong <= x)
         case 'd' => asDouble(v).forall(x =>
           if (strict) c.min.get.toDouble < x else c.min.get.toDouble <= x)
+        case 's' => v match {
+          case s: String =>
+            val mn = UTF8String.fromString(c.min.get)
+            val u = UTF8String.fromString(s)
+            if (strict) mn.compareTo(u) < 0 else mn.compareTo(u) <= 0
+          case _ => true
+        }
         case _ => true
       }
       case Some(c) => c.kind == 'x' // see boundsContain

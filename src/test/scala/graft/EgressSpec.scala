@@ -354,16 +354,24 @@ class EgressSpec extends SparkSpec {
     import sp.implicits._
     val dir = "/tmp/graft_egress/ipc_minmax"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    sp.range(0, 40000).select(col("id").as("k"), (col("id") % 2 === 0).as("b"))
+    sp.range(0, 40000).select(col("id").as("k"), (col("id") % 2 === 0).as("b"),
+        concat(lit("v"), lpad(col("id").cast("string"), 5, "0")).as("s"))
       .repartitionByRange(4, col("k"))
       .write.format("graft-ipc").mode("overwrite").save(dir)
     def scan = spark.read.format("graft-ipc").load(dir)
-    val agg = scan.agg(min("k"), max("k"), count(lit(1)), max("b"))
+    val agg = scan.agg(min("k"), max("k"), count(lit(1)), max("b"),
+      min("s"), max("s"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("sidecar-metadata-only"),
       s"expected the sidecar aggregate scan:\n$plan")
     assert(agg.collect().toSeq.map(_.toSeq) ==
-      Seq(Seq(0L, 39999L, 40000L, true)))
+      Seq(Seq(0L, 39999L, 40000L, true, "v00000", "v39999")))
+    // string RANGE filters prune files (UTF8-byte-order sidecar
+    // bounds): the k-range-clustered files carry aligned s ranges
+    val srange = scan.filter(col("s") >= "v30000")
+    assert(srange.rdd.getNumPartitions < 4,
+      "string range filter pruned nothing")
+    assert(srange.count() == 10000)
     // doubles decline (NaN corner): same answer via the normal scan
     val dagg = scan.select(col("k"), (col("k") * 0.5).as("d"))
       .agg(min("d"), max("d"))

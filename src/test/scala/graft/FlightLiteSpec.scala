@@ -172,4 +172,49 @@ class FlightLiteSpec extends SparkSpec {
       assert(tok.matches("[0-9a-f]{32}"))
     } finally authed.close()
   }
+
+  test("per-call auth enforcement: an authSecret server rejects " +
+      "token-less and wrong-token verbs, serves token-bearing ones") {
+    val sp = spark; import sp.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("flight_auth_t")
+    val srv = new FlightLite.Server(spark, authSecret = Some("sesame")).start()
+    try {
+      val port = srv.boundPort
+      // no token: every data/control verb refused before any work
+      val e1 = intercept[RuntimeException] {
+        FlightLite.doGet("127.0.0.1", port, "flight_auth_t")
+      }
+      assert(e1.getMessage.contains("unauthenticated"))
+      val e2 = intercept[RuntimeException] {
+        FlightLite.listFlights("127.0.0.1", port)
+      }
+      assert(e2.getMessage.contains("unauthenticated"))
+      val e3 = intercept[RuntimeException] {
+        FlightLite.doAction("127.0.0.1", port, "row_count", "flight_auth_t")
+      }
+      assert(e3.getMessage.contains("unauthenticated"))
+      // a forged/stale token (the digest of the WRONG credential) is
+      // rejected the same way
+      val forged = intercept[RuntimeException] {
+        FlightLite.doGet("127.0.0.1", port, "flight_auth_t",
+          token = "0" * 32)
+      }
+      assert(forged.getMessage.contains("unauthenticated"))
+      // handshake -> bearer token -> the same verbs succeed
+      val tok = FlightLite.handshake("127.0.0.1", port, "sesame")
+      val (rows, _) =
+        FlightLite.doGet("127.0.0.1", port, "flight_auth_t", token = tok)
+      assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L))
+      assert(FlightLite.listFlights("127.0.0.1", port, token = tok)
+        .contains("flight_auth_t"))
+      assert(FlightLite.doAction("127.0.0.1", port, "row_count",
+        "flight_auth_t", token = tok) == "2")
+      // open servers keep working token-less (back-compat surface)
+      val open = new FlightLite.Server(spark).start()
+      try assert(FlightLite.doGet("127.0.0.1", open.boundPort,
+        "flight_auth_t")._1.size == 2)
+      finally open.close()
+    } finally srv.close()
+  }
 }

@@ -37,8 +37,8 @@ class PlanLintSpec extends SparkSpec {
   //  - negative_sample: the 20-row anchor set cross-broadcasts onto
   //    the id scan (hash ranking needs every (anchor, cand) pair)
   private val bnljAllowed =
-    Set("knn_brute", "knn_ivf", "knn_pq", "knn_binary", "knn_range",
-      "window_ntile", "hybrid_search", "negative_sample",
+    Set("knn_brute", "knn_ivf", "knn_pq", "knn_pq_persisted", "knn_binary",
+      "knn_range", "window_ntile", "hybrid_search", "negative_sample",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
       "winsorize")
 

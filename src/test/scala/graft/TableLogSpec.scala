@@ -976,6 +976,110 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("concurrent CAS storm fuzz: 100 rounds of two writers racing " +
+      "append/mergeFull/compact/deleteVector stay outcome-serializable") {
+    val sp = spark; import sp.implicits._
+    // invariant per round: every op either returns a version (took
+    // full effect) or aborts with ConcurrentModificationException
+    // (took NO effect), and the post-round snapshot equals applying
+    // the SUCCESSFUL ops in one of their serial orders to the
+    // pre-round state. (Version order is NOT asserted: a merge that
+    // read before a racing append committed is outcome-equivalent to
+    // running BEFORE it — the WriteSerializable posture; what can
+    // never happen is a half-applied op, a lost commit, or a state
+    // matching no serial order.)
+    val root = freshRoot()
+    val rnd = new scala.util.Random(20260815L)
+    var nextKey = new java.util.concurrent.atomic.AtomicLong(40L)
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "s")
+    val init = (0 until 40).map(i => (i.toLong, s"i$i"))
+    TableLog.append(spark, root, df(init))
+    var model = init.toMap
+    type Op = (() => Unit, Map[Long, String] => Map[Long, String], String)
+    def mkOp(step: Int): Op = rnd.nextInt(4) match {
+      case 0 =>
+        val rows = (0 until 1 + rnd.nextInt(4))
+          .map(i => (nextKey.getAndIncrement(), s"a$step-$i"))
+        (() => { TableLog.append(spark, root, df(rows)); () },
+          m => m ++ rows, s"append(${rows.map(_._1).mkString(",")})")
+      case 1 =>
+        val hi = nextKey.get()
+        val src = (0 until 1 + rnd.nextInt(5))
+          .map(_ => rnd.nextLong(hi)).distinct.sorted
+          .map(k => (k, s"m$step-$k"))
+        val srcKeys = src.map(_._1).toSet
+        val dm = 2 + rnd.nextInt(4); val dr = rnd.nextInt(dm)
+        (() => { TableLog.mergeFull(spark, root, df(src), "id",
+            cond = col("src_s") =!= col("s"),
+            set = Map("s" -> col("src_s")),
+            bySourceCond = col("id") % dm === dr); () },
+          m => m.flatMap { case (k, v) =>
+            if (srcKeys.contains(k)) Some(k -> s"m$step-$k")
+            else if (k % dm == dr) None
+            else Some(k -> v)
+          } ++ src.filter { case (k, _) => !m.contains(k) },
+          s"mergeFull(src=${src.map(_._1).mkString(",")},del%$dm=$dr)")
+      case 2 =>
+        (() => { TableLog.compact(spark, root, 1 + rnd.nextInt(2)); () },
+          m => m, "compact")
+      case 3 =>
+        val dm = 3 + rnd.nextInt(5); val dr = rnd.nextInt(dm)
+        (() => { TableLog.deleteVector(spark, root, col("id") % dm === dr); () },
+          m => m.filterNot { case (k, _) => k % dm == dr },
+          s"deleteVector(%$dm=$dr)")
+    }
+    var casAborts = 0; var noHits = 0; var successes = 0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // outcome classes: Ok (committed, full effect), Cme (CAS abort,
+    // NO effect), NoHit (deleteVector's nothing-to-delete refusal —
+    // also no effect, and a valid answer in a race where the other
+    // writer emptied the modulus class first)
+    def outcome(f: Future[Unit]): Char =
+      try { Await.result(f, 300.seconds); 'O' }
+      catch {
+        case e: Throwable =>
+          val c = e match {
+            case ee: java.util.concurrent.ExecutionException => ee.getCause
+            case other => other
+          }
+          c match {
+            case _: java.util.ConcurrentModificationException => 'C'
+            case ia: IllegalArgumentException
+                if ia.getMessage.contains("nothing to delete") => 'N'
+            case other => throw other
+          }
+      }
+    for (round <- 1 to 100) {
+      val a = mkOp(round * 2); val b = mkOp(round * 2 + 1)
+      val fa = Future(a._1()); val fb = Future(b._1())
+      val (oA, oB) = (outcome(fa), outcome(fb))
+      successes += Seq(oA, oB).count(_ == 'O')
+      casAborts += Seq(oA, oB).count(_ == 'C')
+      noHits += Seq(oA, oB).count(_ == 'N')
+      val applied = Seq(a, b).zip(Seq(oA, oB))
+        .collect { case (op, 'O') => op._2 }
+      val candidates: Seq[Map[Long, String]] =
+        if (applied.isEmpty) Seq(model)
+        else applied.permutations.map(_.foldLeft(model)((m, f) => f(m))).toSeq
+      val got = TableLog.snapshot(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(candidates.exists(_ == got),
+        s"round $round (oA=$oA oB=$oB; a=${a._3}, b=${b._3}): snapshot " +
+          s"matches NO serial order of the successful ops; " +
+          s"|got|=${got.size}, candidate sizes=${candidates.map(_.size)}")
+      model = got
+      // a CAS abort requires a mover: someone must have committed
+      assert(oA == 'O' || oB == 'O' || (oA != 'C' && oB != 'C'),
+        s"round $round: a CAS abort with no committed mover")
+    }
+    info(s"storm: $successes commits, $casAborts CAS aborts, " +
+      s"$noHits no-hit refusals over 100 rounds")
+    assert(successes >= 100,
+      "two writers over 100 rounds must land at least 100 commits")
+  }
+
   test("rename mapping holds on EVERY path: range/point reads, deleteRange, deleteVector, merge; constrained columns refuse") {
     val sp = spark; import sp.implicits._
     val root = freshRoot()
