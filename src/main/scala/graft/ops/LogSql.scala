@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *       → TableLog.mergeFull — the full Delta-parity three-clause
   *         merge, one atomic commit
   *
+  *   UPDATE graft_log('<root>') SET c = <expr>[, ...] WHERE <pred>
+  *     [STATS (c1, c2)]
+  *       → TableLog.update — rewrites only the files containing
+  *         matches, one CAS-revalidated commit
+  *
+  *   DELETE FROM graft_log('<root>') WHERE <pred>
+  *       → TableLog.deleteVector — the deletion-vector form (no data
+  *         file rewritten; the scale-friendly default, materialized
+  *         by the next OPTIMIZE/compact)
+  *
   *   any SELECT mentioning graft_log('<root>')
   *       → the reference is rewritten to a registered snapshot view,
   *         then planned by Catalyst like any other query
@@ -44,6 +54,10 @@ object LogSql {
     """(?is)^\s*CREATE\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.*)$""".r
   private val MergeHead =
     """(?is)^\s*MERGE\s+INTO\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+AS\s+(\w+)\s+USING\s*\(""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*(?:STATS\s*\(([^)]*)\)\s*)?$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.*?)\s*$""".r
 
   /** Some(result) when `text` is a lakehouse statement, else None. */
   def dispatch(s: SparkSession, text: String): Option[DataFrame] = text match {
@@ -54,6 +68,19 @@ object LogSql {
         s, root, s.sql(query), statsCols = statsCols)
       Some(versionDf(s, v))
     case t if MergeHead.findFirstIn(t).isDefined => Some(merge(s, t))
+    case UpdateRe(root, sets, pred, stats) =>
+      val set = splitTop(sets, ',').map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"malformed SET assignment: $a")
+        a.take(i).trim -> expr(a.drop(i + 1))
+      }.toMap
+      val statsCols = Option(stats).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      Some(versionDf(s, graft.sources.TableLog.update(
+        s, root, expr(pred), set, statsCols)))
+    case DeleteRe(root, pred) =>
+      Some(versionDf(s, graft.sources.TableLog.deleteVector(
+        s, root, expr(pred))))
     case t if t.trim.toUpperCase.startsWith("SELECT") &&
         LogRef.findFirstIn(t).isDefined =>
       Some(s.sql(rewriteRefs(s, t)))

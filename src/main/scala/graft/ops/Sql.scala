@@ -270,4 +270,46 @@ object Sql {
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """.trim)
   }
+
+  /** UPDATE + DELETE statement forms on the lakehouse, SQL text only:
+    * UPDATE routes to TableLog.update (touched-files-only rewrite),
+    * DELETE to TableLog.deleteVector (no data file rewritten — the
+    * read applies the vector), and the SELECT proves both mutations
+    * landed. +100 (not a multiply) keeps every price exactly
+    * representable, so the decimal-sum oracle is bit-stable. */
+  def qSqlUpdateLog(s: SparkSession, dir: String): DataFrame = {
+    val root = Egress.outRoot(dir) + "/tlog_sql_update"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val sess = Session(s)
+    sess.registerTable("orders", graft.sources.Tables(s, dir, "orders"))
+    sess.sql(s"""
+      CREATE TABLE graft_log('$root') STATS (o_orderkey) AS
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """.trim)
+    sess.sql(s"""
+      UPDATE graft_log('$root')
+      SET o_totalprice = o_totalprice + 100
+      WHERE o_orderstatus = 'F' AND o_orderkey % 4 = 1
+      STATS (o_orderkey)
+    """.trim)
+    sess.sql(s"DELETE FROM graft_log('$root') WHERE o_orderkey % 10 = 3")
+    sess.sql(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM graft_log('$root')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.trim)
+  }
+
+  val qSqlUpdateLogSql: String = s"""
+    WITH res AS (
+      SELECT o_orderstatus,
+        CASE WHEN o_orderstatus = 'F' AND o_orderkey % 4 = 1
+             THEN o_totalprice + 100 ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 10 <> 3)
+    SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("p")} AS total_price
+    FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

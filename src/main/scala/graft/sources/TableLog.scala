@@ -1532,6 +1532,76 @@ object TableLog {
     } finally matched.unpersist()
   }
 
+  /** UPDATE … SET … WHERE (Delta UPDATE parity): rewrite ONLY the
+    * files containing at least one matching alive row; every other
+    * file keeps its identity, bytes, and stats. File targeting is
+    * predicate-EXACT — one distributed pass marks each matching row
+    * with its `_metadata` file identity and the distinct file keys
+    * come back as O(#files) driver metadata — where min/max stats
+    * could only approximate an arbitrary predicate (and would still
+    * be consulted by the scan below them). The touched files are
+    * re-read under the captured DV state (rewriting must not
+    * resurrect vector-deleted rows), SET applies where the predicate
+    * holds, and the swap publishes as ONE commit whose remove set and
+    * expectDvs CAS-revalidate at publish — a racing delete/compact
+    * aborts one side loudly. CDF records update_preimage/postimage
+    * pairs for the matched rows (the MERGE contract). Requires at
+    * least one matching row. Returns the committed version.
+    *
+    * 100 TB shape: write amplification is |touched files|, not
+    * |table| — an UPDATE hitting 0.1% of a clustered table rewrites
+    * ~0.1% of its files; the scan that finds them is one full read
+    * of the predicate columns only (column-pruned). */
+  def update(s: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column], statsCols: Seq[String] = Nil): Int = {
+    require(set.nonEmpty, "update: empty SET clause")
+    val dv0 = dvState(s, root, -1)
+    val files = liveFiles(s, root, -1)
+    require(files.nonEmpty, "update: empty table")
+    val raw = s.read.option("mergeSchema", "true")
+      .parquet(files.map(rel => abs(root, rel)): _*)
+    val keyed = raw
+      .withColumn("_g_file", fileKey(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+    val alive = if (dv0.isEmpty) keyed
+      else keyed.join(dvJoinFrame(s, root, dv0),
+        col("_g_file") === col("_g_dv_file") &&
+          col("_g_pos") === col("_g_dv_pos"), "left_anti")
+    val aligned = tableSchema(s, root) match {
+      case None => alive
+      case Some(decl) =>
+        alignDeclared(decl, alive, Seq(col("_g_file"), col("_g_pos")))
+    }
+    val dataCols = aligned.columns.toSeq
+      .filterNot(Set("_g_file", "_g_pos")).map(col)
+    val touched = aligned.filter(predicate)
+      .select(col("_g_file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // O(#files) metadata
+    require(touched.nonEmpty, "update: nothing to update")
+    val src = readAligned(s, root, touched, -1, dv0)
+    // hit flag materializes BEFORE any SET applies: a SET that
+    // rewrites a predicate column (SET x = 0 WHERE x > 5) must still
+    // report its postimages
+    val flagged = src.withColumn("__g_hit", predicate)
+    val hit = col("__g_hit")
+    val updated = set.foldLeft(flagged) { case (df, (c, e)) =>
+      df.withColumn(c, when(hit, e).otherwise(col(c)))
+    }
+    val outCols = src.columns.map(col).toSeq
+    val cdc = writeCdc(s, root,
+      flagged.filter(hit).select(outCols: _*)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(updated.filter(hit).select(outCols: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))))
+      .orElse(Some(""))
+    val (sub, outFiles) = writeData(s, root, updated.select(outCols: _*))
+    publishOrClean(s, root, sub +: cdc.toSeq) {
+      publish(s, root, outFiles, touched,
+        writeStats(s, root, sub, statsCols), cdc = cdc,
+        expectDvs = Some(dv0))
+    }
+  }
+
   /** MERGE (upsert-by-key): every target row whose `keyCol` appears
     * in `source` is REPLACED by the source row (all columns), and
     * source rows with new keys are INSERTED — one atomic commit.

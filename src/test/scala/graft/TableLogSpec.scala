@@ -976,8 +976,51 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("update rewrites only the files containing matches; CDF emits " +
+      "pre/postimage pairs; a SET on the predicate column still reports") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    val df = (0 until 800).map(i => (i.toLong, i % 7)).toDF("id", "v")
+      .repartitionByRange(8, col("id"))
+    TableLog.append(spark, root, df, statsCols = Seq("id"))
+    val before = TableLog.snapshot(spark, root).inputFiles.toSet
+    assert(before.size == 8)
+    TableLog.update(spark, root, col("id") < 100,
+      Map("v" -> (col("v") + 1000)), Seq("id"))
+    val after = TableLog.snapshot(spark, root)
+    // only the one file whose range covers id<100 was rewritten
+    val surviving = after.inputFiles.toSet
+    assert((before & surviving).size == 7,
+      s"expected 7 untouched files, ${(before & surviving).size} survive")
+    assert(after.filter(col("id") < 100).agg(min("v"), max("v"))
+      .head.toSeq == Seq(1000, 1006))
+    assert(after.filter(col("id") >= 100 && col("v") >= 1000).count() == 0,
+      "update leaked outside the predicate")
+    assert(after.count() == 800)
+    // SET that rewrites the predicate's own column: postimages must
+    // still be reported (hit flag materializes before SET)
+    spark.conf.set("spark.graft.tablelog.cdf", "true")
+    try {
+      val v0 = TableLog.update(spark, root, col("v") === 1003L,
+        Map("v" -> lit(-1)), Seq("id"))
+      val feed = TableLog.tableChanges(spark, root, v0 - 1)
+        .select(col("id"), col("v"), col("_change_type"))
+        .as[(Long, Int, String)].collect()
+      val pre = feed.filter(_._3 == "update_preimage")
+      val post = feed.filter(_._3 == "update_postimage")
+      assert(pre.nonEmpty && pre.forall(_._2 == 1003))
+      assert(post.map(_._1).sorted.toSeq == pre.map(_._1).sorted.toSeq)
+      assert(post.forall(_._2 == -1),
+        "postimage lost when SET rewrote the predicate column")
+    } finally spark.conf.unset("spark.graft.tablelog.cdf")
+    // update must refuse to no-op silently
+    intercept[IllegalArgumentException] {
+      TableLog.update(spark, root, col("id") === -5L, Map("v" -> lit(0)))
+    }
+  }
+
   test("concurrent CAS storm fuzz: 100 rounds of two writers racing " +
-      "append/mergeFull/compact/deleteVector stay outcome-serializable") {
+      "append/mergeFull/compact/deleteVector/update stay outcome-serializable") {
     val sp = spark; import sp.implicits._
     // invariant per round: every op either returns a version (took
     // full effect) or aborts with ConcurrentModificationException
@@ -996,7 +1039,7 @@ class TableLogSpec extends SparkSpec {
     TableLog.append(spark, root, df(init))
     var model = init.toMap
     type Op = (() => Unit, Map[Long, String] => Map[Long, String], String)
-    def mkOp(step: Int): Op = rnd.nextInt(4) match {
+    def mkOp(step: Int): Op = rnd.nextInt(5) match {
       case 0 =>
         val rows = (0 until 1 + rnd.nextInt(4))
           .map(i => (nextKey.getAndIncrement(), s"a$step-$i"))
@@ -1027,6 +1070,13 @@ class TableLogSpec extends SparkSpec {
         (() => { TableLog.deleteVector(spark, root, col("id") % dm === dr); () },
           m => m.filterNot { case (k, _) => k % dm == dr },
           s"deleteVector(%$dm=$dr)")
+      case 4 =>
+        val um = 2 + rnd.nextInt(4); val ur = rnd.nextInt(um)
+        (() => { TableLog.update(spark, root, col("id") % um === ur,
+            Map("s" -> concat(lit(s"u$step-"), col("id")))); () },
+          m => m.map { case (k, v) =>
+            k -> (if (k % um == ur) s"u$step-$k" else v) },
+          s"update(%$um=$ur)")
     }
     var casAborts = 0; var noHits = 0; var successes = 0
     import scala.concurrent.{Await, Future}
@@ -1047,7 +1097,8 @@ class TableLogSpec extends SparkSpec {
           c match {
             case _: java.util.ConcurrentModificationException => 'C'
             case ia: IllegalArgumentException
-                if ia.getMessage.contains("nothing to delete") => 'N'
+                if ia.getMessage.contains("nothing to delete") ||
+                  ia.getMessage.contains("nothing to update") => 'N'
             case other => throw other
           }
       }
