@@ -89,7 +89,13 @@ object Bench {
     // (`git show HEAD:` — the working file re-baselines every run and
     // would let gradual slowdowns ratchet in silently). Parsed BEFORE
     // the retry pass because retry eligibility depends on it.
-    val prior: Map[String, Double] = try {
+    // SPARK_GRAFT_BASELINE=none: run without a regression baseline.
+    // Used for off-scale runs (e.g. the sf1 evidence pass) where every
+    // query is legitimately slower than the committed sf0.1 detail and
+    // outlier-retries would double the wall time for nothing.
+    val prior: Map[String, Double] = if (
+      sys.env.get("SPARK_GRAFT_BASELINE").contains("none")) Map.empty
+    else try {
       val txt = try {
         val p = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
           .redirectErrorStream(false).start()

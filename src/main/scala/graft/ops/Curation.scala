@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Web-corpus curation operators (builder brief §"training-data
+  * pipeline"): URL canonicalization + dedup, multi-pass-blocked record
+  * linkage, and windowed PMI co-occurrence — the three standard moves
+  * between "crawl landed" and "corpus is trainable" that the dedup /
+  * similarity tiers don't already cover.
+  *
+  * Reference analogue: the Gandiva string-kernel tier
+  * (/root/reference/cpp/src/gandiva/function_registry_string.cc) is
+  * the per-row machinery; the reference has no curation pipeline, so
+  * these are engine extensions declared under SURVEY §2.12.
+  *
+  * Scale shape, per operator:
+  *  - URL canonicalization is a pure per-row Column expression (no
+  *    UDF, stays inside whole-stage codegen); the dedup after it is a
+  *    hash groupBy on the canonical string — the same
+  *    shuffle-32-bytes-per-row posture as [[Dedup.qDedupExact]].
+  *  - Record linkage NEVER goes all-pairs: candidate pairs come from a
+  *    union of cheap blocking keys (equi-joins), and the quadratic
+  *    scorer (levenshtein) runs only inside blocks. Block granularity
+  *    is the scale knob — at 100 TB you add digits to the key, the
+  *    join stays an equi-shuffle.
+  *  - PMI co-occurrence explodes (doc, pos, token) once and self-joins
+  *    on doc_id with a ±window positional band; per-doc token count is
+  *    bounded (documents are chunked upstream), so every join group is
+  *    O(doc length · window), never O(corpus²).
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---- URL canonicalization + dedup ------------------------------------
+
+  /** Canonical form of a URL: lowercase scheme+host, `www.` and
+    * default-port stripped, fragment dropped, tracking parameters
+    * (utm_*, fbclid, gclid, msclkid, ref) removed, remaining query
+    * params sorted, trailing path slashes collapsed (empty path → /).
+    * Pure Column composition — codegen-friendly, batch/stream unified. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
+    val path0 = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qstr = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = filter(split(qstr, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref)="))
+    val canonQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
+  /** Messy URL fixture derived deterministically from `documents`
+    * (the fixtures carry no URL column): six per-doc variants —
+    * case-mangled host, www + default port + trailing slash, tracking
+    * params, unsorted params, fragment, http default port — chosen so
+    * canonicalization provably collapses variant classes {0,1,2} and
+    * {3,4} while keeping 5 distinct (different scheme + param set). */
+  private def urlFixture(docs: DataFrame): DataFrame = {
+    val item = (col("doc_id") % 40).cast("string")
+    val v = col("doc_id") % 6
+    docs.select(col("doc_id"),
+      when(v === 0, concat(lit("https://Example.COM/"), col("source"), lit("/item/"), item))
+        .when(v === 1, concat(lit("HTTPS://www.example.com:443/"), col("source"), lit("/item/"), item, lit("/")))
+        .when(v === 2, concat(lit("https://example.com/"), col("source"), lit("/item/"), item, lit("?utm_source=feed&utm_campaign=x")))
+        .when(v === 3, concat(lit("https://example.com/"), col("source"), lit("/item/"), item, lit("?b=2&a=1")))
+        .when(v === 4, concat(lit("https://example.com/"), col("source"), lit("/item/"), item, lit("?a=1&b=2#section")))
+        .otherwise(concat(lit("http://example.com:80/"), col("source"), lit("/item/"), item, lit("?gclid=xyz&a=1")))
+        .as("url"))
+  }
+
+  /** Canonicalize, then exact-dedup on the canonical form: per
+    * canonical URL the duplicate count and the kept (min) doc_id. */
+  def qDedupUrl(s: SparkSession, dir: String): DataFrame =
+    urlFixture(t(s, dir, "documents"))
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("canonical_url"))
+
+  val qDedupUrlSql: String = """
+    WITH raw AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'https://Example.COM/' || source || '/item/' || CAST(doc_id % 40 AS VARCHAR)
+          WHEN 1 THEN 'HTTPS://www.example.com:443/' || source || '/item/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+          WHEN 2 THEN 'https://example.com/' || source || '/item/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+          WHEN 3 THEN 'https://example.com/' || source || '/item/' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&a=1'
+          WHEN 4 THEN 'https://example.com/' || source || '/item/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2#section'
+          ELSE 'http://example.com:80/' || source || '/item/' || CAST(doc_id % 40 AS VARCHAR) || '?gclid=xyz&a=1'
+        END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host0,
+        regexp_replace(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path0,
+        regexp_extract(nofrag, '\?([^#]*)', 1) AS q
+      FROM (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM raw)),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' ||
+        CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+             ELSE host0 END ||
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+        CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (SELECT *,
+              -- COALESCE: DuckDB's array_to_string([]) is NULL where
+              -- Spark's array_join([]) is '' — pin the Spark semantics
+              COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&'), '') AS cq
+            FROM parts))
+    SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+  """.trim
+
+  // ---- Record linkage (entity resolution) ------------------------------
+
+  /** Dirty counterpart of `customer`, derived deterministically (the
+    * fixtures ship no second CRM extract): per-row perturbation keyed
+    * on custkey — identity / last-digit substitution / prefix typo /
+    * appended char — plus a ±0.03 balance jitter. Carries its own id
+    * space (custkey + 1,000,000). */
+  private def dirtyCustomers(cust: DataFrame): DataFrame = {
+    val p = col("c_custkey") % 4
+    cust.select(
+      (col("c_custkey") + lit(1000000L)).as("d_id"),
+      col("c_custkey").as("d_src"),
+      when(p === 0, col("c_name"))
+        .when(p === 1, regexp_replace(col("c_name"), "[0-9]$", "X"))
+        .when(p === 2, regexp_replace(col("c_name"), "^Customer#", "Custmer#"))
+        .otherwise(concat(col("c_name"), lit("~"))).as("d_name"),
+      round(col("c_acctbal") + (col("c_custkey") % 7 - lit(3)) * lit(0.01), 2)
+        .as("d_bal"),
+      col("c_nationkey").as("d_nationkey"))
+  }
+
+  /** Multi-pass-blocked record linkage: candidate pairs from the UNION
+    * of two cheap blocking keys — (nation, 500-unit balance bucket)
+    * and (nation, digit-prefix of the name's numeric block) — each an
+    * equi-join; the quadratic scorer (levenshtein ≤ 2 AND |Δbal| ≤
+    * 0.05) runs only on blocked candidates. Multi-pass blocking is the
+    * standard recall hedge: a perturbation that breaks one key (the
+    * balance jitter crossing a bucket edge, a typo in the digits) is
+    * caught by the other. */
+  def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val clean = t(s, dir, "customer")
+    val dirty = dirtyCustomers(clean)
+    val cA = clean.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      col("c_nationkey"), floor(col("c_acctbal") / 500).as("blk"))
+    val dA = dirty.select(col("d_id"), col("d_name"), col("d_bal"),
+      col("d_nationkey"), floor(col("d_bal") / 500).as("blk"))
+    val passA = cA.join(dA,
+      cA("c_nationkey") === dA("d_nationkey") && cA("blk") === dA("blk"))
+    val digitsPfx = (c: Column) => substring(regexp_extract(c, "([0-9]{9})", 1), 1, 8)
+    val cB = clean.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      col("c_nationkey"), digitsPfx(col("c_name")).as("pfx"))
+    val dB = dirty.select(col("d_id"), col("d_name"), col("d_bal"),
+      col("d_nationkey"), digitsPfx(col("d_name")).as("pfx"))
+    val passB = cB.join(dB,
+      cB("c_nationkey") === dB("d_nationkey") && cB("pfx") === dB("pfx"))
+    val cand = passA.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("d_id"), col("d_name"), col("d_bal"))
+      .unionByName(passB.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("d_id"), col("d_name"), col("d_bal")))
+      .distinct()
+    cand
+      .withColumn("name_dist", levenshtein(col("c_name"), col("d_name")))
+      .withColumn("bal_diff", round(abs(col("c_acctbal") - col("d_bal")), 2))
+      .filter(col("name_dist") <= 2 && col("bal_diff") <= 0.05)
+      .select(col("c_custkey"), col("d_id"), col("name_dist"), col("bal_diff"))
+      .orderBy(col("c_custkey"), col("d_id"))
+  }
+
+  val qRecordLinkageSql: String = """
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS d_id,
+        CASE CAST(c_custkey % 4 AS INT)
+          WHEN 0 THEN c_name
+          WHEN 1 THEN regexp_replace(c_name, '[0-9]$', 'X')
+          WHEN 2 THEN regexp_replace(c_name, '^Customer#', 'Custmer#')
+          ELSE c_name || '~' END AS d_name,
+        ROUND(c_acctbal + (c_custkey % 7 - 3) * 0.01, 2) AS d_bal,
+        c_nationkey AS d_nationkey
+      FROM customer),
+    pass_a AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, d.d_id, d.d_name, d.d_bal
+      FROM customer c JOIN dirty d
+        ON c.c_nationkey = d.d_nationkey
+       AND FLOOR(c.c_acctbal / 500) = FLOOR(d.d_bal / 500)),
+    pass_b AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, d.d_id, d.d_name, d.d_bal
+      FROM customer c JOIN dirty d
+        ON c.c_nationkey = d.d_nationkey
+       AND substr(regexp_extract(c.c_name, '([0-9]{9})', 1), 1, 8)
+         = substr(regexp_extract(d.d_name, '([0-9]{9})', 1), 1, 8)),
+    cand AS (SELECT * FROM pass_a UNION SELECT * FROM pass_b),
+    scored AS (
+      SELECT c_custkey, d_id,
+        levenshtein(c_name, d_name) AS name_dist,
+        ROUND(ABS(c_acctbal - d_bal), 2) AS bal_diff
+      FROM cand)
+    SELECT c_custkey, d_id, name_dist, bal_diff
+    FROM scored WHERE name_dist <= 2 AND bal_diff <= 0.05
+    ORDER BY c_custkey, d_id
+  """.trim
+
+  // ---- Windowed PMI co-occurrence --------------------------------------
+
+  private val PmiWindow = 2
+  private val PmiTopN = 100
+
+  /** Pointwise mutual information over a ±2-token skip-gram window
+    * (the word2vec/GloVe context statistic): explode (doc, pos, tok)
+    * once, self-join on doc_id with |Δpos| ∈ [1, window], count
+    * unordered pairs, and score ln((c_ab/Np) / ((c_a/Nu)·(c_b/Nu))).
+    * Top-[[PmiTopN]] pairs by count (count is an integer — rank ties
+    * broken lexically, never by a float). */
+  def qPmiCooccur(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val nUni = toks.count()
+    val a = toks.select(col("doc_id"), col("pos").as("p1"), col("tok").as("w1"))
+    val b = toks.select(col("doc_id"), col("pos").as("p2"), col("tok").as("w2"))
+    val pairs = a.join(b, Seq("doc_id"))
+      .filter(col("p2") > col("p1") && col("p2") - col("p1") <= PmiWindow)
+      .select(least(col("w1"), col("w2")).as("wa"),
+        greatest(col("w1"), col("w2")).as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_pair"))
+    val nPair = pairs.agg(sum(col("c_pair"))).head.getLong(0)
+    pairs
+      .join(uni.select(col("tok").as("wa"), col("c_tok").as("c_a")), Seq("wa"))
+      .join(uni.select(col("tok").as("wb"), col("c_tok").as("c_b")), Seq("wb"))
+      .withColumn("pmi", round(
+        log((col("c_pair").cast("double") / nPair) /
+          ((col("c_a").cast("double") / nUni) * (col("c_b").cast("double") / nUni))), 6))
+      .select(col("wa"), col("wb"), col("c_pair"), col("pmi"))
+      .orderBy(col("c_pair").desc, col("wa"), col("wb"))
+      .limit(PmiTopN)
+  }
+
+  val qPmiCooccurSql: String = """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, l[i] AS tok
+      FROM tk, unnest(range(1, len(l) + 1)) t(i)
+      WHERE l[i] <> ''),
+    uni AS (SELECT tok, COUNT(*) AS c_tok FROM toks GROUP BY tok),
+    nu AS (SELECT COUNT(*) AS n_uni FROM toks),
+    pairs AS (
+      SELECT LEAST(a.tok, b.tok) AS wa, GREATEST(a.tok, b.tok) AS wb,
+        COUNT(*) AS c_pair
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
+      GROUP BY 1, 2),
+    np AS (SELECT SUM(c_pair) AS n_pair FROM pairs)
+    SELECT wa, wb, c_pair,
+      ROUND(ln((CAST(c_pair AS DOUBLE) / n_pair) /
+        ((CAST(ua.c_tok AS DOUBLE) / n_uni) * (CAST(ub.c_tok AS DOUBLE) / n_uni))), 6) AS pmi
+    FROM pairs
+    JOIN uni ua ON ua.tok = pairs.wa
+    JOIN uni ub ON ub.tok = pairs.wb
+    CROSS JOIN np CROSS JOIN nu
+    ORDER BY c_pair DESC, wa, wb LIMIT 100
+  """.trim
+}

@@ -268,4 +268,57 @@ object Privacy {
         (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT del_key FROM del)))
     ORDER BY table_name
   """.trim
+
+  // ---- Differentially-private release ----------------------------------
+
+  private val DpEpsilon = 1.0
+
+  /** ε-differentially-private histogram release (Dwork et al. 2006):
+    * per-group counts + Laplace(Δf/ε) noise with sensitivity Δf = 1
+    * (one user's row moves one count by one). The noise draw is
+    * DETERMINISTIC — inverse-CDF of a uniform derived from md5 of the
+    * group key (same cross-engine-stable-address pattern as
+    * [[graft.ops.Graph]]'s hex addressing) — which is what makes an
+    * exact oracle possible AND what a production pipeline wants for
+    * reproducible releases (seeded noise keyed on release-id + group;
+    * re-running the job re-publishes identical numbers).
+    *
+    * Scale shape: one partial+final hash aggregation over the scan,
+    * then per-row noise arithmetic — no second pass, no driver state. */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val grp = concat(col("event_type"), lit(":"), (col("user_id") % 10).cast("string"))
+    val u = conv(substring(md5(concat(lit("dp1:"), col("grp"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val centered = u - lit(0.5)
+    val noise = -lit(1.0 / DpEpsilon) * signum(centered) *
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(centered)))
+    t(s, dir, "events")
+      .groupBy(grp.as("grp"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("n_noisy", round(col("n_true") + noise, 6))
+      .orderBy(col("grp"))
+  }
+
+  val qDpCountsSql: String = """
+    WITH g AS (
+      SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS grp,
+        COUNT(*) AS n_true
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT grp, n_true,
+        ((strpos('0123456789abcdef', substr(md5('dp1:' || grp), 1, 1)) - 1) * 268435456.0
+       + (strpos('0123456789abcdef', substr(md5('dp1:' || grp), 2, 1)) - 1) * 16777216.0
+       + (strpos('0123456789abcdef', substr(md5('dp1:' || grp), 3, 1)) - 1) * 1048576.0
+       + (strpos('0123456789abcdef', substr(md5('dp1:' || grp), 4, 1)) - 1) * 65536.0
+       + (strpos('0123456789abcdef', substr(md5('dp1:' || grp), 5, 1)) - 1) * 4096.0
+       + (strpos('0123456789abcdef', substr(md5('dp1:' || grp), 6, 1)) - 1) * 256.0
+       + (strpos('0123456789abcdef', substr(md5('dp1:' || grp), 7, 1)) - 1) * 16.0
+       + (strpos('0123456789abcdef', substr(md5('dp1:' || grp), 8, 1)) - 1) * 1.0
+        ) / 4294967296.0 AS u
+      FROM g)
+    SELECT grp, n_true,
+      ROUND(n_true + (-1.0 * SIGN(u - 0.5) *
+        ln(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5)))), 6) AS n_noisy
+    FROM u ORDER BY grp
+  """.trim
 }

@@ -182,6 +182,60 @@ object Similarity {
     FROM m GROUP BY label ORDER BY label
   """.trim
 
+  /** Per-dimension whitening (feature standardization): subtract the
+    * corpus mean and divide by the corpus stddev, per coordinate —
+    * the preprocessing step between encoding and quantization/ANN
+    * that stops high-variance dimensions from dominating L2/cosine.
+    * Statistics use the exact-decimal convention (sum float→
+    * DECIMAL(28,12), one double division — order-independent at any
+    * partition count); variance = E[x²]−E[x]² from the two exact
+    * sums, floored at 1e-24 so a degenerate constant dimension
+    * whitens to 0 instead of dividing by zero. Scale shape: the
+    * stats table is d rows (one per dimension) and rides a broadcast
+    * back onto the exploded scan — two passes over the corpus, no
+    * driver state, no wide shuffle. */
+  def qEmbedWhiten(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+    val ex = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast(DoubleType).as("v"))
+    val st = ex.groupBy(col("pos")).agg(
+        (sum(col("v").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("m"),
+        (sum((col("v") * col("v")).cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("ex2"))
+      .withColumn("sd",
+        sqrt(greatest(col("ex2") - col("m") * col("m"), lit(1e-24))))
+    ex.filter(col("vec_id") < 200)
+      .join(broadcast(st), Seq("pos"))
+      .withColumn("w", (col("v") - col("m")) / col("sd"))
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        pw => floor(pw.getField("w") * lit(10000.0) + lit(0.5))
+          .cast(LongType).cast(StringType)), ",").as("whitened"))
+      .orderBy("vec_id")
+  }
+
+  val qEmbedWhitenSql: String = """
+    WITH x AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)),
+    st AS (
+      SELECT pos,
+        CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m,
+        CAST(SUM(CAST(v*v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS ex2
+      FROM x GROUP BY pos),
+    w AS (
+      SELECT x.vec_id, x.pos,
+        (x.v - st.m) / sqrt(GREATEST(st.ex2 - st.m * st.m, 1e-24)) AS w
+      FROM x JOIN st USING (pos) WHERE x.vec_id < 200)
+    SELECT vec_id,
+      string_agg(CAST(CAST(FLOOR(w * 10000.0 + 0.5) AS BIGINT) AS VARCHAR),
+        ',' ORDER BY pos) AS whitened
+    FROM w GROUP BY vec_id ORDER BY vec_id
+  """.trim
+
   // ---- MMR diversified retrieval ---------------------------------------
 
   private val MmrPool = 20

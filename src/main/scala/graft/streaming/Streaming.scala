@@ -197,6 +197,88 @@ object Streaming {
     ORDER BY win_start
   """.trim
 
+  // ---- streaming anomaly detection ---------------------------------------
+
+  /** Per-window per-type value statistics — the streamable half of the
+    * anomaly monitor: watermark-bounded keyed aggregation carrying the
+    * EXACT decimal sum (order-independent at any partition count), so
+    * the downstream z-score is reproducible. Append-legal for the same
+    * reason as [[windowedTypeCounts]]. */
+  def windowedTypeStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(28, 12))).as("sum_v"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("sum_v"), col("n"))
+
+  /** z-score each closed window's mean value against a per-type
+    * reference profile (mean, stddev — yesterday's in production, the
+    * all-time profile here): z = (x̄_w − μ) / (σ / √n_w), the standard
+    * error of the window mean, flagged at |z| > 3. The reference is a
+    * #types-row frame riding a broadcast join — no driver state, and
+    * the fold downstream of window close for the same reason as
+    * [[driftFold]] (an OPEN window's mean is unknowable). */
+  def anomalyFold(stats: DataFrame, ref: DataFrame): DataFrame =
+    stats
+      .join(broadcast(ref), Seq("event_type"))
+      .withColumn("win_mean",
+        col("sum_v").cast(DoubleType) / col("n"))
+      .withColumn("z", round(
+        (col("win_mean") - col("ref_mean")) /
+          (col("ref_sd") / sqrt(col("n").cast(DoubleType))), 6))
+      .select(col("win_start"), col("event_type"), col("n"),
+        round(col("win_mean"), 6).as("win_mean"), col("z"),
+        (abs(col("z")) > 3.0).as("anomaly"))
+
+  /** All-time per-type reference profile via the exact-decimal
+    * convention: μ and σ from order-independent decimal sums (σ² =
+    * E[x²] − μ², floored at 1e-24 against degenerate constant
+    * streams). */
+  def typeProfile(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        (sum(col("value").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("ref_mean"),
+        (sum((col("value") * col("value")).cast(DecimalType(28, 12)))
+          .cast(DoubleType) / count(lit(1))).as("ex2"))
+      .select(col("event_type"), col("ref_mean"),
+        sqrt(greatest(col("ex2") - col("ref_mean") * col("ref_mean"),
+          lit(1e-24))).as("ref_sd"))
+
+  /** Batch twin: every hourly window's mean value z-scored against the
+    * all-time per-type profile. */
+  def qStreamAnomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyFold(windowedTypeStats(Tables(s, dir, "events")),
+      typeProfile(Tables(s, dir, "events")))
+      .orderBy("win_start", "event_type")
+
+  val qStreamAnomalySql: String = """
+    WITH ref AS (
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS ref_mean,
+        CAST(SUM(CAST(value*value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS ex2
+      FROM events GROUP BY 1),
+    refs AS (
+      SELECT event_type, ref_mean,
+        sqrt(GREATEST(ex2 - ref_mean * ref_mean, 1e-24)) AS ref_sd
+      FROM ref),
+    wc AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        SUM(CAST(value AS DECIMAL(28,12))) AS sum_v, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    z AS (
+      SELECT w.win_start, w.event_type, w.n,
+        CAST(w.sum_v AS DOUBLE) / w.n AS win_mean,
+        ROUND((CAST(w.sum_v AS DOUBLE) / w.n - r.ref_mean)
+          / (r.ref_sd / sqrt(CAST(w.n AS DOUBLE))), 6) AS z
+      FROM wc w JOIN refs r USING (event_type))
+    SELECT win_start, event_type, n, ROUND(win_mean, 6) AS win_mean, z,
+      ABS(z) > 3.0 AS anomaly
+    FROM z ORDER BY win_start, event_type
+  """.trim
+
   // ---- stream-static enrichment join -------------------------------------
 
   /** Stream-static enrichment: each arriving event joins a BROADCAST

@@ -442,4 +442,95 @@ class CurationSpec extends SparkSpec {
     assert(byF("source").getAs[Double]("tvd") == 1.0)
     assert(byF("source").getAs[Boolean]("drifted"))
   }
+
+  test("url canonicalization collapses case/port/www/tracking/order/fragment") {
+    import graft.ops.Curation
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://example.com/a/b?a=1&b=2",
+      "https://example.com/a/b/?b=2&a=1&fbclid=zzz",
+      // different: port is NOT the scheme default, param value differs
+      "https://example.com:8443/a/b?a=1&b=2",
+      "https://example.com/a/b?a=1&b=3",
+      // empty path + only-tracking query → bare root
+      "http://www.example.com:80?utm_campaign=y")
+    val out = spark.createDataFrame(urls.map(Tuple1(_))).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "https://example.com/a/b?a=1&b=2", out(0))
+    assert(out(1) == out(0) && out(2) == out(0),
+      s"variant classes must collapse: ${out.toSeq}")
+    assert(out(3) == "https://example.com:8443/a/b?a=1&b=2", out(3))
+    assert(out(4) == "https://example.com/a/b?a=1&b=3", out(4))
+    assert(out(5) == "http://example.com/", out(5))
+    // the fixture query dedups: every canonical group's keeper is its min id
+    val dd = graft.ops.Curation.qDedupUrl(spark, sfDir).collect()
+    assert(dd.nonEmpty && dd.forall(_.getAs[Long]("n_dups") >= 1))
+  }
+
+  test("record linkage: multi-pass blocking reaches full recall on derived twins") {
+    val m = graft.ops.Curation.qRecordLinkage(spark, sfDir).collect()
+    val nCust = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    val truePairs = m.count(r =>
+      r.getAs[Long]("d_id") - 1000000L == r.getAs[Long]("c_custkey"))
+    // every derived dirty record must link back to its source: the
+    // perturbations were chosen within the scorer's tolerance, and the
+    // SECOND blocking pass catches what the first one's bucket edges miss
+    assert(truePairs == nCust, s"recall ${truePairs}/$nCust")
+    // false positives need a ≤2-edit name AND a ≤0.05 balance coincidence —
+    // allowed (deterministic), but they must stay rare
+    assert(m.length - truePairs <= nCust / 20,
+      s"too many false positives: ${m.length - truePairs}")
+    m.foreach { r =>
+      assert(r.getAs[Int]("name_dist") <= 2)
+      assert(r.getAs[Double]("bal_diff") <= 0.05)
+    }
+  }
+
+  test("pmi pairs are canonically ordered with finite scores and sane counts") {
+    val rows = graft.ops.Curation.qPmiCooccur(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("wa") <= r.getAs[String]("wb"), s"unordered pair: $r")
+      assert(r.getAs[Long]("c_pair") >= 1)
+      val pmi = r.getAs[Double]("pmi")
+      assert(!pmi.isNaN && !pmi.isInfinite, s"non-finite PMI: $r")
+    }
+    // ranked by raw pair count (integer — no float ranking)
+    val counts = rows.map(_.getAs[Long]("c_pair"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dp counts: noise is bounded, deterministic, and actually present") {
+    val a = graft.ops.Privacy.qDpCounts(spark, sfDir).collect()
+    val b = graft.ops.Privacy.qDpCounts(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "seeded DP noise must be reproducible")
+    // Laplace(1/ε=1) through a uniform floored at 1e-12: |noise| ≤ ln(1e12)
+    val maxAbs = math.log(1e12)
+    a.foreach { r =>
+      val d = math.abs(r.getAs[Double]("n_noisy") - r.getAs[Long]("n_true"))
+      assert(d <= maxAbs + 1e-9, s"noise beyond inverse-CDF bound: $r")
+    }
+    assert(a.exists(r =>
+      math.abs(r.getAs[Double]("n_noisy") - r.getAs[Long]("n_true")) > 1e-6),
+      "no row shows any noise — the mechanism is not engaged")
+  }
+
+  test("whitening is a per-dimension monotone (affine) map") {
+    val rows = graft.ops.Similarity.qEmbedWhiten(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[String]("whitened").split(",").map(_.toLong))
+    assert(rows.nonEmpty)
+    val dim = rows.head._2.length
+    assert(rows.forall(_._2.length == dim), "ragged whitened vectors")
+    // order preservation on dimension 0: whitening must not permute
+    // the ranking of vectors within a coordinate
+    val orig = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), element_at(col("embedding"), 1).as("v0"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Float]("v0")).toMap
+    val byOrig = rows.sortBy { case (id, _) => orig(id) }.map(_._2(0))
+    assert(byOrig.zip(byOrig.tail).forall { case (x, y) => x <= y },
+      "whitening permuted a coordinate's ordering")
+  }
 }

@@ -1070,4 +1070,48 @@ class StreamingSpec extends SparkSpec {
       assert(batchRanked == ranked)
     } finally q.stop()
   }
+
+  test("streaming anomaly: closed-window means z-score against the " +
+      "profile, shifted window flagged, in-profile window clean") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedTypeStats(events).writeStream
+      .format("memory").queryName("anomaly_stats")
+      .outputMode("append").start()
+    // reference profile: click ~ mean 10, sd 1 (values 9/11 alternating)
+    val refEvents = Seq.tabulate(8)(i =>
+      (ts(f"2024-01-01 01:${i * 5}%02d:00"), "click",
+        if (i % 2 == 0) 9.0 else 11.0)).toDF("ts", "event_type", "value")
+    val ref = Streaming.typeProfile(refEvents)
+    try {
+      // 10:00 window sits on the profile mean; 11:00 is shifted +10
+      val calm = Seq.tabulate(4)(i =>
+        (ts(f"2024-01-01 10:${i * 10}%02d:00"), "click", 10.0))
+      val shifted = Seq.tabulate(4)(i =>
+        (ts(f"2024-01-01 11:${i * 10}%02d:00"), "click", 20.0))
+      in.addData(calm ++ shifted: _*)
+      in.addData((ts("2024-01-01 13:00:00"), "click", 10.0)) // close 11:00
+      q.processAllAvailable()
+      val closed = sp.table("anomaly_stats")
+        .filter(col("win_start") < ts("2024-01-01 12:00:00"))
+      val out = Streaming.anomalyFold(closed, ref).collect()
+        .map(r => r.getAs[Timestamp]("win_start") ->
+          (r.getAs[Double]("z"), r.getAs[Boolean]("anomaly"))).toMap
+      val (zCalm, aCalm) = out(ts("2024-01-01 10:00:00"))
+      val (zShift, aShift) = out(ts("2024-01-01 11:00:00"))
+      assert(math.abs(zCalm) < 1e-9 && !aCalm,
+        s"on-profile window must read z=0, got $zCalm")
+      // (20-10)/(1/sqrt(4)) = 20 standard errors
+      assert(zShift > 3.0 && aShift, s"shifted window must flag, got $zShift")
+      // stream fold == batch fold over the identical rows
+      val batch = Streaming.anomalyFold(Streaming.windowedTypeStats(
+        (calm ++ shifted).toDF("ts", "event_type", "value")), ref)
+        .collect().map(r => r.getAs[Timestamp]("win_start") ->
+          (r.getAs[Double]("z"), r.getAs[Boolean]("anomaly"))).toMap
+      assert(batch == out)
+    } finally q.stop()
+  }
 }
