@@ -100,4 +100,46 @@ object Analytics {
     GROUP BY cohort_date, day_offset
     ORDER BY cohort_date, day_offset
   """.trim
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the user-journey statistic behind next-action
+    * prediction and session simulation: order each user's events by
+    * (ts, event_id), pair each with its successor via `lead`, count
+    * (current → next) transitions, and normalize per current state to
+    * transition probabilities.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead window (per-user
+    * partitions are bounded by per-user activity, never corpus-sized),
+    * then a partial+final agg on the (cur, nxt) pairs — the 25-state
+    * transition matrix is broadcast-sized output. The probability
+    * denominator rides a second tiny agg over the matrix itself, not
+    * the event stream. */
+  def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val wCur = org.apache.spark.sql.expressions.Window.partitionBy(col("cur"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wCur), 6))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  val qMarkovTransitionsSql: String = """
+    WITH seq AS (
+      SELECT event_type AS cur,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS nxt
+      FROM events),
+    m AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+    SELECT cur, nxt, n,
+      ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 6) AS p
+    FROM m ORDER BY cur, nxt
+  """.trim
 }

@@ -333,6 +333,141 @@ object Dedup {
 
   val qDedupMinhashSql: String = jaccardOracleSql
 
+  // ---- LSH operating-curve audit -----------------------------------------
+
+  private val TuneDocs = 300
+  private val TuneHashes = 16
+  private val TuneRows = 4 // 4 bands x 4 rows
+
+  /** Measured LSH operating curve — the tuning artifact behind every
+    * banded-MinHash deployment: on a bounded doc subset (all-pairs
+    * ground truth stays O(TuneDocs²), constant in the corpus), bucket
+    * every pair by exact Jaccard decile and report the banded-MinHash
+    * candidate rate per bucket against the theoretical S-curve
+    * 1−(1−s^r)^b at the bucket midpoint. This converts "LSH recall is
+    * assumed fine" into a measured precision/recall-by-similarity
+    * table — the evidence behind `dedup_minhash`'s oracle being the
+    * exact pair set.
+    *
+    * The hash family here is md5-derived (h_i = first 8 hex of
+    * md5(shingle ∥ '#' ∥ i)) rather than the production kernel's
+    * chained xxhash64 — same independence structure, but replayable
+    * in DuckDB, so the ENTIRE audit (signatures, banding, candidate
+    * set, buckets) is oracle-checked rather than trusted. */
+  def qLshTune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val orig = t(s, dir, "documents").filter(col("doc_id") < TuneDocs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    // Mid-similarity probes: the fixture's pair-Jaccard distribution
+    // is bimodal (unrelated ≈ 0, planted dups ≈ 0.9+), which would
+    // leave the S-curve's OPERATING REGION unmeasured. Prefix
+    // truncations of the first 60 docs at 30–80% length create pairs
+    // with Jaccard spread across the mid-buckets (prefix shingles ⊂
+    // full shingles ⇒ jac ≈ fraction kept), so every decile of the
+    // curve carries observations.
+    val probes = orig.filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(3), lit(8))).as("f"))
+      .select((lit(100000) + col("doc_id") * 10 + col("f")).as("doc_id"),
+        slice(col("w"), lit(1), greatest(lit(3),
+          floor(size(col("w")) * col("f") / 10).cast(IntegerType))).as("w"))
+    val base = orig.unionByName(probes)
+    val docs = base.select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(col("w")) - 2), j =>
+        concat_ws(" ", element_at(col("w"), j), element_at(col("w"), j + 1),
+          element_at(col("w"), j + 2)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // (doc, i) MinHash values: min over shingles of the md5-derived
+    // 32-bit hash — explode × hash-index, one partial+final min agg
+    val mh = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(TuneHashes - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(concat(col("s"), lit("#"), col("i"))), 1, 8), 16, 10)
+          .cast(LongType).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+    // band signature = md5 of the band's row-ordered minhash values
+    val sigs = mh
+      .withColumn("band", floor(col("i") / TuneRows).cast(IntegerType))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast(StringType)))).as("sig"))
+    val cand = sigs.as("a").join(sigs.as("b"), Seq("band", "sig"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // ground truth: exact Jaccard on ALL subset pairs
+    val pairs = docs.select(col("doc_id").as("d1"), col("sh").as("s1"))
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("s2")),
+        col("d1") < col("d2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (size(col("s1")) + size(col("s2")) - col("inter"))).as("jac"))
+    val sMid = least((col("bucket") + lit(0.5)) / 10, lit(1.0))
+    pairs
+      .join(cand.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left_outer")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("bucket", floor(col("jac") * 10).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_cand"))
+      .withColumn("cand_rate",
+        round(col("n_cand").cast("double") / col("n_pairs"), 6))
+      .withColumn("theory", round(lit(1.0) -
+        pow(lit(1.0) - pow(sMid, TuneRows.toDouble),
+          (TuneHashes / TuneRows).toDouble), 6))
+      .orderBy(col("bucket"))
+  }
+
+  val qLshTuneSql: String = """
+    WITH orig AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id < 300),
+    o2 AS (SELECT * FROM orig WHERE len(w) >= 3),
+    probes AS (
+      SELECT 100000 + doc_id * 10 + f.f AS doc_id,
+        w[1:GREATEST(3, CAST(FLOOR(len(w) * f.f / 10) AS INT))] AS w
+      FROM o2, unnest(range(3, 9)) f(f) WHERE doc_id < 60),
+    base AS (SELECT * FROM o2 UNION ALL SELECT * FROM probes),
+    docs AS (
+      SELECT doc_id,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          for i in range(1, len(w)-1)]) AS sh
+      FROM base WHERE len(w) >= 3),
+    d2 AS (SELECT * FROM docs WHERE len(sh) > 0),
+    mh AS (
+      SELECT doc_id, i,
+        MIN(CAST('0x' || substr(md5(u.s || '#' || CAST(i AS VARCHAR)), 1, 8)
+          AS BIGINT)) AS mh
+      FROM d2, unnest(sh) u(s), unnest(range(0, 16)) h(i)
+      GROUP BY doc_id, i),
+    sigs AS (
+      SELECT doc_id, CAST(FLOOR(i / 4.0) AS INT) AS band,
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, CAST(FLOOR(i / 4.0) AS INT)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id),
+    flagged AS (
+      SELECT p.jac, CAST(FLOOR(p.jac * 10) AS BIGINT) AS bucket,
+        CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS hit
+      FROM pairs p LEFT JOIN cand c ON p.d1 = c.d1 AND p.d2 = c.d2)
+    SELECT bucket, COUNT(*) AS n_pairs, CAST(SUM(hit) AS BIGINT) AS n_cand,
+      ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS cand_rate,
+      ROUND(1.0 - POW(1.0 - POW(LEAST((bucket + 0.5) / 10, 1.0), 4.0), 4.0), 6)
+        AS theory
+    FROM flagged GROUP BY bucket ORDER BY bucket
+  """.trim
+
   /** Deterministic negative sampling for contrastive training — k=5
     * negatives per anchor document, drawn by md5 hash ranking
     * (partitioning-invariant: the same negatives on any cluster, any

@@ -335,4 +335,22 @@ class AnalyticsSpec extends SparkSpec {
       if sRank >= bBest
     } assert(b.getAs[Long]("rrf_e12") > s.getAs[Long]("rrf_e12"))
   }
+
+  test("markov transitions: rows partition the successor pairs and " +
+      "probabilities are a proper distribution per state") {
+    val rows = graft.ops.Analytics.qMarkovTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // pair count conservation: every event except each user's last
+    // contributes exactly one (cur, nxt) pair
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val expected = ev.count() -
+      ev.select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected,
+      "transition counts must partition the successor pairs")
+    // per-state distribution: probabilities sum to 1 within rounding
+    rows.groupBy(_.getAs[String]("cur")).foreach { case (cur, rs) =>
+      val sum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"P(·|$cur) sums to $sum")
+    }
+  }
 }

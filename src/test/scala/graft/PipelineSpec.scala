@@ -485,4 +485,30 @@ class PipelineSpec extends SparkSpec {
     assert(mtime(0, "normalize") > m0 && mtime(1, "quality") > m1,
       "force=0 recomputes every stage")
   }
+
+  test("lsh operating curve: measured candidate rate tracks the " +
+      "theoretical S-curve, full recall at the top, clean at the bottom") {
+    val rows = graft.ops.Dedup.qLshTune(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("cand_rate"),
+          r.getAs[Double]("theory"))).toMap
+    assert(rows.nonEmpty)
+    // dissimilar pairs must (almost) never become candidates
+    val (n0, rate0, _) = rows(0L)
+    assert(n0 > 100 && rate0 < 0.01, s"bucket-0 rate $rate0 over $n0 pairs")
+    // at >=0.9 similarity the banding must reach full recall here:
+    // P(candidate) = 1-(1-s^4)^4 >= 0.9988 at s=0.9, and the planted
+    // dups sit even higher
+    rows.get(9L).foreach { case (_, rate9, _) =>
+      assert(rate9 == 1.0, s"missed a >=0.9-similarity pair: rate $rate9") }
+    // measured rate tracks theory wherever the bucket has support
+    for ((b, (n, rate, th)) <- rows if n >= 50)
+      assert(math.abs(rate - th) < 0.12,
+        s"bucket $b: measured $rate vs theory $th over $n pairs")
+    // the curve is monotone in similarity (no banding pathology) —
+    // restricted to supported buckets: a 5-pair bucket's rate is noise
+    val inOrder = rows.toSeq.filter(_._2._1 >= 50).sortBy(_._1).map(_._2._2)
+    inOrder.zip(inOrder.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, s"candidate rate not monotone: $inOrder") }
+  }
 }

@@ -36,11 +36,15 @@ class PlanLintSpec extends SparkSpec {
   //    query embedding onto the corpus scan — the knn_* shape
   //  - negative_sample: the 20-row anchor set cross-broadcasts onto
   //    the id scan (hash ranking needs every (anchor, cand) pair)
+  //  - lsh_tune: the all-pairs exact-Jaccard ground truth over the
+  //    BOUNDED audit subset (≤660 docs by construction, constant in
+  //    the corpus) — all-pairs IS the audit; the production LSH path
+  //    it audits stays bucketed
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "knn_pq", "knn_pq_persisted", "knn_binary",
       "knn_range", "window_ntile", "hybrid_search", "negative_sample",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
-      "winsorize")
+      "winsorize", "lsh_tune")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
