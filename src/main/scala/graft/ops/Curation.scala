@@ -236,10 +236,15 @@ object Curation {
       .filter(col("tok") =!= "")
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
     val nUni = toks.count()
+    // Offset-expanded EQUI-join, not join-on-doc+range-filter: the
+    // latter materializes every positional pair per doc (quadratic in
+    // doc length) before filtering; exploding the window offsets and
+    // joining on (doc_id, p1+off = p2) keeps the intermediate at
+    // |positions|·window rows — linear in the corpus for any doc length
     val a = toks.select(col("doc_id"), col("pos").as("p1"), col("tok").as("w1"))
+      .withColumn("p2", explode(array((1 to PmiWindow).map(o => col("p1") + lit(o)): _*)))
     val b = toks.select(col("doc_id"), col("pos").as("p2"), col("tok").as("w2"))
-    val pairs = a.join(b, Seq("doc_id"))
-      .filter(col("p2") > col("p1") && col("p2") - col("p1") <= PmiWindow)
+    val pairs = a.join(b, Seq("doc_id", "p2"))
       .select(least(col("w1"), col("w2")).as("wa"),
         greatest(col("w1"), col("w2")).as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_pair"))
