@@ -466,6 +466,19 @@ class CurationSpec extends SparkSpec {
     // the fixture query dedups: every canonical group's keeper is its min id
     val dd = graft.ops.Curation.qDedupUrl(spark, sfDir).collect()
     assert(dd.nonEmpty && dd.forall(_.getAs[Long]("n_dups") >= 1))
+    // IDEMPOTENCE: a canonical URL canonicalizes to itself — the
+    // property that makes the canonical form a stable join/dedup key
+    // across re-ingests (canon applied at crawl time and again at
+    // merge time must agree)
+    val fixed = spark.createDataFrame(
+        (urls ++ dd.map(_.getAs[String]("canonical_url"))).map(Tuple1(_)))
+      .toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"), Curation.canonicalizeUrl(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2"))
+      .collect()
+    assert(fixed.isEmpty,
+      s"canonicalization not idempotent: ${fixed.take(3).toSeq}")
   }
 
   test("record linkage: multi-pass blocking reaches full recall on derived twins") {
