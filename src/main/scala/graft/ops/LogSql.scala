@@ -58,6 +58,8 @@ object LogSql {
     """(?is)^\s*UPDATE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*(?:STATS\s*\(([^)]*)\)\s*)?$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.*?)\s*$""".r
+  private val AlterTypeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(), ]+?)\s*$""".r
 
   /** Some(result) when `text` is a lakehouse statement, else None. */
   def dispatch(s: SparkSession, text: String): Option[DataFrame] = text match {
@@ -81,6 +83,12 @@ object LogSql {
     case DeleteRe(root, pred) =>
       Some(versionDf(s, graft.sources.TableLog.deleteVector(
         s, root, expr(pred))))
+    case AlterTypeRe(root, column, typeText) =>
+      // Delta's `ALTER TABLE t ALTER COLUMN c TYPE <t>` — type text
+      // parsed by Catalyst's DDL parser, promotion validated by
+      // TableLog.widenColumn (widening-only)
+      Some(versionDf(s, graft.sources.TableLog.widenColumn(s, root, column,
+        org.apache.spark.sql.types.DataType.fromDDL(typeText))))
     case t if t.trim.toUpperCase.startsWith("SELECT") &&
         LogRef.findFirstIn(t).isDefined =>
       Some(s.sql(rewriteRefs(s, t)))

@@ -312,4 +312,43 @@ object Sql {
     SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("p")} AS total_price
     FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** SQL-driven TYPE WIDENING on the lakehouse table (Delta 3.x
+    * parity, `ALTER TABLE … ALTER COLUMN … TYPE`): create with an INT
+    * metric, widen to BIGINT without rewriting a file, then append
+    * values only a BIGINT can hold. The final read spans both
+    * physical generations — narrow old files widened at scan time
+    * (readUnion's explicit-schema read), wide new files native — and
+    * the oracle recomputes the same answer from the base table. */
+  def qSqlWidenLog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = Egress.outRoot(dir) + "/tlog_sql_widen"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val sess = Session(s)
+    sess.registerTable("nation", graft.sources.Tables(s, dir, "nation"))
+    sess.sql(s"""
+      CREATE TABLE graft_log('$root') AS
+      SELECT CAST(n_nationkey AS INT) AS key, n_name,
+        CAST(n_nationkey * 1000 AS INT) AS pop
+      FROM nation WHERE n_nationkey < 13
+    """.trim)
+    sess.sql(s"ALTER TABLE graft_log('$root') ALTER COLUMN pop TYPE BIGINT")
+    graft.sources.TableLog.append(s, root,
+      graft.sources.Tables(s, dir, "nation")
+        .filter(col("n_nationkey") >= 13)
+        .select(col("n_nationkey").cast(IntegerType).as("key"),
+          col("n_name"),
+          (col("n_nationkey").cast(LongType) * 1000000000L).as("pop")))
+    sess.sql(s"SELECT key, n_name, pop FROM graft_log('$root') ORDER BY key")
+  }
+
+  val qSqlWidenLogSql: String = """
+    SELECT CAST(n_nationkey AS INT) AS key, n_name,
+      CAST(CASE WHEN n_nationkey < 13 THEN CAST(n_nationkey AS BIGINT) * 1000
+                ELSE CAST(n_nationkey AS BIGINT) * 1000000000 END AS BIGINT) AS pop
+    FROM nation ORDER BY key
+  """.trim
 }

@@ -70,11 +70,18 @@ import org.apache.spark.sql.types.LongType
   *    records its DataFrame schema (base64 of the DataType JSON, so
   *    the log line stays one-line-regular); [[tableSchema]] resolves
   *    the declared schema as of any version. Writes whose schema
-  *    CHANGES an existing column's type, or DROPS a non-nullable
-  *    column, are rejected at CAS time (re-checked on every publish
-  *    attempt, so a racing evolution cannot slip through) — before
-  *    this, evolution was implicit via `mergeSchema` reads and a bad
-  *    writer corrupted silently. Additive evolution is first-class:
+  *    CHANGES an existing column's type outside the widening order,
+  *    or DROPS a non-nullable column, are rejected at CAS time
+  *    (re-checked on every publish attempt, so a racing evolution
+  *    cannot slip through) — before this, evolution was implicit via
+  *    `mergeSchema` reads and a bad writer corrupted silently.
+  *    [[widenColumn]] performs Delta-3.x-style TYPE WIDENING as a
+  *    metadata-only commit (int→long, float→double, …): no file
+  *    rewrite — old narrow files widen at scan time via the explicit
+  *    declared-schema read ([[readUnion]]), post-widen narrow writes
+  *    upcast with the declared type staying wide, and a stream whose
+  *    start schema predates the widening refuses loudly rather than
+  *    narrow-casting. Additive evolution is first-class:
   *    [[addColumn]] publishes a metadata-only commit declaring a new
   *    nullable column, and [[snapshot]] presents the declared schema
   *    (missing-on-disk columns read as null, declared order, extras
@@ -551,16 +558,48 @@ object TableLog {
 
   /** Violations that make writing `next` into a table currently
     * declared as `cur` unsafe: changing an existing column's type
-    * (readers would see conflicting parquet types — mergeSchema
-    * fails or coerces silently) or dropping a column `cur` declares
-    * non-nullable (old readers assume it present). Adding nullable
-    * columns and omitting nullable columns are legal evolution. */
+    * outside the widening order (readers would see conflicting
+    * parquet types) or dropping a column `cur` declares non-nullable
+    * (old readers assume it present). Adding nullable columns,
+    * omitting nullable columns, NARROWER-typed writes (upcast, the
+    * declared type stays wide) and — through [[widenColumn]] only —
+    * widening promotions are legal evolution. */
+  /** The type-widening partial order (Delta 3.x / Iceberg type
+    * promotion): `from` may be declared as `to` without rewriting a
+    * single data file, because (a) every `from` value is exactly
+    * representable in `to` and (b) Spark 4's parquet readers perform
+    * the widening promotion at scan time (SPARK-40876), so old files
+    * keep their narrow physical encoding and new files write wide.
+    * Deliberately EXCLUDED: anything lossy (long→int, double→float,
+    * decimal scale changes) and string↔numeric coercions. */
+  private[sources] def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
   private def schemaViolations(cur: org.apache.spark.sql.types.StructType,
-      next: org.apache.spark.sql.types.StructType): Seq[String] = {
+      next: org.apache.spark.sql.types.StructType,
+      allowWiden: Boolean): Seq[String] = {
     val nextByName = next.fields.map(f => f.name -> f).toMap
     val typeChanged = cur.fields.toSeq.flatMap { f =>
       nextByName.get(f.name)
         .filter(_.dataType != f.dataType)
+        // a NARROWER write is a legal upcast (the declared type stays
+        // wide — publish records cur's type, not the write's); a WIDER
+        // type is legal only through [[widenColumn]] (allowWiden)
+        .filterNot(n => widensTo(n.dataType, f.dataType))
+        .filterNot(n => allowWiden && widensTo(f.dataType, n.dataType))
         .map(n => s"type change on '${f.name}': ${f.dataType.simpleString} -> ${n.dataType.simpleString}")
     }
     val droppedRequired = cur.fields.toSeq
@@ -596,7 +635,8 @@ object TableLog {
       remove: Seq[String], statsFile: Option[String] = None,
       dataChange: Boolean = true, txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      enforceSchema: Boolean = true, cdc: Option[String] = None,
+      enforceSchema: Boolean = true, allowWiden: Boolean = false,
+      cdc: Option[String] = None,
       check: Option[(String, String)] = None,
       uncheck: Option[String] = None,
       dvs: Option[Seq[String]] = None,
@@ -612,10 +652,20 @@ object TableLog {
       tableSchema(s, root) match {
         case None => next
         case Some(c) =>
-          val metaByName = c.fields.map(fl => fl.name -> fl.metadata).toMap
-          org.apache.spark.sql.types.StructType(next.fields.map(fl =>
-            metaByName.get(fl.name).map(m => fl.copy(metadata = m))
-              .getOrElse(fl)))
+          val curByName = c.fields.map(fl => fl.name -> fl).toMap
+          org.apache.spark.sql.types.StructType(next.fields.map { fl =>
+            curByName.get(fl.name) match {
+              case Some(cf) =>
+                // sticky-wide: a write whose column is NARROWER than
+                // the declared type is an upcast — the recorded schema
+                // keeps the declared (wide) type, or a post-widen int
+                // append would silently regress the widening
+                val dt = if (widensTo(fl.dataType, cf.dataType)) cf.dataType
+                  else fl.dataType
+                fl.copy(dataType = dt, metadata = cf.metadata)
+              case None => fl
+            }
+          })
       }
     }
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
@@ -624,7 +674,7 @@ object TableLog {
       // a concurrent commit may have evolved the declared schema
       // between our check and our rename
       if (enforceSchema) for (next <- schema; cur <- tableSchema(s, root)) {
-        val bad = schemaViolations(cur, next)
+        val bad = schemaViolations(cur, next, allowWiden)
         if (bad.nonEmpty) throw new IllegalStateException(
           s"TableLog: incompatible schema change rejected: ${bad.mkString("; ")}")
       }
@@ -901,25 +951,68 @@ object TableLog {
       schema = Some(next))
   }
 
+  /** Widen a column's declared type WITHOUT rewriting any data file
+    * (Delta 3.x type widening / Iceberg type promotion). Only the
+    * [[widensTo]] promotions are accepted — every existing value is
+    * exactly representable, old files keep their narrow physical
+    * encoding and are widened at scan time, new appends write the
+    * wide type (and post-widen NARROW appends upcast, the declared
+    * type staying wide). Schema-only commit: dataChange=false, so
+    * streams and CDF see no phantom rows. */
+  def widenColumn(s: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val cur = tableSchema(s, root).getOrElse(throw new IllegalStateException(
+      s"TableLog: $root has no declared schema to evolve (append data first)"))
+    val f = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableLog: no column '$name' to widen"))
+    require(widensTo(f.dataType, dataType),
+      s"TableLog: '${f.dataType.simpleString}' does not widen to " +
+        s"'${dataType.simpleString}' (lossy or unrelated change)")
+    val next = org.apache.spark.sql.types.StructType(cur.fields.map(fl =>
+      if (fl.name == name) fl.copy(dataType = dataType) else fl))
+    publish(s, root, Seq.empty, Seq.empty, dataChange = false,
+      schema = Some(next), allowWiden = true)
+  }
+
   /** The table as of `version` (-1 = latest). File list is resolved
     * NOW — the returned frame is a stable snapshot. */
   def snapshot(s: SparkSession, root: String, version: Int = -1): DataFrame = {
     val files = liveFiles(s, root, version).map(rel => abs(root, rel))
-    // mergeSchema: commits may evolve the schema additively (new
-    // nullable columns); older files read the union schema with nulls
-    val raw = applyDv(s, root,
-      s.read.option("mergeSchema", "true").parquet(files: _*),
+    val decl = tableSchema(s, root, version)
+    val raw = applyDv(s, root, readUnion(s, files, decl),
       dvState(s, root, version))
     // when the log declares a schema (as of the requested version),
     // the DECLARED schema is the contract: columns added by
     // addColumn but not yet written read as null, column order is
     // the declared order, and stragglers from dropped nullable
     // columns are hidden. Pre-schema logs keep the raw union frame.
-    tableSchema(s, root, version) match {
+    decl match {
       case None => raw
-      case Some(decl) => alignDeclared(decl, raw)
+      case Some(d) => alignDeclared(d, raw)
     }
   }
+
+  /** Union read of data files spanning schema generations. With a
+    * declared schema, reads under an EXPLICIT physical schema — every
+    * generation's physical name carried at the DECLARED (possibly
+    * widened) type: parquet's scan-time widening promotion
+    * (SPARK-40876) reads narrow old files as the wide type, which
+    * `mergeSchema` cannot do (int + bigint refuse to merge), and
+    * skipping footer-merging is cheaper besides. Columns absent from
+    * a file surface null, stragglers from drops are never even read.
+    * Pre-schema logs keep the mergeSchema union. */
+  private[sources] def readUnion(s: SparkSession, files: Seq[String],
+      decl: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    decl match {
+      case None => s.read.option("mergeSchema", "true").parquet(files: _*)
+      case Some(d) =>
+        val phys = org.apache.spark.sql.types.StructType(
+          d.fields.toSeq.flatMap(f => physNames(f).map(n =>
+            org.apache.spark.sql.types.StructField(n, f.dataType,
+              nullable = true))))
+        s.read.schema(phys).parquet(files: _*)
+    }
 
   /** Present `raw` under the DECLARED schema: declared column order,
     * columns added by addColumn but not yet written read as null,
@@ -932,11 +1025,16 @@ object TableLog {
     raw.select(decl.fields.toSeq.map { f =>
       // a renamed column may appear under any of its physical names
       // (one per schema generation); exactly one is non-absent per
-      // FILE, so coalesce across generations is exact
+      // FILE, so coalesce across generations is exact.
+      // The cast is the WIDENING finisher: per-commit readers (the
+      // CDF assembly) surface pre-widen files at their narrow file
+      // type — upcasting to the declared type is lossless by the
+      // widensTo contract, and Catalyst elides it when types already
+      // match.
       physNames(f).filter(present.contains) match {
         case Seq() => lit(null).cast(f.dataType).as(f.name)
-        case Seq(one) => col(one).as(f.name)
-        case many => coalesce(many.map(col): _*).as(f.name)
+        case Seq(one) => col(one).cast(f.dataType).as(f.name)
+        case many => coalesce(many.map(col): _*).cast(f.dataType).as(f.name)
       }
     } ++ keep: _*)
   }
@@ -949,12 +1047,12 @@ object TableLog {
     * declared name and silently vanish from filters. */
   private def readAligned(s: SparkSession, root: String,
       files: Seq[String], version: Int, dv: Seq[String]): DataFrame = {
+    val decl = tableSchema(s, root, version)
     val raw = applyDv(s, root,
-      s.read.option("mergeSchema", "true")
-        .parquet(files.map(rel => abs(root, rel)): _*), dv)
-    tableSchema(s, root, version) match {
+      readUnion(s, files.map(rel => abs(root, rel)), decl), dv)
+    decl match {
       case None => raw
-      case Some(decl) => alignDeclared(decl, raw)
+      case Some(d) => alignDeclared(d, raw)
     }
   }
 
@@ -1004,11 +1102,11 @@ object TableLog {
     }
     if (files.isEmpty) snapshot(s, root).limit(0)
     else {
-      val raw = s.read.option("mergeSchema", "true")
-        .parquet(files.map(rel => abs(root, rel)): _*)
-      tableSchema(s, root) match {
+      val decl = tableSchema(s, root)
+      val raw = readUnion(s, files.map(rel => abs(root, rel)), decl)
+      decl match {
         case None => raw
-        case Some(decl) => alignDeclared(decl, raw)
+        case Some(d) => alignDeclared(d, raw)
       }
     }
   }

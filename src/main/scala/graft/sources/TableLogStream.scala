@@ -171,6 +171,20 @@ private final class TableLogSource(spark: SparkSession, root: String,
     val from = start.map(ver).getOrElse(startExclusive.toLong)
     val to = ver(end)
     planned = math.max(planned, to)
+    // refuse-loudly on mid-stream type widening: this stream's schema
+    // was fixed at start; aligning post-widen (wide-typed) files to it
+    // would NARROW-cast silently. Same posture as change commits —
+    // restart the stream to adopt the widened schema.
+    for (cur <- TableLog.tableSchema(spark, root)) {
+      val widened = declared.fields.flatMap(f =>
+        cur.fields.find(_.name == f.name)
+          .filter(c => TableLog.widensTo(f.dataType, c.dataType))
+          .map(c => s"'${f.name}' ${f.dataType.simpleString} -> ${c.dataType.simpleString}"))
+      if (widened.nonEmpty) throw new IllegalStateException(
+        s"TableLog stream at $root: column(s) widened mid-stream " +
+          s"(${widened.mkString(", ")}); restart the stream to pick up " +
+          "the widened schema.")
+    }
     if (readChangeFeed) {
       // CDF streaming (Delta readChangeFeed parity): instead of the
       // append-only wall, emit the FULL row-level feed — inserts from
@@ -205,8 +219,12 @@ private final class TableLogSource(spark: SparkSession, root: String,
       }
     val batch =
       if (adds.isEmpty) emptyStreaming()
+      // readUnion, not mergeSchema: a batch spanning a widen boundary
+      // mixes narrow and wide physical files for one column — the
+      // explicit declared-schema read widens at scan time where
+      // mergeSchema refuses to merge int with bigint
       else streamify(TableLog.alignDeclared(declared,
-        spark.read.option("mergeSchema", "true").parquet(adds: _*)))
+        TableLog.readUnion(spark, adds, Some(declared))))
     batch
   }
 

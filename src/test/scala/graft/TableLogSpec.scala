@@ -503,8 +503,10 @@ class TableLogSpec extends SparkSpec {
       StructType(Seq(StructField("id", LongType, nullable = false),
         StructField("s", StringType))))
     TableLog.append(spark, root, base)
-    // type change on an existing column -> reject
-    val typeChanged = Seq((3, "c")).toDF("id", "s") // id: Int, not Long
+    // incompatible type change on an existing column -> reject
+    // (id as STRING — unrelated to LONG in the widening order; a
+    // NARROWER integral id would now be a legal upcast append)
+    val typeChanged = Seq(("3", "c")).toDF("id", "s")
     val e1 = intercept[IllegalStateException] {
       TableLog.append(spark, root, typeChanged)
     }
@@ -531,10 +533,11 @@ class TableLogSpec extends SparkSpec {
     TableLog.append(spark, root, Seq((4L, "d")).toDF("id", "s"))
     assert(TableLog.snapshot(spark, root).count() == 4)
     // overwrite with an incompatible schema rejects unless explicit
+    // (string id — a narrower integral id is now a legal upcast)
     intercept[IllegalStateException] {
-      TableLog.overwrite(spark, root, Seq((1, "z")).toDF("id", "s"))
+      TableLog.overwrite(spark, root, Seq(("1", "z")).toDF("id", "s"))
     }
-    TableLog.overwrite(spark, root, Seq((1, "z")).toDF("id", "s"),
+    TableLog.overwrite(spark, root, Seq(("1", "z")).toDF("id", "s"),
       overwriteSchema = true)
     assert(TableLog.snapshot(spark, root).count() == 1)
   }
@@ -1300,5 +1303,118 @@ class TableLogSpec extends SparkSpec {
     val ids = TableLog.readPartition(spark, root, "lang", "en")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids == (0 until 120 by 2).map(_.toLong).toSet)
+  }
+
+  test("type widening: int→long without rewriting a file; narrow appends " +
+      "upcast and the declared type stays wide") {
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root,
+      (0 until 50).map(i => (i, s"r$i")).toDF("n", "s")) // n: int
+    val filesBefore = new java.io.File(root + "/data").listFiles().length
+    TableLog.widenColumn(spark, root, "n", LongType)
+    assert(new java.io.File(root + "/data").listFiles().length == filesBefore,
+      "widening must not rewrite or add data files")
+    // wide append: values only a LONG can hold
+    TableLog.append(spark, root,
+      Seq((10_000_000_000L, "big")).toDF("n", "s"))
+    // narrow append AFTER the widen: legal upcast, declared stays long
+    TableLog.append(spark, root, Seq((7, "post")).toDF("n", "s"))
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.schema("n").dataType == LongType, snap.schema.simpleString)
+    val agg = snap.agg(sum("n"), count(lit(1))).head()
+    assert(agg.getLong(1) == 52)
+    assert(agg.getLong(0) == (0 until 50).map(_.toLong).sum + 10_000_000_000L + 7)
+    assert(TableLog.tableSchema(spark, root).get("n").dataType == LongType,
+      "narrow append regressed the declared type")
+    // time travel BEFORE the widen still reads the narrow type
+    assert(TableLog.snapshot(spark, root, 0).schema("n").dataType == IntegerType)
+  }
+
+  test("widening matrix: every declared promotion reads narrow files " +
+      "at the wide type; lossy changes refuse") {
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, DataType, Any)] = Seq(
+      ("byte_short", Seq(1.toByte).toDF("v"), ShortType, 1.toShort),
+      ("byte_long", Seq(2.toByte).toDF("v"), LongType, 2L),
+      ("short_int", Seq(3.toShort).toDF("v"), IntegerType, 3),
+      ("int_long", Seq(4).toDF("v"), LongType, 4L),
+      ("float_double", Seq(1.5f).toDF("v"), DoubleType, 1.5d),
+      ("int_double", Seq(6).toDF("v"), DoubleType, 6.0d),
+      ("dec_widen", Seq(BigDecimal("12.34")).toDF("v")
+        .select(col("v").cast(DecimalType(6, 2)).as("v")),
+        DecimalType(12, 2), new java.math.BigDecimal("12.34")))
+    for ((name, df, to, want) <- cases) {
+      val root = freshRoot()
+      TableLog.append(spark, root, df)
+      TableLog.widenColumn(spark, root, "v", to)
+      val out = TableLog.snapshot(spark, root)
+      assert(out.schema("v").dataType == to, s"$name: ${out.schema}")
+      val got = out.head().get(0)
+      assert(got == want, s"$name: read $got (${got.getClass}), want $want")
+    }
+    // lossy / unrelated changes refuse
+    val root = freshRoot()
+    TableLog.append(spark, root, Seq(10L).toDF("v"))
+    intercept[IllegalArgumentException](
+      TableLog.widenColumn(spark, root, "v", IntegerType)) // narrowing
+    intercept[IllegalArgumentException](
+      TableLog.widenColumn(spark, root, "v", StringType)) // unrelated
+    // a WIDE append without widenColumn is rejected (widening is an
+    // explicit schema operation, not an append side effect)
+    val r2 = freshRoot()
+    TableLog.append(spark, r2, Seq(1).toDF("v"))
+    intercept[IllegalStateException](
+      TableLog.append(spark, r2, Seq(2L).toDF("v")))
+  }
+
+  test("type widening: CDF spans the widen boundary; pre-widen change " +
+      "rows surface at the wide type") {
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, Seq((1, "a")).toDF("n", "s"))
+    TableLog.widenColumn(spark, root, "n", LongType)
+    TableLog.append(spark, root, Seq((20_000_000_000L, "b")).toDF("n", "s"))
+    val feed = TableLog.tableChanges(spark, root, -1)
+    assert(feed.schema("n").dataType == LongType, feed.schema.simpleString)
+    val rows = feed.select("n", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "insert"), (20_000_000_000L, "insert")))
+  }
+
+  test("type widening mid-stream refuses loudly; a restarted stream " +
+      "adopts the wide schema") {
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, Seq((1, "a")).toDF("n", "s"))
+    val q = spark.readStream.format("graft-log-stream").load(root)
+      .writeStream.format("memory").queryName("widen_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("widen_stream").count() == 1)
+      TableLog.widenColumn(spark, root, "n", LongType)
+      TableLog.append(spark, root, Seq((9_000_000_000L, "b")).toDF("n", "s"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("widened mid-stream") ||
+        Option(ex.getCause).exists(_.getMessage.contains("widened mid-stream")),
+        s"wrong failure: ${ex.getMessage}")
+    } finally q.stop()
+    // a FRESH stream (new start schema) reads everything at the wide type
+    val q2 = spark.readStream.format("graft-log-stream").load(root)
+      .writeStream.format("memory").queryName("widen_stream2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val ns = spark.table("widen_stream2").select("n").collect()
+        .map(_.getLong(0)).toSet
+      assert(ns == Set(1L, 9_000_000_000L))
+    } finally q2.stop()
   }
 }
