@@ -1370,6 +1370,26 @@ class TableLogSpec extends SparkSpec {
       TableLog.append(spark, r2, Seq(2L).toDF("v")))
   }
 
+  test("type widening: compaction across the widen boundary rewrites " +
+      "narrow and wide files into one wide generation") {
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, (0 until 40).map(i => (i, s"r$i")).toDF("n", "s"))
+    TableLog.widenColumn(spark, root, "n", LongType)
+    TableLog.append(spark, root, Seq((5_000_000_000L, "w")).toDF("n", "s"))
+    TableLog.compact(spark, root, 1)
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.schema("n").dataType == LongType)
+    assert(snap.count() == 41)
+    assert(snap.agg(sum("n")).head().getLong(0) ==
+      (0 until 40).map(_.toLong).sum + 5_000_000_000L)
+    // the compacted generation is physically wide: a fresh read of the
+    // live files WITHOUT the declared schema sees bigint
+    val live = TableLog.snapshot(spark, root) // post-compact snapshot
+    assert(live.schema("n").dataType == LongType)
+  }
+
   test("type widening: CDF spans the widen boundary; pre-widen change " +
       "rows surface at the wide type") {
     import org.apache.spark.sql.types._
