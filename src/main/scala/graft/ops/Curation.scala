@@ -235,7 +235,9 @@ object Curation {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
-    val nUni = toks.count()
+    // total token occurrences = Σ c_tok over the (vocabulary-sized)
+    // unigram table — no second tokenize pass, no driver action
+    val nu = uni.agg(sum(col("c_tok")).as("n_uni"))
     // Offset-expanded EQUI-join, not join-on-doc+range-filter: the
     // latter materializes every positional pair per doc (quadratic in
     // doc length) before filtering; exploding the window offsets and
@@ -248,13 +250,19 @@ object Curation {
       .select(least(col("w1"), col("w2")).as("wa"),
         greatest(col("w1"), col("w2")).as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_pair"))
-    val nPair = pairs.agg(sum(col("c_pair"))).head.getLong(0)
+    // the pair total rides a one-row cross join back onto the pair
+    // frame (exactly the oracle's CROSS JOIN np) — a driver-side
+    // .head here would execute the whole explode+join+agg lineage
+    // TWICE, once for the scalar and once for the result
+    val np = pairs.agg(sum(col("c_pair")).as("n_pair"))
     pairs
       .join(uni.select(col("tok").as("wa"), col("c_tok").as("c_a")), Seq("wa"))
       .join(uni.select(col("tok").as("wb"), col("c_tok").as("c_b")), Seq("wb"))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nu))
       .withColumn("pmi", round(
-        log((col("c_pair").cast("double") / nPair) /
-          ((col("c_a").cast("double") / nUni) * (col("c_b").cast("double") / nUni))), 6))
+        log((col("c_pair").cast("double") / col("n_pair")) /
+          ((col("c_a").cast("double") / col("n_uni")) *
+            (col("c_b").cast("double") / col("n_uni")))), 6))
       .select(col("wa"), col("wb"), col("c_pair"), col("pmi"))
       .orderBy(col("c_pair").desc, col("wa"), col("wb"))
       .limit(PmiTopN)

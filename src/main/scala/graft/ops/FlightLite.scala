@@ -361,8 +361,8 @@ object FlightLite {
     * through one DoGet stream. Row order equals the single-ticket
     * DoGet (both walk partitions in index order). */
   def doGetParallel(host: String, port: Int, ticket: String,
-      maxParallel: Int = 8): (Seq[Row], StructType) = {
-    val (schema, parts) = getFlightInfo(host, port, ticket)
+      maxParallel: Int = 8, token: String = ""): (Seq[Row], StructType) = {
+    val (schema, parts) = getFlightInfo(host, port, ticket, token)
     if (parts == 0) return (Seq.empty, schema)
     val out = new Array[Seq[Row]](parts)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
@@ -372,7 +372,7 @@ object FlightLite {
       val t = new Thread(() => {
         var p = queue.poll()
         while (p != null && err.get() == null) {
-          try out(p) = doGetPartition(host, port, ticket, p)._1
+          try out(p) = doGetPartition(host, port, ticket, p, token)._1
           catch { case e: Throwable => err.compareAndSet(null, e) }
           p = queue.poll()
         }

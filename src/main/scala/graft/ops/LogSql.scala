@@ -89,8 +89,13 @@ object LogSql {
       // TableLog.widenColumn (widening-only)
       Some(versionDf(s, graft.sources.TableLog.widenColumn(s, root, column,
         org.apache.spark.sql.types.DataType.fromDDL(typeText))))
-    case t if t.trim.toUpperCase.startsWith("SELECT") &&
-        LogRef.findFirstIn(t).isDefined =>
+    // query-shaped statements: SELECT and WITH (a CTE over
+    // graft_log refs is as legitimate a read as a bare SELECT)
+    case t if {
+        val head = t.trim.toUpperCase
+        (head.startsWith("SELECT") || head.startsWith("WITH")) &&
+          LogRef.findFirstIn(t).isDefined
+      } =>
       Some(s.sql(rewriteRefs(s, t)))
     case _ => None
   }

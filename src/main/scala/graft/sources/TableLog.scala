@@ -648,26 +648,31 @@ object TableLog {
     // fields' metadata (the rename name-mapping) onto it by name —
     // otherwise a post-rename append would re-declare a schema
     // without the mapping and orphan every pre-rename file's column
-    val schemaRec = schema.map { next =>
-      tableSchema(s, root) match {
-        case None => next
-        case Some(c) =>
-          val curByName = c.fields.map(fl => fl.name -> fl).toMap
-          org.apache.spark.sql.types.StructType(next.fields.map { fl =>
-            curByName.get(fl.name) match {
-              case Some(cf) =>
-                // sticky-wide: a write whose column is NARROWER than
-                // the declared type is an upcast — the recorded schema
-                // keeps the declared (wide) type, or a post-widen int
-                // append would silently regress the widening
-                val dt = if (widensTo(fl.dataType, cf.dataType)) cf.dataType
-                  else fl.dataType
-                fl.copy(dataType = dt, metadata = cf.metadata)
-              case None => fl
-            }
-          })
+    // recomputed on EVERY CAS attempt (not hoisted): a concurrent
+    // widenColumn or rename landing between attempts must be folded
+    // into THIS commit's recorded schema, or a racing narrow append
+    // would regress the widening / drop the name mapping it never saw
+    def schemaRec(): Option[org.apache.spark.sql.types.StructType] =
+      schema.map { next =>
+        tableSchema(s, root) match {
+          case None => next
+          case Some(c) =>
+            val curByName = c.fields.map(fl => fl.name -> fl).toMap
+            org.apache.spark.sql.types.StructType(next.fields.map { fl =>
+              curByName.get(fl.name) match {
+                case Some(cf) =>
+                  // sticky-wide: a write whose column is NARROWER than
+                  // the declared type is an upcast — the recorded schema
+                  // keeps the declared (wide) type, or a post-widen int
+                  // append would silently regress the widening
+                  val dt = if (widensTo(fl.dataType, cf.dataType)) cf.dataType
+                    else fl.dataType
+                  fl.copy(dataType = dt, metadata = cf.metadata)
+                case None => fl
+              }
+            })
+        }
       }
-    }
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
       // schema compatibility re-checked on EVERY attempt (CAS time):
@@ -708,7 +713,7 @@ object TableLog {
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(
-        render(attempt, add, remove, statsFile, dataChange, txn, schemaRec, cdc,
+        render(attempt, add, remove, statsFile, dataChange, txn, schemaRec(), cdc,
           check, uncheck, dvs).getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
@@ -1587,16 +1592,19 @@ object TableLog {
     * re-deleting an overlapping predicate records only the NEW rows
     * and the CDF feed never double-reports a delete. Requires at least
     * one matching row (like [[deleteRange]]). Returns the version. */
-  def deleteVector(s: SparkSession, root: String, predicate: Column): Int = {
-    val dv0 = dvState(s, root, -1)
-    val files = liveFiles(s, root, -1)
-    require(files.nonEmpty, "deleteVector: empty table")
-    val raw = s.read.option("mergeSchema", "true")
-      .parquet(files.map(rel => abs(root, rel)): _*)
-    // key FIRST (metadata columns resolve only on the scan itself),
-    // then drop already-vector-deleted rows, then present the
-    // DECLARED schema (name mapping — the predicate names declared
-    // columns, and a pre-rename file must still match), then filter
+  /** Alive rows of `files` keyed by (_g_file, _g_pos) and presented
+    * under the DECLARED schema — the shared scan preamble of
+    * [[deleteVector]] and [[update]]: key FIRST (metadata columns
+    * resolve only on the scan itself), then drop already-vector-
+    * deleted rows, then the declared-name mapping (a predicate names
+    * declared columns and a pre-rename file must still match).
+    * [[readUnion]], not mergeSchema — the live set may span a
+    * type-widening boundary, whose narrow+wide physical generations
+    * mergeSchema refuses to merge. */
+  private def alignedAliveScan(s: SparkSession, root: String,
+      files: Seq[String], dv0: Seq[String]): DataFrame = {
+    val decl = tableSchema(s, root)
+    val raw = readUnion(s, files.map(rel => abs(root, rel)), decl)
     val keyed = raw
       .withColumn("_g_file", fileKey(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index"))
@@ -1604,16 +1612,30 @@ object TableLog {
       else keyed.join(dvJoinFrame(s, root, dv0),
         col("_g_file") === col("_g_dv_file") &&
           col("_g_pos") === col("_g_dv_pos"), "left_anti")
-    val aligned = tableSchema(s, root) match {
+    decl match {
       case None => alive
-      case Some(decl) =>
-        alignDeclared(decl, alive, Seq(col("_g_file"), col("_g_pos")))
+      case Some(d) =>
+        alignDeclared(d, alive, Seq(col("_g_file"), col("_g_pos")))
     }
+  }
+
+  def deleteVector(s: SparkSession, root: String, predicate: Column): Int = {
+    val dv0 = dvState(s, root, -1)
+    val files = liveFiles(s, root, -1)
+    // zero live files: SQL DELETE on an empty table is a no-op, not
+    // an error (the log must exist — no versions is still an error)
+    if (files.isEmpty) return versions(s, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"deleteVector: no table at $root"))
+    val aligned = alignedAliveScan(s, root, files, dv0)
     val dataCols = aligned.columns.toSeq
       .filterNot(Set("_g_file", "_g_pos")).map(col)
     val matched = aligned.filter(predicate).cache()
     try {
-      require(matched.limit(1).count() > 0, "deleteVector: nothing to delete")
+      // zero matched rows: a DELETE whose predicate hits nothing is a
+      // successful no-op (Delta/SQL semantics) — no commit, current
+      // version returned
+      if (matched.limit(1).count() == 0)
+        return versions(s, root).lastOption.getOrElse(-1)
       val dvSub = s"data/${UUID.randomUUID()}-dv"
       matched.select(col("_g_file").as("file"), col("_g_pos").as("pos"))
         .write.parquet(s"$root/$dvSub")
@@ -1655,36 +1677,34 @@ object TableLog {
     require(set.nonEmpty, "update: empty SET clause")
     val dv0 = dvState(s, root, -1)
     val files = liveFiles(s, root, -1)
-    require(files.nonEmpty, "update: empty table")
-    val raw = s.read.option("mergeSchema", "true")
-      .parquet(files.map(rel => abs(root, rel)): _*)
-    val keyed = raw
-      .withColumn("_g_file", fileKey(col("_metadata.file_path")))
-      .withColumn("_g_pos", col("_metadata.row_index"))
-    val alive = if (dv0.isEmpty) keyed
-      else keyed.join(dvJoinFrame(s, root, dv0),
-        col("_g_file") === col("_g_dv_file") &&
-          col("_g_pos") === col("_g_dv_pos"), "left_anti")
-    val aligned = tableSchema(s, root) match {
-      case None => alive
-      case Some(decl) =>
-        alignDeclared(decl, alive, Seq(col("_g_file"), col("_g_pos")))
-    }
-    val dataCols = aligned.columns.toSeq
-      .filterNot(Set("_g_file", "_g_pos")).map(col)
+    if (files.isEmpty) return versions(s, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"update: no table at $root"))
+    val aligned = alignedAliveScan(s, root, files, dv0)
     val touched = aligned.filter(predicate)
       .select(col("_g_file")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted // O(#files) metadata
-    require(touched.nonEmpty, "update: nothing to update")
+    // zero matched rows: SQL UPDATE semantics — successful no-op
+    if (touched.isEmpty) return versions(s, root).lastOption.getOrElse(-1)
     val src = readAligned(s, root, touched, -1, dv0)
+    val unknown = set.keySet -- src.columns.toSet
+    require(unknown.isEmpty,
+      s"update: SET names unknown column(s) ${unknown.mkString(", ")}")
     // hit flag materializes BEFORE any SET applies: a SET that
     // rewrites a predicate column (SET x = 0 WHERE x > 5) must still
     // report its postimages
     val flagged = src.withColumn("__g_hit", predicate)
     val hit = col("__g_hit")
-    val updated = set.foldLeft(flagged) { case (df, (c, e)) =>
-      df.withColumn(c, when(hit, e).otherwise(col(c)))
-    }
+    // ONE projection, never chained withColumn: every SET right-hand
+    // side must evaluate against the row PREIMAGE (SQL UPDATE
+    // semantics — SET a = b, b = a swaps), where sequential
+    // withColumn would feed later assignments the already-updated
+    // values in Map-iteration order
+    val updated = flagged.select(flagged.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
     val outCols = src.columns.map(col).toSeq
     val cdc = writeCdc(s, root,
       flagged.filter(hit).select(outCols: _*)
@@ -1858,9 +1878,15 @@ object TableLog {
             tgt(keyCol) === srcPref(s"src_$keyCol"), "left")
             .withColumn("__hit", col(s"src_$keyCol").isNotNull && cond)
           val hit = col("__hit")
-          val updated = set.foldLeft(joined) { case (df, (c, expr)) =>
-            df.withColumn(c, when(hit, expr).otherwise(col(c)))
-          }
+          // one projection: every SET right-hand side evaluates
+          // against the row PREIMAGE (chained withColumn would feed
+          // later assignments already-updated values)
+          val updated = joined.select(joined.columns.toSeq.map { c =>
+            set.get(c) match {
+              case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
           // right side here is the TARGET keys (not the source), so
           // the smallSrc guard doesn't apply — leave the strategy to
           // AQE, which sizes the touched-file key set at runtime
@@ -1929,9 +1955,14 @@ object TableLog {
           coalesce(col(s"src_$keyCol").isNull && bySourceCond, lit(false)))
       val hit = col("__hit")
       val doomed = col("__doomed")
-      val updated = set.foldLeft(joined) { case (df, (c, e)) =>
-        df.withColumn(c, when(hit, e).otherwise(col(c)))
-      }
+      // one projection — preimage semantics for every SET RHS (see
+      // [[update]])
+      val updated = joined.select(joined.columns.toSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
       val tgtCols = tgt.columns.map(col).toSeq
       val inserts =
         if (!insertUnmatched) src.limit(0)

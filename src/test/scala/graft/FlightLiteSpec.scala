@@ -215,6 +215,16 @@ class FlightLiteSpec extends SparkSpec {
       try assert(FlightLite.doGet("127.0.0.1", open.boundPort,
         "flight_auth_t")._1.size == 2)
       finally open.close()
+      // the composite client helper (the documented bulk-consumption
+      // path) must carry the token through BOTH of its verbs
+      // (GetFlightInfo + per-endpoint DoGet)
+      val noTok = intercept[RuntimeException] {
+        FlightLite.doGetParallel("127.0.0.1", port, "flight_auth_t")
+      }
+      assert(noTok.getMessage.contains("unauthenticated"))
+      val (prows, _) = FlightLite.doGetParallel("127.0.0.1", port,
+        "flight_auth_t", token = tok)
+      assert(prows.map(_.getLong(0)).sorted == Seq(1L, 2L))
     } finally srv.close()
   }
 }

@@ -40,11 +40,15 @@ class PlanLintSpec extends SparkSpec {
   //    BOUNDED audit subset (≤660 docs by construction, constant in
   //    the corpus) — all-pairs IS the audit; the production LSH path
   //    it audits stays bucketed
+  //  - pmi_cooccur: cross-broadcast of the two SINGLE-ROW normalizing
+  //    totals (token count, pair count) onto the pair frame — keeps
+  //    the explode+join+agg lineage single-execution (a driver .head
+  //    for each scalar would run it twice)
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "knn_pq", "knn_pq_persisted", "knn_binary",
       "knn_range", "window_ntile", "hybrid_search", "negative_sample",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
-      "winsorize", "lsh_tune")
+      "winsorize", "lsh_tune", "pmi_cooccur")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {

@@ -104,4 +104,18 @@ class SessionSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported MERGE clause") ||
       e.getMessage.contains("UPDATE"))
   }
+
+  test("lakehouse SQL: WITH-CTE queries over graft_log dispatch like " +
+      "bare SELECTs") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cte").toString + "/t"
+    graft.sources.TableLog.append(spark, root,
+      (0 until 7).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val session = Session(spark)
+    val n = session.sql(
+      s"WITH x AS (SELECT * FROM graft_log('$root') WHERE id >= 2) " +
+        "SELECT COUNT(*) AS n FROM x").head.getLong(0)
+    assert(n == 5, s"CTE over graft_log returned $n")
+  }
 }

@@ -1016,10 +1016,12 @@ class TableLogSpec extends SparkSpec {
       assert(post.forall(_._2 == -1),
         "postimage lost when SET rewrote the predicate column")
     } finally spark.conf.unset("spark.graft.tablelog.cdf")
-    // update must refuse to no-op silently
-    intercept[IllegalArgumentException] {
-      TableLog.update(spark, root, col("id") === -5L, Map("v" -> lit(0)))
-    }
+    // zero-match UPDATE is a successful no-op (SQL semantics): the
+    // version is unchanged and no commit lands
+    val vBefore = TableLog.versions(spark, root).last
+    val vNoop = TableLog.update(spark, root, col("id") === -5L,
+      Map("v" -> lit(0)))
+    assert(vNoop == vBefore, "no-match UPDATE must not commit")
   }
 
   test("concurrent CAS storm fuzz: 100 rounds of two writers racing " +
@@ -1368,6 +1370,58 @@ class TableLogSpec extends SparkSpec {
     TableLog.append(spark, r2, Seq(1).toDF("v"))
     intercept[IllegalStateException](
       TableLog.append(spark, r2, Seq(2L).toDF("v")))
+  }
+
+  test("type widening: UPDATE and DELETE work across the widen boundary " +
+      "(the rewrite scan must not footer-merge narrow with wide)") {
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, (0 until 20).map(i => (i, s"r$i")).toDF("n", "s"))
+    TableLog.widenColumn(spark, root, "n", LongType)
+    TableLog.append(spark, root, Seq((6_000_000_000L, "w")).toDF("n", "s"))
+    // UPDATE touches a pre-widen file AND the post-widen file
+    TableLog.update(spark, root, col("n") === 3L || col("n") === 6_000_000_000L,
+      Map("s" -> lit("hit")))
+    val afterUpd = TableLog.snapshot(spark, root)
+      .filter(col("s") === "hit").select("n").collect()
+      .map(_.getLong(0)).toSet
+    assert(afterUpd == Set(3L, 6_000_000_000L))
+    // DELETE (vector) spans the boundary too
+    TableLog.deleteVector(spark, root, col("n") === 4L)
+    assert(TableLog.snapshot(spark, root).count() == 20)
+  }
+
+  test("UPDATE SET evaluates every right-hand side against the row " +
+      "preimage: a two-column swap actually swaps") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root,
+      Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b"))
+    TableLog.update(spark, root, col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = TableLog.snapshot(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 20L, 10L), (2L, 30L, 40L)),
+      s"SET did not see the preimage: $got")
+    // unknown SET names refuse instead of silently no-oping
+    intercept[IllegalArgumentException] {
+      TableLog.update(spark, root, col("id") === 2L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("UPDATE and DELETE with zero matching rows are successful " +
+      "no-ops (SQL semantics), not errors") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    val v0 = TableLog.append(spark, root, nums(0, 10))
+    val vu = TableLog.update(spark, root, col("id") === 999L,
+      Map("s" -> lit("x")))
+    assert(vu == v0, "no-match UPDATE must not commit")
+    val vd = TableLog.deleteVector(spark, root, col("id") === 999L)
+    assert(vd == v0, "no-match DELETE must not commit")
+    assert(TableLog.snapshot(spark, root).count() == 10)
+    assert(TableLog.versions(spark, root) == Seq(0))
   }
 
   test("type widening: compaction across the widen boundary rewrites " +
