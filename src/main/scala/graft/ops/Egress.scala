@@ -1031,4 +1031,124 @@ object Egress {
       CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source
   """.trim
+
+  /** DESCRIBE HISTORY parity ([[graft.sources.TableLog.history]],
+    * driven through the SQL statement form): a fixed commit sequence
+    * — 4-file append, 2-file append, deletion-vector delete (a
+    * dataChange commit that adds/removes NO data files), 1-file
+    * compact (a dataChange=FALSE layout rewrite removing all 6) —
+    * then the audit joined with the per-version row count, each
+    * TIME-TRAVELED snapshot relationally replayed by the oracle. The
+    * file counts are pinned by construction (repartition(n) on a
+    * non-empty frame writes exactly n files), so the hash proves the
+    * history's add/remove/dataChange accounting, not just its shape.
+    * Driver cost is O(#commits) log metadata — the same class as
+    * Delta's DESCRIBE HISTORY. */
+  def qLogHistory(s: SparkSession, dir: String): DataFrame = {
+    val base = outRoot(dir) + "/tlog_history"
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = base + "/t"
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(4))
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") % 3 === 1).repartition(2))
+    graft.sources.TableLog.deleteVector(s, root,
+      col("o_totalprice") > 300000.0)
+    graft.sources.TableLog.compact(s, root, 1)
+    val hist = graft.Session(s)
+      .sql(s"DESCRIBE HISTORY graft_log('$root')")
+      .select(col("version"), col("n_add"), col("n_remove"),
+        col("data_change"))
+    val sp = s; import sp.implicits._
+    val counts = (0 to 3).map { v =>
+      (v, graft.sources.TableLog.snapshot(s, root, v).count())
+    }.toDF("version", "n_rows")
+    hist.join(counts, Seq("version")).orderBy("version")
+  }
+
+  val qLogHistorySql: String = """
+    WITH m AS (
+      SELECT * FROM (VALUES
+        (0, 4, 0, TRUE), (1, 2, 0, TRUE),
+        (2, 0, 0, TRUE), (3, 1, 6, FALSE))
+      AS t(version, n_add, n_remove, data_change)),
+    c AS (
+      SELECT 0 AS version, COUNT(*) AS n_rows FROM orders
+        WHERE o_orderkey % 3 = 0
+      UNION ALL SELECT 1, COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      UNION ALL SELECT 2, COUNT(*) FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND NOT o_totalprice > 300000
+      UNION ALL SELECT 3, COUNT(*) FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND NOT o_totalprice > 300000)
+    SELECT m.version, m.n_add, m.n_remove, m.data_change, c.n_rows
+    FROM m JOIN c USING (version) ORDER BY version
+  """.trim
+
+  /** RESTORE parity ([[graft.sources.TableLog.restore]], driven
+    * through `RESTORE TABLE … TO VERSION AS OF`): append, vector-
+    * delete a 40% slice, append a second half, RESTORE to v0 — one
+    * metadata commit that resurrects the vector-deleted rows and
+    * drops the second append WITHOUT rewriting a byte — then diverge
+    * with a post-restore append. The output profiles the restored
+    * line AND the pre-restore snapshot (time travel across a restore
+    * — the undone commits stay readable), so the hash proves restore
+    * rewinds BOTH the file set and the deletion-vector state, and
+    * that history survives. At 100 TB restore is the instant rollback
+    * of a bad pipeline run: O(#files) metadata, zero data movement. */
+  def qLogRestore(s: SparkSession, dir: String): DataFrame = {
+    val base = outRoot(dir) + "/tlog_restore"
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = base + "/t"
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") % 2 === 0))               // v0
+    graft.sources.TableLog.deleteVector(s, root,
+      col("o_totalprice") > 300000.0)                           // v1
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") % 2 === 1))               // v2
+    graft.Session(s)
+      .sql(s"RESTORE TABLE graft_log('$root') TO VERSION AS OF 0") // v3
+    graft.sources.TableLog.append(s, root,                      // v4
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderstatus", lit("R")))
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("tag", lit(tag))
+    agg(graft.sources.TableLog.snapshot(s, root), "restored")
+      .unionByName(agg(graft.sources.TableLog.snapshot(s, root, 2),
+        "pre_restore"))
+      .orderBy("tag", "o_orderstatus")
+  }
+
+  val qLogRestoreSql: String = s"""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0),
+    pre AS (
+      SELECT * FROM v0 WHERE NOT o_totalprice > 300000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1),
+    res AS (
+      SELECT * FROM v0
+      UNION ALL
+      SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 97 = 0)
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price, 'pre_restore' AS tag
+    FROM pre GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price, 'restored' AS tag
+    FROM res GROUP BY o_orderstatus
+    ORDER BY tag, o_orderstatus
+  """.trim
 }

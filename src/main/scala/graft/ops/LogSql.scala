@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *         file rewritten; the scale-friendly default, materialized
   *         by the next OPTIMIZE/compact)
   *
+  *   DESCRIBE HISTORY graft_log('<root>')
+  *       → TableLog.history — the commit audit as a DataFrame
+  *
+  *   RESTORE TABLE graft_log('<root>') TO VERSION AS OF <v>
+  *       → TableLog.restore — one commit, undone versions stay
+  *         time-travelable
+  *
+  *   VACUUM graft_log('<root>') RETAIN FROM VERSION <v>
+  *       → TableLog.vacuum — reclaims files unreachable from any
+  *         retained version; returns the reclaimed count
+  *
   *   any SELECT mentioning graft_log('<root>')
   *       → the reference is rewritten to a registered snapshot view,
   *         then planned by Catalyst like any other query
@@ -60,6 +71,12 @@ object LogSql {
     """(?is)^\s*DELETE\s+FROM\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.*?)\s*$""".r
   private val AlterTypeRe =
     """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(), ]+?)\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+RETAIN\s+FROM\s+VERSION\s+(\d+)\s*$""".r
 
   /** Some(result) when `text` is a lakehouse statement, else None. */
   def dispatch(s: SparkSession, text: String): Option[DataFrame] = text match {
@@ -89,6 +106,22 @@ object LogSql {
       // TableLog.widenColumn (widening-only)
       Some(versionDf(s, graft.sources.TableLog.widenColumn(s, root, column,
         org.apache.spark.sql.types.DataType.fromDDL(typeText))))
+    case HistoryRe(root) =>
+      // Delta's `DESCRIBE HISTORY t` — the commit audit, surfaced
+      // relationally so it composes with the query engine
+      Some(graft.sources.TableLog.history(s, root))
+    case RestoreRe(root, version) =>
+      // Delta's `RESTORE TABLE t TO VERSION AS OF v` — one commit,
+      // history preserved (the undone versions stay time-travelable)
+      Some(versionDf(s,
+        graft.sources.TableLog.restore(s, root, version.toInt)))
+    case VacuumRe(root, retainFrom) =>
+      // version-based retention, stated as such (Delta's VACUUM is
+      // hours-based; the log here is versioned, so the honest SQL
+      // form names the earliest version kept time-travelable)
+      val n = graft.sources.TableLog.vacuum(s, root, retainFrom.toInt)
+      import s.implicits._
+      Some(Seq(n).toDF("reclaimed_files"))
     // query-shaped statements: SELECT and WITH (a CTE over
     // graft_log refs is as legitimate a read as a bare SELECT)
     case t if {

@@ -2163,8 +2163,9 @@ object TableLog {
   /** Reclaim data files no snapshot at version >= `retainFrom` can
     * reach (the files delisted by the retained log prefix). Time
     * travel to versions before `retainFrom` stops working; newer
-    * snapshots are untouched. */
-  def vacuum(s: SparkSession, root: String, retainFrom: Int): Unit = {
+    * snapshots are untouched. Returns the number of reclaimed
+    * files/sidecars (the `VACUUM` report). */
+  def vacuum(s: SparkSession, root: String, retainFrom: Int): Int = {
     val f = fs(s, root)
     val vs = versions(s, root)
     val retained = vs.filter(_ >= retainFrom)
@@ -2174,15 +2175,16 @@ object TableLog {
       .flatMap(v => parseArr(readText(f, logPath(root, v)), "add")).toSet
     // external (clone-referenced) files belong to their source table —
     // never reclaimed from the referencing side
-    (all -- reachable).filterNot(isExternal)
-      .foreach(rel => f.delete(new Path(s"$root/$rel"), false))
+    val doomed = (all -- reachable).filterNot(isExternal)
+    doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
     // deletion-vector sidecars no retained version can need (a compact
     // cleared them, or the declaring commit fell out of retention)
     val dvReachable = (retained.map(v => dvState(s, root, v)) :+
       dvState(s, root, -1)).flatten.toSet
     val dvAll = vs.flatMap(v =>
       parseDvs(readText(f, logPath(root, v))).getOrElse(Seq.empty)).toSet
-    (dvAll -- dvReachable).filterNot(isExternal)
-      .foreach(rel => f.delete(new Path(s"$root/$rel"), true))
+    val dvDoomed = (dvAll -- dvReachable).filterNot(isExternal)
+    dvDoomed.foreach(rel => f.delete(new Path(s"$root/$rel"), true))
+    doomed.size + dvDoomed.size
   }
 }

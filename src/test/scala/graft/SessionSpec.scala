@@ -118,4 +118,39 @@ class SessionSpec extends SparkSpec {
         "SELECT COUNT(*) AS n FROM x").head.getLong(0)
     assert(n == 5, s"CTE over graft_log returned $n")
   }
+
+  test("lakehouse SQL: DESCRIBE HISTORY / RESTORE / VACUUM statement " +
+      "forms drive the lifecycle verbs") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lifecycle").toString + "/t"
+    val session = Session(spark)
+    graft.sources.TableLog.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(2))                                           // v0
+    graft.sources.TableLog.append(spark, root,
+      (10 until 15).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .repartition(1))                                           // v1
+    // DESCRIBE HISTORY: one row per commit, file accounting pinned
+    val hist = session.sql(s"DESCRIBE HISTORY graft_log('$root')")
+      .select("version", "n_add", "n_remove", "data_change")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).toSeq
+    assert(hist == Seq((0, 2, 0, true), (1, 1, 0, true)), s"history: $hist")
+    // RESTORE TABLE … TO VERSION AS OF: v1's rows gone, new commit
+    val rv = session.sql(
+      s"RESTORE TABLE graft_log('$root') TO VERSION AS OF 0")
+      .head.getInt(0)
+    assert(rv == 2, s"restore must commit a new version, got $rv")
+    assert(graft.sources.TableLog.snapshot(spark, root).count() == 10)
+    // VACUUM … RETAIN FROM VERSION: v1's file reclaimed (no retained
+    // version reaches it), time travel to it refuses, live unaffected
+    val reclaimed = session.sql(
+      s"VACUUM graft_log('$root') RETAIN FROM VERSION 2")
+      .head.getInt(0)
+    assert(reclaimed == 1, s"expected 1 reclaimed file, got $reclaimed")
+    assert(graft.sources.TableLog.snapshot(spark, root).count() == 10)
+    // statements that aren't lifecycle forms still fall through
+    assert(graft.ops.LogSql.dispatch(spark, "DESCRIBE HISTORY t").isEmpty)
+  }
 }
