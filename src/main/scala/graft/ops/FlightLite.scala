@@ -152,6 +152,18 @@ object FlightLite {
         // token Handshake issued — checked BEFORE resolving tickets,
         // so unauthenticated callers cannot even probe view names
         if (verb != 'H' && authSecret.exists(s => token != bearerToken(s))) {
+          // DoPut clients are still WRITING their length-prefixed
+          // payload — drain it before replying, or a payload larger
+          // than the socket buffers dies on a connection reset and
+          // the client never sees the "unauthenticated" message
+          if (verb == 'P') {
+            var left = in.readLong()
+            val sink = new Array[Byte](64 * 1024)
+            while (left > 0) {
+              val n = in.read(sink, 0, math.min(left, sink.length.toLong).toInt)
+              if (n < 0) left = 0 else left -= n
+            }
+          }
           out.writeByte('E')
           writeStr(out, "unauthenticated: handshake required")
           return

@@ -62,7 +62,7 @@ object LogSql {
 
   private val LogRef = """(?is)graft_log\s*\(\s*'([^']+)'\s*\)""".r
   private val CreateRe =
-    """(?is)^\s*CREATE\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.*)$""".r
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.*)$""".r
   private val MergeHead =
     """(?is)^\s*MERGE\s+INTO\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+AS\s+(\w+)\s+USING\s*\(""".r
   private val UpdateRe =
@@ -80,11 +80,23 @@ object LogSql {
 
   /** Some(result) when `text` is a lakehouse statement, else None. */
   def dispatch(s: SparkSession, text: String): Option[DataFrame] = text match {
-    case CreateRe(root, stats, query) =>
+    case CreateRe(orReplace, root, stats, query) =>
       val statsCols = Option(stats).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-      val v = graft.sources.TableLog.append(
-        s, root, s.sql(query), statsCols = statsCols)
+      // ANSI/Delta CREATE semantics: a plain CREATE on an existing
+      // table fails loudly (a silently-appending retry would double
+      // every row); CREATE OR REPLACE overwrites in one commit
+      val exists = graft.sources.TableLog.versions(s, root).nonEmpty
+      val v =
+        if (orReplace != null) graft.sources.TableLog.overwrite(
+          s, root, s.sql(query), statsCols, overwriteSchema = true)
+        else {
+          require(!exists,
+            s"CREATE TABLE: a table already exists at $root " +
+              "(use CREATE OR REPLACE TABLE to overwrite)")
+          graft.sources.TableLog.append(
+            s, root, s.sql(query), statsCols = statsCols)
+        }
       Some(versionDf(s, v))
     case t if MergeHead.findFirstIn(t).isDefined => Some(merge(s, t))
     case UpdateRe(root, sets, pred, stats) =>
@@ -138,7 +150,12 @@ object LogSql {
   private def rewriteRefs(s: SparkSession, text: String): String =
     LogRef.replaceAllIn(text, m => {
       val root = m.group(1)
-      val view = "graft_log_" + math.abs(root.hashCode).toString
+      // md5 of the root, not hashCode: two distinct roots in one
+      // query (or session) must never alias to the same view — a
+      // 32-bit hashCode collision would silently read the wrong table
+      val view = "graft_log_" + java.security.MessageDigest
+        .getInstance("MD5").digest(root.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       graft.sources.TableLog.snapshot(s, root).createOrReplaceTempView(view)
       view
     })
@@ -172,10 +189,30 @@ object LogSql {
     }
 
     // alias mapping to mergeFull's joined-frame names: source columns
-    // are src_-prefixed, target columns are bare
-    def mapAliases(e: String): String = e
+    // are src_-prefixed, target columns are bare. Applied OUTSIDE
+    // single-quoted literals only — 'signed by s. smith' must reach
+    // Catalyst verbatim, not as 'signed by src_smith'
+    def mapSeg(seg: String): String = seg
       .replaceAll(s"(?i)\\b$srcAlias\\s*\\.\\s*", "src_")
       .replaceAll(s"(?i)\\b$tgtAlias\\s*\\.\\s*", "")
+    def mapAliases(e: String): String = {
+      val out = new StringBuilder
+      var inQuote = false; var start = 0
+      var i = 0
+      while (i < e.length) {
+        if (e.charAt(i) == '\'') {
+          val seg = e.substring(start, i)
+          out ++= (if (inQuote) seg else mapSeg(seg))
+          out += '\''
+          inQuote = !inQuote
+          start = i + 1
+        }
+        i += 1
+      }
+      val seg = e.substring(start)
+      out ++= (if (inQuote) seg else mapSeg(seg))
+      out.toString
+    }
 
     // clause split: each WHEN starts a clause (expressions never
     // contain the keyword WHEN outside CASE...END, which our
@@ -199,7 +236,20 @@ object LogSql {
         set = splitTop(sets, ',').map { a =>
           val i = a.indexOf('=')
           require(i > 0, s"malformed SET assignment: $a")
-          a.take(i).trim -> expr(mapAliases(a.drop(i + 1)))
+          // SET LHS names a TARGET column — strip a target-alias
+          // qualifier (Delta's `SET t.price = …` form), refuse a
+          // source-alias one (you can't assign into the source);
+          // existence is validated downstream by mergeFull
+          val lhs = a.take(i).trim.split('.').map(_.trim) match {
+            case Array(q, c0) if q.equalsIgnoreCase(tgtAlias) => c0
+            case Array(q, _) if q.equalsIgnoreCase(srcAlias) =>
+              throw new IllegalArgumentException(
+                s"MERGE SET assigns target columns, not ${a.take(i).trim}")
+            case Array(c0) => c0
+            case _ => throw new IllegalArgumentException(
+              s"malformed SET column: ${a.take(i).trim}")
+          }
+          lhs -> expr(mapAliases(a.drop(i + 1)))
         }.toMap
       case BySourceRe(c) =>
         bySource = Option(c).map(t => expr(mapAliases(t))).getOrElse(lit(true))

@@ -635,6 +635,7 @@ object TableLog {
       remove: Seq[String], statsFile: Option[String] = None,
       dataChange: Boolean = true, txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
+      schemaNow: Option[() => org.apache.spark.sql.types.StructType] = None,
       enforceSchema: Boolean = true, allowWiden: Boolean = false,
       cdc: Option[String] = None,
       check: Option[(String, String)] = None,
@@ -675,14 +676,23 @@ object TableLog {
       }
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
+      // evolution commits (schemaNow) re-DERIVE their target schema
+      // from the schema as of THIS attempt: a racing addColumn landing
+      // between attempts must appear in this commit's record (a stale
+      // pre-derived StructType would silently erase it), and a racing
+      // dropColumn must not be resurrected. The thunk's result is
+      // authoritative — no fold — because it was computed FROM the
+      // current declared schema.
+      val schemaAttempt = schemaNow.map(fn => fn()).orElse(schema)
       // schema compatibility re-checked on EVERY attempt (CAS time):
       // a concurrent commit may have evolved the declared schema
       // between our check and our rename
-      if (enforceSchema) for (next <- schema; cur <- tableSchema(s, root)) {
-        val bad = schemaViolations(cur, next, allowWiden)
-        if (bad.nonEmpty) throw new IllegalStateException(
-          s"TableLog: incompatible schema change rejected: ${bad.mkString("; ")}")
-      }
+      if (enforceSchema)
+        for (next <- schemaAttempt; cur <- tableSchema(s, root)) {
+          val bad = schemaViolations(cur, next, allowWiden)
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"TableLog: incompatible schema change rejected: ${bad.mkString("; ")}")
+        }
       if (remove.nonEmpty) {
         val live = liveFiles(s, root, -1).toSet
         val gone = remove.filterNot(live)
@@ -712,8 +722,13 @@ object TableLog {
       }
       val tmp = new Path(s"$root/_log/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
+      // data commits fold the write's schema against the declared one
+      // (sticky-wide + metadata carry, schemaRec); evolution commits
+      // record the per-attempt derivation verbatim
+      val schemaOut =
+        if (schemaNow.isDefined) schemaAttempt else schemaRec()
       try out.write(
-        render(attempt, add, remove, statsFile, dataChange, txn, schemaRec(), cdc,
+        render(attempt, add, remove, statsFile, dataChange, txn, schemaOut, cdc,
           check, uncheck, dvs).getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
@@ -911,14 +926,21 @@ object TableLog {
     require(!cur.fieldNames.contains(newName),
       s"TableLog: column '$newName' already exists")
     requireUnconstrained(s, root, oldName, "rename")
-    val next = StructType(cur.fields.map { f =>
-      if (f.name != oldName) f
-      else StructField(newName, f.dataType, f.nullable,
-        new MetadataBuilder().withMetadata(f.metadata)
-          .putStringArray(PrevNamesKey, physNames(f).toArray).build())
-    })
+    // derived from the schema AS OF EACH publish attempt — a racing
+    // evolution commit (addColumn, widen) is folded in, never erased
+    def next(): StructType = {
+      val base = tableSchema(s, root).get
+      require(base.fieldNames.contains(oldName),
+        s"TableLog: column '$oldName' vanished under this rename")
+      StructType(base.fields.map { f =>
+        if (f.name != oldName) f
+        else StructField(newName, f.dataType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putStringArray(PrevNamesKey, physNames(f).toArray).build())
+      })
+    }
     publish(s, root, Seq.empty, Seq.empty, dataChange = false,
-      schema = Some(next), enforceSchema = false)
+      schemaNow = Some(() => next()), enforceSchema = false)
   }
 
   /** DROP COLUMN as a metadata-only commit: the declared schema loses
@@ -931,10 +953,10 @@ object TableLog {
       s"TableLog: $root has no declared schema to evolve (append data first)"))
     require(cur.fieldNames.contains(name), s"TableLog: no column '$name'")
     requireUnconstrained(s, root, name, "drop")
-    val next = org.apache.spark.sql.types.StructType(
-      cur.fields.filterNot(_.name == name))
+    // per-attempt derivation: a racing addColumn survives this drop
     publish(s, root, Seq.empty, Seq.empty, dataChange = false,
-      schema = Some(next))
+      schemaNow = Some(() => org.apache.spark.sql.types.StructType(
+        tableSchema(s, root).get.fields.filterNot(_.name == name))))
   }
 
   /** ADD COLUMN as a metadata-only commit: declares a new NULLABLE
@@ -949,11 +971,18 @@ object TableLog {
       s"TableLog: $root has no declared schema to evolve (append data first)"))
     require(!cur.fieldNames.contains(name),
       s"TableLog: column '$name' already exists")
-    val next = org.apache.spark.sql.types.StructType(
-      cur.fields :+ org.apache.spark.sql.types.StructField(
-        name, dataType, nullable = true))
+    // per-attempt derivation: two racing addColumns both survive
+    // (the loser's retry folds the winner's column into its record)
+    def next() = {
+      val base = tableSchema(s, root).get
+      require(!base.fieldNames.contains(name),
+        s"TableLog: column '$name' already exists")
+      org.apache.spark.sql.types.StructType(
+        base.fields :+ org.apache.spark.sql.types.StructField(
+          name, dataType, nullable = true))
+    }
     publish(s, root, Seq.empty, Seq.empty, dataChange = false,
-      schema = Some(next))
+      schemaNow = Some(() => next()))
   }
 
   /** Widen a column's declared type WITHOUT rewriting any data file
@@ -974,10 +1003,21 @@ object TableLog {
     require(widensTo(f.dataType, dataType),
       s"TableLog: '${f.dataType.simpleString}' does not widen to " +
         s"'${dataType.simpleString}' (lossy or unrelated change)")
-    val next = org.apache.spark.sql.types.StructType(cur.fields.map(fl =>
-      if (fl.name == name) fl.copy(dataType = dataType) else fl))
+    // per-attempt derivation: a racing addColumn survives; a racing
+    // IDENTICAL widen turns this commit into a harmless re-declaration
+    def next() = {
+      val base = tableSchema(s, root).get
+      val bf = base.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableLog: column '$name' vanished under this widen"))
+      require(bf.dataType == dataType || widensTo(bf.dataType, dataType),
+        s"TableLog: '${bf.dataType.simpleString}' does not widen to " +
+          s"'${dataType.simpleString}' (lossy or unrelated change)")
+      org.apache.spark.sql.types.StructType(base.fields.map(fl =>
+        if (fl.name == name) fl.copy(dataType = dataType) else fl))
+    }
     publish(s, root, Seq.empty, Seq.empty, dataChange = false,
-      schema = Some(next), allowWiden = true)
+      schemaNow = Some(() => next()), allowWiden = true)
   }
 
   /** The table as of `version` (-1 = latest). File list is resolved
@@ -1851,10 +1891,23 @@ object TableLog {
     * matched keys can only live in touched files (stats-exact
     * selection), so the unmatched-insert anti-join needs only the
     * touched files' keys. One atomic commit; returns the version. */
+  /** Unknown SET names refuse loudly — `set.get(c)` against the
+    * joined frame would otherwise silently no-op a misspelled or
+    * alias-qualified assignment (the lost update nobody notices). */
+  private def requireSetColumns(s: SparkSession, root: String,
+      set: Map[String, Column]): Unit = {
+    val cols = tableSchema(s, root).map(_.fieldNames.toSeq)
+      .getOrElse(snapshot(s, root).columns.toSeq).toSet
+    val unknown = set.keySet -- cols
+    require(unknown.isEmpty,
+      s"merge: SET names unknown target column(s) ${unknown.mkString(", ")}")
+  }
+
   def mergeUpdate(s: SparkSession, root: String, source: DataFrame,
       keyCol: String, cond: Column, set: Map[String, Column],
       insertUnmatched: Boolean = true, statsCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.broadcast
+    requireSetColumns(s, root, set)
     val src = source.cache()
     try {
       val (touched, smallSrc) = mergeTouched(s, root, src, keyCol)
@@ -1890,10 +1943,14 @@ object TableLog {
           // right side here is the TARGET keys (not the source), so
           // the smallSrc guard doesn't apply — leave the strategy to
           // AQE, which sizes the touched-file key set at runtime
-          val inserts =
-            if (!insertUnmatched) src.limit(0)
-            else src.join(tgt.select(col(keyCol)), Seq(keyCol), "left_anti")
           val tgtCols = tgt.columns.map(col).toSeq
+          // no-INSERT merges take an empty TARGET-schema frame: the
+          // source may legitimately be narrower than the target (an
+          // update-only merge), and src.limit(0) would poison the
+          // union with the source's schema
+          val inserts =
+            if (!insertUnmatched) tgt.select(tgtCols: _*).limit(0)
+            else src.join(tgt.select(col(keyCol)), Seq(keyCol), "left_anti")
           // CDF: only predicate-passing matches are updates — rows the
           // condition leaves untouched are NOT changes; preimages come
           // from the joined frame pre-SET, postimages post-SET
@@ -1934,6 +1991,7 @@ object TableLog {
       bySourceCond: Column, insertUnmatched: Boolean = true,
       statsCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.broadcast
+    requireSetColumns(s, root, set)
     val src = source.cache()
     try {
       val smallSrc = mergeSrcGuard(s, src, keyCol)
@@ -1964,8 +2022,10 @@ object TableLog {
         }
       }: _*)
       val tgtCols = tgt.columns.map(col).toSeq
+      // no-INSERT merges take an empty TARGET-schema frame (an
+      // update-only merge's source may be narrower than the target)
       val inserts =
-        if (!insertUnmatched) src.limit(0)
+        if (!insertUnmatched) tgt.select(tgtCols: _*).limit(0)
         else src.join(tgt.select(col(keyCol)), Seq(keyCol), "left_anti")
       val kept = updated.filter(!doomed).select(tgtCols: _*)
         .unionByName(inserts)

@@ -92,9 +92,19 @@ private[ipc] object IpcStats {
       }
   }
 
+  /** Sidecar format version. v2 = string bounds accumulate in
+    * UTF8String (unsigned UTF-8 byte) order. A sidecar WITHOUT the
+    * marker predates the order guarantee — its string bounds were
+    * computed under Java String (UTF-16 code unit) order, which
+    * disagrees beyond the BMP — so readers must not prune strings
+    * from it. Numeric/boolean bounds order identically in both
+    * generations and stay prunable. */
+  private val FormatVersion = 2
+
   def toJson(rows: Long, accs: Array[ColAcc]): String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
+    root.put("v", FormatVersion)
     root.put("rows", rows)
     val cols = root.putObject("cols")
     for (a <- accs) {
@@ -120,12 +130,20 @@ private[ipc] object IpcStats {
   def fromJson(json: String): Option[FileStats] =
     try {
       val root = new ObjectMapper().readTree(json)
+      // pre-v2 sidecars recorded string bounds under Java String
+      // order — demote their 's' columns to null-count-only so a
+      // supplementary-plane string is never mis-pruned by bounds
+      // computed under the wrong order
+      val stringsOrdered =
+        Option(root.get("v")).exists(_.asInt() >= FormatVersion)
       val cols = root.get("cols").fields().asScala.map { e =>
         val o = e.getValue
-        e.getKey -> ColStats(o.get("t").asText().head,
+        val kind0 = o.get("t").asText().head
+        val kind = if (kind0 == 's' && !stringsOrdered) 'x' else kind0
+        e.getKey -> ColStats(kind,
           o.get("nulls").asLong(),
-          Option(o.get("min")).map(_.asText()),
-          Option(o.get("max")).map(_.asText()))
+          if (kind == 'x') None else Option(o.get("min")).map(_.asText()),
+          if (kind == 'x') None else Option(o.get("max")).map(_.asText()))
       }.toMap
       Some(FileStats(root.get("rows").asLong(), cols))
     } catch { case _: Throwable => None }

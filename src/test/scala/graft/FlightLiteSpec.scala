@@ -225,6 +225,22 @@ class FlightLiteSpec extends SparkSpec {
       val (prows, _) = FlightLite.doGetParallel("127.0.0.1", port,
         "flight_auth_t", token = tok)
       assert(prows.map(_.getLong(0)).sorted == Seq(1L, 2L))
+      // an unauthenticated DoPut whose payload exceeds the socket
+      // buffers must still surface the auth error (the server drains
+      // the length-prefixed body before replying — without the drain
+      // the client dies on a connection reset mid-write)
+      val sp2 = spark; import sp2.implicits._
+      val bigSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType)))
+      val bigRows = (0 until 4096).map(i =>
+        org.apache.spark.sql.Row("x" * 512 + i.toString))
+      val putErr = intercept[RuntimeException] {
+        FlightLite.doPut("127.0.0.1", port, "flight_auth_big",
+          bigRows, bigSchema, token = "forged")
+      }
+      assert(putErr.getMessage.contains("unauthenticated"),
+        s"expected the auth error, got: ${putErr.getMessage}")
     } finally srv.close()
   }
 }

@@ -153,4 +153,65 @@ class SessionSpec extends SparkSpec {
     // statements that aren't lifecycle forms still fall through
     assert(graft.ops.LogSql.dispatch(spark, "DESCRIBE HISTORY t").isEmpty)
   }
+
+  test("lakehouse SQL: MERGE SET accepts alias-qualified targets, " +
+      "refuses unknown/source columns, and literals survive alias " +
+      "mapping") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mergeset").toString + "/t"
+    graft.sources.TableLog.append(spark, root,
+      Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("k", "price", "note"))
+    val session = Session(spark)
+    // t.price (Delta's qualified form) maps to the bare target column;
+    // the literal 'per s. smith' contains "<srcAlias>. " and must
+    // reach the table VERBATIM, never as 'per src_smith'
+    session.sql(
+      s"MERGE INTO graft_log('$root') AS t " +
+        "USING (SELECT 1 AS k, 99.0 AS price) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET t.price = s.price, " +
+        "note = 'per s. smith'")
+    val got = graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("k") === 1L).select("price", "note")
+      .as[(Double, String)].head()
+    assert(got == ((99.0, "per s. smith")), s"got $got")
+    // a misspelled SET column refuses loudly instead of no-oping
+    val bad = intercept[IllegalArgumentException] {
+      session.sql(
+        s"MERGE INTO graft_log('$root') AS t " +
+          "USING (SELECT 1 AS k, 5.0 AS price) AS s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET pricee = s.price")
+    }
+    assert(bad.getMessage.contains("unknown target column"))
+    // assigning INTO the source is rejected at parse time
+    val srcLhs = intercept[IllegalArgumentException] {
+      session.sql(
+        s"MERGE INTO graft_log('$root') AS t " +
+          "USING (SELECT 1 AS k, 5.0 AS price) AS s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET s.price = 5.0")
+    }
+    assert(srcLhs.getMessage.contains("assigns target columns"))
+  }
+
+  test("lakehouse SQL: CREATE refuses an existing table; CREATE OR " +
+      "REPLACE overwrites in one commit") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_create").toString + "/t"
+    val session = Session(spark)
+    session.sql(
+      s"CREATE TABLE graft_log('$root') AS SELECT 1 AS id, 'a' AS s")
+    // a retried CREATE must fail loudly, not silently double the rows
+    val e = intercept[IllegalArgumentException] {
+      session.sql(
+        s"CREATE TABLE graft_log('$root') AS SELECT 1 AS id, 'a' AS s")
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(graft.sources.TableLog.snapshot(spark, root).count() == 1)
+    session.sql(s"CREATE OR REPLACE TABLE graft_log('$root') AS " +
+      "SELECT * FROM (VALUES (10, 'r'), (11, 'r')) AS t(id, s)")
+    val snap = graft.sources.TableLog.snapshot(spark, root)
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(snap == Seq((10, "r"), (11, "r")), s"got $snap")
+  }
 }

@@ -1083,14 +1083,13 @@ class TableLogSpec extends SparkSpec {
             k -> (if (k % um == ur) s"u$step-$k" else v) },
           s"update(%$um=$ur)")
     }
-    var casAborts = 0; var noHits = 0; var successes = 0
+    var casAborts = 0; var successes = 0
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    // outcome classes: Ok (committed, full effect), Cme (CAS abort,
-    // NO effect), NoHit (deleteVector's nothing-to-delete refusal —
-    // also no effect, and a valid answer in a race where the other
-    // writer emptied the modulus class first)
+    // outcome classes: Ok (committed, full effect — including the
+    // zero-match deleteVector/update no-ops, whose model update is
+    // the identity) and Cme (CAS abort, NO effect)
     def outcome(f: Future[Unit]): Char =
       try { Await.result(f, 300.seconds); 'O' }
       catch {
@@ -1101,9 +1100,6 @@ class TableLogSpec extends SparkSpec {
           }
           c match {
             case _: java.util.ConcurrentModificationException => 'C'
-            case ia: IllegalArgumentException
-                if ia.getMessage.contains("nothing to delete") ||
-                  ia.getMessage.contains("nothing to update") => 'N'
             case other => throw other
           }
       }
@@ -1113,7 +1109,6 @@ class TableLogSpec extends SparkSpec {
       val (oA, oB) = (outcome(fa), outcome(fb))
       successes += Seq(oA, oB).count(_ == 'O')
       casAborts += Seq(oA, oB).count(_ == 'C')
-      noHits += Seq(oA, oB).count(_ == 'N')
       val applied = Seq(a, b).zip(Seq(oA, oB))
         .collect { case (op, 'O') => op._2 }
       val candidates: Seq[Map[Long, String]] =
@@ -1130,10 +1125,52 @@ class TableLogSpec extends SparkSpec {
       assert(oA == 'O' || oB == 'O' || (oA != 'C' && oB != 'C'),
         s"round $round: a CAS abort with no committed mover")
     }
-    info(s"storm: $successes commits, $casAborts CAS aborts, " +
-      s"$noHits no-hit refusals over 100 rounds")
+    info(s"storm: $successes commits, $casAborts CAS aborts " +
+      "over 100 rounds")
     assert(successes >= 100,
       "two writers over 100 rounds must land at least 100 commits")
+  }
+
+  test("schema evolution races: concurrent addColumns both survive; " +
+      "a widen racing an addColumn keeps the column AND the wide type") {
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    // both writers derive their target schema BEFORE either commits
+    // (CyclicBarrier) — the CAS loser's retry must fold the winner's
+    // column into its re-derived record instead of erasing it
+    for (r <- 1 to 6) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def run(name: String): Thread = {
+        val t = new Thread(() => {
+          barrier.await()
+          TableLog.addColumn(spark, root, name, IntegerType)
+        })
+        t.start(); t
+      }
+      val (ta, tb) = (run(s"a$r"), run(s"b$r"))
+      ta.join(60000); tb.join(60000)
+      val names = TableLog.tableSchema(spark, root).get.fieldNames.toSet
+      assert(names.contains(s"a$r") && names.contains(s"b$r"),
+        s"round $r: a racing addColumn was erased — schema has $names")
+    }
+    // widen vs add: both effects must land regardless of CAS order
+    val root2 = freshRoot()
+    TableLog.append(spark, root2, Seq((1, "a")).toDF("n", "s"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val tw = new Thread(() => {
+      barrier.await(); TableLog.widenColumn(spark, root2, "n", LongType)
+    })
+    val tc = new Thread(() => {
+      barrier.await(); TableLog.addColumn(spark, root2, "extra", StringType)
+    })
+    tw.start(); tc.start(); tw.join(60000); tc.join(60000)
+    val sch = TableLog.tableSchema(spark, root2).get
+    assert(sch.fieldNames.contains("extra"),
+      s"addColumn erased by racing widen: ${sch.fieldNames.toSeq}")
+    assert(sch("n").dataType == LongType,
+      s"widen erased by racing addColumn: ${sch("n").dataType}")
   }
 
   test("rename mapping holds on EVERY path: range/point reads, deleteRange, deleteVector, merge; constrained columns refuse") {

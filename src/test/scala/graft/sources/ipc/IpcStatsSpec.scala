@@ -1,0 +1,57 @@
+package graft.sources.ipc
+
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sidecar format-versioning contract: v2 sidecars prune strings in
+  * UTF8 byte order; pre-v2 (marker-less) sidecars recorded string
+  * bounds under Java String (UTF-16) order and must DECLINE string
+  * pruning — the two orders disagree beyond the BMP, so trusting a
+  * legacy bound could silently drop supplementary-plane rows. */
+class IpcStatsSpec extends AnyFunSuite {
+
+  // U+E000 sorts ABOVE U+10000 in UTF-16 code-unit order (surrogates
+  // D800.. < E000) but BELOW it in UTF-8 byte order — the disagreement
+  // the version gate exists for
+  private val privateUse = "\ue000"
+  private val supplementary = new String(Character.toChars(0x10000))
+
+  test("a v2 sidecar prunes strings on its recorded bounds") {
+    val json =
+      s"""{"v":2,"rows":10,"cols":{"s":{"t":"s","nulls":0,"min":"a","max":"m"}}}"""
+    val st = IpcStats.fromJson(json).get
+    assert(IpcStats.mightMatch(st, Array(EqualTo("s", "b"))))
+    assert(!IpcStats.mightMatch(st, Array(EqualTo("s", "z"))),
+      "a probe above the recorded max must prune")
+    assert(!IpcStats.mightMatch(st, Array(GreaterThan("s", "m"))))
+  }
+
+  test("a marker-less (pre-v2) sidecar declines ALL string pruning " +
+      "but keeps numeric pruning") {
+    val json =
+      s"""{"rows":10,"cols":{
+         |"s":{"t":"s","nulls":0,"min":"a","max":"$privateUse"},
+         |"n":{"t":"l","nulls":0,"min":"5","max":"9"}}}""".stripMargin
+    val st = IpcStats.fromJson(json).get
+    // the legacy max U+E000 was computed under UTF-16 order, where it
+    // exceeds U+10000; trusting it under UTF-8 order would prune a
+    // file that CONTAINS the supplementary row — so: no string claim
+    assert(IpcStats.mightMatch(st, Array(EqualTo("s", supplementary))),
+      "legacy string bounds must not prune")
+    assert(IpcStats.mightMatch(st, Array(GreaterThan("s", privateUse))))
+    // numeric bounds order identically in both generations: still prune
+    assert(!IpcStats.mightMatch(st, Array(EqualTo("n", 42L))))
+    assert(IpcStats.mightMatch(st, Array(EqualTo("n", 7L))))
+  }
+
+  test("the writer stamps the version marker (round-trip prunes)") {
+    import org.apache.spark.sql.types._
+    val acc = new IpcStats.ColAcc(StructField("s", StringType))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("k")))
+    acc.update(row, 0)
+    val st = IpcStats.fromJson(IpcStats.toJson(1L, Array(acc))).get
+    assert(!IpcStats.mightMatch(st, Array(EqualTo("s", "z"))),
+      "a freshly written sidecar must carry the marker and prune")
+  }
+}
