@@ -31,6 +31,21 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *         file rewritten; the scale-friendly default, materialized
   *         by the next OPTIMIZE/compact)
   *
+  *   INSERT INTO graft_log('<root>') <select>
+  *       → TableLog.append — one commit, schema-gated
+  *
+  *   ALTER TABLE graft_log('<root>') ADD COLUMN c <type>
+  *     | DROP COLUMN c | RENAME COLUMN a TO b
+  *     | ADD CONSTRAINT n CHECK (<expr>) | DROP CONSTRAINT n
+  *       → the metadata-only evolution verbs
+  *
+  *   OPTIMIZE graft_log('<root>') [ZORDER BY (c1, c2)] [INTO n FILES]
+  *       → compact / Layout.optimizeZorder — a dataChange=false
+  *         layout rewrite with fresh per-file stats
+  *
+  *   CREATE TABLE graft_log('<dst>') SHALLOW CLONE graft_log('<src>')
+  *       → TableLog.shallowClone — zero-copy table branch
+  *
   *   DESCRIBE HISTORY graft_log('<root>')
   *       → TableLog.history — the commit audit as a DataFrame
   *
@@ -71,6 +86,22 @@ object LogSql {
     """(?is)^\s*DELETE\s+FROM\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.*?)\s*$""".r
   private val AlterTypeRe =
     """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(), ]+?)\s*$""".r
+  private val InsertIntoRe =
+    """(?is)^\s*INSERT\s+INTO\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+(.+)$""".r
+  private val AddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+ADD\s+COLUMN\s+(\w+)\s+([\w(), ]+?)\s*$""".r
+  private val DropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
+  private val RenameColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+  private val AddCheckRe =
+    """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$""".r
+  private val DropCheckRe =
+    """(?is)^\s*ALTER\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*)?(?:INTO\s+(\d+)\s+FILES\s*)?$""".r
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+SHALLOW\s+CLONE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*$""".r
   private val RestoreRe =
@@ -80,6 +111,9 @@ object LogSql {
 
   /** Some(result) when `text` is a lakehouse statement, else None. */
   def dispatch(s: SparkSession, text: String): Option[DataFrame] = text match {
+    // before CreateRe: a SHALLOW CLONE is also CREATE TABLE-headed
+    case CloneRe(dst, src) =>
+      Some(versionDf(s, graft.sources.TableLog.shallowClone(s, src, dst)))
     case CreateRe(orReplace, root, stats, query) =>
       val statsCols = Option(stats).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -118,6 +152,39 @@ object LogSql {
       // TableLog.widenColumn (widening-only)
       Some(versionDf(s, graft.sources.TableLog.widenColumn(s, root, column,
         org.apache.spark.sql.types.DataType.fromDDL(typeText))))
+    case InsertIntoRe(root, query) =>
+      // SQL INSERT — one append commit; the query result's schema is
+      // validated by the standard publish gate (narrower-upcast legal,
+      // anything else refuses)
+      Some(versionDf(s,
+        graft.sources.TableLog.append(s, root, s.sql(query))))
+    case AddColRe(root, name, typeText) =>
+      Some(versionDf(s, graft.sources.TableLog.addColumn(s, root, name,
+        org.apache.spark.sql.types.DataType.fromDDL(typeText))))
+    case DropColRe(root, name) =>
+      Some(versionDf(s, graft.sources.TableLog.dropColumn(s, root, name)))
+    case RenameColRe(root, from, to) =>
+      Some(versionDf(s,
+        graft.sources.TableLog.renameColumn(s, root, from, to)))
+    case AddCheckRe(root, name, check) =>
+      Some(versionDf(s,
+        graft.sources.TableLog.addConstraint(s, root, name, check)))
+    case DropCheckRe(root, name) =>
+      Some(versionDf(s,
+        graft.sources.TableLog.dropConstraint(s, root, name)))
+    case OptimizeRe(root, z1, z2, nFiles) =>
+      // Delta's OPTIMIZE [ZORDER BY]: a dataChange=false layout
+      // rewrite — plain form compacts, ZORDER interleaves the two
+      // named columns' bit representations for multi-column skipping
+      // defaults: plain compaction folds to ONE file; a ZORDER
+      // rewrite defaults to 8 (clustering into a single file would
+      // leave nothing for file skipping to skip)
+      val v =
+        if (z1 != null) graft.ops.Layout.optimizeZorder(s, root, z1, z2,
+          Option(nFiles).map(_.toInt).getOrElse(8))
+        else graft.sources.TableLog.compact(s, root,
+          Option(nFiles).map(_.toInt).getOrElse(1))
+      Some(versionDf(s, v))
     case HistoryRe(root) =>
       // Delta's `DESCRIBE HISTORY t` — the commit audit, surfaced
       // relationally so it composes with the query engine

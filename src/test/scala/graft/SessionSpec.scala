@@ -154,6 +154,53 @@ class SessionSpec extends SparkSpec {
     assert(graft.ops.LogSql.dispatch(spark, "DESCRIBE HISTORY t").isEmpty)
   }
 
+  test("lakehouse SQL: INSERT INTO, ALTER TABLE column/constraint " +
+      "verbs, OPTIMIZE, and SHALLOW CLONE all dispatch") {
+    val sp = spark; import sp.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ddl").toString
+    val root = base + "/t"
+    val session = Session(spark)
+    session.sql(s"CREATE TABLE graft_log('$root') AS " +
+      "SELECT * FROM (VALUES (1, 10.0), (2, 20.0)) AS t(id, price)")
+    // INSERT INTO appends one commit
+    session.sql(s"INSERT INTO graft_log('$root') " +
+      "SELECT * FROM (VALUES (3, 30.0)) AS t(id, price)")
+    assert(graft.sources.TableLog.snapshot(spark, root).count() == 3)
+    // ADD COLUMN declares a nullable column without touching files
+    session.sql(s"ALTER TABLE graft_log('$root') ADD COLUMN note STRING")
+    assert(graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("note").isNull).count() == 3)
+    // RENAME + DROP round out the evolution verbs
+    session.sql(s"ALTER TABLE graft_log('$root') RENAME COLUMN note TO memo")
+    session.sql(s"ALTER TABLE graft_log('$root') DROP COLUMN memo")
+    assert(!graft.sources.TableLog.snapshot(spark, root)
+      .columns.contains("memo"))
+    // CHECK constraints: violating insert refuses, drop lifts the gate
+    session.sql(s"ALTER TABLE graft_log('$root') " +
+      "ADD CONSTRAINT pos CHECK (price > 0)")
+    intercept[Exception] {
+      session.sql(s"INSERT INTO graft_log('$root') " +
+        "SELECT * FROM (VALUES (4, -1.0)) AS t(id, price)")
+    }
+    session.sql(s"ALTER TABLE graft_log('$root') DROP CONSTRAINT pos")
+    session.sql(s"INSERT INTO graft_log('$root') " +
+      "SELECT * FROM (VALUES (4, -1.0)) AS t(id, price)")
+    // OPTIMIZE compacts to one file, answers unchanged
+    session.sql(s"OPTIMIZE graft_log('$root')")
+    val snap = graft.sources.TableLog.snapshot(spark, root)
+    assert(snap.count() == 4 && snap.inputFiles.length == 1)
+    // SHALLOW CLONE branches with zero data copies and diverges
+    val dst = base + "/clone"
+    session.sql(s"CREATE TABLE graft_log('$dst') " +
+      s"SHALLOW CLONE graft_log('$root')")
+    session.sql(s"INSERT INTO graft_log('$dst') " +
+      "SELECT * FROM (VALUES (99, 9.0)) AS t(id, price)")
+    assert(graft.sources.TableLog.snapshot(spark, dst).count() == 5)
+    assert(graft.sources.TableLog.snapshot(spark, root).count() == 4,
+      "clone divergence leaked into the source")
+  }
+
   test("lakehouse SQL: MERGE SET accepts alias-qualified targets, " +
       "refuses unknown/source columns, and literals survive alias " +
       "mapping") {
