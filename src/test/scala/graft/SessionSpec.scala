@@ -201,6 +201,81 @@ class SessionSpec extends SparkSpec {
       "clone divergence leaked into the source")
   }
 
+  test("SQL-vs-programmatic equivalence fuzz: 25 random DML/layout/" +
+      "restore steps drive twin tables to identical snapshots") {
+    val sp = spark; import sp.implicits._
+    import graft.sources.TableLog
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sqlfuzz").toString
+    val rootA = base + "/sql"     // driven by statement text
+    val rootB = base + "/api"     // driven by the programmatic verbs
+    val session = Session(spark)
+    val rnd = new scala.util.Random(20260815L)
+    def freshRows(n: Int, keyBase: Long): Seq[(Long, Long)] =
+      (0 until n).map(i => (keyBase + i, rnd.nextInt(1000).toLong))
+    def valuesSql(rows: Seq[(Long, Long)]): String =
+      rows.map { case (k, v) => s"($k, $v)" }.mkString(
+        "SELECT * FROM (VALUES ", ", ", ") AS t(k, v)")
+    val init = freshRows(20, 0)
+    session.sql(s"CREATE TABLE graft_log('$rootA') AS ${valuesSql(init)}")
+    TableLog.append(spark, rootB, init.toDF("k", "v"))
+    var nextKey = 1000L
+    for (step <- 1 to 25) {
+      rnd.nextInt(6) match {
+        case 0 => // INSERT vs append
+          val rows = freshRows(1 + rnd.nextInt(5), nextKey)
+          nextKey += 100
+          session.sql(s"INSERT INTO graft_log('$rootA') ${valuesSql(rows)}")
+          TableLog.append(spark, rootB, rows.toDF("k", "v"))
+        case 1 => // UPDATE vs update (zero-match no-ops included)
+          val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+          val d = rnd.nextInt(50)
+          session.sql(s"UPDATE graft_log('$rootA') SET v = v + $d " +
+            s"WHERE k % $m = $r")
+          TableLog.update(spark, rootB, col("k") % m === r,
+            Map("v" -> (col("v") + d)))
+        case 2 => // DELETE vs deleteVector
+          val m = 3 + rnd.nextInt(7); val r = rnd.nextInt(m)
+          session.sql(s"DELETE FROM graft_log('$rootA') WHERE k % $m = $r " +
+            s"AND v < 500")
+          TableLog.deleteVector(spark, rootB,
+            col("k") % m === r && col("v") < 500)
+        case 3 => // three-clause MERGE vs mergeFull
+          val src = freshRows(3, nextKey) ++
+            Seq((rnd.nextInt(20).toLong, 777L)) // one likely-matching key
+          nextKey += 100
+          session.sql(s"MERGE INTO graft_log('$rootA') AS t " +
+            s"USING (${valuesSql(src)}) AS s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET v = s.v " +
+            "WHEN NOT MATCHED THEN INSERT *")
+          TableLog.mergeFull(spark, rootB, src.toDF("k", "v"), "k",
+            lit(true), Map("v" -> col("src_v")), lit(false),
+            insertUnmatched = true)
+        case 4 => // OPTIMIZE vs compact (layout only, answers invariant)
+          val n = 1 + rnd.nextInt(3)
+          session.sql(s"OPTIMIZE graft_log('$rootA') INTO $n FILES")
+          TableLog.compact(spark, rootB, n)
+        case 5 => // RESTORE vs restore — identical op sequences keep
+          // the twin version lines in lockstep, so one random target
+          // version is valid for both
+          val vs = TableLog.versions(spark, rootA)
+          assert(vs == TableLog.versions(spark, rootB),
+            s"step $step: version lines diverged — sql=$vs " +
+              s"api=${TableLog.versions(spark, rootB)}")
+          val tgt = vs(rnd.nextInt(vs.size))
+          session.sql(
+            s"RESTORE TABLE graft_log('$rootA') TO VERSION AS OF $tgt")
+          TableLog.restore(spark, rootB, tgt)
+      }
+      val a = TableLog.snapshot(spark, rootA)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val b = TableLog.snapshot(spark, rootB)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(a == b, s"step $step: SQL and programmatic tables " +
+        s"diverged — |sql|=${a.size} |api|=${b.size}")
+    }
+  }
+
   test("lakehouse SQL: MERGE SET accepts alias-qualified targets, " +
       "refuses unknown/source columns, and literals survive alias " +
       "mapping") {
