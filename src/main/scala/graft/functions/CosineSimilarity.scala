@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * to the composed `aggregate(zip_with(...))` fold it replaces (and to
   * the DuckDB oracle's sequential list_sum), so swapping it in cannot
   * change any oracle-checked ranking. Null array → null (nullSafe);
-  * length mismatch uses the common prefix; zero vector → NaN, as the
-  * composed form also yields.
+  * a null ELEMENT in either array → null result, matching the
+  * composed form's null propagation (reading the slot as 0.0 would
+  * silently diverge from the documented equivalence); length mismatch
+  * uses the common prefix; zero vector → NaN, as the composed form
+  * also yields.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,6 +41,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +50,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result (the composed form's propagation)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -65,12 +72,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
         double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.getFloat($i);
-          double $yi = (double) $b.getFloat($i);
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+          else {
+            double $xi = (double) $a.getFloat($i);
+            double $yi = (double) $b.getFloat($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        if (!${ev.isNull}) {
+          ${ev.value} = $dot /
+            (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        }
       """
     })
 

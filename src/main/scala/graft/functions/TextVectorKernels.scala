@@ -23,6 +23,45 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextVectorKernels {
 
+  /** Analysis-time gate shared by the (input, foldable int n) kernels:
+    * n must be a POSITIVE literal. Without it a zero/negative window
+    * crashes mid-task with an unrelated-looking error (divide-by-zero
+    * in the segment count, NegativeArraySizeException, an MD5 update
+    * over a negative range) instead of a plannable type-check failure. */
+  private[functions] def positiveN(name: String,
+      n: Expression): Option[TypeCheckResult] = n.eval() match {
+    case i: Integer if i >= 1 => None
+    case bad => Some(TypeCheckResult.TypeCheckFailure(
+      s"$name requires n >= 1, got $bad"))
+  }
+
+  /** The shared tokenization contract of every text kernel: split on
+    * every single space (Java `split(text, ' ')` limit -1 — empty
+    * tokens kept), token i spanning bytes [starts(i), starts(i+1)-1),
+    * with the sentinel starts(nTokens) = len + 1 so the "strip one
+    * trailing separator" arithmetic works uniformly for the last
+    * token. ONE implementation — the invariant used to live in three
+    * literal copies, where a fix to one would silently miss the rest. */
+  private def tokenStarts(text: UTF8String): Array[Int] = {
+    val len = text.numBytes()
+    var nTokens = 1
+    var i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') nTokens += 1
+      i += 1
+    }
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    starts
+  }
+
   /** Word-n-gram shingle hashes of `text`, distinct, sorted ascending.
     *
     * Tokenization matches `split(text, ' ')` with Java regex limit -1
@@ -34,26 +73,11 @@ object TextVectorKernels {
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
-    val len = text.numBytes()
-    // token start offsets (token i spans starts(i) until starts(i+1)-1)
-    var nTokens = 1
-    var i = 0
-    while (i < len) {
-      if (text.getByte(i) == ' ') nTokens += 1
-      i += 1
-    }
+    val starts = tokenStarts(text)
+    val nTokens = starts.length - 1
     if (nTokens < n) return new GenericArrayData(Array.empty[Long])
-    val starts = new Array[Int](nTokens + 1)
-    starts(0) = 0
-    var t = 1
-    i = 0
-    while (i < len) {
-      if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = len + 1
     val out = new Array[Long](nTokens - n + 1)
-    i = 0
+    var i = 0
     while (i < nTokens - n + 1) {
       val s = starts(i)
       val e = starts(i + n) - 1 // end of token i+n-1 (strip trailing sep)
@@ -109,27 +133,13 @@ object TextVectorKernels {
     * one entry per start position (empty when the text has fewer than
     * n tokens). */
   private def md5WindowHashes(text: UTF8String, n: Int): Array[Long] = {
-    val len = text.numBytes()
-    var nTokens = 1
-    var i = 0
-    while (i < len) {
-      if (text.getByte(i) == ' ') nTokens += 1
-      i += 1
-    }
+    val starts = tokenStarts(text)
+    val nTokens = starts.length - 1
     if (nTokens < n) return Array.empty[Long]
-    val starts = new Array[Int](nTokens + 1)
-    starts(0) = 0
-    var t = 1
-    i = 0
-    while (i < len) {
-      if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = len + 1
     val bytes = text.getBytes
     val md = md5Digest.get()
     val out = new Array[Long](nTokens - n + 1)
-    i = 0
+    var i = 0
     while (i < nTokens - n + 1) {
       val s = starts(i)
       val e = starts(i + n) - 1 // end of token i+n-1 (strip trailing sep)
@@ -158,26 +168,12 @@ object TextVectorKernels {
     * re-splits) the token array once per segment — O(len²/n) per doc,
     * interpreted. */
   def textSegments(text: UTF8String, n: Int): ArrayData = {
-    val len = text.numBytes()
-    var nTokens = 1
-    var i = 0
-    while (i < len) {
-      if (text.getByte(i) == ' ') nTokens += 1
-      i += 1
-    }
-    val starts = new Array[Int](nTokens + 1)
-    starts(0) = 0
-    var t = 1
-    i = 0
-    while (i < len) {
-      if (text.getByte(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = len + 1
+    val starts = tokenStarts(text)
+    val nTokens = starts.length - 1
     val nSegs = (nTokens + n - 1) / n
     val bytes = text.getBytes
     val out = new Array[AnyRef](nSegs)
-    i = 0
+    var i = 0
     while (i < nSegs) {
       val s = starts(i * n)
       val e = starts(math.min((i + 1) * n, nTokens)) - 1
@@ -304,7 +300,8 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextVectorKernels.positiveN("shingle_hashes", right)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"shingle_hashes requires (string, foldable int), got ($l, $r)")
     }
@@ -335,7 +332,8 @@ case class Md5ShinglesPos64(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextVectorKernels.positiveN("md5_shingles_pos64", right)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"md5_shingles_pos64 requires (string, foldable int), got ($l, $r)")
     }
@@ -365,7 +363,8 @@ case class Md5Shingles64(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextVectorKernels.positiveN("md5_shingles64", right)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"md5_shingles64 requires (string, foldable int), got ($l, $r)")
     }
@@ -393,7 +392,8 @@ case class TextSegments(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextVectorKernels.positiveN("text_segments", right)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"text_segments requires (string, foldable int), got ($l, $r)")
     }
@@ -421,7 +421,8 @@ case class MinHashSigs(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        TextVectorKernels.positiveN("minhash_sigs", right)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"minhash_sigs requires (array<bigint>, foldable int), got ($l, $r)")
     }

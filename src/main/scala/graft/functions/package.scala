@@ -197,9 +197,17 @@ package object functions {
   def timestampaddYear(n: Column, ts: Column): Column =
     ts + make_interval(n, zero, zero, zero, zero, zero, zero)
   /** timestampdiff<Unit>(a, b) = complete units from a to b, truncated
-    * toward zero (MySQL TIMESTAMPDIFF convention, as in Gandiva). */
+    * toward zero (MySQL TIMESTAMPDIFF convention, as in Gandiva).
+    * Microsecond-exact: differencing `unix_timestamp` values would
+    * FLOOR each side independently, reporting 1 complete second for a
+    * 0.1 s interval that straddles a second boundary (and -1 where
+    * toward-zero truncation requires 0). The toward-zero `div` nests
+    * correctly, so the coarser units inherit the exactness. */
   def timestampdiffSecond(a: Column, b: Column): Column =
-    unix_timestamp(b) - unix_timestamp(a)
+    // cast: unix_micros (unlike unix_timestamp) rejects TIMESTAMP_NTZ;
+    // the session-zone reinterpretation cancels in the difference
+    div(unix_micros(b.cast(TimestampType)) -
+      unix_micros(a.cast(TimestampType)), lit(1000000L))
   def timestampdiffMinute(a: Column, b: Column): Column =
     div(timestampdiffSecond(a, b), lit(60L))
   def timestampdiffHour(a: Column, b: Column): Column =

@@ -34,10 +34,11 @@ case class SmallDimBroadcastRule() extends Rule[LogicalPlan] {
   @annotation.tailrec
   private def isSmallDimScan(plan: LogicalPlan): Boolean = plan match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      // match by fixture file name — the engine's registry of
-      // tables whose cardinality is scale-factor-independent
-      fs.location.rootPaths.exists(p =>
-        dimFiles.exists(f => p.toString.endsWith(f)))
+      // match the path's FILE-NAME COMPONENT against the registry of
+      // tables whose cardinality is scale-factor-independent — a bare
+      // endsWith would also hit "donation.parquet"/"subregion.parquet"
+      // and force-broadcast an arbitrarily large table
+      fs.location.rootPaths.exists(p => dimFiles.contains(p.getName))
     case Project(_, child)         => isSmallDimScan(child)
     case Filter(_, child)          => isSmallDimScan(child)
     case SubqueryAlias(_, child)   => isSmallDimScan(child)

@@ -68,9 +68,13 @@ case class WindowTopKRewriteRule() extends Rule[LogicalPlan] {
         Filter(cond,
           Window(Seq(al @ Alias(WindowExpression(RowNumber(), spec), _)),
             part, order, wchild, _)))
-        if order.nonEmpty && !wchild.isStreaming &&
+        if part.nonEmpty && order.nonEmpty && !wchild.isStreaming &&
           spec.partitionSpec == part && spec.orderSpec == order &&
           !plist.exists(_.references.contains(al.toAttribute)) =>
+      // part.nonEmpty: a GLOBAL row_number top-k (no PARTITION BY)
+      // must NOT rewrite — TopKPerGroupExec would demand
+      // ClusteredDistribution(Nil), which Spark rejects at planning;
+      // the native window (+ WindowGroupLimit) already handles it
       // split the conjunction: exactly ONE rn-bound conjunct; the rest
       // must not touch rn. Residual conjuncts stay as a filter ABOVE
       // the top-k — same semantics as the original, where rn was also

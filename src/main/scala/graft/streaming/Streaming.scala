@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -382,6 +382,30 @@ object Streaming {
 
   // ---- stream-stream interval join ---------------------------------------
 
+  /** The shared sides + event-time range condition of the five
+    * attribution join variants (inner/left/full/right/semi): clicks
+    * keyed c_user/click_ts/click_id, purchases keyed user_id/
+    * purchase_ts/purchase_id/purchase_value, both watermarked 10
+    * minutes, purchases matching clicks of the preceding hour. ONE
+    * definition — the watermark delay and the lookback window are
+    * load-bearing constants that previously lived in five literal
+    * copies. */
+  private def attributionSides(clicks: DataFrame, purchases: DataFrame)
+      : (DataFrame, DataFrame, Column) = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val cond = col("c_user") === col("user_id") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR")
+    (c, p, cond)
+  }
+
   /** Watermarked stream-stream interval join — click→purchase
     * attribution: each purchase pairs with the same user's clicks from
     * the preceding hour. In streaming mode both sides carry a
@@ -392,18 +416,8 @@ object Streaming {
     * survives an unbounded stream. The same function runs in batch,
     * where `withWatermark` is a no-op (qStreamJoin, oracle-checked). */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "10 minutes")
-    val p = purchases
-      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "10 minutes")
-    c.join(p,
-      col("c_user") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val (c, p, cond) = attributionSides(clicks, purchases)
+    c.join(p, cond)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("purchase_value"))
   }
@@ -420,19 +434,8 @@ object Streaming {
     * (`qStreamJoinOuter`, oracle-checked LEFT JOIN). */
   def attributionJoinLeftOuter(clicks: DataFrame,
       purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "10 minutes")
-    val p = purchases
-      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "10 minutes")
-    c.join(p,
-      col("c_user") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
+    val (c, p, cond) = attributionSides(clicks, purchases)
+    c.join(p, cond, "left_outer")
       // user_id comes from the CLICK side: the purchase side is null
       // on precisely the rows the outer join adds
       .select(col("c_user").as("user_id"), col("click_id"),
@@ -452,19 +455,8 @@ object Streaming {
     * FULL JOIN). */
   def attributionJoinFullOuter(clicks: DataFrame,
       purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "10 minutes")
-    val p = purchases
-      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "10 minutes")
-    c.join(p,
-      col("c_user") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-      "full_outer")
+    val (c, p, cond) = attributionSides(clicks, purchases)
+    c.join(p, cond, "full_outer")
       // exactly one of (c_user, user_id) is null on the padded rows
       .select(coalesce(col("c_user"), col("user_id")).as("user_id"),
         col("click_id"), col("purchase_id"), col("purchase_value"))
@@ -484,19 +476,8 @@ object Streaming {
     * (oracle-checked RIGHT JOIN). */
   def attributionJoinRightOuter(clicks: DataFrame,
       purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "10 minutes")
-    val p = purchases
-      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "10 minutes")
-    c.join(p,
-      col("c_user") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-      "right_outer")
+    val (c, p, cond) = attributionSides(clicks, purchases)
+    c.join(p, cond, "right_outer")
       // user_id comes from the PURCHASE side: the click side is null
       // on precisely the rows the outer join adds
       .select(col("user_id"), col("click_id"), col("purchase_id"),
@@ -539,19 +520,8 @@ object Streaming {
     * In batch this is EXISTS (`qStreamJoinSemi`, oracle-checked). */
   def attributionJoinSemi(clicks: DataFrame,
       purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "10 minutes")
-    val p = purchases
-      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "10 minutes")
-    c.join(p,
-      col("c_user") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-      "left_semi")
+    val (c, p, cond) = attributionSides(clicks, purchases)
+    c.join(p, cond, "left_semi")
       .select(col("c_user").as("user_id"), col("click_id"),
         col("click_ts"))
   }
@@ -705,7 +675,13 @@ object Streaming {
             val closed = Seq.newBuilder[ClosedSession]
             for (t <- times) open match {
               case Some(s) if t - s.lastSeen <= GapUs =>
-                open = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+                // max/min, not assignment: a cross-batch out-of-order
+                // event (late but above watermark) must never move the
+                // session end BACKWARD (shortening the timeout) or
+                // lose an earlier start
+                open = Some(s.copy(start = math.min(s.start, t),
+                  lastSeen = math.max(s.lastSeen, t),
+                  nEvents = s.nEvents + 1))
               case Some(s) =>
                 closed += ClosedSession(user, s.start, s.lastSeen, s.nEvents)
                 open = Some(SessionState(t, t, 1))
@@ -739,6 +715,12 @@ object Streaming {
     import org.apache.hadoop.fs.Path
     val dir = new Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(stateDir + "_old")
+    // crash recovery FIRST: a death between rename(dir, old) and
+    // rename(tmp, dir) leaves the only live state under _old — restore
+    // it before reading, or the epoch replay would rebuild from the
+    // batch alone and then delete the backup (permanent state loss)
+    if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
     // keep-last per key within the batch (Efraimidis-style tie-break on version)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(verCol).desc)
@@ -752,7 +734,9 @@ object Streaming {
       else dedupedBatch
     val tmp = new Path(stateDir + s"_epoch$epochId")
     next.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(stateDir + "_old")
+    // swap order matters: _old is deleted ONLY after the new dir is in
+    // place, so every crash point leaves a complete state under either
+    // dir or _old (which the recovery preamble above restores)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(dir)) fs.rename(dir, old)
     fs.rename(tmp, dir)
@@ -801,20 +785,26 @@ object Streaming {
     * re-arrival of the SAME value re-emits — "unchanged" is only
     * certifiable while the state lives.
     *
-    * Within a batch, rows apply in (ts, value) order so multi-change
-    * batches produce a deterministic changelog. One timer per key is
-    * maintained (re-registered forward as the key stays active). */
+    * Rows apply in EVENT-TIME (ts, value) order and the applied
+    * frontier is kept in state, so the changelog is
+    * last-event-time-wins across batches: a late-but-above-watermark
+    * row older than the frontier is skipped (never overwrites a newer
+    * value), and the expiry timer only ever slides FORWARD. One timer
+    * per key is maintained. */
   class LatestValueProcessor(retentionMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Change, ChangeOut] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
 
     @transient private var latest: ValueState[String] = _
+    @transient private var appliedTs: ValueState[Long] = _
     @transient private var timerAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       latest = getHandle.getValueState[String]("latest", Encoders.STRING,
         TTLConfig.NONE)
+      appliedTs = getHandle.getValueState[Long]("appliedTs",
+        Encoders.scalaLong, TTLConfig.NONE)
       timerAt = getHandle.getValueState[Long]("timerAt", Encoders.scalaLong,
         TTLConfig.NONE)
     }
@@ -823,37 +813,51 @@ object Streaming {
         timers: TimerValues): Iterator[ChangeOut] = {
       val ordered = rows.toArray.sortBy(c => (c.ts.getTime, c.value))
       val out = Seq.newBuilder[ChangeOut]
-      var maxTsMs = Long.MinValue
+      // frontier from state: a cross-batch late row (ts below what has
+      // already been applied) must not overwrite the newer value
+      var maxTsMs =
+        if (appliedTs.exists()) appliedTs.get() else Long.MinValue
       for (c <- ordered) {
-        maxTsMs = math.max(maxTsMs, c.ts.getTime)
-        if (!latest.exists() || latest.get() != c.value) {
-          latest.update(c.value)
-          out += ChangeOut(key, c.ts.getTime * 1000L, c.value)
+        val t = c.ts.getTime
+        if (t >= maxTsMs) {
+          maxTsMs = t
+          if (!latest.exists() || latest.get() != c.value) {
+            latest.update(c.value)
+            out += ChangeOut(key, t * 1000L, c.value)
+          }
         }
       }
-      // slide this key's single expiry timer forward to last-seen + retention
-      val expiry = maxTsMs + retentionMs
-      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
-      getHandle.registerTimer(expiry)
-      timerAt.update(expiry)
+      if (maxTsMs != Long.MinValue) {
+        appliedTs.update(maxTsMs)
+        // slide the key's single expiry timer FORWARD only — an
+        // all-late batch must not pull the expiry earlier
+        val expiry = maxTsMs + retentionMs
+        if (!timerAt.exists() || expiry > timerAt.get()) {
+          if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+          getHandle.registerTimer(expiry)
+          timerAt.update(expiry)
+        }
+      }
       out.result().iterator
     }
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         info: ExpiredTimerInfo): Iterator[ChangeOut] = {
-      latest.clear(); timerAt.clear()
+      latest.clear(); appliedTs.clear(); timerAt.clear()
       Iterator.single(ChangeOut(key, info.getExpiryTimeInMs * 1000L, null))
     }
   }
 
   /** Wire the processor: event-time mode requires a watermark on the
-    * input; append mode emits the changelog. */
+    * input; append mode emits the changelog. `lateness` widens the
+    * watermark so out-of-order rows reach the processor — whose
+    * event-time frontier (not arrival order) decides what applies. */
   def latestStateStream(changes: Dataset[Change],
-      retentionMs: Long): Dataset[ChangeOut] = {
+      retentionMs: Long, lateness: String = "0 seconds"): Dataset[ChangeOut] = {
     import changes.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     changes
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", lateness)
       .groupByKey(_.key)
       .transformWithState(new LatestValueProcessor(retentionMs),
         TimeMode.EventTime(), OutputMode.Append())

@@ -143,4 +143,43 @@ class RulesSpec extends SparkSpec {
     assert(!rankForm.contains("TopKPerGroup"),
       s"rank() must not be treated as row_number:\n$rankForm")
   }
+
+  test("GLOBAL row_number top-k (no PARTITION BY) is NOT rewritten — " +
+      "and still answers correctly") {
+    // a rewrite would plan ClusteredDistribution(Nil), which Spark
+    // rejects at planning; the native window must keep handling it
+    val df = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"))))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"),
+      "global top-k must not rewrite to the grouped operator")
+    val got = df.collect() // the planning crash would throw HERE
+    assert(got.length == 3)
+    val want = graft.sources.Tables(spark, sfDir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .select(col("l_orderkey")).limit(3).collect().map(_.getLong(0)).toSeq
+    assert(got.map(_.getLong(0)).toSeq == want)
+  }
+
+  test("force-broadcast matches the path's file-name component only — " +
+      "a 'donation.parquet' fact is left alone") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rule_paths").toString
+    (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.parquet(s"$dir/donation.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.read.parquet(s"$dir/donation.parquet")
+      val other = (0 until 100).map(i => (i.toLong, i * 2)).toDF("k", "n")
+      val plan = fact.join(other, Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"'donation.parquet' was force-broadcast by a suffix match:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

@@ -16,6 +16,7 @@ import graft.streaming.Streaming
 class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def tsUs(s: String): Long = ts(s).getTime * 1000L
 
   test("windowed agg with watermark: closed windows emit, late rows drop") {
     val sp = spark
@@ -161,6 +162,104 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(0) == (1L, 2L)) // session 1: user 1, 2 events (gap close)
       assert(sessions(1) == (1L, 1L)) // session 2: user 1, 1 event (timeout)
     } finally q.stop()
+  }
+
+  test("sessionization: a late-but-in-watermark event never moves the " +
+      "session end backward") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionizeStream(in.toDS()).writeStream
+      .format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      in.addData(Streaming.Event(1, ts("2024-01-01 10:00:00"), 1.0),
+        Streaming.Event(1, ts("2024-01-01 10:20:00"), 1.0))
+      q.processAllAvailable()
+      // watermark is now 10:10 — a 10:15 event is LATE but accepted;
+      // it must merge without shortening the session (end stays 10:20)
+      in.addData(Streaming.Event(1, ts("2024-01-01 10:15:00"), 1.0))
+      q.processAllAvailable()
+      // push the watermark far past the timeout to close the session
+      in.addData(Streaming.Event(2, ts("2024-01-01 23:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(Streaming.Event(2, ts("2024-01-01 23:30:00"), 1.0))
+      q.processAllAvailable()
+      val s = spark.table("sessions_late")
+        .filter(col("user_id") === 1L).collect()
+      assert(s.length == 1, s"expected one closed session, got ${s.length}")
+      val (start, end, n) = (s(0).getLong(1), s(0).getLong(2), s(0).getLong(3))
+      assert(end == tsUs("2024-01-01 10:20:00"),
+        s"late event moved the session end backward: $end")
+      assert(start == tsUs("2024-01-01 10:00:00") && n == 3,
+        s"session start/count wrong: ($start, $n)")
+    } finally q.stop()
+  }
+
+  test("upsertBatch recovers the state a crash stranded under _old " +
+      "instead of deleting it") {
+    val sp = spark; import sp.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("cdc_crash").toString + "/state"
+    val up = Streaming.upsertBatch(stateDir, "key", "ver") _
+    up(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("key", "payload", "ver"), 0L)
+    // simulate a crash between rename(dir, _old) and rename(tmp, dir):
+    // the only live state sits under _old
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stateDir),
+      new org.apache.hadoop.fs.Path(stateDir + "_old")))
+    // the epoch replay must RESTORE _old first — not rebuild from the
+    // batch alone and then delete the backup
+    up(Seq((3L, "c", 2L)).toDF("key", "payload", "ver"), 1L)
+    val state = spark.read.parquet(stateDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      s"crash recovery lost state: $state")
+  }
+
+  test("transformWithState changelog is last-EVENT-TIME-wins: a late " +
+      "row neither overwrites a newer value nor pulls the timer earlier") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.Change]
+    val q = Streaming.latestStateStream(in.toDS(),
+        retentionMs = 3600 * 1000L, lateness = "1 hour")
+      .writeStream.format("memory").queryName("changelog_late")
+      .outputMode("append").start()
+    def rows(): Seq[(Long, Option[String])] =
+      spark.table("changelog_late").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    try {
+      in.addData(Streaming.Change(1, ts("2024-01-01 10:20:00"), "B"))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, Some("B"))))
+      // a LATE row (10:15 < applied frontier 10:20, above watermark):
+      // must be skipped, not applied as a change
+      in.addData(Streaming.Change(1, ts("2024-01-01 10:15:00"), "A"))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, Some("B"))),
+        s"late row overwrote a newer value: ${rows()}")
+      // and the state still holds B: a fresh row with the SAME value
+      // is suppressed as unchanged (it would emit if A had applied)
+      in.addData(Streaming.Change(1, ts("2024-01-01 10:30:00"), "B"))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, Some("B"))),
+        s"state lost the newest value: ${rows()}")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   test("streaming dedup drops within-watermark duplicate fingerprints") {
