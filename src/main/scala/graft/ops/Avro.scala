@@ -197,19 +197,25 @@ object Avro {
         val rd = new DataFileReader[GenericRecord](
           taskFs, new GenericDatumReader[GenericRecord](
             new ASchema.Parser().parse(avroJson)))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (rd.hasNext) {
-          val rec = rd.next()
-          val vals = new Array[Any](nCols)
-          var c = 0
-          while (c < nCols) {
-            vals(c) = fromAvroValue(rec.get(c).asInstanceOf[AnyRef], types(c))
-            c += 1
+        // close on task END (success or failure), and stream rows
+        // lazily — peak task memory is one record, never the file
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try rd.close() catch { case _: Throwable => () }))
+        new Iterator[Row] {
+          override def hasNext: Boolean = rd.hasNext
+          override def next(): Row = {
+            val rec = rd.next()
+            val vals = new Array[Any](nCols)
+            var c = 0
+            while (c < nCols) {
+              vals(c) =
+                fromAvroValue(rec.get(c).asInstanceOf[AnyRef], types(c))
+              c += 1
+            }
+            Row.fromSeq(vals.toIndexedSeq)
           }
-          out += Row.fromSeq(vals.toIndexedSeq)
         }
-        rd.close()
-        out
       }
     s.createDataFrame(rowRdd, sparkSchema)
   }

@@ -3,6 +3,9 @@ package graft.ops
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.net.{InetAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
@@ -92,6 +95,10 @@ object FlightLite {
     private val sock = new ServerSocket(port, 16,
       InetAddress.getLoopbackAddress)
     @volatile private var running = false
+    // GetFlightInfo-pinned plans (insertion-ordered, bounded at 64):
+    // one plan generation serves every endpoint DoGet of an info call
+    private val pinned =
+      new java.util.LinkedHashMap[String, DataFrame]()
 
     def boundPort: Int = sock.getLocalPort
 
@@ -143,6 +150,9 @@ object FlightLite {
       val in = new DataInputStream(new BufferedInputStream(conn.getInputStream))
       val out = new DataOutputStream(
         new BufferedOutputStream(conn.getOutputStream))
+      // once Arrow stream bytes are on the wire, an error can no
+      // longer be framed — see the catch block
+      var streamStarted = false
       try {
         val verb = in.readByte().toChar
         val token = readName(in)
@@ -181,23 +191,56 @@ object FlightLite {
             // error from a clean stream; execution errors after the
             // first batch surface as a truncated stream (socket close).
             out.writeByte('O')
+            streamStarted = true
             Ipc.writeIpcStreamTo(df.toLocalIterator().asScala, df.schema, out)
           case 'P' =>
             val len = in.readLong()
-            val bytes = new Array[Byte](len.toInt); in.readFully(bytes)
-            val (rows, schema) = Ipc.readIpcStream(bytes)
-            spark.createDataFrame(
-              spark.sparkContext.parallelize(rows, math.max(1, rows.size / Ipc.BatchRows)),
-              schema).createOrReplaceTempView(name)
-            out.writeByte('O'); writeStr(out, rows.size.toString)
+            // int64 on the wire, JVM arrays are int-bounded: refuse a
+            // >2 GiB payload with the error surfaced (drain first, as
+            // in the auth path) instead of len.toInt silently
+            // truncating into a desynced parse or a negative alloc
+            if (len < 0 || len > Int.MaxValue - 8) {
+              var left = math.max(len, 0L)
+              val sink = new Array[Byte](64 * 1024)
+              while (left > 0) {
+                val n = in.read(sink, 0,
+                  math.min(left, sink.length.toLong).toInt)
+                if (n < 0) left = 0 else left -= n
+              }
+              out.writeByte('E')
+              writeStr(out, s"DoPut payload too large for one put: " +
+                s"$len bytes (max ${Int.MaxValue - 8}); split the stream")
+            } else {
+              val bytes = new Array[Byte](len.toInt); in.readFully(bytes)
+              val (rows, schema) = Ipc.readIpcStream(bytes)
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(rows,
+                  math.max(1, rows.size / Ipc.BatchRows)),
+                schema).createOrReplaceTempView(name)
+              out.writeByte('O'); writeStr(out, rows.size.toString)
+            }
           case 'F' =>
             // GetFlightInfo (Flight.proto:138-160): schema + how many
             // endpoint tickets exist — one per RDD partition of the
-            // resolved plan, so a consumer can pull them in parallel
+            // resolved plan — plus a PIN ticket naming the resolved
+            // plan itself: endpoint DoGets against the pin all read
+            // ONE plan generation, so a concurrent DoPut replacing the
+            // view (or a re-planned SQL ticket) can never hand a
+            // parallel consumer a mix of datasets
             val df = resolve(name)
             val parts = df.rdd.getNumPartitions
+            val pin = s"pin-${UUID.randomUUID()}"
+            pinned.synchronized {
+              pinned.put(pin, df)
+              // bounded: oldest pins fall out; a consumer that waited
+              // past 64 newer GetFlightInfos re-resolves by ticket
+              while (pinned.size() > 64) {
+                val it = pinned.keySet().iterator(); it.next(); it.remove()
+              }
+            }
             out.writeByte('O'); writeStr(out, df.schema.json)
             out.writeInt(parts)
+            writeStr(out, pin)
           case 'H' =>
             // Handshake (Flight.proto:38-47): name = the client's
             // credential. A server built with an authSecret rejects a
@@ -241,12 +284,16 @@ object FlightLite {
             // endpoint DoGet: stream ONE partition of the ticket's
             // result. runJob(Seq(p)) computes exactly that partition —
             // for a file-backed plan that is that endpoint's file
-            // splits, the real parallel-consumer shape
+            // splits, the real parallel-consumer shape. A pin ticket
+            // (issued by GetFlightInfo) reads the PINNED plan, so all
+            // endpoints of one info call see one generation.
             val p = in.readInt()
-            val df = resolve(name)
+            val df = Option(pinned.synchronized(pinned.get(name)))
+              .getOrElse(resolve(name))
             val rows = spark.sparkContext.runJob(
               df.rdd, (it: Iterator[Row]) => it.toArray, Seq(p)).head
             out.writeByte('O')
+            streamStarted = true
             Ipc.writeIpcStreamTo(rows.iterator, df.schema, out)
           case other =>
             out.writeByte('E'); writeStr(out, s"unknown verb: $other")
@@ -254,19 +301,17 @@ object FlightLite {
       } catch {
         case e: EOFException => throw e
         case e: Throwable =>
-          try { out.writeByte('E'); writeStr(out, String.valueOf(e.getMessage)) }
-          catch { case _: Throwable => () }
+          // never append an 'E' frame into a STARTED Arrow stream —
+          // the client's codec would parse it as a garbage message
+          // length; a truncated stream (socket close) is the
+          // documented mid-stream failure signal
+          if (!streamStarted)
+            try { out.writeByte('E'); writeStr(out, String.valueOf(e.getMessage)) }
+            catch { case _: Throwable => () }
       } finally out.flush()
     }
 
     override def close(): Unit = { running = false; sock.close() }
-
-    private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
-      def asScala: Iterator[A] = new Iterator[A] {
-        def hasNext: Boolean = it.hasNext
-        def next(): A = it.next()
-      }
-    }
   }
 
   // ---- client ------------------------------------------------------------
@@ -348,12 +393,22 @@ object FlightLite {
     * endpoint per partition of the server-side plan
     * (`FlightInfo.endpoint`, Flight.proto:138-160). */
   def getFlightInfo(host: String, port: Int,
-      ticket: String, token: String = ""): (StructType, Int) =
+      ticket: String, token: String = ""): (StructType, Int) = {
+    val (schema, parts, _) = getFlightInfoPinned(host, port, ticket, token)
+    (schema, parts)
+  }
+
+  /** [[getFlightInfo]] plus the server's PIN ticket: endpoint DoGets
+    * against the pin all read the plan generation this call resolved
+    * — a concurrent DoPut replacing the view can't mix datasets into
+    * a parallel consumer's result. */
+  def getFlightInfoPinned(host: String, port: Int,
+      ticket: String, token: String = ""): (StructType, Int, String) =
     request(host, port) { out => header(out, 'F', token, ticket) } {
       in =>
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(readName(in)).asInstanceOf[StructType]
-        (schema, in.readInt())
+        (schema, in.readInt(), readName(in))
     }
 
   /** DoGet of ONE endpoint ticket (partition `p` of the ticket's
@@ -374,7 +429,9 @@ object FlightLite {
     * DoGet (both walk partitions in index order). */
   def doGetParallel(host: String, port: Int, ticket: String,
       maxParallel: Int = 8, token: String = ""): (Seq[Row], StructType) = {
-    val (schema, parts) = getFlightInfo(host, port, ticket, token)
+    // endpoints pull against the PIN, not the raw ticket: every
+    // partition reads the one plan generation GetFlightInfo resolved
+    val (schema, parts, pin) = getFlightInfoPinned(host, port, ticket, token)
     if (parts == 0) return (Seq.empty, schema)
     val out = new Array[Seq[Row]](parts)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
@@ -384,7 +441,7 @@ object FlightLite {
       val t = new Thread(() => {
         var p = queue.poll()
         while (p != null && err.get() == null) {
-          try out(p) = doGetPartition(host, port, ticket, p, token)._1
+          try out(p) = doGetPartition(host, port, pin, p, token)._1
           catch { case e: Throwable => err.compareAndSet(null, e) }
           p = queue.poll()
         }

@@ -447,6 +447,15 @@ object Ipc {
       val finalPath = new HPath(dir, s"part-$pid.arrow")
       val tmpPath = new HPath(dir, s".part-$pid-a${tc.taskAttemptId()}.arrow.tmp")
       val allocator = new RootAllocator()
+      // a task failure mid-write must not leak the allocator's direct
+      // buffers in the executor (the success path closes explicitly;
+      // Arrow allocators refuse double-close, hence the flag)
+      var resourcesClosed = false
+      tc.addTaskFailureListener((_, _) =>
+        if (!resourcesClosed) {
+          resourcesClosed = true
+          try allocator.close() catch { case _: Throwable => () }
+        })
       // dictionary vectors + index lookups for the encoded columns
       val provider = new DictionaryProvider.MapDictionaryProvider()
       val encodings = new scala.collection.mutable.HashMap[String, DictionaryEncoding]
@@ -514,6 +523,7 @@ object Ipc {
       writer.end(); writer.close(); out.close(); root.close()
       provider.getDictionaryIds.asScala // release dictionary vectors
         .foreach(id => provider.lookup(id).getVector.close())
+      resourcesClosed = true
       allocator.close()
       // commit: first attempt to commit wins; a loser (speculative twin
       // already committed) discards its temp. The exists() guard is
@@ -626,24 +636,40 @@ object Ipc {
         val allocator = new RootAllocator()
         val rd = new ArrowFileReader(
           new HadoopSeekableChannel(taskFs.open(p), len), allocator)
+        // close on task END (success or failure): a corrupt batch
+        // mid-file must not leak the allocator's direct buffers in
+        // the long-lived executor JVM
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try rd.close() finally allocator.close()
+          })
         val root = rd.getVectorSchemaRoot
         val dicts = rd.getDictionaryVectors
         val getters: Array[Int => Any] =
           (0 until nCols).map(c => columnGetter(root.getVector(c), dicts)).toArray
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (rd.loadNextBatch()) {
-          var r = 0
-          val n = root.getRowCount
-          while (r < n) {
+        // LAZY batch-at-a-time iterator: peak task memory is one
+        // decoded batch, never the whole file's rows (the
+        // IpcPartitionReader shape, not an ArrayBuffer of the file)
+        new Iterator[Row] {
+          private var rowIdx = 0
+          private var nRows = 0
+          private def advance(): Boolean = {
+            while (rowIdx >= nRows) {
+              if (!rd.loadNextBatch()) return false
+              nRows = root.getRowCount; rowIdx = 0
+            }
+            true
+          }
+          override def hasNext: Boolean = advance()
+          override def next(): Row = {
+            if (!advance()) throw new NoSuchElementException
             val vals = new Array[Any](nCols)
             var c = 0
-            while (c < nCols) { vals(c) = getters(c)(r); c += 1 }
-            out += Row.fromSeq(vals.toIndexedSeq)
-            r += 1
+            while (c < nCols) { vals(c) = getters(c)(rowIdx); c += 1 }
+            rowIdx += 1
+            Row.fromSeq(vals.toIndexedSeq)
           }
         }
-        rd.close(); allocator.close()
-        out
       }
     s.createDataFrame(rowRdd, sparkSchema)
   }
@@ -670,28 +696,34 @@ object Ipc {
     val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
     val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
       root, null, java.nio.channels.Channels.newChannel(out))
-    writer.start()
-    rows.grouped(BatchRows).foreach { batch =>
-      val n = batch.length
-      var c = 0
-      while (c < schema.length) {
-        val vec = root.getVector(c)
-        vec.setInitialCapacity(n)
-        vec.allocateNew()
-        var r = 0
-        while (r < n) {
-          val row = batch(r)
-          if (row.isNullAt(c)) ()
-          else setFromRow(vec, r, row, c)
-          r += 1
+    // try/finally: a failing row iterator (e.g. a query error feeding
+    // a Flight DoGet) must not leak the allocator's direct buffers
+    try {
+      writer.start()
+      rows.grouped(BatchRows).foreach { batch =>
+        val n = batch.length
+        var c = 0
+        while (c < schema.length) {
+          val vec = root.getVector(c)
+          vec.setInitialCapacity(n)
+          vec.allocateNew()
+          var r = 0
+          while (r < n) {
+            val row = batch(r)
+            if (row.isNullAt(c)) ()
+            else setFromRow(vec, r, row, c)
+            r += 1
+          }
+          vec.setValueCount(n)
+          c += 1
         }
-        vec.setValueCount(n)
-        c += 1
+        root.setRowCount(n)
+        writer.writeBatch()
       }
-      root.setRowCount(n)
-      writer.writeBatch()
+      writer.end()
+    } finally {
+      try writer.close() finally { root.close(); allocator.close() }
     }
-    writer.end(); writer.close(); root.close(); allocator.close()
   }
 
   /** Stream-format read: schema from the stream head, batches to EOS. */
@@ -702,34 +734,39 @@ object Ipc {
     * batches until the Arrow end-of-stream marker. */
   def readIpcStreamFrom(in: java.io.InputStream): (Seq[Row], StructType) = {
     val allocator = new RootAllocator()
+    // try/finally: a truncated or corrupt stream must not leak the
+    // allocator's direct buffers
     val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator)
-    val root = rd.getVectorSchemaRoot
-    val nCols = root.getSchema.getFields.size()
-    // dictionary messages arrive on the wire BEFORE the first record
-    // batch, so getters (and dictionary-resolved types) bind after the
-    // first loadNextBatch
-    var getters: Array[Int => Any] = null
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    while (rd.loadNextBatch()) {
-      if (getters == null)
-        getters = (0 until nCols)
-          .map(c => columnGetter(root.getVector(c), rd.getDictionaryVectors))
-          .toArray
-      var r = 0
-      val n = root.getRowCount
-      while (r < n) {
-        val vals = new Array[Any](nCols)
-        var c = 0
-        while (c < nCols) { vals(c) = getters(c)(r); c += 1 }
-        out += Row.fromSeq(vals.toIndexedSeq)
-        r += 1
+    try {
+      val root = rd.getVectorSchemaRoot
+      val nCols = root.getSchema.getFields.size()
+      // dictionary messages arrive on the wire BEFORE the first record
+      // batch, so getters (and dictionary-resolved types) bind after the
+      // first loadNextBatch
+      var getters: Array[Int => Any] = null
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (rd.loadNextBatch()) {
+        if (getters == null)
+          getters = (0 until nCols)
+            .map(c => columnGetter(root.getVector(c), rd.getDictionaryVectors))
+            .toArray
+        var r = 0
+        val n = root.getRowCount
+        while (r < n) {
+          val vals = new Array[Any](nCols)
+          var c = 0
+          while (c < nCols) { vals(c) = getters(c)(r); c += 1 }
+          out += Row.fromSeq(vals.toIndexedSeq)
+          r += 1
+        }
       }
+      val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq
+        .map(f => StructField(f.getName,
+          resolvedSparkType(f, rd.getDictionaryVectors), nullable = true)))
+      (out.toSeq, sparkSchema)
+    } finally {
+      try rd.close() finally allocator.close()
     }
-    val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(f =>
-      StructField(f.getName, resolvedSparkType(f, rd.getDictionaryVectors),
-        nullable = true)))
-    rd.close(); allocator.close()
-    (out.toSeq, sparkSchema)
   }
 
   /** IPC round-trip query: project orders to the IPC type subset,

@@ -216,6 +216,27 @@ private final class IpcScanBuilder(fullSchema: StructType, dir: String,
         .getOrElse(Array()).map(_.getPath.getName).toSet
     val stats = names("*.arrow.stats")
     if (!names("*.arrow").forall(f => stats.contains(f + ".stats"))) return false
+    // EVERY sidecar must carry a TRACKED kind for every min/max column
+    // — a demoted/untracked column ('x': pre-v2 string bounds, binary,
+    // collated strings) yields a null partial a file WITH data would
+    // be indistinguishable from, silently answering NULL. Parse cost
+    // is O(#files) tiny JSONs, the source's stated planning posture;
+    // absent bounds on a TRACKED kind mean an all-null file, whose
+    // null partial is the correct answer.
+    val minMaxCols = specs.flatten.collect {
+      case IpcStatsAggScan.MinSpec(n, _) => n
+      case IpcStatsAggScan.MaxSpec(n, _) => n
+    }.toSet
+    if (minMaxCols.nonEmpty) {
+      val answerable = stats.forall { s =>
+        IpcStats.readSidecar(fs, new HPath(new HPath(dir), s)) match {
+          case Some(st) => minMaxCols.forall(c =>
+            st.cols.get(c).exists(_.kind != 'x'))
+          case None => false // unreadable sidecar: take the scan path
+        }
+      }
+      if (!answerable) return false
+    }
     statsAggs = specs.flatten
     true
   }
@@ -349,11 +370,7 @@ private final class IpcStatsAggScan(dir: String,
             done = true
             val sp = new HPath(part.path + ".stats")
             val fs = sp.getFileSystem(confSer.value)
-            val bytes = new Array[Byte](fs.getFileStatus(sp).getLen.toInt)
-            val in = fs.open(sp)
-            try in.readFully(bytes) finally in.close()
-            val stats = IpcStats.fromJson(
-              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            val stats = IpcStats.readSidecar(fs, sp)
               .getOrElse(throw new java.io.IOException(
                 s"unreadable stats sidecar during pushed aggregate: $sp"))
             new GenericInternalRow(localSpecs.map(s => eval(s, stats)).toArray)
@@ -451,17 +468,9 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
           !statNames.contains(sidecar) || {
             val p = new HPath(new HPath(filePath).getParent, sidecar)
             val pfs = p.getFileSystem(confSer.value)
-            val body = try {
-              val in = pfs.open(p)
-              try {
-                val bytes = new Array[Byte](pfs.getFileStatus(p).getLen.toInt)
-                in.readFully(bytes)
-                Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-              } finally in.close()
-            } catch { case _: Throwable => None }
-            body.flatMap(IpcStats.fromJson) match {
+            IpcStats.readSidecar(pfs, p) match {
               case Some(stats) => IpcStats.mightMatch(stats, fltrs)
-              case None => true
+              case None => true // unreadable sidecar: keep the file
             }
           }
         }

@@ -74,8 +74,15 @@ private[ipc] object IpcStats {
               case FloatType => row.getFloat(c).toDouble
               case _ => row.getDouble(c)
             }
-            if (v < minD) minD = v
-            if (v > maxD) maxD = v
+            // NaN is the LARGEST double in Spark's sort order — a file
+            // containing one must record max = NaN (serialized "NaN"),
+            // or range probes like d > 5 would prune the file whose
+            // NaN rows actually match. NaN never lowers min.
+            if (v.isNaN) maxD = Double.NaN
+            else {
+              if (v < minD) minD = v
+              if (!maxD.isNaN && v > maxD) maxD = v
+            }
           case 's' =>
             // UTF8String.compareTo is unsigned byte order — the order
             // Spark's pushed range filters mean. clone(): the row may
@@ -126,6 +133,19 @@ private[ipc] object IpcStats {
   final case class ColStats(kind: Char, nulls: Long,
       min: Option[String], max: Option[String])
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** Read + parse one sidecar; None on any read or parse failure —
+    * the SHARED open/read/decode/parse sequence (it used to live in
+    * three literal copies across the planner, the agg reader, and the
+    * pushdown gate; callers choose keep-file vs fail-loud on None). */
+  def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[FileStats] =
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(bytes) finally in.close()
+      fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => None }
 
   def fromJson(json: String): Option[FileStats] =
     try {
@@ -189,8 +209,15 @@ private[ipc] object IpcStats {
       case Some(c) if c.min.isDefined && c.max.isDefined => c.kind match {
         case 'l' => asLong(v).forall(x =>
           x >= c.min.get.toLong && x <= c.max.get.toLong)
-        case 'd' => asDouble(v).forall(x =>
-          x >= c.min.get.toDouble && x <= c.max.get.toDouble)
+        // NaN probe: every NaN comparison below is false — pruning on
+        // it would drop files whose residual filter matches (Spark's
+        // NaN = NaN is TRUE). Decline. A NaN MAX bound (file contains
+        // NaN, the largest double in Spark's order) keeps the file for
+        // any probe's upper check.
+        case 'd' => asDouble(v).forall { x =>
+          val mx = c.max.get.toDouble
+          x.isNaN || (x >= c.min.get.toDouble && (mx.isNaN || x <= mx))
+        }
         case 's' => v match {
           // bounds and probe compare in UTF8String binary order — the
           // same order the stats were accumulated under and the same
@@ -220,8 +247,12 @@ private[ipc] object IpcStats {
       case Some(c) if c.max.isDefined => c.kind match {
         case 'l' => asLong(v).forall(x =>
           if (strict) c.max.get.toLong > x else c.max.get.toLong >= x)
-        case 'd' => asDouble(v).forall(x =>
-          if (strict) c.max.get.toDouble > x else c.max.get.toDouble >= x)
+        // NaN probe declines; a NaN MAX bound (file contains NaN —
+        // above every finite probe in Spark's order) keeps the file
+        case 'd' => asDouble(v).forall { x =>
+          val mx = c.max.get.toDouble
+          x.isNaN || mx.isNaN || (if (strict) mx > x else mx >= x)
+        }
         case 's' => v match {
           case s: String =>
             val mx = UTF8String.fromString(c.max.get)
@@ -241,8 +272,9 @@ private[ipc] object IpcStats {
       case Some(c) if c.min.isDefined => c.kind match {
         case 'l' => asLong(v).forall(x =>
           if (strict) c.min.get.toLong < x else c.min.get.toLong <= x)
-        case 'd' => asDouble(v).forall(x =>
-          if (strict) c.min.get.toDouble < x else c.min.get.toDouble <= x)
+        // NaN probe declines (see boundsContain)
+        case 'd' => asDouble(v).forall(x => x.isNaN ||
+          (if (strict) c.min.get.toDouble < x else c.min.get.toDouble <= x))
         case 's' => v match {
           case s: String =>
             val mn = UTF8String.fromString(c.min.get)

@@ -376,6 +376,30 @@ class EgressSpec extends SparkSpec {
     val dagg = scan.select(col("k"), (col("k") * 0.5).as("d"))
       .agg(min("d"), max("d"))
     assert(dagg.collect().toSeq.map(_.toSeq) == Seq(Seq(0.0, 19999.5)))
+    // LEGACY sidecar (no format-version marker): its string bounds
+    // were computed under UTF-16 order, so string MIN/MAX must
+    // decline to the scan path — a null partial from the demoted
+    // column would silently answer NULL. Numeric bounds order
+    // identically in both generations and keep pushing.
+    val legacy = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".stats")).head
+    val body = new String(
+      java.nio.file.Files.readAllBytes(legacy.toPath), "UTF-8")
+    java.nio.file.Files.write(legacy.toPath,
+      body.replaceFirst("\"v\":\\d+,", "").getBytes("UTF-8"))
+    // the direct rewrite invalidates LocalFileSystem's checksum shadow
+    new java.io.File(legacy.getParent, s".${legacy.getName}.crc").delete()
+    val saggL = scan.agg(min("s"), max("s"))
+    assert(!saggL.queryExecution.executedPlan.toString
+      .contains("sidecar-metadata-only"),
+      "string MIN/MAX must decline on a legacy (marker-less) sidecar")
+    assert(saggL.collect().toSeq.map(_.toSeq) ==
+      Seq(Seq("v00000", "v39999")), "declined path answered wrong")
+    val kaggL = scan.agg(min("k"), max("k"))
+    assert(kaggL.queryExecution.executedPlan.toString
+      .contains("sidecar-metadata-only"),
+      "numeric MIN/MAX still pushes on legacy sidecars")
+    assert(kaggL.collect().toSeq.map(_.toSeq) == Seq(Seq(0L, 39999L)))
     // remove one sidecar: pushdown declines wholesale, answers unchanged
     new java.io.File(dir).listFiles().filter(_.getName.endsWith(".stats"))
       .take(1).foreach(_.delete())

@@ -130,6 +130,57 @@ class FlightLiteSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("GetFlightInfo pins one plan generation: endpoint DoGets see " +
+      "the info-time dataset even after the view is replaced") {
+    val sp = spark; import sp.implicits._
+    val server = new FlightLite.Server(spark).start()
+    try {
+      Seq(1L, 2L, 3L).toDF("v").repartition(2)
+        .createOrReplaceTempView("fl_pin")
+      val (_, parts, pin) = FlightLite.getFlightInfoPinned(
+        "127.0.0.1", server.boundPort, "fl_pin")
+      // a concurrent writer replaces the view BETWEEN GetFlightInfo
+      // and the endpoint pulls — the classic parallel-consumer race
+      Seq(100L, 200L).toDF("v").createOrReplaceTempView("fl_pin")
+      val got = (0 until parts).flatMap(p => FlightLite.doGetPartition(
+        "127.0.0.1", server.boundPort, pin, p)._1).map(_.getLong(0)).sorted
+      assert(got == Seq(1L, 2L, 3L),
+        s"endpoints mixed plan generations: $got")
+      // an un-pinned ticket resolves the NEW view (by-name semantics)
+      val (fresh, _) = FlightLite.doGet(
+        "127.0.0.1", server.boundPort, "fl_pin")
+      assert(fresh.map(_.getLong(0)).sorted == Seq(100L, 200L))
+    } finally server.close()
+  }
+
+  test("DoPut refuses a payload above the single-put ceiling with a " +
+      "framed error, not a truncated parse") {
+    val server = new FlightLite.Server(spark).start()
+    try {
+      // exercise the length gate directly on the wire: a declared
+      // size above Int.MaxValue must come back as a framed 'E'
+      val conn = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val out = new java.io.DataOutputStream(conn.getOutputStream)
+        out.writeByte('P')
+        out.writeInt(0) // empty token
+        val name = "fl_big".getBytes("UTF-8")
+        out.writeInt(name.length); out.write(name)
+        out.writeLong(Long.MaxValue) // declared payload size
+        out.flush()
+        // half-close: the server's drain hits EOF instead of blocking
+        // on payload bytes this test never sends
+        conn.shutdownOutput()
+        val in = new java.io.DataInputStream(conn.getInputStream)
+        assert(in.readByte().toChar == 'E')
+        val mlen = in.readInt(); val msg = new Array[Byte](mlen)
+        in.readFully(msg)
+        assert(new String(msg, "UTF-8").contains("too large"),
+          s"unexpected refusal text: ${new String(msg, "UTF-8")}")
+      } finally conn.close()
+    } finally server.close()
+  }
+
   test("ListActions names the verbs; DoAction runs them; unknown rejects") {
     val server = new FlightLite.Server(spark).start()
     try {

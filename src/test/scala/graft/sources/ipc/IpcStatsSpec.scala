@@ -44,6 +44,35 @@ class IpcStatsSpec extends AnyFunSuite {
     assert(IpcStats.mightMatch(st, Array(EqualTo("n", 7L))))
   }
 
+  test("NaN never mis-prunes: NaN probes decline, and a file " +
+      "CONTAINING NaN records max = NaN (Spark's largest double)") {
+    import org.apache.spark.sql.types._
+    // NaN probe against finite bounds: every double comparison is
+    // false, so pruning would drop files whose residual filter
+    // matches (Spark's NaN = NaN is TRUE) — must keep
+    val fin = IpcStats.fromJson(
+      """{"v":2,"rows":5,"cols":{"d":{"t":"d","nulls":0,"min":"1.0","max":"3.0"}}}""").get
+    assert(IpcStats.mightMatch(fin, Array(EqualTo("d", Double.NaN))))
+    assert(IpcStats.mightMatch(fin, Array(LessThan("d", Double.NaN))),
+      "every non-NaN sorts below NaN — the file matches d < NaN")
+    assert(!IpcStats.mightMatch(fin, Array(EqualTo("d", 9.0))),
+      "finite probes outside finite bounds still prune")
+    // writer: a NaN value forces max = NaN, min stays finite
+    val acc = new IpcStats.ColAcc(StructField("d", DoubleType))
+    val mk = (v: Double) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](v))
+    acc.update(mk(1.0), 0); acc.update(mk(Double.NaN), 0)
+    acc.update(mk(2.0), 0)
+    val st = IpcStats.fromJson(IpcStats.toJson(3L, Array(acc))).get
+    // NaN is above every finite probe: range probes must KEEP the file
+    assert(IpcStats.mightMatch(st, Array(GreaterThan("d", 100.0))),
+      "a NaN row matches d > 100 — the file must not prune")
+    assert(IpcStats.mightMatch(st, Array(EqualTo("d", 1.5))))
+    assert(!IpcStats.mightMatch(st, Array(LessThan("d", 1.0))),
+      "the finite MIN still prunes below-range probes")
+  }
+
   test("the writer stamps the version marker (round-trip prunes)") {
     import org.apache.spark.sql.types._
     val acc = new IpcStats.ColAcc(StructField("s", StringType))
