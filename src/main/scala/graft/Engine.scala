@@ -18,6 +18,10 @@ object Engine {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIME is part of the engine's declared type surface (§1.2 —
+    // carried through the IPC/Flight codecs); Spark 4.1 gates the
+    // type behind this flag
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     // AQE: runtime coalescing + skew-join handling — the 100 TB safety
     // net; on by default in Spark 4 but pinned here explicitly.
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -160,8 +160,8 @@ object Avro {
         writer.append(rec)
       }
       writer.close() // closes the underlying stream
-      // same exists-guarded first-rename-wins commit as Ipc.writeIpc
-      if (taskFs.exists(finalPath) || !taskFs.rename(tmpPath, finalPath))
+      // same atomic first-publish-wins commit as Ipc.writeIpc
+      if (!graft.sources.CasFs.publish(taskFs, tmpPath, finalPath))
         taskFs.delete(tmpPath, false)
     }
   }

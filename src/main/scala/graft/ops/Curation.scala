@@ -219,6 +219,109 @@ object Curation {
     ORDER BY c_custkey, d_id
   """.trim
 
+  // ---- DSIR importance resampling ---------------------------------------
+
+  private val DsirBuckets = 256
+  private val DsirTopK = 50
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al.
+    * NeurIPS 2023): select source documents that look like a target
+    * corpus, scored by hashed-n-gram importance weights. Features =
+    * unigrams + bigrams, hashed into [[DsirBuckets]] buckets (md5 —
+    * the cross-engine-stable address every hash op here uses); the
+    * per-bucket log-ratio ln(p̂_target/q̂_source) (add-1 smoothed) is
+    * QUANTIZED to integer micro-nats before the per-doc sum, so the
+    * aggregation is exact-integer — associative, partition-order-free,
+    * bit-identical in the oracle (a raw double Σ would drift by
+    * summation order). Selection = Gumbel-top-k without replacement
+    * (key = weight + Gumbel(md5-seeded), the standard exp(w)-weighted
+    * sampling identity), deterministic for the same reasons
+    * [[graft.ops.Privacy.qDpCounts]] documents: seeded noise is what
+    * an auditable selection pipeline reruns bit-identically.
+    *
+    * Scale shape: tokenize/explode → one partial+final agg to the
+    * O(B)=256-row bucket table → broadcast log-ratio join back onto
+    * doc features → per-doc integer sum → global top-k (TakeOrdered,
+    * no global sort). The only all-corpus structure is the 256-row
+    * distribution table; the target/source split here is a synthetic
+    * doc_id gate (a real pipeline points the target side at its
+    * curated corpus — the mechanism is what this pins). */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val uni = toks.select(col("doc_id"), col("tok").as("f"))
+    val big = toks.select(col("doc_id"), col("pos").as("p1"), col("tok").as("w1"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("p1"),
+        col("tok").as("w2")), Seq("doc_id", "p1"))
+      .select(col("doc_id"), concat(col("w1"), lit("_"), col("w2")).as("f"))
+    val bf = uni.unionAll(big).select(col("doc_id"),
+      (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int")
+        % DsirBuckets).as("b"))
+    val isTgt = col("doc_id") % 10 === 0
+    val dist = bf.groupBy(col("b")).agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("cs"))
+    val tot = dist.agg(sum(col("ct")).as("t_n"), sum(col("cs")).as("s_n"))
+    val lr = dist.crossJoin(broadcast(tot)).select(col("b"),
+      round(log(((col("ct") + lit(1.0)) / (col("t_n") + lit(DsirBuckets.toDouble))) /
+        ((col("cs") + lit(1.0)) / (col("s_n") + lit(DsirBuckets.toDouble))))
+        * lit(1000000.0)).cast("long").as("lr"))
+    val w = bf.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("w"))
+    val u = conv(substring(md5(concat(lit("dsir:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0) + lit(5e-11)
+    w.select(col("doc_id"), col("n_feats"), col("w"),
+        (col("w") + round(-log(-log(u)) * lit(1000000.0)).cast("long"))
+          .as("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val qDsirSelectSql: String = """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, l[i] AS tok
+      FROM tk, unnest(range(1, len(l) + 1)) t(i)
+      WHERE l[i] <> ''),
+    feats AS (
+      SELECT doc_id, tok AS f FROM toks
+      UNION ALL
+      SELECT a.doc_id, a.tok || '_' || b.tok AS f
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    bf AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(f), 1, 4)) AS INTEGER) % 256 AS b
+      FROM feats),
+    dist AS (
+      SELECT b,
+        SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS ct,
+        SUM(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS cs
+      FROM bf GROUP BY b),
+    tot AS (SELECT SUM(ct) AS t_n, SUM(cs) AS s_n FROM dist),
+    lr AS (
+      SELECT b, CAST(ROUND(ln(((ct + 1.0) / (t_n + 256.0)) /
+           ((cs + 1.0) / (s_n + 256.0))) * 1000000.0) AS BIGINT) AS lr
+      FROM dist CROSS JOIN tot),
+    w AS (
+      SELECT bf.doc_id, COUNT(*) AS n_feats, SUM(lr.lr) AS w
+      FROM bf JOIN lr USING (b)
+      WHERE bf.doc_id % 10 <> 0
+      GROUP BY bf.doc_id),
+    keyed AS (
+      SELECT doc_id, n_feats, w,
+        w + CAST(ROUND(-ln(-ln(
+          CAST(CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 + 5e-11)) * 1000000.0) AS BIGINT) AS gkey
+      FROM w)
+    SELECT doc_id, n_feats, w, gkey FROM keyed
+    ORDER BY gkey DESC, doc_id LIMIT 50
+  """.trim
+
   // ---- Windowed PMI co-occurrence --------------------------------------
 
   private val PmiWindow = 2

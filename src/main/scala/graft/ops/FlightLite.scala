@@ -47,14 +47,22 @@ import org.apache.spark.sql.types.StructType
   *    endpoints on parallel sockets ([[doGetParallel]]) instead of
   *    serializing the result through a single DoGet.
   *
-  * Wire framing: request = 1 verb byte ('L'/'S'/'G'/'P'), bearer
-  * token (int32 length prefix; empty on open servers and for
-  * Handshake itself), UTF-8 name (int32 length prefix), payload
-  * (int64 length prefix; only DoPut sends one). Response = 1 status
-  * byte, then 'E' carries an int32
+  * Wire framing — **pinned spec, version 1** (FlightLiteSpec's
+  * golden-frame test asserts these bytes verbatim; changing any of
+  * them is a protocol break and requires a version bump there and
+  * here): request = 1 verb byte ('L'/'S'/'G'/'P'), bearer
+  * token (int32-BE length prefix; empty on open servers and for
+  * Handshake itself), UTF-8 name (int32-BE length prefix), payload
+  * (int64-BE length prefix; only DoPut sends one). Response = 1
+  * status byte, then 'E' carries an int32-BE
   * length-prefixed UTF-8 error; 'O' carries the verb's payload — raw
   * Arrow stream bytes for DoGet (self-delimiting via the Arrow EOS
-  * marker), an int32-prefixed UTF-8 string for the other verbs.
+  * marker), an int32-BE-prefixed UTF-8 string for the other verbs.
+  * A query failing AFTER stream bytes are on the wire appends the
+  * POISON frame (int32 -1 continuation marker, int32 1024 declared
+  * length, then socket close): Arrow readers treat EOF at a batch
+  * boundary as a clean end, so the poison is what guarantees every
+  * reader fails loudly instead of accepting partial rows.
   *
   * Scale note: this is a control/egress surface, not a distributed
   * operator. Single-ticket DoGet pulls the result through the driver
@@ -303,10 +311,19 @@ object FlightLite {
         case e: Throwable =>
           // never append an 'E' frame into a STARTED Arrow stream —
           // the client's codec would parse it as a garbage message
-          // length; a truncated stream (socket close) is the
-          // documented mid-stream failure signal
+          // length. And a bare socket close is NOT a reliable failure
+          // signal either: Arrow stream readers treat EOF at a message
+          // boundary as a clean end (the writer fails between batches,
+          // exactly at a boundary), so partial rows would read as
+          // success. Instead poison the stream: a continuation marker
+          // declaring a 1 KiB metadata frame we never send — the
+          // client's readFully hits EOF MID-message and throws, on
+          // every reader, regardless of where the stream broke.
           if (!streamStarted)
             try { out.writeByte('E'); writeStr(out, String.valueOf(e.getMessage)) }
+            catch { case _: Throwable => () }
+          else
+            try { out.writeInt(-1); out.writeInt(1024) }
             catch { case _: Throwable => () }
       } finally out.flush()
     }

@@ -3,11 +3,11 @@ package graft.ops
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, DecimalVector, FieldVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, DecimalVector, DurationVector, FieldVector, Float4Vector, Float8Vector, IntVector, IntervalDayVector, IntervalYearVector, SmallIntVector, TimeMicroVector, TimeMilliVector, TimeNanoVector, TimeSecVector, TimeStampMicroTZVector, TimeStampMicroVector, TinyIntVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.complex.{ListVector, MapVector, StructVector}
 import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
-import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, IntervalUnit, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath}
 import org.apache.spark.TaskContext
@@ -42,11 +42,16 @@ import graft.sources.Tables
   * winning attempt (first successful rename wins; losers delete
   * their temp).
   *
-  * Type coverage: the nine flat primitives BIGINT, INT, FLOAT,
-  * DOUBLE, STRING, BOOLEAN, BINARY, DATE, TIMESTAMP(µs, UTC) — plus
-  * the reference's nested/parametric wire types (`format/Schema.fbs:
-  * 235-261` union Type): LIST, STRUCT, MAP and DECIMAL(p,s) as
-  * 128-bit, arbitrarily recursive (`list<float>` embeddings,
+  * Type coverage (the reference's `format/Schema.fbs:235-261` union
+  * Type): the signed integer ladder TINYINT/SMALLINT/INT/BIGINT
+  * (Arrow Int 8/16/32/64), FLOAT, DOUBLE, STRING, BOOLEAN, BINARY,
+  * DATE, TIMESTAMP(µs, UTC), TIMESTAMP_NTZ(µs, zoneless), TIME
+  * (written as TIME64[ns]; TIME32[s/ms] and TIME64[µs] widen on
+  * read), INTERVAL DAY TO SECOND (written as Duration[µs]; any
+  * Duration unit and Arrow's DAY_TIME pair convert on read),
+  * INTERVAL YEAR TO MONTH (Interval[YEAR_MONTH]) — plus the
+  * nested/parametric wire types LIST, STRUCT, MAP and DECIMAL(p,s)
+  * as 128-bit, arbitrarily recursive (`list<float>` embeddings,
   * `map<string,bigint>` properties, decimal money columns all travel
   * losslessly). Nullable throughout, at every nesting level.
   */
@@ -88,6 +93,8 @@ object Ipc {
       val t = flat match {
         case LongType      => new ArrowType.Int(64, true)
         case IntegerType   => new ArrowType.Int(32, true)
+        case ShortType     => new ArrowType.Int(16, true)
+        case ByteType      => new ArrowType.Int(8, true)
         case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
         case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
         case StringType    => ArrowType.Utf8.INSTANCE
@@ -96,11 +103,22 @@ object Ipc {
         case DateType      => new ArrowType.Date(DateUnit.DAY)
         // Spark TimestampType is a µs-precision instant → UTC-zoned
         // Arrow timestamp (the SURVEY §1.2 ns-truncation convention
-        // applies upstream of this sink)
+        // applies upstream of this sink); NTZ is the same width with
+        // no zone — the wire distinction Arrow readers key on
         case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+        case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+        // Spark TIME stores nanos-of-day in a long → Arrow TIME64[ns]
+        // (TIME32 variants are read-side only: they widen to nanos)
+        case _: TimeType => new ArrowType.Time(TimeUnit.NANOSECOND, 64)
+        // ANSI intervals: day-time is a µs count → Duration[µs]
+        // (Arrow's DAY_TIME interval pair is read-side only);
+        // year-month is a month count → Interval[YEAR_MONTH]
+        case _: DayTimeIntervalType => new ArrowType.Duration(TimeUnit.MICROSECOND)
+        case _: YearMonthIntervalType => new ArrowType.Interval(IntervalUnit.YEAR_MONTH)
         case other => throw new IllegalArgumentException(
-          s"IPC sink supports bigint/int/float/double/string/bool/binary/" +
-            s"date/timestamp/decimal/array/struct/map, got $other for $name")
+          s"IPC sink supports bigint/int/smallint/tinyint/float/double/" +
+            s"string/bool/binary/date/timestamp/timestamp_ntz/time/" +
+            s"interval/decimal/array/struct/map, got $other for $name")
       }
       new Field(name, ft(nullable, t), NoKids)
   }
@@ -110,8 +128,10 @@ object Ipc {
       toArrowField(f.name, f.dataType, nullable = true)).toSeq.asJava)
 
   private[graft] def toSparkType(f: Field): DataType = f.getType match {
-    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case i: ArrowType.Int if i.getBitWidth == 64 && i.getIsSigned => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 && i.getIsSigned => IntegerType
+    case i: ArrowType.Int if i.getBitWidth == 16 && i.getIsSigned => ShortType
+    case i: ArrowType.Int if i.getBitWidth == 8 && i.getIsSigned => ByteType
     case fp: ArrowType.FloatingPoint
         if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
     case fp: ArrowType.FloatingPoint
@@ -120,7 +140,22 @@ object Ipc {
     case _: ArrowType.Bool   => BooleanType
     case _: ArrowType.Binary => BinaryType
     case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+    // zone presence picks instant vs wall-clock semantics; µs only
+    // (the engine's convention — ns truncates upstream)
+    case t: ArrowType.Timestamp
+        if t.getUnit == TimeUnit.MICROSECOND && t.getTimezone == null =>
+      TimestampNTZType
     case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND => TimestampType
+    // every Arrow TIME width widens losslessly into Spark's
+    // nanos-of-day TIME (TIME32[s/ms] and TIME64[µs/ns]); declared
+    // precision µs — Spark's TIME ceiling, and our own writer only
+    // emits µs-precision values
+    case _: ArrowType.Time => TimeType(TimeType.MICROS_PRECISION)
+    case _: ArrowType.Duration => DayTimeIntervalType()
+    case iv: ArrowType.Interval if iv.getUnit == IntervalUnit.YEAR_MONTH =>
+      YearMonthIntervalType()
+    case iv: ArrowType.Interval if iv.getUnit == IntervalUnit.DAY_TIME =>
+      DayTimeIntervalType()
     // 128-bit only: the read kernels materialize DecimalVector, and a
     // decimal256 column slipping past inference would MatchError
     // mid-scan — fail at schema time with the standard message instead
@@ -138,8 +173,47 @@ object Ipc {
       MapType(toSparkType(entries.getChildren.get(0)), toSparkType(vf),
         valueContainsNull = vf.isNullable)
     case other => throw new IllegalArgumentException(
-      s"IPC source supports bigint/int/float/double/string/bool/binary/" +
-        s"date/timestamp/decimal/list/struct/map, got $other for ${f.getName}")
+      s"IPC source supports signed int8-64/float/double/string/bool/" +
+        s"binary/date/timestamp[µs]/time/duration/interval/decimal128/" +
+        s"list/struct/map, got $other for ${f.getName}")
+  }
+
+  // ---- temporal payload conversions (shared by all four kernels) ----
+  // Spark encodings: TIME = nanos-of-day long (external LocalTime);
+  // DayTimeInterval = µs long (external java.time.Duration);
+  // YearMonthInterval = months int (external java.time.Period);
+  // TimestampNTZ = µs long (external LocalDateTime, UTC-anchored).
+  private def durationToMicros(d: java.time.Duration): Long =
+    math.addExact(math.multiplyExact(d.getSeconds, 1000000L), d.getNano / 1000L)
+  private def microsToDuration(us: Long): java.time.Duration =
+    java.time.Duration.ofSeconds(math.floorDiv(us, 1000000L),
+      math.floorMod(us, 1000000L) * 1000L)
+  private def ldtToMicros(t: java.time.LocalDateTime): Long =
+    math.addExact(math.multiplyExact(
+      t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), t.getNano / 1000L)
+  private def microsToLdt(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(math.floorDiv(us, 1000000L),
+      (math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+  // Arrow TIME32/64 widen to nanos-of-day; duration units widen to µs
+  // (ns floor-divides — the engine's µs convention)
+  private def timeVectorNanos(vec: FieldVector, r: Int): Long = vec match {
+    case v: TimeNanoVector  => v.get(r)
+    case v: TimeMicroVector => math.multiplyExact(v.get(r), 1000L)
+    case v: TimeMilliVector => v.get(r).toLong * 1000000L
+    case v: TimeSecVector   => v.get(r).toLong * 1000000000L
+    case other => throw new IllegalArgumentException(
+      s"unsupported time vector ${other.getClass.getName}")
+  }
+  private def durationVectorMicros(v: DurationVector, r: Int): Long =
+    // getObject scales by the vector's declared unit; Duration → µs
+    // floor-truncates sub-µs (the engine's µs convention)
+    durationToMicros(v.getObject(r))
+  // Arrow DAY_TIME interval pair (days, millis) → µs
+  private def intervalDayMicros(v: IntervalDayVector, r: Int): Long = {
+    val holder = new org.apache.arrow.vector.holders.NullableIntervalDayHolder
+    v.get(r, holder)
+    math.addExact(math.multiplyExact(holder.days.toLong, 86400000000L),
+      math.multiplyExact(holder.milliseconds.toLong, 1000L))
   }
 
   /** Shared per-type copy kernels between Spark external rows and
@@ -160,6 +234,8 @@ object Ipc {
     vec match {
       case v: BigIntVector => v.setSafe(r, value.asInstanceOf[Long])
       case v: IntVector    => v.setSafe(r, value.asInstanceOf[Int])
+      case v: SmallIntVector => v.setSafe(r, value.asInstanceOf[Short])
+      case v: TinyIntVector  => v.setSafe(r, value.asInstanceOf[Byte])
       case v: Float8Vector => v.setSafe(r, value.asInstanceOf[Double])
       case v: Float4Vector => v.setSafe(r, value.asInstanceOf[Float])
       case v: VarCharVector =>
@@ -171,6 +247,15 @@ object Ipc {
       case v: TimeStampMicroTZVector =>
         val ts = value.asInstanceOf[java.sql.Timestamp]
         v.setSafe(r, math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+      case v: TimeStampMicroVector =>
+        v.setSafe(r, ldtToMicros(value.asInstanceOf[java.time.LocalDateTime]))
+      case v: TimeNanoVector =>
+        v.setSafe(r, value.asInstanceOf[java.time.LocalTime].toNanoOfDay)
+      case v: DurationVector =>
+        v.setSafe(r, durationToMicros(value.asInstanceOf[java.time.Duration]))
+      case v: IntervalYearVector =>
+        v.setSafe(r,
+          Math.toIntExact(value.asInstanceOf[java.time.Period].toTotalMonths))
       case v: DecimalVector =>
         // setScale to the vector's declared scale: Arrow stores the
         // unscaled int128; a mismatched-scale BigDecimal would throw
@@ -217,6 +302,8 @@ object Ipc {
   private[graft] def getToAny(vec: FieldVector, r: Int): Any = vec match {
     case v: BigIntVector    => v.get(r)
     case v: IntVector       => v.get(r)
+    case v: SmallIntVector  => v.get(r)
+    case v: TinyIntVector   => v.get(r)
     case v: Float8Vector    => v.get(r)
     case v: Float4Vector    => v.get(r)
     case v: VarCharVector   => new String(v.get(r), "UTF-8")
@@ -229,6 +316,14 @@ object Ipc {
       val ts = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
       ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
       ts
+    case v: TimeStampMicroVector => microsToLdt(v.get(r))
+    case _: TimeNanoVector | _: TimeMicroVector | _: TimeMilliVector |
+        _: TimeSecVector =>
+      java.time.LocalTime.ofNanoOfDay(timeVectorNanos(vec, r))
+    case v: DurationVector => microsToDuration(durationVectorMicros(v, r))
+    case v: IntervalYearVector =>
+      java.time.Period.ofMonths(v.get(r)).normalized()
+    case v: IntervalDayVector => microsToDuration(intervalDayMicros(v, r))
     case v: DecimalVector => v.getObject(r) // java.math.BigDecimal
     case v: MapVector => // before ListVector: MapVector extends it
       val start = v.getElementStartIndex(r)
@@ -274,6 +369,8 @@ object Ipc {
       dt: DataType, value: Any): Unit = vec match {
     case v: BigIntVector => v.setSafe(r, value.asInstanceOf[Long])
     case v: IntVector    => v.setSafe(r, value.asInstanceOf[Int])
+    case v: SmallIntVector => v.setSafe(r, value.asInstanceOf[Short])
+    case v: TinyIntVector  => v.setSafe(r, value.asInstanceOf[Byte])
     case v: Float8Vector => v.setSafe(r, value.asInstanceOf[Double])
     case v: Float4Vector => v.setSafe(r, value.asInstanceOf[Float])
     case v: VarCharVector =>
@@ -282,6 +379,12 @@ object Ipc {
     case v: VarBinaryVector => v.setSafe(r, value.asInstanceOf[Array[Byte]])
     case v: DateDayVector => v.setSafe(r, value.asInstanceOf[Int])
     case v: TimeStampMicroTZVector => v.setSafe(r, value.asInstanceOf[Long])
+    // Catalyst temporals are already the wire integers: NTZ µs long,
+    // TIME nanos long, day-time interval µs long, year-month months int
+    case v: TimeStampMicroVector => v.setSafe(r, value.asInstanceOf[Long])
+    case v: TimeNanoVector => v.setSafe(r, value.asInstanceOf[Long])
+    case v: DurationVector => v.setSafe(r, value.asInstanceOf[Long])
+    case v: IntervalYearVector => v.setSafe(r, value.asInstanceOf[Int])
     case v: DecimalVector =>
       v.setSafe(r, value.asInstanceOf[Decimal].toJavaBigDecimal
         .setScale(v.getScale))
@@ -336,15 +439,25 @@ object Ipc {
     vec match {
       case v: BigIntVector    => v.get(r)
       case v: IntVector       => v.get(r)
+      case v: SmallIntVector  => v.get(r)
+      case v: TinyIntVector   => v.get(r)
       case v: Float8Vector    => v.get(r)
       case v: Float4Vector    => v.get(r)
       case v: VarCharVector   =>
         org.apache.spark.unsafe.types.UTF8String.fromBytes(v.get(r))
       case v: BitVector       => v.get(r) == 1
       case v: VarBinaryVector => v.get(r)
-      // Catalyst encodings: date = days int, timestamp = µs long
+      // Catalyst encodings: date = days int, timestamp/NTZ = µs long,
+      // TIME = nanos long, day-time interval = µs long (any source
+      // unit widens), year-month interval = months int
       case v: DateDayVector          => v.get(r)
       case v: TimeStampMicroTZVector => v.get(r)
+      case v: TimeStampMicroVector   => v.get(r)
+      case _: TimeNanoVector | _: TimeMicroVector | _: TimeMilliVector |
+          _: TimeSecVector => timeVectorNanos(vec, r)
+      case v: DurationVector    => durationVectorMicros(v, r)
+      case v: IntervalYearVector => v.get(r)
+      case v: IntervalDayVector  => intervalDayMicros(v, r)
       case v: DecimalVector =>
         Decimal(v.getObject(r), v.getPrecision, v.getScale)
       case v: MapVector => // before ListVector: MapVector extends it
@@ -526,17 +639,11 @@ object Ipc {
       resourcesClosed = true
       allocator.close()
       // commit: first attempt to commit wins; a loser (speculative twin
-      // already committed) discards its temp. The exists() guard is
-      // load-bearing on POSIX-semantics filesystems (RawLocalFileSystem),
-      // where rename OVERWRITES an existing destination — without it a
-      // losing attempt silently replaces the winner's file. Benign for
-      // deterministic partition contents, wrong in general. (exists+
-      // rename is not atomic; HDFS/object-store rename refuses an
-      // existing destination on its own, and on local FS Spark runs
-      // speculative twins in one JVM where the window is nanoseconds —
-      // the DSv2 writer's driver-side commit coordinator is the
-      // fully-atomic path.)
-      if (taskFs.exists(finalPath) || !taskFs.rename(tmpPath, finalPath))
+      // already committed) discards its temp. CasFs.publish is atomic
+      // fail-if-exists on both local FS (link(2)) and HDFS (rename
+      // refuses an existing destination) — a losing twin can never
+      // overwrite the winner's file.
+      if (!graft.sources.CasFs.publish(taskFs, tmpPath, finalPath))
         taskFs.delete(tmpPath, false)
     }
   }
@@ -696,8 +803,15 @@ object Ipc {
     val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
     val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
       root, null, java.nio.channels.Channels.newChannel(out))
-    // try/finally: a failing row iterator (e.g. a query error feeding
-    // a Flight DoGet) must not leak the allocator's direct buffers
+    // A failing row iterator (e.g. a query error feeding a Flight
+    // DoGet) must not leak the allocator's direct buffers — but it
+    // must also NOT close the writer: ArrowStreamWriter.close() calls
+    // end(), which emits the Arrow end-of-stream marker, and a cleanly
+    // terminated stream would make the client accept partial rows as
+    // success. On error we release only root + allocator, so the peer
+    // sees a TRUNCATED stream (protocol error) — the failure signal
+    // FlightLite's streamStarted catch depends on.
+    var ok = false
     try {
       writer.start()
       rows.grouped(BatchRows).foreach { batch =>
@@ -721,8 +835,10 @@ object Ipc {
         writer.writeBatch()
       }
       writer.end()
+      ok = true
     } finally {
-      try writer.close() finally { root.close(); allocator.close() }
+      if (ok) try writer.close() finally { root.close(); allocator.close() }
+      else try root.close() finally allocator.close()
     }
   }
 
@@ -795,6 +911,70 @@ object Ipc {
       ${dsumSql("o_totalprice")} AS total_price,
       MAX(o_orderkey) AS max_key
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
+  /** Extended-ladder round trip (reference `format/Schema.fbs:235-261`
+    * union Type beyond the nine base primitives): TINYINT/SMALLINT
+    * (Arrow Int 8/16), TIMESTAMP_NTZ (zoneless µs), TIME (TIME64[ns]),
+    * INTERVAL DAY TO SECOND (Duration[µs]) and INTERVAL YEAR TO MONTH
+    * (Interval[YEAR_MONTH]) — written once, read back through BOTH the
+    * imperative file codec and the DSv2 columnar path (union'd, so a
+    * value either codec corrupts breaks the doubled aggregates), then
+    * reduced to engine-neutral longs/strings the DuckDB oracle can
+    * recompute from the original parquet. */
+  def qIpcTypes(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/orders_ipc_types"
+    val src = Tables(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderdate"),
+      (col("o_orderkey") % 120 - 60).cast("tinyint").as("b"),
+      (col("o_orderkey") % 30000 - 15000).cast("smallint").as("sh"),
+      col("o_orderdate").cast("timestamp_ntz").as("ntz"),
+      expr("CAST(LPAD(CAST(o_orderkey % 24 AS STRING), 2, '0') || ':' || " +
+        "LPAD(CAST(o_orderkey % 60 AS STRING), 2, '0') || ':' || " +
+        "LPAD(CAST(o_orderkey % 60 AS STRING), 2, '0') AS TIME)").as("t"),
+      expr("make_dt_interval(0, 0, 0, CAST(o_orderkey % 7200 AS INT))")
+        .as("dti"),
+      expr("make_ym_interval(0, CAST(o_orderkey % 25 AS INT) - 12)")
+        .as("ymi"))
+      .repartition(4, col("o_orderkey"))
+    writeIpc(src, out)
+    val viaCodec = readIpc(s, out)
+    val viaDsv2 = s.read.format("graft-ipc").load(out)
+      .select(viaCodec.columns.map(col).toIndexedSeq: _*)
+    viaCodec.unionAll(viaDsv2).agg(
+      count(lit(1)).as("n"),
+      sum(col("b").cast("long")).as("sum_b"),
+      sum(col("sh").cast("long")).as("sum_sh"),
+      max(col("ntz").cast("string")).as("max_ntz"),
+      sum((expr("hour(t)") * 3600 + expr("minute(t)") * 60 +
+        expr("second(t)")).cast("long")).as("sum_t"),
+      max(expr("CAST(ntz + dti AS STRING)")).as("max_dti_ts"),
+      max(expr("CAST(CAST(o_orderdate + ymi AS DATE) AS STRING)"))
+        .as("max_ymi_d"))
+  }
+
+  val qIpcTypesSql: String = """
+    WITH src AS (
+      SELECT o_orderkey, o_orderdate,
+        CAST(o_orderkey % 120 - 60 AS TINYINT) AS b,
+        CAST(o_orderkey % 30000 - 15000 AS SMALLINT) AS sh,
+        CAST(o_orderdate AS TIMESTAMP) AS ntz,
+        CAST(LPAD(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+             LPAD(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':' ||
+             LPAD(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') AS TIME) AS t,
+        INTERVAL (o_orderkey % 7200) SECOND AS dti,
+        INTERVAL (CAST(o_orderkey % 25 AS INT) - 12) MONTH AS ymi
+      FROM orders),
+    doubled AS (SELECT * FROM src UNION ALL SELECT * FROM src)
+    SELECT COUNT(*) AS n,
+      SUM(CAST(b AS BIGINT)) AS sum_b,
+      SUM(CAST(sh AS BIGINT)) AS sum_sh,
+      MAX(CAST(ntz AS VARCHAR)) AS max_ntz,
+      SUM(CAST(EXTRACT(hour FROM t)*3600 + EXTRACT(minute FROM t)*60
+        + EXTRACT(second FROM t) AS BIGINT)) AS sum_t,
+      MAX(CAST(ntz + dti AS VARCHAR)) AS max_dti_ts,
+      MAX(CAST(CAST(o_orderdate + ymi AS DATE) AS VARCHAR)) AS max_ymi_d
+    FROM doubled
   """.trim
 
   /** The same round-trip through the DataSource V2 connector

@@ -121,15 +121,19 @@ object LogSql {
       // table fails loudly (a silently-appending retry would double
       // every row); CREATE OR REPLACE overwrites in one commit
       val exists = graft.sources.TableLog.versions(s, root).nonEmpty
+      // the inner query may itself read graft_log tables — same
+      // rewrite as the SELECT/WITH path, or `CREATE ... AS SELECT
+      // FROM graft_log(...)` fails on the unresolved function
+      val q = s.sql(rewriteRefs(s, query))
       val v =
         if (orReplace != null) graft.sources.TableLog.overwrite(
-          s, root, s.sql(query), statsCols, overwriteSchema = true)
+          s, root, q, statsCols, overwriteSchema = true)
         else {
           require(!exists,
             s"CREATE TABLE: a table already exists at $root " +
               "(use CREATE OR REPLACE TABLE to overwrite)")
           graft.sources.TableLog.append(
-            s, root, s.sql(query), statsCols = statsCols)
+            s, root, q, statsCols = statsCols)
         }
       Some(versionDf(s, v))
     case t if MergeHead.findFirstIn(t).isDefined => Some(merge(s, t))
@@ -155,9 +159,10 @@ object LogSql {
     case InsertIntoRe(root, query) =>
       // SQL INSERT — one append commit; the query result's schema is
       // validated by the standard publish gate (narrower-upcast legal,
-      // anything else refuses)
+      // anything else refuses). The source query may read graft_log
+      // tables — same rewrite as the SELECT/WITH path.
       Some(versionDf(s,
-        graft.sources.TableLog.append(s, root, s.sql(query))))
+        graft.sources.TableLog.append(s, root, s.sql(rewriteRefs(s, query)))))
     case AddColRe(root, name, typeText) =>
       Some(versionDf(s, graft.sources.TableLog.addColumn(s, root, name,
         org.apache.spark.sql.types.DataType.fromDDL(typeText))))
@@ -262,19 +267,30 @@ object LogSql {
     def mapSeg(seg: String): String = seg
       .replaceAll(s"(?i)\\b$srcAlias\\s*\\.\\s*", "src_")
       .replaceAll(s"(?i)\\b$tgtAlias\\s*\\.\\s*", "")
+    // escape-aware: Spark SQL literals escape quotes BOTH ways —
+    // backslash ('it\'s') and doubling ('it''s'). A scanner that
+    // toggles on every quote desyncs on either and would rewrite
+    // literal text (or miss real references) from there on.
     def mapAliases(e: String): String = {
       val out = new StringBuilder
       var inQuote = false; var start = 0
       var i = 0
       while (i < e.length) {
-        if (e.charAt(i) == '\'') {
-          val seg = e.substring(start, i)
-          out ++= (if (inQuote) seg else mapSeg(seg))
-          out += '\''
-          inQuote = !inQuote
-          start = i + 1
-        }
-        i += 1
+        val ch = e.charAt(i)
+        if (inQuote && ch == '\\' && i + 1 < e.length) {
+          i += 2 // backslash escape: the next char is literal
+        } else if (ch == '\'') {
+          if (inQuote && i + 1 < e.length && e.charAt(i + 1) == '\'') {
+            i += 2 // doubled '' inside a literal: one escaped quote
+          } else {
+            val seg = e.substring(start, i)
+            out ++= (if (inQuote) seg else mapSeg(seg))
+            out += '\''
+            inQuote = !inQuote
+            start = i + 1
+            i += 1
+          }
+        } else i += 1
       }
       val seg = e.substring(start)
       out ++= (if (inQuote) seg else mapSeg(seg))
@@ -343,8 +359,14 @@ object LogSql {
     var depth = 0; var i = open; var inQuote = false
     while (i < text.length) {
       val c = text.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
+      if (inQuote) {
+        // escape-aware, same forms as splitTop/mapAliases
+        if (c == '\\' && i + 1 < text.length) i += 1
+        else if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else c match {
         case '\'' => inQuote = true
         case '(' => depth += 1
         case ')' =>
@@ -361,10 +383,18 @@ object LogSql {
   private def splitTop(text: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var inQuote = false; var start = 0
-    text.indices.foreach { i =>
+    var i = 0
+    while (i < text.length) {
       val c = text.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
+      if (inQuote) {
+        // same escape forms the alias scanner honors: backslash
+        // ('it\'s') and doubling ('it''s') keep the scanner in-literal
+        if (c == '\\' && i + 1 < text.length) i += 1
+        else if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else c match {
         case '\'' => inQuote = true
         case '(' => depth += 1
         case ')' => depth -= 1
@@ -372,6 +402,7 @@ object LogSql {
           out += text.substring(start, i); start = i + 1
         case _ =>
       }
+      i += 1
     }
     out += text.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)

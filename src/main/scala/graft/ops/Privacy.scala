@@ -273,15 +273,18 @@ object Privacy {
 
   private val DpEpsilon = 1.0
 
-  /** ε-differentially-private histogram release (Dwork et al. 2006):
-    * per-group counts + Laplace(Δf/ε) noise with sensitivity Δf = 1
-    * (one user's row moves one count by one). The noise draw is
-    * DETERMINISTIC — inverse-CDF of a uniform derived from md5 of the
-    * group key (same cross-engine-stable-address pattern as
-    * [[graft.ops.Graph]]'s hex addressing) — which is what makes an
-    * exact oracle possible AND what a production pipeline wants for
-    * reproducible releases (seeded noise keyed on release-id + group;
-    * re-running the job re-publishes identical numbers).
+  /** DP-SHAPED noisy histogram (Laplace mechanism arithmetic, Dwork
+    * et al. 2006: per-group counts + Laplace(Δf/ε) noise, Δf = 1).
+    * NOT a differentially-private release as published here: the
+    * noise is a DETERMINISTIC function of the public group key (md5
+    * inverse-CDF — the cross-engine-stable pattern that makes an
+    * exact DuckDB oracle possible), so anyone can recompute and
+    * subtract it, and `n_true` is emitted alongside `n_noisy` for
+    * the oracle's benefit. A real ε-DP release keeps the mechanism
+    * but (a) seeds the noise with a SECRET release key, (b) omits
+    * `n_true`, and (c) accounts ε across repeated releases. What
+    * this query pins is the distributed mechanism shape and its
+    * exact arithmetic.
     *
     * Scale shape: one partial+final hash aggregation over the scan,
     * then per-row noise arithmetic — no second pass, no driver state. */

@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The one compare-and-swap primitive every log/file publish in the
+  * engine rides on: atomically install `tmp` as `target`, FAILING if
+  * `target` already exists — never overwriting.
+  *
+  * Why this exists: HDFS `rename` refuses an existing destination
+  * (a true CAS), but `RawLocalFileSystem` rename OVERWRITES — an
+  * `exists()` pre-check leaves a TOCTOU window in which two in-JVM
+  * writers both pass the check and the second rename silently
+  * destroys the first writer's committed file (the reference's
+  * dataset layer never hits this because it scans static listings —
+  * `cpp/src/arrow/dataset/dataset.h:156-210` — but a transaction log
+  * lives or dies by this primitive). So on `file:` scheme we publish
+  * via `link(2)` (`Files.createLink`), which the kernel guarantees
+  * fails with EEXIST atomically; on everything else we keep rename,
+  * which is already fail-if-exists there. Object stores without
+  * atomic rename need an external commit coordinator (as Delta's S3
+  * LogStore does) — out of scope for this environment.
+  */
+object CasFs {
+
+  /** Test-only hook, invoked on entry to [[publish]] with the target
+    * path — lets a spec deterministically hold N writers INSIDE the
+    * publish window for the same target (e.g. with a CyclicBarrier)
+    * and assert exactly one wins. Never set outside tests. */
+  @volatile private[graft] var interceptor: Option[Path => Unit] = None
+
+  /** Striped fallback locks for local filesystems where `link(2)` is
+    * unavailable (exotic mounts): serializes the exists+rename window
+    * JVM-globally, which is sufficient on local[32] where all writers
+    * share the JVM. */
+  private val stripes = Array.fill(64)(new Object)
+  private def lockFor(target: Path): Object =
+    stripes(math.floorMod(target.toString.hashCode, stripes.length))
+
+  /** Atomically publish `tmp` as `target`; returns true iff this call
+    * installed the file. On success the tmp file is consumed (renamed
+    * or hard-link-then-deleted, checksum sidecars included); on
+    * failure tmp is left for the caller to clean up. */
+  def publish(f: FileSystem, tmp: Path, target: Path): Boolean = {
+    interceptor.foreach(_(target))
+    if (f.getUri.getScheme == "file") {
+      val src = Paths.get(tmp.toUri.getPath)
+      val dst = Paths.get(target.toUri.getPath)
+      try {
+        Files.createLink(dst, src) // link(2): EEXIST is atomic
+        // the publish is DONE at link time; a failed tmp cleanup must
+        // not make the caller believe the commit lost and re-publish
+        try { f.delete(tmp, false); () } // hadoop delete reaps .crc sidecars
+        catch { case _: java.io.IOException => () }
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // no hard links on this mount: JVM-global striped lock closes
+          // the exists+rename window for in-process writers
+          lockFor(target).synchronized {
+            !f.exists(target) && f.rename(tmp, target)
+          }
+      }
+    } else {
+      // HDFS-like: rename refuses an existing destination (true CAS);
+      // the exists() is a cheap fast-path, not the guard
+      !f.exists(target) && f.rename(tmp, target)
+    }
+  }
+}

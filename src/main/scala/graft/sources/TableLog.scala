@@ -33,14 +33,14 @@ import org.apache.spark.sql.types.LongType
   *    [[vacuum]] reclaims delisted files).
   *  - **Time travel.** `snapshot(root, version = v)` replays the log
   *    prefix `<= v`.
-  *  - **Optimistic concurrency.** Commit = write temp JSON, then
-  *    exists-guarded rename to `v<next>.json`; on loss (version
-  *    taken) re-read the log and retry at the next number. Same
-  *    protocol + caveat as Ipc.scala:186 — HDFS rename refuses an
-  *    existing destination (true CAS); RawLocalFileSystem overwrites,
-  *    so the exists() guard carries local runs where the race window
-  *    is within-JVM nanoseconds. Object stores without atomic rename
-  *    need a commit coordinator, as Delta's S3 LogStore does.
+  *  - **Optimistic concurrency.** Commit = write temp JSON, then an
+  *    ATOMIC fail-if-exists publish to `v<next>.json` ([[CasFs]]:
+  *    `link(2)` on local filesystems, rename on HDFS where it
+  *    already refuses an existing destination); on loss (version
+  *    taken) re-read the log and retry at the next number. There is
+  *    no exists+rename TOCTOU window anywhere in the protocol.
+  *    Object stores without atomic rename need a commit coordinator,
+  *    as Delta's S3 LogStore does.
   *    Removing commits additionally re-validate on every attempt
   *    that their whole remove set is still live, so a layout rewrite
   *    racing a delete ABORTS rather than resurrecting deleted rows;
@@ -229,6 +229,13 @@ object TableLog {
     !json.contains("\"dataChange\":false")
 
   private def readText(f: FileSystem, p: Path): String = {
+    val c = activeCache.get
+    if (c != null && p.toString.startsWith(c.logDirPrefix))
+      c.textCached(p.toString, rawReadText(f, p))
+    else rawReadText(f, p)
+  }
+
+  private def rawReadText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try {
       val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
@@ -236,8 +243,53 @@ object TableLog {
     } finally in.close()
   }
 
+  // ---- per-publish log cache ----------------------------------------
+  /** Scoped cache making a CAS retry storm O(new commits) per attempt
+    * instead of O(log directory listing) per attempt: installed for
+    * the duration of ONE [[publish]] call (ThreadLocal — the commit
+    * loop is driver-side, single-threaded; Spark jobs never read the
+    * log). Published log entries are immutable, so their text caches
+    * for the call's lifetime; the version list grows monotonically
+    * and is EXTENDED between attempts by probing `exists(vLast+1…)`
+    * — O(#commits landed since we last looked) — never by re-listing
+    * the directory. Sound because versions are dense: every writer
+    * targets exactly last+1 and the atomic publish closes gaps.
+    * Checkpoints are pure caches and are listed once per publish —
+    * a checkpoint landing mid-retry is simply not used this call. */
+  private final class LogCache(f: FileSystem, val root: String) {
+    val logDirPrefix: String = new Path(s"$root/_log").toString + "/"
+    var listings = 0                 // directory listings this publish
+    private var vs: Vector[Int] = null
+    private var ckpts: Seq[Int] = null
+    private val texts = mutable.Map.empty[String, String]
+    def versionsCached(list: => Seq[Int]): Seq[Int] = {
+      if (vs == null) { listings += 1; vs = list.toVector }
+      else {
+        var next = if (vs.isEmpty) 0 else vs.last + 1
+        while (f.exists(logPath(root, next))) { vs = vs :+ next; next += 1 }
+      }
+      vs
+    }
+    def checkpointsCached(list: => Seq[Int]): Seq[Int] = {
+      if (ckpts == null) { listings += 1; ckpts = list }
+      ckpts
+    }
+    def textCached(key: String, read: => String): String =
+      texts.getOrElseUpdate(key, read)
+  }
+  private val activeCache = new ThreadLocal[LogCache]
+  /** Test hook: (root, directory listings, CAS attempts) of the most
+    * recently COMPLETED publish, any thread. */
+  @volatile private[graft] var lastPublishFootprint: (String, Int, Int) = null
+
   /** Committed versions in ascending order (empty for a fresh root). */
   def versions(s: SparkSession, root: String): Seq[Int] = {
+    val c = activeCache.get
+    if (c != null && c.root == root) c.versionsCached(rawVersions(s, root))
+    else rawVersions(s, root)
+  }
+
+  private def rawVersions(s: SparkSession, root: String): Seq[Int] = {
     val f = fs(s, root)
     val dir = new Path(s"$root/_log")
     if (!f.exists(dir)) return Seq.empty
@@ -267,6 +319,13 @@ object TableLog {
       .map(_.toInt).getOrElse(100)
 
   private def checkpointVersions(s: SparkSession, root: String): Seq[Int] = {
+    val c = activeCache.get
+    if (c != null && c.root == root)
+      c.checkpointsCached(rawCheckpointVersions(s, root))
+    else rawCheckpointVersions(s, root)
+  }
+
+  private def rawCheckpointVersions(s: SparkSession, root: String): Seq[Int] = {
     val f = fs(s, root)
     val dir = new Path(s"$root/_log")
     if (!f.exists(dir)) return Seq.empty
@@ -307,7 +366,7 @@ object TableLog {
       val out = f.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       val target = ckptPath(root, v)
-      if (f.exists(target) || !f.rename(tmp, target))
+      if (!CasFs.publish(f, tmp, target))
         f.delete(tmp, false)          // lost the race: a ckpt exists, skip
     } catch { case _: java.io.IOException => () } // best-effort cache
   }
@@ -674,8 +733,18 @@ object TableLog {
             })
         }
       }
+    // retry-storm read footprint: one LogCache per publish call makes
+    // every re-validation on attempts 2..n re-read only entries that
+    // LANDED since attempt 1 (probe + per-entry reads), never re-list
+    // the log directory — O(new commits) per retry, Delta's posture
+    val cache = new LogCache(f, root)
+    val prevCache = activeCache.get
+    activeCache.set(cache)
+    var attempts = 0
+    try {
     var attempt = versions(s, root).lastOption.getOrElse(-1) + 1
     while (true) {
+      attempts += 1
       // evolution commits (schemaNow) re-DERIVE their target schema
       // from the schema as of THIS attempt: a racing addColumn landing
       // between attempts must appear in this commit's record (a stale
@@ -732,7 +801,7 @@ object TableLog {
           check, uncheck, dvs).getBytes("UTF-8"))
       finally out.close()
       val target = logPath(root, attempt)
-      if (!f.exists(target) && f.rename(tmp, target)) {
+      if (CasFs.publish(f, tmp, target)) {
         val interval = checkpointInterval(s)
         if (attempt > 0 && attempt % interval == 0)
           writeCheckpoint(s, root, attempt)
@@ -743,6 +812,11 @@ object TableLog {
         versions(s, root).lastOption.getOrElse(-1) + 1)
     }
     -1 // unreachable
+    } finally {
+      if (prevCache == null) activeCache.remove()
+      else activeCache.set(prevCache)
+      lastPublishFootprint = (root, cache.listings, attempts)
+    }
   }
 
   /** Write `df` into a fresh per-commit subdir; returns (subdir,
@@ -2224,7 +2298,21 @@ object TableLog {
     * reach (the files delisted by the retained log prefix). Time
     * travel to versions before `retainFrom` stops working; newer
     * snapshots are untouched. Returns the number of reclaimed
-    * files/sidecars (the `VACUUM` report). */
+    * files/sidecars (the `VACUUM` report).
+    *
+    * **Reader-vs-vacuum contract** (Delta's retention posture): an
+    * open snapshot at version >= `retainFrom` is SAFE — vacuum only
+    * deletes files that no retained version lists, and commits never
+    * mutate listed files, so every file such a snapshot resolved
+    * eagerly stays on disk. An open snapshot BELOW `retainFrom` is
+    * outside the retention window: its files may be reclaimed
+    * mid-read, and the read then fails LOUDLY (FileNotFound at scan
+    * time) — it can never silently return partial rows, because the
+    * file list was fixed at snapshot time and Spark does not skip
+    * missing inputs unless `spark.sql.files.ignoreMissingFiles` is
+    * explicitly enabled. Operators choose `retainFrom` to exceed the
+    * longest-running reader, exactly as with Delta's retention
+    * interval. */
   def vacuum(s: SparkSession, root: String, retainFrom: Int): Int = {
     val f = fs(s, root)
     val vs = versions(s, root)

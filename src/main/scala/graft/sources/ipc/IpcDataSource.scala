@@ -75,6 +75,28 @@ final class IpcDataSource extends TableProvider with DataSourceRegister {
         require(f.getDictionary == null,
           s"graft-ipc DSv2 does not decode dictionary-encoded column " +
             s"'${f.getName}'; read this directory with graft.ops.Ipc.readIpc")
+        // Spark's ArrowColumnVector has a TIME accessor for
+        // TimeNanoVector only (our own writer's choice); a foreign
+        // TIME32[s/ms]/TIME64[µs] file would surface as a runtime
+        // accessor error mid-scan — refuse at schema time instead
+        // (the row-based readIpc widens all four units)
+        f.getType match {
+          case t: org.apache.arrow.vector.types.pojo.ArrowType.Time =>
+            require(t.getUnit ==
+              org.apache.arrow.vector.types.TimeUnit.NANOSECOND,
+              s"graft-ipc DSv2 reads TIME64[ns] only; column " +
+                s"'${f.getName}' is TIME[${t.getUnit}] — read this " +
+                "directory with graft.ops.Ipc.readIpc")
+          case iv: org.apache.arrow.vector.types.pojo.ArrowType.Interval
+              if iv.getUnit ==
+                org.apache.arrow.vector.types.IntervalUnit.DAY_TIME =>
+            // no columnar accessor for the (days, millis) pair either
+            throw new IllegalArgumentException(
+              s"graft-ipc DSv2 does not read DAY_TIME interval column " +
+                s"'${f.getName}' (our writer emits Duration[µs]); " +
+                "read this directory with graft.ops.Ipc.readIpc")
+          case _ => ()
+        }
         StructField(f.getName, Ipc.toSparkType(f), nullable = true)
       })
     finally { rd.close(); allocator.close() }

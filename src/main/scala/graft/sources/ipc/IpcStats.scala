@@ -77,7 +77,10 @@ private[ipc] object IpcStats {
             // NaN is the LARGEST double in Spark's sort order — a file
             // containing one must record max = NaN (serialized "NaN"),
             // or range probes like d > 5 would prune the file whose
-            // NaN rows actually match. NaN never lowers min.
+            // NaN rows actually match. NaN never lowers min — EXCEPT
+            // when the file is all-NaN: then min really is NaN (not
+            // the +Infinity sentinel, which a pushed MIN would report
+            // as a value Spark never saw); toJson repairs that case.
             if (v.isNaN) maxD = Double.NaN
             else {
               if (v < minD) minD = v
@@ -120,7 +123,14 @@ private[ipc] object IpcStats {
       o.put("nulls", a.nulls)
       if (a.any) a.kind match {
         case 'l' => o.put("min", a.minL.toString); o.put("max", a.maxL.toString)
-        case 'd' => o.put("min", a.minD.toString); o.put("max", a.maxD.toString)
+        case 'd' =>
+          // all-NaN file: minD still holds the +Infinity sentinel (NaN
+          // never lowers min) but the column's true MIN under Spark's
+          // order is NaN — serializing the sentinel would let a pushed
+          // MIN answer +Infinity, a value the data never contained
+          val mn = if (a.maxD.isNaN && a.minD.isPosInfinity) Double.NaN
+            else a.minD
+          o.put("min", mn.toString); o.put("max", a.maxD.toString)
         case 's' =>
           o.put("min", a.minS.toString); o.put("max", a.maxS.toString)
         case 'b' => o.put("min", a.minB.toString); o.put("max", a.maxB.toString)

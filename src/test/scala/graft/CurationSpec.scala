@@ -514,6 +514,29 @@ class CurationSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dsir selection: target docs excluded, integer weights exact, " +
+      "Gumbel keys deterministic, selection actually reorders by key") {
+    val rows = graft.ops.Curation.qDsirSelect(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 != 0,
+        s"a TARGET doc selected itself: $r")
+      assert(r.getAs[Long]("n_feats") >= 1)
+    }
+    // keys descend (the top-k order) and differ from pure-weight order
+    // (the Gumbel noise must actually participate — otherwise this is
+    // plain argmax, not sampling)
+    val keys = rows.map(_.getAs[Long]("gkey"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    val ws = rows.map(_.getAs[Long]("w"))
+    assert(ws.zip(ws.tail).exists { case (a, b) => a < b },
+      "selection order identical to weight order — Gumbel noise absent")
+    // deterministic: a rerun selects the identical ranked set
+    val again = graft.ops.Curation.qDsirSelect(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "DSIR selection is not rerun-stable")
+  }
+
   test("dp counts: noise is bounded, deterministic, and actually present") {
     val a = graft.ops.Privacy.qDpCounts(spark, sfDir).collect()
     val b = graft.ops.Privacy.qDpCounts(spark, sfDir).collect()

@@ -452,10 +452,11 @@ class EgressSpec extends SparkSpec {
 
   test("ipc sink rejects out-of-subset types with a clear error") {
     val sp = spark; import sp.implicits._
-    // decimal/list/struct/map joined the wire subset in round 9 —
-    // SHORT remains outside it (the reference widens int16 on ingest)
+    // decimal/list/struct/map joined the wire subset in round 9 and
+    // the byte/short/time/interval ladder in round 11 — VARIANT
+    // remains outside it (no Arrow wire mapping)
     val bad = graft.sources.Tables(spark, sfDir, "orders")
-      .select(col("o_orderkey").cast("short").as("k"))
+      .select(expr("parse_json('1')").as("k"))
     val e = intercept[Exception] {
       bad.write.format("graft-ipc").mode("overwrite")
         .save("/tmp/graft_egress/ipc_badtype")

@@ -153,6 +153,29 @@ class FlightLiteSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a query failing MID-STREAM poisons the wire: the client throws " +
+      "instead of accepting partial rows as a complete result") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val server = new FlightLite.Server(spark).start()
+    try {
+      // partition 0 (ids 0..4999) streams at least one full 4096-row
+      // batch; partition 1 throws — the failure lands AFTER the 'O'
+      // status byte and after real Arrow bytes are on the wire,
+      // exactly the window where a bare socket close would parse as a
+      // clean end-of-stream at a batch boundary
+      val boom = udf((id: Long) =>
+        if (id >= 5000) throw new RuntimeException("mid-stream boom")
+        else id)
+      spark.range(0, 10000, 1, 2).select(boom(col("id")).as("v"))
+        .createOrReplaceTempView("fl_boom")
+      val e = intercept[Exception] {
+        FlightLite.doGet("127.0.0.1", server.boundPort, "fl_boom")
+      }
+      assert(e.isInstanceOf[java.io.IOException] ||
+        e.getMessage != null, s"unexpected failure shape: $e")
+    } finally server.close()
+  }
+
   test("DoPut refuses a payload above the single-put ceiling with a " +
       "framed error, not a truncated parse") {
     val server = new FlightLite.Server(spark).start()
@@ -179,6 +202,72 @@ class FlightLiteSpec extends SparkSpec {
           s"unexpected refusal text: ${new String(msg, "UTF-8")}")
       } finally conn.close()
     } finally server.close()
+  }
+
+  test("golden frames: the wire format is a pinned spec — byte-exact " +
+      "request layout, byte-exact response framing, both directions") {
+    // Wire spec v1 (FlightLite scaladoc): request = verb byte,
+    // int32-BE-prefixed UTF-8 token, int32-BE-prefixed UTF-8 name.
+    // Response = status byte; 'O'/'E' carry an int32-BE-prefixed
+    // UTF-8 string for non-stream verbs. Any change to these bytes is
+    // a protocol break and must fail this test.
+    val golden: Array[Byte] =
+      Array[Byte]('S'.toByte, 0, 0, 0, 0, 0, 0, 0, 4) ++
+        "fl_w".getBytes("UTF-8")
+
+    // 1) the SERVER honors the golden request bytes verbatim
+    val sp = spark; import sp.implicits._
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("fl_w")
+    val server = new FlightLite.Server(spark).start()
+    try {
+      val conn = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        conn.getOutputStream.write(golden); conn.getOutputStream.flush()
+        val in = new java.io.DataInputStream(conn.getInputStream)
+        assert(in.readByte().toChar == 'O', "status byte")
+        val len = in.readInt()
+        val body = new Array[Byte](len); in.readFully(body)
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(new String(body, "UTF-8")).asInstanceOf[StructType]
+        assert(schema.fieldNames.toSeq == Seq("id", "s"))
+        assert(in.read() == -1, "response must end after the framed body")
+      } finally conn.close()
+    } finally server.close()
+
+    // 2) the CLIENT emits the golden request bytes verbatim
+    val probe = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val got = new java.util.concurrent.atomic.AtomicReference[Array[Byte]]()
+    val acceptor = new Thread(() => {
+      val s = probe.accept()
+      try {
+        val in = new java.io.DataInputStream(s.getInputStream)
+        val buf = new Array[Byte](golden.length)
+        in.readFully(buf); got.set(buf)
+        // reply with a framed 'O' + schema JSON so the client returns
+        val out = new java.io.DataOutputStream(s.getOutputStream)
+        val json = StructType(Seq(StructField("id", LongType)))
+          .json.getBytes("UTF-8")
+        out.writeByte('O'); out.writeInt(json.length); out.write(json)
+        out.flush()
+      } finally s.close()
+    })
+    acceptor.start()
+    try {
+      val st = FlightLite.getSchema("127.0.0.1", probe.getLocalPort, "fl_w")
+      acceptor.join(30000)
+      assert(java.util.Arrays.equals(got.get, golden),
+        s"client frame drifted from the golden bytes: " +
+          s"${got.get.map(b => f"$b%02x").mkString(" ")}")
+      assert(st.fieldNames.toSeq == Seq("id"))
+    } finally probe.close()
+
+    // 3) the mid-stream poison frame is pinned too: continuation
+    // marker 0xFFFFFFFF then declared length 1024, both int32-BE
+    val poison = java.nio.ByteBuffer.allocate(8).putInt(-1).putInt(1024).array()
+    assert(poison.map(_ & 0xff).toSeq ==
+      Seq(0xff, 0xff, 0xff, 0xff, 0, 0, 4, 0),
+      "poison-frame layout drifted")
   }
 
   test("ListActions names the verbs; DoAction runs them; unknown rejects") {

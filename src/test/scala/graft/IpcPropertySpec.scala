@@ -16,6 +16,12 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
 
   protected val rnd = new scala.util.Random(20260812L)
 
+  // the IPC codec carries the full ladder (tinyint/smallint, NTZ
+  // timestamp, TIME, both ANSI intervals) on top of the nine shared
+  // wire types — fuzz over all of them
+  override protected def wireTypes: Seq[DataType] =
+    super.wireTypes ++ extendedWireTypes
+
   test("stream codec round-trips 60 random schemas bit-exactly (incl. zero rows, multi-batch)") {
     for (trial <- 0 until 60) {
       val schema = randSchema(6)

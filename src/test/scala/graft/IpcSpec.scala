@@ -90,6 +90,41 @@ class IpcSpec extends SparkSpec with RoundTripGen {
     assertNestedEqual(back.toArray)
   }
 
+  test("a failing row iterator mid-stream leaves a TRUNCATED stream — " +
+      "no clean end-of-stream marker a client could mistake for success") {
+    val schema = StructType(Seq(StructField("n", LongType)))
+    val sink = new java.io.ByteArrayOutputStream()
+    // one full batch flushes, then the source fails (a query error
+    // feeding a Flight DoGet)
+    val boom = new RuntimeException("source died mid-stream")
+    val rows = new Iterator[Row] {
+      private var i = 0
+      def hasNext = true
+      def next(): Row = {
+        if (i > Ipc.BatchRows) throw boom
+        i += 1; Row(i.toLong)
+      }
+    }
+    val got = intercept[RuntimeException] {
+      Ipc.writeIpcStreamTo(rows, schema, sink)
+    }
+    assert(got eq boom)
+    // the error-path bytes must NOT end with the Arrow end-of-stream
+    // marker (FFFFFFFF 00000000): writer.close() on the exception path
+    // would emit one and bless partial rows as a complete stream
+    def eosTerminated(bytes: Array[Byte]): Boolean =
+      bytes.length >= 8 &&
+        bytes.takeRight(8).map(_ & 0xff).toSeq ==
+          Seq(0xff, 0xff, 0xff, 0xff, 0, 0, 0, 0)
+    assert(!eosTerminated(sink.toByteArray),
+      "failed stream carries a clean EOS marker — partial rows would " +
+        "read as success")
+    // control: a successful write of the same shape IS EOS-terminated
+    val okBytes = Ipc.writeIpcStream(
+      (1 to 3).map(i => Row(i.toLong)), schema)
+    assert(eosTerminated(okBytes), "happy path lost its EOS marker")
+  }
+
   test("writeIpcDict emits real DictionaryBatches and readIpc decodes them") {
     val out = Egress.outRoot(sfDir) + "/ipc_dict_check"
     val src = graft.sources.Tables(spark, sfDir, "orders")

@@ -15,9 +15,17 @@ trait RoundTripGen {
 
   protected def rnd: scala.util.Random
 
-  protected val wireTypes: Seq[DataType] = Seq(LongType, IntegerType,
+  protected def wireTypes: Seq[DataType] = Seq(LongType, IntegerType,
     DoubleType, FloatType, StringType, BooleanType, BinaryType, DateType,
     TimestampType)
+
+  /** The wider ladder the IPC codec also carries (Avro does not):
+    * tinyint/smallint, zoneless timestamp, TIME, and both ANSI
+    * intervals. Suites that support them override [[wireTypes]] with
+    * `super.wireTypes ++ extendedWireTypes`. */
+  protected def extendedWireTypes: Seq[DataType] = Seq(ByteType, ShortType,
+    TimestampNTZType, TimeType(TimeType.MICROS_PRECISION),
+    DayTimeIntervalType(), YearMonthIntervalType())
 
   protected def randValue(dt: DataType): Any = dt match {
     case LongType => rnd.nextInt(5) match {
@@ -48,6 +56,28 @@ trait RoundTripGen {
       case 2 => "line\nbreak\ttab\"quote"
       case _ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString
     }
+    case ByteType => rnd.nextInt(3) match {
+      case 0 => Byte.MinValue
+      case 1 => Byte.MaxValue
+      case _ => rnd.nextInt().toByte
+    }
+    case ShortType => rnd.nextInt(3) match {
+      case 0 => Short.MinValue
+      case 1 => Short.MaxValue
+      case _ => rnd.nextInt().toShort
+    }
+    case TimestampNTZType => // µs precision, pre- and post-epoch
+      java.time.LocalDateTime.ofEpochSecond(
+        rnd.nextLong() % 4102444800L, rnd.nextInt(1000000) * 1000,
+        java.time.ZoneOffset.UTC)
+    case _: TimeType => // µs-aligned nanos-of-day (TIME(6) ceiling)
+      java.time.LocalTime.ofNanoOfDay(
+        (math.abs(rnd.nextLong()) % 86400000000L) * 1000L)
+    case _: DayTimeIntervalType => // µs-precision, both signs
+      java.time.Duration.ofSeconds(
+        rnd.nextLong() % 8640000000L, rnd.nextInt(1000000).toLong * 1000L)
+    case _: YearMonthIntervalType =>
+      java.time.Period.ofMonths(rnd.nextInt(100000) - 50000).normalized()
     case BooleanType => rnd.nextBoolean()
     case BinaryType =>
       val b = new Array[Byte](rnd.nextInt(24)); rnd.nextBytes(b); b

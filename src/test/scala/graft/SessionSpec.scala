@@ -313,6 +313,48 @@ class SessionSpec extends SparkSpec {
           "WHEN MATCHED THEN UPDATE SET s.price = 5.0")
     }
     assert(srcLhs.getMessage.contains("assigns target columns"))
+    // ESCAPED quotes inside literals must not desync the alias
+    // scanner: backslash ('it\'s s. x') and doubling ('it''s s. y')
+    // both keep the scanner in-literal, so the "s. " inside stays
+    // verbatim AND the s.price AFTER the literal still maps
+    session.sql(
+      s"MERGE INTO graft_log('$root') AS t " +
+        "USING (SELECT 1 AS k, 77.0 AS price) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET note = 'it\\'s s. smith', " +
+        "t.price = s.price")
+    val esc = graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("k") === 1L).select("price", "note")
+      .as[(Double, String)].head()
+    assert(esc == ((77.0, "it's s. smith")), s"got $esc")
+    session.sql(
+      s"MERGE INTO graft_log('$root') AS t " +
+        "USING (SELECT 1 AS k, 88.0 AS price) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET note = 'it''s s. jones', " +
+        "t.price = s.price")
+    val dbl = graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("k") === 1L).select("price", "note")
+      .as[(Double, String)].head()
+    assert(dbl == ((88.0, "it's s. jones")), s"got $dbl")
+  }
+
+  test("lakehouse SQL: INSERT INTO and CREATE TABLE AS can read " +
+      "OTHER graft_log tables in their source query") {
+    val sp = spark; import sp.implicits._
+    val srcRoot = java.nio.file.Files
+      .createTempDirectory("graft_ins_src").toString + "/t"
+    val dstRoot = java.nio.file.Files
+      .createTempDirectory("graft_ins_dst").toString + "/t"
+    graft.sources.TableLog.append(spark, srcRoot,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val session = Session(spark)
+    session.sql(s"CREATE TABLE graft_log('$dstRoot') AS " +
+      s"SELECT id, s FROM graft_log('$srcRoot') WHERE id = 1")
+    assert(graft.sources.TableLog.snapshot(spark, dstRoot).count() == 1)
+    session.sql(s"INSERT INTO graft_log('$dstRoot') " +
+      s"SELECT id, s FROM graft_log('$srcRoot') WHERE id = 2")
+    val ids = graft.sources.TableLog.snapshot(spark, dstRoot)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"got $ids")
   }
 
   test("lakehouse SQL: CREATE refuses an existing table; CREATE OR " +

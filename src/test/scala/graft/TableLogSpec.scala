@@ -1173,6 +1173,117 @@ class TableLogSpec extends SparkSpec {
       s"widen erased by racing addColumn: ${sch("n").dataType}")
   }
 
+  test("deterministic CAS window: two writers held INSIDE the publish " +
+      "for the same version — exactly one wins, no commit is erased") {
+    // The r10 probabilistic CyclicBarrier test needed many runs to open
+    // the exists+rename TOCTOU window. This one opens it 100% of the
+    // time: CasFs.interceptor holds BOTH writers between their version
+    // derivation and the physical publish of the SAME v-file, then
+    // releases them together. On the old exists()+rename code both
+    // passed the guard and the second rename overwrote the first
+    // (RawLocalFileSystem rename overwrites); with link(2) publish the
+    // kernel serializes them — the loser retries at the next version.
+    import org.apache.spark.sql.types._
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    TableLog.append(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    try {
+      for (r <- 1 to 20) {
+        // next version both writers will derive: the log holds the
+        // initial append + 2 commits per completed round
+        val contested = f"v${2 * r - 1}%05d.json"
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        graft.sources.CasFs.interceptor = Some { target =>
+          if (target.getName == contested)
+            gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        def run(name: String): Thread = {
+          val t = new Thread(() =>
+            TableLog.addColumn(spark, root, name, IntegerType))
+          t.start(); t
+        }
+        val (ta, tb) = (run(s"a$r"), run(s"b$r"))
+        ta.join(60000); tb.join(60000)
+        graft.sources.CasFs.interceptor = None
+        val names = TableLog.tableSchema(spark, root).get.fieldNames.toSet
+        assert(names.contains(s"a$r") && names.contains(s"b$r"),
+          s"round $r: a forced-collision addColumn was erased — $names")
+        // versions must be gapless: winner at r's contested slot,
+        // loser retried at the next — never an overwrite
+        assert(TableLog.versions(spark, root).size == 1 + 2 * r,
+          s"round $r: version count mismatch (an overwrite ate a commit)")
+      }
+    } finally graft.sources.CasFs.interceptor = None
+  }
+
+  test("a CAS retry re-reads only the NEW log entries: directory " +
+      "listings stay O(1) per publish regardless of retries") {
+    val sp = spark; import sp.implicits._
+    val root = freshRoot()
+    for (i <- 0 until 8)
+      TableLog.append(spark, root, Seq((i.toLong, "x")).toDF("id", "s"))
+    // hold the victim INSIDE its first CAS window while three
+    // competitor commits land — its retry must catch up by reading
+    // the three new entries, never by re-listing the directory
+    val victim = new java.util.concurrent.atomic.AtomicReference[Thread]()
+    val inWindow = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.sources.CasFs.interceptor = Some { _ =>
+      if ((Thread.currentThread() eq victim.get()) &&
+          fired.compareAndSet(false, true)) {
+        inWindow.countDown()
+        resume.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
+    try {
+      val t = new Thread(() =>
+        TableLog.append(spark, root, Seq((100L, "v")).toDF("id", "s")))
+      victim.set(t); t.start()
+      assert(inWindow.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      for (i <- 0 until 3)
+        TableLog.append(spark, root,
+          Seq((200L + i, "c")).toDF("id", "s"))
+      resume.countDown()
+      t.join(60000)
+      val (r, listings, attempts) = TableLog.lastPublishFootprint
+      assert(r == root)
+      assert(attempts >= 2,
+        s"victim never lost its CAS — the window did not open ($attempts)")
+      assert(listings <= 2,
+        s"a retrying publish re-listed the log directory: $listings " +
+          s"listings over $attempts attempts")
+      assert(TableLog.snapshot(spark, root).count() == 12,
+        "a commit was lost during the forced retry")
+    } finally graft.sources.CasFs.interceptor = None
+  }
+
+  test("vacuum contract: retained snapshots survive a concurrent " +
+      "vacuum; pre-retention snapshots fail loudly, never partially") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 40))            // v0
+    TableLog.overwrite(spark, root, nums(100, 160))      // v1 delists v0
+    TableLog.append(spark, root, nums(160, 170))         // v2
+    val pre = TableLog.snapshot(spark, root, 0)  // below retention
+    val post = TableLog.snapshot(spark, root, 1) // at retention floor
+    val reclaimed = TableLog.vacuum(spark, root, retainFrom = 1)
+    assert(reclaimed > 0, "vacuum reclaimed nothing — test is vacuous")
+    // snapshots >= retainFrom: file lists were resolved eagerly and
+    // every listed file is reachable from a retained version
+    assert(post.count() == 60, "retained snapshot broken by vacuum")
+    assert(TableLog.snapshot(spark, root).count() == 70)
+    // snapshot < retainFrom: fails LOUDLY (FileNotFound), never a
+    // silent partial result
+    val err = intercept[Exception] { pre.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(e =>
+      e.isInstanceOf[java.io.FileNotFoundException] ||
+        e.getMessage != null && e.getMessage.contains("FileNotFound") ||
+        e.getMessage != null && e.getMessage.contains("does not exist")),
+      s"pre-retention read must fail file-not-found, got: $err")
+  }
+
   test("rename mapping holds on EVERY path: range/point reads, deleteRange, deleteVector, merge; constrained columns refuse") {
     val sp = spark; import sp.implicits._
     val root = freshRoot()

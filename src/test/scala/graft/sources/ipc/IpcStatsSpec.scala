@@ -73,6 +73,27 @@ class IpcStatsSpec extends AnyFunSuite {
       "the finite MIN still prunes below-range probes")
   }
 
+  test("an ALL-NaN file records min = NaN, not the +Infinity sentinel") {
+    import org.apache.spark.sql.types._
+    val acc = new IpcStats.ColAcc(StructField("d", DoubleType))
+    val mk = (v: Double) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](v))
+    acc.update(mk(Double.NaN), 0); acc.update(mk(Double.NaN), 0)
+    val json = IpcStats.toJson(2L, Array(acc))
+    assert(!json.contains("Infinity"),
+      s"all-NaN column serialized the +Infinity min sentinel: $json")
+    val st = IpcStats.fromJson(json).get
+    assert(st.cols("d").min.contains("NaN") && st.cols("d").max.contains("NaN"))
+    // semantics under the NaN bounds: NaN rows match d > x (NaN is
+    // Spark's largest double) but never d = x or d < x for finite x
+    assert(IpcStats.mightMatch(st, Array(GreaterThan("d", 100.0))))
+    assert(!IpcStats.mightMatch(st, Array(EqualTo("d", 1.5))),
+      "an all-NaN file cannot contain a finite equality match")
+    assert(!IpcStats.mightMatch(st, Array(LessThan("d", 1.0))),
+      "NaN sorts above every finite value — d < 1.0 matches nothing")
+  }
+
   test("the writer stamps the version marker (round-trip prunes)") {
     import org.apache.spark.sql.types._
     val acc = new IpcStats.ColAcc(StructField("s", StringType))
