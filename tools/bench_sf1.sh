@@ -22,6 +22,9 @@ SPARK_GRAFT_SF_DIR=data/scale/x10 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_ONLY="$SLOWEST" SPARK_GRAFT_BASELINE=none \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
   > "BENCH_sf1_r${TAG}.json"
+# the ONLY-filtered run rewrites BENCH_DETAIL.json with a partial map —
+# restore the committed full-run artifact (the regression-gate baseline)
+git checkout -- BENCH_DETAIL.json 2>/dev/null || true
 python3 - "$TAG" <<'EOF'
 import json, sys
 tag = sys.argv[1]
