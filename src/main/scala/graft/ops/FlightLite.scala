@@ -59,8 +59,9 @@ import org.apache.spark.sql.types.StructType
   * Arrow stream bytes for DoGet (self-delimiting via the Arrow EOS
   * marker), an int32-BE-prefixed UTF-8 string for the other verbs.
   * A query failing AFTER stream bytes are on the wire appends the
-  * POISON frame (int32 -1 continuation marker, int32 1024 declared
-  * length, then socket close): Arrow readers treat EOF at a batch
+  * POISON frame (int32 -1 continuation marker, then 1024 as an
+  * int32 LITTLE-endian declared length — Arrow's message-length byte
+  * order — then socket close): Arrow readers treat EOF at a batch
   * boundary as a clean end, so the poison is what guarantees every
   * reader fails loudly instead of accepting partial rows.
   *
@@ -323,8 +324,14 @@ object FlightLite {
             try { out.writeByte('E'); writeStr(out, String.valueOf(e.getMessage)) }
             catch { case _: Throwable => () }
           else
-            try { out.writeInt(-1); out.writeInt(1024) }
-            catch { case _: Throwable => () }
+            // Arrow IPC message lengths are LITTLE-endian on the wire
+            // (the continuation marker 0xFFFFFFFF is endian-neutral);
+            // reverseBytes so a real Arrow reader parses the declared
+            // length as exactly 1024 — the value the wire spec pins
+            try {
+              out.writeInt(-1)
+              out.writeInt(java.lang.Integer.reverseBytes(1024))
+            } catch { case _: Throwable => () }
       } finally out.flush()
     }
 

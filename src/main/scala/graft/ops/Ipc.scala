@@ -204,10 +204,18 @@ object Ipc {
     case other => throw new IllegalArgumentException(
       s"unsupported time vector ${other.getClass.getName}")
   }
-  private def durationVectorMicros(v: DurationVector, r: Int): Long =
-    // getObject scales by the vector's declared unit; Duration → µs
-    // floor-truncates sub-µs (the engine's µs convention)
-    durationToMicros(v.getObject(r))
+  private def durationVectorMicros(v: DurationVector, r: Int): Long = {
+    // allocation-free (this sits in the DSv2 row-reader hot kernel):
+    // read the raw count and scale by the declared unit; ns
+    // floor-divides to µs (the engine's µs convention)
+    val raw = org.apache.arrow.vector.DurationVector.get(v.getDataBuffer, r)
+    v.getUnit match {
+      case TimeUnit.MICROSECOND => raw
+      case TimeUnit.NANOSECOND  => math.floorDiv(raw, 1000L)
+      case TimeUnit.MILLISECOND => math.multiplyExact(raw, 1000L)
+      case TimeUnit.SECOND      => math.multiplyExact(raw, 1000000L)
+    }
+  }
   // Arrow DAY_TIME interval pair (days, millis) → µs
   private def intervalDayMicros(v: IntervalDayVector, r: Int): Long = {
     val holder = new org.apache.arrow.vector.holders.NullableIntervalDayHolder

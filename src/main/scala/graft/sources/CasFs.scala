@@ -49,6 +49,18 @@ object CasFs {
       val dst = Paths.get(target.toUri.getPath)
       try {
         Files.createLink(dst, src) // link(2): EEXIST is atomic
+        // carry the Hadoop checksum sidecar (".name.crc") the old
+        // rename used to move: without it a checksummed LocalFileSystem
+        // silently skips read-time corruption detection on the
+        // committed file. Best-effort AFTER the data link — the
+        // publish is already won; a missing .crc only disables
+        // verification, never correctness.
+        try {
+          val srcCrc = src.resolveSibling("." + src.getFileName + ".crc")
+          val dstCrc = dst.resolveSibling("." + dst.getFileName + ".crc")
+          if (Files.exists(srcCrc) && !Files.exists(dstCrc))
+            Files.createLink(dstCrc, srcCrc)
+        } catch { case _: java.io.IOException => () }
         // the publish is DONE at link time; a failed tmp cleanup must
         // not make the caller believe the commit lost and re-publish
         try { f.delete(tmp, false); () } // hadoop delete reaps .crc sidecars

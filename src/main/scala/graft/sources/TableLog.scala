@@ -265,6 +265,16 @@ object TableLog {
     def versionsCached(list: => Seq[Int]): Seq[Int] = {
       if (vs == null) { listings += 1; vs = list.toVector }
       else {
+        // dense-log gap repair: a readdir racing two concurrent
+        // commits can return vN+1's entry while missing vN's (the
+        // enumeration already passed vN's slot when it landed) — the
+        // old per-attempt re-list self-healed; probe the gaps so the
+        // cache does too. O(1) when dense, O(#gaps) exists() otherwise.
+        if (vs.nonEmpty && vs.length.toLong != vs.last.toLong - vs.head + 1) {
+          val have = vs.toSet
+          vs = (vs.head to vs.last)
+            .filter(v => have(v) || f.exists(logPath(root, v))).toVector
+        }
         var next = if (vs.isEmpty) 0 else vs.last + 1
         while (f.exists(logPath(root, next))) { vs = vs :+ next; next += 1 }
       }

@@ -76,27 +76,35 @@ final class IpcDataSource extends TableProvider with DataSourceRegister {
           s"graft-ipc DSv2 does not decode dictionary-encoded column " +
             s"'${f.getName}'; read this directory with graft.ops.Ipc.readIpc")
         // Spark's ArrowColumnVector has a TIME accessor for
-        // TimeNanoVector only (our own writer's choice); a foreign
-        // TIME32[s/ms]/TIME64[µs] file would surface as a runtime
-        // accessor error mid-scan — refuse at schema time instead
-        // (the row-based readIpc widens all four units)
-        f.getType match {
-          case t: org.apache.arrow.vector.types.pojo.ArrowType.Time =>
-            require(t.getUnit ==
-              org.apache.arrow.vector.types.TimeUnit.NANOSECOND,
-              s"graft-ipc DSv2 reads TIME64[ns] only; column " +
-                s"'${f.getName}' is TIME[${t.getUnit}] — read this " +
-                "directory with graft.ops.Ipc.readIpc")
-          case iv: org.apache.arrow.vector.types.pojo.ArrowType.Interval
-              if iv.getUnit ==
-                org.apache.arrow.vector.types.IntervalUnit.DAY_TIME =>
-            // no columnar accessor for the (days, millis) pair either
-            throw new IllegalArgumentException(
-              s"graft-ipc DSv2 does not read DAY_TIME interval column " +
-                s"'${f.getName}' (our writer emits Duration[µs]); " +
-                "read this directory with graft.ops.Ipc.readIpc")
-          case _ => ()
+        // TimeNanoVector only (our own writer's choice) and no
+        // accessor for the DAY_TIME (days, millis) pair; a foreign
+        // file carrying either would surface as a runtime accessor
+        // error mid-scan — refuse at schema time instead, RECURSING
+        // through list/struct/map children (a nested time32 fails the
+        // same way a top-level one does). The row-based readIpc
+        // widens all of these.
+        def gate(g: org.apache.arrow.vector.types.pojo.Field): Unit = {
+          g.getType match {
+            case t: org.apache.arrow.vector.types.pojo.ArrowType.Time =>
+              require(t.getUnit ==
+                org.apache.arrow.vector.types.TimeUnit.NANOSECOND,
+                s"graft-ipc DSv2 reads TIME64[ns] only; field " +
+                  s"'${g.getName}' (in column '${f.getName}') is " +
+                  s"TIME[${t.getUnit}] — read this directory with " +
+                  "graft.ops.Ipc.readIpc")
+            case iv: org.apache.arrow.vector.types.pojo.ArrowType.Interval
+                if iv.getUnit ==
+                  org.apache.arrow.vector.types.IntervalUnit.DAY_TIME =>
+              throw new IllegalArgumentException(
+                s"graft-ipc DSv2 does not read DAY_TIME interval field " +
+                  s"'${g.getName}' (in column '${f.getName}'; our " +
+                  "writer emits Duration[µs]); read this directory " +
+                  "with graft.ops.Ipc.readIpc")
+            case _ => ()
+          }
+          g.getChildren.asScala.foreach(gate)
         }
+        gate(f)
         StructField(f.getName, Ipc.toSparkType(f), nullable = true)
       })
     finally { rd.close(); allocator.close() }

@@ -54,6 +54,10 @@ private[ipc] object IpcStats {
     var any = false
     var minL = Long.MaxValue; var maxL = Long.MinValue
     var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
+    // tracked explicitly: a file of only {+Infinity, NaN} leaves minD
+    // at +Infinity too — the sentinel alone cannot distinguish
+    // "saw no non-NaN value" from "the min really is +Infinity"
+    var sawNonNaN = false
     var minS: UTF8String = null; var maxS: UTF8String = null
     var minB = true; var maxB = false
 
@@ -80,9 +84,11 @@ private[ipc] object IpcStats {
             // NaN rows actually match. NaN never lowers min — EXCEPT
             // when the file is all-NaN: then min really is NaN (not
             // the +Infinity sentinel, which a pushed MIN would report
-            // as a value Spark never saw); toJson repairs that case.
+            // as a value Spark never saw); toJson repairs that case
+            // via sawNonNaN (a genuine +Infinity min must survive).
             if (v.isNaN) maxD = Double.NaN
             else {
+              sawNonNaN = true
               if (v < minD) minD = v
               if (!maxD.isNaN && v > maxD) maxD = v
             }
@@ -127,9 +133,12 @@ private[ipc] object IpcStats {
           // all-NaN file: minD still holds the +Infinity sentinel (NaN
           // never lowers min) but the column's true MIN under Spark's
           // order is NaN — serializing the sentinel would let a pushed
-          // MIN answer +Infinity, a value the data never contained
-          val mn = if (a.maxD.isNaN && a.minD.isPosInfinity) Double.NaN
-            else a.minD
+          // MIN answer +Infinity, a value the data never contained.
+          // Gate on sawNonNaN, NOT on the sentinel value: a file of
+          // {+Infinity, NaN} rows has a GENUINE +Infinity min that
+          // must survive (equality probes on it would otherwise prune
+          // a matching file)
+          val mn = if (!a.sawNonNaN && a.maxD.isNaN) Double.NaN else a.minD
           o.put("min", mn.toString); o.put("max", a.maxD.toString)
         case 's' =>
           o.put("min", a.minS.toString); o.put("max", a.maxS.toString)

@@ -263,10 +263,13 @@ class FlightLiteSpec extends SparkSpec {
     } finally probe.close()
 
     // 3) the mid-stream poison frame is pinned too: continuation
-    // marker 0xFFFFFFFF then declared length 1024, both int32-BE
-    val poison = java.nio.ByteBuffer.allocate(8).putInt(-1).putInt(1024).array()
+    // marker 0xFFFFFFFF (endian-neutral) then declared length 1024 as
+    // int32-LE — Arrow's message-length byte order, so a stock Arrow
+    // reader parses exactly the 1 KiB the spec documents
+    val poison = java.nio.ByteBuffer.allocate(8).putInt(-1)
+      .putInt(java.lang.Integer.reverseBytes(1024)).array()
     assert(poison.map(_ & 0xff).toSeq ==
-      Seq(0xff, 0xff, 0xff, 0xff, 0, 0, 4, 0),
+      Seq(0xff, 0xff, 0xff, 0xff, 0, 4, 0, 0),
       "poison-frame layout drifted")
   }
 

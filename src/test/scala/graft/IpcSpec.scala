@@ -90,6 +90,61 @@ class IpcSpec extends SparkSpec with RoundTripGen {
     assertNestedEqual(back.toArray)
   }
 
+  test("foreign temporal widths widen on read: TIME32[s/ms]/TIME64[µs], " +
+      "Duration[s/ms/ns], and Arrow DAY_TIME interval pairs") {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.{IntervalUnit, TimeUnit => ATU}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    // a file OUR writer never produces: every non-default temporal
+    // width the spec allows — built directly with Arrow Java, the way
+    // a foreign producer (C++, pyarrow) would
+    def f(n: String, t: ArrowType) =
+      new Field(n, FieldType.nullable(t), java.util.Collections.emptyList())
+    val schema = new ASchema(Seq(
+      f("t_s", new ArrowType.Time(ATU.SECOND, 32)),
+      f("t_ms", new ArrowType.Time(ATU.MILLISECOND, 32)),
+      f("t_us", new ArrowType.Time(ATU.MICROSECOND, 64)),
+      f("d_s", new ArrowType.Duration(ATU.SECOND)),
+      f("d_ms", new ArrowType.Duration(ATU.MILLISECOND)),
+      f("d_ns", new ArrowType.Duration(ATU.NANOSECOND)),
+      f("iv_dt", new ArrowType.Interval(IntervalUnit.DAY_TIME))).asJava)
+    val allocator = new org.apache.arrow.memory.RootAllocator()
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val sink = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+      root, null, java.nio.channels.Channels.newChannel(sink))
+    try {
+      w.start()
+      root.getVector("t_s").asInstanceOf[TimeSecVector].setSafe(0, 3661) // 01:01:01
+      root.getVector("t_ms").asInstanceOf[TimeMilliVector].setSafe(0, 3661500)
+      root.getVector("t_us").asInstanceOf[TimeMicroVector].setSafe(0, 3661000250L)
+      root.getVector("d_s").asInstanceOf[DurationVector].setSafe(0, 90L)
+      root.getVector("d_ms").asInstanceOf[DurationVector].setSafe(0, 90250L)
+      // ns floor-divides to µs (1999 ns -> 1 µs)
+      root.getVector("d_ns").asInstanceOf[DurationVector].setSafe(0, 1999L)
+      root.getVector("iv_dt").asInstanceOf[IntervalDayVector]
+        .setSafe(0, 2, 500) // 2 days + 500 ms
+      root.setRowCount(1)
+      w.writeBatch(); w.end()
+    } finally { w.close(); root.close(); allocator.close() }
+    val (rows, st) = Ipc.readIpcStream(sink.toByteArray)
+    import org.apache.spark.sql.types.{TimeType, DayTimeIntervalType}
+    assert(st.fields.take(3).forall(_.dataType.isInstanceOf[TimeType]),
+      s"TIME widths must widen to TIME: $st")
+    assert(st.fields.drop(3).forall(_.dataType.isInstanceOf[DayTimeIntervalType]),
+      s"durations/DAY_TIME must read as day-time interval: $st")
+    val r = rows.head
+    assert(r.get(0) == java.time.LocalTime.of(1, 1, 1))
+    assert(r.get(1) == java.time.LocalTime.of(1, 1, 1, 500000000))
+    assert(r.get(2) == java.time.LocalTime.ofNanoOfDay(3661000250L * 1000L))
+    assert(r.get(3) == java.time.Duration.ofSeconds(90))
+    assert(r.get(4) == java.time.Duration.ofMillis(90250))
+    assert(r.get(5) == java.time.Duration.ofNanos(1000),
+      s"ns must floor to µs, got ${r.get(5)}")
+    assert(r.get(6) == java.time.Duration.ofSeconds(2 * 86400, 500000000L))
+  }
+
   test("a failing row iterator mid-stream leaves a TRUNCATED stream — " +
       "no clean end-of-stream marker a client could mistake for success") {
     val schema = StructType(Seq(StructField("n", LongType)))

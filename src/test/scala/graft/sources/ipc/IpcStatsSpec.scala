@@ -92,6 +92,19 @@ class IpcStatsSpec extends AnyFunSuite {
       "an all-NaN file cannot contain a finite equality match")
     assert(!IpcStats.mightMatch(st, Array(LessThan("d", 1.0))),
       "NaN sorts above every finite value — d < 1.0 matches nothing")
+    // the repair must gate on "saw no non-NaN value", NOT on the
+    // +Infinity sentinel: a file of {+Infinity, NaN} rows has a
+    // GENUINE +Infinity min — rewriting it to NaN would prune an
+    // equality probe on +Infinity that the file actually matches
+    val acc2 = new IpcStats.ColAcc(StructField("d", DoubleType))
+    acc2.update(mk(Double.PositiveInfinity), 0)
+    acc2.update(mk(Double.NaN), 0)
+    val st2 = IpcStats.fromJson(IpcStats.toJson(2L, Array(acc2))).get
+    assert(st2.cols("d").min.contains("Infinity"),
+      s"genuine +Infinity min rewritten: ${st2.cols("d")}")
+    assert(IpcStats.mightMatch(st2,
+      Array(EqualTo("d", Double.PositiveInfinity))),
+      "a {+Inf, NaN} file must be kept for d = +Infinity")
   }
 
   test("the writer stamps the version marker (round-trip prunes)") {

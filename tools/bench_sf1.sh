@@ -8,6 +8,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG="${1:-dev}"
+# the ONLY-filtered bench run rewrites BENCH_DETAIL.json with a partial
+# map; restore the committed full-run artifact (the regression-gate
+# baseline) on EVERY exit path — a mid-run failure must not leave the
+# working tree holding a 30-query baseline for the next commit to pick up
+trap 'git checkout -- BENCH_DETAIL.json 2>/dev/null || true' EXIT
 SLOWEST=$(python3 - <<'EOF'
 import json, subprocess
 txt = subprocess.run(["git", "show", "HEAD:BENCH_DETAIL.json"],
@@ -22,9 +27,6 @@ SPARK_GRAFT_SF_DIR=data/scale/x10 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_ONLY="$SLOWEST" SPARK_GRAFT_BASELINE=none \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
   > "BENCH_sf1_r${TAG}.json"
-# the ONLY-filtered run rewrites BENCH_DETAIL.json with a partial map —
-# restore the committed full-run artifact (the regression-gate baseline)
-git checkout -- BENCH_DETAIL.json 2>/dev/null || true
 python3 - "$TAG" <<'EOF'
 import json, sys
 tag = sys.argv[1]
