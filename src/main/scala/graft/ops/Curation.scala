@@ -247,18 +247,23 @@ object Curation {
     * doc_id gate (a real pipeline points the target side at its
     * curated corpus — the mechanism is what this pins). */
   def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    // feature generation is ROW-LOCAL: unigrams and adjacent-position
+    // bigrams both come out of one split array via zip_with — no
+    // positional self-join, no token-table shuffle (the join form
+    // measured a superlinear x10→x100 leg; this one explodes exactly
+    // the same features with zero pre-aggregation shuffles)
+    val raw = split(col("text"), " ")
+    val uni = filter(raw, x => x =!= "")
+    val big = filter(
+      zip_with(slice(raw, lit(1), greatest(size(raw) - 1, lit(0))),
+        slice(raw, lit(2), greatest(size(raw) - 1, lit(0))),
+        (a, b) => when(a =!= "" && b =!= "", concat(a, lit("_"), b))),
+      x => x.isNotNull)
+    val bf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(concat(uni, big)).as("f"))
       .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val uni = toks.select(col("doc_id"), col("tok").as("f"))
-    val big = toks.select(col("doc_id"), col("pos").as("p1"), col("tok").as("w1"))
-      .join(toks.select(col("doc_id"), (col("pos") - 1).as("p1"),
-        col("tok").as("w2")), Seq("doc_id", "p1"))
-      .select(col("doc_id"), concat(col("w1"), lit("_"), col("w2")).as("f"))
-    val bf = uni.unionAll(big).select(col("doc_id"),
-      (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int")
-        % DsirBuckets).as("b"))
+        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int")
+          % DsirBuckets).as("b"))
     val isTgt = col("doc_id") % 10 === 0
     val dist = bf.groupBy(col("b")).agg(
       sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
