@@ -16,6 +16,11 @@ import graft.functions.{CosineSimilarity, Md5Shingles64, Md5ShinglesPos64, MinHa
   * use.) This mirrors the reference's registry pattern: Gandiva's
   * function registry (`cpp/src/gandiva/function_registry.cc`) is the
   * analogous plug-in point for its JIT'd kernels.
+  *
+  * Cluster deployments should also set `spark.sql.timeType.enabled=
+  * true` in spark-defaults: extensions cannot set confs, and the
+  * engine's TIME column support (IPC/Flight codecs, `ipc_types`)
+  * needs Spark 4.1's TIME type unlocked.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -44,11 +44,14 @@ class PlanLintSpec extends SparkSpec {
   //    totals (token count, pair count) onto the pair frame — keeps
   //    the explode+join+agg lineage single-execution (a driver .head
   //    for each scalar would run it twice)
+  //  - dsir_select: cross-broadcast of the SINGLE-ROW feature totals
+  //    onto the 256-row bucket table (the pmi pattern) before that
+  //    table itself broadcasts back onto the corpus features
   private val bnljAllowed =
     Set("knn_brute", "knn_ivf", "knn_pq", "knn_pq_persisted", "knn_binary",
       "knn_range", "window_ntile", "hybrid_search", "negative_sample",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
-      "winsorize", "lsh_tune", "pmi_cooccur")
+      "winsorize", "lsh_tune", "pmi_cooccur", "dsir_select")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
