@@ -264,20 +264,7 @@ object TableLog {
     private val texts = mutable.Map.empty[String, String]
     def versionsCached(list: => Seq[Int]): Seq[Int] = {
       if (vs == null) { listings += 1; vs = list.toVector }
-      else {
-        // dense-log gap repair: a readdir racing two concurrent
-        // commits can return vN+1's entry while missing vN's (the
-        // enumeration already passed vN's slot when it landed) — the
-        // old per-attempt re-list self-healed; probe the gaps so the
-        // cache does too. O(1) when dense, O(#gaps) exists() otherwise.
-        if (vs.nonEmpty && vs.length.toLong != vs.last.toLong - vs.head + 1) {
-          val have = vs.toSet
-          vs = (vs.head to vs.last)
-            .filter(v => have(v) || f.exists(logPath(root, v))).toVector
-        }
-        var next = if (vs.isEmpty) 0 else vs.last + 1
-        while (f.exists(logPath(root, next))) { vs = vs :+ next; next += 1 }
-      }
+      else vs = extendKnownVersions(f, root, vs)
       vs
     }
     def checkpointsCached(list: => Seq[Int]): Seq[Int] = {
@@ -287,6 +274,38 @@ object TableLog {
     def textCached(key: String, read: => String): String =
       texts.getOrElseUpdate(key, read)
   }
+  /** Extend an already-known dense version prefix WITHOUT re-listing
+    * the log directory: probe `exists(last+1…)` — O(commits landed
+    * since the caller last looked). Includes dense-log gap repair: a
+    * readdir racing two concurrent commits can return vN+1's entry
+    * while missing vN's (the enumeration already passed vN's slot
+    * when it landed); versions are dense by the publish protocol, so
+    * any gap means a raced listing and the gaps are exists-probed.
+    * O(1) when dense, O(#gaps) otherwise. Shared by the per-publish
+    * [[LogCache]] and the streaming source's per-trigger planning. */
+  private[sources] def extendKnownVersions(f: FileSystem, root: String,
+      known: Vector[Int]): Vector[Int] = {
+    var vs = known
+    if (vs.nonEmpty && vs.length.toLong != vs.last.toLong - vs.head + 1) {
+      val have = vs.toSet
+      vs = (vs.head to vs.last)
+        .filter(v => have(v) || f.exists(logPath(root, v))).toVector
+    }
+    var next = if (vs.isEmpty) 0 else vs.last + 1
+    while (f.exists(logPath(root, next))) { vs = vs :+ next; next += 1 }
+    vs
+  }
+
+  /** The streaming source's planning hook: `known` = the versions it
+    * has already seen (null for the first call → one full listing);
+    * afterwards each trigger pays O(new commits) exists-probes, never
+    * a directory listing — the "planning I/O is O(new) per trigger"
+    * contract. */
+  private[sources] def versionsIncremental(s: SparkSession, root: String,
+      known: Vector[Int]): Vector[Int] =
+    if (known == null) versions(s, root).toVector
+    else extendKnownVersions(fs(s, root), root, known)
+
   private val activeCache = new ThreadLocal[LogCache]
   /** Test hook: (root, directory listings, CAS attempts) of the most
     * recently COMPLETED publish, any thread. */

@@ -91,10 +91,40 @@ final class TableLogStreamProvider
       params: Map[String, String]): Source = {
     val s = ctx.sparkSession
     val root = opt(params, "path").get
-    val startExclusive = opt(params, "startingVersion") match {
-      case Some("latest") => TableLog.versions(s, root).lastOption.getOrElse(-1)
-      case Some(v) => v.toInt - 1
-      case None => -1
+    // `startingVersion` resolves ONCE per checkpoint lifetime and is
+    // PINNED in the stream's metadata dir: `latest` re-resolved on a
+    // restart would silently skip every commit landed while the
+    // stream was down (the checkpointed offset, not "now", is the
+    // resume point — Delta honors startingVersion only on a fresh
+    // checkpoint for exactly this reason). Pinning rides the same
+    // atomic publish as the log itself.
+    val startExclusive = {
+      val meta = new org.apache.hadoop.fs.Path(metadataPath, "graft-start")
+      val f = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def readPinned(): Option[Int] =
+        if (!f.exists(meta)) None
+        else {
+          val in = f.open(meta)
+          try Some(new String(
+            in.readAllBytes(), "UTF-8").trim.toInt)
+          finally in.close()
+        }
+      readPinned().getOrElse {
+        val resolved = opt(params, "startingVersion") match {
+          case Some("latest") =>
+            TableLog.versions(s, root).lastOption.getOrElse(-1)
+          case Some(v) => v.toInt - 1
+          case None => -1
+        }
+        f.mkdirs(meta.getParent)
+        val tmp = new org.apache.hadoop.fs.Path(
+          metadataPath, s".graft-start-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, false)
+        try out.write(resolved.toString.getBytes("UTF-8")) finally out.close()
+        if (!CasFs.publish(f, tmp, meta)) f.delete(tmp, false)
+        // a racing creator may have pinned first — theirs wins
+        readPinned().getOrElse(resolved)
+      }
     }
     new TableLogSource(s, root,
       schema.getOrElse(declaredSchema(s, root, changeFeed(params))),
@@ -119,6 +149,17 @@ private final class TableLogSource(spark: SparkSession, root: String,
     * cursor for capping the NEXT batch. */
   @volatile private var planned: Long = startExclusive.toLong
 
+  /** Known dense version list — first call lists the directory once;
+    * every later trigger extends it by exists-probing past the last
+    * known version, O(new commits) even on a 100k-commit table (an
+    * idle trigger = ONE probe). This is what makes the header's
+    * "planning I/O is O(new commits) per trigger" claim true. */
+  private var known: Vector[Int] = null
+  private def refreshVersions(): Vector[Int] = synchronized {
+    known = TableLog.versionsIncremental(spark, root, known)
+    known
+  }
+
   /** Trigger.AvailableNow (drain-and-stop ingest): the commit horizon
     * is FROZEN at query start — commits landing during the drain wait
     * for the next incarnation, or a steady writer would keep an
@@ -127,7 +168,7 @@ private final class TableLogSource(spark: SparkSession, root: String,
   @volatile private var frozenLatest: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    frozenLatest = Some(TableLog.versions(spark, root)
+    frozenLatest = Some(refreshVersions()
       .lastOption.map(_.toLong).getOrElse(startExclusive.toLong))
 
   /** SupportsAdmissionControl surface (pulled in by the AvailableNow
@@ -151,7 +192,7 @@ private final class TableLogSource(spark: SparkSession, root: String,
   }
 
   override def getOffset: Option[V1Offset] = {
-    val vs = TableLog.versions(spark, root)
+    val vs = refreshVersions()
       .filter(v => v > planned && frozenLatest.forall(v <= _))
     val target = maxCommitsPerTrigger match {
       case Some(n) => vs.take(n).lastOption
@@ -171,11 +212,28 @@ private final class TableLogSource(spark: SparkSession, root: String,
     val from = start.map(ver).getOrElse(startExclusive.toLong)
     val to = ver(end)
     planned = math.max(planned, to)
-    // refuse-loudly on mid-stream type widening: this stream's schema
-    // was fixed at start; aligning post-widen (wide-typed) files to it
-    // would NARROW-cast silently. Same posture as change commits —
-    // restart the stream to adopt the widened schema.
+    // refuse-loudly on mid-stream schema changes this stream cannot
+    // represent (its schema was fixed at start; restart to adopt):
+    //  - type WIDENING: aligning post-widen (wide-typed) files to the
+    //    start schema would NARROW-cast silently;
+    //  - RENAME or DROP of a declared column: post-change files no
+    //    longer carry any physical name the start-time alignment maps
+    //    (the mapping lists the column's PREVIOUS names, never a name
+    //    invented after stream start), so every new row would read as
+    //    a silent null in that column — data corruption, not a
+    //    representable evolution. Delta fails streams on rename/drop
+    //    for the same reason. Covers the CDF path too (this guard runs
+    //    before both branches).
     for (cur <- TableLog.tableSchema(spark, root)) {
+      val curNames = cur.fieldNames.toSet
+      val meta = Set(TableLog.ChangeTypeCol, TableLog.CommitVersionCol)
+      val gone = declared.fieldNames
+        .filterNot(n => curNames.contains(n) || meta.contains(n))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"TableLog stream at $root: declared column(s) " +
+          s"${gone.mkString("'", "', '", "'")} were renamed or dropped " +
+          "mid-stream; new files would read as silent nulls. Restart " +
+          "the stream to adopt the evolved schema.")
       val widened = declared.fields.flatMap(f =>
         cur.fields.find(_.name == f.name)
           .filter(c => TableLog.widensTo(f.dataType, c.dataType))
@@ -195,7 +253,7 @@ private final class TableLogSource(spark: SparkSession, root: String,
       return streamify(TableLog.alignDeclared(declared,
         TableLog.tableChanges(spark, root, from.toInt, to.toInt)))
     }
-    val adds = TableLog.versions(spark, root)
+    val adds = refreshVersions()
       .filter(v => v > from && v <= to)
       .flatMap { v =>
         val (dataChange, add, nRemove, dvRecord, cdcRecord) =

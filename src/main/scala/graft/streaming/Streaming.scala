@@ -126,6 +126,12 @@ object Streaming {
   def driftFold(counts: DataFrame, ref: Map[String, Long]): DataFrame = {
     val dec = DecimalType(38, 0)
     val nRef = ref.values.sum
+    // an empty/zero reference makes every window's TVD 0/0 = NaN, and
+    // Spark's NaN-is-largest ordering would then flag EVERY window as
+    // drifted — fail fast on the invalid profile instead
+    require(nRef > 0,
+      "driftFold: reference profile is empty — drift against nothing " +
+        "is undefined; build the profile before monitoring")
     val nRefD = lit(nRef).cast(dec)
     val refMap = typedlit(ref)
     val wWin = org.apache.spark.sql.expressions.Window
@@ -219,10 +225,17 @@ object Streaming {
     * error of the window mean, flagged at |z| > 3. The reference is a
     * #types-row frame riding a broadcast join — no driver state, and
     * the fold downstream of window close for the same reason as
-    * [[driftFold]] (an OPEN window's mean is unknowable). */
+    * [[driftFold]] (an OPEN window's mean is unknowable).
+    *
+    * NOVEL types (present in the window, absent from the reference)
+    * ride a LEFT join and flag `anomaly = true` with a null z — a
+    * type the profile has never seen is by definition anomalous, and
+    * an inner join would make the monitor silently blind exactly
+    * there (the same operational case [[driftFold]]'s coalesce-0
+    * handles). */
   def anomalyFold(stats: DataFrame, ref: DataFrame): DataFrame =
     stats
-      .join(broadcast(ref), Seq("event_type"))
+      .join(broadcast(ref), Seq("event_type"), "left")
       .withColumn("win_mean",
         col("sum_v").cast(DoubleType) / col("n"))
       .withColumn("z", round(
@@ -230,7 +243,7 @@ object Streaming {
           (col("ref_sd") / sqrt(col("n").cast(DoubleType))), 6))
       .select(col("win_start"), col("event_type"), col("n"),
         round(col("win_mean"), 6).as("win_mean"), col("z"),
-        (abs(col("z")) > 3.0).as("anomaly"))
+        coalesce(abs(col("z")) > 3.0, lit(true)).as("anomaly"))
 
   /** All-time per-type reference profile via the exact-decimal
     * convention: μ and σ from order-independent decimal sums (σ² =
@@ -505,10 +518,6 @@ object Streaming {
     ORDER BY purchase_id, click_id NULLS LAST
   """.trim
 
-  /** Batch twin of the full-outer join. (click_id, purchase_id) with
-    * NULLS LAST is a total order: unmatched purchases sort after
-    * every click under their null click_id, then uniquely by their
-    * own id. */
   /** LEFT-SEMI stream-stream join — "which clicks converted", as a
     * set: each click emits AT MOST ONCE, with no purchase columns,
     * however many in-window purchases arrive. Same watermarks and
@@ -546,6 +555,10 @@ object Streaming {
     ORDER BY click_id
   """.trim
 
+  /** Batch twin of the full-outer join. (click_id, purchase_id) with
+    * NULLS LAST is a total order: unmatched purchases sort after
+    * every click under their null click_id, then uniquely by their
+    * own id. */
   def qStreamJoinFull(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     attributionJoinFullOuter(
@@ -630,9 +643,13 @@ object Streaming {
           // two board positions. An id re-scored below the cut simply
           // drops off — members evicted earlier can't be resurrected,
           // the inherent one-sided error of O(k)-state top-k.
+          // plain Map, not ListMap: last-write-per-id is all the fold
+          // needs (the sort below discards insertion order), and
+          // ListMap.updated is O(n) per row — a hot group's trigger
+          // would pay O((k+batch)²)
           val merged = (state.getOption.getOrElse(Seq.empty) ++
               batch.map(e => (e.id, e.score)))
-            .foldLeft(scala.collection.immutable.ListMap.empty[Long, Double]) {
+            .foldLeft(Map.empty[Long, Double]) {
               case (m, (id, sc)) => m.updated(id, sc)
             }
             .toSeq
@@ -700,15 +717,25 @@ object Streaming {
   /** foreachBatch CDC-apply sink: upsert each micro-batch into a
     * parquet key-value state (the streaming MERGE INTO pattern —
     * `ops/Merge`'s batch semantics driven per epoch). The new state is
-    * written beside the live one and atomically swapped via rename, so
-    * a reader never sees a half-applied batch and a crash between
-    * write and swap leaves the old state intact. Upsert is idempotent
-    * per batch: replaying an epoch (as Structured Streaming does after
-    * a failure, before offsets commit) converges to the same state —
+    * written beside the live one and swapped in via two renames.
+    * Crash-safety contract: NO crash point can expose a half-applied
+    * batch or lose state — every point leaves a complete state under
+    * either `dir` or `_old` (which the recovery preamble restores).
+    * Concurrent-reader contract: a reader in the SAME job (the
+    * foreachBatch owner) always sees a complete state; an external
+    * reader polling between epochs may transiently find `dir` absent
+    * during the swap window and must retry — a filesystem rename pair
+    * cannot hide that window (the TableLog txn sink,
+    * [[sinkToTableLog]], is the log-published answer when external
+    * readers need snapshot visibility). Upsert is idempotent per
+    * batch: replaying an epoch (as Structured Streaming does after a
+    * failure, before offsets commit) converges to the same state —
     * with checkpointed offsets this is the standard effectively-
     * exactly-once sink recipe. Keys in the batch replace state rows
-    * (keep-LAST within a batch by `verCol` so replays of multi-row
-    * keys stay deterministic). */
+    * (keep-LAST within a batch by `verCol`, remaining columns as the
+    * tie-break so replays of equal-version keys stay deterministic
+    * too — row_number's bare arrival order differs between an epoch
+    * and its replay). */
   def upsertBatch(stateDir: String, keyCol: String, verCol: String)
       (batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
@@ -716,14 +743,27 @@ object Streaming {
     val dir = new Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(stateDir + "_old")
+    // Hadoop rename/delete report failure as FALSE, not an exception —
+    // an unchecked false here silently drops the epoch (the batch is
+    // never applied, yet the offsets commit). Fail the micro-batch
+    // loudly instead; Structured Streaming will replay it.
+    def mustRename(a: Path, b: Path): Unit =
+      if (!fs.rename(a, b)) throw new java.io.IOException(
+        s"upsertBatch: rename $a -> $b failed (state swap aborted)")
+    def mustDelete(p: Path): Unit =
+      if (fs.exists(p) && !fs.delete(p, true)) throw new java.io.IOException(
+        s"upsertBatch: delete $p failed (state swap aborted)")
     // crash recovery FIRST: a death between rename(dir, old) and
     // rename(tmp, dir) leaves the only live state under _old — restore
     // it before reading, or the epoch replay would rebuild from the
     // batch alone and then delete the backup (permanent state loss)
-    if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
-    // keep-last per key within the batch (Efraimidis-style tie-break on version)
+    if (!fs.exists(dir) && fs.exists(old)) mustRename(old, dir)
+    // keep-last per key within the batch; version first, then every
+    // other column, so equal-version duplicates order deterministically
+    val tieBreak = batch.columns.filter(c => c != verCol)
+      .map(c => col(c).asc).toSeq
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(verCol).desc)
+      .partitionBy(col(keyCol)).orderBy(col(verCol).desc +: tieBreak: _*)
     val dedupedBatch = batch
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     val next =
@@ -737,10 +777,10 @@ object Streaming {
     // swap order matters: _old is deleted ONLY after the new dir is in
     // place, so every crash point leaves a complete state under either
     // dir or _old (which the recovery preamble above restores)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dir)) fs.rename(dir, old)
-    fs.rename(tmp, dir)
-    fs.delete(old, true)
+    mustDelete(old)
+    if (fs.exists(dir)) mustRename(dir, old)
+    mustRename(tmp, dir)
+    mustDelete(old)
   }
 
   /** Streaming ingestion INTO the transaction log — the

@@ -935,6 +935,61 @@ class StreamingSpec extends SparkSpec {
       s"restart re-emitted or dropped rows: ${out.asScala.toSeq}")
   }
 
+  test("log stream source: startingVersion=latest pins at FIRST start — " +
+      "a restart emits the commits landed while the stream was down") {
+    val sp = spark
+    import sp.implicits._
+    val (root, ckpt) = freshLogDirs("tlog_src_latest")
+    val TL = graft.sources.TableLog
+    TL.append(spark, root, Seq((1L, "a")).toDF("k", "s")) // v0, pre-start
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-log-stream")
+        .option("path", root).option("startingVersion", "latest").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[(Long, String)].collect().foreach(out.add): Unit
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(out.isEmpty, s"latest must skip pre-start commits: ${out.asScala}")
+    // commits land WHILE THE STREAM IS DOWN — a restart that
+    // re-resolved "latest" would skip them forever (permanent loss)
+    TL.append(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    TL.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    drain()
+    assert(out.asScala.toSet == Set((2L, "b"), (3L, "c")),
+      s"restart re-resolved startingVersion=latest and skipped " +
+        s"offline commits: ${out.asScala.toSeq}")
+  }
+
+  test("log stream source: a mid-stream RENAME refuses loudly instead " +
+      "of reading new files as silent nulls") {
+    // the hazard is a rename while a source INSTANCE is live (its
+    // declared schema was captured at creation; a restart legitimately
+    // adopts the evolved schema and maps old files via the name
+    // mapping) — so drive the Source API directly on one instance
+    val sp = spark
+    import sp.implicits._
+    val (root, ckpt) = freshLogDirs("tlog_src_ren")
+    val TL = graft.sources.TableLog
+    TL.append(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    val src = new graft.sources.TableLogStreamProvider().createSource(
+      spark.sqlContext, ckpt + "/sources/0", None, "graft-log-stream",
+      Map("path" -> root))
+    try {
+      // declared schema (k, s) is now pinned in this instance
+      TL.renameColumn(spark, root, "s", "label")
+      TL.append(spark, root, Seq((2L, "b")).toDF("k", "label"))
+      val end = src.getOffset.get
+      val e = intercept[IllegalStateException] { src.getBatch(None, end) }
+      assert(e.getMessage.contains("renamed or dropped"),
+        s"wrong refusal: ${e.getMessage}")
+    } finally src.stop()
+  }
+
   test("log stream source: change commits refuse loudly, skipChangeCommits skips them") {
     val sp = spark
     import sp.implicits._
