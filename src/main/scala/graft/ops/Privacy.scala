@@ -33,7 +33,15 @@ object Privacy {
     * and coarsen the account balance to a 1000-unit bucket
     * (k-anonymity-style generalization of a quasi-identifier).
     * Pure per-row Columns — batch/stream unified (StreamingSpec runs
-    * it unchanged on a MemoryStream). */
+    * it unchanged on a MemoryStream).
+    *
+    * Caveats a REAL release must address (retained here deliberately
+    * so the oracle can key on them, the [[qDpCounts]] precedent):
+    * `c_custkey` itself rides through for the join/order key — a true
+    * release drops it and keys on the pseudonym; and the pseudonym is
+    * an UNSALTED sha256 prefix of a low-entropy name, invertible by
+    * enumeration — a real pipeline uses a keyed hash (HMAC with a
+    * secret). What this op pins is the transform mechanics. */
   def redact(df: DataFrame): DataFrame =
     df.select(
       col("c_custkey"),

@@ -206,6 +206,12 @@ object Sampling {
       .withColumn("sum_sqrt",
         sum(sqrt(col("n_docs")).cast(DecimalType(20, 10))).over(w).cast(DoubleType))
       .withColumn("total_docs", sum(col("n_docs")).over(w))
+      // the keep-all clamp truncates WITHOUT renormalizing: when a
+      // rare source's temperature share exceeds its whole corpus, its
+      // excess budget is forfeited (total kept dips below the 0.5
+      // target) rather than waterfilled onto the other sources — the
+      // simple, auditable policy; a budget-exact mix would re-solve
+      // the rates after each clamp
       .withColumn("rate_pm",
         least(lit(1000000L),
           floor(lit(0.5) * col("total_docs") * sqrt(col("n_docs")) / col("sum_sqrt") /
@@ -254,7 +260,12 @@ object Sampling {
   }
 
   /** ln(u)/w snapped to DECIMAL(20,6); u = Lehmer(key) mapped into
-    * (0,1) exactly. Monotone-equivalent to E–S u^(1/w). */
+    * (0,1) exactly. Monotone-equivalent to E–S u^(1/w).
+    * Input domain: w >= 1 (weights here are n_chars of non-empty
+    * documents). A zero weight would diverge BOTH engines' casts in
+    * different directions (Spark: -Inf -> decimal NULL, silently
+    * last; DuckDB: cast error) — callers over corpora that can carry
+    * empty documents must floor the weight (greatest(w, 1)) first. */
   private[graft] def weightedPriority(key: Column, weight: Column): Column =
     (log((pmod(key * 48271L, lit(1000000L)) + 1L) / lit(1000002.0)) / weight)
       .cast(DecimalType(20, 6))
@@ -469,6 +480,11 @@ object Sampling {
       orderCols: Seq[String], idCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     val sorted = df
+      // 8 range partitions is FIXTURE-sized (the SeqBudget precedent):
+      // ids depend on the partitioning, so the count is pinned for
+      // oracle stability; a production run sizes this to the cluster
+      // (each reducer sorts corpus/N — the property is no GLOBAL
+      // single-partition sort, not any particular N)
       .repartitionByRange(8, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
     val outSchema = org.apache.spark.sql.types.StructType(
