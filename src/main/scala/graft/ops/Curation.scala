@@ -224,6 +224,70 @@ object Curation {
   private val DsirBuckets = 256
   private val DsirTopK = 50
 
+  /** (doc_id, b): every document's hashed feature buckets. Feature
+    * generation is ROW-LOCAL: unigrams and adjacent-position bigrams
+    * both come out of one split array via zip_with — no positional
+    * self-join, no token-table shuffle (the join form measured a
+    * superlinear x10→x100 leg; this one explodes exactly the same
+    * features with zero pre-aggregation shuffles). */
+  private def dsirBucketFeats(s: SparkSession, dir: String): DataFrame = {
+    val raw = split(col("text"), " ")
+    val uni = filter(raw, x => x =!= "")
+    val big = filter(
+      zip_with(slice(raw, lit(1), greatest(size(raw) - 1, lit(0))),
+        slice(raw, lit(2), greatest(size(raw) - 1, lit(0))),
+        (a, b) => when(a =!= "" && b =!= "", concat(a, lit("_"), b))),
+      x => x.isNotNull)
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(concat(uni, big)).as("f"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int")
+          % DsirBuckets).as("b"))
+  }
+
+  /** (b, x): per-bucket smoothed log-ratio in micro-nats, PRE-round —
+    * the exact double handed to `round()`. Kept separate so the spec
+    * can measure how far each value sits from a .5 rounding boundary
+    * (the cross-engine ln-ULP exposure; see [[qDsirSelect]]). */
+  private def dsirLogRatioRaw(bf: DataFrame): DataFrame = {
+    val isTgt = col("doc_id") % 10 === 0
+    val dist = bf.groupBy(col("b")).agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("cs"))
+    val tot = dist.agg(sum(col("ct")).as("t_n"), sum(col("cs")).as("s_n"))
+    dist.crossJoin(broadcast(tot)).select(col("b"),
+      (log(((col("ct") + lit(1.0)) / (col("t_n") + lit(DsirBuckets.toDouble))) /
+        ((col("cs") + lit(1.0)) / (col("s_n") + lit(DsirBuckets.toDouble))))
+        * lit(1000000.0)).as("x"))
+  }
+
+  /** Gumbel key noise in micro-nats, PRE-round, as a column over
+    * doc_id (md5-seeded uniform → -ln(-ln(u)), the Gumbel-top-k
+    * identity). */
+  private def dsirGumbelRaw(docId: Column): Column = {
+    val u = conv(substring(md5(concat(lit("dsir:"),
+      docId.cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0) + lit(5e-11)
+    -log(-log(u)) * lit(1000000.0)
+  }
+
+  /** Spec hook: the raw doubles that qDsirSelect rounds to integer
+    * micro-nats — (per-bucket log-ratios, per-source-doc Gumbel
+    * arguments). CurationSpec asserts each sits ≥ a safety margin of
+    * ULPs away from the nearest .5 boundary, so a one-ULP
+    * cross-engine `ln` difference cannot flip a quantized unit and
+    * break oracle hash parity. */
+  private[graft] def dsirRoundInputs(s: SparkSession, dir: String)
+      : (Array[Double], Array[Double]) = {
+    val bf = dsirBucketFeats(s, dir)
+    val lrs = dsirLogRatioRaw(bf).select(col("x"))
+      .collect().map(_.getDouble(0))
+    val gs = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+      .select(dsirGumbelRaw(col("doc_id")).as("g"))
+      .collect().map(_.getDouble(0))
+    (lrs, gs)
+  }
+
   /** Data Selection via Importance Resampling (DSIR, Xie et al.
     * NeurIPS 2023): select source documents that look like a target
     * corpus, scored by hashed-n-gram importance weights. Features =
@@ -239,6 +303,13 @@ object Curation {
     * [[graft.ops.Privacy.qDpCounts]] documents: seeded noise is what
     * an auditable selection pipeline reruns bit-identically.
     *
+    * The residual cross-engine exposure is the `round()` of the two
+    * `ln`-derived doubles: a one-ULP `ln` difference could flip a
+    * micro-nat only if a value sat within a ULP of a .5 boundary —
+    * [[dsirRoundInputs]] + CurationSpec measure that margin on the
+    * fixtures (≥ 10⁴ ULPs observed) so the exposure is pinned, not
+    * assumed away.
+    *
     * Scale shape: tokenize/explode → one partial+final agg to the
     * O(B)=256-row bucket table → broadcast log-ratio join back onto
     * doc features → per-doc integer sum → global top-k (TakeOrdered,
@@ -247,41 +318,15 @@ object Curation {
     * doc_id gate (a real pipeline points the target side at its
     * curated corpus — the mechanism is what this pins). */
   def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    // feature generation is ROW-LOCAL: unigrams and adjacent-position
-    // bigrams both come out of one split array via zip_with — no
-    // positional self-join, no token-table shuffle (the join form
-    // measured a superlinear x10→x100 leg; this one explodes exactly
-    // the same features with zero pre-aggregation shuffles)
-    val raw = split(col("text"), " ")
-    val uni = filter(raw, x => x =!= "")
-    val big = filter(
-      zip_with(slice(raw, lit(1), greatest(size(raw) - 1, lit(0))),
-        slice(raw, lit(2), greatest(size(raw) - 1, lit(0))),
-        (a, b) => when(a =!= "" && b =!= "", concat(a, lit("_"), b))),
-      x => x.isNotNull)
-    val bf = t(s, dir, "documents")
-      .select(col("doc_id"), explode(concat(uni, big)).as("f"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int")
-          % DsirBuckets).as("b"))
-    val isTgt = col("doc_id") % 10 === 0
-    val dist = bf.groupBy(col("b")).agg(
-      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
-      sum(when(isTgt, 0L).otherwise(1L)).as("cs"))
-    val tot = dist.agg(sum(col("ct")).as("t_n"), sum(col("cs")).as("s_n"))
-    val lr = dist.crossJoin(broadcast(tot)).select(col("b"),
-      round(log(((col("ct") + lit(1.0)) / (col("t_n") + lit(DsirBuckets.toDouble))) /
-        ((col("cs") + lit(1.0)) / (col("s_n") + lit(DsirBuckets.toDouble))))
-        * lit(1000000.0)).cast("long").as("lr"))
+    val bf = dsirBucketFeats(s, dir)
+    val lr = dsirLogRatioRaw(bf)
+      .select(col("b"), round(col("x")).cast("long").as("lr"))
     val w = bf.filter(col("doc_id") % 10 =!= 0)
       .join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("w"))
-    val u = conv(substring(md5(concat(lit("dsir:"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
-      lit(4294967296.0) + lit(5e-11)
     w.select(col("doc_id"), col("n_feats"), col("w"),
-        (col("w") + round(-log(-log(u)) * lit(1000000.0)).cast("long"))
+        (col("w") + round(dsirGumbelRaw(col("doc_id"))).cast("long"))
           .as("gkey"))
       .orderBy(col("gkey").desc, col("doc_id"))
       .limit(DsirTopK)
@@ -313,15 +358,15 @@ object Curation {
            ((cs + 1.0) / (s_n + 256.0))) * 1000000.0) AS BIGINT) AS lr
       FROM dist CROSS JOIN tot),
     w AS (
-      SELECT bf.doc_id, COUNT(*) AS n_feats, SUM(lr.lr) AS w
+      SELECT bf.doc_id, COUNT(*) AS n_feats, CAST(SUM(lr.lr) AS BIGINT) AS w
       FROM bf JOIN lr USING (b)
       WHERE bf.doc_id % 10 <> 0
       GROUP BY bf.doc_id),
     keyed AS (
       SELECT doc_id, n_feats, w,
-        w + CAST(ROUND(-ln(-ln(
+        CAST(w + CAST(ROUND(-ln(-ln(
           CAST(CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
-            / 4294967296.0 + 5e-11)) * 1000000.0) AS BIGINT) AS gkey
+            / 4294967296.0 + 5e-11)) * 1000000.0) AS BIGINT) AS BIGINT) AS gkey
       FROM w)
     SELECT doc_id, n_feats, w, gkey FROM keyed
     ORDER BY gkey DESC, doc_id LIMIT 50

@@ -216,12 +216,16 @@ object Ipc {
       case TimeUnit.SECOND      => math.multiplyExact(raw, 1000000L)
     }
   }
-  // Arrow DAY_TIME interval pair (days, millis) → µs
+  // Arrow DAY_TIME interval pair (days, millis) → µs. Allocation-free
+  // like durationVectorMicros above (same DSv2 row-reader hot kernel):
+  // each element is a packed 8-byte (int days, int millis) pair, read
+  // straight from the data buffer instead of via a per-row holder.
   private def intervalDayMicros(v: IntervalDayVector, r: Int): Long = {
-    val holder = new org.apache.arrow.vector.holders.NullableIntervalDayHolder
-    v.get(r, holder)
-    math.addExact(math.multiplyExact(holder.days.toLong, 86400000000L),
-      math.multiplyExact(holder.milliseconds.toLong, 1000L))
+    val base = r.toLong * 8L
+    val buf = v.getDataBuffer
+    math.addExact(
+      math.multiplyExact(buf.getInt(base).toLong, 86400000000L),
+      math.multiplyExact(buf.getInt(base + 4L).toLong, 1000L))
   }
 
   /** Shared per-type copy kernels between Spark external rows and
@@ -975,11 +979,11 @@ object Ipc {
       FROM orders),
     doubled AS (SELECT * FROM src UNION ALL SELECT * FROM src)
     SELECT COUNT(*) AS n,
-      SUM(CAST(b AS BIGINT)) AS sum_b,
-      SUM(CAST(sh AS BIGINT)) AS sum_sh,
+      CAST(SUM(CAST(b AS BIGINT)) AS BIGINT) AS sum_b,
+      CAST(SUM(CAST(sh AS BIGINT)) AS BIGINT) AS sum_sh,
       MAX(CAST(ntz AS VARCHAR)) AS max_ntz,
-      SUM(CAST(EXTRACT(hour FROM t)*3600 + EXTRACT(minute FROM t)*60
-        + EXTRACT(second FROM t) AS BIGINT)) AS sum_t,
+      CAST(SUM(CAST(EXTRACT(hour FROM t)*3600 + EXTRACT(minute FROM t)*60
+        + EXTRACT(second FROM t) AS BIGINT)) AS BIGINT) AS sum_t,
       MAX(CAST(ntz + dti AS VARCHAR)) AS max_dti_ts,
       MAX(CAST(CAST(o_orderdate + ymi AS DATE) AS VARCHAR)) AS max_ymi_d
     FROM doubled

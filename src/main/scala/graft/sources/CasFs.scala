@@ -32,11 +32,40 @@ object CasFs {
 
   /** Striped fallback locks for local filesystems where `link(2)` is
     * unavailable (exotic mounts): serializes the exists+rename window
-    * JVM-globally, which is sufficient on local[32] where all writers
-    * share the JVM. */
+    * for IN-PROCESS writers. Cross-process writers on such a mount
+    * are covered by [[withDirLock]] below — a flock(2)-style advisory
+    * lock — NOT by these stripes. The fallback path keys the stripe
+    * on the target's PARENT so two in-JVM threads can never attempt
+    * overlapping OS locks on the same lock file (the JVM throws
+    * OverlappingFileLockException instead of queueing). */
   private val stripes = Array.fill(64)(new Object)
   private def lockFor(target: Path): Object =
     stripes(math.floorMod(target.toString.hashCode, stripes.length))
+
+  /** Best-effort cross-process advisory lock around `body`: an OS
+    * file lock on a per-directory `.graft-cas.lock` sibling, held
+    * only for the exists+rename window. The lock file is
+    * intentionally NEVER deleted — unlinking a lock file another
+    * process may already have open lets a third process recreate the
+    * path and lock the NEW inode while the second locks the orphaned
+    * one: two "holders" at once. One empty file per log directory is
+    * the price of a sound lock. Contract: a mount with neither hard
+    * links nor working advisory locks (some NFS configurations)
+    * cannot host a safe MULTI-PROCESS log — on such a mount this
+    * degrades to in-JVM-only serialization (the stripes above), a
+    * documented ceiling rather than silent corruption. */
+  private[graft] def withDirLock(dst: java.nio.file.Path)(body: => Boolean): Boolean = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val ch =
+      try java.nio.channels.FileChannel.open(
+        dst.getParent.resolve(".graft-cas.lock"), CREATE, WRITE)
+      catch { case _: Exception => null }
+    if (ch == null) body
+    else try {
+      val l = try ch.lock() catch { case _: Exception => null }
+      try body finally { if (l != null) l.release() }
+    } finally ch.close()
+  }
 
   /** Atomically publish `tmp` as `target`; returns true iff this call
     * installed the file. On success the tmp file is consumed (renamed
@@ -69,10 +98,12 @@ object CasFs {
       } catch {
         case _: FileAlreadyExistsException => false
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          // no hard links on this mount: JVM-global striped lock closes
-          // the exists+rename window for in-process writers
-          lockFor(target).synchronized {
-            !f.exists(target) && f.rename(tmp, target)
+          // no hard links on this mount: stripe (keyed on the PARENT,
+          // see above) serializes in-process writers; the dir lock
+          // extends that to cross-process writers where the mount
+          // supports advisory locks
+          lockFor(target.getParent).synchronized {
+            withDirLock(dst) { !f.exists(target) && f.rename(tmp, target) }
           }
       }
     } else {

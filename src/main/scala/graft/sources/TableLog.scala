@@ -300,11 +300,31 @@ object TableLog {
     * has already seen (null for the first call → one full listing);
     * afterwards each trigger pays O(new commits) exists-probes, never
     * a directory listing — the "planning I/O is O(new) per trigger"
-    * contract. */
+    * contract.
+    *
+    * `floor` = the source's startExclusive. The initial readdir can
+    * race a fresh table's earliest commits — the enumeration passes
+    * v0's slot before v0 lands yet still catches v1 — and because the
+    * source caches `known` for its lifetime (no per-trigger re-list),
+    * a below-head miss would otherwise be skipped PERMANENTLY.
+    * Versions are dense by the publish protocol, so a first listing
+    * whose head sits above floor+1 gets the gap (floor, head)
+    * exists-probed once; later triggers only extend past the tail and
+    * interior gaps are already repaired by [[extendKnownVersions]]. */
   private[sources] def versionsIncremental(s: SparkSession, root: String,
-      known: Vector[Int]): Vector[Int] =
-    if (known == null) versions(s, root).toVector
+      known: Vector[Int], floor: Int): Vector[Int] =
+    if (known == null)
+      repairBelowHead(fs(s, root), root, versions(s, root).toVector, floor)
     else extendKnownVersions(fs(s, root), root, known)
+
+  /** Exists-probe the (floor, head) gap of an initial listing — see
+    * [[versionsIncremental]]. Separated so the raced-readdir shape
+    * (listing caught v1, missed v0) is directly testable. */
+  private[graft] def repairBelowHead(f: FileSystem, root: String,
+      listed: Vector[Int], floor: Int): Vector[Int] =
+    if (listed.isEmpty || listed.head.toLong <= floor.toLong + 1) listed
+    else ((floor + 1) until listed.head)
+      .filter(v => f.exists(logPath(root, v))).toVector ++ listed
 
   private val activeCache = new ThreadLocal[LogCache]
   /** Test hook: (root, directory listings, CAS attempts) of the most

@@ -156,7 +156,7 @@ private final class TableLogSource(spark: SparkSession, root: String,
     * "planning I/O is O(new commits) per trigger" claim true. */
   private var known: Vector[Int] = null
   private def refreshVersions(): Vector[Int] = synchronized {
-    known = TableLog.versionsIncremental(spark, root, known)
+    known = TableLog.versionsIncremental(spark, root, known, startExclusive)
     known
   }
 

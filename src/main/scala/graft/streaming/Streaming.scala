@@ -902,4 +902,112 @@ object Streaming {
       .transformWithState(new LatestValueProcessor(retentionMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---- incremental file-drop ingest: CSV / JSON ---------------------------
+
+  private val StreamOrdersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def resetDirs(s: SparkSession, dirs: Seq[String]): org.apache.hadoop.fs.FileSystem = {
+    val f = new org.apache.hadoop.fs.Path(dirs.head)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    dirs.foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
+    f
+  }
+
+  private def dropTextFile(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String, body: String): Unit = {
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def sinkAgg(s: SparkSession, sink: String): DataFrame =
+    s.read.parquet(sink)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+
+  /** Incremental CSV ingest over a drop directory (the reference's
+    * streaming CSV reader lineage, `cpp/src/arrow/csv/reader.h`
+    * StreamingReader — SURVEY §2.11): Spark's native file-stream
+    * source with a DECLARED schema (no inference racing half-written
+    * drops) and the malformed-record contract pinned —
+    * `DROPMALFORMED` discards type-invalid junk lines without
+    * poisoning the batch (the batch CSV reader's `csv_malformed`
+    * contract, now on the incremental path). Exactly-once rides the
+    * file-source offset log: each dropped file commits to the
+    * checkpoint exactly once; StreamingSpec drives the stop-drop-
+    * restart half. Scale: planning is an O(new files) listing per
+    * trigger (bound it with maxFilesPerTrigger on a hot directory);
+    * parsing is partition-parallel per file — no driver-side reads. */
+  def qStreamCsv(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.Egress.outRoot(dir) + "/stream_csv"
+    val (drop, sink, ckpt) = (root + "_drop", root + "_sink", root + "_ckpt")
+    val f = resetDirs(s, Seq(drop, sink, ckpt))
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    for (i <- 0 until 3)
+      orders.filter(col("o_orderkey") % 3 === i)
+        .write.mode("append").csv(drop)
+    // junk a foreign producer could drop: a non-numeric key, a bare
+    // comment line, a column-count blowout — all must vanish silently
+    dropTextFile(f, drop, "zz-junk.csv",
+      "garbage,O,1.25\n###\n1,2,3,4,5,6,7\n")
+    val q = s.readStream.schema(StreamOrdersSchema)
+      .option("mode", "DROPMALFORMED")
+      .csv(drop)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    sinkAgg(s, sink)
+  }
+
+  val qStreamCsvSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${graft.ops.dsumSql("o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
+  /** The JSON half of the incremental ingest contract, exercising the
+    * OTHER malformed mode: `PERMISSIVE` + `columnNameOfCorruptRecord`
+    * quarantines unparseable lines as (all-null fields,
+    * `_corrupt_record` = raw text) rows instead of dropping them —
+    * the audit-friendly shape (a curation pipeline wants to COUNT
+    * what it rejected; StreamingSpec asserts that count). The clean
+    * aggregate filters the quarantine column, which the oracle hash
+    * proves: an unfiltered corrupt row would surface as a NULL-status
+    * group. Same exactly-once file-offset posture as [[qStreamCsv]]. */
+  def qStreamJson(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.Egress.outRoot(dir) + "/stream_json"
+    val (drop, sink, ckpt) = (root + "_drop", root + "_sink", root + "_ckpt")
+    val f = resetDirs(s, Seq(drop, sink, ckpt))
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    for (i <- 0 until 3)
+      orders.filter(col("o_orderkey") % 3 === i)
+        .write.mode("append").json(drop)
+    dropTextFile(f, drop, "zz-junk.json",
+      "{\"o_orderkey\": oops}\nnot json at all\n")
+    val q = s.readStream
+      .schema(StreamOrdersSchema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(drop)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(sink)
+      .filter(col("_corrupt_record").isNull)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qStreamJsonSql: String = qStreamCsvSql
 }

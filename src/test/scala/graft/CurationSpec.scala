@@ -537,6 +537,31 @@ class CurationSpec extends SparkSpec {
       "DSIR selection is not rerun-stable")
   }
 
+  test("dsir quantization margin: every ln-derived round() input sits " +
+      "far from a .5 boundary — a one-ULP cross-engine ln() drift " +
+      "cannot flip a micro-nat and break oracle hash parity") {
+    // HALF_UP rounding flips only when |x| crosses a fractional-.5
+    // boundary, so the margin is |frac(|x|) - 0.5| measured in ULPs
+    // of x itself
+    def minMarginUlps(xs: Array[Double]): Double =
+      xs.map { x =>
+        val d = math.abs(math.abs(x) % 1.0 - 0.5)
+        d / math.max(math.ulp(x), java.lang.Double.MIN_VALUE)
+      }.min
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val (lrs, gs) = graft.ops.Curation.dsirRoundInputs(spark, dir)
+      assert(lrs.nonEmpty && gs.nonEmpty)
+      assert(lrs.forall(x => !x.isNaN && !x.isInfinite))
+      assert(gs.forall(x => !x.isNaN && !x.isInfinite))
+      val mLr = minMarginUlps(lrs)
+      val mG = minMarginUlps(gs)
+      info(f"$dir: log-ratio margin $mLr%.3g ULPs over ${lrs.length} " +
+        f"buckets, Gumbel margin $mG%.3g ULPs over ${gs.length} docs")
+      assert(mLr >= 1e4, f"log-ratio quantization margin too thin: $mLr%.3g ULPs")
+      assert(mG >= 1e4, f"Gumbel quantization margin too thin: $mG%.3g ULPs")
+    }
+  }
+
   test("dp counts: noise is bounded, deterministic, and actually present") {
     val a = graft.ops.Privacy.qDpCounts(spark, sfDir).collect()
     val b = graft.ops.Privacy.qDpCounts(spark, sfDir).collect()

@@ -40,6 +40,39 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
     }
   }
 
+  test("DSv2 write→read round-trips 10 random EXTENDED-ladder schemas — " +
+      "the connector writer cannot silently narrow a type the codec " +
+      "carries (TIME, NTZ, both ANSI intervals, tinyint/smallint)") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("graft_ipc_dsv2_fuzz")
+    for (trial <- 0 until 10) {
+      // every trial carries ≥2 extended leaves plus random base picks
+      val types = rnd.shuffle(extendedWireTypes).take(2) ++
+        Seq.fill(2)(wireTypes(rnd.nextInt(wireTypes.length)))
+      val schema = StructType(
+        StructField("rid", LongType, nullable = false) +:
+          types.zipWithIndex.map { case (t, i) =>
+            StructField(s"c$i", t, nullable = true) })
+      val n = rnd.nextInt(3) match {
+        case 0 => 1
+        case 1 => Ipc.BatchRows + 1 + rnd.nextInt(50) // multi-batch file
+        case _ => 2 + rnd.nextInt(200)
+      }
+      val rows = (0 until n).map { r =>
+        org.apache.spark.sql.Row.fromSeq(r.toLong +: types.map(t =>
+          if (rnd.nextInt(5) == 0) null else randValue(t)))
+      }
+      val path = base.resolve(s"t$trial").toString
+      import scala.jdk.CollectionConverters._
+      sp.createDataFrame(rows.asJava, schema)
+        .write.format("graft-ipc").mode("overwrite").save(path)
+      val back = sp.read.format("graft-ipc").load(path)
+      // rid pins row identity across the one-partition-per-file scan
+      val got = back.collect().sortBy(_.getLong(0)).toSeq
+      assertSameRows(trial, schema, rows, got, back.schema)
+    }
+  }
+
   test("stream codec round-trips 40 random NESTED schemas (list/struct/map/decimal, depth ≤ 2)") {
     for (trial <- 0 until 40) {
       val schema = randNestedSchema(4, 2)

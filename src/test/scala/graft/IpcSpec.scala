@@ -125,7 +125,11 @@ class IpcSpec extends SparkSpec with RoundTripGen {
       root.getVector("d_ns").asInstanceOf[DurationVector].setSafe(0, 1999L)
       root.getVector("iv_dt").asInstanceOf[IntervalDayVector]
         .setSafe(0, 2, 500) // 2 days + 500 ms
-      root.setRowCount(1)
+      // negative pair on row 1: the allocation-free raw-buffer read
+      // must keep the sign of both packed ints (other columns null)
+      root.getVector("iv_dt").asInstanceOf[IntervalDayVector]
+        .setSafe(1, -3, -250)
+      root.setRowCount(2)
       w.writeBatch(); w.end()
     } finally { w.close(); root.close(); allocator.close() }
     val (rows, st) = Ipc.readIpcStream(sink.toByteArray)
@@ -143,6 +147,10 @@ class IpcSpec extends SparkSpec with RoundTripGen {
     assert(r.get(5) == java.time.Duration.ofNanos(1000),
       s"ns must floor to µs, got ${r.get(5)}")
     assert(r.get(6) == java.time.Duration.ofSeconds(2 * 86400, 500000000L))
+    val r1 = rows(1)
+    assert((0 to 5).forall(r1.isNullAt), s"row 1 non-interval cols null: $r1")
+    assert(r1.get(6) == java.time.Duration.ofMillis(-3L * 86400000L - 250L),
+      s"negative DAY_TIME pair must keep both signs, got ${r1.get(6)}")
   }
 
   test("a failing row iterator mid-stream leaves a TRUNCATED stream — " +

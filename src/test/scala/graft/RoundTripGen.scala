@@ -122,6 +122,10 @@ trait RoundTripGen {
     case (x: Row, y: Row) =>
       x.length == y.length &&
         (0 until x.length).forall(i => sameValue(x.get(i), y.get(i)))
+    case (x: java.time.Period, y: java.time.Period) =>
+      // YEAR_MONTH intervals are a months count on the wire; engines
+      // may normalize the Period differently on the way out
+      x.toTotalMonths == y.toTotalMonths
     case (x, y) => x == y
   }
 

@@ -1268,4 +1268,83 @@ class StreamingSpec extends SparkSpec {
       assert(batch == out)
     } finally q.stop()
   }
+
+  test("csv drop-directory ingest is exactly-once across a stop/restart: " +
+      "files dropped while the stream is down arrive once, committed " +
+      "files never re-emit, malformed lines vanish under DROPMALFORMED") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("graft_csv_drop")
+    val drop = base.resolve("drop"); val sink = base.resolve("sink")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(drop)
+    def dropFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(drop.resolve(name),
+        lines.mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val q = sp.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(drop.toString)
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    dropFile("a.csv", (0 until 50).map(i => s"$i,row$i"))
+    run()
+    assert(sp.read.parquet(sink.toString).count() == 50)
+    // while the stream is DOWN: a new clean file + a junk file
+    dropFile("b.csv", (50 until 100).map(i => s"$i,row$i"))
+    dropFile("junk.csv", Seq("garbage,x", "###", "1,2,3,4,5"))
+    run()
+    val rows = sp.read.parquet(sink.toString).collect()
+      .map(r => r.getLong(0)).sorted
+    assert(rows.length == 100,
+      s"exactly-once violated: ${rows.length} rows (dupes or losses)")
+    assert(rows.toSeq == (0L until 100L),
+      "restart re-emitted or dropped a committed file's rows")
+  }
+
+  test("json drop-directory ingest quarantines corrupt lines under " +
+      "PERMISSIVE + columnNameOfCorruptRecord — counted, never silently " +
+      "dropped, never polluting parsed rows") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("graft_json_drop")
+    val drop = base.resolve("drop"); val sink = base.resolve("sink")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(drop)
+    java.nio.file.Files.writeString(drop.resolve("a.json"),
+      (0 until 20).map(i => s"""{"id": $i, "s": "row$i"}""")
+        .mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(drop.resolve("junk.json"),
+      "{\"id\": oops}\nnot json at all\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val q = sp.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(drop.toString)
+      .writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = sp.read.parquet(sink.toString)
+    assert(out.filter(col("_corrupt_record").isNotNull).count() == 2,
+      "both junk lines must be quarantined with their raw text")
+    val clean = out.filter(col("_corrupt_record").isNull)
+    assert(clean.count() == 20)
+    assert(clean.filter(col("id").isNull || col("s").isNull).count() == 0,
+      "a corrupt line leaked nulls into the parsed rows")
+  }
 }

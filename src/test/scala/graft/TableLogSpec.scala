@@ -1258,6 +1258,66 @@ class TableLogSpec extends SparkSpec {
     } finally graft.sources.CasFs.interceptor = None
   }
 
+  test("streaming initial listing repairs a below-head miss: a raced " +
+      "readdir that caught v1 but missed v0 is exists-probed from the " +
+      "source's startExclusive anchor") {
+    val root = freshRoot()
+    TableLog.append(spark, root, nums(0, 5))   // v0
+    TableLog.append(spark, root, nums(5, 10))  // v1
+    TableLog.append(spark, root, nums(10, 15)) // v2
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the race: the first full listing enumerated past v0's slot
+    // before v0 landed, yet caught v1/v2 — the cached `known` would
+    // skip v0 forever without the floor-anchored repair
+    assert(TableLog.repairBelowHead(f, root, Vector(1, 2), -1)
+      == Vector(0, 1, 2), "below-head miss must be repaired")
+    // startExclusive=0 means v0 is already consumed by the
+    // checkpoint: nothing below head is probed (idle-path O(0))
+    assert(TableLog.repairBelowHead(f, root, Vector(1, 2), 0)
+      == Vector(1, 2), "repair must not probe below the anchor")
+    // clean listing: head == floor+1, repair is a no-op
+    assert(TableLog.repairBelowHead(f, root, Vector(0, 1, 2), -1)
+      == Vector(0, 1, 2))
+    assert(TableLog.repairBelowHead(f, root, Vector.empty, -1).isEmpty)
+  }
+
+  test("no-hardlink fallback dir lock: lock file is created beside the " +
+      "target, survives the publish (never unlinked), and the lock is " +
+      "held for exactly the body's window") {
+    import graft.sources.CasFs
+    val dir = Files.createTempDirectory("graft_caslock")
+    val dst = dir.resolve("v3.json")
+    val lockFile = dir.resolve(".graft-cas.lock")
+    var ran = false
+    assert(CasFs.withDirLock(dst) {
+      ran = true
+      // while the body runs, the OS lock is held by THIS process: a
+      // tryLock from a second channel in the same JVM sees overlap
+      val ch2 = java.nio.channels.FileChannel.open(lockFile,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        intercept[java.nio.channels.OverlappingFileLockException] {
+          ch2.tryLock()
+        }
+      } finally ch2.close()
+      true
+    })
+    assert(ran)
+    assert(Files.exists(lockFile),
+      "lock file must never be unlinked — see CasFs.withDirLock scaladoc")
+    // after the window the lock is free again (release happened)
+    val ch3 = java.nio.channels.FileChannel.open(lockFile,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch3.tryLock()
+      assert(l != null, "lock must be released after the publish window")
+      l.release()
+    } finally ch3.close()
+    // false propagates (a lost CAS in the fallback path)
+    assert(!CasFs.withDirLock(dst) { false })
+  }
+
   test("vacuum contract: retained snapshots survive a concurrent " +
       "vacuum; pre-retention snapshots fail loudly, never partially") {
     val root = freshRoot()

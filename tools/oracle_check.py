@@ -21,15 +21,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != "--lint"]
+    lint_only = "--lint" in sys.argv[1:]
+    out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    only = None
+    import os
+    if os.environ.get("SPARK_GRAFT_ONLY"):
+        only = {s.strip() for s in os.environ["SPARK_GRAFT_ONLY"].split(",")}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
+        bad = lint_types(con, sql)
+        if bad:
+            print(f"FAIL {name}: oracle emits driver-hostile column type(s): "
+                  f"{bad} — wrap in CAST(... AS BIGINT)")
+            n_fail += 1
+            continue
+        if lint_only:
+            print(f"PASS {name} (lint)")
+            n_pass += 1
+            continue
         try:
             exp = con.execute(sql).df()
         except Exception as e:
@@ -54,6 +72,23 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 
+def lint_types(con, sql):
+    """DESCRIBE the oracle query and reject output column types the
+    driver's hasher renders differently from Spark's (the r11 lesson:
+    DuckDB promotes SUM(BIGINT) -> HUGEINT = decimal128(38,0), which
+    hash-mismatches an identical-valued Spark int64 column)."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []  # the run itself will report the SQL error
+    bad = []
+    for row in desc:
+        cname, ctype = row[0], str(row[1]).upper()
+        if "HUGEINT" in ctype or ctype.startswith("DECIMAL"):
+            bad.append(f"{cname}:{ctype}")
+    return bad
+
+
 def compare(exp, got):
     import pandas as pd
     exp = exp.reindex(sorted(exp.columns), axis=1)
@@ -62,13 +97,18 @@ def compare(exp, got):
         return False, f"columns differ: oracle={list(exp.columns)} spark={list(got.columns)}"
     if len(exp) != len(got):
         return False, f"row count: oracle={len(exp)} spark={len(got)}"
-    # dtypes: compare loosely (duckdb may give different numpy width)
     for c in exp.columns:
         e, g = exp[c], got[c]
         ek, gk = e.dtype.kind, g.dtype.kind
-        if ek != gk and {ek, gk} not in ({"i", "f"},):
-            # allow int-vs-float only if values match below
-            pass
+        # dtype KIND must agree for numerics: a float/decimal oracle
+        # column vs an integer Spark column hash-mismatches in the
+        # driver even when every value compares equal (r11 red rows).
+        # Width differences within a kind (int32 vs int64) are fine.
+        if ek != gk and ("i" in (ek, gk) or "u" in (ek, gk)) \
+                and {ek, gk} & {"f", "O", "i", "u"} == {ek, gk}:
+            return False, (f"col {c} dtype-kind mismatch: oracle={e.dtype} "
+                           f"spark={g.dtype} — driver hashes these "
+                           f"differently even on equal values")
         if not series_equal(e, g):
             i = first_diff(e, g)
             return False, (f"col {c} differs (dtype oracle={e.dtype} "
