@@ -1151,4 +1151,49 @@ object Egress {
     FROM res GROUP BY o_orderstatus
     ORDER BY tag, o_orderstatus
   """.trim
+
+  /** VACUUM parity ([[graft.sources.TableLog.vacuum]], Delta's
+    * retention posture): append (3 files), overwrite (2 files,
+    * delisting the first three), vacuum(retainFrom = 1). The output
+    * pins all three contracts at once: (a) EXACTLY the three delisted
+    * v0 files are reclaimed and never a live one — `reclaimed` is the
+    * exact count, and the live snapshot's profile still matches the
+    * overwrite input; (b) time travel BELOW the retention floor now
+    * fails LOUDLY — v0's file list survives in the log but its files
+    * are gone, and `old_unreadable` pins that the read RAISES instead
+    * of silently returning partial rows (the reader contract
+    * TableLogSpec pins); (c) snapshots at/above the floor are
+    * untouched. At 100 TB vacuum is the storage-reclaim primitive:
+    * an O(#files) metadata sweep plus deletes, zero data movement. */
+  def qLogVacuum(s: SparkSession, dir: String): DataFrame = {
+    val base = outRoot(dir) + "/tlog_vacuum"
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = base + "/t"
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TableLog.append(s, root,
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(3))  // v0
+    graft.sources.TableLog.overwrite(s, root,
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(2))  // v1
+    val reclaimed = graft.sources.TableLog.vacuum(s, root, retainFrom = 1)
+    val oldUnreadable =
+      try { graft.sources.TableLog.snapshot(s, root, 0).count(); false }
+      catch { case _: Throwable => true }
+    graft.sources.TableLog.snapshot(s, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .withColumn("reclaimed", lit(reclaimed))
+      .withColumn("old_unreadable", lit(oldUnreadable))
+      .orderBy("o_orderstatus")
+  }
+
+  val qLogVacuumSql: String = s"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price,
+      3 AS reclaimed, true AS old_unreadable
+    FROM orders WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
 }

@@ -514,11 +514,62 @@ object Ipc {
 
   private[graft] val BatchRows = 4096
 
+  /** Record-batch BODY-BUFFER compression, the reference's
+    * `ipc/options.h` `IpcWriteOptions::codec` (`format/Message.fbs`
+    * BodyCompression, LZ4_FRAME | ZSTD): each Arrow buffer in a batch
+    * ships as an independently-compressed frame, so readers still
+    * random-access batches through the footer — compression is
+    * per-buffer, not per-file. Names accepted: `zstd`, `lz4`,
+    * `none`/`uncompressed`. */
+  private[graft] def codecTypeOf(name: String): org.apache.arrow.vector.compression.CompressionUtil.CodecType = {
+    import org.apache.arrow.vector.compression.CompressionUtil.CodecType
+    name.toLowerCase match {
+      case "zstd"                  => CodecType.ZSTD
+      case "lz4" | "lz4_frame"     => CodecType.LZ4_FRAME
+      case "none" | "uncompressed" => CodecType.NO_COMPRESSION
+      case other => throw new IllegalArgumentException(
+        s"unknown IPC compression codec '$other' (expected zstd, lz4, none)")
+    }
+  }
+
+  /** The codec factory every reader (and compressed writer) passes:
+    * ZSTD through native zstd-jni, LZ4_FRAME through native lz4-java
+    * ([[graft.sources.ipc.GraftCompressionFactory]] — the stock
+    * commons-compress LZ4 path measured ~10x slower on writes). A
+    * free no-op on uncompressed files, so ALL read paths accept
+    * compressed input untouched. */
+  private[graft] def readCodecs: org.apache.arrow.vector.compression.CompressionCodec.Factory =
+    graft.sources.ipc.GraftCompressionFactory
+
+  /** Build an ArrowFileWriter, compressed iff `codec` says so. */
+  private[graft] def newFileWriter(root: VectorSchemaRoot,
+      provider: DictionaryProvider,
+      ch: java.nio.channels.WritableByteChannel,
+      codec: String): ArrowFileWriter = {
+    import org.apache.arrow.vector.compression.CompressionUtil.CodecType
+    codecTypeOf(codec) match {
+      case CodecType.NO_COMPRESSION =>
+        new ArrowFileWriter(root, provider, ch)
+      case ct =>
+        new ArrowFileWriter(root, provider, ch, null,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          readCodecs, ct)
+    }
+  }
+
   /** Distributed IPC write: each task streams its partition into its
     * own Arrow file in `dir`, batching [[BatchRows]] rows per record
     * batch — rows never leave their executor. */
   def writeIpc(df: DataFrame, dir: String): Unit =
     writeIpcFiles(df, dir, Map.empty)
+
+  /** [[writeIpc]] with body-buffer compression (`zstd` or `lz4`):
+    * same file-per-partition layout, every record batch's buffers
+    * individually compressed per the Arrow BodyCompression spec. The
+    * engine's readers (imperative + DSv2) decode transparently; so
+    * does any stock Arrow reader built with a compression factory. */
+  def writeIpc(df: DataFrame, dir: String, compression: String): Unit =
+    writeIpcFiles(df, dir, Map.empty, compression)
 
   /** Dictionary-encoded IPC write (`format/Message.fbs` DictionaryBatch,
     * `cpp/src/arrow/ipc/writer.h:54` dictionary support): the named
@@ -550,7 +601,9 @@ object Ipc {
   }
 
   private def writeIpcFiles(df: DataFrame, dir: String,
-      dicts: Map[String, Array[String]]): Unit = {
+      dicts: Map[String, Array[String]],
+      compression: String = "none"): Unit = {
+    codecTypeOf(compression) // validate on the driver, not per task
     val schema = df.schema
     val confSer = new SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -612,7 +665,7 @@ object Ipc {
         schema.fields.map(f => lookups.getOrElse(f.name, null))
       val out = taskFs.create(tmpPath, true)
       val ch = java.nio.channels.Channels.newChannel(out)
-      val writer = new ArrowFileWriter(root, provider, ch)
+      val writer = newFileWriter(root, provider, ch, compression)
       writer.start()
       val buf = new Array[Row](BatchRows)
       def flush(n: Int): Unit = if (n > 0) {
@@ -738,7 +791,7 @@ object Ipc {
       val (headPath, headLen) = files.head
       val rd = new ArrowFileReader(
         new HadoopSeekableChannel(fs.open(new HPath(headPath)), headLen),
-        allocator)
+        allocator, readCodecs)
       val dicts = rd.getDictionaryVectors
       val arrowFields = rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       val st = StructType(arrowFields.map(f =>
@@ -754,7 +807,8 @@ object Ipc {
         val taskFs = p.getFileSystem(confSer.value)
         val allocator = new RootAllocator()
         val rd = new ArrowFileReader(
-          new HadoopSeekableChannel(taskFs.open(p), len), allocator)
+          new HadoopSeekableChannel(taskFs.open(p), len), allocator,
+          readCodecs)
         // close on task END (success or failure): a corrupt batch
         // mid-file must not leak the allocator's direct buffers in
         // the long-lived executor JVM
@@ -810,11 +864,18 @@ object Ipc {
     * one batch in memory — the transport-side half of the codec that
     * [[graft.ops.FlightLite]] serves DoGet responses with. */
   def writeIpcStreamTo(rows: Iterator[Row], schema: StructType,
-      out: java.io.OutputStream): Unit = {
+      out: java.io.OutputStream, compression: String = "none"): Unit = {
+    import org.apache.arrow.vector.compression.CompressionUtil.CodecType
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
-    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
-      root, null, java.nio.channels.Channels.newChannel(out))
+    val ch = java.nio.channels.Channels.newChannel(out)
+    val writer = codecTypeOf(compression) match {
+      case CodecType.NO_COMPRESSION =>
+        new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ch)
+      case ct => new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        root, null, ch,
+        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT, readCodecs, ct)
+    }
     // A failing row iterator (e.g. a query error feeding a Flight
     // DoGet) must not leak the allocator's direct buffers — but it
     // must also NOT close the writer: ArrowStreamWriter.close() calls
@@ -864,7 +925,8 @@ object Ipc {
     val allocator = new RootAllocator()
     // try/finally: a truncated or corrupt stream must not leak the
     // allocator's direct buffers
-    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator)
+    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator,
+      readCodecs)
     try {
       val root = rd.getVectorSchemaRoot
       val nCols = root.getSchema.getFields.size()
@@ -1014,6 +1076,50 @@ object Ipc {
     SELECT o_orderstatus, COUNT(*) AS n,
       ${dsumSql("o_totalprice")} AS total_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim
+
+  /** Body-buffer compression round trip (reference `ipc/options.h`
+    * IpcWriteOptions::codec, `format/Message.fbs` BodyCompression —
+    * LZ4_FRAME and ZSTD): orders written twice, once ZSTD through the
+    * imperative writer and read back through the DSv2 columnar path,
+    * once LZ4 through the DSv2 writer (`option("compression","lz4")`)
+    * and read back through the imperative codec — each direction
+    * CROSSES writer and reader implementations, so the hash proves
+    * both halves speak the same compressed wire format, not merely
+    * that each can re-read its own output. Aggregates are tagged per
+    * codec; a corrupted buffer in either codec breaks its rows. At
+    * 100 TB, buffer compression is the interchange bandwidth knob:
+    * frames are per-buffer, so the footer's batch offsets stay valid
+    * and compression costs no scan parallelism or random access. */
+  def qIpcCompressed(s: SparkSession, dir: String): DataFrame = {
+    val base = Egress.outRoot(dir) + "/orders_ipc_comp"
+    val src = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .repartition(4, col("o_orderkey"))
+    writeIpc(src, s"$base/zstd", "zstd")
+    src.write.format("graft-ipc").mode("overwrite")
+      .option("compression", "lz4").save(s"$base/lz4")
+    def prof(df: DataFrame, codec: String): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total_price"),
+          sum(length(col("o_orderpriority"))).as("prio_chars"))
+        .withColumn("codec", lit(codec))
+    prof(s.read.format("graft-ipc").load(s"$base/zstd"), "zstd")
+      .unionByName(prof(readIpc(s, s"$base/lz4"), "lz4"))
+      .orderBy("codec", "o_orderstatus")
+  }
+
+  val qIpcCompressedSql: String = s"""
+    WITH p AS (
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS total_price,
+        CAST(SUM(length(o_orderpriority)) AS BIGINT) AS prio_chars
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n, total_price, prio_chars, codec
+    FROM p CROSS JOIN (SELECT unnest(['zstd', 'lz4']) AS codec)
+    ORDER BY codec, o_orderstatus
   """.trim
 
   /** Stats-based file skipping under an ORACLE: orders written as a

@@ -425,6 +425,43 @@ object Similarity {
   def qKnnIvfExact(s: SparkSession, dir: String): DataFrame =
     knnIvf(s, dir, 10)
 
+  /** K-means clustering as a first-class operator (r12) — the embedding
+    * partitioner every corpus-curation recipe leans on (domain
+    * discovery, cluster-balanced sampling, SemDeDup's cell stage):
+    * deterministic seeds (vec_id < 10), ONE decimal-exact Lloyd
+    * refinement ([[lloydMeans]]: per-cell means through DECIMAL(28,12)
+    * sums, so the centroids are independent of partitioning), final
+    * max-cosine assignment, and a per-cluster profile in EXACT
+    * integers (size, id-sum, id-range). Unlike `knn_ivf_exact` —
+    * whose oracle proves only the probe-union top-k — this row's
+    * oracle replays seed → assign → Lloyd mean → reassign
+    * float-op-for-float-op in DuckDB, so the CLUSTERING itself is
+    * hash-gated, not just a downstream answer. Scale: assignment is
+    * one broadcast-kernel pass (O(k·d) driver state), means are one
+    * exploded agg — the same 100 TB posture as the IVF build step. */
+  def qKmeansCluster(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val cents = refineCentroids(e, seeds)
+    val scores = centroidScores(s, cents, col("embedding"))
+    e.withColumn("cell", array_position(scores, array_max(scores)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("sum_ids"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+      .orderBy("cell")
+  }
+
+  val qKmeansClusterSql: String = (ivfReplaySql("vec_id < 10") + """
+    SELECT CAST(a1.cell AS BIGINT) AS cell, COUNT(*) AS n_members,
+      CAST(SUM(a1.vec_id) AS BIGINT) AS sum_ids,
+      MIN(a1.vec_id) AS min_id, MAX(a1.vec_id) AS max_id
+    FROM a1 GROUP BY a1.cell ORDER BY cell
+  """).trim
+
   // ---- persisted IVF index: build once / query many ---------------------
 
   /** Build the IVF index AS A LAKEHOUSE TABLE — the 100 TB ANN shape:

@@ -279,6 +279,46 @@ object TextAnalysis {
     ORDER BY train_id, bench_id
   """.trim
 
+  /** Per-document n-gram NOVELTY — the curation dual of
+    * [[qContamination]]: how much of a document's 3-gram vocabulary
+    * occurs NOWHERE else in the corpus. Novelty ranks documents for
+    * dedup-aware sampling (high novelty = unique content worth
+    * keeping; near-zero novelty marks boilerplate and templates that
+    * the near-dup tier's banding may still miss). Shape: one explode
+    * of the per-doc distinct shingle hashes, one count per shingle
+    * (document frequency), and df=1 shingles credited back to their
+    * single holding document — two aggregations co-partitioned on the
+    * shingle hash, zero joins on the corpus side, zero all-pairs
+    * work. The digests-only posture of the dedup tier holds: text
+    * never shuffles, only 8-byte hashes. Output bounded to
+    * doc_id % 20 = 0 for a stable declared row count. */
+  def qNoveltyNgrams(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(col("doc_id"),
+      explode(graft.functions.shingle_hashes(col("text"), 3)).as("sh"))
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_novel"))
+      .filter(col("doc_id") % 20 === 0)
+      .orderBy("doc_id")
+  }
+
+  val qNoveltyNgramsSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+      unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS sh
+      FROM toks),
+    per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    uniq AS (SELECT MIN(doc_id) AS doc_id FROM sh GROUP BY sh HAVING COUNT(*) = 1),
+    nov AS (SELECT doc_id, COUNT(*) AS n_novel FROM uniq GROUP BY doc_id)
+    SELECT p.doc_id, p.n_shingles, COALESCE(n.n_novel, 0) AS n_novel
+    FROM per p LEFT JOIN nov n USING (doc_id)
+    WHERE p.doc_id % 20 = 0 ORDER BY p.doc_id
+  """.trim
+
   /** Vocabulary size for the OOV profile. */
   private val VocabSize = 40
 

@@ -66,7 +66,8 @@ final class IpcDataSource extends TableProvider with DataSourceRegister {
     // discovery/Inspect: one footer read on the driver
     val allocator = new RootAllocator()
     val rd = new ArrowFileReader(
-      new Ipc.HadoopSeekableChannel(fs.open(head.getPath), head.getLen), allocator)
+      new Ipc.HadoopSeekableChannel(fs.open(head.getPath), head.getLen),
+      allocator, Ipc.readCodecs)
     try StructType(rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       .map { f =>
         // dict-encoded columns carry index-typed vectors the columnar
@@ -136,7 +137,8 @@ private final class IpcTable(tableSchema: StructType, dir: String)
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new IpcWriteBuilder(info.schema(), dir, info.queryId())
+    new IpcWriteBuilder(info.schema(), dir, info.queryId(),
+      info.options().getOrDefault("compression", "none"))
 }
 
 // ---------------------------------------------------------------- read
@@ -689,7 +691,8 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
     val p = new HPath(path)
     val fs = p.getFileSystem(confSer.value)
     new ArrowFileReader(
-      new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator)
+      new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator,
+      Ipc.readCodecs)
   }
   private val root = reader.getVectorSchemaRoot
   private var batch: ColumnarBatch = null
@@ -727,7 +730,8 @@ private final class IpcPartitionReader(path: String, len: Long,
     val p = new HPath(path)
     val fs = p.getFileSystem(confSer.value)
     new ArrowFileReader(
-      new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator)
+      new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator,
+      Ipc.readCodecs)
   }
   private val root = reader.getVectorSchemaRoot
   private var served = 0L
@@ -763,7 +767,9 @@ private final class IpcPartitionReader(path: String, len: Long,
 // --------------------------------------------------------------- write
 
 private final class IpcWriteBuilder(schema: StructType, dir: String,
-    queryId: String) extends WriteBuilder with SupportsTruncate {
+    queryId: String, compression: String)
+    extends WriteBuilder with SupportsTruncate {
+  Ipc.codecTypeOf(compression) // reject a bad codec name at plan time
   private var truncateFirst = false
   // mode("overwrite") arrives as OverwriteByExpression(AlwaysTrue) and
   // Catalyst lowers it onto truncate() when the builder supports it;
@@ -772,9 +778,10 @@ private final class IpcWriteBuilder(schema: StructType, dir: String,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new IpcBatchWrite(schema, dir, truncateFirst, queryId)
+      new IpcBatchWrite(schema, dir, truncateFirst, queryId, compression)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new IpcStreamingWrite(schema, dir, replaceEachEpoch = truncateFirst)
+      new IpcStreamingWrite(schema, dir, replaceEachEpoch = truncateFirst,
+        compression)
   }
 }
 
@@ -793,7 +800,8 @@ private final class IpcWriteBuilder(schema: StructType, dir: String,
   * exactly once, just possibly split across triggers. `abort()`
   * deletes temps. */
 private final class IpcBatchWrite(schema: StructType, dir: String,
-    truncateFirst: Boolean, queryId: String) extends BatchWrite {
+    truncateFirst: Boolean, queryId: String, compression: String)
+    extends BatchWrite {
 
   private val confSer = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
@@ -812,7 +820,7 @@ private final class IpcBatchWrite(schema: StructType, dir: String,
            st <- Option(fs.globStatus(new HPath(new HPath(dir), pat)))
              .getOrElse(Array()))
         fs.delete(st.getPath, false)
-    new IpcDataWriterFactory(schema, dir, confSer, queryId)
+    new IpcDataWriterFactory(schema, dir, confSer, queryId, compression)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -859,14 +867,15 @@ private final case class IpcCommitMessage(tmpPath: String, finalPath: String,
 private case object IpcEmptyCommit extends WriterCommitMessage
 
 private final class IpcDataWriterFactory(schema: StructType, dir: String,
-    confSer: SerializableConfiguration, queryId: String)
+    confSer: SerializableConfiguration, queryId: String, compression: String)
     extends DataWriterFactory {
   // queryId (a per-write UUID) scopes names across applications;
   // taskId disambiguates retried attempts within this job's temps
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new IpcDataWriter(schema,
       new HPath(dir, s".part-$queryId-$partitionId-t$taskId.arrow.tmp"),
-      new HPath(dir, s"part-$queryId-$partitionId.arrow"), confSer)
+      new HPath(dir, s"part-$queryId-$partitionId.arrow"), confSer,
+      compression = compression)
 }
 
 /** Structured-Streaming sink half of the connector: every epoch is an
@@ -881,7 +890,7 @@ private final class IpcDataWriterFactory(schema: StructType, dir: String,
   * epochs' files, so the directory always holds exactly the latest
   * full snapshot instead of an accumulating union. */
 private final class IpcStreamingWrite(schema: StructType, dir: String,
-    replaceEachEpoch: Boolean)
+    replaceEachEpoch: Boolean, compression: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -891,7 +900,7 @@ private final class IpcStreamingWrite(schema: StructType, dir: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val fs = new HPath(dir).getFileSystem(confSer.value)
     fs.mkdirs(new HPath(dir))
-    new IpcStreamingDataWriterFactory(schema, dir, confSer)
+    new IpcStreamingDataWriterFactory(schema, dir, confSer, compression)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -923,7 +932,7 @@ private final class IpcStreamingWrite(schema: StructType, dir: String,
 }
 
 private final class IpcStreamingDataWriterFactory(schema: StructType,
-    dir: String, confSer: SerializableConfiguration)
+    dir: String, confSer: SerializableConfiguration, compression: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -932,12 +941,12 @@ private final class IpcStreamingDataWriterFactory(schema: StructType,
     new IpcDataWriter(schema,
       new HPath(dir, s".part-e$epochId-$partitionId-t$taskId.arrow.tmp"),
       new HPath(dir, s"part-e$epochId-$partitionId.arrow"), confSer,
-      lazyCreate = true)
+      lazyCreate = true, compression = compression)
 }
 
 private final class IpcDataWriter(schema: StructType,
     tmpPath: HPath, finalPath: HPath, confSer: SerializableConfiguration,
-    lazyCreate: Boolean = false)
+    lazyCreate: Boolean = false, compression: String = "none")
     extends DataWriter[InternalRow] {
   private val fs = tmpPath.getFileSystem(confSer.value)
   private val allocator = new RootAllocator()
@@ -950,8 +959,8 @@ private final class IpcDataWriter(schema: StructType,
   private var writer: org.apache.arrow.vector.ipc.ArrowFileWriter = null
   private def ensureOpen(): Unit = if (writer == null) {
     out = fs.create(tmpPath, true)
-    writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
-      root, null, java.nio.channels.Channels.newChannel(out))
+    writer = Ipc.newFileWriter(
+      root, null, java.nio.channels.Channels.newChannel(out), compression)
     writer.start()
   }
   if (!lazyCreate) ensureOpen()

@@ -10,6 +10,29 @@ import graft.ops.{Analytics, TextAnalysis}
   */
 class AnalyticsSpec extends SparkSpec {
 
+  test("novelty: per-doc novel shingles are bounded by the doc's distinct " +
+      "shingles, and an exact-duplicated document scores zero novelty") {
+    val out = TextAnalysis.qNoveltyNgrams(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, novel) = (r.getLong(1), r.getLong(2))
+      assert(n > 0 && novel >= 0 && novel <= n,
+        s"doc ${r.getLong(0)}: n_shingles=$n n_novel=$novel")
+    }
+    // every shingle of an exact-duplicated doc occurs in its twin too,
+    // so its document frequency is >= 2 everywhere -> novelty must be 0
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val dupIds = docs.groupBy(col("text"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val reported = out.filter(r => dupIds.contains(r.getLong(0)))
+    assert(reported.forall(_.getLong(2) == 0L),
+      s"duplicated docs with nonzero novelty: ${
+        reported.filter(_.getLong(2) != 0L).map(_.getLong(0)).mkString(",")}")
+  }
+
   test("funnel stages are monotonically non-increasing and ordered") {
     val rows = Analytics.qFunnel(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))

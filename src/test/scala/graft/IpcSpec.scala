@@ -90,6 +90,75 @@ class IpcSpec extends SparkSpec with RoundTripGen {
     assertNestedEqual(back.toArray)
   }
 
+  test("body-buffer compression: zstd/lz4 round-trip ACROSS writer/reader " +
+      "implementations, files genuinely shrink, and an uncompressing " +
+      "reader rejects them") {
+    import org.apache.spark.sql.SaveMode
+    val base = Egress.outRoot(sfDir) + "/ipc_comp_spec"
+    // compressible payload: long runs of repeated text
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("the quick brown fox jumps over the lazy dog "),
+        (col("id") % 7).cast("string")).as("pad"))
+      .repartition(2, col("id"))
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.arrow"))
+        .map(_.getLen).sum
+    }
+    Ipc.writeIpc(df, s"$base/plain")
+    Ipc.writeIpc(df, s"$base/zstd", "zstd")                  // imperative writer
+    df.write.format("graft-ipc").mode(SaveMode.Overwrite)
+      .option("compression", "lz4").save(s"$base/lz4")       // DSv2 writer
+    // genuinely compressed, not just accepted
+    assert(dirBytes(s"$base/zstd") < dirBytes(s"$base/plain") / 2,
+      s"zstd ${dirBytes(s"$base/zstd")} vs plain ${dirBytes(s"$base/plain")}")
+    assert(dirBytes(s"$base/lz4") < dirBytes(s"$base/plain") / 2)
+    val exp = df.orderBy("id").collect().toSeq
+    // CROSS paths: imperative-written zstd through the DSv2 columnar
+    // reader; DSv2-written lz4 through the imperative codec
+    assert(spark.read.format("graft-ipc").load(s"$base/zstd")
+      .orderBy("id").collect().toSeq == exp)
+    assert(Ipc.readIpc(spark, s"$base/lz4")
+      .orderBy("id").collect().toSeq == exp)
+    // a reader whose factory CANNOT decompress must fail loudly on a
+    // compressed batch (proves BodyCompression is really on the wire;
+    // the no-arg reader can't serve here — Arrow 18 service-loads the
+    // classpath's compression factory into its default)
+    val fs = new org.apache.hadoop.fs.Path(s"$base/zstd")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$base/zstd/*.arrow")).head
+    val alloc = new RootAllocator()
+    val rd = new ArrowFileReader(new Ipc.HadoopSeekableChannel(
+      fs.open(st.getPath), st.getLen), alloc,
+      org.apache.arrow.vector.compression.NoCompressionCodec.Factory.INSTANCE)
+    try intercept[Exception] { rd.loadNextBatch() }
+    finally { rd.close(); alloc.close() }
+  }
+
+  test("compressed stream codec round-trips; unknown codec names are " +
+      "rejected on both write surfaces") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Ipc.writeIpcStreamTo(nestedRows.iterator, nestedSchema, bos, "zstd")
+    val (back, backSchema) = Ipc.readIpcStream(bos.toByteArray)
+    assert(backSchema.map(_.dataType) == nestedSchema.map(_.dataType))
+    assertNestedEqual(back.toArray)
+    val df = spark.range(10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Ipc.writeIpc(df, Egress.outRoot(sfDir) + "/ipc_comp_bad", "snappy")
+    }
+    val err = intercept[Throwable] {
+      df.write.format("graft-ipc")
+        .option("compression", "snappy")
+        .mode("overwrite").save(Egress.outRoot(sfDir) + "/ipc_comp_bad2")
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("unknown IPC compression") ||
+        err.getCause != null &&
+          err.getCause.getMessage.contains("unknown IPC compression")))
+  }
+
   test("foreign temporal widths widen on read: TIME32[s/ms]/TIME64[µs], " +
       "Duration[s/ms/ns], and Arrow DAY_TIME interval pairs") {
     import org.apache.arrow.vector._
