@@ -682,6 +682,79 @@ object TextAnalysis {
       .withColumn("dup_gram_frac", dupGram)
   }
 
+  /** The Gopher/MassiveText document-quality gate (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) as ONE composite row-local filter — the
+    * published rule set the per-signal rows (text_quality,
+    * quality_repetition, length_filter) feed in a real pipeline:
+    * word count in [50, 100000], mean word length in [3, 10], >= 80%
+    * of words containing an alphabetic character, >= 2 distinct stop
+    * words ("the a of and to" — the MassiveText membership test), and
+    * a <= 10% #/ellipsis symbol-to-word ratio. Every rule is an
+    * EXACT-INTEGER comparison (mean-length bounds cross-multiplied:
+    * 3n <= chars <= 10n, ratios as 5*alpha >= 4*n and 10*sym <= n), so
+    * the per-source rejection profile hash-replays in DuckDB with no
+    * float anywhere. Scale: row-local expressions only — no explode,
+    * no shuffle except the final few-group agg. */
+  def qQualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val nW = size(w)
+    // chars across words = len(text) minus the n-1 separators
+    val chars = length(col("text")) - (nW - lit(1))
+    val nAlpha = size(filter(w, t => t.rlike("[a-z]")))
+    val nSym = size(filter(w, t => t.contains("#") || t.contains("...")))
+    val nStops = size(filter(
+      array(Seq("the", "a", "of", "and", "to").map(lit): _*),
+      sw => array_contains(w, sw)))
+    val failWords = nW < 50 || nW > 100000
+    val failMean = chars < nW * 3 || chars > nW * 10
+    val failAlpha = nAlpha * 5 < nW * 4
+    val failStop = nStops < 2
+    val failSym = nSym * 10 > nW
+    val kept = !(failWords || failMean || failAlpha || failStop || failSym)
+    def cnt(c: Column, name: String): Column =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    t(s, dir, "documents")
+      .select(col("source"), failWords.as("fw"), failMean.as("fm"),
+        failAlpha.as("fa"), failStop.as("fs"), failSym.as("fy"),
+        kept.as("k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("fw"), "n_fail_words"), cnt(col("fm"), "n_fail_meanlen"),
+        cnt(col("fa"), "n_fail_alpha"), cnt(col("fs"), "n_fail_stopwords"),
+        cnt(col("fy"), "n_fail_symbols"), cnt(col("k"), "n_kept"))
+      .orderBy("source")
+  }
+
+  val qQualityGopherSql: String = """
+    WITH d AS (
+      SELECT source, string_split(text, ' ') AS w, length(text) AS lc
+      FROM documents),
+    f AS (SELECT source,
+      len(w) AS nw,
+      lc - (len(w) - 1) AS chars,
+      len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS nalpha,
+      len(list_filter(w, t -> contains(t, '#') OR contains(t, '...'))) AS nsym,
+      len(list_filter(['the','a','of','and','to'],
+        sw -> list_contains(w, sw))) AS nstops
+      FROM d),
+    r AS (SELECT source,
+      (nw < 50 OR nw > 100000) AS fw,
+      (chars < nw * 3 OR chars > nw * 10) AS fm,
+      (nalpha * 5 < nw * 4) AS fa,
+      (nstops < 2) AS fs,
+      (nsym * 10 > nw) AS fy
+      FROM f)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN fw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+      CAST(SUM(CASE WHEN fm THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+      CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+      CAST(SUM(CASE WHEN fs THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+      CAST(SUM(CASE WHEN fy THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbols,
+      CAST(SUM(CASE WHEN NOT (fw OR fm OR fa OR fs OR fy) THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_kept
+    FROM r GROUP BY source ORDER BY source
+  """.trim
+
   def qQualityRepetition(s: SparkSession, dir: String): DataFrame = {
     repetitionScores(t(s, dir, "documents"))
       .select(col("source"), col("dup_word_frac"), col("dup_gram_frac"))
