@@ -1178,9 +1178,25 @@ object Egress {
     graft.sources.TableLog.overwrite(s, root,
       orders.filter(col("o_orderkey") % 2 === 1).repartition(2))  // v1
     val reclaimed = graft.sources.TableLog.vacuum(s, root, retainFrom = 1)
+    // the pinned contract is a MISSING-FILE failure specifically — any
+    // other exception (an NPE, an analysis bug) must propagate, or a
+    // reader regression would satisfy the oracle's `old_unreadable`
     val oldUnreadable =
       try { graft.sources.TableLog.snapshot(s, root, 0).count(); false }
-      catch { case _: Throwable => true }
+      catch {
+        case e: Exception =>
+          val chain = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(10).toSeq
+          val missing = chain.exists {
+            case _: java.io.FileNotFoundException => true
+            case t => t.getMessage != null &&
+              (t.getMessage.contains("PATH_NOT_FOUND") ||
+                t.getMessage.contains("does not exist") ||
+                t.getMessage.contains("FileNotFound"))
+          }
+          if (!missing) throw e
+          true
+      }
     graft.sources.TableLog.snapshot(s, root)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))

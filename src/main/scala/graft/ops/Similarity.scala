@@ -381,13 +381,24 @@ object Similarity {
     * probe the `nprobe` nearest cells and score only those cells'
     * members. nprobe = k (all cells) recovers the brute-force answer
     * exactly (PipelineSpec pins this). */
-  def knnIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** Shared IVF/k-means build step: deterministic vec_id<10 seeds,
+    * one decimal-exact Lloyd refinement, per-row centroid scores —
+    * the single source of the seed rule and assignment tie-break that
+    * every cell-assignment consumer ([[knnIvf]], [[qKmeansCluster]])
+    * must agree on, or their shared DuckDB replay (ivfReplaySql)
+    * silently diverges from one of them. */
+  private def lloydScores(s: SparkSession, dir: String)
+      : (DataFrame, Column) = {
     val e = t(s, dir, "embeddings")
     val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val cents = refineCentroids(e, seeds)
-    val scores = centroidScores(s, cents, col("embedding"))
+    (e, centroidScores(s, cents, col("embedding")))
+  }
+
+  def knnIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val (e, scores) = lloydScores(s, dir)
     // the assignment (a vector_dots pass over every embedding) feeds
     // BOTH the probe selection and the candidate side — materialize it
     // once instead of recomputing per consumer. This is the standard
@@ -440,12 +451,7 @@ object Similarity {
     * one broadcast-kernel pass (O(k·d) driver state), means are one
     * exploded agg — the same 100 TB posture as the IVF build step. */
   def qKmeansCluster(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") < 10)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    val cents = refineCentroids(e, seeds)
-    val scores = centroidScores(s, cents, col("embedding"))
+    val (e, scores) = lloydScores(s, dir)
     e.withColumn("cell", array_position(scores, array_max(scores)))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_members"),

@@ -39,8 +39,16 @@ object CasFs {
     * overlapping OS locks on the same lock file (the JVM throws
     * OverlappingFileLockException instead of queueing). */
   private val stripes = Array.fill(64)(new Object)
-  private def lockFor(target: Path): Object =
-    stripes(math.floorMod(target.toString.hashCode, stripes.length))
+  // keyed on the CANONICAL nio form of the parent, not the Hadoop Path
+  // spelling: "file:/x/t" and "/x/t" name the same directory but hash
+  // differently as Hadoop Paths, and two spellings landing on
+  // different stripes would let two in-JVM threads race to the OS
+  // lock below (the JVM answers OverlappingFileLockException, not
+  // queueing). toUri.getPath upstream already strips the scheme; the
+  // normalize here collapses any residual ./.. segments.
+  private def lockFor(dstParent: java.nio.file.Path): Object =
+    stripes(math.floorMod(
+      dstParent.toAbsolutePath.normalize.toString.hashCode, stripes.length))
 
   /** Best-effort cross-process advisory lock around `body`: an OS
     * file lock on a per-directory `.graft-cas.lock` sibling, held
@@ -62,7 +70,24 @@ object CasFs {
       catch { case _: Exception => null }
     if (ch == null) body
     else try {
-      val l = try ch.lock() catch { case _: Exception => null }
+      // Acquisition outcomes are NOT equivalent: an
+      // OverlappingFileLockException means a thread of THIS JVM holds
+      // the lock (possible only if the stripe above was bypassed), and
+      // proceeding unlocked would reopen the exact exists+rename race
+      // this primitive closes — wait and retry instead. Any other
+      // failure means the mount's advisory locks don't work at all;
+      // that degrades to in-JVM-only serialization, the documented
+      // ceiling (scaladoc above), so body proceeds under the stripe.
+      var l: java.nio.channels.FileLock = null
+      var unsupported = false
+      while (l == null && !unsupported) {
+        try l = ch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            Thread.sleep(2)
+          case _: Exception => unsupported = true
+        }
+      }
       try body finally { if (l != null) l.release() }
     } finally ch.close()
   }
@@ -102,7 +127,7 @@ object CasFs {
           // see above) serializes in-process writers; the dir lock
           // extends that to cross-process writers where the mount
           // supports advisory locks
-          lockFor(target.getParent).synchronized {
+          lockFor(dst.getParent).synchronized {
             withDirLock(dst) { !f.exists(target) && f.rename(tmp, target) }
           }
       }

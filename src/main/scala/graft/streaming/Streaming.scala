@@ -923,12 +923,39 @@ object Streaming {
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  private def sinkAgg(s: SparkSession, sink: String): DataFrame =
-    s.read.parquet(sink)
+  /** Shared drop -> file-stream -> parquet-sink scaffold for the
+    * incremental ingest rows: split-writes orders into the drop
+    * directory as three files plus one junk drop, runs the caller's
+    * reader configuration through a checkpointed parquet sink, and
+    * aggregates the sink (minus rows the `quarantine` column flags).
+    * One scaffold, two malformed-record contracts — a change to the
+    * split, the trigger bound, or the sink wiring lands on both
+    * formats at once. */
+  private def streamIngest(s: SparkSession, dir: String, tag: String,
+      writeDrop: (DataFrame, String) => Unit,
+      junkName: String, junkBody: String,
+      read: (org.apache.spark.sql.streaming.DataStreamReader, String) => DataFrame,
+      quarantine: Option[Column] = None): DataFrame = {
+    val root = graft.ops.Egress.outRoot(dir) + "/" + tag
+    val (drop, sink, ckpt) = (root + "_drop", root + "_sink", root + "_ckpt")
+    val f = resetDirs(s, Seq(drop, sink, ckpt))
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    for (i <- 0 until 3)
+      writeDrop(orders.filter(col("o_orderkey") % 3 === i), drop)
+    dropTextFile(f, drop, junkName, junkBody)
+    val q = read(s.readStream, drop)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val base = s.read.parquet(sink)
+    quarantine.fold(base)(c => base.filter(c.isNull))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         graft.ops.dsum(col("o_totalprice")).as("total_price"))
       .orderBy("o_orderstatus")
+  }
 
   /** Incremental CSV ingest over a drop directory (the reference's
     * streaming CSV reader lineage, `cpp/src/arrow/csv/reader.h`
@@ -943,28 +970,14 @@ object Streaming {
     * restart half. Scale: planning is an O(new files) listing per
     * trigger (bound it with maxFilesPerTrigger on a hot directory);
     * parsing is partition-parallel per file — no driver-side reads. */
-  def qStreamCsv(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.ops.Egress.outRoot(dir) + "/stream_csv"
-    val (drop, sink, ckpt) = (root + "_drop", root + "_sink", root + "_ckpt")
-    val f = resetDirs(s, Seq(drop, sink, ckpt))
-    val orders = Tables(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    for (i <- 0 until 3)
-      orders.filter(col("o_orderkey") % 3 === i)
-        .write.mode("append").csv(drop)
-    // junk a foreign producer could drop: a non-numeric key, a bare
-    // comment line, a column-count blowout — all must vanish silently
-    dropTextFile(f, drop, "zz-junk.csv",
-      "garbage,O,1.25\n###\n1,2,3,4,5,6,7\n")
-    val q = s.readStream.schema(StreamOrdersSchema)
-      .option("mode", "DROPMALFORMED")
-      .csv(drop)
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    sinkAgg(s, sink)
-  }
+  def qStreamCsv(s: SparkSession, dir: String): DataFrame =
+    streamIngest(s, dir, "stream_csv",
+      (df, drop) => df.write.mode("append").csv(drop),
+      // junk a foreign producer could drop: a non-numeric key, a bare
+      // comment line, a column-count blowout — all must vanish silently
+      "zz-junk.csv", "garbage,O,1.25\n###\n1,2,3,4,5,6,7\n",
+      (r, drop) => r.schema(StreamOrdersSchema)
+        .option("mode", "DROPMALFORMED").csv(drop))
 
   val qStreamCsvSql: String = s"""
     SELECT o_orderstatus, COUNT(*) AS n,
@@ -981,33 +994,16 @@ object Streaming {
     * aggregate filters the quarantine column, which the oracle hash
     * proves: an unfiltered corrupt row would surface as a NULL-status
     * group. Same exactly-once file-offset posture as [[qStreamCsv]]. */
-  def qStreamJson(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.ops.Egress.outRoot(dir) + "/stream_json"
-    val (drop, sink, ckpt) = (root + "_drop", root + "_sink", root + "_ckpt")
-    val f = resetDirs(s, Seq(drop, sink, ckpt))
-    val orders = Tables(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    for (i <- 0 until 3)
-      orders.filter(col("o_orderkey") % 3 === i)
-        .write.mode("append").json(drop)
-    dropTextFile(f, drop, "zz-junk.json",
-      "{\"o_orderkey\": oops}\nnot json at all\n")
-    val q = s.readStream
-      .schema(StreamOrdersSchema.add(StructField("_corrupt_record", StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(drop)
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    s.read.parquet(sink)
-      .filter(col("_corrupt_record").isNull)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"),
-        graft.ops.dsum(col("o_totalprice")).as("total_price"))
-      .orderBy("o_orderstatus")
-  }
+  def qStreamJson(s: SparkSession, dir: String): DataFrame =
+    streamIngest(s, dir, "stream_json",
+      (df, drop) => df.write.mode("append").json(drop),
+      "zz-junk.json", "{\"o_orderkey\": oops}\nnot json at all\n",
+      (r, drop) => r
+        .schema(StreamOrdersSchema.add(StructField("_corrupt_record", StringType)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(drop),
+      quarantine = Some(col("_corrupt_record")))
 
   val qStreamJsonSql: String = qStreamCsvSql
 }

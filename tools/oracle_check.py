@@ -69,6 +69,10 @@ def main():
             print(f"FAIL {name}: {msg}")
             n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if only is not None and n_pass + n_fail == 0:
+        # a filter matching nothing (typo'd name) must not read as green
+        print(f"FAIL: SPARK_GRAFT_ONLY matched no oracle names: {sorted(only)}")
+        sys.exit(1)
     sys.exit(1 if n_fail else 0)
 
 
@@ -105,7 +109,7 @@ def compare(exp, got):
         # driver even when every value compares equal (r11 red rows).
         # Width differences within a kind (int32 vs int64) are fine.
         if ek != gk and ("i" in (ek, gk) or "u" in (ek, gk)) \
-                and {ek, gk} & {"f", "O", "i", "u"} == {ek, gk}:
+                and {ek, gk} & {"f", "O", "i", "u", "b"} == {ek, gk}:
             return False, (f"col {c} dtype-kind mismatch: oracle={e.dtype} "
                            f"spark={g.dtype} — driver hashes these "
                            f"differently even on equal values")
