@@ -1212,4 +1212,79 @@ object Egress {
     FROM orders WHERE o_orderkey % 2 = 1
     GROUP BY o_orderstatus ORDER BY o_orderstatus
   """.trim
+
+  /** Log-checkpoint parity (Delta's checkpoint.parquet analogue,
+    * [[graft.sources.TableLog]] `_log/ckpt-v*.tsv`) as an oracle row
+    * — the machinery that makes snapshot planning O(interval), not
+    * O(#commits), on a long-lived table. interval=2, six commits
+    * (five appends + one vector delete), so exactly two checkpoints
+    * (v2, v4) exist — `n_ckpt` pins the cadence. Three profiles hash
+    * together: the latest snapshot and a time travel to v3, both
+    * RESOLVED through a checkpoint + JSON suffix (the file list is
+    * fixed at snapshot() time), and the latest snapshot again after
+    * every checkpoint file is DELETED — proving checkpoints are pure
+    * caches whose loss changes nothing but replay cost. At 100 TB
+    * this is the difference between a 1e6-commit table planning in
+    * milliseconds vs re-reading a million JSON entries per query. */
+  def qLogCheckpoint(s: SparkSession, dir: String): DataFrame = {
+    val base = outRoot(dir) + "/tlog_ckpt"
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = base + "/t"
+    val key = "spark.graft.tablelog.checkpointInterval"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "2")
+    try {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      for (i <- 0 until 5)                                       // v0..v4
+        graft.sources.TableLog.append(s, root,
+          orders.filter(col("o_orderkey") % 5 === i))
+      graft.sources.TableLog.deleteVector(s, root,
+        col("o_totalprice") > 400000.0)                          // v5
+      val ckpts = Option(f.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/_log/ckpt-v*.tsv"))).getOrElse(Array()).map(_.getPath)
+      def agg(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .withColumn("tag", lit(tag))
+      // snapshot() fixes the file list NOW, resolving via checkpoint
+      val latest = agg(graft.sources.TableLog.snapshot(s, root), "latest")
+      val mid = agg(graft.sources.TableLog.snapshot(s, root, 3), "v3")
+      ckpts.foreach(p => f.delete(p, false)) // pure cache: safe to drop
+      val logOnly = agg(graft.sources.TableLog.snapshot(s, root),
+        "latest_log_only")
+      latest.unionByName(mid).unionByName(logOnly)
+        .withColumn("n_ckpt", lit(ckpts.length))
+        .orderBy("tag", "o_orderstatus")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  val qLogCheckpointSql: String = s"""
+    WITH latest AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE NOT o_totalprice > 400000),
+    v3 AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 5 IN (0, 1, 2, 3))
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price, 'latest' AS tag,
+      2 AS n_ckpt
+    FROM latest GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price, 'latest_log_only' AS tag,
+      2 AS n_ckpt
+    FROM latest GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total_price, 'v3' AS tag, 2 AS n_ckpt
+    FROM v3 GROUP BY o_orderstatus
+    ORDER BY tag, o_orderstatus
+  """.trim
 }

@@ -34,8 +34,14 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
         case _ => rnd.nextInt(200)
       }
       val rows = randRows(schema, nRows)
-      val bytes = Ipc.writeIpcStream(rows, schema)
-      val (back, backSchema) = Ipc.readIpcStream(bytes)
+      // a third of trials ride a compressed stream: random data is
+      // mostly incompressible, so this also fuzzes the
+      // compression-didn't-help raw-fallback path of the codec
+      // envelope (NO_COMPRESSION_LENGTH marker), per buffer
+      val codec = Seq("none", "zstd", "lz4")(trial % 3)
+      val bos = new java.io.ByteArrayOutputStream()
+      Ipc.writeIpcStreamTo(rows.iterator, schema, bos, codec)
+      val (back, backSchema) = Ipc.readIpcStream(bos.toByteArray)
       assertSameRows(trial, schema, rows, back, backSchema)
     }
   }
@@ -65,7 +71,9 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
       val path = base.resolve(s"t$trial").toString
       import scala.jdk.CollectionConverters._
       sp.createDataFrame(rows.asJava, schema)
-        .write.format("graft-ipc").mode("overwrite").save(path)
+        .write.format("graft-ipc").mode("overwrite")
+        .option("compression", Seq("none", "zstd", "lz4")(trial % 3))
+        .save(path)
       val back = sp.read.format("graft-ipc").load(path)
       // rid pins row identity across the one-partition-per-file scan
       val got = back.collect().sortBy(_.getLong(0)).toSeq
