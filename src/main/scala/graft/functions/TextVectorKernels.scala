@@ -609,3 +609,116 @@ case class BroadcastVectorDotsByKey(
       newLeft: Expression, newRight: Expression): BroadcastVectorDotsByKey =
     copy(left = newLeft, right = newRight)
 }
+
+/** token_profile(text, stops): ONE fused byte-level pass over the
+  * whitespace tokens of `text` — the codegen replacement for the
+  * interpreted `size(filter(split(text, ' '), λ))` higher-order
+  * chains the quality tier composed (HOF lambdas are CodegenFallback
+  * in Spark: the Project carrying them is EXCLUDED from whole-stage
+  * codegen and interprets per row — the PlanLintSpec codegen lint
+  * catches exactly this). `stops` is a foldable space-separated stop
+  * list (tokens cannot contain the delimiter). Returns a struct of
+  * exact counts with `split`-compatible semantics (every single space
+  * is a boundary; empty tokens count; "" is one empty token):
+  *  - n_tok: token count
+  *  - n_stop: tokens EQUAL to a stop word (occurrences — the
+  *    text_quality / lang_id hit count)
+  *  - n_stop_distinct: DISTINCT stop words present (the MassiveText
+  *    membership rule; stop list bounded at 64 words)
+  *  - n_alpha: tokens containing an ASCII a-z byte
+  *  - n_sym: tokens containing '#' or the substring "..."
+  * Byte-level is safe: every probe is ASCII, and UTF-8 guarantees
+  * ASCII bytes never occur inside a multi-byte sequence. */
+case class TokenProfile(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        val n = Option(right.eval(null))
+          .map(_.toString.split(" ").count(_.nonEmpty)).getOrElse(0)
+        if (n > 64) TypeCheckResult.TypeCheckFailure(
+          s"token_profile stop list has $n words; the distinct bitmask caps at 64")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"token_profile requires (string, foldable string), got ($l, $r)")
+    }
+  override def dataType: DataType = TokenProfile.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_profile"
+
+  @transient private lazy val stops: Array[Array[Byte]] =
+    right.eval(null).toString.split(" ").filter(_.nonEmpty)
+      .map(_.getBytes("UTF-8"))
+
+  override def nullSafeEval(text: Any, s: Any): Any =
+    TokenProfile.profile(text.asInstanceOf[UTF8String], stops)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stops", stops, "byte[][]")
+    defineCodeGen(ctx, ev, (t, _) =>
+      s"graft.functions.TokenProfile.profile($t, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenProfile =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenProfile {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_stop_distinct", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_sym", IntegerType, nullable = false)))
+
+  def profile(text: UTF8String,
+      stops: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    var nTok = 1
+    var nStop = 0
+    var nAlpha = 0
+    var nSym = 0
+    var seen = 0L
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        // token is b[start, i)
+        var alpha = false
+        var sym = false
+        var j = start
+        while (j < i && !(alpha && sym)) {
+          val c = b(j)
+          if (!alpha && c >= 'a' && c <= 'z') alpha = true
+          if (!sym && (c == '#' ||
+              (c == '.' && j + 2 < i && b(j + 1) == '.' && b(j + 2) == '.')))
+            sym = true
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+        if (sym) nSym += 1
+        var k = 0
+        var matched = false
+        while (k < stops.length && !matched) {
+          val sw = stops(k)
+          if (sw.length == i - start) {
+            var m = 0
+            while (m < sw.length && sw(m) == b(start + m)) m += 1
+            if (m == sw.length) {
+              nStop += 1
+              seen |= 1L << k
+              matched = true // a token equals at most one stop word
+            }
+          }
+          k += 1
+        }
+        if (i < b.length) { nTok += 1; start = i + 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, nStop, java.lang.Long.bitCount(seen), nAlpha, nSym))
+  }
+}

@@ -278,6 +278,12 @@ package object functions {
   /** Sorted distinct xxhash64 values of word-n-gram shingles. */
   def shingle_hashes(text: Column, n: Int): Column =
     call_function("shingle_hashes", text, lit(n))
+  /** Fused single-pass token profile — struct(n_tok, n_stop,
+    * n_stop_distinct, n_alpha, n_sym) with split(' ') semantics; the
+    * codegen replacement for interpreted size(filter(split(...), λ))
+    * chains. `stops` is a space-separated stop list. */
+  def token_profile(text: Column, stops: String): Column =
+    call_function("token_profile", text, lit(stops))
   /** Sorted distinct first-64-md5-bit hashes of word-n-gram shingles
     * (the cross-engine hash of the SimHash exact oracle). */
   def md5_shingles64(text: Column, n: Int): Column =

@@ -53,9 +53,12 @@ object TextAnalysis {
     * through decimal sums (ops.dsum convention) so the answer is
     * independent of partitioning. */
   def qTextQuality(s: SparkSession, dir: String): DataFrame = {
-    val w = toks(col("text"))
-    val nTok = size(w)
-    val nStop = size(filter(w, t => t.isInCollection(stopwords)))
+    // fused codegen kernel, not size(filter(split(...), λ)): HOF
+    // lambdas are CodegenFallback, which evicts the whole projection
+    // from whole-stage codegen (PlanLintSpec pins the span)
+    val p = graft.functions.token_profile(col("text"), stopwords.mkString(" "))
+    val nTok = p.getField("n_tok")
+    val nStop = p.getField("n_stop")
     val meanTokLen =
       (length(col("text")) - (nTok - 1)).cast(DoubleType) / nTok
     t(s, dir, "documents")
@@ -94,9 +97,10 @@ object TextAnalysis {
     * corpus shares one vocabulary). Deterministic, so oracle-checkable
     * — the point is the operator shape, not the linguistics. */
   def qLangId(s: SparkSession, dir: String): DataFrame = {
-    val w = toks(col("text"))
-    val en = size(filter(w, t => t.isInCollection(Seq("the", "a"))))
-    val es = size(filter(w, t => t.isInCollection(Seq("el", "la", "de"))))
+    val en = graft.functions.token_profile(col("text"), "the a")
+      .getField("n_stop")
+    val es = graft.functions.token_profile(col("text"), "el la de")
+      .getField("n_stop")
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), en.as("en_hits"), es.as("es_hits"))
       .withColumn("lang_guess",
@@ -696,15 +700,16 @@ object TextAnalysis {
     * float anywhere. Scale: row-local expressions only — no explode,
     * no shuffle except the final few-group agg. */
   def qQualityGopher(s: SparkSession, dir: String): DataFrame = {
-    val w = toks(col("text"))
-    val nW = size(w)
+    // one fused pass (graft.functions.TokenProfile) instead of four
+    // interpreted HOF chains — keeps the projection inside whole-stage
+    // codegen (PlanLintSpec) and scans each document's bytes once
+    val p = graft.functions.token_profile(col("text"), "the a of and to")
+    val nW = p.getField("n_tok")
     // chars across words = len(text) minus the n-1 separators
     val chars = length(col("text")) - (nW - lit(1))
-    val nAlpha = size(filter(w, t => t.rlike("[a-z]")))
-    val nSym = size(filter(w, t => t.contains("#") || t.contains("...")))
-    val nStops = size(filter(
-      array(Seq("the", "a", "of", "and", "to").map(lit): _*),
-      sw => array_contains(w, sw)))
+    val nAlpha = p.getField("n_alpha")
+    val nSym = p.getField("n_sym")
+    val nStops = p.getField("n_stop_distinct")
     val failWords = nW < 50 || nW > 100000
     val failMean = chars < nW * 3 || chars > nW * 10
     val failAlpha = nAlpha * 5 < nW * 4

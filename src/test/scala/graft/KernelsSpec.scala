@@ -282,4 +282,41 @@ class KernelsSpec extends SparkSpec {
     assert(got(4) == Seq("a b c", "d e f", "g"))
     assert(got(5) == Seq("a  b", "c d e", "f g h"))
   }
+
+  test("token_profile == composed split/filter HOF form, on the fixture " +
+      "and adversarial literals") {
+    val sp = spark; import sp.implicits._
+    val stops = "the a of and to"
+    val stopArr = stops.split(" ").toSeq
+    def composed(t: Column) = {
+      val w = split(t, " ")
+      struct(
+        size(w).as("n_tok"),
+        size(filter(w, x => x.isInCollection(stopArr))).as("n_stop"),
+        size(filter(array(stopArr.map(lit): _*),
+          sw => array_contains(w, sw))).as("n_stop_distinct"),
+        size(filter(w, x => x.rlike("[a-z]"))).as("n_alpha"),
+        size(filter(w, x => x.contains("#") || x.contains("...")))
+          .as("n_sym"))
+    }
+    val adversarial = Seq(
+      "", " ", "  ", "the", "the the the", " the ", "a# b.. c... d....",
+      "#", "...", "..", "x...y", "THE A", "толстой 世界 the",
+      "to to of of and", "tail space ", " lead").toDF("text")
+    for (df <- Seq(docs.select(col("text")), adversarial)) {
+      val diff = df
+        .select(composed(col("text")).as("expected"),
+          graft.functions.token_profile(col("text"), stops).as("got"),
+          col("text"))
+        .filter(col("expected") =!= col("got"))
+        .collect()
+      assert(diff.isEmpty, diff.take(3).map(r =>
+        s"'${r.get(2)}': expected=${r.get(0)} got=${r.get(1)}").mkString("; "))
+    }
+    // null text -> null struct
+    val n = Seq[String](null).toDF("text")
+      .select(graft.functions.token_profile(col("text"), stops))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
 }

@@ -115,6 +115,59 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  // Gandiva parity evidence (reference `gandiva/` = LLVM expression JIT
+  // over filter/projection): this engine's equivalent is Catalyst
+  // whole-stage codegen, so the expression-heavy queries must keep
+  // their scan→filter→project pipeline INSIDE a codegen span. A custom
+  // Expression shipped without doGenCode (CodegenFallback) would split
+  // the span and silently interpret the hot path — this lint fails the
+  // round that introduces one.
+  private val codegenLinted = Set("filter_proj", "math_funcs",
+    "string_funcs", "conditional_funcs", "bitwise_funcs", "cast", "like",
+    "text_quality", "lang_id", "quality_gopher", "q1_agg", "tpch_q6")
+
+  test("expression-heavy queries keep every filter/project inside " +
+      "whole-stage codegen") {
+    import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    // AQE inserts codegen per stage only at execution (and AQE-off
+    // conf games don't survive — Engine.configure, called from every
+    // Tables load, re-pins it on). So: EXECUTE the query, then walk
+    // the finalized adaptive plan, descending into materialized
+    // query stages.
+    for ((name, fn) <- SparkEntry.queries if codegenLinted(name)) {
+      val df = fn(spark, sfDir)
+      df.collect() // finalize every adaptive stage
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def escaped(p: SparkPlan, inCodegen: Boolean): Seq[String] = p match {
+        case w: WholeStageCodegenExec =>
+          w.children.flatMap(escaped(_, inCodegen = true))
+        case i: InputAdapter =>
+          i.children.flatMap(escaped(_, inCodegen = false))
+        case q: QueryStageExec => escaped(q.plan, inCodegen = false)
+        case f: FilterExec if !inCodegen =>
+          s"Filter(${f.condition.sql.take(60)})" +:
+            f.children.flatMap(escaped(_, inCodegen))
+        case pr: ProjectExec if !inCodegen =>
+          "Project" +: pr.children.flatMap(escaped(_, inCodegen))
+        case other => other.children.flatMap(escaped(_, inCodegen))
+      }
+      def spans(p: SparkPlan): Int = p match {
+        case w: WholeStageCodegenExec => 1
+        case q: QueryStageExec => spans(q.plan)
+        case other => other.children.map(spans).sum
+      }
+      assert(spans(plan) > 0, s"$name compiled no whole-stage codegen span")
+      val outside = escaped(plan, inCodegen = false)
+      assert(outside.isEmpty,
+        s"$name evaluates ${outside.mkString(", ")} OUTSIDE codegen — " +
+          "a CodegenFallback expression is interpreting the hot path")
+    }
+  }
+
   test("every query declares a total ORDER BY or is a global aggregate") {
     // driver hash-compare requires deterministic row order: the
     // optimized plan must retain a Sort above everything else, or
