@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Md5Shingles64, Md5ShinglesPos64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, TextSegments, TokenProfile, VectorDots}
+import graft.functions.{CosineSimilarity, Md5Shingles64, Md5ShinglesPos64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, Md5Margin, TextSegments, TokenProfile, VectorDots}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * install the engine's native expressions into a cluster session:
@@ -58,6 +58,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TokenProfile].getName, "token_profile"),
       (children: Seq[Expression]) =>
         TokenProfile(children(0), children(1))),
+    ("md5_margin",
+      new ExpressionInfo(classOf[Md5Margin].getName, "md5_margin"),
+      (children: Seq[Expression]) => Md5Margin(children(0))),
     ("minhash_sigs",
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) =>

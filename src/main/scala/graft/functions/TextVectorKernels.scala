@@ -121,6 +121,39 @@ object TextVectorKernels {
     new GenericArrayData(if (w == out.length) out else out.take(w))
   }
 
+  /** fastText-inference margin (the quality_classify hot path) in ONE
+    * fused pass: distinct unigrams + distinct bigrams of `text`, each
+    * hashed to an integer weight = (first 12 md5 bits) % 2001 - 1000,
+    * summed. Value-equal to the composed
+    * `aggregate(concat(array_distinct(w), array_distinct(bigrams)),
+    * 0L, acc + conv(substring(md5(f),1,3),16,10) % 2001 - 1000)` form
+    * — the first 3 hex chars of a digest are exactly the top 12 bits
+    * of its first two bytes, and integer addition is order-free so
+    * set iteration order cannot matter. KernelsSpec pins the
+    * equivalence on the fixture and adversarial literals. */
+  def md5Margin(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val md = md5Digest.get()
+    var z = 0L
+    def add(f: String): Unit = {
+      md.reset()
+      val d = md.digest(f.getBytes("UTF-8"))
+      val v = ((d(0) & 0xFF) << 4) | ((d(1) & 0xFF) >>> 4)
+      z += v % 2001 - 1000
+    }
+    val seenU = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { if (seenU.add(toks(i))) add(toks(i)); i += 1 }
+    val seenB = new java.util.HashSet[String]()
+    i = 0
+    while (i < toks.length - 1) {
+      val b = toks(i) + " " + toks(i + 1)
+      if (seenB.add(b)) add(b)
+      i += 1
+    }
+    z
+  }
+
   /** POSITIONAL variant of [[md5Shingles64]]: entry i is the hash of
     * the n-word window STARTING at token i — order kept, duplicates
     * kept — so `posexplode` yields the (position, window-hash) pairs
@@ -721,4 +754,30 @@ object TokenProfile {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nTok, nStop, java.lang.Long.bitCount(seen), nAlpha, nSym))
   }
+}
+
+/** md5_margin(text): the fused [[TextVectorKernels.md5Margin]] as a
+  * codegen'd expression — feature hashing + weight lookup + linear
+  * margin of the fastText-shaped quality classifier, per row, inside
+  * whole-stage codegen (the composed HOF `aggregate` form is
+  * CodegenFallback and interprets). */
+case class Md5Margin(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_margin requires string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_margin"
+
+  override def nullSafeEval(t: Any): Any =
+    TextVectorKernels.md5Margin(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextVectorKernels.md5Margin($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Margin =
+    copy(child = newChild)
 }

@@ -284,6 +284,10 @@ package object functions {
     * chains. `stops` is a space-separated stop list. */
   def token_profile(text: Column, stops: String): Column =
     call_function("token_profile", text, lit(stops))
+  /** Fused fastText-shaped margin: sum over distinct unigram+bigram
+    * features of (first-12-md5-bits % 2001 - 1000). */
+  def md5_margin(text: Column): Column =
+    call_function("md5_margin", text)
   /** Sorted distinct first-64-md5-bit hashes of word-n-gram shingles
     * (the cross-engine hash of the SimHash exact oracle). */
   def md5_shingles64(text: Column, n: Int): Column =

@@ -849,17 +849,10 @@ object TextAnalysis {
     * shuffle except the final few-group agg; bigrams ride the
     * zip_with-shifted-slice idiom (no O(len²)). */
   def qQualityClassify(s: SparkSession, dir: String): DataFrame = {
-    val w = toks(col("text"))
-    val n = size(w)
-    val bigrams = slice(
-      zip_with(w, slice(w, lit(2), greatest(n - 1, lit(0))),
-        (a, b) => concat_ws(" ", a, b)),
-      lit(1), greatest(n - 1, lit(0)))
-    val feats = concat(array_distinct(w), array_distinct(bigrams))
-    def weight(f: Column): Column =
-      conv(substring(md5(f.cast(BinaryType)), 1, 3), 16, 10)
-        .cast(LongType) % 2001 - 1000
-    val z = aggregate(feats, lit(0L), (acc, f) => acc + weight(f))
+    // fused codegen kernel (graft.functions.Md5Margin): the composed
+    // zip_with/aggregate HOF form is CodegenFallback — KernelsSpec
+    // pins the kernel bit-equal to it, so the oracle is untouched
+    val z = graft.functions.md5_margin(col("text"))
     t(s, dir, "documents")
       .select(col("source"), z.as("z"))
       .groupBy(col("source"))

@@ -319,4 +319,31 @@ class KernelsSpec extends SparkSpec {
       .collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("md5_margin == composed distinct-unigram+bigram md5-weight aggregate") {
+    val sp = spark; import sp.implicits._
+    def composed(t: Column) = {
+      val w = split(t, " ")
+      val n = size(w)
+      val bigrams = slice(
+        zip_with(w, slice(w, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)),
+        lit(1), greatest(n - 1, lit(0)))
+      val feats = concat(array_distinct(w), array_distinct(bigrams))
+      def weight(f: Column): Column =
+        conv(substring(md5(f.cast(BinaryType)), 1, 3), 16, 10)
+          .cast(LongType) % 2001 - 1000
+      aggregate(feats, lit(0L), (acc, f) => acc + weight(f))
+    }
+    val adversarial = Seq(
+      "", " ", "a", "a a a", "a b a b", " x ", "толстой 世界 mix",
+      "the quick brown fox the quick").toDF("text")
+    for (df <- Seq(docs.select(col("text")), adversarial)) {
+      val diff = df.select(composed(col("text")).as("expected"),
+          graft.functions.md5_margin(col("text")).as("got"), col("text"))
+        .filter(col("expected") =!= col("got")).collect()
+      assert(diff.isEmpty, diff.take(3).map(r =>
+        s"'${r.get(2)}': expected=${r.get(0)} got=${r.get(1)}").mkString("; "))
+    }
+  }
 }

@@ -124,7 +124,8 @@ class PlanLintSpec extends SparkSpec {
   // round that introduces one.
   private val codegenLinted = Set("filter_proj", "math_funcs",
     "string_funcs", "conditional_funcs", "bitwise_funcs", "cast", "like",
-    "text_quality", "lang_id", "quality_gopher", "q1_agg", "tpch_q6")
+    "text_quality", "lang_id", "quality_gopher", "quality_classify",
+    "q1_agg", "tpch_q6")
 
   test("expression-heavy queries keep every filter/project inside " +
       "whole-stage codegen") {
