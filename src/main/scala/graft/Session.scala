@@ -91,9 +91,12 @@ class Session(val spark: SparkSession) {
     * collects eagerly; we keep Spark laziness — .collect() matches).
     * Lakehouse statements (CREATE TABLE graft_log / MERGE INTO
     * graft_log / SELECT over graft_log refs) dispatch to
-    * [[graft.ops.LogSql]]; everything else is native Spark SQL. */
+    * [[graft.ops.LogSql]]; QUALIFY / DISTINCT ON clauses rewrite
+    * through [[graft.ops.SqlSyntax]]; everything else is native
+    * Spark SQL. */
   def sql(query: String): DataFrame =
-    graft.ops.LogSql.dispatch(spark, query).getOrElse(spark.sql(query))
+    graft.ops.LogSql.dispatch(spark, query)
+      .getOrElse(graft.ops.SqlSyntax.run(spark, query))
 
   /** table (context.rs:201): named table → DataFrame for the Table API. */
   def table(name: String): DataFrame = spark.table(name)

@@ -354,8 +354,9 @@ object LogSql {
     Seq(v).toDF("version")
   }
 
-  /** Index of the ')' matching the '(' at `open`; single-quote-aware. */
-  private def matchParen(text: String, open: Int): Int = {
+  /** Index of the ')' matching the '(' at `open`; single-quote-aware.
+    * `private[ops]`: [[SqlSyntax]] reuses it for DISTINCT ON keys. */
+  private[ops] def matchParen(text: String, open: Int): Int = {
     var depth = 0; var i = open; var inQuote = false
     while (i < text.length) {
       val c = text.charAt(i)

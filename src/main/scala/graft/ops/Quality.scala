@@ -334,4 +334,70 @@ object Quality {
         (2.0 * CAST(MAX(na) * MAX(nb) AS DOUBLE)) > 0.05 AS drifted
     FROM nums GROUP BY feature ORDER BY feature
   """.trim
+
+  /** Population Stability Index per feature bucket — the
+    * scorecard-monitoring standard alongside `drift_detect`'s TVD:
+    * PSI_bucket = (pa − pb)·ln(pa/pb), summed over buckets when a
+    * single scalar is wanted. The two snapshots are the even/odd
+    * event_id halves (same convention as drift_detect; a deployment
+    * passes two TableLog versions). Laplace-smoothed — pa = (ca+1)/
+    * (na+k) with k = bucket count — so a bucket empty on one side
+    * contributes a finite term instead of ±∞.
+    *
+    * Float discipline (the pmi_cooccur pattern): bucket identity and
+    * row ORDER are integers/strings only; the PSI value is an exactly-
+    * rounded division chain plus one round-6 ln, never a sort key or
+    * a threshold. No per-feature total row: a cross-row float SUM's
+    * value depends on reduction order, which a distributed engine
+    * must not bake into a hash-compared artifact.
+    *
+    * Scale shape: one scan, a 2-way stack to (feature, bucket) pairs,
+    * one partial+final agg, and a broadcast of the O(buckets) totals
+    * — no window, no driver state. */
+  def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), expr(
+        "stack(2, 'type', event_type, " +
+          "'val', CAST(CAST(FLOOR(value / 50) AS BIGINT) AS STRING))")
+        .as(Seq("feature", "bucket")))
+    val counts = e.groupBy("feature", "bucket").agg(
+      sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy("feature").agg(
+      sum("ca").as("na"), sum("cb").as("nb"), count(lit(1)).as("k"))
+    counts.join(broadcast(totals), Seq("feature"))
+      .withColumn("pa",
+        (col("ca") + 1).cast("double") / (col("na") + col("k")).cast("double"))
+      .withColumn("pb",
+        (col("cb") + 1).cast("double") / (col("nb") + col("k")).cast("double"))
+      .select(col("feature"), col("bucket"), col("ca"), col("cb"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6).as("psi"))
+      .orderBy("feature", "bucket")
+  }
+
+  val qPsiDriftSql: String = """
+    WITH e AS (
+      SELECT event_id, feature, bucket FROM (
+        SELECT event_id, 'type' AS feature, event_type AS bucket FROM events
+        UNION ALL
+        SELECT event_id, 'val',
+          CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR) FROM events)),
+    counts AS (
+      SELECT feature, bucket,
+        CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM e GROUP BY feature, bucket),
+    tot AS (
+      SELECT feature, CAST(SUM(ca) AS BIGINT) AS na,
+        CAST(SUM(cb) AS BIGINT) AS nb, COUNT(*) AS k
+      FROM counts GROUP BY feature),
+    j AS (
+      SELECT c.feature, c.bucket, c.ca, c.cb,
+        CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE) AS pa,
+        CAST(c.cb + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE) AS pb
+      FROM counts c JOIN tot t USING (feature))
+    SELECT feature, bucket, ca, cb,
+      ROUND((pa - pb) * ln(pa / pb), 6) AS psi
+    FROM j ORDER BY feature, bucket
+  """.trim
 }

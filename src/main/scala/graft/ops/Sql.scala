@@ -217,6 +217,39 @@ object Sql {
   def qSqlGroupByAll(s: SparkSession, dir: String): DataFrame =
     run(s, dir, groupByAllSql, "orders")
 
+  /** QUALIFY — the window-filter clause (Snowflake/BigQuery/DuckDB;
+    * rewritten by [[SqlSyntax.rewriteQualify]] since Spark's parser
+    * lacks it). The rank cutoff with the rank DROPPED from the output
+    * is the grouped-top-k idiom, so after the rewrite Catalyst plans
+    * the same bounded per-partition work as `topk_group`. One SQL
+    * text: DuckDB executes the QUALIFY form natively. */
+  val qualifySql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey % 25 = 3
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+  """.trim
+
+  def qSqlQualify(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, qualifySql, "orders")
+
+  /** DISTINCT ON — first row per key in ORDER BY order (Postgres/
+    * DuckDB; rewritten by [[SqlSyntax.rewriteDistinctOn]] to the
+    * row_number()=1 idiom, which the WindowTopKRewrite rule plans as
+    * the k=1 bounded-heap TopKPerGroup operator). The ORDER BY ends
+    * with the unique c_custkey so the per-nation winner is fully
+    * determined. One SQL text: DuckDB executes DISTINCT ON natively. */
+  val distinctOnSql: String = """
+    SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+    FROM customer
+    ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+  """.trim
+
+  def qSqlDistinctOn(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, distinctOnSql, "customer")
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL clause extensions Spark's parser lacks, rewritten to plain
+  * Spark SQL before parsing (SURVEY §2.10; the reference's SQL surface
+  * grew the same clauses in its DataFusion lineage, and DuckDB — the
+  * oracle engine — executes both natively, so each query ships ONE
+  * text to both engines):
+  *
+  *  - `QUALIFY <pred>` — filter on window-function results without a
+  *    hand-written subquery (Snowflake/BigQuery/DuckDB lineage). The
+  *    predicate becomes a synthetic boolean column over the wrapped
+  *    query, filtered then dropped, which is exactly the plan the
+  *    manual subquery form produces — so Spark's InferWindowGroupLimit
+  *    and the engine's WindowTopKRewriteRule still bound per-partition
+  *    work when the predicate is a rank cutoff.
+  *  - `SELECT DISTINCT ON (keys) …` — first row per key group in ORDER
+  *    BY order (Postgres/DuckDB lineage). Rewritten to the
+  *    `row_number() = 1` idiom; with the rank column dropped this is
+  *    the shape WindowTopKRewriteRule plans as the bounded-heap
+  *    TopKPerGroup operator (k=1), so at 100 TB it costs one shuffle
+  *    and O(groups) memory, never a per-group sort materialization.
+  *
+  * Both scanners are paren-depth and string-literal aware (the LogSql
+  * escape conventions): a QUALIFY inside a quoted literal or a
+  * subquery is NOT a clause of this statement and must not trigger the
+  * rewrite.
+  */
+object SqlSyntax {
+
+  /** Entry point used by [[graft.Session.sql]] for non-lakehouse text. */
+  def run(s: SparkSession, text: String): DataFrame =
+    rewriteQualify(s, text).getOrElse(
+      s.sql(rewriteDistinctOn(text).getOrElse(text)))
+
+  /** `SELECT … QUALIFY pred [ORDER BY …] [LIMIT …]` →
+    * `SELECT * FROM (SELECT *, (pred) AS __qualify__ FROM (head)) WHERE
+    * __qualify__ …` with the synthetic column dropped from the result.
+    * Dropping via the DataFrame API (not `SELECT * EXCEPT`) keeps the
+    * rewrite independent of the head's column list; the projection
+    * after the ORDER BY preserves row order. */
+  private[graft] def rewriteQualify(s: SparkSession, text: String): Option[DataFrame] =
+    findTopLevel(text, "QUALIFY").map { case (qs, qe) =>
+      val head = text.substring(0, qs).trim
+      val rest = text.substring(qe)
+      val cut = Seq(findTopLevel(rest, "ORDER BY"), findTopLevel(rest, "LIMIT"))
+        .flatten.map(_._1).minOption.getOrElse(rest.length)
+      val pred = rest.substring(0, cut).trim
+      val tail = rest.substring(cut).trim
+      require(pred.nonEmpty, "QUALIFY requires a predicate")
+      s.sql(
+        s"SELECT * FROM (SELECT *, ($pred) AS __qualify__ FROM ($head) __q) __qq " +
+          s"WHERE __qualify__ $tail")
+        .drop("__qualify__")
+    }
+
+  private val DistinctOnRe = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
+
+  /** `SELECT DISTINCT ON (keys) sel FROM … ORDER BY obs [LIMIT n]` →
+    * `SELECT sel FROM (SELECT *, row_number() OVER (PARTITION BY keys
+    * ORDER BY obs) AS __rn FROM …) WHERE __rn = 1 ORDER BY obs …`.
+    * ORDER BY is required: without it "first row per key" is
+    * nondeterministic, which a distributed engine must refuse rather
+    * than silently vary by partitioning (DuckDB permits it; we don't). */
+  private[graft] def rewriteDistinctOn(text: String): Option[String] =
+    DistinctOnRe.findFirstMatchIn(text).map { m =>
+      val open = m.end - 1
+      val close = LogSql.matchParen(text, open)
+      val keys = text.substring(open + 1, close).trim
+      val rest = text.substring(close + 1)
+      val (fs, _) = findTopLevel(rest, "FROM").getOrElse(
+        throw new IllegalArgumentException("DISTINCT ON: no FROM clause"))
+      val sel = rest.substring(0, fs).trim
+      val afterSel = rest.substring(fs) // "FROM …" onward
+      val (os, oe) = findTopLevel(afterSel, "ORDER BY").getOrElse(
+        throw new IllegalArgumentException(
+          "DISTINCT ON requires ORDER BY (first-row-per-key is undefined without it)"))
+      val body = afterSel.substring(0, os).trim
+      val afterOrder = afterSel.substring(oe)
+      val (obs, limit) = findTopLevel(afterOrder, "LIMIT") match {
+        case Some((ls, _)) => (afterOrder.substring(0, ls).trim, afterOrder.substring(ls).trim)
+        case None          => (afterOrder.trim, "")
+      }
+      require(!sel.contains("*"),
+        "DISTINCT ON: select list must be explicit (a * would leak the synthetic rank)")
+      s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
+        s"ORDER BY $obs) AS __rn $body) __d WHERE __rn = 1 ORDER BY $obs $limit"
+    }
+
+  /** First top-level (paren-depth 0, outside single-quoted literals)
+    * case-insensitive occurrence of `keyword` (words separated by any
+    * whitespace) as whole identifier words; Some((start, end)). */
+  private[graft] def findTopLevel(text: String, keyword: String): Option[(Int, Int)] = {
+    val words = keyword.split(' ')
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuote) {
+        // escape forms the LogSql scanners honor: backslash and doubling
+        if (c == '\\' && i + 1 < text.length) i += 1
+        else if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && (i == 0 || !isIdent(text.charAt(i - 1))) =>
+          val end = matchWords(text, i, words)
+          if (end >= 0) return Some((i, end))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def isIdent(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** End index when `words` match at `i` (whitespace-separated, each a
+    * whole word); -1 otherwise. */
+  private def matchWords(text: String, i: Int, words: Array[String]): Int = {
+    var p = i
+    var w = 0
+    while (w < words.length) {
+      if (w > 0) {
+        val sp = p
+        while (p < text.length && Character.isWhitespace(text.charAt(p))) p += 1
+        if (p == sp) return -1
+      }
+      val word = words(w)
+      if (p + word.length > text.length ||
+        !text.regionMatches(true, p, word, 0, word.length)) return -1
+      p += word.length
+      w += 1
+    }
+    if (p < text.length && isIdent(text.charAt(p))) -1 else p
+  }
+}
