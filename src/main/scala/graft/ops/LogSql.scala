@@ -380,8 +380,9 @@ object LogSql {
     throw new IllegalArgumentException("unbalanced parens in statement")
   }
 
-  /** Split on `sep` at paren depth 0, quote-aware. */
-  private def splitTop(text: String, sep: Char): Seq[String] = {
+  /** Split on `sep` at paren depth 0, quote-aware.
+    * `private[ops]`: [[SqlSyntax]] reuses it for select-list arity. */
+  private[ops] def splitTop(text: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var inQuote = false; var start = 0
     var i = 0

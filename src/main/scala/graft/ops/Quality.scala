@@ -400,4 +400,92 @@ object Quality {
       ROUND((pa - pb) * ln(pa / pb), 6) AS psi
     FROM j ORDER BY feature, bucket
   """.trim
+
+  /** Two-sample Kolmogorov–Smirnov drift test per feature — the
+    * continuous-distribution complement to `drift_detect`'s TVD and
+    * `psi_drift`'s PSI: D = max over thresholds of |CDF_a − CDF_b|,
+    * with the α=0.05 rejection decided EXACTLY. Everything is integer
+    * arithmetic until one final display division: D's numerator is
+    * max |cum_a·n_b − cum_b·n_a| (decimal-exact cross-multiply), and
+    * the Smirnov rejection D > 1.36·√((na+nb)/(na·nb)) is squared into
+    * the integer comparison 10000·num² > 18496·na·nb·(na+nb) — so the
+    * BOOLEAN ships hash-exact cross-engine, no sqrt anywhere.
+    *
+    * Scale shape: the cumulative window runs over the AGGREGATED
+    * (feature, bucket) table — O(buckets) rows partitioned by feature
+    * — never over raw events; one scan, one agg shuffle, a broadcast
+    * of per-feature totals, a final O(features) rollup. */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+      .select(col("event_id"), expr(
+        "stack(2, 'val', CAST(FLOOR(value * 10) AS BIGINT), " +
+          "'hour', CAST(hour(ts) AS BIGINT))")
+        .as(Seq("feature", "bucket")))
+    val counts = e.groupBy("feature", "bucket").agg(
+      sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("feature").orderBy("bucket")
+    val cum = counts
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+    val totals = counts.groupBy("feature").agg(
+      sum("ca").as("na"), sum("cb").as("nb"))
+    val dec = DecimalType(38, 0)
+    cum.join(broadcast(totals), Seq("feature"))
+      .withColumn("num", abs(col("cuma").cast(dec) * col("nb") -
+        col("cumb").cast(dec) * col("na")))
+      .groupBy("feature").agg(
+        count(lit(1)).as("n_buckets"),
+        max("na").as("na"), max("nb").as("nb"),
+        max("num").as("d_num"),
+        max(struct(col("num"), col("bucket"))).getField("bucket")
+          .as("worst_bucket"))
+      .select(col("feature"), col("n_buckets"), col("na"), col("nb"),
+        (col("d_num").cast("double") /
+          (col("na").cast(dec) * col("nb")).cast("double")).as("d"),
+        col("worst_bucket"),
+        (col("d_num") * col("d_num") * lit(10000) >
+          lit(18496).cast(dec) * col("na") * col("nb") *
+            (col("na") + col("nb")).cast(dec)).as("rejected"))
+      .orderBy("feature")
+  }
+
+  val qKsDriftSql: String = """
+    WITH e AS (
+      SELECT event_id, feature, bucket FROM (
+        SELECT event_id, 'val' AS feature,
+          CAST(FLOOR(value * 10) AS BIGINT) AS bucket FROM events
+        UNION ALL
+        SELECT event_id, 'hour', CAST(EXTRACT(hour FROM ts) AS BIGINT)
+        FROM events)),
+    counts AS (
+      SELECT feature, bucket,
+        CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM e GROUP BY feature, bucket),
+    cum AS (
+      SELECT feature, bucket, ca, cb,
+        SUM(ca) OVER (PARTITION BY feature ORDER BY bucket) AS cuma,
+        SUM(cb) OVER (PARTITION BY feature ORDER BY bucket) AS cumb
+      FROM counts),
+    tot AS (
+      SELECT feature, CAST(SUM(ca) AS BIGINT) AS na,
+        CAST(SUM(cb) AS BIGINT) AS nb
+      FROM counts GROUP BY feature),
+    nums AS (
+      SELECT c.feature, c.bucket, t.na, t.nb,
+        ABS(CAST(c.cuma AS HUGEINT) * t.nb - CAST(c.cumb AS HUGEINT) * t.na)
+          AS num
+      FROM cum c JOIN tot t USING (feature))
+    SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+      CAST(MAX(num) AS DOUBLE) /
+        CAST(CAST(MAX(na) AS HUGEINT) * MAX(nb) AS DOUBLE) AS d,
+      (MAX(struct_pack(num := num, bucket := bucket))).bucket AS worst_bucket,
+      MAX(num) * MAX(num) * 10000 >
+        18496 * CAST(MAX(na) AS HUGEINT) * MAX(nb) * (MAX(na) + MAX(nb))
+        AS rejected
+    FROM nums GROUP BY feature ORDER BY feature
+  """.trim
 }

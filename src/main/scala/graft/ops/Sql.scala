@@ -250,6 +250,21 @@ object Sql {
   def qSqlDistinctOn(s: SparkSession, dir: String): DataFrame =
     run(s, dir, distinctOnSql, "customer")
 
+  /** ORDER BY ALL — order by every select item left-to-right (DuckDB
+    * lineage, the ordering twin of GROUP BY ALL; rewritten by
+    * [[SqlSyntax.rewriteOrderByAll]] to pinned-null-order ordinals
+    * since Spark's parser lacks it). One SQL text: DuckDB executes
+    * ORDER BY ALL natively, and GROUP BY ALL is native in BOTH. */
+  val orderByAllSql: String = """
+    SELECT l_returnflag, l_linestatus, l_linenumber, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY ALL ORDER BY ALL
+  """.trim
+
+  def qSqlOrderByAll(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, orderByAllSql, "lineitem")
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

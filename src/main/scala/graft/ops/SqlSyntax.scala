@@ -30,9 +30,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SqlSyntax {
 
   /** Entry point used by [[graft.Session.sql]] for non-lakehouse text. */
-  def run(s: SparkSession, text: String): DataFrame =
-    rewriteQualify(s, text).getOrElse(
-      s.sql(rewriteDistinctOn(text).getOrElse(text)))
+  def run(s: SparkSession, text: String): DataFrame = {
+    val t1 = rewriteDistinctOn(text).getOrElse(text)
+    val t2 = rewriteOrderByAll(t1).getOrElse(t1)
+    rewriteQualify(s, t2).getOrElse(s.sql(t2))
+  }
 
   /** `SELECT … QUALIFY pred [ORDER BY …] [LIMIT …]` →
     * `SELECT * FROM (SELECT *, (pred) AS __qualify__ FROM (head)) WHERE
@@ -86,6 +88,30 @@ object SqlSyntax {
         "DISTINCT ON: select list must be explicit (a * would leak the synthetic rank)")
       s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
         s"ORDER BY $obs) AS __rn $body) __d WHERE __rn = 1 ORDER BY $obs $limit"
+    }
+
+  /** `ORDER BY ALL [ASC|DESC]` (DuckDB lineage; the ordering twin of
+    * Spark's native GROUP BY ALL) → `ORDER BY 1 …, 2 …, …, n …` over
+    * the top-level select-list arity. NULLS LAST is pinned on every
+    * ordinal: DuckDB's default null order is nulls-last while Spark's
+    * ASC default is nulls-first — without the pin the two engines
+    * would order null keys differently on the same text. Top-level
+    * queries only (a CTE body's ORDER BY ALL sits inside parens and
+    * is left alone). */
+  private[graft] def rewriteOrderByAll(text: String): Option[String] =
+    findTopLevel(text, "ORDER BY ALL").map { case (os, oe) =>
+      val (_, se) = findTopLevel(text, "SELECT").getOrElse(
+        throw new IllegalArgumentException("ORDER BY ALL: no top-level SELECT"))
+      val (fs, _) = findTopLevel(text, "FROM").getOrElse(
+        throw new IllegalArgumentException("ORDER BY ALL: no top-level FROM"))
+      require(se < fs, "ORDER BY ALL: malformed SELECT … FROM")
+      val arity = LogSql.splitTop(text.substring(se, fs), ',').length
+      val after = text.substring(oe)
+      val dirM = """(?is)^\s*(ASC|DESC)\b""".r.findFirstMatchIn(after)
+      val dir = dirM.map(_.group(1).toUpperCase).getOrElse("ASC")
+      val rest = dirM.map(m => after.substring(m.end)).getOrElse(after)
+      val ords = (1 to arity).map(i => s"$i $dir NULLS LAST").mkString(", ")
+      text.substring(0, os) + s"ORDER BY $ords" + rest
     }
 
   /** First top-level (paren-depth 0, outside single-quoted literals)

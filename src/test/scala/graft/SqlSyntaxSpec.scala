@@ -63,6 +63,59 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(e.getMessage.contains("ORDER BY"))
   }
 
+  test("ORDER BY ALL equals the explicit ordinal ordering, nulls last") {
+    val lineitem = graft.sources.Tables(spark, sfDir, "lineitem")
+    sess.registerTable("lineitem", lineitem)
+    val got = sess.sql(graft.ops.Sql.orderByAllSql).collect()
+    val want = spark.sql(
+      """SELECT l_returnflag, l_linestatus, l_linenumber, COUNT(*) AS n
+         FROM lineitem WHERE l_quantity >= 30
+         GROUP BY ALL ORDER BY 1, 2, 3, 4""").collect()
+    assert(got.toSeq == want.toSeq)
+    // DESC direction propagates to every ordinal
+    val desc = SqlSyntax.rewriteOrderByAll(
+      "SELECT a, b FROM t ORDER BY ALL DESC LIMIT 5").get
+    assert(desc.contains("ORDER BY 1 DESC NULLS LAST, 2 DESC NULLS LAST"))
+    assert(desc.endsWith("LIMIT 5"))
+    // a CTE body's ORDER BY ALL (inside parens) is not this query's
+    assert(SqlSyntax.findTopLevel(
+      "WITH c AS (SELECT a FROM t ORDER BY ALL) SELECT a FROM c",
+      "ORDER BY ALL").isEmpty)
+  }
+
+  test("ks_drift: identical halves accept; disjoint halves reject exactly") {
+    val sp = spark; import sp.implicits._
+    // the fixture rows: D should be small and both features present
+    val rows = graft.ops.Quality.qKsDrift(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("hour", "val"))
+    rows.foreach { r =>
+      val d = r.getDouble(4)
+      assert(d >= 0.0 && d <= 1.0)
+      assert(!r.getBoolean(6), s"balanced halves must not reject: $r")
+    }
+    // synthetic check of the exact integer rejection: two fully
+    // disjoint halves (even ids in bucket 0, odd in bucket 1) have
+    // D = 1, which any critical value rejects
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) 0.0 else 9.9))
+      .toDF("event_id", "value")
+    // reuse the operator's arithmetic inline on the synthetic frame
+    val cum = df.select(col("event_id"),
+      (col("value") * 10).cast("bigint").as("bucket"))
+      .groupBy("bucket").agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      .collect().sortBy(_.getLong(0))
+    val (na, nb) = (cum.map(_.getLong(1)).sum, cum.map(_.getLong(2)).sum)
+    var (cuma, cumb, num) = (0L, 0L, 0L)
+    cum.foreach { r =>
+      cuma += r.getLong(1); cumb += r.getLong(2)
+      num = math.max(num, math.abs(cuma * nb - cumb * na))
+    }
+    assert(num == na * nb) // D = 1 at the first bucket boundary
+    assert(BigInt(num) * num * 10000 >
+      BigInt(18496) * na * nb * (na + nb)) // the exact reject fires
+  }
+
   test("psi_drift: smoothed buckets, finite values, integer row identity") {
     val rows = graft.ops.Quality.qPsiDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
