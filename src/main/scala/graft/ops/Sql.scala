@@ -265,6 +265,20 @@ object Sql {
   def qSqlOrderByAll(s: SparkSession, dir: String): DataFrame =
     run(s, dir, orderByAllSql, "lineitem")
 
+  /** SELECT * EXCLUDE — the DuckDB star modifier ("all columns except
+    * these", rewritten by [[SqlSyntax.rewriteExclude]]); Catalyst
+    * prunes the excluded column out of the scan (the documents `text`
+    * payload is never read here — plan-asserted in SqlSyntaxSpec),
+    * which is the whole point of the clause at 100 TB. */
+  val selectExcludeSql: String = """
+    SELECT * EXCLUDE (text) FROM documents
+    WHERE n_chars >= 200
+    ORDER BY doc_id LIMIT 25
+  """.trim
+
+  def qSqlSelectExclude(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, selectExcludeSql, "documents")
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -33,8 +33,27 @@ object SqlSyntax {
   def run(s: SparkSession, text: String): DataFrame = {
     val t1 = rewriteDistinctOn(text).getOrElse(text)
     val t2 = rewriteOrderByAll(t1).getOrElse(t1)
-    rewriteQualify(s, t2).getOrElse(s.sql(t2))
+    rewriteExclude(s, t2).orElse(rewriteQualify(s, t2)).getOrElse(s.sql(t2))
   }
+
+  private val ExcludeRe = """(?is)^(\s*SELECT\s+\*)\s+EXCLUDE\s*\(""".r
+
+  /** `SELECT * EXCLUDE (cols) FROM …` (DuckDB star modifier) — the
+    * star runs as-is and the listed columns are dropped from the
+    * result, AFTER the trailing clauses (an ORDER BY may still sort on
+    * an excluded column, exactly DuckDB's semantics; a projection
+    * after the sort preserves row order). Column pruning still
+    * reaches the scan: Catalyst prunes through the final drop, so the
+    * excluded columns are never read unless a trailing clause needs
+    * them. */
+  private[graft] def rewriteExclude(s: SparkSession, text: String): Option[DataFrame] =
+    ExcludeRe.findFirstMatchIn(text).map { m =>
+      val open = m.end - 1
+      val close = LogSql.matchParen(text, open)
+      val cols = LogSql.splitTop(text.substring(open + 1, close), ',')
+      require(cols.nonEmpty, "EXCLUDE requires at least one column")
+      s.sql(m.group(1) + text.substring(close + 1)).drop(cols: _*)
+    }
 
   /** `SELECT … QUALIFY pred [ORDER BY …] [LIMIT …]` →
     * `SELECT * FROM (SELECT *, (pred) AS __qualify__ FROM (head)) WHERE

@@ -93,6 +93,73 @@ object Temporal {
     ORDER BY purchase_id
   """.trim
 
+  /** NEAREST-match as-of join — the variant plain as-of (backward
+    * only) can't express: for each purchase, the user's click
+    * minimizing |Δt|, ties to the PAST (the convention that never
+    * peeks forward when both are equally close). One union frame, one
+    * hash partition by key, TWO window passes over the same exchange
+    * (ascending for the latest-≤ candidate, descending for the
+    * earliest-≥ one), then a row-local pick — so nearest costs one
+    * shuffle, exactly like backward as-of, never a per-row time-range
+    * probe. The oracle replays the pick as a LATERAL argmin over
+    * |Δt| with the click-time tiebreak (backward = smaller click_us
+    * at equal distance). gap_us is SIGNED (negative = matched click
+    * is in the future). */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("t_us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t_us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    val unioned = purchases
+      .select(col("user_id"), col("t_us").as("_t"), lit(1).as("_src"),
+        col("purchase_id"), lit(null).cast(LongType).as("click_id"),
+        lit(null).cast(LongType).as("click_us"))
+      .unionByName(clicks
+        .select(col("user_id"), col("click_us").as("_t"), lit(0).as("_src"),
+          lit(null).cast(LongType).as("purchase_id"), col("click_id"),
+          col("click_us")))
+    // rights sort before lefts at equal time in BOTH directions
+    // (_src asc), so an exactly-coincident click is an inclusive
+    // candidate on each side — distance 0, backward wins the tie
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("_t").asc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("_t").desc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = unioned
+      .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_us", last(col("click_us"), ignoreNulls = true).over(wb))
+      .withColumn("f_id", last(col("click_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_us", last(col("click_us"), ignoreNulls = true).over(wf))
+      .filter(col("_src") === 1)
+    val pickFwd = col("b_id").isNull ||
+      (col("f_id").isNotNull &&
+        (col("_t") - col("b_us")) > (col("f_us") - col("_t")))
+    picked.select(col("purchase_id"), col("user_id"),
+      when(pickFwd, col("f_id")).otherwise(col("b_id")).as("click_id"),
+      (col("_t") - when(pickFwd, col("f_us")).otherwise(col("b_us")))
+        .as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  val qAsofNearestSql: String = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, t_us FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, t_us AS click_us, MAX(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.purchase_id, p.user_id, n.click_id,
+      p.t_us - n.click_us AS gap_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT click_id, click_us FROM c
+      WHERE c.user_id = p.user_id
+      ORDER BY ABS(p.t_us - c.click_us), c.click_us LIMIT 1) n ON TRUE
+    ORDER BY purchase_id
+  """.trim
+
   /** Range join composed to an equi-join: events into aligned
     * 50-unit value bands (hash join on the band id — never an
     * inequality nested loop). */

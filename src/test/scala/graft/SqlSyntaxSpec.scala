@@ -116,6 +116,49 @@ class SqlSyntaxSpec extends SparkSpec {
       BigInt(18496) * na * nb * (na + nb)) // the exact reject fires
   }
 
+  test("SELECT * EXCLUDE drops the columns and prunes them from the scan") {
+    val documents = graft.sources.Tables(spark, sfDir, "documents")
+    sess.registerTable("documents", documents)
+    val df = sess.sql(graft.ops.Sql.selectExcludeSql)
+    assert(df.columns.toSeq == Seq("doc_id", "lang", "source", "n_chars"))
+    // the excluded payload column must not be read: column pruning
+    // reaches through the post-sort drop to the parquet scan
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("text"), s"text survived into the scan:\n$scan")
+    val want = documents.filter(col("n_chars") >= 200)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).limit(25).collect()
+    assert(df.collect().toSeq == want.toSeq)
+  }
+
+  test("asof_nearest: past wins ties, forward used only when closer") {
+    val sp = spark; import sp.implicits._
+    // purchases at t=100; clicks at 90 (d=10), 105 (d=5), 120 (d=20)
+    val events = Seq(
+      (1L, 100L, 7L, "purchase"),
+      (2L, 90L, 7L, "click"), (3L, 105L, 7L, "click"),
+      (4L, 120L, 7L, "click"),
+      // user 8: equidistant clicks (95, 105) — backward wins
+      (5L, 100L, 8L, "purchase"),
+      (6L, 95L, 8L, "click"), (7L, 105L, 8L, "click"),
+      // user 9: no clicks at all
+      (8L, 50L, 9L, "purchase")
+    ).toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("asof_nearest").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.ops.Temporal.qAsofNearest(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, -5L),          // forward click at 105 beats backward 90
+      (5L, 6L, 5L),           // tie at d=5: the PAST click wins
+      (8L, -1L, Long.MinValue) // no clicks: null match, null gap
+    ))
+  }
+
   test("psi_drift: smoothed buckets, finite values, integer row identity") {
     val rows = graft.ops.Quality.qPsiDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
