@@ -279,6 +279,21 @@ object Sql {
   def qSqlSelectExclude(s: SparkSession, dir: String): DataFrame =
     run(s, dir, selectExcludeSql, "documents")
 
+  /** SELECT * REPLACE — the in-place star rewrite (DuckDB sibling of
+    * EXCLUDE; [[SqlSyntax.rewriteReplace]] expands the star against
+    * the analysis-only source schema). The ORDER BY references the
+    * REPLACED n_chars — both engines must sort on the swapped value,
+    * which pins the in-place semantics, not just the projection. */
+  val selectReplaceSql: String = """
+    SELECT * REPLACE (n_chars / 100 AS n_chars, upper(lang) AS lang)
+    FROM documents
+    WHERE doc_id % 40 = 7
+    ORDER BY n_chars, doc_id LIMIT 30
+  """.trim
+
+  def qSqlSelectReplace(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, selectReplaceSql, "documents")
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

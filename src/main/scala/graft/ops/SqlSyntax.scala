@@ -33,7 +33,8 @@ object SqlSyntax {
   def run(s: SparkSession, text: String): DataFrame = {
     val t1 = rewriteDistinctOn(text).getOrElse(text)
     val t2 = rewriteOrderByAll(t1).getOrElse(t1)
-    rewriteExclude(s, t2).orElse(rewriteQualify(s, t2)).getOrElse(s.sql(t2))
+    rewriteExclude(s, t2).orElse(rewriteReplace(s, t2))
+      .orElse(rewriteQualify(s, t2)).getOrElse(s.sql(t2))
   }
 
   private val ExcludeRe = """(?is)^(\s*SELECT\s+\*)\s+EXCLUDE\s*\(""".r
@@ -53,6 +54,43 @@ object SqlSyntax {
       val cols = LogSql.splitTop(text.substring(open + 1, close), ',')
       require(cols.nonEmpty, "EXCLUDE requires at least one column")
       s.sql(m.group(1) + text.substring(close + 1)).drop(cols: _*)
+    }
+
+  private val ReplaceRe = """(?is)^\s*SELECT\s+\*\s+REPLACE\s*\(""".r
+
+  /** `SELECT * REPLACE (expr AS col, …) FROM …` (DuckDB star
+    * modifier): the star expands to the source's column list with the
+    * named columns swapped for their expressions IN PLACE — position
+    * and name preserved, so downstream clauses (ORDER BY on a replaced
+    * column included) see the replaced value, exactly DuckDB's
+    * semantics. Expansion needs the source schema, which is resolved
+    * analysis-only (`LIMIT 0` — no execution) against the FROM body up
+    * to the first trailing ORDER BY/LIMIT. */
+  private[graft] def rewriteReplace(s: SparkSession, text: String): Option[DataFrame] =
+    ReplaceRe.findFirstMatchIn(text).map { m =>
+      val open = m.end - 1
+      val close = LogSql.matchParen(text, open)
+      val items = LogSql.splitTop(text.substring(open + 1, close), ',').map { it =>
+        val am = """(?is)^(.*\S)\s+AS\s+(\w+)\s*$""".r
+        it match {
+          case am(e, c) => (c.toLowerCase, e)
+          case _ => throw new IllegalArgumentException(
+            s"REPLACE item must be `expr AS col`: $it")
+        }
+      }.toMap
+      val rest = text.substring(close + 1)
+      val (fs, _) = findTopLevel(rest, "FROM").getOrElse(
+        throw new IllegalArgumentException("REPLACE: no FROM clause"))
+      val cut = Seq(findTopLevel(rest, "ORDER BY"), findTopLevel(rest, "LIMIT"))
+        .flatten.map(_._1).minOption.getOrElse(rest.length)
+      val body = rest.substring(fs, cut) // FROM … [WHERE …]
+      val cols = s.sql(s"SELECT * $body LIMIT 0").columns
+      val unknown = items.keySet -- cols.map(_.toLowerCase).toSet
+      require(unknown.isEmpty, s"REPLACE names absent columns: $unknown")
+      val sel = cols.map { c =>
+        items.get(c.toLowerCase).map(e => s"($e) AS $c").getOrElse(c)
+      }.mkString(", ")
+      s.sql(s"SELECT $sel $rest")
     }
 
   /** `SELECT … QUALIFY pred [ORDER BY …] [LIMIT …]` →

@@ -131,6 +131,26 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(df.collect().toSeq == want.toSeq)
   }
 
+  test("SELECT * REPLACE swaps in place: name, position, and ORDER BY") {
+    val documents = graft.sources.Tables(spark, sfDir, "documents")
+    sess.registerTable("documents", documents)
+    val df = sess.sql(graft.ops.Sql.selectReplaceSql)
+    // position and names preserved — only the values changed
+    assert(df.columns.toSeq == documents.columns.toSeq)
+    val want = documents
+      .withColumn("n_chars", col("n_chars") / 100)
+      .withColumn("lang", upper(col("lang")))
+      .filter(col("doc_id") % 40 === 7)
+      .orderBy(col("n_chars"), col("doc_id")).limit(30).collect()
+    assert(df.collect().toSeq == want.toSeq)
+    // unknown replaced column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SqlSyntax.rewriteReplace(spark,
+        "SELECT * REPLACE (1 AS nope) FROM documents")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("asof_nearest: past wins ties, forward used only when closer") {
     val sp = spark; import sp.implicits._
     // purchases at t=100; clicks at 90 (d=10), 105 (d=5), 120 (d=20)
