@@ -100,8 +100,11 @@ class PlanLintSpec extends SparkSpec {
   }
 
   // deliberate full-row reads: limit/limit_offset are SELECT *
-  // pagination demos; mv_refresh replays its own 5-column state table
-  private val fullWidthAllowed = Set("limit", "limit_offset", "mv_refresh")
+  // pagination demos; mv_refresh replays its own 5-column state table;
+  // sql_select_replace is a star modifier — the star KEEPS every
+  // column (that's the clause), only swapping named values in place
+  private val fullWidthAllowed =
+    Set("limit", "limit_offset", "mv_refresh", "sql_select_replace")
 
   test("scans of wide tables prune columns (ReadSchema < full schema)") {
     for ((name, fn) <- SparkEntry.queries if !fullWidthAllowed(name)) {
