@@ -294,6 +294,89 @@ object Sql {
   def qSqlSelectReplace(s: SparkSession, dir: String): DataFrame =
     run(s, dir, selectReplaceSql, "documents")
 
+  /** The SQL PIVOT clause (Spark 4 native; the SQL surface of the
+    * DataFrame `pivot` the `pivot` row covers): two aggregates × three
+    * pinned pivot values. The decimal sums ride an explicit outer
+    * CAST-to-double projection (pivot agg expressions must be bare
+    * aggregate calls). DuckDB's PIVOT grammar differs, so the oracle
+    * replays the classic filtered-aggregate form. */
+  val pivotClauseSql: String = """
+    SELECT o_orderpriority,
+      f_n, CAST(f_total AS DOUBLE) AS f_total,
+      o_n, CAST(o_total AS DOUBLE) AS o_total,
+      p_n, CAST(p_total AS DOUBLE) AS p_total
+    FROM (
+      SELECT * FROM (
+        SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+      PIVOT (
+        COUNT(*) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)))
+    ORDER BY o_orderpriority
+  """.trim
+
+  def qSqlPivot(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, pivotClauseSql, "orders")
+
+  val qSqlPivotOracleSql: String = """
+    SELECT o_orderpriority,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_n,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim
+
+  /** The SQL UNPIVOT clause (Spark 4 native; SQL twin of the API
+    * `unpivot` row): wide metrics → (metric, val) pairs. DuckDB's
+    * UNPIVOT grammar differs, so the oracle replays the stacked
+    * UNION ALL form. */
+  val unpivotClauseSql: String = """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, c_acctbal, CAST(c_nationkey AS DOUBLE) AS c_nat
+      FROM customer WHERE c_custkey % 100 = 1)
+    UNPIVOT (val FOR metric IN (c_acctbal, c_nat))
+    ORDER BY c_custkey, metric
+  """.trim
+
+  def qSqlUnpivot(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, unpivotClauseSql, "customer")
+
+  val qSqlUnpivotOracleSql: String = """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val
+      FROM customer WHERE c_custkey % 100 = 1
+      UNION ALL
+      SELECT c_custkey, 'c_nat', CAST(c_nationkey AS DOUBLE)
+      FROM customer WHERE c_custkey % 100 = 1)
+    ORDER BY c_custkey, metric
+  """.trim
+
+  /** LIMIT … WITH TIES (ANSI FETCH FIRST semantics, rewritten by
+    * [[SqlSyntax.rewriteLimitTies]] to the rank()-cutoff idiom): every
+    * row tying with the 100th quantity survives. The select list is
+    * ONLY the sort key, so tied rows are identical and the result is a
+    * well-defined multiset — the honest shape for a ties query (any
+    * wider row set would be nondeterministic within a tie group by
+    * definition). Oracle replays the rank form. */
+  val limitTiesSql: String = """
+    SELECT CAST(l_quantity AS INT) AS qty FROM lineitem
+    ORDER BY qty LIMIT 100 WITH TIES
+  """.trim
+
+  def qSqlLimitTies(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, limitTiesSql, "lineitem")
+
+  val qSqlLimitTiesOracleSql: String = """
+    WITH r AS (
+      SELECT CAST(l_quantity AS INT) AS qty,
+        RANK() OVER (ORDER BY CAST(l_quantity AS INT)) AS rk
+      FROM lineitem)
+    SELECT qty FROM r WHERE rk <= 100 ORDER BY qty
+  """.trim
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -34,8 +34,33 @@ object SqlSyntax {
     val t1 = rewriteDistinctOn(text).getOrElse(text)
     val t2 = rewriteOrderByAll(t1).getOrElse(t1)
     rewriteExclude(s, t2).orElse(rewriteReplace(s, t2))
+      .orElse(rewriteLimitTies(s, t2))
       .orElse(rewriteQualify(s, t2)).getOrElse(s.sql(t2))
   }
+
+  /** `… ORDER BY obs LIMIT n WITH TIES` (ANSI FETCH FIRST … WITH TIES
+    * semantics): keep every row tying with the n-th on the FULL sort
+    * key. Rewritten to the rank()-cutoff idiom; the window has no
+    * PARTITION BY, but Spark's InferWindowGroupLimit bounds each input
+    * partition to its local top-n before the singleton-partition rank,
+    * so the global window sees O(n·partitions) rows, never the table. */
+  private[graft] def rewriteLimitTies(s: SparkSession, text: String): Option[DataFrame] =
+    findTopLevel(text, "WITH TIES").map { case (ws, we) =>
+      val (ls, le) = findTopLevel(text, "LIMIT").getOrElse(
+        throw new IllegalArgumentException("WITH TIES requires LIMIT n"))
+      val n = text.substring(le, ws).trim
+      require(n.matches("\\d+"), s"LIMIT n WITH TIES: bad limit `$n`")
+      val (os, oe) = findTopLevel(text, "ORDER BY").getOrElse(
+        throw new IllegalArgumentException(
+          "LIMIT … WITH TIES requires ORDER BY (ties are defined by the sort key)"))
+      val head = text.substring(0, os).trim
+      val obs = text.substring(oe, ls).trim
+      require(text.substring(we).trim.isEmpty,
+        "WITH TIES must end the statement")
+      s.sql(s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY $obs) AS __rk " +
+        s"FROM ($head) __t) __tt WHERE __rk <= $n ORDER BY $obs")
+        .drop("__rk")
+    }
 
   private val ExcludeRe = """(?is)^(\s*SELECT\s+\*)\s+EXCLUDE\s*\(""".r
 

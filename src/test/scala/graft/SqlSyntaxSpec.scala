@@ -179,6 +179,40 @@ class SqlSyntaxSpec extends SparkSpec {
     ))
   }
 
+  test("LIMIT WITH TIES keeps the full tie group of the n-th row") {
+    val lineitem = graft.sources.Tables(spark, sfDir, "lineitem")
+    sess.registerTable("lineitem", lineitem)
+    val got = sess.sql(graft.ops.Sql.limitTiesSql)
+    assert(got.columns.toSeq == Seq("qty"))
+    val rows = got.collect().map(_.getInt(0))
+    assert(rows.length >= 100, "WITH TIES can only extend past the limit")
+    // every kept qty's ENTIRE tie group is present: the max kept qty's
+    // full count in the base table equals its count in the result
+    val maxQty = rows.max
+    val fullCount = lineitem
+      .filter(col("l_quantity").cast("int") === maxQty).count()
+    assert(rows.count(_ == maxQty).toLong == fullCount,
+      s"tie group of qty=$maxQty was cut")
+    // refusal: no ORDER BY → no tie definition
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SqlSyntax.rewriteLimitTies(spark,
+        "SELECT a FROM t LIMIT 5 WITH TIES")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
+  test("SQL PIVOT and UNPIVOT clauses match their classic renditions") {
+    sess.registerTable("orders", orders)
+    sess.registerTable("customer", customer)
+    val pivot = sess.sql(graft.ops.Sql.pivotClauseSql).collect()
+    val pivotWant = spark.sql(graft.ops.Sql.qSqlPivotOracleSql).collect()
+    assert(pivot.length == pivotWant.length)
+    assert(pivot.toSeq == pivotWant.toSeq)
+    val unpivot = sess.sql(graft.ops.Sql.unpivotClauseSql).collect()
+    val unpivotWant = spark.sql(graft.ops.Sql.qSqlUnpivotOracleSql).collect()
+    assert(unpivot.toSeq == unpivotWant.toSeq)
+  }
+
   test("psi_drift: smoothed buckets, finite values, integer row identity") {
     val rows = graft.ops.Quality.qPsiDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
