@@ -372,7 +372,10 @@ object Quality {
         (col("cb") + 1).cast("double") / (col("nb") + col("k")).cast("double"))
       .select(col("feature"), col("bucket"), col("ca"), col("cb"),
         round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6).as("psi"))
-      .orderBy("feature", "bucket")
+      // NULLS LAST pinned: a NULL bucket (a null feature value) sorts
+      // first under Spark's ASC default but last under DuckDB's — the
+      // same divergence SqlSyntax.rewriteOrderByAll pins against
+      .orderBy(col("feature"), col("bucket").asc_nulls_last)
   }
 
   val qPsiDriftSql: String = """
@@ -409,7 +412,10 @@ object Quality {
     * max |cum_a·n_b − cum_b·n_a| (decimal-exact cross-multiply), and
     * the Smirnov rejection D > 1.36·√((na+nb)/(na·nb)) is squared into
     * the integer comparison 10000·num² > 18496·na·nb·(na+nb) — so the
-    * BOOLEAN ships hash-exact cross-engine, no sqrt anywhere.
+    * BOOLEAN ships hash-exact cross-engine, no sqrt anywhere. The
+    * squared form is exact while na+nb ≤ 4·10⁸ per feature (decimal38/
+    * HUGEINT headroom); beyond that the operator refuses loudly
+    * rather than let a decimal overflow null the boolean silently.
     *
     * Scale shape: the cumulative window runs over the AGGREGATED
     * (feature, bucket) table — O(buckets) rows partitioned by feature
@@ -425,7 +431,10 @@ object Quality {
     val counts = e.groupBy("feature", "bucket").agg(
       sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
       sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
-    val w = Window.partitionBy("feature").orderBy("bucket")
+    // NULLS LAST pinned on the cumulative order: a NULL bucket must
+    // accumulate at the SAME end on both engines or cuma/cumb prefixes
+    // (and therefore D and worst_bucket) diverge cross-engine
+    val w = Window.partitionBy("feature").orderBy(col("bucket").asc_nulls_last)
     val cum = counts
       .withColumn("cuma", sum("ca").over(w))
       .withColumn("cumb", sum("cb").over(w))
@@ -445,9 +454,21 @@ object Quality {
         (col("d_num").cast("double") /
           (col("na").cast(dec) * col("nb")).cast("double")).as("d"),
         col("worst_bucket"),
-        (col("d_num") * col("d_num") * lit(10000) >
-          lit(18496).cast(dec) * col("na") * col("nb") *
-            (col("na") + col("nb")).cast(dec)).as("rejected"))
+        // headroom contract, checked not assumed: num ≤ na·nb, so
+        // num²·10⁴ stays inside decimal(38,0) (and the oracle's
+        // HUGEINT) only while na+nb ≤ 4·10⁸ per feature — past that
+        // Spark's non-ANSI decimal multiply would return NULL and the
+        // boolean would silently vanish; refuse loudly instead
+        // (rebucket or shard the snapshot pair). The guard is one
+        // comparison on the O(features) post-agg rows.
+        when(col("na") + col("nb") > 400000000L,
+          raise_error(lit("ks_drift: the exact Smirnov comparison " +
+            "overflows decimal(38) past 4e8 rows per feature — " +
+            "rebucket or shard the snapshot pair")).cast("boolean"))
+          .otherwise(
+            col("d_num") * col("d_num") * lit(10000) >
+              lit(18496).cast(dec) * col("na") * col("nb") *
+                (col("na") + col("nb")).cast(dec)).as("rejected"))
       .orderBy("feature")
   }
 

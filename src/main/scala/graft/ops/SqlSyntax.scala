@@ -38,28 +38,44 @@ object SqlSyntax {
       .orElse(rewriteQualify(s, t2)).getOrElse(s.sql(t2))
   }
 
+  private val LimitTiesRe = """(?is)^\s*(\d+)\s+WITH\s+TIES\s*$""".r
+
   /** `… ORDER BY obs LIMIT n WITH TIES` (ANSI FETCH FIRST … WITH TIES
     * semantics): keep every row tying with the n-th on the FULL sort
     * key. Rewritten to the rank()-cutoff idiom; the window has no
     * PARTITION BY, but Spark's InferWindowGroupLimit bounds each input
     * partition to its local top-n before the singleton-partition rank,
-    * so the global window sees O(n·partitions) rows, never the table. */
+    * so the global window sees O(n·partitions) rows, never the table.
+    *
+    * The clause is recognized ONLY as the exact statement tail
+    * `LIMIT <digits> WITH TIES` — anchoring on the trailing text (not
+    * on the words WITH TIES anywhere) keeps a CTE or table named
+    * `ties` from triggering the rewrite. Ordinal sort keys are refused
+    * loudly: inside the window spec an ordinal is a CONSTANT, which
+    * would silently rank every row 1 and return the whole table. */
   private[graft] def rewriteLimitTies(s: SparkSession, text: String): Option[DataFrame] =
-    findTopLevel(text, "WITH TIES").map { case (ws, we) =>
-      val (ls, le) = findTopLevel(text, "LIMIT").getOrElse(
-        throw new IllegalArgumentException("WITH TIES requires LIMIT n"))
-      val n = text.substring(le, ws).trim
-      require(n.matches("\\d+"), s"LIMIT n WITH TIES: bad limit `$n`")
-      val (os, oe) = findTopLevel(text, "ORDER BY").getOrElse(
-        throw new IllegalArgumentException(
-          "LIMIT … WITH TIES requires ORDER BY (ties are defined by the sort key)"))
-      val head = text.substring(0, os).trim
-      val obs = text.substring(oe, ls).trim
-      require(text.substring(we).trim.isEmpty,
-        "WITH TIES must end the statement")
-      s.sql(s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY $obs) AS __rk " +
-        s"FROM ($head) __t) __tt WHERE __rk <= $n ORDER BY $obs")
-        .drop("__rk")
+    findTopLevel(text, "LIMIT").flatMap { case (ls, le) =>
+      LimitTiesRe.findFirstMatchIn(text.substring(le)).map { m =>
+        val n = m.group(1)
+        val (os, oe) = findTopLevel(text, "ORDER BY").getOrElse(
+          throw new IllegalArgumentException(
+            "LIMIT … WITH TIES requires ORDER BY (ties are defined by the sort key)"))
+        require(os < ls, "LIMIT … WITH TIES: ORDER BY must precede LIMIT")
+        val head = text.substring(0, os).trim
+        require(findTopLevel(head, "QUALIFY").isEmpty,
+          "LIMIT … WITH TIES cannot compose with QUALIFY in one statement — " +
+            "put the QUALIFY query in a subquery")
+        val obs = text.substring(oe, ls).trim
+        LogSql.splitTop(obs, ',').foreach { it =>
+          require(!it.matches(
+            """(?is)^\d+(\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?$"""),
+            s"LIMIT … WITH TIES: name the sort column — ordinal `$it` would " +
+              "be a constant inside the rank window")
+        }
+        s.sql(s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY $obs) AS __rk " +
+          s"FROM ($head) __t) __tt WHERE __rk <= $n ORDER BY $obs")
+          .drop("__rk")
+      }
     }
 
   private val ExcludeRe = """(?is)^(\s*SELECT\s+\*)\s+EXCLUDE\s*\(""".r
@@ -78,7 +94,9 @@ object SqlSyntax {
       val close = LogSql.matchParen(text, open)
       val cols = LogSql.splitTop(text.substring(open + 1, close), ',')
       require(cols.nonEmpty, "EXCLUDE requires at least one column")
-      s.sql(m.group(1) + text.substring(close + 1)).drop(cols: _*)
+      // recurse through run() so the remaining text may still carry
+      // another extension clause (… EXCLUDE (c) … LIMIT n WITH TIES)
+      run(s, m.group(1) + text.substring(close + 1)).drop(cols: _*)
     }
 
   private val ReplaceRe = """(?is)^\s*SELECT\s+\*\s+REPLACE\s*\(""".r
@@ -115,28 +133,50 @@ object SqlSyntax {
       val sel = cols.map { c =>
         items.get(c.toLowerCase).map(e => s"($e) AS $c").getOrElse(c)
       }.mkString(", ")
-      s.sql(s"SELECT $sel $rest")
+      // recurse: the trailing clauses may carry another extension
+      run(s, s"SELECT $sel $rest")
     }
 
-  /** `SELECT … QUALIFY pred [ORDER BY …] [LIMIT …]` →
-    * `SELECT * FROM (SELECT *, (pred) AS __qualify__ FROM (head)) WHERE
-    * __qualify__ …` with the synthetic column dropped from the result.
-    * Dropping via the DataFrame API (not `SELECT * EXCEPT`) keeps the
+  /** `SELECT … QUALIFY pred [ORDER BY …] [LIMIT …]`: the predicate is
+    * SPLICED into the head's own select list as a synthetic boolean
+    * column, then filtered and dropped — so it evaluates over the FROM
+    * rows (DuckDB/Snowflake QUALIFY semantics: a predicate may
+    * reference columns the select list does not project), not over the
+    * projected output. Dropping via the DataFrame API keeps the
     * rewrite independent of the head's column list; the projection
-    * after the ORDER BY preserves row order. */
+    * after the ORDER BY preserves row order.
+    *
+    * Misfire guards: the clause sits after the FROM, so a column
+    * actually NAMED `qualify` in the select list never triggers; and
+    * if the spliced text fails to parse/analyze (the matched word was
+    * an identifier in some other position, e.g. `WHERE qualify = 1`),
+    * the rewrite abstains and the ORIGINAL text runs unmodified. */
   private[graft] def rewriteQualify(s: SparkSession, text: String): Option[DataFrame] =
-    findTopLevel(text, "QUALIFY").map { case (qs, qe) =>
-      val head = text.substring(0, qs).trim
-      val rest = text.substring(qe)
-      val cut = Seq(findTopLevel(rest, "ORDER BY"), findTopLevel(rest, "LIMIT"))
-        .flatten.map(_._1).minOption.getOrElse(rest.length)
-      val pred = rest.substring(0, cut).trim
-      val tail = rest.substring(cut).trim
-      require(pred.nonEmpty, "QUALIFY requires a predicate")
-      s.sql(
-        s"SELECT * FROM (SELECT *, ($pred) AS __qualify__ FROM ($head) __q) __qq " +
-          s"WHERE __qualify__ $tail")
-        .drop("__qualify__")
+    findTopLevel(text, "QUALIFY").flatMap { case (qs, qe) =>
+      val fromBefore = findTopLevel(text, "FROM").exists(_._1 < qs)
+      if (!fromBefore) None
+      else {
+        val head = text.substring(0, qs).trim
+        val rest = text.substring(qe)
+        val cut = Seq(findTopLevel(rest, "ORDER BY"), findTopLevel(rest, "LIMIT"))
+          .flatten.map(_._1).minOption.getOrElse(rest.length)
+        val pred = rest.substring(0, cut).trim
+        val tail = rest.substring(cut).trim
+        if (pred.isEmpty) None // `ORDER BY qualify` — a column, not the clause
+        else {
+          val (fs, _) = findTopLevel(head, "FROM").get
+          val spliced = head.substring(0, fs).trim +
+            s", ($pred) AS __qualify__ " + head.substring(fs)
+          try Some(
+            s.sql(s"SELECT * FROM ($spliced) __q WHERE __qualify__ $tail")
+              .drop("__qualify__"))
+          catch {
+            // not the clause after all — run the original text untouched
+            case _: org.apache.spark.sql.catalyst.parser.ParseException |
+                 _: org.apache.spark.sql.AnalysisException => None
+          }
+        }
+      }
     }
 
   private val DistinctOnRe = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
@@ -166,7 +206,9 @@ object SqlSyntax {
         case Some((ls, _)) => (afterOrder.substring(0, ls).trim, afterOrder.substring(ls).trim)
         case None          => (afterOrder.trim, "")
       }
-      require(!sel.contains("*"),
+      // a star ITEM would leak the synthetic rank; an asterisk inside
+      // an arithmetic expression (`a * 2 AS b`) is fine
+      require(!LogSql.splitTop(sel, ',').exists(i => i == "*" || i.endsWith(".*")),
         "DISTINCT ON: select list must be explicit (a * would leak the synthetic rank)")
       s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
         s"ORDER BY $obs) AS __rn $body) __d WHERE __rn = 1 ORDER BY $obs $limit"

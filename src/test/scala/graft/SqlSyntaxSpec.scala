@@ -213,6 +213,90 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(unpivot.toSeq == unpivotWant.toSeq)
   }
 
+  test("keyword collisions do not hijack valid SQL") {
+    val sp = spark; import sp.implicits._
+    Seq((1L, 2L), (3L, 4L)).toDF("qualify", "ties")
+      .createOrReplaceTempView("kwtab")
+    // a CTE named `ties` + LIMIT: not a WITH TIES clause
+    assert(sess.sql(
+      "WITH ties AS (SELECT qualify FROM kwtab) SELECT qualify FROM ties LIMIT 5")
+      .count() == 2)
+    // a column literally named qualify, before and after FROM
+    assert(sess.sql("SELECT qualify FROM kwtab ORDER BY qualify")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(sess.sql("SELECT ties FROM kwtab WHERE qualify = 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("QUALIFY predicate may reference columns the select list drops") {
+    sess.registerTable("orders", orders)
+    val got = sess.sql("""
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey % 50 = 3
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey) = 1
+      ORDER BY o_orderkey""")
+    assert(got.columns.toSeq == Seq("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = orders.filter(col("o_custkey") % 50 === 3)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).collect()
+    assert(got.collect().toSeq == want.toSeq)
+  }
+
+  test("extension clauses compose: EXCLUDE + WITH TIES in one statement") {
+    val documents = graft.sources.Tables(spark, sfDir, "documents")
+    sess.registerTable("documents", documents)
+    val got = sess.sql("""
+      SELECT * EXCLUDE (text, doc_id) FROM documents
+      ORDER BY n_chars LIMIT 10 WITH TIES""")
+    assert(got.columns.toSeq == Seq("lang", "source", "n_chars"))
+    val kept = got.collect().map(_.getLong(2))
+    assert(kept.length >= 10)
+    // the 10th value's full tie group survives
+    val nth = kept.sorted.apply(9)
+    assert(kept.count(_ == nth).toLong ==
+      documents.filter(col("n_chars") === nth).count())
+  }
+
+  test("DISTINCT ON allows arithmetic asterisks, refuses star items") {
+    val r = SqlSyntax.rewriteDistinctOn(
+      "SELECT DISTINCT ON (a) a, b * 2 AS b2 FROM t ORDER BY a, b2").get
+    assert(r.contains("b * 2 AS b2"))
+    val e = intercept[IllegalArgumentException] {
+      SqlSyntax.rewriteDistinctOn(
+        "SELECT DISTINCT ON (a) * FROM t ORDER BY a")
+    }
+    assert(e.getMessage.contains("explicit"))
+  }
+
+  test("WITH TIES refuses ordinal sort keys (constants inside the window)") {
+    sess.registerTable("orders", orders)
+    val e = intercept[IllegalArgumentException] {
+      sess.sql("SELECT o_orderkey FROM orders ORDER BY 1 LIMIT 5 WITH TIES")
+    }
+    assert(e.getMessage.contains("ordinal"))
+  }
+
+  test("psi/ks drift order NULL buckets last, matching DuckDB's default") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nullbkt").toString
+    // one null value → one NULL 'val' bucket on the even side
+    (0L until 100L).map(i => (i, if (i == 0) None else Some(i.toDouble)))
+      .toDF("event_id", "value")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("event_id") * 1000000L))
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("click"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val psi = graft.ops.Quality.qPsiDrift(spark, dir)
+      .filter(col("feature") === "val").collect()
+    assert(psi.last.isNullAt(1), "NULL bucket must sort LAST (DuckDB default)")
+    assert(psi.init.forall(!_.isNullAt(1)))
+    val ks = graft.ops.Quality.qKsDrift(spark, dir).collect()
+    ks.foreach(r => assert(!r.isNullAt(6), "rejected must never be NULL"))
+  }
+
   test("psi_drift: smoothed buckets, finite values, integer row identity") {
     val rows = graft.ops.Quality.qPsiDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
