@@ -25,7 +25,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Both scanners are paren-depth and string-literal aware (the LogSql
   * escape conventions): a QUALIFY inside a quoted literal or a
   * subquery is NOT a clause of this statement and must not trigger the
-  * rewrite.
+  * rewrite. Keyword misfires on identifiers (`SELECT qualify`, a CTE
+  * named `ties`) are guarded structurally and — for QUALIFY — by an
+  * abstain-on-analysis-failure fallback that reruns the original text.
+  *
+  * Honest scope: the scanners do not track backtick-quoted identifiers
+  * or SQL comments — a keyword inside either could still match. These
+  * are preprocessor extensions for the engine's own clause surface,
+  * not a general parser; text that needs those forms should use the
+  * native Spark rendition of the clause (subquery/window) directly.
   */
 object SqlSyntax {
 
