@@ -377,6 +377,40 @@ object Sql {
     SELECT qty FROM r WHERE rk <= 100 ORDER BY qty
   """.trim
 
+  /** Named WINDOW clause (SQL:2003; native in Spark AND DuckDB — one
+    * text): two window functions share one `WINDOW w AS (…)` spec, so
+    * the definition is written once and the plan builds ONE Window
+    * operator for both (a repeated inline OVER would too, but only
+    * after dedup — the clause states the sharing). The running-sum
+    * frame is deterministic: o_orderkey is unique, so RANGE CURRENT
+    * ROW has no peers. */
+  val namedWindowSql: String = """
+    SELECT o_custkey, o_orderkey,
+      row_number() OVER w AS rn,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+    FROM orders
+    WHERE o_custkey % 100 = 11
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+  """.trim
+
+  def qSqlNamedWindow(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, namedWindowSql, "orders")
+
+  /** VALUES inline-table constructor joined against a fixture (native
+    * in both engines — one text): the literal dimension table pattern
+    * (code→label maps, test harness seeds) without a registered view. */
+  val valuesSql: String = """
+    SELECT t.region_code, t.label, COUNT(c.c_custkey) AS n
+    FROM (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma')) AS t(region_code, label)
+    LEFT JOIN customer c ON c.c_nationkey % 3 = t.region_code
+    GROUP BY t.region_code, t.label
+    ORDER BY t.region_code
+  """.trim
+
+  def qSqlValues(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, valuesSql, "customer")
+
   val pipeOracleSql: String = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

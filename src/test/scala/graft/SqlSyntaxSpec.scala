@@ -297,6 +297,25 @@ class SqlSyntaxSpec extends SparkSpec {
     ks.foreach(r => assert(!r.isNullAt(6), "rejected must never be NULL"))
   }
 
+  test("named WINDOW clause and VALUES inline tables run natively") {
+    sess.registerTable("orders", orders)
+    sess.registerTable("customer", customer)
+    val win = sess.sql(graft.ops.Sql.namedWindowSql).collect()
+    assert(win.nonEmpty)
+    // rn restarts per customer and the running total is monotone in it
+    win.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getDouble(3)).toSeq ==
+        sorted.map(_.getDouble(3)).sorted.toSeq)
+    }
+    val v = sess.sql(graft.ops.Sql.valuesSql).collect()
+    assert(v.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "alpha"), (1, "beta"), (2, "gamma")))
+    assert(v.map(_.getLong(2)).sum ==
+      customer.count()) // every customer lands in exactly one band
+  }
+
   test("psi_drift: smoothed buckets, finite values, integer row identity") {
     val rows = graft.ops.Quality.qPsiDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)
