@@ -1,0 +1,251 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.{FlightGrpc, FlightProto}
+
+/** The TRUE gRPC Flight transport (reference `format/Flight.proto`):
+  * protobuf codec golden bytes, all-verb loopback round trips over
+  * real gRPC/HTTP-2, auth enforcement, mid-stream error trailers, and
+  * — the interop gate — a STOCK pyarrow.flight client driven against
+  * the server out of process. */
+class FlightGrpcSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("i", IntegerType),
+    StructField("d", DoubleType), StructField("f", FloatType),
+    StructField("s", StringType), StructField("b", BooleanType),
+    StructField("bin", BinaryType), StructField("dt", DateType),
+    StructField("ts", TimestampType)))
+  private val rows = Seq(
+    Row(1L, 7, 1.5, 2.5f, "alpha", true, Array[Byte](1, 2),
+      Date.valueOf("2024-01-02"), Timestamp.valueOf("2024-01-02 03:04:05")),
+    Row(2L, null, null, null, null, null, null, null, null),
+    Row(3L, -7, -0.25, 0.5f, "βeta", false, Array[Byte](),
+      Date.valueOf("1969-12-31"), Timestamp.valueOf("1969-12-31 23:59:59")))
+
+  // ---- FlightProto codec ---------------------------------------------------
+
+  test("protobuf codec: golden bytes for the core messages") {
+    import FlightProto._
+    // Ticket { ticket: "abc" } = tag 0x0A, len 3, 'a' 'b' 'c'
+    assert(Ticket.of("abc").encode.toSeq ===
+      Seq[Byte](0x0a, 3, 'a', 'b', 'c'))
+    // FlightDescriptor CMD "q" = type(1)=2 [08 02], cmd(2)="q" [12 01 71]
+    assert(FlightDescriptor.forCmd("q").encode.toSeq ===
+      Seq[Byte](0x08, 0x02, 0x12, 0x01, 0x71))
+    // PATH descriptor with two segments: repeated field 3
+    assert(FlightDescriptor.forPath("a", "b").encode.toSeq ===
+      Seq[Byte](0x08, 0x01, 0x1a, 0x01, 'a', 0x1a, 0x01, 'b'))
+    // FlightData data_body is field 1000: tag = (1000<<3)|2 = 8002 =
+    // varint [C2 3E]
+    val fd = FlightData(None, Array[Byte](9), Array.emptyByteArray,
+      Array[Byte](1, 2, 3))
+    assert(fd.encode.toSeq ===
+      Seq[Byte](0x12, 0x01, 0x09, 0xc2.toByte, 0x3e, 0x03, 1, 2, 3))
+    // Handshake protocol_version is a varint field 1
+    assert(Handshake(300L, Array[Byte]('x')).encode.toSeq ===
+      Seq[Byte](0x08, 0xac.toByte, 0x02, 0x12, 0x01, 'x'))
+  }
+
+  test("protobuf codec: every message round-trips, unknown fields skip") {
+    import FlightProto._
+    val desc = FlightDescriptor.forCmd("SELECT 1")
+    val descBack = FlightDescriptor.decode(desc.encode)
+    assert(descBack.descType === desc.descType)
+    assert(descBack.cmdUtf8 === "SELECT 1")
+    val ep = FlightEndpoint(Ticket.of("t#3"), Seq(Location("grpc://x:1")))
+    val epBack = FlightEndpoint.decode(ep.encode)
+    assert(epBack.ticket.utf8 === "t#3")
+    assert(epBack.locations === Seq(Location("grpc://x:1")))
+    val info = FlightInfo(Array[Byte](1, 2), Some(desc), Seq(ep), 0L, 0L)
+    val got = FlightInfo.decode(info.encode)
+    assert(got.schema.toSeq === Seq[Byte](1, 2))
+    assert(got.descriptor.map(_.cmdUtf8) === Some("SELECT 1"))
+    assert(got.endpoints.map(_.ticket.utf8) === Seq("t#3"))
+    val act = Action("row_count", "v".getBytes)
+    assert(Action.decode(act.encode).actionType === "row_count")
+    val ba = BasicAuth("u", "p")
+    assert(BasicAuth.decode(ba.encode) === ba)
+    // unknown field (field 99, varint) is skipped, known fields survive
+    val w = new PWriter
+    w.uint64(99, 7L); w.bytes(1, "tick".getBytes)
+    assert(Ticket.decode(w.toBytes).utf8 === "tick")
+  }
+
+  // ---- loopback round trips -------------------------------------------------
+
+  test("DoPut + DoGet round-trip all nine wire types over real gRPC") {
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val n = FlightGrpc.doPut("127.0.0.1", server.boundPort, "fg_types",
+        rows, schema)
+      assert(n === 3)
+      val (got, gotSchema) =
+        FlightGrpc.doGet("127.0.0.1", server.boundPort, "fg_types")
+      assert(gotSchema.map(f => (f.name, f.dataType)) ===
+        schema.map(f => (f.name, f.dataType)))
+      val exp = rows.sortBy(_.getLong(0))
+      val act = got.sortBy(_.getLong(0))
+      (exp zip act).foreach { case (e, a) =>
+        (0 until schema.length).foreach { c =>
+          (e.get(c), a.get(c)) match {
+            case (x: Array[Byte], y: Array[Byte]) => assert(x.sameElements(y))
+            case (x, y) => assert(x === y, s"col ${schema(c).name}")
+          }
+        }
+      }
+    } finally server.close()
+  }
+
+  test("SQL CMD tickets, GetSchema, ListFlights, actions") {
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val port = server.boundPort
+      FlightGrpc.doPut("127.0.0.1", port, "fg_sql", rows, schema)
+      assert(FlightGrpc.listFlights("127.0.0.1", port).contains("fg_sql"))
+      val st = FlightGrpc.getSchema("127.0.0.1", port,
+        "SELECT id, d FROM fg_sql")
+      assert(st.fieldNames.toSeq === Seq("id", "d"))
+      val (got, _) = FlightGrpc.doGet("127.0.0.1", port,
+        "SELECT COUNT(*) AS n, SUM(id) AS s FROM fg_sql")
+      assert(got === Seq(Row(3L, 6L)))
+      assert(FlightGrpc.listActions("127.0.0.1", port).size === 3)
+      assert(FlightGrpc.doAction("127.0.0.1", port,
+        "row_count", "fg_sql") === "3")
+      assert(FlightGrpc.doAction("127.0.0.1", port,
+        "drop_view", "fg_sql") === "true")
+      assert(!FlightGrpc.listFlights("127.0.0.1", port).contains("fg_sql"))
+    } finally server.close()
+  }
+
+  test("GetFlightInfo endpoints: one per partition, parallel DoGet " +
+      "equals single-ticket order") {
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val port = server.boundPort
+      spark.range(1, 1001).toDF("v").repartition(7)
+        .createOrReplaceTempView("fg_parts")
+      val (st, endpoints) =
+        FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_parts")
+      assert(st.fieldNames.toSeq === Seq("v"))
+      assert(endpoints.size === 7)
+      val (parallel, _) =
+        FlightGrpc.doGetParallel("127.0.0.1", port, "fg_parts", 4)
+      val (single, _) = FlightGrpc.doGet("127.0.0.1", port, "fg_parts")
+      assert(parallel.map(_.getLong(0)) === single.map(_.getLong(0)))
+      assert(parallel.map(_.getLong(0)).sorted === (1L to 1000L))
+    } finally server.close()
+  }
+
+  test("auth: handshake exchanges credential for bearer; every verb " +
+      "refuses without it; wrong credential rejected") {
+    val server = new FlightGrpc.Server(spark, authSecret = Some("s3cr3t")).start()
+    try {
+      val port = server.boundPort
+      val token = FlightGrpc.handshake("127.0.0.1", port, "s3cr3t")
+      assert(token.nonEmpty)
+      // wrong credential → UNAUTHENTICATED
+      val e1 = intercept[Exception](
+        FlightGrpc.handshake("127.0.0.1", port, "wrong"))
+      assert(e1.getMessage.toLowerCase.contains("unauthenticated"))
+      // token-less calls refused BEFORE any work
+      val e2 = intercept[Exception](
+        FlightGrpc.listFlights("127.0.0.1", port))
+      assert(e2.getMessage.toLowerCase.contains("unauthenticated"))
+      val e3 = intercept[Exception](FlightGrpc.doPut("127.0.0.1", port,
+        "fg_auth", rows, schema, token = "bogus"))
+      assert(e3.getMessage.toLowerCase.contains("unauthenticated"))
+      // with the token everything works
+      assert(FlightGrpc.doPut("127.0.0.1", port, "fg_auth", rows, schema,
+        token = token) === 3)
+      assert(FlightGrpc.listFlights("127.0.0.1", port, token = token)
+        .contains("fg_auth"))
+    } finally server.close()
+  }
+
+  test("mid-stream query failure surfaces as a gRPC status error, " +
+      "never as silent partial rows") {
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val port = server.boundPort
+      // a plan that fails at EXECUTION time (a UDF throw), after
+      // planning succeeded
+      val boom = org.apache.spark.sql.functions.udf((v: Long) =>
+        if (v > 500) throw new RuntimeException("mid-stream boom") else v)
+      spark.range(1, 1001).toDF("v").repartition(4)
+        .select(boom(org.apache.spark.sql.functions.col("v")).as("v"))
+        .createOrReplaceTempView("fg_boom")
+      val e = intercept[Exception](
+        FlightGrpc.doGet("127.0.0.1", port, "fg_boom"))
+      assert(e.getMessage.contains("INTERNAL") ||
+        e.getMessage.contains("boom"))
+      // planning-time failures too
+      val e2 = intercept[Exception](
+        FlightGrpc.doGet("127.0.0.1", port, "SELECT * FROM nope_xyz"))
+      assert(e2.getMessage.nonEmpty)
+    } finally server.close()
+  }
+
+  // ---- the interop gate: a stock pyarrow.flight client --------------------
+
+  private def pythonWithFlight: Option[String] =
+    Seq("python3", "python").find { py =>
+      try {
+        val p = new ProcessBuilder(py, "-c", "import pyarrow.flight")
+          .redirectErrorStream(true).start()
+        p.waitFor() == 0
+      } catch { case _: Throwable => false }
+    }
+
+  test("STOCK pyarrow.flight client: every verb against the live server " +
+      "(skips when python3/pyarrow.flight is absent)") {
+    val py = pythonWithFlight.getOrElse {
+      cancel("no python3 with pyarrow.flight on this machine")
+    }
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val proc = new ProcessBuilder(py, "tools/flight_grpc_check.py",
+        server.boundPort.toString)
+        .directory(new java.io.File(sys.props("user.dir")))
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      val code = proc.waitFor()
+      info(out.linesIterator.map("  " + _).mkString("\n"))
+      assert(code === 0, s"pyarrow interop failed:\n$out")
+      assert(out.contains("PYFLIGHT_INTEROP_ALL_OK"))
+    } finally server.close()
+  }
+
+  test("STOCK pyarrow.flight client with basic-token auth " +
+      "(skips when python3/pyarrow.flight is absent)") {
+    val py = pythonWithFlight.getOrElse {
+      cancel("no python3 with pyarrow.flight on this machine")
+    }
+    val server =
+      new FlightGrpc.Server(spark, authSecret = Some("pw42")).start()
+    try {
+      val proc = new ProcessBuilder(py, "tools/flight_grpc_check.py",
+        server.boundPort.toString, "anyuser", "pw42")
+        .directory(new java.io.File(sys.props("user.dir")))
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      val code = proc.waitFor()
+      info(out.linesIterator.map("  " + _).mkString("\n"))
+      assert(code === 0, s"pyarrow basic-auth interop failed:\n$out")
+      assert(out.contains("PYFLIGHT_INTEROP_ALL_OK"))
+    } finally server.close()
+  }
+
+  test("oracle query shape: qFlightGrpcRoundtrip returns the nation " +
+      "aggregate") {
+    val df = FlightGrpc.qFlightGrpcRoundtrip(spark, sfDir)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("n_regionkey", "n", "first_name", "max_key"))
+  }
+}
