@@ -318,6 +318,31 @@ object Sql {
   def qSqlPivot(s: SparkSession, dir: String): DataFrame =
     run(s, dir, pivotClauseSql, "orders")
 
+  /** The SQL ASOF JOIN clause (DuckDB/Snowflake lineage; rewritten by
+    * [[SqlSyntax.rewriteAsofJoin]] into the engine's one-shuffle
+    * union+window as-of idiom — Spark's parser lacks the clause and
+    * its LATERAL rendition plans a nested-loop join). DuckDB executes
+    * ASOF LEFT JOIN natively, so ONE text drives both engines. Each
+    * order matches the same customer's most recent STRICTLY-earlier
+    * order day (`>` = strict-backward); a customer's first order day
+    * has no match and survives via LEFT with null prev columns. The
+    * right side dedupes to one row per (customer, day) upfront — the
+    * uniqueness contract ASOF shares with [[Temporal.asofJoin]]. */
+  val asofJoinClauseSql: String = """
+    WITH prev AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS prev_key
+      FROM orders GROUP BY 1, 2)
+    SELECT a.o_orderkey, a.o_custkey, a.o_orderdate,
+      p.prev_key, p.o_orderdate AS prev_date
+    FROM orders a ASOF LEFT JOIN prev p
+      ON a.o_custkey = p.o_custkey AND a.o_orderdate > p.o_orderdate
+    WHERE a.o_custkey % 20 = 7
+    ORDER BY a.o_orderkey
+  """.trim
+
+  def qSqlAsofJoin(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, asofJoinClauseSql, "orders")
+
   val qSqlPivotOracleSql: String = """
     SELECT o_orderpriority,
       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,

@@ -39,7 +39,8 @@ object SqlSyntax {
 
   /** Entry point used by [[graft.Session.sql]] for non-lakehouse text. */
   def run(s: SparkSession, text: String): DataFrame = {
-    val t1 = rewriteDistinctOn(text).getOrElse(text)
+    val t0 = rewriteAsofJoin(text).getOrElse(text)
+    val t1 = rewriteDistinctOn(t0).getOrElse(t0)
     val t2 = rewriteOrderByAll(t1).getOrElse(t1)
     rewriteExclude(s, t2).orElse(rewriteReplace(s, t2))
       .orElse(rewriteLimitTies(s, t2))
@@ -245,6 +246,191 @@ object SqlSyntax {
       val ords = (1 to arity).map(i => s"$i $dir NULLS LAST").mkString(", ")
       text.substring(0, os) + s"ORDER BY $ords" + rest
     }
+
+  // ---- ASOF JOIN -----------------------------------------------------------
+
+  /** `FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND l.t >= r.t` (DuckDB /
+    * Snowflake lineage; the SQL clause form of the engine's
+    * [[Temporal.asofJoin]]). For each left row: the single right row
+    * whose time is NEAREST-BEHIND (or nearest-ahead — the inequality's
+    * direction decides) among equal-key rows. Spark's parser lacks the
+    * clause AND its decorrelated-LATERAL rendition plans a
+    * BroadcastNestedLoopJoin on the inequality (measured — a
+    * scale-killer), so the rewrite goes straight to the engine's
+    * distributed as-of idiom in SQL text:
+    *
+    *   1. a PAIRS subquery unions only the (key, time) columns of both
+    *      sides (column pruning reaches both scans), tags sides, and
+    *      computes each left row's matched right time with one
+    *      `last(.., true)` window over the key partition — one shuffle,
+    *      zero inequality joins;
+    *   2. the original relations then equi-join back onto the DISTINCT
+    *      pairs — plain hash joins.
+    *
+    * Direction × strictness from the one inequality: `l.t >= r.t`
+    * (backward inclusive), `>` (backward strict), `<=` (forward
+    * inclusive), `<` (forward strict). Ties at equal time are
+    * inclusive/exclusive exactly per the operator, via the side-tag
+    * sort order inside the window.
+    *
+    * Honest scope (refusals are loud): both operands must be NAMED
+    * relations (table/view/CTE, optional alias) — no subquery
+    * operands; exactly one inequality plus zero-or-more equi-key
+    * conjuncts, every operand alias-qualified; a single ASOF JOIN per
+    * statement (no further JOINs in the FROM); no bare `*` select list
+    * (it would leak the synthetic pair columns — `alias.*` is fine).
+    * The right side must be unique per (key, time) — same contract as
+    * [[Temporal.asofJoin]] and DuckDB itself. NULL keys group with
+    * NULL keys (window-partition semantics) rather than matching
+    * nothing; null-sensitive inputs should filter first. */
+  private[graft] def rewriteAsofJoin(text: String): Option[String] = {
+    val hit = findTopLevel(text, "ASOF LEFT JOIN").map((_, true))
+      .orElse(findTopLevel(text, "ASOF JOIN").map((_, false)))
+    hit.map { case ((as, ae), isLeft) =>
+      val (fStart, fe) = findTopLevel(text, "FROM").filter(_._2 <= as).getOrElse(
+        throw new IllegalArgumentException("ASOF JOIN: no top-level FROM before it"))
+      val leftTxt = text.substring(fe, as).trim
+      val after = text.substring(ae)
+      val (ons, one) = findTopLevel(after, "ON").getOrElse(
+        throw new IllegalArgumentException("ASOF JOIN requires an ON clause"))
+      val rightTxt = after.substring(0, ons).trim
+      val afterOn = after.substring(one)
+      val cut = Seq("WHERE", "GROUP BY", "ORDER BY", "LIMIT", "HAVING",
+        "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+        .flatMap(k => findTopLevel(afterOn, k).map(_._1))
+        .minOption.getOrElse(afterOn.length)
+      val cond = afterOn.substring(0, cut).trim
+      require(findTopLevel(cond, "JOIN").isEmpty &&
+        findTopLevel(leftTxt, "JOIN").isEmpty &&
+        LogSql.splitTop(leftTxt, ',').length == 1,
+        "ASOF JOIN: one ASOF pair per statement — no further joins in the FROM")
+
+      val Rel = """(?is)^([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$""".r
+      def parseRel(t: String, side: String): (String, String) = t match {
+        case Rel(ident, alias) =>
+          (ident, Option(alias).getOrElse(ident.split('.').last))
+        case _ => throw new IllegalArgumentException(
+          s"ASOF JOIN: the $side operand must be a named table/view/CTE " +
+            s"(optionally aliased), got: `$t`")
+      }
+      val (lIdent, lAlias) = parseRel(leftTxt, "left")
+      val (rIdent, rAlias) = parseRel(rightTxt, "right")
+
+      // select list may not be a bare star — it would leak the pair cols
+      val (_, se) = findTopLevel(text, "SELECT").get
+      val selList = text.substring(se, fStart).trim
+      require(!LogSql.splitTop(selList, ',')
+        .exists(i => i.stripSuffix(";").trim == "*"),
+        "ASOF JOIN: name the select columns (or use alias.*) — a bare * " +
+          "would leak the rewrite's pair columns")
+
+      import java.util.regex.Pattern
+      val lRef = ("(?i)\\b" + Pattern.quote(lAlias) + "\\.").r
+      val rRef = ("(?i)\\b" + Pattern.quote(rAlias) + "\\.").r
+      def sideOf(e: String): Boolean = { // true = left-side expression
+        val hasL = lRef.findFirstIn(e).isDefined
+        val hasR = rRef.findFirstIn(e).isDefined
+        require(hasL != hasR, "ASOF JOIN: every ON operand must reference " +
+          s"exactly one side's alias ($lAlias / $rAlias), got: `$e`")
+        hasL
+      }
+      var eqs = Vector.empty[(String, String)] // (leftExpr, rightExpr)
+      var ineq: Option[(String, String, String)] = None
+      splitTopWord(cond, "AND").foreach { cj =>
+        val (idx, op) = findTopComparison(cj).getOrElse(
+          throw new IllegalArgumentException(
+            s"ASOF JOIN: ON conjunct is not a comparison: `$cj`"))
+        require(op != "<>" && op != "!=",
+          "ASOF JOIN: <>/!= is not a valid ON comparison")
+        val a = cj.substring(0, idx).trim
+        val b = cj.substring(idx + op.length).trim
+        val aLeft = sideOf(a)
+        require(aLeft != sideOf(b),
+          s"ASOF JOIN: ON conjunct must compare the two sides: `$cj`")
+        if (op == "=") eqs :+= (if (aLeft) (a, b) else (b, a))
+        else {
+          require(ineq.isEmpty,
+            "ASOF JOIN: exactly ONE inequality defines the as-of time")
+          val flip = Map(">=" -> "<=", "<=" -> ">=", ">" -> "<", "<" -> ">")
+          ineq = if (aLeft) Some((a, b, op)) else Some((b, a, flip(op)))
+        }
+      }
+      val (ltE, rtE, op) = ineq.getOrElse(throw new IllegalArgumentException(
+        "ASOF JOIN: the ON clause needs exactly one time inequality"))
+      // op relates LEFT to RIGHT (`l.t op r.t`); backward = match in
+      // the past. Tie handling rides the side-tag sort: rights first =
+      // inclusive, lefts first = strict.
+      val (tDir, srcDir) = op match {
+        case ">=" => ("ASC", "ASC")
+        case ">"  => ("ASC", "DESC")
+        case "<=" => ("DESC", "ASC")
+        case "<"  => ("DESC", "DESC")
+      }
+      val ks = eqs.indices.map(i => s"__asof_k$i")
+      val lKeySel = eqs.map(_._1).zip(ks).map { case (e, k) => s"$e AS $k" }
+      val part =
+        if (ks.isEmpty) "" else s"PARTITION BY ${ks.mkString(", ")} "
+      val pairs =
+        s"(SELECT DISTINCT ${(ks :+ "__asof_t" :+ "__asof_rt").mkString(", ")} FROM (" +
+          s"SELECT ${(ks :+ "__asof_t" :+ "__asof_src").mkString(", ")}, " +
+          "last(CASE WHEN __asof_src = 0 THEN __asof_t END, true) OVER (" +
+          s"${part}ORDER BY __asof_t $tDir, __asof_src $srcDir " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __asof_rt " +
+          "FROM (" +
+          s"SELECT ${(lKeySel :+ s"$ltE AS __asof_t" :+ "1 AS __asof_src").mkString(", ")} " +
+          s"FROM $lIdent $lAlias" +
+          " UNION ALL " +
+          s"SELECT ${(eqs.map(_._2) :+ rtE :+ "0").mkString(", ")} " +
+          s"FROM $rIdent $rAlias" +
+          ") __asof_u) __asof_w WHERE __asof_src = 1) __asof"
+      val lOn = (eqs.map(_._1).zip(ks).map { case (e, k) => s"$e <=> __asof.$k" } :+
+        s"$ltE <=> __asof.__asof_t").mkString(" AND ")
+      val rOn = (eqs.map(_._2).zip(ks).map { case (e, k) => s"$e <=> __asof.$k" } :+
+        s"$rtE = __asof.__asof_rt").mkString(" AND ")
+      val jt = if (isLeft) "LEFT JOIN" else "JOIN"
+      text.substring(0, fe) +
+        s" $lIdent $lAlias JOIN $pairs ON $lOn $jt $rIdent $rAlias ON $rOn " +
+        afterOn.substring(cut)
+    }
+  }
+
+  /** Split on a top-level keyword (whole-word, depth-0, outside
+    * literals); each returned part is trimmed. */
+  private[graft] def splitTopWord(t: String, word: String): Seq[String] =
+    findTopLevel(t, word) match {
+      case Some((s, e)) =>
+        t.substring(0, s).trim +: splitTopWord(t.substring(e), word)
+      case None => Seq(t.trim)
+    }
+
+  /** First top-level comparison operator in a conjunct: (index, op).
+    * Two-char ops win over their one-char prefixes. */
+  private def findTopComparison(c: String): Option[(Int, String)] = {
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (inQuote) {
+        if (ch == '\\' && i + 1 < c.length) i += 1
+        else if (ch == '\'') {
+          if (i + 1 < c.length && c.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else ch match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '<' | '>' | '=' | '!' if depth == 0 =>
+          val two = if (i + 1 < c.length) c.substring(i, i + 2) else ""
+          if (two == ">=" || two == "<=" || two == "<>" || two == "!=")
+            return Some((i, two))
+          if (ch == '<' || ch == '>' || ch == '=')
+            return Some((i, ch.toString))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
 
   /** First top-level (paren-depth 0, outside single-quoted literals)
     * case-insensitive occurrence of `keyword` (words separated by any

@@ -328,4 +328,102 @@ class SqlSyntaxSpec extends SparkSpec {
       if (r.getLong(2) == r.getLong(3)) assert(math.abs(psi) < 1e-3)
     }
   }
+
+  // ---- ASOF JOIN -----------------------------------------------------------
+
+  test("ASOF JOIN clause equals the Temporal.asofJoin API on events") {
+    val e = graft.sources.Tables(spark, sfDir, "events")
+      .withColumn("t_us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t_us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    sess.registerTable("asof_p", purchases)
+    sess.registerTable("asof_c", clicks)
+    val got = sess.sql("""
+      SELECT p.purchase_id, p.user_id, c.click_id, c.click_us
+      FROM asof_p p ASOF LEFT JOIN asof_c c
+        ON p.user_id = c.user_id AND p.t_us >= c.click_us
+      ORDER BY p.purchase_id""").collect()
+    val want = graft.ops.Temporal.asofJoin(purchases, clicks, "user_id",
+      "t_us", "click_us", payload = Seq("click_id", "click_us"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("click_us"))
+      .orderBy("purchase_id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == purchases.count()) // LEFT keeps unmatched
+  }
+
+  test("ASOF JOIN: strictness and direction tie semantics on a " +
+      "coincident-time fixture") {
+    val l = spark.sql("SELECT * FROM VALUES (1, 10L), (2, 20L) AS t(id, t)")
+    val r = spark.sql(
+      "SELECT * FROM VALUES (10L, 'at10'), (15L, 'at15'), (25L, 'at25') AS t(rt, tag)")
+    sess.registerTable("asof_l", l)
+    sess.registerTable("asof_r", r)
+    def q(op: String, left: Boolean = true): Seq[(Int, Any)] =
+      sess.sql(s"""SELECT a.id, b.tag FROM asof_l a ASOF ${if (left) "LEFT " else ""}JOIN asof_r b
+        ON a.t $op b.rt ORDER BY a.id""").collect()
+        .map(x => (x.getInt(0), x.get(1))).toSeq
+    // backward inclusive: id1 matches the coincident at10
+    assert(q(">=") == Seq((1, "at10"), (2, "at15")))
+    // backward strict: the coincident row is excluded -> id1 unmatched
+    assert(q(">") == Seq((1, null), (2, "at15")))
+    // forward inclusive: id1 takes at10, id2 the next-ahead at25
+    assert(q("<=") == Seq((1, "at10"), (2, "at25")))
+    // forward strict: id1 skips the coincident row
+    assert(q("<") == Seq((1, "at15"), (2, "at25")))
+    // INNER drops the unmatched row instead of nulling it
+    assert(q(">", left = false) == Seq((2, "at15")))
+  }
+
+  test("ASOF JOIN plans hash joins + one window - no nested-loop join") {
+    val plan = sess.sql("""
+      SELECT a.id, b.tag FROM asof_l a ASOF JOIN asof_r b
+        ON a.t >= b.rt""").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("ASOF JOIN refusal contracts and scanner safety") {
+    // no inequality
+    val e1 = intercept[IllegalArgumentException](sess.sql(
+      "SELECT a.id FROM asof_l a ASOF JOIN asof_r b ON a.id = b.rt"))
+    assert(e1.getMessage.contains("inequality"))
+    // two inequalities
+    val e2 = intercept[IllegalArgumentException](sess.sql(
+      "SELECT a.id FROM asof_l a ASOF JOIN asof_r b ON a.t >= b.rt AND a.id < b.rt"))
+    assert(e2.getMessage.contains("ONE inequality"))
+    // subquery operand
+    val e3 = intercept[IllegalArgumentException](sess.sql(
+      "SELECT a.id FROM asof_l a ASOF JOIN (SELECT * FROM asof_r) b ON a.t >= b.rt"))
+    assert(e3.getMessage.contains("named table"))
+    // bare * would leak the synthetic pair columns
+    val e4 = intercept[IllegalArgumentException](sess.sql(
+      "SELECT * FROM asof_l a ASOF JOIN asof_r b ON a.t >= b.rt"))
+    assert(e4.getMessage.contains("bare *"))
+    // unqualified operand
+    val e5 = intercept[IllegalArgumentException](sess.sql(
+      "SELECT a.id FROM asof_l a ASOF JOIN asof_r b ON a.t >= rt"))
+    assert(e5.getMessage.contains("alias"))
+    // the keyword inside a string literal does not trigger
+    assert(graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT 'no ASOF JOIN here' AS s FROM t").isEmpty)
+    assert(graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT x FROM (SELECT a FROM l ASOF JOIN r ON l.a >= r.b) q").isEmpty)
+  }
+
+  test("sql_asof_join oracle row: strict-backward self as-of over orders") {
+    val rows = graft.ops.Sql.qSqlAsofJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // prev_date is strictly earlier whenever matched; first-day rows null
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) // fixture date type varies (DATE vs NTZ) — both Comparable
+        assert(r.get(4).asInstanceOf[Comparable[Any]].compareTo(r.get(2)) < 0,
+          r.toString)
+    }
+    assert(rows.exists(_.isNullAt(4)), "expected at least one first-order row")
+  }
 }
