@@ -219,18 +219,28 @@ object LogSql {
 
   /** Register each graft_log('<root>') reference as a snapshot view
     * and substitute the view name — the query then plans natively. */
-  private def rewriteRefs(s: SparkSession, text: String): String =
+  private def rewriteRefs(s: SparkSession, text: String): String = {
+    // the regex must run on the RAW text (the root itself sits inside
+    // a quoted literal, which the mask blanks), but a match STARTING
+    // inside a literal or comment is quoted text, not a reference —
+    // gate on the mask at the match start and leave those verbatim
+    val code = codeMask(text)
     LogRef.replaceAllIn(text, m => {
-      val root = m.group(1)
-      // md5 of the root, not hashCode: two distinct roots in one
-      // query (or session) must never alias to the same view — a
-      // 32-bit hashCode collision would silently read the wrong table
-      val view = "graft_log_" + java.security.MessageDigest
-        .getInstance("MD5").digest(root.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      graft.sources.TableLog.snapshot(s, root).createOrReplaceTempView(view)
-      view
+      if (!code(m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val root = m.group(1)
+        // md5 of the root, not hashCode: two distinct roots in one
+        // query (or session) must never alias to the same view — a
+        // 32-bit hashCode collision would silently read the wrong table
+        val view = "graft_log_" + java.security.MessageDigest
+          .getInstance("MD5").digest(root.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        graft.sources.TableLog.snapshot(s, root).createOrReplaceTempView(view)
+        view
+      }
     })
+  }
 
   private def merge(s: SparkSession, text: String): DataFrame = {
     val m = MergeHead.findFirstMatchIn(text).get
@@ -261,39 +271,25 @@ object LogSql {
     }
 
     // alias mapping to mergeFull's joined-frame names: source columns
-    // are src_-prefixed, target columns are bare. Applied OUTSIDE
-    // single-quoted literals only — 'signed by s. smith' must reach
-    // Catalyst verbatim, not as 'signed by src_smith'
+    // are src_-prefixed, target columns are bare. Applied only on
+    // CODE segments of the mask — 'signed by s. smith' in a literal,
+    // an `s.`-lookalike in a comment, and a backticked identifier all
+    // reach Catalyst verbatim, never as src_-rewritten text.
     def mapSeg(seg: String): String = seg
       .replaceAll(s"(?i)\\b$srcAlias\\s*\\.\\s*", "src_")
       .replaceAll(s"(?i)\\b$tgtAlias\\s*\\.\\s*", "")
-    // escape-aware: Spark SQL literals escape quotes BOTH ways —
-    // backslash ('it\'s') and doubling ('it''s'). A scanner that
-    // toggles on every quote desyncs on either and would rewrite
-    // literal text (or miss real references) from there on.
     def mapAliases(e: String): String = {
+      val code = codeMask(e)
       val out = new StringBuilder
-      var inQuote = false; var start = 0
       var i = 0
       while (i < e.length) {
-        val ch = e.charAt(i)
-        if (inQuote && ch == '\\' && i + 1 < e.length) {
-          i += 2 // backslash escape: the next char is literal
-        } else if (ch == '\'') {
-          if (inQuote && i + 1 < e.length && e.charAt(i + 1) == '\'') {
-            i += 2 // doubled '' inside a literal: one escaped quote
-          } else {
-            val seg = e.substring(start, i)
-            out ++= (if (inQuote) seg else mapSeg(seg))
-            out += '\''
-            inQuote = !inQuote
-            start = i + 1
-            i += 1
-          }
-        } else i += 1
+        val flag = code(i)
+        var j = i
+        while (j < e.length && code(j) == flag) j += 1
+        val seg = e.substring(i, j)
+        out ++= (if (flag) mapSeg(seg) else seg)
+        i = j
       }
-      val seg = e.substring(start)
-      out ++= (if (inQuote) seg else mapSeg(seg))
       out.toString
     }
 
@@ -354,21 +350,82 @@ object LogSql {
     Seq(v).toDF("version")
   }
 
-  /** Index of the ')' matching the '(' at `open`; single-quote-aware.
+  /** The shared lexical base of every top-level scanner here and in
+    * [[SqlSyntax]]: true at indices that are STRUCTURAL CODE, false
+    * inside single-/double-quoted literals and backtick-quoted
+    * identifiers (delimiters included) and inside SQL comments
+    * (`-- …` to end of line; bracketed comments, nesting per
+    * Spark 3+/DuckDB). Scanners read structure — keywords, parens,
+    * separators, comparisons — only where the mask is true, so none
+    * of those inside a literal, a backticked identifier or a comment
+    * can ever desync them. Escapes: backslash and doubled quote
+    * inside '…' and "…" (the literal conventions both engines
+    * accept), doubled backtick inside `…`. An unterminated literal
+    * or comment masks to end-of-text: the eventual parse reports
+    * the syntax error — the scanners just must not misread structure
+    * past it. */
+  private[ops] def codeMask(text: String): Array[Boolean] = {
+    val n = text.length
+    val code = Array.fill(n)(true)
+    var i = 0
+    def quoted(q: Char): Unit = { // text(i) is the opening delimiter
+      code(i) = false; i += 1
+      while (i < n) {
+        val c = text.charAt(i)
+        code(i) = false
+        if (c == '\\' && q != '`' && i + 1 < n) {
+          code(i + 1) = false; i += 2 // backslash escape: next is literal
+        } else if (c == q) {
+          if (i + 1 < n && text.charAt(i + 1) == q) {
+            code(i + 1) = false; i += 2 // doubled delimiter: escaped
+          } else { i += 1; return }     // closing delimiter
+        } else i += 1
+      }
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') quoted(c)
+      else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        while (i < n && text.charAt(i) != '\n') { code(i) = false; i += 1 }
+      } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+        var depth = 1
+        code(i) = false; code(i + 1) = false; i += 2
+        while (i < n && depth > 0) {
+          if (text.charAt(i) == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+            code(i) = false; code(i + 1) = false; i += 2; depth += 1
+          } else if (text.charAt(i) == '*' && i + 1 < n &&
+              text.charAt(i + 1) == '/') {
+            code(i) = false; code(i + 1) = false; i += 2; depth -= 1
+          } else { code(i) = false; i += 1 }
+        }
+      } else i += 1
+    }
+    code
+  }
+
+  /** `text` with every non-code character (per [[codeMask]]) replaced
+    * by U+0001 — same length, so regex matches against the masked
+    * form index straight into the original. For regex-shaped probes
+    * (alias references, anchored clause heads) that must not match
+    * inside literals/comments/backticks: the filler is neither a word
+    * character nor whitespace, so `\b`-anchored and `\s`-bridged
+    * patterns can never span into a masked region. */
+  private[ops] def maskNonCode(text: String): String = {
+    val code = codeMask(text)
+    val m = text.toCharArray
+    var i = 0
+    while (i < m.length) { if (!code(i)) m(i) = '\u0001'; i += 1 }
+    new String(m)
+  }
+
+  /** Index of the ')' matching the '(' at `open`; literal-, backtick-
+    * and comment-aware via [[codeMask]].
     * `private[ops]`: [[SqlSyntax]] reuses it for DISTINCT ON keys. */
   private[ops] def matchParen(text: String, open: Int): Int = {
-    var depth = 0; var i = open; var inQuote = false
+    val code = codeMask(text)
+    var depth = 0; var i = open
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (inQuote) {
-        // escape-aware, same forms as splitTop/mapAliases
-        if (c == '\\' && i + 1 < text.length) i += 1
-        else if (c == '\'') {
-          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
-          else inQuote = false
-        }
-      } else c match {
-        case '\'' => inQuote = true
+      if (code(i)) text.charAt(i) match {
         case '(' => depth += 1
         case ')' =>
           depth -= 1
@@ -380,24 +437,16 @@ object LogSql {
     throw new IllegalArgumentException("unbalanced parens in statement")
   }
 
-  /** Split on `sep` at paren depth 0, quote-aware.
+  /** Split on `sep` at paren depth 0; literal-, backtick- and
+    * comment-aware via [[codeMask]].
     * `private[ops]`: [[SqlSyntax]] reuses it for select-list arity. */
   private[ops] def splitTop(text: String, sep: Char): Seq[String] = {
+    val code = codeMask(text)
     val out = Seq.newBuilder[String]
-    var depth = 0; var inQuote = false; var start = 0
+    var depth = 0; var start = 0
     var i = 0
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (inQuote) {
-        // same escape forms the alias scanner honors: backslash
-        // ('it\'s') and doubling ('it''s') keep the scanner in-literal
-        if (c == '\\' && i + 1 < text.length) i += 1
-        else if (c == '\'') {
-          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
-          else inQuote = false
-        }
-      } else c match {
-        case '\'' => inQuote = true
+      if (code(i)) text.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case `sep` if depth == 0 =>

@@ -29,11 +29,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * named `ties`) are guarded structurally and — for QUALIFY — by an
   * abstain-on-analysis-failure fallback that reruns the original text.
   *
-  * Honest scope: the scanners do not track backtick-quoted identifiers
-  * or SQL comments — a keyword inside either could still match. These
-  * are preprocessor extensions for the engine's own clause surface,
-  * not a general parser; text that needs those forms should use the
-  * native Spark rendition of the clause (subquery/window) directly.
+  * All structural scanning here rides [[LogSql.codeMask]]: keywords,
+  * parens, separators and comparisons are read only at CODE positions
+  * — never inside single-/double-quoted literals, backtick-quoted
+  * identifiers, `-- …` line comments or (nested) bracketed comments —
+  * and a multi-word keyword may be separated by comments exactly as
+  * SQL lexes it (ORDER BY with a bracketed comment between the two
+  * words is still the keyword). Honest residual scope: the
+  * ANCHORED clause-head regexes (`SELECT * EXCLUDE(…)`, `SELECT
+  * DISTINCT ON (…)`, the `LIMIT n WITH TIES` statement tail) match
+  * raw text, so a comment sitting INSIDE those fixed heads/tails
+  * simply means the extension doesn't trigger (the text then fails in
+  * Spark's parser loudly, exactly as it would without the rewrite);
+  * and these remain preprocessor extensions for the engine's own
+  * clause surface, not a general parser.
   */
 object SqlSyntax {
 
@@ -81,8 +90,12 @@ object SqlSyntax {
             s"LIMIT … WITH TIES: name the sort column — ordinal `$it` would " +
               "be a constant inside the rank window")
         }
-        s.sql(s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY $obs) AS __rk " +
-          s"FROM ($head) __t) __tt WHERE __rk <= $n ORDER BY $obs")
+        // user-derived fragments are newline-padded before structural
+        // tokens wherever a trailing `-- …` line comment could
+        // otherwise swallow them (the convention every rewrite here
+        // follows)
+        s.sql(s"SELECT * FROM (SELECT *, rank() OVER (ORDER BY\n$obs\n) AS __rk " +
+          s"FROM (\n$head\n) __t) __tt WHERE __rk <= $n ORDER BY\n$obs")
           .drop("__rk")
       }
     }
@@ -136,14 +149,14 @@ object SqlSyntax {
       val cut = Seq(findTopLevel(rest, "ORDER BY"), findTopLevel(rest, "LIMIT"))
         .flatten.map(_._1).minOption.getOrElse(rest.length)
       val body = rest.substring(fs, cut) // FROM … [WHERE …]
-      val cols = s.sql(s"SELECT * $body LIMIT 0").columns
+      val cols = s.sql(s"SELECT * $body\nLIMIT 0").columns
       val unknown = items.keySet -- cols.map(_.toLowerCase).toSet
       require(unknown.isEmpty, s"REPLACE names absent columns: $unknown")
       val sel = cols.map { c =>
-        items.get(c.toLowerCase).map(e => s"($e) AS $c").getOrElse(c)
+        items.get(c.toLowerCase).map(e => s"(\n$e\n) AS $c").getOrElse(c)
       }.mkString(", ")
       // recurse: the trailing clauses may carry another extension
-      run(s, s"SELECT $sel $rest")
+      run(s, s"SELECT $sel\n$rest")
     }
 
   /** `SELECT … QUALIFY pred [ORDER BY …] [LIMIT …]`: the predicate is
@@ -174,10 +187,12 @@ object SqlSyntax {
         if (pred.isEmpty) None // `ORDER BY qualify` — a column, not the clause
         else {
           val (fs, _) = findTopLevel(head, "FROM").get
+          // newline-padded: the head may end in a line comment, and
+          // pred may carry one — neither may swallow the splice
           val spliced = head.substring(0, fs).trim +
-            s", ($pred) AS __qualify__ " + head.substring(fs)
+            s"\n, (\n$pred\n) AS __qualify__\n" + head.substring(fs)
           try Some(
-            s.sql(s"SELECT * FROM ($spliced) __q WHERE __qualify__ $tail")
+            s.sql(s"SELECT * FROM (\n$spliced\n) __q WHERE __qualify__\n$tail")
               .drop("__qualify__"))
           catch {
             // not the clause after all — run the original text untouched
@@ -219,8 +234,9 @@ object SqlSyntax {
       // an arithmetic expression (`a * 2 AS b`) is fine
       require(!LogSql.splitTop(sel, ',').exists(i => i == "*" || i.endsWith(".*")),
         "DISTINCT ON: select list must be explicit (a * would leak the synthetic rank)")
-      s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
-        s"ORDER BY $obs) AS __rn $body) __d WHERE __rn = 1 ORDER BY $obs $limit"
+      s"SELECT $sel\nFROM (SELECT *, row_number() OVER (PARTITION BY\n$keys\n" +
+        s"ORDER BY\n$obs\n) AS __rn\n$body\n) __d WHERE __rn = 1 " +
+        s"ORDER BY\n$obs\n$limit"
     }
 
   /** `ORDER BY ALL [ASC|DESC]` (DuckDB lineage; the ordering twin of
@@ -328,8 +344,11 @@ object SqlSyntax {
       val lRef = ("(?i)\\b" + Pattern.quote(lAlias) + "\\.").r
       val rRef = ("(?i)\\b" + Pattern.quote(rAlias) + "\\.").r
       def sideOf(e: String): Boolean = { // true = left-side expression
-        val hasL = lRef.findFirstIn(e).isDefined
-        val hasR = rRef.findFirstIn(e).isDefined
+        // probe the MASKED text: an alias-lookalike inside a string
+        // literal or comment is not a side reference
+        val masked = LogSql.maskNonCode(e)
+        val hasL = lRef.findFirstIn(masked).isDefined
+        val hasR = rRef.findFirstIn(masked).isDefined
         require(hasL != hasR, "ASOF JOIN: every ON operand must reference " +
           s"exactly one side's alias ($lAlias / $rAlias), got: `$e`")
         hasL
@@ -367,7 +386,11 @@ object SqlSyntax {
         case "<"  => ("DESC", "DESC")
       }
       val ks = eqs.indices.map(i => s"__asof_k$i")
-      val lKeySel = eqs.map(_._1).zip(ks).map { case (e, k) => s"$e AS $k" }
+      // user-derived expressions are newline-padded before every
+      // structural token they precede (AS/operator/comma), so an ON
+      // operand carrying a trailing `-- …` comment cannot swallow the
+      // construction — the same convention as the other rewrites
+      val lKeySel = eqs.map(_._1).zip(ks).map { case (e, k) => s"$e\nAS $k" }
       val part =
         if (ks.isEmpty) "" else s"PARTITION BY ${ks.mkString(", ")} "
       val pairs =
@@ -377,16 +400,16 @@ object SqlSyntax {
           s"${part}ORDER BY __asof_t $tDir, __asof_src $srcDir " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __asof_rt " +
           "FROM (" +
-          s"SELECT ${(lKeySel :+ s"$ltE AS __asof_t" :+ "1 AS __asof_src").mkString(", ")} " +
+          s"SELECT ${(lKeySel :+ s"$ltE\nAS __asof_t" :+ "1 AS __asof_src").mkString("\n, ")} " +
           s"FROM $lIdent $lAlias" +
           " UNION ALL " +
-          s"SELECT ${(eqs.map(_._2) :+ rtE :+ "0").mkString(", ")} " +
+          s"SELECT ${(eqs.map(_._2) :+ rtE :+ "0").mkString("\n, ")} " +
           s"FROM $rIdent $rAlias" +
           ") __asof_u) __asof_w WHERE __asof_src = 1) __asof"
-      val lOn = (eqs.map(_._1).zip(ks).map { case (e, k) => s"$e <=> __asof.$k" } :+
-        s"$ltE <=> __asof.__asof_t").mkString(" AND ")
-      val rOn = (eqs.map(_._2).zip(ks).map { case (e, k) => s"$e <=> __asof.$k" } :+
-        s"$rtE = __asof.__asof_rt").mkString(" AND ")
+      val lOn = (eqs.map(_._1).zip(ks).map { case (e, k) => s"$e\n<=> __asof.$k" } :+
+        s"$ltE\n<=> __asof.__asof_t").mkString("\nAND ")
+      val rOn = (eqs.map(_._2).zip(ks).map { case (e, k) => s"$e\n<=> __asof.$k" } :+
+        s"$rtE\n= __asof.__asof_rt").mkString("\nAND ")
       val jt = if (isLeft) "LEFT JOIN" else "JOIN"
       text.substring(0, fe) +
         s" $lIdent $lAlias JOIN $pairs ON $lOn $jt $rIdent $rAlias ON $rOn " +
@@ -404,23 +427,18 @@ object SqlSyntax {
     }
 
   /** First top-level comparison operator in a conjunct: (index, op).
-    * Two-char ops win over their one-char prefixes. */
+    * Two-char ops win over their one-char prefixes. Literal-,
+    * backtick- and comment-aware via [[LogSql.codeMask]]. */
   private def findTopComparison(c: String): Option[(Int, String)] = {
-    var depth = 0; var inQuote = false; var i = 0
+    val code = LogSql.codeMask(c)
+    var depth = 0; var i = 0
     while (i < c.length) {
       val ch = c.charAt(i)
-      if (inQuote) {
-        if (ch == '\\' && i + 1 < c.length) i += 1
-        else if (ch == '\'') {
-          if (i + 1 < c.length && c.charAt(i + 1) == '\'') i += 1
-          else inQuote = false
-        }
-      } else ch match {
-        case '\'' => inQuote = true
+      if (code(i)) ch match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case '<' | '>' | '=' | '!' if depth == 0 =>
-          val two = if (i + 1 < c.length) c.substring(i, i + 2) else ""
+          val two = if (i + 1 < c.length && code(i + 1)) c.substring(i, i + 2) else ""
           if (two == ">=" || two == "<=" || two == "<>" || two == "!=")
             return Some((i, two))
           if (ch == '<' || ch == '>' || ch == '=')
@@ -432,27 +450,21 @@ object SqlSyntax {
     None
   }
 
-  /** First top-level (paren-depth 0, outside single-quoted literals)
-    * case-insensitive occurrence of `keyword` (words separated by any
-    * whitespace) as whole identifier words; Some((start, end)). */
+  /** First top-level (paren-depth 0, outside literals, backticked
+    * identifiers and comments — [[LogSql.codeMask]]) case-insensitive
+    * occurrence of `keyword` (words separated by any whitespace
+    * and/or comments, as SQL lexes them) as whole identifier words;
+    * Some((start, end)). */
   private[graft] def findTopLevel(text: String, keyword: String): Option[(Int, Int)] = {
     val words = keyword.split(' ')
-    var depth = 0; var inQuote = false; var i = 0
+    val code = LogSql.codeMask(text)
+    var depth = 0; var i = 0
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (inQuote) {
-        // escape forms the LogSql scanners honor: backslash and doubling
-        if (c == '\\' && i + 1 < text.length) i += 1
-        else if (c == '\'') {
-          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
-          else inQuote = false
-        }
-      } else c match {
-        case '\'' => inQuote = true
+      if (code(i)) text.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 && (i == 0 || !isIdent(text.charAt(i - 1))) =>
-          val end = matchWords(text, i, words)
+          val end = matchWords(text, code, i, words)
           if (end >= 0) return Some((i, end))
         case _ =>
       }
@@ -464,23 +476,44 @@ object SqlSyntax {
   private def isIdent(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
 
-  /** End index when `words` match at `i` (whitespace-separated, each a
-    * whole word); -1 otherwise. */
-  private def matchWords(text: String, i: Int, words: Array[String]): Int = {
+  /** End index when `words` match at `i` (each a whole word of CODE
+    * characters, separated by whitespace and/or comment runs — SQL
+    * lexes `ORDER /*x*/ BY` as the two-word keyword); -1 otherwise. */
+  private def matchWords(text: String, code: Array[Boolean], i: Int,
+      words: Array[String]): Int = {
     var p = i
     var w = 0
     while (w < words.length) {
       if (w > 0) {
+        // the separator is whitespace and/or COMMENT runs — never a
+        // literal or backticked identifier (their non-code runs start
+        // with a quote character; a comment's starts with '-' or '/',
+        // which is exact, not heuristic)
         val sp = p
-        while (p < text.length && Character.isWhitespace(text.charAt(p))) p += 1
+        var advanced = true
+        while (advanced) {
+          advanced = false
+          while (p < text.length && code(p) &&
+            Character.isWhitespace(text.charAt(p))) { p += 1; advanced = true }
+          if (p < text.length && !code(p) &&
+            (text.charAt(p) == '-' || text.charAt(p) == '/')) {
+            while (p < text.length && !code(p)) p += 1
+            advanced = true
+          }
+        }
         if (p == sp) return -1
       }
       val word = words(w)
       if (p + word.length > text.length ||
         !text.regionMatches(true, p, word, 0, word.length)) return -1
+      var q = p
+      while (q < p + word.length) { // every keyword char must be CODE
+        if (!code(q)) return -1
+        q += 1
+      }
       p += word.length
       w += 1
     }
-    if (p < text.length && isIdent(text.charAt(p))) -1 else p
+    if (p < text.length && code(p) && isIdent(text.charAt(p))) -1 else p
   }
 }

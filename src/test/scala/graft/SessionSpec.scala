@@ -335,6 +335,18 @@ class SessionSpec extends SparkSpec {
       .filter(col("k") === 1L).select("price", "note")
       .as[(Double, String)].head()
     assert(dbl == ((88.0, "it's s. jones")), s"got $dbl")
+    // comments are opaque to the alias scanner (codeMask): an `s.`
+    // inside a bracketed comment stays verbatim for Catalyst — only
+    // the code-segment s.price maps to the src_ frame name
+    session.sql(
+      s"MERGE INTO graft_log('$root') AS t " +
+        "USING (SELECT 1 AS k, 66.0 AS price) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET note = 'c', " +
+        "t.price = /* not s.price here */ s.price")
+    val cmt = graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("k") === 1L).select("price", "note")
+      .as[(Double, String)].head()
+    assert(cmt == ((66.0, "c")), s"got $cmt")
   }
 
   test("lakehouse SQL: INSERT INTO and CREATE TABLE AS can read " +
@@ -355,6 +367,24 @@ class SessionSpec extends SparkSpec {
     val ids = graft.sources.TableLog.snapshot(spark, dstRoot)
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L), s"got $ids")
+  }
+
+  test("lakehouse SQL: a graft_log reference inside a literal or " +
+      "comment stays verbatim — only code references resolve") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ref_mask").toString + "/t"
+    graft.sources.TableLog.append(spark, root,
+      Seq((1L, "a")).toDF("id", "s"))
+    val session = Session(spark)
+    // the literal mentions a NONEXISTENT root: resolving it would
+    // throw from TableLog.snapshot, so passing proves it stayed text
+    val got = session.sql(
+      "SELECT id, 'see graft_log(''/nonexistent'') docs' AS note " +
+        s"FROM graft_log('$root') -- graft_log('/alsonot')\n" +
+        "WHERE id = 1").collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "see graft_log('/nonexistent') docs")
   }
 
   test("lakehouse SQL: CREATE refuses an existing table; CREATE OR " +

@@ -415,6 +415,66 @@ class SqlSyntaxSpec extends SparkSpec {
       "SELECT x FROM (SELECT a FROM l ASOF JOIN r ON l.a >= r.b) q").isEmpty)
   }
 
+  test("scanners are comment- and backtick-aware (codeMask): keywords " +
+      "inside either never trigger; a keyword split by a comment still lexes") {
+    // keyword inside a line comment / bracketed comment / backticks
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a FROM t -- QUALIFY rn = 1\n WHERE a = 1", "QUALIFY").isEmpty)
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a /* QUALIFY rn = 1 */ FROM t", "QUALIFY").isEmpty)
+    assert(SqlSyntax.findTopLevel(
+      "SELECT `order by all` FROM t", "ORDER BY ALL").isEmpty)
+    // nested bracketed comments (Spark 3+/DuckDB both nest)
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a /* outer /* LIMIT 1 */ still comment */ FROM t",
+      "LIMIT").isEmpty)
+    // double-quoted literal (Spark) / identifier (DuckDB): opaque either way
+    assert(SqlSyntax.findTopLevel(
+      "SELECT \"no LIMIT here\" FROM t", "LIMIT").isEmpty)
+    // a comment BETWEEN keyword words is a token separator, as SQL lexes it
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a FROM t ORDER /* c */ BY a", "ORDER BY").isDefined)
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a FROM t ORDER--c\nBY a", "ORDER BY").isDefined)
+    // a LITERAL between keyword words is NOT a separator
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a FROM t ORDER 'x' BY a", "ORDER BY").isEmpty)
+    // parens inside comments/backticks do not desync depth tracking:
+    // the ')' in the comment must not close the DISTINCT ON key list
+    val r = SqlSyntax.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k1 /* ) */, k2) a, b FROM t ORDER BY k1, k2, a")
+    assert(r.isDefined && r.get.contains("k1 /* ) */, k2\n"), r)
+    // an unterminated literal masks to end-of-text without desyncing
+    assert(SqlSyntax.findTopLevel("SELECT 'oops FROM t", "FROM").isEmpty)
+  }
+
+  test("QUALIFY under comments end-to-end: a commented statement " +
+      "rewrites identically to the bare one") {
+    sess.registerTable("orders", orders)
+    val bare = sess.sql(
+      "SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey % 25 = 3 " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) = 1 " +
+        "ORDER BY o_custkey, o_orderkey").collect()
+    val commented = sess.sql(
+      "SELECT o_custkey, o_orderkey -- projected pair\n" +
+        "FROM orders WHERE o_custkey % 25 = 3 /* filter */ " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) = 1 " +
+        "ORDER /* split keyword */ BY o_custkey, o_orderkey").collect()
+    assert(bare.nonEmpty && bare.toSeq == commented.toSeq)
+  }
+
+  test("ASOF JOIN: an alias-lookalike inside a literal is not a side " +
+      "reference — the conjunct is refused loudly, not mis-keyed") {
+    val e = intercept[IllegalArgumentException] {
+      SqlSyntax.rewriteAsofJoin(
+        "SELECT a.id FROM asof_l a ASOF JOIN asof_r b " +
+          "ON a.k = b.k AND a.t >= b.rt AND a.tag = 'b.x'")
+    }
+    assert(e.getMessage.contains("exactly one side's alias"), e.getMessage)
+  }
+
   test("sql_asof_join oracle row: strict-backward self as-of over orders") {
     val rows = graft.ops.Sql.qSqlAsofJoin(spark, sfDir).collect()
     assert(rows.nonEmpty)
