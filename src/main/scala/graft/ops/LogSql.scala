@@ -364,7 +364,7 @@ object LogSql {
     * or comment masks to end-of-text: the eventual parse reports
     * the syntax error — the scanners just must not misread structure
     * past it. */
-  private[ops] def codeMask(text: String): Array[Boolean] = {
+  private[graft] def codeMask(text: String): Array[Boolean] = {
     val n = text.length
     val code = Array.fill(n)(true)
     var i = 0
@@ -410,7 +410,7 @@ object LogSql {
     * inside literals/comments/backticks: the filler is neither a word
     * character nor whitespace, so `\b`-anchored and `\s`-bridged
     * patterns can never span into a masked region. */
-  private[ops] def maskNonCode(text: String): String = {
+  private[graft] def maskNonCode(text: String): String = {
     val code = codeMask(text)
     val m = text.toCharArray
     var i = 0

@@ -448,6 +448,82 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(SqlSyntax.findTopLevel("SELECT 'oops FROM t", "FROM").isEmpty)
   }
 
+  test("codeMask property fuzz: 300 random compositions of code and " +
+      "literal/backtick/comment fragments label exactly the generated regions") {
+    val rnd = new scala.util.Random(42)
+    val codeChars = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz" +
+      "0123456789 =(),.<>"
+    val bodyChars = // safe inside any quoted/comment body (no delimiters)
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 =()<>,."
+    def frag(chars: String, n: Int): String =
+      Seq.fill(n)(chars(rnd.nextInt(chars.length))).mkString
+    // each generator returns (text, perCharIsCode)
+    def codeFrag(): (String, Seq[Boolean]) = {
+      val t = frag(codeChars, 1 + rnd.nextInt(12))
+      (t, Seq.fill(t.length)(true))
+    }
+    def kwInBody(): String = // plant a keyword where it must NOT match
+      if (rnd.nextInt(3) == 0) " QUALIFY ORDER BY LIMIT " else ""
+    def quoted(q: Char): (String, Seq[Boolean]) = {
+      val esc = if (q == '`') s"$q$q"
+        else if (rnd.nextBoolean()) s"\\$q" else s"$q$q"
+      val body = frag(bodyChars, rnd.nextInt(8)) + kwInBody() +
+        (if (rnd.nextBoolean()) esc else "") + frag(bodyChars, rnd.nextInt(8))
+      val t = s"$q$body$q"
+      (t, Seq.fill(t.length)(false))
+    }
+    def lineComment(): (String, Seq[Boolean]) = {
+      val body = frag(bodyChars, rnd.nextInt(10)) + kwInBody()
+      val t = s"--$body\n"
+      (t, Seq.fill(t.length - 1)(false) :+ true) // the newline is code
+    }
+    def blockComment(): (String, Seq[Boolean]) = {
+      val inner = if (rnd.nextBoolean()) "/*" + frag(bodyChars, 5) + "*/" else ""
+      val t = "/*" + frag(bodyChars, rnd.nextInt(8)) + kwInBody() + inner + "*/"
+      (t, Seq.fill(t.length)(false))
+    }
+    def unterminated(): (String, Seq[Boolean]) = {
+      val t = rnd.nextInt(3) match {
+        case 0 => "'" + frag(bodyChars, 5)
+        case 1 => "/*" + frag(bodyChars, 5)
+        case _ => "--" + frag(bodyChars, 5)
+      }
+      (t, Seq.fill(t.length)(false))
+    }
+    for (round <- 0 until 300) {
+      val n = 1 + rnd.nextInt(10)
+      val parts = Seq.fill(n)(rnd.nextInt(6) match {
+        case 0 => codeFrag()
+        case 1 => quoted('\'')
+        case 2 => quoted('"')
+        case 3 => quoted('`')
+        case 4 => lineComment()
+        case 5 => blockComment()
+      }) ++ (if (rnd.nextInt(5) == 0) Seq(unterminated()) else Nil)
+      // a single space (code) between fragments keeps expectations
+      // composable without relying on the doubling coincidence
+      val text = parts.map(_._1).mkString(" ")
+      val expected = parts.map(_._2).reduceLeft((a, b) => a ++ Seq(true) ++ b)
+      val got = graft.ops.LogSql.codeMask(text).toSeq
+      assert(got == expected,
+        s"round $round: mask mismatch on <$text>\n got  $got\n want $expected")
+      val masked = graft.ops.LogSql.maskNonCode(text)
+      assert(masked.length == text.length)
+      expected.indices.foreach { i =>
+        if (expected(i)) assert(masked(i) == text(i))
+        else assert(masked(i) == '\u0001')
+      }
+      // keywords planted inside noncode bodies never surface: if the
+      // masked text carries no code QUALIFY, findTopLevel must not
+      // find one (the planted occurrences are all in noncode bodies)
+      val hasCodeQualify =
+        "\\bQUALIFY\\b".r.findFirstIn(masked.toUpperCase).isDefined
+      if (!hasCodeQualify)
+        assert(SqlSyntax.findTopLevel(text, "QUALIFY").isEmpty,
+          s"round $round: QUALIFY misfired on <$text>")
+    }
+  }
+
   test("QUALIFY under comments end-to-end: a commented statement " +
       "rewrites identically to the bare one") {
     sess.registerTable("orders", orders)
