@@ -94,9 +94,15 @@ class Session(val spark: SparkSession) {
     * [[graft.ops.LogSql]]; QUALIFY / DISTINCT ON clauses rewrite
     * through [[graft.ops.SqlSyntax]]; everything else is native
     * Spark SQL. */
-  def sql(query: String): DataFrame =
-    graft.ops.LogSql.dispatch(spark, query)
-      .getOrElse(graft.ops.SqlSyntax.run(spark, query))
+  def sql(query: String): DataFrame = {
+    // boundary comments carry no semantics, but the lakehouse
+    // statement heads and the clause-extension anchors are matched by
+    // anchored regexes — a `-- provenance` header or a trailing
+    // comment must not stop a MERGE/EXCLUDE/… from being recognized
+    val q = graft.ops.LogSql.stripBoundaryComments(query)
+    graft.ops.LogSql.dispatch(spark, q)
+      .getOrElse(graft.ops.SqlSyntax.run(spark, q))
+  }
 
   /** table (context.rs:201): named table → DataFrame for the Table API. */
   def table(name: String): DataFrame = spark.table(name)

@@ -418,6 +418,51 @@ object LogSql {
     new String(m)
   }
 
+  /** `text` with leading and trailing comments (and the whitespace
+    * around them) removed — comments at statement BOUNDARIES carry no
+    * semantics, but the lakehouse statement heads and the
+    * clause-extension anchors are matched by anchored regexes that a
+    * `-- provenance` header or a trailing comment would defeat.
+    * Interior comments are untouched (the scanners handle them via
+    * [[codeMask]]); literals and backticked identifiers are never
+    * stripped — only runs whose first character marks a comment
+    * ('-' or '/'), which is exact, not heuristic. */
+  private[graft] def stripBoundaryComments(text: String): String = {
+    val code = codeMask(text)
+    def isWs(i: Int) = code(i) && Character.isWhitespace(text.charAt(i))
+    def commentRunEnd(i: Int): Int = // end (exclusive) of a noncode run
+      if (i < text.length && !code(i) &&
+        (text.charAt(i) == '-' || text.charAt(i) == '/')) {
+        var j = i
+        while (j < text.length && !code(j)) j += 1
+        j
+      } else -1
+    var start = 0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (start < text.length && isWs(start)) { start += 1; moved = true }
+      val e = commentRunEnd(start)
+      if (e >= 0) { start = e; moved = true }
+    }
+    // trailing: walk noncode/whitespace runs back from the end
+    var end = text.length
+    moved = true
+    while (moved && end > start) {
+      moved = false
+      while (end > start && isWs(end - 1)) { end -= 1; moved = true }
+      if (end > start && !code(end - 1)) {
+        // find the start of this noncode run; strip only if a comment
+        var j = end - 1
+        while (j > start && !code(j - 1)) j -= 1
+        if (text.charAt(j) == '-' || text.charAt(j) == '/') {
+          end = j; moved = true
+        }
+      }
+    }
+    text.substring(start, end)
+  }
+
   /** Index of the ')' matching the '(' at `open`; literal-, backtick-
     * and comment-aware via [[codeMask]].
     * `private[ops]`: [[SqlSyntax]] reuses it for DISTINCT ON keys. */

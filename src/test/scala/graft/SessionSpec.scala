@@ -387,6 +387,21 @@ class SessionSpec extends SparkSpec {
     assert(got.head.getString(1) == "see graft_log('/nonexistent') docs")
   }
 
+  test("lakehouse SQL: a comment header/trailer does not stop a " +
+      "statement head from dispatching") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hdr").toString + "/t"
+    val session = Session(spark)
+    session.sql(s"-- pipeline: nightly\nCREATE TABLE graft_log('$root') " +
+      "AS SELECT 1 AS k, CAST(10.0 AS DOUBLE) AS v -- initial load")
+    session.sql(s"/* step 2 */ UPDATE graft_log('$root') " +
+      "SET v = CAST(20.0 AS DOUBLE) WHERE k = 1 -- bump")
+    val got = graft.sources.TableLog.snapshot(spark, root)
+      .select("v").as[Double].head()
+    assert(got == 20.0, s"got $got")
+  }
+
   test("lakehouse SQL: CREATE refuses an existing table; CREATE OR " +
       "REPLACE overwrites in one commit") {
     val sp = spark; import sp.implicits._

@@ -541,6 +541,28 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(bare.nonEmpty && bare.toSeq == commented.toSeq)
   }
 
+  test("boundary comments strip: anchored clause heads and statement " +
+      "tails survive a provenance header and a trailing comment") {
+    import graft.ops.LogSql
+    assert(LogSql.stripBoundaryComments(
+      "-- provenance: job 42\n/* hdr */ SELECT a FROM t -- done") ==
+      "SELECT a FROM t")
+    // literals and backticks at the boundary are NEVER stripped
+    assert(LogSql.stripBoundaryComments("'lit' FROM x") == "'lit' FROM x")
+    assert(LogSql.stripBoundaryComments("SELECT `a`") == "SELECT `a`")
+    // an unterminated literal tail stays (the parser must report it)
+    assert(LogSql.stripBoundaryComments("SELECT 'oops") == "SELECT 'oops")
+    // end-to-end: a header must not stop SELECT * EXCLUDE from
+    // triggering (its anchor is a ^SELECT regex)
+    val documents = graft.sources.Tables(spark, sfDir, "documents")
+    sess.registerTable("documents", documents)
+    val df = sess.sql(
+      "-- reader prelude\nSELECT * EXCLUDE (text) FROM documents " +
+        "WHERE doc_id % 100 = 3 ORDER BY doc_id LIMIT 5 -- trailing note")
+    assert(!df.columns.contains("text"))
+    assert(df.count() > 0)
+  }
+
   test("ASOF JOIN: an alias-lookalike inside a literal is not a side " +
       "reference — the conjunct is refused loudly, not mis-keyed") {
     val e = intercept[IllegalArgumentException] {
