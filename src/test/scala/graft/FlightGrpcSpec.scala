@@ -141,6 +141,31 @@ class FlightGrpcSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("GetFlightInfo pins one plan generation over gRPC: endpoint " +
+      "DoGets see the info-time dataset even after the view is replaced") {
+    val sp = spark; import sp.implicits._
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val port = server.boundPort
+      Seq(1L, 2L, 3L).toDF("v").repartition(2)
+        .createOrReplaceTempView("fg_pin")
+      val (_, endpoints) =
+        FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_pin")
+      assert(endpoints.size == 2)
+      // a concurrent writer replaces the view BETWEEN GetFlightInfo
+      // and the endpoint pulls — the classic parallel-consumer race
+      // (FlightLiteSpec pins the same contract on the socket transport)
+      Seq(100L, 200L).toDF("v").createOrReplaceTempView("fg_pin")
+      val got = endpoints.flatMap(e =>
+        FlightGrpc.doGet("127.0.0.1", port, e)._1).map(_.getLong(0)).sorted
+      assert(got == Seq(1L, 2L, 3L),
+        s"endpoints mixed plan generations: $got")
+      // an un-pinned by-name ticket resolves the NEW view
+      val (fresh, _) = FlightGrpc.doGet("127.0.0.1", port, "fg_pin")
+      assert(fresh.map(_.getLong(0)).sorted == Seq(100L, 200L))
+    } finally server.close()
+  }
+
   test("auth: handshake exchanges credential for bearer; every verb " +
       "refuses without it; wrong credential rejected") {
     val server = new FlightGrpc.Server(spark, authSecret = Some("s3cr3t")).start()
