@@ -298,7 +298,16 @@ object SqlSyntax {
     * The right side must be unique per (key, time) — same contract as
     * [[Temporal.asofJoin]] and DuckDB itself. NULL keys group with
     * NULL keys (window-partition semantics) rather than matching
-    * nothing; null-sensitive inputs should filter first. */
+    * nothing; null-sensitive inputs should filter first.
+    *
+    * Scale note (plan-audited): a trailing WHERE on the statement is
+    * pushed into the probe-side scan by Catalyst, but NOT into the
+    * pairs subquery — the rewrite happens before analysis, so a
+    * key-selective filter cannot be proven safe to replicate there,
+    * and the pairs union windows over ALL keys. At 100 TB, put a
+    * selective key filter in a CTE and ASOF-join the CTEs (operands
+    * are any NAMED relation) — then both union legs scan only the
+    * filtered keys. */
   private[graft] def rewriteAsofJoin(text: String): Option[String] = {
     val hit = findTopLevel(text, "ASOF LEFT JOIN").map((_, true))
       .orElse(findTopLevel(text, "ASOF JOIN").map((_, false)))
