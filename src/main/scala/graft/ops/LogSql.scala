@@ -80,8 +80,8 @@ object LogSql {
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s*(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.*)$""".r
   private val MergeHead =
     """(?is)^\s*MERGE\s+INTO\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+AS\s+(\w+)\s+USING\s*\(""".r
-  private val UpdateRe =
-    """(?is)^\s*UPDATE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*(?:STATS\s*\(([^)]*)\)\s*)?$""".r
+  private val UpdateHead =
+    """(?is)^\s*UPDATE\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+SET\s""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+graft_log\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.*?)\s*$""".r
   private val AlterTypeRe =
@@ -137,13 +137,24 @@ object LogSql {
         }
       Some(versionDf(s, v))
     case t if MergeHead.findFirstIn(t).isDefined => Some(merge(s, t))
-    case UpdateRe(root, sets, pred, stats) =>
+    case t if UpdateHead.findFirstIn(t).isDefined =>
+      // SET/WHERE boundary via the masked scanner, not a raw regex —
+      // a SET expression whose string literal contains " WHERE " must
+      // not end the SET list early
+      val m = UpdateHead.findFirstMatchIn(t).get
+      val root = m.group(1)
+      val tail = t.substring(m.end)
+      val (ws0, we) = SqlSyntax.findTopLevel(tail, "WHERE").getOrElse(
+        throw new IllegalArgumentException(
+          "UPDATE graft_log requires a WHERE clause"))
+      val sets = tail.substring(0, ws0).trim
+      val (pred, stats) = splitTrailingStats(tail.substring(we))
       val set = splitTop(sets, ',').map { a =>
         val i = a.indexOf('=')
         require(i > 0, s"malformed SET assignment: $a")
         a.take(i).trim -> expr(a.drop(i + 1))
       }.toMap
-      val statsCols = Option(stats).toSeq
+      val statsCols = stats.toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       Some(versionDf(s, graft.sources.TableLog.update(
         s, root, expr(pred), set, statsCols)))
@@ -242,6 +253,53 @@ object LogSql {
     })
   }
 
+  /** Split a trailing `STATS (c1, c2)` suffix off a clause: the LAST
+    * top-level STATS whose parenthesized list closes the statement.
+    * Masked scan — a literal containing "STATS (" never splits. An
+    * actual function call named stats( ) at the very end of the
+    * statement remains ambiguous with the clause (same honest scope
+    * as the regex form this replaced). */
+  private def splitTrailingStats(t: String): (String, Option[String]) = {
+    var from = 0
+    var found: Option[(String, String)] = None
+    var more = true
+    while (more) {
+      SqlSyntax.findTopLevel(t.substring(from), "STATS") match {
+        case Some((s0, e0)) =>
+          val abs = from + s0
+          val rest = t.substring(from + e0)
+          val open = from + e0 + (rest.length - rest.dropWhile(
+            Character.isWhitespace).length)
+          if (open < t.length && t.charAt(open) == '(') {
+            val close = matchParen(t, open)
+            if (t.substring(close + 1).trim.isEmpty)
+              found = Some((t.substring(0, abs).trim,
+                t.substring(open + 1, close)))
+          }
+          from += e0
+        case None => more = false
+      }
+    }
+    found match {
+      case Some((body, stats)) => (body, Some(stats))
+      case None => (t.trim, None)
+    }
+  }
+
+  /** All top-level occurrences of `kw` in `t` (start indices). */
+  private def allTopLevel(t: String, kw: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var from = 0
+    var more = true
+    while (more) {
+      SqlSyntax.findTopLevel(t.substring(from), kw) match {
+        case Some((s0, e0)) => out += (from + s0); from += e0
+        case None => more = false
+      }
+    }
+    out.result()
+  }
+
   private def merge(s: SparkSession, text: String): DataFrame = {
     val m = MergeHead.findFirstMatchIn(text).get
     val root = m.group(1)
@@ -251,14 +309,22 @@ object LogSql {
     val open = m.end - 1
     val close = matchParen(text, open)
     val sourceQuery = text.substring(open + 1, close)
-    val Tail =
-      """(?is)^\s*AS\s+(\w+)\s+ON\s+(.*?)\s+(WHEN\s.*?)\s*(?:STATS\s*\(([^)]*)\)\s*)?$""".r
-    val (srcAlias, onText, clausesText, stats) =
-      text.substring(close + 1) match {
-        case Tail(a, on, cl, st) => (a, on, cl, Option(st))
-        case other => throw new IllegalArgumentException(
-          s"malformed MERGE tail: $other")
-      }
+    // tail boundaries via the masked scanner: the first top-level
+    // WHEN ends the ON condition (ON is a bare key equality — WHEN
+    // cannot legally appear inside it), trailing STATS split last —
+    // raw-regex splitting broke on literals containing " WHEN "
+    val afterUsing = text.substring(close + 1)
+    val AsOn = """(?is)^\s*AS\s+(\w+)\s+ON\s""".r
+    val am = AsOn.findFirstMatchIn(afterUsing).getOrElse(
+      throw new IllegalArgumentException(
+        s"malformed MERGE tail: $afterUsing"))
+    val srcAlias = am.group(1)
+    val rest = afterUsing.substring(am.end - 1)
+    val firstWhen = SqlSyntax.findTopLevel(rest, "WHEN").getOrElse(
+      throw new IllegalArgumentException(
+        "MERGE needs at least one WHEN clause"))._1
+    val onText = rest.substring(0, firstWhen).trim
+    val (clausesText, stats) = splitTrailingStats(rest.substring(firstWhen))
 
     // ON t.<k> = s.<k> — equality on one shared key column
     val OnRe = """(?is)^\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$""".r
@@ -293,48 +359,67 @@ object LogSql {
       out.toString
     }
 
-    // clause split: each WHEN starts a clause (expressions never
-    // contain the keyword WHEN outside CASE...END, which our
-    // structural split tolerates because CASE arms sit inside a
-    // clause's expression text, after THEN UPDATE/DELETE markers)
-    val clauses = """(?is)\bWHEN\s""".r.split(clausesText.trim)
-      .map(_.trim).filter(_.nonEmpty)
-    val MatchedRe =
-      """(?is)^MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+UPDATE\s+SET\s+(.*)$""".r
-    val BySourceRe =
-      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.*?)\s+)?THEN\s+DELETE$""".r
-    val InsertRe = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$""".r
+    // clause split at top-level `WHEN MATCHED` / `WHEN NOT MATCHED`
+    // heads (masked scan): a literal containing "WHEN " no longer
+    // splits a clause, and a parenthesized CASE inside an AND
+    // condition sits at paren depth > 0 so its WHEN/THEN are skipped.
+    // Honest scope: an UNparenthesized top-level CASE in the AND
+    // condition still confuses the THEN locator — parenthesize it
+    // (failure is a loud parse error, never silent).
+    val clauseStarts = (allTopLevel(clausesText, "WHEN MATCHED") ++
+      allTopLevel(clausesText, "WHEN NOT MATCHED")).sorted
+    require(clauseStarts.headOption.contains(0),
+      s"unsupported MERGE clause head: $clausesText")
+    val clauses = clauseStarts.zipAll(clauseStarts.drop(1), 0, clausesText.length)
+      .map { case (a, b) => clausesText.substring(a, b).trim }
+    val HeadMatched = """(?is)^WHEN\s+MATCHED(?:\s+AND\s+(.*))?$""".r
+    val HeadBySource =
+      """(?is)^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.*))?$""".r
+    val HeadInsert = """(?is)^WHEN\s+NOT\s+MATCHED$""".r
+    val UpdateAct = """(?is)^UPDATE\s+SET\s+(.*)$""".r
+    val DeleteAct = """(?is)^DELETE$""".r
+    val InsertAct = """(?is)^INSERT\s+\*$""".r
 
     var cond = lit(true)
     var set = Map.empty[String, org.apache.spark.sql.Column]
     var bySource = lit(false)
     var insertUnmatched = false
-    clauses.foreach {
-      case MatchedRe(c, sets) =>
-        cond = Option(c).map(t => expr(mapAliases(t))).getOrElse(lit(true))
-        set = splitTop(sets, ',').map { a =>
-          val i = a.indexOf('=')
-          require(i > 0, s"malformed SET assignment: $a")
-          // SET LHS names a TARGET column — strip a target-alias
-          // qualifier (Delta's `SET t.price = …` form), refuse a
-          // source-alias one (you can't assign into the source);
-          // existence is validated downstream by mergeFull
-          val lhs = a.take(i).trim.split('.').map(_.trim) match {
-            case Array(q, c0) if q.equalsIgnoreCase(tgtAlias) => c0
-            case Array(q, _) if q.equalsIgnoreCase(srcAlias) =>
-              throw new IllegalArgumentException(
-                s"MERGE SET assigns target columns, not ${a.take(i).trim}")
-            case Array(c0) => c0
-            case _ => throw new IllegalArgumentException(
-              s"malformed SET column: ${a.take(i).trim}")
-          }
-          lhs -> expr(mapAliases(a.drop(i + 1)))
-        }.toMap
-      case BySourceRe(c) =>
-        bySource = Option(c).map(t => expr(mapAliases(t))).getOrElse(lit(true))
-      case InsertRe() => insertUnmatched = true
-      case other => throw new IllegalArgumentException(
-        s"unsupported MERGE clause: WHEN $other")
+    clauses.foreach { clause =>
+      // the FIRST top-level THEN separates head from action (the AND
+      // condition may contain THEN only inside parens — see above)
+      val (ts, te) = SqlSyntax.findTopLevel(clause, "THEN").getOrElse(
+        throw new IllegalArgumentException(
+          s"unsupported MERGE clause: $clause"))
+      val head = clause.substring(0, ts).trim
+      val action = clause.substring(te).trim
+      (head, action) match {
+        case (HeadMatched(c), UpdateAct(sets)) =>
+          cond = Option(c).map(t => expr(mapAliases(t))).getOrElse(lit(true))
+          set = splitTop(sets, ',').map { a =>
+            val i = a.indexOf('=')
+            require(i > 0, s"malformed SET assignment: $a")
+            // SET LHS names a TARGET column — strip a target-alias
+            // qualifier (Delta's `SET t.price = …` form), refuse a
+            // source-alias one (you can't assign into the source);
+            // existence is validated downstream by mergeFull
+            val lhs = a.take(i).trim.split('.').map(_.trim) match {
+              case Array(q, c0) if q.equalsIgnoreCase(tgtAlias) => c0
+              case Array(q, _) if q.equalsIgnoreCase(srcAlias) =>
+                throw new IllegalArgumentException(
+                  s"MERGE SET assigns target columns, not ${a.take(i).trim}")
+              case Array(c0) => c0
+              case _ => throw new IllegalArgumentException(
+                s"malformed SET column: ${a.take(i).trim}")
+            }
+            lhs -> expr(mapAliases(a.drop(i + 1)))
+          }.toMap
+        case (HeadBySource(c), DeleteAct()) =>
+          bySource =
+            Option(c).map(t => expr(mapAliases(t))).getOrElse(lit(true))
+        case (HeadInsert(), InsertAct()) => insertUnmatched = true
+        case _ => throw new IllegalArgumentException(
+          s"unsupported MERGE clause: $clause")
+      }
     }
     require(set.nonEmpty, "MERGE needs a WHEN MATCHED THEN UPDATE clause")
 
@@ -364,9 +449,18 @@ object LogSql {
     * or comment masks to end-of-text: the eventual parse reports
     * the syntax error — the scanners just must not misread structure
     * past it. */
-  private[graft] def codeMask(text: String): Array[Boolean] = {
+  private[graft] def codeMask(text: String): Array[Boolean] = lexMask(text)._1
+
+  /** [[codeMask]] plus the exact `(start, end)` span of every COMMENT
+    * construct. A contiguous non-code RUN can merge a comment with an
+    * abutting literal (`/*h*/'x'`), so any consumer that wants to skip
+    * "the comment" must skip exactly these spans — skipping whole
+    * non-code runs (or guessing from the run's first character)
+    * swallows the literal too. */
+  private[graft] def lexMask(text: String): (Array[Boolean], Seq[(Int, Int)]) = {
     val n = text.length
     val code = Array.fill(n)(true)
+    val comments = Seq.newBuilder[(Int, Int)]
     var i = 0
     def quoted(q: Char): Unit = { // text(i) is the opening delimiter
       code(i) = false; i += 1
@@ -386,8 +480,11 @@ object LogSql {
       val c = text.charAt(i)
       if (c == '\'' || c == '"' || c == '`') quoted(c)
       else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        val s0 = i
         while (i < n && text.charAt(i) != '\n') { code(i) = false; i += 1 }
+        comments += ((s0, i))
       } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+        val s0 = i
         var depth = 1
         code(i) = false; code(i + 1) = false; i += 2
         while (i < n && depth > 0) {
@@ -398,9 +495,10 @@ object LogSql {
             code(i) = false; code(i + 1) = false; i += 2; depth -= 1
           } else { code(i) = false; i += 1 }
         }
+        comments += ((s0, i))
       } else i += 1
     }
-    code
+    (code, comments.result())
   }
 
   /** `text` with every non-code character (per [[codeMask]]) replaced
@@ -425,40 +523,31 @@ object LogSql {
     * `-- provenance` header or a trailing comment would defeat.
     * Interior comments are untouched (the scanners handle them via
     * [[codeMask]]); literals and backticked identifiers are never
-    * stripped — only runs whose first character marks a comment
-    * ('-' or '/'), which is exact, not heuristic. */
+    * stripped — the passes advance over the EXACT comment spans
+    * [[lexMask]] recorded, so a comment abutting a quoted literal on
+    * either boundary strips only the comment. */
   private[graft] def stripBoundaryComments(text: String): String = {
-    val code = codeMask(text)
+    val (code, spans) = lexMask(text)
+    val startsAt = spans.map(sp => sp._1 -> sp._2).toMap
+    val endsAt = spans.map(sp => sp._2 -> sp._1).toMap
     def isWs(i: Int) = code(i) && Character.isWhitespace(text.charAt(i))
-    def commentRunEnd(i: Int): Int = // end (exclusive) of a noncode run
-      if (i < text.length && !code(i) &&
-        (text.charAt(i) == '-' || text.charAt(i) == '/')) {
-        var j = i
-        while (j < text.length && !code(j)) j += 1
-        j
-      } else -1
+    // leading: consume whitespace and EXACT comment spans only — a
+    // block comment abutting a literal (`/*h*/'x'`) advances to the
+    // comment's own end, never across the literal in the same run
     var start = 0
     var moved = true
     while (moved) {
       moved = false
       while (start < text.length && isWs(start)) { start += 1; moved = true }
-      val e = commentRunEnd(start)
-      if (e >= 0) { start = e; moved = true }
+      startsAt.get(start).foreach { e => start = e; moved = true }
     }
-    // trailing: walk noncode/whitespace runs back from the end
+    // trailing: same, walking comment spans back from the end
     var end = text.length
     moved = true
     while (moved && end > start) {
       moved = false
       while (end > start && isWs(end - 1)) { end -= 1; moved = true }
-      if (end > start && !code(end - 1)) {
-        // find the start of this noncode run; strip only if a comment
-        var j = end - 1
-        while (j > start && !code(j - 1)) j -= 1
-        if (text.charAt(j) == '-' || text.charAt(j) == '/') {
-          end = j; moved = true
-        }
-      }
+      endsAt.get(end).foreach { s0 => end = math.max(s0, start); moved = true }
     }
     text.substring(start, end)
   }

@@ -466,14 +466,15 @@ object SqlSyntax {
     * Some((start, end)). */
   private[graft] def findTopLevel(text: String, keyword: String): Option[(Int, Int)] = {
     val words = keyword.split(' ')
-    val code = LogSql.codeMask(text)
+    val (code, spans) = LogSql.lexMask(text)
+    val commentAt = spans.toMap
     var depth = 0; var i = 0
     while (i < text.length) {
       if (code(i)) text.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 && (i == 0 || !isIdent(text.charAt(i - 1))) =>
-          val end = matchWords(text, code, i, words)
+          val end = matchWords(text, code, commentAt, i, words)
           if (end >= 0) return Some((i, end))
         case _ =>
       }
@@ -486,29 +487,26 @@ object SqlSyntax {
     Character.isLetterOrDigit(c) || c == '_'
 
   /** End index when `words` match at `i` (each a whole word of CODE
-    * characters, separated by whitespace and/or comment runs — SQL
-    * lexes `ORDER /*x*/ BY` as the two-word keyword); -1 otherwise. */
-  private def matchWords(text: String, code: Array[Boolean], i: Int,
-      words: Array[String]): Int = {
+    * characters, separated by whitespace and/or comments — SQL lexes
+    * `ORDER /*x*/ BY` as the two-word keyword); -1 otherwise.
+    * `commentAt` maps comment-span starts to their exact ends
+    * ([[LogSql.lexMask]]): the separator consumer advances comment BY
+    * comment, never across a whole non-code run — a literal abutting a
+    * comment (`ORDER/*c*/'x'/*d*/BY`) therefore breaks the keyword
+    * instead of being lexed over. */
+  private def matchWords(text: String, code: Array[Boolean],
+      commentAt: Map[Int, Int], i: Int, words: Array[String]): Int = {
     var p = i
     var w = 0
     while (w < words.length) {
       if (w > 0) {
-        // the separator is whitespace and/or COMMENT runs — never a
-        // literal or backticked identifier (their non-code runs start
-        // with a quote character; a comment's starts with '-' or '/',
-        // which is exact, not heuristic)
         val sp = p
         var advanced = true
         while (advanced) {
           advanced = false
           while (p < text.length && code(p) &&
             Character.isWhitespace(text.charAt(p))) { p += 1; advanced = true }
-          if (p < text.length && !code(p) &&
-            (text.charAt(p) == '-' || text.charAt(p) == '/')) {
-            while (p < text.length && !code(p)) p += 1
-            advanced = true
-          }
+          commentAt.get(p).foreach { e => p = e; advanced = true }
         }
         if (p == sp) return -1
       }

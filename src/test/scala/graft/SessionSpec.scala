@@ -349,6 +349,47 @@ class SessionSpec extends SparkSpec {
     assert(cmt == ((66.0, "c")), s"got $cmt")
   }
 
+  test("lakehouse SQL: clause keywords inside literals and CASE arms " +
+      "do not split MERGE/UPDATE — boundaries come from the masked scan") {
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_kwlit").toString + "/t"
+    graft.sources.TableLog.append(spark, root,
+      Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("k", "price", "note"))
+    val session = Session(spark)
+    // a SET literal containing " WHEN " must not start a new clause,
+    // and one containing " WHERE " must not end an UPDATE's SET list
+    session.sql(
+      s"MERGE INTO graft_log('$root') AS t " +
+        "USING (SELECT 1 AS k, 42.0 AS price) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET t.price = s.price, " +
+        "note = 'use WHERE wisely WHEN in doubt'")
+    val m1 = graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("k") === 1L).select("price", "note")
+      .as[(Double, String)].head()
+    assert(m1 == ((42.0, "use WHERE wisely WHEN in doubt")), s"got $m1")
+    // a CASE expression in the SET value: its WHEN/THEN belong to the
+    // expression, not the clause structure
+    session.sql(
+      s"MERGE INTO graft_log('$root') AS t " +
+        "USING (SELECT 1 AS k, 80.0 AS price) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET t.price = " +
+        "CASE WHEN s.price > 50 THEN s.price ELSE 0.0 END, note = 'case'")
+    val m2 = graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("k") === 1L).select("price", "note")
+      .as[(Double, String)].head()
+    assert(m2 == ((80.0, "case")), s"got $m2")
+    // UPDATE: SET literal with " WHERE " — the real WHERE still found
+    session.sql(
+      s"UPDATE graft_log('$root') " +
+        "SET note = 'see WHERE it lands' WHERE k = 2")
+    val u = graft.sources.TableLog.snapshot(spark, root)
+      .filter(col("k") === 2L).select("note").as[String].head()
+    assert(u == "see WHERE it lands", s"got $u")
+    // the other rows are untouched
+    assert(graft.sources.TableLog.snapshot(spark, root).count() == 2)
+  }
+
   test("lakehouse SQL: INSERT INTO and CREATE TABLE AS can read " +
       "OTHER graft_log tables in their source query") {
     val sp = spark; import sp.implicits._

@@ -563,6 +563,30 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("comment spans are exact: a comment abutting a literal strips " +
+      "or lexes as the comment alone, never swallowing the literal") {
+    import graft.ops.LogSql
+    // leading: block comment directly abutting a quoted literal — it
+    // survives (the old run-based pass consumed the whole noncode run)
+    assert(LogSql.stripBoundaryComments("/*h*/'x' AS s FROM t") ==
+      "'x' AS s FROM t")
+    assert(LogSql.stripBoundaryComments("/*a*//*b*/ 'y'") == "'y'")
+    // trailing: comment after a literal strips; literal stays
+    assert(LogSql.stripBoundaryComments("SELECT 'a' /*tail*/") ==
+      "SELECT 'a'")
+    // a quote character INSIDE a comment is part of the comment
+    assert(LogSql.stripBoundaryComments("/*don't*/ SELECT 1 /*won't*/") ==
+      "SELECT 1")
+    // keyword-separator consumption: a literal between ORDER and BY
+    // means there is NO ORDER BY keyword there
+    assert(SqlSyntax.findTopLevel("ORDER/*c*/'x'/*d*/BY a", "ORDER BY").isEmpty)
+    // while comments alone (even chained) do separate the words
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a FROM t ORDER/*c*//*d*/ BY a", "ORDER BY").isDefined)
+    assert(SqlSyntax.findTopLevel(
+      "SELECT a FROM t ORDER/*don't*/BY a", "ORDER BY").isDefined)
+  }
+
   test("ASOF JOIN: an alias-lookalike inside a literal is not a side " +
       "reference — the conjunct is refused loudly, not mis-keyed") {
     val e = intercept[IllegalArgumentException] {
