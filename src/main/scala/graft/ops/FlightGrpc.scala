@@ -66,11 +66,13 @@ import FlightProto._
   * Scale note: identical posture to [[FlightLite]] — a control/egress
   * surface, not a distributed operator. Single-ticket DoGet pulls
   * through `toLocalIterator` (one partition resident), endpoint
-  * tickets serve one partition each for parallel consumers, DoGet
-  * responses respect gRPC flow control (the emit loop waits on
-  * `isReady`, so a slow client never buffers the result on the
-  * server), and bulk interchange remains the partition-parallel
-  * file/DSv2 sources.
+  * tickets serve one partition each for parallel consumers through
+  * [[PartitionFeed]] (O(one batch) resident in-JVM — never an
+  * `Array[Row]` of the partition, so a skewed partition cannot OOM
+  * the server), DoGet responses respect gRPC flow control (the emit
+  * loop waits on `isReady`, so a slow client never buffers the result
+  * on the server), and bulk interchange remains the
+  * partition-parallel file/DSv2 sources.
   */
 object FlightGrpc {
 
@@ -271,6 +273,155 @@ object FlightGrpc {
     Ipc.writeIpcStreamTo(rows, schema, splitter)
   }
 
+  // ---- endpoint partition streaming -----------------------------------------
+
+  /** Queue-fed endpoint streaming: a DoGet for ticket "pin#p" must not
+    * materialize partition p on the driver (the old shape collected it
+    * via `it.toArray`, so one skewed partition could OOM the server).
+    * Task and serving thread rendezvous through this registry:
+    *
+    *  - the serving thread registers a capacity-1 queue under a fresh
+    *    key and launches the single-partition job on a feeder thread;
+    *  - the TASK looks the key up. Found — the task runs in the
+    *    server's own JVM, the local[n] deployment this transport ships
+    *    in — it pushes [[Ipc.BatchRows]]-row batches through the queue
+    *    with backpressure (`offer` blocks at capacity, chaining gRPC
+    *    flow control all the way into the task's input iterator).
+    *    Absent — a cluster executor in another JVM — it falls back to
+    *    returning the partition as ZSTD-compressed Arrow IPC chunks,
+    *    one compact columnar blob per batch instead of an
+    *    `Array[Row]`, which the feeder thread then decodes and
+    *    enqueues one batch at a time.
+    *
+    * Serving-side residency is therefore O(one batch) of rows in-JVM
+    * and O(compressed partition bytes) cross-JVM. `residentRows`
+    * accounts rows held by the queue plus the batch the writer is
+    * draining; `lastHighWater` publishes the per-stream maximum for
+    * the spec's heap-ceiling assert. */
+  private[graft] object PartitionFeed {
+    sealed trait Msg
+    final case class RowBatch(rows: Array[Row]) extends Msg
+    case object End extends Msg
+    final case class Err(e: Throwable) extends Msg
+
+    final class Feed {
+      val queue = new java.util.concurrent.ArrayBlockingQueue[Msg](1)
+      @volatile var closed = false
+      val residentRows = new java.util.concurrent.atomic.AtomicInteger(0)
+      val highWater = new java.util.concurrent.atomic.AtomicInteger(0)
+      /** Blocking put that aborts (instead of hanging the task or the
+        * feeder forever) once the consumer has torn the feed down —
+        * e.g. the gRPC client cancelled mid-stream. */
+      def putOrAbort(m: Msg): Unit = {
+        var in = false
+        while (!in) {
+          if (closed) throw new java.io.IOException(
+            "DoGet consumer closed the partition feed")
+          in = queue.offer(m, 50, TimeUnit.MILLISECONDS)
+        }
+        m match {
+          case RowBatch(rows) =>
+            val r = residentRows.addAndGet(rows.length)
+            highWater.getAndAccumulate(r, (a: Int, b: Int) => math.max(a, b))
+          case _ => ()
+        }
+      }
+    }
+
+    private val feeds =
+      new java.util.concurrent.ConcurrentHashMap[String, Feed]()
+    /** Test hook: hides the registry from tasks, forcing the cross-JVM
+      * compressed-chunk fallback even under local[n]. */
+    @volatile private[graft] var simulateRemoteTasks = false
+    /** High-water mark of the most recently completed feed (rows
+      * resident on the serving side at once) — spec observability. */
+    @volatile private[graft] var lastHighWater = 0
+
+    def register(key: String): Feed = {
+      val f = new Feed; feeds.put(key, f); f
+    }
+    def remove(key: String): Unit = Option(feeds.remove(key)).foreach { f =>
+      lastHighWater = f.highWater.get()
+    }
+    def lookup(key: String): Feed =
+      if (simulateRemoteTasks) null else feeds.get(key)
+  }
+
+  /** Task side of [[PartitionFeed]]: stream batches through the
+    * registry when the server's JVM is reachable, else encode them as
+    * compressed IPC chunks for the task result. Lives on the
+    * companion so the closure captures only (key, schema). */
+  private def feedOrEncode(key: String, schema: StructType,
+      it: Iterator[Row]): Array[Array[Byte]] = {
+    val feed = PartitionFeed.lookup(key)
+    if (feed != null) {
+      it.grouped(Ipc.BatchRows).foreach { g =>
+        feed.putOrAbort(PartitionFeed.RowBatch(g.toArray))
+      }
+      Array.empty
+    } else {
+      it.grouped(Ipc.BatchRows).map { g =>
+        val bos = new ByteArrayOutputStream(64 * 1024)
+        Ipc.writeIpcStreamTo(g.iterator, schema, bos, "zstd")
+        bos.toByteArray
+      }.toArray
+    }
+  }
+
+  /** Serve one partition of `df` as a DoGet stream with O(one batch)
+    * serving-side row residency (see [[PartitionFeed]]). */
+  private def streamPartition(spark: SparkSession, df: DataFrame, p: Int,
+      obs: StreamObserver[FlightData]): Unit = {
+    val key = UUID.randomUUID().toString
+    val feed = PartitionFeed.register(key)
+    val schema = df.schema
+    val rdd = df.rdd
+    val feeder = new Thread(() => {
+      try {
+        val chunks = spark.sparkContext.runJob(rdd,
+          (it: Iterator[Row]) => feedOrEncode(key, schema, it), Seq(p)).head
+        // cross-JVM fallback: decode the task's compressed chunks one
+        // batch at a time (in-JVM streaming returns an empty array —
+        // its batches already went through the queue inside the task)
+        chunks.foreach { c =>
+          val (rows, _) = Ipc.readIpcStream(c)
+          feed.putOrAbort(PartitionFeed.RowBatch(rows.toArray))
+        }
+        feed.putOrAbort(PartitionFeed.End)
+      } catch {
+        case e: Throwable =>
+          try feed.putOrAbort(PartitionFeed.Err(e))
+          catch { case _: Throwable => () } // consumer already gone
+      }
+    }, s"flight-doget-feeder-$key")
+    feeder.setDaemon(true)
+    try {
+      feeder.start()
+      val rowIt = new Iterator[Row] {
+        private var cur: Iterator[Row] = Iterator.empty
+        private var curSize = 0
+        private var done = false
+        private def advance(): Unit =
+          while (!done && !cur.hasNext) {
+            feed.queue.take() match {
+              case PartitionFeed.RowBatch(rows) =>
+                feed.residentRows.addAndGet(-curSize)
+                cur = rows.iterator; curSize = rows.length
+              case PartitionFeed.End => done = true
+              case PartitionFeed.Err(e) => throw e
+            }
+          }
+        override def hasNext: Boolean = { advance(); !done }
+        override def next(): Row = { advance(); cur.next() }
+      }
+      streamRows(rowIt, schema, obs)
+    } finally {
+      feed.closed = true
+      feed.queue.clear()
+      PartitionFeed.remove(key)
+    }
+  }
+
   // ---- server ---------------------------------------------------------------
 
   final class Server(spark: SparkSession, port: Int = 0,
@@ -405,12 +556,10 @@ object FlightGrpc {
                 Option(pinned.synchronized(pinned.get(s.take(hash)))) else None
             pinnedDf match {
               case Some(df) =>
-                // endpoint ticket "pin#p": exactly that partition, via
-                // runJob — the parallel-consumer shape
+                // endpoint ticket "pin#p": exactly that partition,
+                // queue-fed so the server never holds it as Array[Row]
                 val p = s.drop(hash + 1).toInt
-                val rows = spark.sparkContext.runJob(
-                  df.rdd, (it: Iterator[Row]) => it.toArray, Seq(p)).head
-                streamRows(rows.iterator, df.schema, obs)
+                streamPartition(spark, df, p, obs)
               case None =>
                 val df = resolve(s)
                 streamRows(df.toLocalIterator().asScala, df.schema, obs)

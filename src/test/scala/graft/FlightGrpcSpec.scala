@@ -166,6 +166,66 @@ class FlightGrpcSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("endpoint DoGet streams a multi-batch partition queue-fed: " +
+      "resident rows stay O(one batch), order preserved") {
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val port = server.boundPort
+      // ONE partition, ~10 IPC batches — the r12 shape that used to be
+      // collected as a whole Array[Row] on the driver
+      val n = 10 * graft.ops.Ipc.BatchRows
+      spark.range(0, n).toDF("v").coalesce(1)
+        .createOrReplaceTempView("fg_big")
+      val (_, endpoints) =
+        FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_big")
+      assert(endpoints.size === 1)
+      val (got, _) = FlightGrpc.doGet("127.0.0.1", port, endpoints.head)
+      assert(got.size === n)
+      assert(got.map(_.getLong(0)) === (0L until n.toLong))
+      // the heap-ceiling contract: queue (capacity 1 batch) plus the
+      // batch the writer is draining — never the 40960-row partition
+      val hw = FlightGrpc.PartitionFeed.lastHighWater
+      assert(hw > 0, "feed accounting never engaged")
+      assert(hw <= 2 * graft.ops.Ipc.BatchRows,
+        s"serving path held $hw rows resident (> 2 batches)")
+    } finally server.close()
+  }
+
+  test("endpoint DoGet cross-JVM fallback (registry hidden from tasks): " +
+      "compressed-chunk path serves identical rows, still batch-bounded") {
+    val server = new FlightGrpc.Server(spark).start()
+    FlightGrpc.PartitionFeed.simulateRemoteTasks = true
+    try {
+      val port = server.boundPort
+      val n = 5 * graft.ops.Ipc.BatchRows
+      spark.range(0, n).toDF("v").coalesce(1)
+        .createOrReplaceTempView("fg_remote")
+      val (_, endpoints) =
+        FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_remote")
+      val (got, _) = FlightGrpc.doGet("127.0.0.1", port, endpoints.head)
+      assert(got.size === n)
+      assert(got.map(_.getLong(0)) === (0L until n.toLong))
+      // the feeder decodes chunks one at a time through the same queue
+      val hw = FlightGrpc.PartitionFeed.lastHighWater
+      assert(hw > 0 && hw <= 2 * graft.ops.Ipc.BatchRows, s"resident $hw")
+      // a task-side failure still surfaces as a gRPC error through the
+      // feeder's Err path
+      val boom = org.apache.spark.sql.functions.udf((v: Long) =>
+        if (v > 100) throw new RuntimeException("endpoint boom") else v)
+      spark.range(0, 1000).toDF("v").coalesce(1)
+        .select(boom(org.apache.spark.sql.functions.col("v")).as("v"))
+        .createOrReplaceTempView("fg_eboom")
+      val (_, eps) = FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_eboom")
+      val e = intercept[Exception](
+        FlightGrpc.doGet("127.0.0.1", port, eps.head))
+      assert(e.getMessage.contains("INTERNAL") ||
+        e.getMessage.contains("boom"))
+    } finally {
+      FlightGrpc.PartitionFeed.simulateRemoteTasks = false
+      server.close()
+    }
+  }
+
   test("auth: handshake exchanges credential for bearer; every verb " +
       "refuses without it; wrong credential rejected") {
     val server = new FlightGrpc.Server(spark, authSecret = Some("s3cr3t")).start()
