@@ -300,14 +300,21 @@ object SqlSyntax {
     * NULL keys (window-partition semantics) rather than matching
     * nothing; null-sensitive inputs should filter first.
     *
-    * Scale note (plan-audited): a trailing WHERE on the statement is
-    * pushed into the probe-side scan by Catalyst, but NOT into the
-    * pairs subquery — the rewrite happens before analysis, so a
-    * key-selective filter cannot be proven safe to replicate there,
-    * and the pairs union windows over ALL keys. At 100 TB, put a
-    * selective key filter in a CTE and ASOF-join the CTEs (operands
-    * are any NAMED relation) — then both union legs scan only the
-    * filtered keys. */
+    * Scale note (plan-audited): a trailing WHERE conjunct that is a
+    * pure function of one side's equi-KEY expressions is REPLICATED
+    * into both pairs-union legs (the opposite leg via the paired key
+    * expressions), and a left-side conjunct over keys + the left TIME
+    * expression into the left leg — so a selective key filter prunes
+    * every scan of the plan, not just the probe sides. Safety: the
+    * window partitions by key, so rows such a conjunct removes could
+    * only produce or influence output rows the outer WHERE drops
+    * anyway (left rows influence no other row's match — they
+    * contribute NULL to the `last(.., true)` window). Anything the
+    * replicator cannot PROVE key-local (references to non-key
+    * columns, both aliases, backticked identifiers, function calls)
+    * is conservatively left alone — the pairs union then windows
+    * over all keys, and the CTE pre-filter idiom (operands are any
+    * NAMED relation) remains the manual escape hatch. */
   private[graft] def rewriteAsofJoin(text: String): Option[String] = {
     val hit = findTopLevel(text, "ASOF LEFT JOIN").map((_, true))
       .orElse(findTopLevel(text, "ASOF JOIN").map((_, false)))
@@ -395,6 +402,14 @@ object SqlSyntax {
         case "<"  => ("DESC", "DESC")
       }
       val ks = eqs.indices.map(i => s"__asof_k$i")
+      // key-local trailing-WHERE conjuncts replicate into the pairs
+      // legs (see the scale note) so a selective key filter prunes
+      // both legs' scans, not just the probe sides
+      val (legL, legR) = legFilters(afterOn.substring(cut), eqs, ltE,
+        lAlias, rAlias)
+      def legWhere(fs: Seq[String]): String =
+        if (fs.isEmpty) ""
+        else fs.map(f => s"(\n$f\n)").mkString(" WHERE ", " AND ", "")
       // user-derived expressions are newline-padded before every
       // structural token they precede (AS/operator/comma), so an ON
       // operand carrying a trailing `-- …` comment cannot swallow the
@@ -410,20 +425,133 @@ object SqlSyntax {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __asof_rt " +
           "FROM (" +
           s"SELECT ${(lKeySel :+ s"$ltE\nAS __asof_t" :+ "1 AS __asof_src").mkString("\n, ")} " +
-          s"FROM $lIdent $lAlias" +
+          s"FROM $lIdent $lAlias${legWhere(legL)}" +
           " UNION ALL " +
           s"SELECT ${(eqs.map(_._2) :+ rtE :+ "0").mkString("\n, ")} " +
-          s"FROM $rIdent $rAlias" +
+          s"FROM $rIdent $rAlias${legWhere(legR)}" +
           ") __asof_u) __asof_w WHERE __asof_src = 1) __asof"
       val lOn = (eqs.map(_._1).zip(ks).map { case (e, k) => s"$e\n<=> __asof.$k" } :+
         s"$ltE\n<=> __asof.__asof_t").mkString("\nAND ")
-      val rOn = (eqs.map(_._2).zip(ks).map { case (e, k) => s"$e\n<=> __asof.$k" } :+
-        s"$rtE\n= __asof.__asof_rt").mkString("\nAND ")
+      // the right PROBE side also gets the key-only conjuncts (legR is
+      // exactly their right-side renditions), inside its ON condition:
+      // matched rows satisfy r.key = l.key, so the predicate agrees
+      // with the outer WHERE on every surviving row — and under ASOF
+      // LEFT JOIN an ON-condition predicate can only null matches the
+      // outer WHERE drops anyway. Catalyst cannot infer this through
+      // the null-safe (<=>) pairs equality, so the rewrite states it.
+      val rOn = ((eqs.map(_._2).zip(ks).map { case (e, k) => s"$e\n<=> __asof.$k" } :+
+        s"$rtE\n= __asof.__asof_rt") ++ legR.map(f => s"(\n$f\n)"))
+        .mkString("\nAND ")
       val jt = if (isLeft) "LEFT JOIN" else "JOIN"
       text.substring(0, fe) +
         s" $lIdent $lAlias JOIN $pairs ON $lOn $jt $rIdent $rAlias ON $rOn " +
         afterOn.substring(cut)
     }
+  }
+
+  /** Conjuncts of `tail`'s leading WHERE clause that are provably
+    * local to one side's equi-key expressions (left side: keys + the
+    * time expression), returned as (leftLegFilters, rightLegFilters)
+    * for [[rewriteAsofJoin]]'s pairs legs. Proof obligation per
+    * conjunct: after removing every occurrence of that side's allowed
+    * expressions, the residue may contain only literals, numbers,
+    * operators and a closed set of predicate keywords — so the
+    * conjunct is a deterministic function of the keys (and left
+    * time), and replicating it cannot change any surviving output
+    * row. Key-only conjuncts replicate into BOTH legs (the opposite
+    * leg via the paired key expression); time-using left conjuncts
+    * into the left leg only. */
+  private def legFilters(tail: String, eqs: Vector[(String, String)],
+      ltE: String, lAlias: String, rAlias: String)
+      : (Seq[String], Seq[String]) = {
+    import java.util.regex.Pattern
+    val whereHit = findTopLevel(tail, "WHERE").filter(_._1 == 0)
+    if (whereHit.isEmpty) return (Nil, Nil)
+    val rest = tail.substring(whereHit.get._2)
+    val bodyEnd = Seq("GROUP BY", "ORDER BY", "LIMIT", "HAVING",
+      "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+      .flatMap(k => findTopLevel(rest, k).map(_._1))
+      .minOption.getOrElse(rest.length)
+    val body = rest.substring(0, bodyEnd)
+    // a top-level BETWEEN straddles the AND splitter — bail out
+    // entirely rather than replicate half a predicate
+    if (findTopLevel(body, "BETWEEN").isDefined) return (Nil, Nil)
+    val lRef = ("(?i)\\b" + Pattern.quote(lAlias) + "\\.").r
+    val rRef = ("(?i)\\b" + Pattern.quote(rAlias) + "\\.").r
+    val lFs = Seq.newBuilder[String]
+    val rFs = Seq.newBuilder[String]
+    splitTopWord(body, "AND").filter(_.nonEmpty).foreach { cj =>
+      // backticked identifiers are opaque to the matcher — skip
+      if (!cj.contains('`')) {
+        val masked = LogSql.maskNonCode(cj)
+        val hasL = lRef.findFirstIn(masked).isDefined
+        val hasR = rRef.findFirstIn(masked).isDefined
+        if (hasL != hasR) {
+          val keys = if (hasL) eqs.map(_._1) else eqs.map(_._2)
+          val swap = if (hasL) eqs.map(_._2) else eqs.map(_._1)
+          val allowed: Seq[(String, Option[String])] =
+            keys.zip(swap.map(Option(_))) ++
+              (if (hasL) Seq(ltE -> None) else Nil)
+          replicateConjunct(cj, masked, allowed).foreach {
+            case (same, swapped) =>
+              if (hasL) { lFs += same; swapped.foreach(rFs += _) }
+              else { rFs += same; swapped.foreach(lFs += _) }
+          }
+        }
+      }
+    }
+    (lFs.result(), rFs.result())
+  }
+
+  /** Some((conjunct, swappedConjunct)) when `cj` is a pure function of
+    * the `allowed` expressions; swappedConjunct is the conjunct with
+    * each expression replaced by its paired mapping, or None when any
+    * matched expression has no mapping (the left TIME expression). */
+  private def replicateConjunct(cj: String, masked: String,
+      allowed: Seq[(String, Option[String])])
+      : Option[(String, Option[String])] = {
+    def identCh(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    // locate non-overlapping occurrences, longest expression first
+    var spans = Vector.empty[(Int, Int, Option[String])]
+    allowed.sortBy(-_._1.length).foreach { case (e, m) =>
+      var from = 0
+      val low = masked.toLowerCase
+      val eLow = e.toLowerCase
+      var i = low.indexOf(eLow, from)
+      while (i >= 0) {
+        val j = i + e.length
+        val bounded =
+          (i == 0 || (!identCh(masked(i - 1)) && masked(i - 1) != '.')) &&
+            (j == masked.length ||
+              (!identCh(masked(j)) && masked(j) != '.' && masked(j) != '('))
+        val overlaps = spans.exists { case (a, b, _) => i < b && j > a }
+        if (bounded && !overlaps) spans :+= ((i, j, m))
+        from = i + 1
+        i = low.indexOf(eLow, from)
+      }
+    }
+    if (spans.isEmpty) return None
+    // residue check: blank the matched spans, then every remaining
+    // word must be a pure-predicate keyword (masked filler  —
+    // literal/comment content — is not a word character)
+    val res = {
+      val a = masked.toCharArray
+      spans.foreach { case (s0, e0, _) =>
+        var k = s0; while (k < e0) { a(k) = ' '; k += 1 }
+      }
+      new String(a)
+    }
+    val okWords = Set("and", "or", "not", "in", "is", "null", "like",
+      "true", "false", "escape", "date", "timestamp")
+    val pure = "[A-Za-z_][A-Za-z_0-9]*".r.findAllIn(res)
+      .forall(w => okWords.contains(w.toLowerCase))
+    if (!pure) return None
+    val swapped =
+      if (spans.exists(_._3.isEmpty)) None
+      else Some(spans.sortBy(-_._1).foldLeft(cj) { case (acc, (s0, e0, m)) =>
+        acc.substring(0, s0) + m.get + acc.substring(e0)
+      })
+    Some((cj, swapped))
   }
 
   /** Split on a top-level keyword (whole-word, depth-0, outside

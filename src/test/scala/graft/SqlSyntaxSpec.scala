@@ -387,6 +387,65 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("ASOF JOIN replicates key-local WHERE conjuncts into both " +
+      "pairs legs; non-key conjuncts are left alone") {
+    // rewrite-level: the key filter appears in BOTH union legs (mapped
+    // to each side's key expression), the non-key conjunct in neither
+    val sql = "SELECT a.id, b.tag FROM asof_l a ASOF JOIN asof_r b " +
+      "ON a.k = b.k AND a.t >= b.rt WHERE a.k IN (1, 2) AND b.tag <> 'x'"
+    val rw = graft.ops.SqlSyntax.rewriteAsofJoin(sql).get
+    assert(rw.contains("asof_l a WHERE (\na.k IN (1, 2)\n)"), rw)
+    assert(rw.contains("asof_r b WHERE (\nb.k IN (1, 2)\n)"), rw)
+    assert(!rw.contains("tag <> 'x'\n)"), rw) // not replicated
+    assert(rw.toLowerCase.contains("where a.k in (1, 2) and b.tag"), rw)
+    // a left-side conjunct over the TIME expression filters the left
+    // leg only (left rows influence no other row's match)
+    val rwT = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id, b.tag FROM asof_l a ASOF JOIN asof_r b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.t > 10").get
+    assert(rwT.contains("asof_l a WHERE (\na.t > 10\n)"), rwT)
+    assert(!rwT.contains("asof_r b WHERE"), rwT)
+    // a BETWEEN straddles the AND splitter: nothing is replicated
+    val rwB = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id, b.tag FROM asof_l a ASOF JOIN asof_r b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k BETWEEN 1 AND 2").get
+    assert(!rwB.contains("asof_l a WHERE"), rwB)
+    // execution: replicated and CTE-prefiltered forms agree exactly
+    val sp = spark; import sp.implicits._
+    val l = Seq((1, 10L, 5), (1, 20L, 6), (2, 12L, 7), (3, 30L, 8))
+      .toDF("k", "t", "id")
+    val r = Seq((1, 9L, "a"), (1, 15L, "b"), (2, 11L, "c"), (3, 29L, "d"))
+      .toDF("k", "rt", "tag")
+    sess.registerTable("asof_kl", l)
+    sess.registerTable("asof_kr", r)
+    val got = sess.sql(
+      "SELECT a.id, b.tag FROM asof_kl a ASOF LEFT JOIN asof_kr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k IN (1, 2) " +
+        "ORDER BY a.id").collect().toSeq
+    val want = sess.sql(
+      "WITH fl AS (SELECT * FROM asof_kl WHERE k IN (1, 2)), " +
+        "fr AS (SELECT * FROM asof_kr WHERE k IN (1, 2)) " +
+        "SELECT a.id, b.tag FROM fl a ASOF LEFT JOIN fr b " +
+        "ON a.k = b.k AND a.t >= b.rt ORDER BY a.id").collect().toSeq
+    assert(got == want && got.size == 3, s"got $got")
+    // plan: with parquet operands, the key filter is PUSHED into all
+    // four scans (two probe sides + two pairs legs)
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    sess.registerTable("orders_asof", orders)
+    val plan = sess.sql(
+      "SELECT a.o_orderkey, b.o_orderkey AS prev_key " +
+        "FROM orders_asof a ASOF JOIN orders_asof b " +
+        "ON a.o_custkey = b.o_custkey AND a.o_orderdate > b.o_orderdate " +
+        "WHERE a.o_custkey IN (7, 13)").queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.size == 4, s"expected 4 scans:\n$plan")
+    scans.foreach { s =>
+      assert(s.contains("o_custkey") && s.toLowerCase.contains("in(7,13)")
+        || s.replace(" ", "").toLowerCase.contains("in(7,13)"),
+        s"scan without the pushed key filter: $s")
+    }
+  }
+
   test("ASOF JOIN refusal contracts and scanner safety") {
     // no inequality
     val e1 = intercept[IllegalArgumentException](sess.sql(
