@@ -740,6 +740,37 @@ object Ipc {
     override def close(): Unit = { closed = true; in.close() }
   }
 
+  /** [[ArrowFileReader]] that also loads DELTA dictionary batches
+    * (reference `format/Message.fbs:69-79` `isDelta`). Arrow Java's
+    * file reader `initialize()` loads exactly ONE dictionary block per
+    * dictionary id and `loadNextBatch()` never returns to the
+    * dictionary blocks, so the isDelta extensions a producer like
+    * pyarrow (`emit_dictionary_deltas`) appends after the first block
+    * are silently IGNORED — record batches then index past the end of
+    * the truncated dictionary. [[loadDeltaDictionaries]] drains the
+    * remaining blocks through the inherited `loadDictionary`, which
+    * appends isDelta batches to the id's existing vector in place
+    * (VectorBatchAppender) — so getters holding that vector see the
+    * grown dictionary. Append-only extension means decoding EVERY
+    * batch against the final dictionary is exact: earlier batches'
+    * indices point into the prefix. The stream reader needs none of
+    * this (it loads dictionary messages inline as they arrive). */
+  private[graft] final class DeltaIpcFileReader(
+      ch: java.nio.channels.SeekableByteChannel,
+      alloc: org.apache.arrow.memory.BufferAllocator,
+      codecs: org.apache.arrow.vector.compression.CompressionCodec.Factory)
+      extends ArrowFileReader(ch, alloc, codecs) {
+    def loadDeltaDictionaries(): Unit = {
+      ensureInitialized()
+      val total = getDictionaryBlocks.size
+      var loaded = getDictionaryIds.size
+      while (loaded < total) {
+        loadDictionary(readDictionary()) // same pattern as initialize()
+        loaded += 1
+      }
+    }
+  }
+
   /** Resolve a (possibly dictionary-encoded) column's Spark type: an
     * encoded field's in-memory vector is index-typed; the LOGICAL type
     * lives on the dictionary's value vector. */
@@ -789,9 +820,10 @@ object Ipc {
     val sparkSchema = {
       val allocator = new RootAllocator()
       val (headPath, headLen) = files.head
-      val rd = new ArrowFileReader(
+      val rd = new DeltaIpcFileReader(
         new HadoopSeekableChannel(fs.open(new HPath(headPath)), headLen),
         allocator, readCodecs)
+      rd.loadDeltaDictionaries()
       val dicts = rd.getDictionaryVectors
       val arrowFields = rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       val st = StructType(arrowFields.map(f =>
@@ -806,7 +838,7 @@ object Ipc {
         val p = new HPath(path)
         val taskFs = p.getFileSystem(confSer.value)
         val allocator = new RootAllocator()
-        val rd = new ArrowFileReader(
+        val rd = new DeltaIpcFileReader(
           new HadoopSeekableChannel(taskFs.open(p), len), allocator,
           readCodecs)
         // close on task END (success or failure): a corrupt batch
@@ -816,6 +848,7 @@ object Ipc {
           _.addTaskCompletionListener[Unit] { _ =>
             try rd.close() finally allocator.close()
           })
+        rd.loadDeltaDictionaries()
         val root = rd.getVectorSchemaRoot
         val dicts = rd.getDictionaryVectors
         val getters: Array[Int => Any] =

@@ -81,6 +81,99 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
     }
   }
 
+  // ---- delta dictionaries (reference format/Message.fbs isDelta) ----------
+
+  private def pythonWithPyarrow: Option[String] =
+    Seq("python3", "python").find { py =>
+      try {
+        val p = new ProcessBuilder(py, "-c", "import pyarrow.parquet")
+          .redirectErrorStream(true).start()
+        p.waitFor() == 0
+      } catch { case _: Throwable => false }
+    }
+
+  test("pyarrow-written DELTA dictionary batches decode on the stream " +
+      "and file read paths (5 seeded fuzz rounds; skips without pyarrow)") {
+    val py = pythonWithPyarrow.getOrElse(
+      cancel("no python3 with pyarrow on this machine"))
+    for (seed <- 1 to 5) {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_delta_dict_$seed").toString
+      val proc = new ProcessBuilder(py, "tools/make_delta_dict.py",
+        seed.toString, out)
+        .directory(new java.io.File(sys.props("user.dir")))
+        .redirectErrorStream(true).start()
+      val log = new String(proc.getInputStream.readAllBytes())
+      assert(proc.waitFor() == 0, s"fixture generation failed:\n$log")
+      // the stream must really carry deltas (first dict + >=1 delta)
+      val nDict = "DICT_MESSAGES=(\\d+)".r.findFirstMatchIn(log)
+        .get.group(1).toInt
+      assert(nDict >= 2, s"seed $seed emitted no delta batches:\n$log")
+      val expected = spark.read.parquet(s"$out/expected.parquet")
+        .collect().map(r => (r.getLong(1), Option(r.getString(0))))
+        .sortBy(_._1).toSeq
+      // stream path: the reader must APPEND each isDelta batch to its
+      // id's dictionary — early batches index the prefix, later ones
+      // the extended dictionary
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/delta.arrows"))
+      val (sRows, sSchema) = Ipc.readIpcStream(bytes)
+      assert(sSchema.fields.map(_.dataType).toSeq ==
+        Seq(StringType, LongType))
+      val sGot = sRows.map(r => (r.getLong(1), Option(r.getString(0))))
+        .sortBy(_._1).toSeq
+      assert(sGot == expected, s"seed $seed stream mismatch")
+      // file path (footer dictionary blocks, same append semantics)
+      val fGot = Ipc.readIpc(spark, s"$out/fdir")
+        .collect().map(r => (r.getLong(1), Option(r.getString(0))))
+        .sortBy(_._1).toSeq
+      assert(fGot == expected, s"seed $seed file mismatch")
+    }
+  }
+
+  test("the engine's dictionary WRITER never emits deltas: one non-delta " +
+      "DictionaryBatch per encoded column per file") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dict_writer").toString
+    val df = (0 until 3000).map(i => (i.toLong, s"cat${i % 7}"))
+      .toDF("id", "cat").coalesce(1)
+    Ipc.writeIpcDict(df, out, Seq("cat"))
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    // walk the encapsulated messages between the leading magic and the
+    // footer; count DictionaryBatch headers and assert none is a delta
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    var pos = 8 // "ARROW1\0\0"
+    var nDict = 0
+    var sawBatch = false
+    def intBE(p: Int) = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+      ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      if (intBE(pos) != -1) { done = true } // footer region reached
+      else {
+        val metaLen = Integer.reverseBytes(intBE(pos + 4))
+        if (metaLen == 0) { done = true }
+        else {
+          val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(
+            java.nio.ByteBuffer.wrap(bytes, pos + 8, metaLen).slice())
+          if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch) {
+            nDict += 1
+            val db = msg.header(new org.apache.arrow.flatbuf.DictionaryBatch())
+              .asInstanceOf[org.apache.arrow.flatbuf.DictionaryBatch]
+            assert(!db.isDelta, "writer emitted an isDelta DictionaryBatch")
+          }
+          if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.RecordBatch)
+            sawBatch = true
+          pos += 8 + metaLen + msg.bodyLength().toInt
+        }
+      }
+    }
+    assert(sawBatch, "no record batch found — message walk broken")
+    assert(nDict == 1, s"expected exactly 1 dictionary message, got $nDict")
+  }
+
   test("stream codec round-trips 40 random NESTED schemas (list/struct/map/decimal, depth ≤ 2)") {
     for (trial <- 0 until 40) {
       val schema = randNestedSchema(4, 2)
