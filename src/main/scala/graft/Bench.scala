@@ -43,8 +43,14 @@ object Bench {
     // (variant_json: the variant expression family loads its own
     // class/codegen universe — 2-3 s one-time, same treatment as the
     // other first-of-shape queries)
+    // the early-alphabet timed block additionally absorbs whatever
+    // residual cold state the shape warm-ups miss (r12's six retried
+    // outliers were exactly the first timed keys) — run those six once
+    // untimed too, so the committed artifact is retry-free
     for (n <- Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash",
-        "csv_sink", "variant_json"))
+        "csv_sink", "variant_json",
+        "agg_global", "agg_stats", "asof_nearest", "binary_funcs",
+        "bpe_train", "bucket_join"))
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     // a failed query records -1.0, never its time-to-fail — a broken

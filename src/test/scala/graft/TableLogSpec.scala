@@ -1318,6 +1318,46 @@ class TableLogSpec extends SparkSpec {
     assert(!CasFs.withDirLock(dst) { false })
   }
 
+  test("dir lock excludes a REAL second process: withDirLock blocks " +
+      "until a foreign fcntl holder releases (skips without python3)") {
+    import graft.sources.CasFs
+    val py = Seq("python3", "python").find { p =>
+      try new ProcessBuilder(p, "-c", "import fcntl").start().waitFor() == 0
+      catch { case _: Throwable => false }
+    }.getOrElse(cancel("no python3 with fcntl on this machine"))
+    val dir = Files.createTempDirectory("graft_casxproc")
+    val dst = dir.resolve("v7.json")
+    val lockFile = dir.resolve(".graft-cas.lock")
+    // a second PROCESS takes the POSIX lock (python fcntl.lockf and
+    // Java FileChannel.lock share the fcntl advisory-lock namespace),
+    // holds it ~1.2 s, then releases
+    val child = new ProcessBuilder(py, "-c",
+      """import fcntl, sys, time
+        |f = open(sys.argv[1], 'w')
+        |fcntl.lockf(f, fcntl.LOCK_EX)
+        |print('LOCKED', flush=True)
+        |time.sleep(1.2)
+        |fcntl.lockf(f, fcntl.LOCK_UN)
+        |print('RELEASED', flush=True)
+        |time.sleep(2)
+        |""".stripMargin, lockFile.toString)
+      .redirectErrorStream(true).start()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(child.getInputStream))
+    assert(rd.readLine() == "LOCKED", "child never acquired the lock")
+    val t0 = System.nanoTime()
+    var ran = false
+    assert(CasFs.withDirLock(dst) { ran = true; true })
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    assert(ran)
+    // the parent must have BLOCKED until the child's release — if the
+    // lock were per-JVM-only theater this returns in microseconds
+    assert(waitedMs > 800,
+      f"withDirLock returned after $waitedMs%.0f ms while a foreign " +
+        "process held the lock — cross-process exclusion is broken")
+    child.destroy()
+  }
+
   test("vacuum contract: retained snapshots survive a concurrent " +
       "vacuum; pre-retention snapshots fail loudly, never partially") {
     val root = freshRoot()
