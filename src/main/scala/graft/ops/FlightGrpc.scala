@@ -550,6 +550,25 @@ object FlightGrpc {
         override def invoke(t: Ticket, obs: StreamObserver[FlightData]): Unit =
           try {
             val s = t.utf8
+            // "tensor!<sql>": the query's single row (data array<double>,
+            // shape array<bigint>) travels as ONE Arrow Tensor MESSAGE
+            // (reference Message.fbs:92) — an engine-to-engine frame; a
+            // record-batch client uses the normal tickets
+            if (s.startsWith("tensor!")) {
+              val df = spark.sql(s.stripPrefix("tensor!"))
+              val di = df.schema.fieldIndex("data")
+              val si = df.schema.fieldIndex("shape")
+              val rows = df.collect() // control-plane: one tensor row
+              require(rows.length == 1,
+                s"tensor! query must return exactly 1 row, got ${rows.length}")
+              val dt = TensorIpc.DenseTensor(
+                rows(0).getSeq[Long](si),
+                rows(0).getSeq[Double](di).toArray)
+              val (meta, body) = TensorIpc.messageParts(dt)
+              obs.onNext(FlightData(None, meta, EmptyBytes, body))
+              obs.onCompleted()
+              return
+            }
             val hash = s.lastIndexOf('#')
             val pinnedDf =
               if (hash > 0)
@@ -782,6 +801,20 @@ object FlightGrpc {
     withChannel(host, port, token) { ch =>
       collectFlightData(ClientCalls.blockingServerStreamingCall(
         ch, DoGetMd, CallOptions.DEFAULT, Ticket.of(ticket)).asScala)
+    }
+
+  /** Fetch a dense tensor over DoGet (`tensor!` ticket): the sql must
+    * return one row with `data array<double>` and `shape array<bigint>`
+    * columns; the wire carries one Arrow Tensor message. */
+  def doGetTensor(host: String, port: Int, sql: String,
+      token: String = ""): TensorIpc.DenseTensor =
+    withChannel(host, port, token) { ch =>
+      val frames = ClientCalls.blockingServerStreamingCall(
+        ch, DoGetMd, CallOptions.DEFAULT, Ticket.of("tensor!" + sql)).asScala
+      require(frames.hasNext, "tensor DoGet returned no frame")
+      val fd = frames.next()
+      require(!frames.hasNext, "tensor DoGet returned more than one frame")
+      TensorIpc.fromParts(bareHeader(fd.dataHeader), fd.dataBody)
     }
 
   def doPut(host: String, port: Int, name: String, rows: Seq[Row],

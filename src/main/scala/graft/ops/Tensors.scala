@@ -122,6 +122,45 @@ object Tensors {
     * the survivors, and prove the round-trip: COO → dense re-expansion
     * equals the thresholded dense buffer cell-for-cell. nnz/density
     * are the sparse-tensor metadata fields. */
+  /** Tensor IPC MESSAGE round-trip as an oracle row (reference
+    * `format/Message.fbs:92` Tensor header, `ipc/writer.h`
+    * WriteTensor): the first three embeddings become a [3, dim]
+    * row-major Float64 tensor, travel through [[TensorIpc]]'s
+    * encapsulated-message codec, and come back out as (vec_id, pos,
+    * val) rows — which DuckDB replays straight off the parquet, so a
+    * codec that drops, reorders or rounds ANY element hash-fails.
+    * Control-plane scale posture: one driver-sized tensor (the
+    * message is a broadcast-like object); bulk data rides record
+    * batches. */
+  def qTensorIpc(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val src = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0)) // 3 rows — control-plane
+    val dim = src.head.getSeq[Float](1).length
+    val data = src.flatMap(_.getSeq[Float](1).map(_.toDouble))
+    val back = TensorIpc.read(TensorIpc.writeBytes(
+      TensorIpc.DenseTensor(Seq(src.length.toLong, dim.toLong), data)))
+    require(back.shape == Seq(src.length.toLong, dim.toLong))
+    val ids = src.map(_.getLong(0))
+    val rows = for {
+      i <- 0 until src.length
+      j <- 0 until dim
+    } yield (ids(i), j + 1, back.data(i * dim + j))
+    rows.toDF("vec_id", "pos", "val")
+      .select(col("vec_id"), col("pos").cast(IntegerType).as("pos"),
+        col("val"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val qTensorIpcSql: String = """
+    SELECT vec_id, pos, CAST(val AS DOUBLE) AS val FROM (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+        unnest(embedding) AS val
+      FROM embeddings WHERE vec_id < 3)
+    ORDER BY vec_id, pos
+  """.trim
+
   def qSparseTensor(s: SparkSession, dir: String): DataFrame = {
     val d = col("d")
     val thresholded = transform(d,

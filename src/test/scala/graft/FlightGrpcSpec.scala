@@ -325,6 +325,25 @@ class FlightGrpcSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("tensor! DoGet carries one Arrow Tensor message end to end") {
+    val server = new FlightGrpc.Server(spark).start()
+    try {
+      val port = server.boundPort
+      spark.range(0, 12).selectExpr("CAST(id AS DOUBLE) AS x")
+        .createOrReplaceTempView("fg_tensor_src")
+      val sql = "SELECT collect_list(x) AS data, array(3L, 4L) AS shape " +
+        "FROM (SELECT x FROM fg_tensor_src ORDER BY x)"
+      val t = FlightGrpc.doGetTensor("127.0.0.1", port, sql)
+      assert(t.shape == Seq(3L, 4L))
+      assert(t.data.toSeq == (0 until 12).map(_.toDouble))
+      // a multi-row result refuses loudly instead of guessing
+      val e = intercept[Exception](FlightGrpc.doGetTensor("127.0.0.1", port,
+        "SELECT array(x) AS data, array(1L) AS shape FROM fg_tensor_src"))
+      assert(e.getMessage.contains("exactly 1 row") ||
+        e.getMessage.contains("INTERNAL"))
+    } finally server.close()
+  }
+
   test("oracle query shape: qFlightGrpcRoundtrip returns the nation " +
       "aggregate") {
     val df = FlightGrpc.qFlightGrpcRoundtrip(spark, sfDir)

@@ -288,6 +288,71 @@ class IpcSpec extends SparkSpec with RoundTripGen {
     assert(back.exceptAll(src).count() == 0)
   }
 
+  // ---- Tensor IPC messages (reference Message.fbs:92) ----------------------
+
+  test("Tensor IPC message round-trips: scalar, vector, matrix, 3-d, " +
+      "empty; refusals are loud and named") {
+    import graft.ops.TensorIpc
+    import graft.ops.TensorIpc.DenseTensor
+    val cases = Seq(
+      DenseTensor(Nil, Array(42.5)),                       // scalar
+      DenseTensor(Seq(8L), (0 until 8).map(_ * 1.5 - 2).toArray),
+      DenseTensor(Seq(2L, 4L), (0 until 8).map(_.toDouble).toArray),
+      DenseTensor(Seq(3L, 2L, 2L), (0 until 12).map(i => math.sin(i)).toArray),
+      DenseTensor(Seq(0L), Array.emptyDoubleArray))        // empty axis
+    cases.foreach { t =>
+      val back = TensorIpc.read(TensorIpc.writeBytes(t))
+      assert(back.shape == t.shape, s"shape for $t")
+      assert(back.data.toSeq == t.data.toSeq, s"data for $t")
+    }
+    // a record-batch message is refused by header type, not misread
+    val ipcStream = Ipc.writeIpcStream(
+      Seq(Row(1L)), StructType(Seq(StructField("v", LongType))))
+    val e = intercept[IllegalArgumentException](TensorIpc.read(ipcStream))
+    assert(e.getMessage.contains("not a Tensor message"))
+    // shape/data mismatch refused at construction
+    val e2 = intercept[IllegalArgumentException](
+      DenseTensor(Seq(3L), Array(1.0, 2.0)))
+    assert(e2.getMessage.contains("does not address"))
+  }
+
+  test("Tensor IPC interop with STOCK pyarrow, both directions " +
+      "(skips when python3/pyarrow is absent)") {
+    import graft.ops.TensorIpc
+    import graft.ops.TensorIpc.DenseTensor
+    val py = Seq("python3", "python").find { p =>
+      try new ProcessBuilder(p, "-c", "import pyarrow, numpy")
+        .start().waitFor() == 0
+      catch { case _: Throwable => false }
+    }.getOrElse(cancel("no python3 with pyarrow/numpy on this machine"))
+    def run(args: String*): String = {
+      val pr = new ProcessBuilder((py +: "tools/tensor_ipc_check.py" +: args): _*)
+        .directory(new java.io.File(sys.props("user.dir")))
+        .redirectErrorStream(true).start()
+      val out = new String(pr.getInputStream.readAllBytes())
+      assert(pr.waitFor() == 0, s"pyarrow helper failed:\n$out")
+      out
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_tensor_ipc")
+    // engine write -> pyarrow read: shape, strides and an
+    // order-sensitive checksum must all agree
+    val t = DenseTensor(Seq(3L, 4L), (0 until 12).map(_ * 0.25 - 1).toArray)
+    java.nio.file.Files.write(dir.resolve("t1.arrowt"),
+      TensorIpc.writeBytes(t))
+    val out1 = run("read", dir.resolve("t1.arrowt").toString)
+    assert(out1.contains("SHAPE=3,4"), out1)
+    val wantChk = t.data.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum
+    val gotChk = "SUMIDX=([-0-9.]+)".r.findFirstMatchIn(out1).get.group(1).toDouble
+    assert(math.abs(gotChk - wantChk) < 1e-9, s"checksum: $out1 vs $wantChk")
+    assert(out1.contains("STRIDES=32,8"), out1) // row-major bytes
+    // pyarrow write -> engine read: element i = i*0.5 - 3, row-major
+    run("write", dir.resolve("t2.arrowt").toString, "2,3,2")
+    val back = TensorIpc.read(
+      java.nio.file.Files.readAllBytes(dir.resolve("t2.arrowt")))
+    assert(back.shape == Seq(2L, 3L, 2L))
+    assert(back.data.toSeq == (0 until 12).map(_ * 0.5 - 3.0))
+  }
+
   test("DSv2 refuses dictionary-encoded directories loudly") {
     // self-contained fixture: do NOT lean on the writeIpcDict test's
     // output dir — this test must hold under -z isolation too
