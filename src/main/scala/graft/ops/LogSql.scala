@@ -260,24 +260,16 @@ object LogSql {
     * statement remains ambiguous with the clause (same honest scope
     * as the regex form this replaced). */
   private def splitTrailingStats(t: String): (String, Option[String]) = {
-    var from = 0
     var found: Option[(String, String)] = None
-    var more = true
-    while (more) {
-      SqlSyntax.findTopLevel(t.substring(from), "STATS") match {
-        case Some((s0, e0)) =>
-          val abs = from + s0
-          val rest = t.substring(from + e0)
-          val open = from + e0 + (rest.length - rest.dropWhile(
-            Character.isWhitespace).length)
-          if (open < t.length && t.charAt(open) == '(') {
-            val close = matchParen(t, open)
-            if (t.substring(close + 1).trim.isEmpty)
-              found = Some((t.substring(0, abs).trim,
-                t.substring(open + 1, close)))
-          }
-          from += e0
-        case None => more = false
+    SqlSyntax.findAllTopLevel(t, "STATS").foreach { case (abs, e0) =>
+      var open = e0
+      while (open < t.length && Character.isWhitespace(t.charAt(open)))
+        open += 1
+      if (open < t.length && t.charAt(open) == '(') {
+        val close = matchParen(t, open)
+        if (t.substring(close + 1).trim.isEmpty)
+          found = Some((t.substring(0, abs).trim,
+            t.substring(open + 1, close)))
       }
     }
     found match {
@@ -287,18 +279,8 @@ object LogSql {
   }
 
   /** All top-level occurrences of `kw` in `t` (start indices). */
-  private def allTopLevel(t: String, kw: String): Seq[Int] = {
-    val out = Seq.newBuilder[Int]
-    var from = 0
-    var more = true
-    while (more) {
-      SqlSyntax.findTopLevel(t.substring(from), kw) match {
-        case Some((s0, e0)) => out += (from + s0); from += e0
-        case None => more = false
-      }
-    }
-    out.result()
-  }
+  private def allTopLevel(t: String, kw: String): Seq[Int] =
+    SqlSyntax.findAllTopLevel(t, kw).map(_._1)
 
   private def merge(s: SparkSession, text: String): DataFrame = {
     val m = MergeHead.findFirstMatchIn(text).get

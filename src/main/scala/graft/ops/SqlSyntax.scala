@@ -406,7 +406,7 @@ object SqlSyntax {
       // legs (see the scale note) so a selective key filter prunes
       // both legs' scans, not just the probe sides
       val (legL, legR) = legFilters(afterOn.substring(cut), eqs, ltE,
-        lAlias, rAlias)
+        lAlias, rAlias, isLeft)
       def legWhere(fs: Seq[String]): String =
         if (fs.isEmpty) ""
         else fs.map(f => s"(\n$f\n)").mkString(" WHERE ", " AND ", "")
@@ -460,9 +460,22 @@ object SqlSyntax {
     * time), and replicating it cannot change any surviving output
     * row. Key-only conjuncts replicate into BOTH legs (the opposite
     * leg via the paired key expression); time-using left conjuncts
-    * into the left leg only. */
+    * into the left leg only.
+    *
+    * Two structural guards keep the split itself sound: a top-level
+    * OR makes the body's root an OR expression, so it is treated as
+    * ONE replication unit (never split on AND — `X OR p AND q`
+    * must not surrender `q` as a conjunct); and under ASOF LEFT
+    * JOIN a RIGHT-side conjunct is only replicated when it is
+    * syntactically null-rejecting — the outer WHERE sees NULLs for
+    * the right side of preserved rows, and a null-satisfied
+    * predicate (`b.k IS NULL`, `NOT (b.k <=> 5)`) is exactly the
+    * anti-join idiom the rewrite must leave alone. LEFT-side
+    * conjuncts need no such guard: preserved rows carry real left
+    * values, so the conjunct evaluates identically before and
+    * after the join. */
   private def legFilters(tail: String, eqs: Vector[(String, String)],
-      ltE: String, lAlias: String, rAlias: String)
+      ltE: String, lAlias: String, rAlias: String, isLeft: Boolean)
       : (Seq[String], Seq[String]) = {
     import java.util.regex.Pattern
     val whereHit = findTopLevel(tail, "WHERE").filter(_._1 == 0)
@@ -472,15 +485,27 @@ object SqlSyntax {
       "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
       .flatMap(k => findTopLevel(rest, k).map(_._1))
       .minOption.getOrElse(rest.length)
-    val body = rest.substring(0, bodyEnd)
-    // a top-level BETWEEN straddles the AND splitter — bail out
-    // entirely rather than replicate half a predicate
-    if (findTopLevel(body, "BETWEEN").isDefined) return (Nil, Nil)
+    // drop a statement-terminating semicolon (and trailing space) —
+    // it is not part of the predicate and would poison the legs
+    val body = {
+      var b = rest.substring(0, bodyEnd)
+      var n = b.length
+      while (n > 0 && (b.charAt(n - 1) == ';' ||
+        Character.isWhitespace(b.charAt(n - 1)))) n -= 1
+      b.substring(0, n)
+    }
+    val conjs: Seq[String] =
+      if (findTopLevel(body, "OR").isDefined) Seq(body.trim)
+      else if (findTopLevel(body, "BETWEEN").isDefined)
+        // a top-level BETWEEN straddles the AND splitter — bail out
+        // entirely rather than replicate half a predicate
+        return (Nil, Nil)
+      else splitTopWord(body, "AND")
     val lRef = ("(?i)\\b" + Pattern.quote(lAlias) + "\\.").r
     val rRef = ("(?i)\\b" + Pattern.quote(rAlias) + "\\.").r
     val lFs = Seq.newBuilder[String]
     val rFs = Seq.newBuilder[String]
-    splitTopWord(body, "AND").filter(_.nonEmpty).foreach { cj =>
+    conjs.filter(_.nonEmpty).foreach { cj =>
       // backticked identifiers are opaque to the matcher — skip
       if (!cj.contains('`')) {
         val masked = LogSql.maskNonCode(cj)
@@ -492,7 +517,8 @@ object SqlSyntax {
           val allowed: Seq[(String, Option[String])] =
             keys.zip(swap.map(Option(_))) ++
               (if (hasL) Seq(ltE -> None) else Nil)
-          replicateConjunct(cj, masked, allowed).foreach {
+          replicateConjunct(cj, masked, allowed,
+            mustRejectNulls = isLeft && hasR).foreach {
             case (same, swapped) =>
               if (hasL) { lFs += same; swapped.foreach(rFs += _) }
               else { rFs += same; swapped.foreach(lFs += _) }
@@ -506,9 +532,15 @@ object SqlSyntax {
   /** Some((conjunct, swappedConjunct)) when `cj` is a pure function of
     * the `allowed` expressions; swappedConjunct is the conjunct with
     * each expression replaced by its paired mapping, or None when any
-    * matched expression has no mapping (the left TIME expression). */
+    * matched expression has no mapping (the left TIME expression).
+    * With `mustRejectNulls`, the conjunct must additionally be
+    * syntactically null-rejecting: no IS/NULL/TRUE/FALSE words and no
+    * `<=>` — every remaining atom (comparison, IN over non-NULL
+    * literals, LIKE) yields NULL on NULL inputs, and AND/OR/NOT over
+    * all-NULL atoms is NULL, never TRUE. */
   private def replicateConjunct(cj: String, masked: String,
-      allowed: Seq[(String, Option[String])])
+      allowed: Seq[(String, Option[String])],
+      mustRejectNulls: Boolean = false)
       : Option[(String, Option[String])] = {
     def identCh(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     // locate non-overlapping occurrences, longest expression first
@@ -541,10 +573,26 @@ object SqlSyntax {
       }
       new String(a)
     }
-    val okWords = Set("and", "or", "not", "in", "is", "null", "like",
-      "true", "false", "escape", "date", "timestamp")
-    val pure = "[A-Za-z_][A-Za-z_0-9]*".r.findAllIn(res)
-      .forall(w => okWords.contains(w.toLowerCase))
+    val okWords =
+      if (mustRejectNulls)
+        Set("and", "or", "not", "in", "like", "escape", "date",
+          "timestamp")
+      else
+        Set("and", "or", "not", "in", "is", "null", "like",
+          "true", "false", "escape", "date", "timestamp")
+    if (mustRejectNulls && res.contains("<=>")) return None
+    // date/timestamp/escape are only keywords when they head a quoted
+    // literal (DATE '…', ESCAPE '!'); bare, they are column references
+    // that would resolve differently after the swap — bail
+    val typedLit = Set("date", "timestamp", "escape")
+    val pure = "[A-Za-z_][A-Za-z_0-9]*".r.findAllMatchIn(res).forall { m =>
+      val w = m.matched.toLowerCase
+      okWords.contains(w) && (!typedLit.contains(w) || {
+        var k = m.end
+        while (k < res.length && Character.isWhitespace(res.charAt(k))) k += 1
+        k < res.length && res.charAt(k) == '\u0001' // masked literal
+      })
+    }
     if (!pure) return None
     val swapped =
       if (spans.exists(_._3.isEmpty)) None
@@ -556,12 +604,11 @@ object SqlSyntax {
 
   /** Split on a top-level keyword (whole-word, depth-0, outside
     * literals); each returned part is trimmed. */
-  private[graft] def splitTopWord(t: String, word: String): Seq[String] =
-    findTopLevel(t, word) match {
-      case Some((s, e)) =>
-        t.substring(0, s).trim +: splitTopWord(t.substring(e), word)
-      case None => Seq(t.trim)
-    }
+  private[graft] def splitTopWord(t: String, word: String): Seq[String] = {
+    val hits = findAllTopLevel(t, word)
+    (0 +: hits.map(_._2)).zip(hits.map(_._1) :+ t.length)
+      .map { case (s, e) => t.substring(s, e).trim }
+  }
 
   /** First top-level comparison operator in a conjunct: (index, op).
     * Two-char ops win over their one-char prefixes. Literal-,
@@ -592,23 +639,40 @@ object SqlSyntax {
     * occurrence of `keyword` (words separated by any whitespace
     * and/or comments, as SQL lexes them) as whole identifier words;
     * Some((start, end)). */
-  private[graft] def findTopLevel(text: String, keyword: String): Option[(Int, Int)] = {
+  private[graft] def findTopLevel(text: String, keyword: String): Option[(Int, Int)] =
+    scanTopLevel(text, keyword, firstOnly = true).headOption
+
+  /** Every non-overlapping top-level occurrence of `keyword` as
+    * (start, end) spans — ONE lex pass over `text`, so repeat-scan
+    * loops (`from += end; substring; rescan`) are never needed. */
+  private[graft] def findAllTopLevel(text: String, keyword: String): Seq[(Int, Int)] =
+    scanTopLevel(text, keyword, firstOnly = false)
+
+  private def scanTopLevel(text: String, keyword: String,
+      firstOnly: Boolean): Seq[(Int, Int)] = {
     val words = keyword.split(' ')
     val (code, spans) = LogSql.lexMask(text)
     val commentAt = spans.toMap
+    val out = Seq.newBuilder[(Int, Int)]
     var depth = 0; var i = 0
     while (i < text.length) {
       if (code(i)) text.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
-        case _ if depth == 0 && (i == 0 || !isIdent(text.charAt(i - 1))) =>
+        case _ if depth == 0 && (i == 0 || (!isIdent(text.charAt(i - 1)) &&
+            text.charAt(i - 1) != '.')) => // a.where is a column, not WHERE
           val end = matchWords(text, code, commentAt, i, words)
-          if (end >= 0) return Some((i, end))
+          if (end >= 0) {
+            out += ((i, end))
+            if (firstOnly) return out.result()
+            // a keyword span carries no code parens — skip past it
+            i = end - 1
+          }
         case _ =>
       }
       i += 1
     }
-    None
+    out.result()
   }
 
   private def isIdent(c: Char): Boolean =
@@ -649,6 +713,7 @@ object SqlSyntax {
       p += word.length
       w += 1
     }
-    if (p < text.length && code(p) && isIdent(text.charAt(p))) -1 else p
+    if (p < text.length && code(p) &&
+      (isIdent(text.charAt(p)) || text.charAt(p) == '.')) -1 else p
   }
 }

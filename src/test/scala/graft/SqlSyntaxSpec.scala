@@ -474,6 +474,78 @@ class SqlSyntaxSpec extends SparkSpec {
       "SELECT x FROM (SELECT a FROM l ASOF JOIN r ON l.a >= r.b) q").isEmpty)
   }
 
+  test("ASOF leg replication soundness: IS-NULL anti-join, OR roots, " +
+      "trailing semicolons, keyword-named columns") {
+    val sp = spark; import sp.implicits._
+    sess.registerTable("asof_nl", Seq((1, 10L, 5)).toDF("k", "t", "id"))
+    sess.registerTable("asof_nr", Seq((1, 20L, "a")).toDF("k", "rt", "tag"))
+    // the classic IS NULL anti-join: t=10 < rt=20 means no match, the
+    // LEFT join preserves the row with b.* NULL and the WHERE keeps it.
+    // A null-satisfied right-side conjunct must NOT be replicated (it
+    // would either drop the preserved row or invent matches).
+    val anti = "SELECT a.id, b.tag FROM asof_nl a ASOF LEFT JOIN asof_nr b " +
+      "ON a.k = b.k AND a.t >= b.rt WHERE b.k IS NULL"
+    val rwA = graft.ops.SqlSyntax.rewriteAsofJoin(anti).get
+    assert(!rwA.contains("asof_nl a WHERE") && !rwA.contains("asof_nr b WHERE"), rwA)
+    assert(sess.sql(anti).collect().map(r => (r.getInt(0), r.get(1))).toSeq
+      == Seq((5, null)))
+    // same for <=> (null-safe equal is TRUE on the preserved row's NULLs)
+    val rwS = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id FROM asof_nl a ASOF LEFT JOIN asof_nr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE NOT (b.k <=> 5)").get
+    assert(!rwS.contains("asof_nl a WHERE") && !rwS.contains("asof_nr b WHERE"), rwS)
+    // a null-REJECTING right conjunct still replicates under LEFT
+    val rwN = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id, b.tag FROM asof_nl a ASOF LEFT JOIN asof_nr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE b.k = 1").get
+    assert(rwN.contains("asof_nl a WHERE (\na.k = 1\n)"), rwN)
+    assert(rwN.contains("asof_nr b WHERE (\nb.k = 1\n)"), rwN)
+    // under INNER, IS-NULL forms stay replicable (keys join null-safely,
+    // so the predicate agrees across every matched pair)
+    val rwI = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id FROM asof_nl a ASOF JOIN asof_nr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k IS NOT NULL").get
+    assert(rwI.contains("asof_nl a WHERE (\na.k IS NOT NULL\n)"), rwI)
+    // a top-level OR makes the body's root an OR: `X OR p AND q` must
+    // not surrender q as a conjunct (it is not implied by the WHERE)
+    val or1 = "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
+      "ON a.k = b.k AND a.t >= b.rt WHERE b.tag = 'x' OR a.t > 5 AND a.k = 1"
+    val rwO = graft.ops.SqlSyntax.rewriteAsofJoin(or1).get
+    assert(!rwO.contains("asof_kl a WHERE") && !rwO.contains("asof_kr b WHERE"), rwO)
+    val gotO = sess.sql(or1 + " ORDER BY a.id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(gotO == Seq((5, "a"), (6, "b")), gotO) // k=2/k=3 rows fail the OR
+    // …but a key-local OR body replicates as ONE parenthesized unit
+    val rwU = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k = 1 OR a.k = 2").get
+    assert(rwU.contains("asof_kl a WHERE (\na.k = 1 OR a.k = 2\n)"), rwU)
+    assert(rwU.contains("asof_kr b WHERE (\nb.k = 1 OR b.k = 2\n)"), rwU)
+    // a statement-terminating semicolon is not part of the predicate
+    val rwSemi = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k IN (1, 2);").get
+    assert(rwSemi.contains("asof_kl a WHERE (\na.k IN (1, 2)\n)"), rwSemi)
+    assert(sess.sql(
+      "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k IN (1, 2);").count() == 3)
+    // a bare `date`/`timestamp` word is a COLUMN reference unless it
+    // heads a quoted literal — swapping it across sides would resolve
+    // against the wrong table, so the conjunct must not replicate
+    val rwD = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id FROM asof_kl a ASOF JOIN asof_kr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k = date").get
+    assert(!rwD.contains("asof_kl a WHERE") && !rwD.contains("asof_kr b WHERE"), rwD)
+    val rwDL = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id FROM asof_kl a ASOF JOIN asof_kr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k > date '2020-01-01'").get
+    assert(rwDL.contains("asof_kl a WHERE"), rwDL) // typed literal: fine
+    // keyword-lookalike qualified columns never terminate a clause scan
+    assert(SqlSyntax.findTopLevel("SET note = t.where WHERE k = 2", "WHERE")
+      .exists(_._1 == 19))
+    assert(SqlSyntax.findTopLevel("SELECT a FROM t.limit", "LIMIT").isEmpty)
+  }
+
   test("scanners are comment- and backtick-aware (codeMask): keywords " +
       "inside either never trigger; a keyword split by a comment still lexes") {
     // keyword inside a line comment / bracketed comment / backticks
