@@ -253,9 +253,20 @@ object FlightGrpc {
     schema
   }
 
+  /** Ceiling on how long a DoGet waits for a non-ready (undrained)
+    * client before aborting the stream. Without it, an opened-but-
+    * undrained endpoint stream pins its serving thread AND (via the
+    * capacity-1 [[PartitionFeed]] backpressure chain) one Spark task
+    * slot indefinitely — k stalled streams on local[k] would starve
+    * the whole SparkContext. Aborting tears the feed down, which
+    * frees the task (putOrAbort aborts) and surfaces a loud gRPC
+    * error to the stalled client. */
+  @volatile private[graft] var drainStallMs: Long = 120000L
+
   /** Emit rows as FlightData onto a gRPC response observer, honoring
     * flow control: wait for `isReady` between messages so a slow
-    * client bounds server memory at one batch. */
+    * client bounds server memory at one batch — but never longer than
+    * [[drainStallMs]] per message. */
   private def streamRows(rows: Iterator[Row], schema: StructType,
       obs: StreamObserver[FlightData]): Unit = {
     val sObs = obs match {
@@ -264,7 +275,14 @@ object FlightGrpc {
     }
     val splitter = new MessageSplitter(fd => {
       if (sObs != null) {
-        while (!sObs.isReady && !sObs.isCancelled) Thread.sleep(1)
+        val deadline = System.nanoTime() + drainStallMs * 1000000L
+        while (!sObs.isReady && !sObs.isCancelled) {
+          if (System.nanoTime() - deadline > 0)
+            throw new java.io.IOException(
+              s"DoGet client stalled: no drain progress in ${drainStallMs}ms" +
+                " — aborting the stream to free its serving resources")
+          Thread.sleep(1)
+        }
         if (sObs.isCancelled)
           throw new java.io.IOException("DoGet cancelled by client")
       }
@@ -336,6 +354,9 @@ object FlightGrpc {
     /** High-water mark of the most recently completed feed (rows
       * resident on the serving side at once) — spec observability. */
     @volatile private[graft] var lastHighWater = 0
+    /** Live feed count — spec observability for the stall-abort
+      * teardown (a stalled stream must not leave a feed registered). */
+    private[graft] def activeFeeds: Int = feeds.size
 
     def register(key: String): Feed = {
       val f = new Feed; feeds.put(key, f); f
@@ -801,6 +822,26 @@ object FlightGrpc {
     withChannel(host, port, token) { ch =>
       collectFlightData(ClientCalls.blockingServerStreamingCall(
         ch, DoGetMd, CallOptions.DEFAULT, Ticket.of(ticket)).asScala)
+    }
+
+  /** Spec hook for the slow-client contract: open a DoGet, pull
+    * `pullFrames` frames, STALL `holdMs` without draining (the
+    * blocking iterator stops issuing flow-control requests, so the
+    * transport window fills and the server sees a non-ready stream),
+    * then resume draining. Returns the error the resumed drain hits —
+    * expected to be the server's [[drainStallMs]] abort. */
+  private[graft] def doGetStall(host: String, port: Int, ticket: String,
+      pullFrames: Int, holdMs: Long): Option[Throwable] =
+    withChannel(host, port, "") { ch =>
+      val it = ClientCalls.blockingServerStreamingCall(
+        ch, DoGetMd, CallOptions.DEFAULT, Ticket.of(ticket))
+      try {
+        var k = 0
+        while (k < pullFrames && it.hasNext) { it.next(); k += 1 }
+        Thread.sleep(holdMs)
+        while (it.hasNext) it.next()
+        None
+      } catch { case e: Throwable => Some(e) }
     }
 
   /** Fetch a dense tensor over DoGet (`tensor!` ticket): the sql must

@@ -226,6 +226,43 @@ class FlightGrpcSpec extends SparkSpec {
     }
   }
 
+  test("DoGet stall-abort: an undrained endpoint stream is torn down " +
+      "after drainStallMs, freeing its task slot and feed") {
+    val server = new FlightGrpc.Server(spark).start()
+    val saved = FlightGrpc.drainStallMs
+    FlightGrpc.drainStallMs = 1500
+    try {
+      val port = server.boundPort
+      // one partition, ~10 IPC batches of ~4 MB each — far beyond any
+      // HTTP/2 flow-control window (grpc-netty auto-tunes to low MBs),
+      // so an undrained client makes the stream non-ready
+      val n = 10 * graft.ops.Ipc.BatchRows
+      spark.range(0, n).toDF("v")
+        .withColumn("pad", org.apache.spark.sql.functions.lit("x" * 1024))
+        .coalesce(1).createOrReplaceTempView("fg_stall")
+      val (_, eps) = FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_stall")
+      val err = FlightGrpc.doGetStall("127.0.0.1", port, eps.head,
+        pullFrames = 1, holdMs = 8000)
+      assert(err.isDefined, "stalled stream was not aborted")
+      val msg = err.get.getMessage
+      assert(msg.toLowerCase.contains("stall") || msg.contains("INTERNAL"), msg)
+      // the serving feed is gone — the blocked task aborted, its slot
+      // is free, and the context stays healthy for other work
+      val dl = System.currentTimeMillis() + 10000
+      while (FlightGrpc.PartitionFeed.activeFeeds > 0 &&
+        System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(FlightGrpc.PartitionFeed.activeFeeds == 0)
+      assert(spark.range(100).count() === 100L)
+      // a well-behaved client on the same server still round-trips
+      val (_, eps2) = FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_stall")
+      val (got, _) = FlightGrpc.doGet("127.0.0.1", port, eps2.head)
+      assert(got.size === n)
+    } finally {
+      FlightGrpc.drainStallMs = saved
+      server.close()
+    }
+  }
+
   test("auth: handshake exchanges credential for bearer; every verb " +
       "refuses without it; wrong credential rejected") {
     val server = new FlightGrpc.Server(spark, authSecret = Some("s3cr3t")).start()
