@@ -534,15 +534,23 @@ object SqlSyntax {
     * each expression replaced by its paired mapping, or None when any
     * matched expression has no mapping (the left TIME expression).
     * With `mustRejectNulls`, the conjunct must additionally be
-    * syntactically null-rejecting: no IS/NULL/TRUE/FALSE words and no
-    * `<=>` — every remaining atom (comparison, IN over non-NULL
-    * literals, LIKE) yields NULL on NULL inputs, and AND/OR/NOT over
-    * all-NULL atoms is NULL, never TRUE. */
+    * syntactically null-rejecting AS A FUNCTION OF THE ROW: no
+    * IS/NULL/TRUE/FALSE words and no `<=>` in the residue — every
+    * remaining atom (comparison, IN over non-NULL literals, LIKE)
+    * yields NULL on NULL inputs, and AND/OR/NOT over all-NULL atoms
+    * is NULL, never TRUE — AND every matched allowed expression must
+    * be a bare `alias.column` reference. The bare-column requirement
+    * is what makes the atoms null-valued on an all-NULL row: a
+    * non-null-strict key expression (`coalesce(b.k, 0)`,
+    * `(b.k <=> 5)`) evaluates to a non-NULL value there, so a
+    * conjunct over it could be TRUE on the preserved row even though
+    * its residue looks null-rejecting. */
   private def replicateConjunct(cj: String, masked: String,
       allowed: Seq[(String, Option[String])],
       mustRejectNulls: Boolean = false)
       : Option[(String, Option[String])] = {
     def identCh(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val BareCol = """(?s)^[A-Za-z_]\w*\.\w+$""".r
     // locate non-overlapping occurrences, longest expression first
     var spans = Vector.empty[(Int, Int, Option[String])]
     allowed.sortBy(-_._1.length).foreach { case (e, m) =>
@@ -557,7 +565,11 @@ object SqlSyntax {
             (j == masked.length ||
               (!identCh(masked(j)) && masked(j) != '.' && masked(j) != '('))
         val overlaps = spans.exists { case (a, b, _) => i < b && j > a }
-        if (bounded && !overlaps) spans :+= ((i, j, m))
+        if (bounded && !overlaps) {
+          if (mustRejectNulls && BareCol.findFirstIn(e.trim).isEmpty)
+            return None // non-null-strict key expr: see scaladoc
+          spans :+= ((i, j, m))
+        }
         from = i + 1
         i = low.indexOf(eLow, from)
       }
@@ -590,7 +602,10 @@ object SqlSyntax {
       okWords.contains(w) && (!typedLit.contains(w) || {
         var k = m.end
         while (k < res.length && Character.isWhitespace(res.charAt(k))) k += 1
-        k < res.length && res.charAt(k) == '\u0001' // masked literal
+        // probe the ORIGINAL text (blanking/masking preserve indices):
+        // the next char must be the literal's opening quote - a masked
+        // FILLER char could equally be a comment after a bare column
+        k < cj.length && cj.charAt(k) == '\''
       })
     }
     if (!pure) return None

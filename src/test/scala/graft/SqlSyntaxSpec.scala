@@ -479,6 +479,14 @@ class SqlSyntaxSpec extends SparkSpec {
     val sp = spark; import sp.implicits._
     sess.registerTable("asof_nl", Seq((1, 10L, 5)).toDF("k", "t", "id"))
     sess.registerTable("asof_nr", Seq((1, 20L, "a")).toDF("k", "rt", "tag"))
+    // self-contained fixtures (also registered by the replication test,
+    // which may not have run)
+    sess.registerTable("asof_kl",
+      Seq((1, 10L, 5), (1, 20L, 6), (2, 12L, 7), (3, 30L, 8))
+        .toDF("k", "t", "id"))
+    sess.registerTable("asof_kr",
+      Seq((1, 9L, "a"), (1, 15L, "b"), (2, 11L, "c"), (3, 29L, "d"))
+        .toDF("k", "rt", "tag"))
     // the classic IS NULL anti-join: t=10 < rt=20 means no match, the
     // LEFT join preserves the row with b.* NULL and the WHERE keeps it.
     // A null-satisfied right-side conjunct must NOT be replicated (it
@@ -540,6 +548,37 @@ class SqlSyntaxSpec extends SparkSpec {
       "SELECT a.id FROM asof_kl a ASOF JOIN asof_kr b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE a.k > date '2020-01-01'").get
     assert(rwDL.contains("asof_kl a WHERE"), rwDL) // typed literal: fine
+    // a COMMENT after a bare `date` column masks to the same filler a
+    // literal does — the probe must read the original text's quote
+    val rwDC = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id FROM asof_kl a ASOF JOIN asof_kr b " +
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k = date /* cutoff */").get
+    assert(!rwDC.contains("asof_kl a WHERE") &&
+      !rwDC.contains("asof_kr b WHERE"), rwDC)
+    // under LEFT, the null-rejection argument needs NULL-STRICT key
+    // expressions: a conjunct over coalesce(b.k, 0) can be TRUE on the
+    // preserved row's NULLs even though its residue looks clean
+    val rwCo = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id, b.tag FROM asof_nl a ASOF LEFT JOIN asof_nr b " +
+        "ON a.k = coalesce(b.k, 0) AND a.t >= b.rt " +
+        "WHERE coalesce(b.k, 0) = 0").get
+    assert(!rwCo.contains("asof_nl a WHERE") &&
+      !rwCo.contains("asof_nr b WHERE"), rwCo)
+    // …and the unreplicated form still evaluates correctly end to end:
+    // t=10 < rt=20 leaves the left row preserved with b.k NULL, so
+    // coalesce(NULL, 0) = 0 keeps it
+    assert(sess.sql(
+      "SELECT a.id, b.tag FROM asof_nl a ASOF LEFT JOIN asof_nr b " +
+        "ON a.k = coalesce(b.k, 0) AND a.t >= b.rt " +
+        "WHERE coalesce(b.k, 0) = 0").collect()
+      .map(r => (r.getInt(0), r.get(1))).toSeq == Seq((5, null)))
+    // the same non-bare key expression replicates under INNER (keys
+    // join null-safely, so the predicate agrees across matched pairs)
+    val rwCi = graft.ops.SqlSyntax.rewriteAsofJoin(
+      "SELECT a.id, b.tag FROM asof_nl a ASOF JOIN asof_nr b " +
+        "ON a.k = coalesce(b.k, 0) AND a.t >= b.rt " +
+        "WHERE coalesce(b.k, 0) = 1").get
+    assert(rwCi.contains("asof_nr b WHERE (\ncoalesce(b.k, 0) = 1\n)"), rwCi)
     // keyword-lookalike qualified columns never terminate a clause scan
     assert(SqlSyntax.findTopLevel("SET note = t.where WHERE k = 2", "WHERE")
       .exists(_._1 == 19))
