@@ -315,6 +315,12 @@ object SqlSyntax {
     * is conservatively left alone — the pairs union then windows
     * over all keys, and the CTE pre-filter idiom (operands are any
     * NAMED relation) remains the manual escape hatch. */
+  /** Spec hook: with replication off the rewrite emits the plain
+    * pairs-union form (leg filters and the rOn injection are a pure
+    * OPTIMIZATION, so on==off result equality is the soundness
+    * oracle the differential property fuzz asserts). */
+  @volatile private[graft] var replicateLegFilters = true
+
   private[graft] def rewriteAsofJoin(text: String): Option[String] = {
     val hit = findTopLevel(text, "ASOF LEFT JOIN").map((_, true))
       .orElse(findTopLevel(text, "ASOF JOIN").map((_, false)))
@@ -478,6 +484,7 @@ object SqlSyntax {
       ltE: String, lAlias: String, rAlias: String, isLeft: Boolean)
       : (Seq[String], Seq[String]) = {
     import java.util.regex.Pattern
+    if (!replicateLegFilters) return (Nil, Nil)
     val whereHit = findTopLevel(tail, "WHERE").filter(_._1 == 0)
     if (whereHit.isEmpty) return (Nil, Nil)
     val rest = tail.substring(whereHit.get._2)

@@ -585,6 +585,57 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(SqlSyntax.findTopLevel("SELECT a FROM t.limit", "LIMIT").isEmpty)
   }
 
+  test("ASOF WHERE replication differential fuzz: 30 seeded rounds of " +
+      "random predicates over NULL-laden keys agree with replication OFF") {
+    // replication is a pure optimization: turning it off yields the
+    // plain pairs-union rewrite, which is the soundness oracle here.
+    // Fixtures deliberately include NULL keys (null-safe pair matching)
+    // and NULL-producing predicates (IS NULL, <=>, NOT) under both
+    // INNER and LEFT joins — the exact space the guards police.
+    val sp = spark; import sp.implicits._
+    def tag(i: Int) = ('a' + i % 26).toChar.toString + i
+    var replicated = 0
+    for (seed <- 1 to 30) {
+      val rnd = new scala.util.Random(20260816 + seed)
+      def key(): Integer =
+        if (rnd.nextInt(5) == 0) null else Integer.valueOf(rnd.nextInt(4))
+      val l = (0 until 8 + rnd.nextInt(10)).map(i =>
+        (key(), rnd.nextInt(20).toLong, i))
+      val r = (0 until 8 + rnd.nextInt(10)).map(i =>
+        (key(), rnd.nextInt(20).toLong, tag(i)))
+      sess.registerTable("asof_fz_l", l.toDF("k", "t", "id"))
+      sess.registerTable("asof_fz_r", r.toDF("k", "rt", "tag"))
+      def atom(): String = {
+        val s = if (rnd.nextBoolean()) "a" else "b"
+        rnd.nextInt(7) match {
+          case 0 => s"$s.k = ${rnd.nextInt(4)}"
+          case 1 => s"$s.k > ${rnd.nextInt(3)}"
+          case 2 => s"$s.k IN (${rnd.nextInt(4)}, ${rnd.nextInt(4)})"
+          case 3 => s"$s.k IS NULL"
+          case 4 => s"$s.k IS NOT NULL"
+          case 5 => s"NOT ($s.k <=> ${rnd.nextInt(4)})"
+          case _ => s"a.t > ${rnd.nextInt(15)}"
+        }
+      }
+      val pred = (0 until 1 + rnd.nextInt(3)).map(_ => atom())
+        .mkString(if (rnd.nextBoolean()) " AND " else " OR ")
+      val jt = if (rnd.nextBoolean()) "LEFT " else ""
+      val q = s"SELECT a.id, b.tag FROM asof_fz_l a ASOF ${jt}JOIN " +
+        s"asof_fz_r b ON a.k = b.k AND a.t >= b.rt WHERE $pred"
+      if (SqlSyntax.rewriteAsofJoin(q).get.contains("asof_fz_l a WHERE") ||
+        SqlSyntax.rewriteAsofJoin(q).get.contains("asof_fz_r b WHERE"))
+        replicated += 1
+      def rows(): Seq[(Int, Any)] = sess.sql(q).collect()
+        .map(x => (x.getInt(0), x.get(1))).toSeq.sortBy(_.toString)
+      val got = rows()
+      SqlSyntax.replicateLegFilters = false
+      val want = try rows() finally SqlSyntax.replicateLegFilters = true
+      assert(got == want, s"seed $seed diverged on: $q\non:  $got\noff: $want")
+    }
+    // the fuzz must not be vacuous: a fair share of draws replicate
+    assert(replicated >= 5, s"only $replicated/30 rounds replicated")
+  }
+
   test("scanners are comment- and backtick-aware (codeMask): keywords " +
       "inside either never trigger; a keyword split by a comment still lexes") {
     // keyword inside a line comment / bracketed comment / backticks
