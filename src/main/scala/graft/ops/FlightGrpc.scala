@@ -586,6 +586,15 @@ object FlightGrpc {
                 rows(0).getSeq[Long](si),
                 rows(0).getSeq[Double](di).toArray)
               val (meta, body) = TensorIpc.messageParts(dt)
+              // the Arrow Tensor format is one message — it cannot ride
+              // MessageSplitter, so an oversized tensor must refuse
+              // LOUDLY (naming size and cap) instead of letting the
+              // client's channel reject an anonymous oversized frame
+              val frameBytes = meta.length.toLong + body.length
+              require(frameBytes <= MaxMessageBytes - 1024,
+                s"tensor! frame is $frameBytes bytes, over the Flight " +
+                  s"message cap ($MaxMessageBytes); fetch large tensors " +
+                  "through the IPC file/DSv2 surface instead")
               obs.onNext(FlightData(None, meta, EmptyBytes, body))
               obs.onCompleted()
               return

@@ -618,8 +618,16 @@ object SqlSyntax {
     if (!pure) return None
     val swapped =
       if (spans.exists(_._3.isEmpty)) None
+      // newline-pad a spliced key expression whose text ENDS inside a
+      // comment construct (the convention every user-derived insertion
+      // in the rewrite follows): an ON operand carrying a trailing
+      // `-- …` comment must not swallow the rest of the replicated
+      // predicate
       else Some(spans.sortBy(-_._1).foldLeft(cj) { case (acc, (s0, e0, m)) =>
-        acc.substring(0, s0) + m.get + acc.substring(e0)
+        val pad =
+          if (LogSql.lexMask(m.get)._2.exists(_._2 == m.get.length)) "\n"
+          else ""
+        acc.substring(0, s0) + m.get + pad + acc.substring(e0)
       })
     Some((cj, swapped))
   }

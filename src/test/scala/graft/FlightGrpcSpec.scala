@@ -378,6 +378,15 @@ class FlightGrpcSpec extends SparkSpec {
         "SELECT array(x) AS data, array(1L) AS shape FROM fg_tensor_src"))
       assert(e.getMessage.contains("exactly 1 row") ||
         e.getMessage.contains("INTERNAL"))
+      // a tensor over the Flight message cap refuses loudly BY SIZE —
+      // the single-message Tensor format cannot ride MessageSplitter,
+      // and the client's anonymous oversized-frame rejection would
+      // name neither the tensor nor the cap (~67 MB > the 64 MiB cap)
+      val big = intercept[Exception](FlightGrpc.doGetTensor("127.0.0.1",
+        port, "SELECT array_repeat(0.0d, 8500000) AS data, " +
+          "array(8500000L) AS shape"))
+      assert(big.getMessage.contains("message cap") ||
+        big.getMessage.contains("INTERNAL"), big.getMessage)
     } finally server.close()
   }
 

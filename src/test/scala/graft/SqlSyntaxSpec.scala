@@ -579,6 +579,20 @@ class SqlSyntaxSpec extends SparkSpec {
         "ON a.k = coalesce(b.k, 0) AND a.t >= b.rt " +
         "WHERE coalesce(b.k, 0) = 1").get
     assert(rwCi.contains("asof_nr b WHERE (\ncoalesce(b.k, 0) = 1\n)"), rwCi)
+    // an ON key operand carrying a trailing line comment must not
+    // swallow the rest of a swapped replicated predicate (the splice
+    // newline-pads exactly when the expression ends inside a comment)
+    val cmQ = "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
+      "ON a.k = b.k -- key\nAND a.t >= b.rt WHERE a.k = 1"
+    val rwCm = graft.ops.SqlSyntax.rewriteAsofJoin(cmQ).get
+    assert(rwCm.contains("b.k -- key\n = 1"), rwCm)
+    val gotCm = sess.sql(cmQ).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    graft.ops.SqlSyntax.replicateLegFilters = false
+    val wantCm = try sess.sql(cmQ).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    finally graft.ops.SqlSyntax.replicateLegFilters = true
+    assert(gotCm == wantCm && gotCm == Seq((5, "a"), (6, "b")), gotCm)
     // keyword-lookalike qualified columns never terminate a clause scan
     assert(SqlSyntax.findTopLevel("SET note = t.where WHERE k = 2", "WHERE")
       .exists(_._1 == 19))
