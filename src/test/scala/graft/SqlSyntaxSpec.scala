@@ -634,8 +634,12 @@ class SqlSyntaxSpec extends SparkSpec {
       val pred = (0 until 1 + rnd.nextInt(3)).map(_ => atom())
         .mkString(if (rnd.nextBoolean()) " AND " else " OR ")
       val jt = if (rnd.nextBoolean()) "LEFT " else ""
+      val op = Seq(">=", ">", "<=", "<")(rnd.nextInt(4))
+      // a quarter of draws comment-suffix the right key operand — the
+      // splice-pad territory
+      val rKey = if (rnd.nextInt(4) == 0) "b.k -- key\n" else "b.k"
       val q = s"SELECT a.id, b.tag FROM asof_fz_l a ASOF ${jt}JOIN " +
-        s"asof_fz_r b ON a.k = b.k AND a.t >= b.rt WHERE $pred"
+        s"asof_fz_r b ON a.k = $rKey AND a.t $op b.rt WHERE $pred"
       if (SqlSyntax.rewriteAsofJoin(q).get.contains("asof_fz_l a WHERE") ||
         SqlSyntax.rewriteAsofJoin(q).get.contains("asof_fz_r b WHERE"))
         replicated += 1
