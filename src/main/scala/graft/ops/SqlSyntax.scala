@@ -503,9 +503,13 @@ object SqlSyntax {
     }
     val conjs: Seq[String] =
       if (findTopLevel(body, "OR").isDefined) Seq(body.trim)
-      else if (findTopLevel(body, "BETWEEN").isDefined)
-        // a top-level BETWEEN straddles the AND splitter — bail out
-        // entirely rather than replicate half a predicate
+      else if (findTopLevel(body, "BETWEEN").isDefined ||
+          findTopLevel(body, "CASE").isDefined)
+        // a top-level BETWEEN straddles the AND splitter, and a CASE's
+        // WHEN condition carries ANDs at paren depth 0 (CASE…END is
+        // not parenthesized) — either would surrender a fragment of a
+        // larger predicate as a "conjunct". Bail out entirely rather
+        // than replicate half a predicate.
         return (Nil, Nil)
       else splitTopWord(body, "AND")
     val lRef = ("(?i)\\b" + Pattern.quote(lAlias) + "\\.").r

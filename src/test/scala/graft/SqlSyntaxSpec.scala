@@ -523,6 +523,20 @@ class SqlSyntaxSpec extends SparkSpec {
     val gotO = sess.sql(or1 + " ORDER BY a.id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(gotO == Seq((5, "a"), (6, "b")), gotO) // k=2/k=3 rows fail the OR
+    // a top-level CASE carries ANDs inside its WHEN condition at paren
+    // depth 0 (CASE…END is unparenthesized) — splitting there would
+    // surrender a non-implied fragment (`a.k = 2` below, from a WHERE
+    // that is always TRUE) and drop every k≠2 row
+    val caseQ = "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
+      "ON a.k = b.k AND a.t >= b.rt " +
+      "WHERE CASE WHEN b.tag = 'x' AND a.k = 2 AND b.tag = 'y' " +
+      "THEN 0 ELSE 1 END = 1"
+    val rwCase = graft.ops.SqlSyntax.rewriteAsofJoin(caseQ).get
+    assert(!rwCase.contains("asof_kl a WHERE") &&
+      !rwCase.contains("asof_kr b WHERE"), rwCase)
+    val gotCase = sess.sql(caseQ + " ORDER BY a.id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(gotCase == Seq((5, "a"), (6, "b"), (7, "c"), (8, "d")), gotCase)
     // …but a key-local OR body replicates as ONE parenthesized unit
     val rwU = graft.ops.SqlSyntax.rewriteAsofJoin(
       "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
@@ -621,13 +635,18 @@ class SqlSyntaxSpec extends SparkSpec {
       sess.registerTable("asof_fz_r", r.toDF("k", "rt", "tag"))
       def atom(): String = {
         val s = if (rnd.nextBoolean()) "a" else "b"
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => s"$s.k = ${rnd.nextInt(4)}"
           case 1 => s"$s.k > ${rnd.nextInt(3)}"
           case 2 => s"$s.k IN (${rnd.nextInt(4)}, ${rnd.nextInt(4)})"
           case 3 => s"$s.k IS NULL"
           case 4 => s"$s.k IS NOT NULL"
           case 5 => s"NOT ($s.k <=> ${rnd.nextInt(4)})"
+          // unparenthesized CASE whose WHEN condition carries ANDs at
+          // paren depth 0 — the exact shape a naive AND-splitter cuts
+          case 6 => s"CASE WHEN $s.k = ${rnd.nextInt(4)} AND " +
+            s"a.t > ${rnd.nextInt(15)} THEN ${rnd.nextInt(2)} " +
+            s"ELSE ${rnd.nextInt(2)} END = ${rnd.nextInt(2)}"
           case _ => s"a.t > ${rnd.nextInt(15)}"
         }
       }
