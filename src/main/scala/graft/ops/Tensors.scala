@@ -161,6 +161,59 @@ object Tensors {
     ORDER BY vec_id, pos
   """.trim
 
+  /** SparseTensor IPC MESSAGE round-trip as an oracle row (reference
+    * `format/SparseTensor.fbs`, `cpp/src/arrow/ipc/writer.h`
+    * WriteSparseTensor): threshold the first three embeddings' first
+    * 8 dims at |x| > 0.1 into a canonical COO [3, 8] Float64 tensor,
+    * travel it through [[TensorIpc]]'s encapsulated SparseTensor
+    * codec, and re-expand the DECODED indices/values (never the
+    * original buffer) to dense (vec_id, pos, val) rows — DuckDB
+    * replays the thresholded dense form straight off the parquet, so
+    * a codec that drops, reorders, mis-addresses or rounds any cell
+    * hash-fails. Control-plane scale posture: one driver-sized
+    * message, like the dense `tensor_ipc` row. */
+  def qSparseTensorIpc(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val src = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0)) // 3 rows — control-plane
+    val dim = 8
+    val dense = src.map(_.getSeq[Float](1).take(dim).map(_.toDouble).toArray)
+    val idxB = Array.newBuilder[Long]
+    val valB = Array.newBuilder[Double]
+    for (i <- src.indices; j <- 0 until dim) {
+      val v = dense(i)(j)
+      if (math.abs(v) > 0.1) { idxB += i.toLong; idxB += j.toLong; valB += v }
+    }
+    val coo = TensorIpc.CooTensor(
+      Seq(src.length.toLong, dim.toLong), idxB.result(), valB.result())
+    val back = TensorIpc.readSparse(TensorIpc.writeSparseBytes(coo))
+    require(back.shape == coo.shape && back.isCanonical,
+      s"sparse round-trip lost shape/canonicality: ${back.shape}")
+    val grid = Array.fill(src.length, dim)(0.0)
+    for (r <- 0 until back.nnz)
+      grid(back.indices(r * 2).toInt)(back.indices(r * 2 + 1).toInt) =
+        back.values(r)
+    val ids = src.map(_.getLong(0))
+    val rows = for { i <- src.indices; j <- 0 until dim }
+      yield (ids(i), j + 1, grid(i)(j))
+    rows.toDF("vec_id", "pos", "val")
+      .select(col("vec_id"), col("pos").cast(IntegerType).as("pos"),
+        col("val"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val qSparseTensorIpcSql: String = """
+    SELECT vec_id, pos,
+      CAST(CASE WHEN abs(val) > 0.1 THEN val ELSE 0.0 END AS DOUBLE) AS val
+    FROM (
+      SELECT vec_id, CAST(generate_subscripts(e, 1) AS INT) AS pos,
+        CAST(unnest(e) AS DOUBLE) AS val
+      FROM (SELECT vec_id, embedding[1:8] AS e
+            FROM embeddings WHERE vec_id < 3))
+    ORDER BY vec_id, pos
+  """.trim
+
   def qSparseTensor(s: SparkSession, dir: String): DataFrame = {
     val d = col("d")
     val thresholded = transform(d,

@@ -316,6 +316,93 @@ class IpcSpec extends SparkSpec with RoundTripGen {
     assert(e2.getMessage.contains("does not address"))
   }
 
+  test("SparseTensor IPC message (COO) round-trips; canonicality is " +
+      "computed; dense/sparse header crosses and CSR forms refuse by name") {
+    import graft.ops.TensorIpc
+    import graft.ops.TensorIpc.{CooTensor, DenseTensor}
+    // canonical 2-d: sorted index rows, no dupes
+    val t1 = CooTensor(Seq(3L, 4L),
+      Array(0L, 1L, 1L, 0L, 1L, 3L, 2L, 2L), Array(1.5, -2.0, 0.25, 9.0))
+    assert(t1.isCanonical)
+    val b1 = TensorIpc.readSparse(TensorIpc.writeSparseBytes(t1))
+    assert(b1.shape == t1.shape && b1.nnz == 4 &&
+      b1.indices.toSeq == t1.indices.toSeq &&
+      b1.values.toSeq == t1.values.toSeq && b1.isCanonical)
+    // non-canonical order travels VERBATIM, flag false (the codec
+    // must not sort behind the producer's back)
+    val t2 = CooTensor(Seq(2L, 2L), Array(1L, 1L, 0L, 0L), Array(4.0, 5.0))
+    val b2 = TensorIpc.readSparse(TensorIpc.writeSparseBytes(t2))
+    assert(!b2.isCanonical && b2.indices.toSeq == Seq(1L, 1L, 0L, 0L) &&
+      b2.values.toSeq == Seq(4.0, 5.0))
+    // rank-1 and all-zero (nnz = 0)
+    val b3 = TensorIpc.readSparse(TensorIpc.writeSparseBytes(
+      CooTensor(Seq(5L), Array.emptyLongArray, Array.emptyDoubleArray)))
+    assert(b3.shape == Seq(5L) && b3.nnz == 0 && b3.isCanonical)
+    // 3-d
+    val t4 = CooTensor(Seq(2L, 3L, 2L), Array(0L, 2L, 1L, 1L, 0L, 0L),
+      Array(7.5, -0.5))
+    val b4 = TensorIpc.readSparse(TensorIpc.writeSparseBytes(t4))
+    assert(b4.indices.toSeq == t4.indices.toSeq &&
+      b4.values.toSeq == t4.values.toSeq)
+    // header crosses: each codec names the other
+    val eD = intercept[IllegalArgumentException](
+      TensorIpc.readSparse(TensorIpc.writeBytes(
+        DenseTensor(Seq(2L), Array(1.0, 2.0)))))
+    assert(eD.getMessage.contains("use TensorIpc.read"), eD.getMessage)
+    val eS = intercept[IllegalArgumentException](
+      TensorIpc.read(TensorIpc.writeSparseBytes(t1)))
+    assert(eS.getMessage.contains("readSparse"), eS.getMessage)
+    // construction guards: out-of-range index, arity mismatch, rank 0
+    val eC = intercept[IllegalArgumentException](
+      CooTensor(Seq(2L, 2L), Array(0L, 2L), Array(1.0)))
+    assert(eC.getMessage.contains("out of range"))
+    val eA = intercept[IllegalArgumentException](
+      CooTensor(Seq(2L, 2L), Array(0L), Array(1.0)))
+    assert(eA.getMessage.contains("do not address"))
+    val eR = intercept[IllegalArgumentException](
+      CooTensor(Nil, Array.emptyLongArray, Array(1.0)))
+    assert(eR.getMessage.contains("at least one axis"))
+    // a CSR/CSC-indexed SparseTensor message refuses by NAME: build
+    // one with the Arrow Java flatbuffer builders (the reference's
+    // SparseMatrixIndexCSX form, SparseTensor.fbs)
+    import com.google.flatbuffers.FlatBufferBuilder
+    import org.apache.arrow.flatbuf.{Buffer => FbBuffer, FloatingPoint, Int => FbInt, Message, MessageHeader, MetadataVersion, Precision, SparseMatrixIndexCSX, SparseTensor => FbSparseTensor, SparseTensorIndex, TensorDim, Type => FbType}
+    val fb = new FlatBufferBuilder(256)
+    val tyOff = FloatingPoint.createFloatingPoint(fb, Precision.DOUBLE)
+    val dims = Array(TensorDim.createTensorDim(fb, 2L, 0),
+      TensorDim.createTensorDim(fb, 2L, 0))
+    val shapeOff = FbSparseTensor.createShapeVector(fb, dims)
+    val iTy = FbInt.createInt(fb, 64, true)
+    val ipTy = FbInt.createInt(fb, 64, true)
+    SparseMatrixIndexCSX.startSparseMatrixIndexCSX(fb)
+    SparseMatrixIndexCSX.addIndptrType(fb, ipTy)
+    SparseMatrixIndexCSX.addIndptrBuffer(fb, FbBuffer.createBuffer(fb, 0L, 24L))
+    SparseMatrixIndexCSX.addIndicesType(fb, iTy)
+    SparseMatrixIndexCSX.addIndicesBuffer(fb, FbBuffer.createBuffer(fb, 24L, 8L))
+    val csxOff = SparseMatrixIndexCSX.endSparseMatrixIndexCSX(fb)
+    FbSparseTensor.startSparseTensor(fb)
+    FbSparseTensor.addTypeType(fb, FbType.FloatingPoint)
+    FbSparseTensor.addType(fb, tyOff)
+    FbSparseTensor.addShape(fb, shapeOff)
+    FbSparseTensor.addNonZeroLength(fb, 1L)
+    FbSparseTensor.addSparseIndexType(fb, SparseTensorIndex.SparseMatrixIndexCSX)
+    FbSparseTensor.addSparseIndex(fb, csxOff)
+    FbSparseTensor.addData(fb, FbBuffer.createBuffer(fb, 32L, 8L))
+    val stOff = FbSparseTensor.endSparseTensor(fb)
+    fb.finish(Message.createMessage(
+      fb, MetadataVersion.V5, MessageHeader.SparseTensor, stOff, 40L, 0))
+    val meta = fb.sizedByteArray()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    val padded = ((meta.length + 7) / 8) * 8
+    dos.writeInt(-1); dos.writeInt(Integer.reverseBytes(padded))
+    dos.write(meta); (meta.length until padded).foreach(_ => dos.writeByte(0))
+    dos.write(new Array[Byte](40))
+    val eX = intercept[IllegalArgumentException](
+      TensorIpc.readSparse(bos.toByteArray))
+    assert(eX.getMessage.contains("CSR/CSC"), eX.getMessage)
+  }
+
   test("Tensor IPC interop with STOCK pyarrow, both directions " +
       "(skips when python3/pyarrow is absent)") {
     import graft.ops.TensorIpc
@@ -351,6 +438,22 @@ class IpcSpec extends SparkSpec with RoundTripGen {
       java.nio.file.Files.readAllBytes(dir.resolve("t2.arrowt")))
     assert(back.shape == Seq(2L, 3L, 2L))
     assert(back.data.toSeq == (0 until 12).map(_ * 0.5 - 3.0))
+    // SparseTensor: stock pyarrow (<=16) binds no sparse-tensor IPC
+    // reader/writer, so the python half is the C++ ENVELOPE parser —
+    // read_message must identify the header union member by name and
+    // size the body exactly (indices + values buffers)
+    val st = graft.ops.TensorIpc.CooTensor(Seq(3L, 4L),
+      Array(0L, 1L, 2L, 0L), Array(6.5, -1.25))
+    java.nio.file.Files.write(dir.resolve("t3.arrows"),
+      graft.ops.TensorIpc.writeSparseBytes(st))
+    val out3 = run("readmsg", dir.resolve("t3.arrows").toString)
+    assert(out3.contains("MSGTYPE=sparse tensor"), out3)
+    assert(out3.contains("BODYLEN=" +
+      (st.indices.length * 8 + st.values.length * 8)), out3)
+    // …and the dense file written above parses as `tensor` through
+    // the same envelope path (guards the mode itself)
+    val outD = run("readmsg", dir.resolve("t1.arrowt").toString)
+    assert(outD.contains("MSGTYPE=tensor"), outD)
   }
 
   test("DSv2 refuses dictionary-encoded directories loudly") {

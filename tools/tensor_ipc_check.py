@@ -8,6 +8,13 @@
   tensor_ipc_check.py write <file> <d0,d1,...>
      write a deterministic row-major float64 tensor of that shape via
      pyarrow.ipc.write_tensor (element i = i * 0.5 - 3.0).
+
+  tensor_ipc_check.py readmsg <file>
+     parse one encapsulated message ENVELOPE via pa.ipc.read_message —
+     the C++ header-union parser names the type ("tensor" /
+     "sparse tensor") and sizes the body. Stock pyarrow (<=16) binds
+     no sparse-tensor IPC reader, so this is the python half of the
+     SparseTensor interop pin.
 """
 import sys
 
@@ -24,6 +31,10 @@ if mode == "read":
     print("SHAPE=%s SUMIDX=%.6f STRIDES=%s" %
           (",".join(str(d) for d in arr.shape), chk,
            ",".join(str(s) for s in t.strides)))
+elif mode == "readmsg":
+    m = pa.ipc.read_message(pa.memory_map(path))
+    print("MSGTYPE=%s BODYLEN=%d METAVER=%s" %
+          (m.type, len(m.body), m.metadata_version))
 elif mode == "write":
     shape = tuple(int(d) for d in sys.argv[3].split(",") if d != "")
     n = int(np.prod(shape)) if shape else 1
