@@ -458,32 +458,43 @@ object SqlSyntax {
   /** Conjuncts of `tail`'s leading WHERE clause that are provably
     * local to one side's equi-key expressions (left side: keys + the
     * time expression), returned as (leftLegFilters, rightLegFilters)
-    * for [[rewriteAsofJoin]]'s pairs legs. Proof obligation per
-    * conjunct: after removing every occurrence of that side's allowed
-    * expressions, the residue may contain only literals, numbers,
-    * operators and a closed set of predicate keywords — so the
-    * conjunct is a deterministic function of the keys (and left
-    * time), and replicating it cannot change any surviving output
-    * row. Key-only conjuncts replicate into BOTH legs (the opposite
-    * leg via the paired key expression); time-using left conjuncts
-    * into the left leg only.
+    * for [[rewriteAsofJoin]]'s pairs legs. The proof is AST-LEVEL:
+    * the body is parsed with Catalyst's expression parser, split on
+    * the `And` tree root (so BETWEEN, CASE and OR can never be cut
+    * mid-construct — the parser already placed every AND), and each
+    * conjunct is verified by a tree walk in [[astLegFilters]]. A
+    * conjunct replicates only when every node is either (a) a subtree
+    * structurally equal — modulo identifier case — to one allowed key
+    * expression, (b) a literal, or (c) an operator from a closed
+    * null-strict whitelist (AND/OR/NOT, comparisons, IN over
+    * literals, LIKE, arithmetic, ||; IS [NOT] NULL and <=> only when
+    * the null-rejection guard is off). Anything else — function
+    * calls, subqueries, CASE, foreign columns — refuses the conjunct.
     *
-    * Two structural guards keep the split itself sound: a top-level
-    * OR makes the body's root an OR expression, so it is treated as
-    * ONE replication unit (never split on AND — `X OR p AND q`
-    * must not surrender `q` as a conjunct); and under ASOF LEFT
-    * JOIN a RIGHT-side conjunct is only replicated when it is
-    * syntactically null-rejecting — the outer WHERE sees NULLs for
-    * the right side of preserved rows, and a null-satisfied
-    * predicate (`b.k IS NULL`, `NOT (b.k <=> 5)`) is exactly the
-    * anti-join idiom the rewrite must leave alone. LEFT-side
-    * conjuncts need no such guard: preserved rows carry real left
-    * values, so the conjunct evaluates identically before and
-    * after the join. */
+    * Key-only conjuncts replicate into BOTH legs (the opposite leg is
+    * RENDERED from the AST with each key subtree swapped for its
+    * paired expression — never string-spliced, so comment/precedence
+    * hazards are structurally impossible); time-using left conjuncts
+    * replicate into the left leg only.
+    *
+    * Under ASOF LEFT JOIN a RIGHT-side conjunct additionally needs
+    * the null-rejection guard: the outer WHERE sees NULLs for the
+    * right side of preserved rows, and a null-satisfied predicate
+    * (`b.k IS NULL`, `NOT (b.k <=> 5)`) is exactly the anti-join
+    * idiom the rewrite must leave alone. With the guard on, IS
+    * [NOT] NULL, <=>, boolean and NULL literals are banned and every
+    * matched key must be a BARE `alias.column` (a non-null-strict key
+    * expression like `coalesce(b.k, 0)` is non-NULL on the preserved
+    * row, so a conjunct over it could be TRUE there); the surviving
+    * row-dependent atoms are null-strict, so on the preserved row's
+    * all-NULL right side the conjunct is NULL — or, by Kleene
+    * monotonicity, a constant that also holds on every matched row —
+    * never a filter that disagrees with the outer WHERE. LEFT-side
+    * conjuncts need no guard: preserved rows carry real left
+    * values. */
   private def legFilters(tail: String, eqs: Vector[(String, String)],
       ltE: String, lAlias: String, rAlias: String, isLeft: Boolean)
       : (Seq[String], Seq[String]) = {
-    import java.util.regex.Pattern
     if (!replicateLegFilters) return (Nil, Nil)
     val whereHit = findTopLevel(tail, "WHERE").filter(_._1 == 0)
     if (whereHit.isEmpty) return (Nil, Nil)
@@ -501,139 +512,134 @@ object SqlSyntax {
         Character.isWhitespace(b.charAt(n - 1)))) n -= 1
       b.substring(0, n)
     }
-    val conjs: Seq[String] =
-      if (findTopLevel(body, "OR").isDefined) Seq(body.trim)
-      else if (findTopLevel(body, "BETWEEN").isDefined ||
-          findTopLevel(body, "CASE").isDefined)
-        // a top-level BETWEEN straddles the AND splitter, and a CASE's
-        // WHEN condition carries ANDs at paren depth 0 (CASE…END is
-        // not parenthesized) — either would surrender a fragment of a
-        // larger predicate as a "conjunct". Bail out entirely rather
-        // than replicate half a predicate.
-        return (Nil, Nil)
-      else splitTopWord(body, "AND")
-    val lRef = ("(?i)\\b" + Pattern.quote(lAlias) + "\\.").r
-    val rRef = ("(?i)\\b" + Pattern.quote(rAlias) + "\\.").r
+    astLegFilters(body, eqs, ltE, lAlias, rAlias, isLeft)
+  }
+
+  /** The AST half of [[legFilters]]: parse, split on `And` roots,
+    * verify each conjunct's purity by tree walk, and render the
+    * replicated forms back to SQL text from the (possibly
+    * key-swapped) tree. Every returned string is `Expression.sql`
+    * output — canonical, comment-free, fully parenthesized — so the
+    * splice into the rewritten query cannot change meaning. Any parse
+    * failure (engine-foreign syntax) abstains entirely. */
+  private def astLegFilters(body: String, eqs: Vector[(String, String)],
+      ltE: String, lAlias: String, rAlias: String, isLeft: Boolean)
+      : (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    import org.apache.spark.sql.types.BooleanType
+    import scala.util.control.NonFatal
+
+    def parse(s: String): Option[Expression] =
+      try Some(CatalystSqlParser.parseExpression(s))
+      catch { case NonFatal(_) => None }
+    // structural equality modulo identifier / function-name case
+    def norm(e: Expression): Expression = e.transformUp {
+      case a: UnresolvedAttribute =>
+        UnresolvedAttribute(a.nameParts.map(_.toLowerCase))
+      case f: UnresolvedFunction =>
+        f.copy(nameParts = f.nameParts.map(_.toLowerCase))
+    }
+    def isBareCol(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts.length == 2
+      case _ => false
+    }
+    // BETWEEN parses to the `between` function (Spark resolves it to
+    // its >=/<= form later) — expand it up front so the And-root
+    // split sees plain conjuncts and the whitelist never has to trust
+    // an opaque function node (NOT BETWEEN rides the same transform
+    // under Not)
+    val bodyE = parse(body).map(_.transformUp {
+      case b: Between => b.replacement
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 && !f.isDistinct && f.filter.isEmpty =>
+        And(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          LessThanOrEqual(f.arguments(0), f.arguments(2)))
+    }).getOrElse(return (Nil, Nil))
+    val lKeys = eqs.map(p => parse(p._1))
+    val rKeys = eqs.map(p => parse(p._2))
+    val ltK = parse(ltE)
+    if ((lKeys ++ rKeys :+ ltK).exists(_.isEmpty)) return (Nil, Nil)
+    // pattern to match (normalized), swap target (None for the left
+    // TIME expression: it has no right-side rendition), bare-column?
+    case class Allowed(pat: Expression, swap: Option[Expression], bare: Boolean)
+    val lAllowed = lKeys.zip(rKeys).map { case (k, s) =>
+      Allowed(norm(k.get), Some(s.get), isBareCol(k.get))
+    } :+ Allowed(norm(ltK.get), None, isBareCol(ltK.get))
+    val rAllowed = rKeys.zip(lKeys).map { case (k, s) =>
+      Allowed(norm(k.get), Some(s.get), isBareCol(k.get))
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
     val lFs = Seq.newBuilder[String]
     val rFs = Seq.newBuilder[String]
-    conjs.filter(_.nonEmpty).foreach { cj =>
-      // backticked identifiers are opaque to the matcher — skip
-      if (!cj.contains('`')) {
-        val masked = LogSql.maskNonCode(cj)
-        val hasL = lRef.findFirstIn(masked).isDefined
-        val hasR = rRef.findFirstIn(masked).isDefined
-        if (hasL != hasR) {
-          val keys = if (hasL) eqs.map(_._1) else eqs.map(_._2)
-          val swap = if (hasL) eqs.map(_._2) else eqs.map(_._1)
-          val allowed: Seq[(String, Option[String])] =
-            keys.zip(swap.map(Option(_))) ++
-              (if (hasL) Seq(ltE -> None) else Nil)
-          replicateConjunct(cj, masked, allowed,
-            mustRejectNulls = isLeft && hasR).foreach {
-            case (same, swapped) =>
-              if (hasL) { lFs += same; swapped.foreach(rFs += _) }
-              else { rFs += same; swapped.foreach(lFs += _) }
+    conjuncts(bodyE).foreach { cj =>
+      // side references anywhere in the conjunct tree (subquery plans
+      // are not traversed, but any subquery NODE refuses the walk)
+      val sides = cj.collect {
+        case a: UnresolvedAttribute if a.nameParts.length >= 2 =>
+          a.nameParts.head.toLowerCase
+      }.toSet
+      val hasL = sides.contains(lAlias.toLowerCase)
+      val hasR = sides.contains(rAlias.toLowerCase)
+      if (hasL != hasR) {
+        val allowed = if (hasL) lAllowed else rAllowed
+        val reject = isLeft && hasR
+        var matched = false
+        var swappable = true
+        def walk(e: Expression): Option[Expression] =
+          allowed.find(a => norm(e) == a.pat) match {
+            case Some(a) =>
+              // see scaladoc: under the null-rejection guard a matched
+              // key must be a bare alias.column or the null-strictness
+              // argument collapses
+              if (reject && !a.bare) None
+              else {
+                matched = true
+                a.swap match {
+                  case Some(sw) => Some(sw)
+                  case None => swappable = false; Some(e)
+                }
+              }
+            case None => e match {
+              case l: Literal =>
+                if (reject && (l.value == null || l.dataType == BooleanType))
+                  None // NULL/TRUE/FALSE atoms break null-strictness
+                else Some(l)
+              case (_: IsNull | _: IsNotNull | _: EqualNullSafe) if reject =>
+                None // null-satisfiable — the anti-join idioms
+              case _: And | _: Or | _: Not | _: EqualTo | _: EqualNullSafe |
+                   _: LessThan | _: LessThanOrEqual | _: GreaterThan |
+                   _: GreaterThanOrEqual | _: In | _: Like | _: IsNull |
+                   _: IsNotNull | _: Add | _: Subtract | _: Multiply |
+                   _: Divide | _: Remainder | _: UnaryMinus |
+                   _: UnaryPositive | _: Concat =>
+                val kids = e.children.map(walk)
+                if (kids.exists(_.isEmpty)) None
+                else if (e.children.isEmpty) Some(e)
+                else Some(e.withNewChildren(kids.map(_.get)))
+              case _ => None // function, subquery, CASE, foreign column
+            }
           }
+        walk(cj) match {
+          case Some(swapped) if matched =>
+            val same = cj.sql
+            if (hasL) {
+              lFs += same
+              if (swappable) rFs += swapped.sql
+            } else {
+              rFs += same
+              if (swappable) lFs += swapped.sql
+            }
+          case _ => () // impure or key-free: leave it to the outer WHERE
         }
       }
     }
     (lFs.result(), rFs.result())
-  }
-
-  /** Some((conjunct, swappedConjunct)) when `cj` is a pure function of
-    * the `allowed` expressions; swappedConjunct is the conjunct with
-    * each expression replaced by its paired mapping, or None when any
-    * matched expression has no mapping (the left TIME expression).
-    * With `mustRejectNulls`, the conjunct must additionally be
-    * syntactically null-rejecting AS A FUNCTION OF THE ROW: no
-    * IS/NULL/TRUE/FALSE words and no `<=>` in the residue — every
-    * remaining atom (comparison, IN over non-NULL literals, LIKE)
-    * yields NULL on NULL inputs, and AND/OR/NOT over all-NULL atoms
-    * is NULL, never TRUE — AND every matched allowed expression must
-    * be a bare `alias.column` reference. The bare-column requirement
-    * is what makes the atoms null-valued on an all-NULL row: a
-    * non-null-strict key expression (`coalesce(b.k, 0)`,
-    * `(b.k <=> 5)`) evaluates to a non-NULL value there, so a
-    * conjunct over it could be TRUE on the preserved row even though
-    * its residue looks null-rejecting. */
-  private def replicateConjunct(cj: String, masked: String,
-      allowed: Seq[(String, Option[String])],
-      mustRejectNulls: Boolean = false)
-      : Option[(String, Option[String])] = {
-    def identCh(c: Char) = Character.isLetterOrDigit(c) || c == '_'
-    val BareCol = """(?s)^[A-Za-z_]\w*\.\w+$""".r
-    // locate non-overlapping occurrences, longest expression first
-    var spans = Vector.empty[(Int, Int, Option[String])]
-    allowed.sortBy(-_._1.length).foreach { case (e, m) =>
-      var from = 0
-      val low = masked.toLowerCase
-      val eLow = e.toLowerCase
-      var i = low.indexOf(eLow, from)
-      while (i >= 0) {
-        val j = i + e.length
-        val bounded =
-          (i == 0 || (!identCh(masked(i - 1)) && masked(i - 1) != '.')) &&
-            (j == masked.length ||
-              (!identCh(masked(j)) && masked(j) != '.' && masked(j) != '('))
-        val overlaps = spans.exists { case (a, b, _) => i < b && j > a }
-        if (bounded && !overlaps) {
-          if (mustRejectNulls && BareCol.findFirstIn(e.trim).isEmpty)
-            return None // non-null-strict key expr: see scaladoc
-          spans :+= ((i, j, m))
-        }
-        from = i + 1
-        i = low.indexOf(eLow, from)
-      }
-    }
-    if (spans.isEmpty) return None
-    // residue check: blank the matched spans, then every remaining
-    // word must be a pure-predicate keyword (masked filler  —
-    // literal/comment content — is not a word character)
-    val res = {
-      val a = masked.toCharArray
-      spans.foreach { case (s0, e0, _) =>
-        var k = s0; while (k < e0) { a(k) = ' '; k += 1 }
-      }
-      new String(a)
-    }
-    val okWords =
-      if (mustRejectNulls)
-        Set("and", "or", "not", "in", "like", "escape", "date",
-          "timestamp")
-      else
-        Set("and", "or", "not", "in", "is", "null", "like",
-          "true", "false", "escape", "date", "timestamp")
-    if (mustRejectNulls && res.contains("<=>")) return None
-    // date/timestamp/escape are only keywords when they head a quoted
-    // literal (DATE '…', ESCAPE '!'); bare, they are column references
-    // that would resolve differently after the swap — bail
-    val typedLit = Set("date", "timestamp", "escape")
-    val pure = "[A-Za-z_][A-Za-z_0-9]*".r.findAllMatchIn(res).forall { m =>
-      val w = m.matched.toLowerCase
-      okWords.contains(w) && (!typedLit.contains(w) || {
-        var k = m.end
-        while (k < res.length && Character.isWhitespace(res.charAt(k))) k += 1
-        // probe the ORIGINAL text (blanking/masking preserve indices):
-        // the next char must be the literal's opening quote - a masked
-        // FILLER char could equally be a comment after a bare column
-        k < cj.length && cj.charAt(k) == '\''
-      })
-    }
-    if (!pure) return None
-    val swapped =
-      if (spans.exists(_._3.isEmpty)) None
-      // newline-pad a spliced key expression whose text ENDS inside a
-      // comment construct (the convention every user-derived insertion
-      // in the rewrite follows): an ON operand carrying a trailing
-      // `-- …` comment must not swallow the rest of the replicated
-      // predicate
-      else Some(spans.sortBy(-_._1).foldLeft(cj) { case (acc, (s0, e0, m)) =>
-        val pad =
-          if (LogSql.lexMask(m.get)._2.exists(_._2 == m.get.length)) "\n"
-          else ""
-        acc.substring(0, s0) + m.get + pad + acc.substring(e0)
-      })
-    Some((cj, swapped))
   }
 
   /** Split on a top-level keyword (whole-word, depth-0, outside

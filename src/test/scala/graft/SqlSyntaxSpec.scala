@@ -394,22 +394,28 @@ class SqlSyntaxSpec extends SparkSpec {
     val sql = "SELECT a.id, b.tag FROM asof_l a ASOF JOIN asof_r b " +
       "ON a.k = b.k AND a.t >= b.rt WHERE a.k IN (1, 2) AND b.tag <> 'x'"
     val rw = graft.ops.SqlSyntax.rewriteAsofJoin(sql).get
-    assert(rw.contains("asof_l a WHERE (\na.k IN (1, 2)\n)"), rw)
-    assert(rw.contains("asof_r b WHERE (\nb.k IN (1, 2)\n)"), rw)
-    assert(!rw.contains("tag <> 'x'\n)"), rw) // not replicated
+    assert(rw.contains("asof_l a WHERE (\n(a.k IN (1, 2))\n)"), rw)
+    assert(rw.contains("asof_r b WHERE (\n(b.k IN (1, 2))\n)"), rw)
+    // the tag conjunct is NOT replicated: it appears exactly twice —
+    // the select list and the outer WHERE — never in a leg
+    assert("b\\.tag".r.findAllIn(rw).size == 2, rw)
     assert(rw.toLowerCase.contains("where a.k in (1, 2) and b.tag"), rw)
     // a left-side conjunct over the TIME expression filters the left
     // leg only (left rows influence no other row's match)
     val rwT = graft.ops.SqlSyntax.rewriteAsofJoin(
       "SELECT a.id, b.tag FROM asof_l a ASOF JOIN asof_r b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE a.t > 10").get
-    assert(rwT.contains("asof_l a WHERE (\na.t > 10\n)"), rwT)
+    assert(rwT.contains("asof_l a WHERE (\n(a.t > 10)\n)"), rwT)
     assert(!rwT.contains("asof_r b WHERE"), rwT)
-    // a BETWEEN straddles the AND splitter: nothing is replicated
+    // BETWEEN parses to >=/<= conjuncts at the And root — the AST
+    // split can never cut mid-construct, so BOTH halves replicate
     val rwB = graft.ops.SqlSyntax.rewriteAsofJoin(
       "SELECT a.id, b.tag FROM asof_l a ASOF JOIN asof_r b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE a.k BETWEEN 1 AND 2").get
-    assert(!rwB.contains("asof_l a WHERE"), rwB)
+    assert(rwB.contains(
+      "asof_l a WHERE (\n(a.k >= 1)\n) AND (\n(a.k <= 2)\n)"), rwB)
+    assert(rwB.contains(
+      "asof_r b WHERE (\n(b.k >= 1)\n) AND (\n(b.k <= 2)\n)"), rwB)
     // execution: replicated and CTE-prefiltered forms agree exactly
     val sp = spark; import sp.implicits._
     val l = Seq((1, 10L, 5), (1, 20L, 6), (2, 12L, 7), (3, 30L, 8))
@@ -506,14 +512,14 @@ class SqlSyntaxSpec extends SparkSpec {
     val rwN = graft.ops.SqlSyntax.rewriteAsofJoin(
       "SELECT a.id, b.tag FROM asof_nl a ASOF LEFT JOIN asof_nr b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE b.k = 1").get
-    assert(rwN.contains("asof_nl a WHERE (\na.k = 1\n)"), rwN)
-    assert(rwN.contains("asof_nr b WHERE (\nb.k = 1\n)"), rwN)
+    assert(rwN.contains("asof_nl a WHERE (\n(a.k = 1)\n)"), rwN)
+    assert(rwN.contains("asof_nr b WHERE (\n(b.k = 1)\n)"), rwN)
     // under INNER, IS-NULL forms stay replicable (keys join null-safely,
     // so the predicate agrees across every matched pair)
     val rwI = graft.ops.SqlSyntax.rewriteAsofJoin(
       "SELECT a.id FROM asof_nl a ASOF JOIN asof_nr b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE a.k IS NOT NULL").get
-    assert(rwI.contains("asof_nl a WHERE (\na.k IS NOT NULL\n)"), rwI)
+    assert(rwI.contains("asof_nl a WHERE (\n(a.k IS NOT NULL)\n)"), rwI)
     // a top-level OR makes the body's root an OR: `X OR p AND q` must
     // not surrender q as a conjunct (it is not implied by the WHERE)
     val or1 = "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
@@ -541,13 +547,15 @@ class SqlSyntaxSpec extends SparkSpec {
     val rwU = graft.ops.SqlSyntax.rewriteAsofJoin(
       "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE a.k = 1 OR a.k = 2").get
-    assert(rwU.contains("asof_kl a WHERE (\na.k = 1 OR a.k = 2\n)"), rwU)
-    assert(rwU.contains("asof_kr b WHERE (\nb.k = 1 OR b.k = 2\n)"), rwU)
+    assert(rwU.contains(
+      "asof_kl a WHERE (\n((a.k = 1) OR (a.k = 2))\n)"), rwU)
+    assert(rwU.contains(
+      "asof_kr b WHERE (\n((b.k = 1) OR (b.k = 2))\n)"), rwU)
     // a statement-terminating semicolon is not part of the predicate
     val rwSemi = graft.ops.SqlSyntax.rewriteAsofJoin(
       "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE a.k IN (1, 2);").get
-    assert(rwSemi.contains("asof_kl a WHERE (\na.k IN (1, 2)\n)"), rwSemi)
+    assert(rwSemi.contains("asof_kl a WHERE (\n(a.k IN (1, 2))\n)"), rwSemi)
     assert(sess.sql(
       "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
         "ON a.k = b.k AND a.t >= b.rt WHERE a.k IN (1, 2);").count() == 3)
@@ -592,14 +600,15 @@ class SqlSyntaxSpec extends SparkSpec {
       "SELECT a.id, b.tag FROM asof_nl a ASOF JOIN asof_nr b " +
         "ON a.k = coalesce(b.k, 0) AND a.t >= b.rt " +
         "WHERE coalesce(b.k, 0) = 1").get
-    assert(rwCi.contains("asof_nr b WHERE (\ncoalesce(b.k, 0) = 1\n)"), rwCi)
-    // an ON key operand carrying a trailing line comment must not
-    // swallow the rest of a swapped replicated predicate (the splice
-    // newline-pads exactly when the expression ends inside a comment)
+    assert(rwCi.contains("asof_nr b WHERE (\n(coalesce(b.k, 0) = 1)\n)"), rwCi)
+    // an ON key operand carrying a trailing line comment: the swapped
+    // leg is RENDERED from the AST, so the comment cannot reach (let
+    // alone swallow) the replicated predicate at all
     val cmQ = "SELECT a.id, b.tag FROM asof_kl a ASOF JOIN asof_kr b " +
       "ON a.k = b.k -- key\nAND a.t >= b.rt WHERE a.k = 1"
     val rwCm = graft.ops.SqlSyntax.rewriteAsofJoin(cmQ).get
-    assert(rwCm.contains("b.k -- key\n = 1"), rwCm)
+    assert(rwCm.contains("asof_kr b WHERE (\n(b.k = 1)\n)"), rwCm)
+    assert(!rwCm.contains("-- key\n = 1"), rwCm)
     val gotCm = sess.sql(cmQ).collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
     graft.ops.SqlSyntax.replicateLegFilters = false
@@ -635,7 +644,7 @@ class SqlSyntaxSpec extends SparkSpec {
       sess.registerTable("asof_fz_r", r.toDF("k", "rt", "tag"))
       def atom(): String = {
         val s = if (rnd.nextBoolean()) "a" else "b"
-        rnd.nextInt(8) match {
+        rnd.nextInt(10) match {
           case 0 => s"$s.k = ${rnd.nextInt(4)}"
           case 1 => s"$s.k > ${rnd.nextInt(3)}"
           case 2 => s"$s.k IN (${rnd.nextInt(4)}, ${rnd.nextInt(4)})"
@@ -647,6 +656,12 @@ class SqlSyntaxSpec extends SparkSpec {
           case 6 => s"CASE WHEN $s.k = ${rnd.nextInt(4)} AND " +
             s"a.t > ${rnd.nextInt(15)} THEN ${rnd.nextInt(2)} " +
             s"ELSE ${rnd.nextInt(2)} END = ${rnd.nextInt(2)}"
+          // BETWEEN expands to >=/<= conjuncts in the AST proof —
+          // both NOT and plain forms must replicate soundly
+          case 7 => s"$s.k ${if (rnd.nextBoolean()) "NOT " else ""}" +
+            s"BETWEEN ${rnd.nextInt(3)} AND ${rnd.nextInt(4)}"
+          // arithmetic over the key stays in the null-strict whitelist
+          case 8 => s"$s.k + ${rnd.nextInt(3)} > ${rnd.nextInt(5)}"
           case _ => s"a.t > ${rnd.nextInt(15)}"
         }
       }
