@@ -131,21 +131,12 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
     }
   }
 
-  test("the engine's dictionary WRITER never emits deltas: one non-delta " +
-      "DictionaryBatch per encoded column per file") {
-    val sp = spark; import sp.implicits._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_dict_writer").toString
-    val df = (0 until 3000).map(i => (i.toLong, s"cat${i % 7}"))
-      .toDF("id", "cat").coalesce(1)
-    Ipc.writeIpcDict(df, out, Seq("cat"))
-    val f = new java.io.File(out).listFiles()
-      .filter(_.getName.endsWith(".arrow")).head
-    // walk the encapsulated messages between the leading magic and the
-    // footer; count DictionaryBatch headers and assert none is a delta
-    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+  /** Walk an Arrow FILE's encapsulated messages between the leading
+    * magic and the footer: the isDelta flag of each DictionaryBatch in
+    * stream order, plus whether any RecordBatch was seen. */
+  private def walkDictMessages(bytes: Array[Byte]): (Seq[Boolean], Boolean) = {
     var pos = 8 // "ARROW1\0\0"
-    var nDict = 0
+    val dicts = Seq.newBuilder[Boolean]
     var sawBatch = false
     def intBE(p: Int) = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
       ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
@@ -159,10 +150,9 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
           val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(
             java.nio.ByteBuffer.wrap(bytes, pos + 8, metaLen).slice())
           if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch) {
-            nDict += 1
             val db = msg.header(new org.apache.arrow.flatbuf.DictionaryBatch())
               .asInstanceOf[org.apache.arrow.flatbuf.DictionaryBatch]
-            assert(!db.isDelta, "writer emitted an isDelta DictionaryBatch")
+            dicts += db.isDelta
           }
           if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.RecordBatch)
             sawBatch = true
@@ -170,8 +160,80 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
         }
       }
     }
+    (dicts.result(), sawBatch)
+  }
+
+  test("the engine's dictionary WRITER never emits deltas: one non-delta " +
+      "DictionaryBatch per encoded column per file") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dict_writer").toString
+    val df = (0 until 3000).map(i => (i.toLong, s"cat${i % 7}"))
+      .toDF("id", "cat").coalesce(1)
+    Ipc.writeIpcDict(df, out, Seq("cat"))
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    val (flags, sawBatch) = walkDictMessages(
+      java.nio.file.Files.readAllBytes(f.toPath))
     assert(sawBatch, "no record batch found — message walk broken")
-    assert(nDict == 1, s"expected exactly 1 dictionary message, got $nDict")
+    assert(flags == Seq(false),
+      s"expected exactly 1 non-delta dictionary message, got $flags")
+  }
+
+  test("the DELTA dictionary writer emits an initial batch plus isDelta " +
+      "extensions; the engine and stock pyarrow read them back intact") {
+    val sp = spark; import sp.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dict_delta").toString
+    // categories arrive in 3000-row waves against BatchRows = 4096:
+    // batch 1 sees cat0/cat1, batches 2 and 3 introduce cat2/cat3 →
+    // real isDelta extensions; `tag` is constant → initial dictionary
+    // only; the i % 97 nulls exercise the validity path
+    val df = (0 until 10000).map(i => (i.toLong,
+        if (i % 97 == 0) null else s"cat${i / 3000}", "t0"))
+      .toDF("id", "cat", "tag").coalesce(1)
+    Ipc.writeIpcDictDelta(df, out, Seq("cat", "tag"))
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    val (flags, sawBatch) = walkDictMessages(
+      java.nio.file.Files.readAllBytes(f.toPath))
+    assert(sawBatch)
+    // two initial dictionaries (cat, tag) first, then only deltas
+    assert(flags.count(_ == false) == 2 && !flags.take(2).exists(identity),
+      s"dictionary message flags: $flags")
+    assert(flags.count(_ == true) >= 2, s"no deltas emitted: $flags")
+    // engine read-back decodes through the grown dictionary exactly
+    val back = Ipc.readIpc(spark, out)
+    assert(back.schema("cat").dataType == StringType)
+    assert(back.count() == 10000)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // stock-pyarrow read-back: distinct sets and an id×rank pairing
+    // checksum (catches right-values-wrong-rows decodes)
+    pythonWithPyarrow.foreach { py =>
+      val pr = new ProcessBuilder(
+        py, "tools/make_delta_dict.py", "readback", out)
+        .directory(new java.io.File(sys.props("user.dir")))
+        .redirectErrorStream(true).start()
+      val log = new String(pr.getInputStream.readAllBytes())
+      assert(pr.waitFor() == 0, s"pyarrow readback failed:\n$log")
+      assert(log.contains("ROWS=10000"), log)
+      assert(log.contains("DISTINCT_cat=cat0,cat1,cat2,cat3"), log)
+      assert(log.contains("DISTINCT_tag=t0"), log)
+      val chkCat = (0 until 10000).map(i =>
+        if (i % 97 == 0) 0L else i.toLong * (i / 3000 + 1)).sum
+      val chkTag = (0 until 10000).map(_.toLong).sum
+      assert(log.contains(s"CHK_cat=$chkCat"), log)
+      assert(log.contains(s"CHK_tag=$chkTag"), log)
+    }
+    // the 65536-distinct cap still refuses loudly, now mid-write
+    val wide = (0 until 70000).map(i => (i.toLong, s"v$i", "t"))
+      .toDF("id", "cat", "tag").coalesce(1)
+    val e = intercept[Exception] {
+      Ipc.writeIpcDictDelta(wide, out + "_wide", Seq("cat"))
+    }
+    def texts(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: texts(x.getCause))
+    assert(texts(e).exists(m => m != null && m.contains("65536")), e)
   }
 
   test("stream codec round-trips 40 random NESTED schemas (list/struct/map/decimal, depth ≤ 2)") {

@@ -20,6 +20,35 @@ import pyarrow as pa
 import pyarrow.ipc as ipc
 import pyarrow.parquet as pq
 
+if sys.argv[1] == "readback":
+    # STOCK-pyarrow read of a directory of engine-written .arrow files
+    # (IpcPropertySpec's delta-WRITER interop pin): decode dictionary
+    # columns to their value types and print order-insensitive
+    # evidence — row count, per-dictionary-column sorted distinct
+    # values, and a pairing checksum sum(id * (1 + rank of cat value))
+    # that catches a mis-indexed (right values, wrong rows) decode.
+    import glob
+    d = sys.argv[2]
+    tabs = [ipc.open_file(p).read_all()
+            for p in sorted(glob.glob(os.path.join(d, "*.arrow")))]
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    dec = {}
+    for name in t.column_names:
+        col = t.column(name)
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
+        dec[name] = col.to_pylist()
+    print("ROWS=%d" % t.num_rows)
+    for name in t.column_names:
+        if pa.types.is_dictionary(t.column(name).type):
+            vals = sorted(v for v in set(dec[name]) if v is not None)
+            print("DISTINCT_%s=%s" % (name, ",".join(vals)))
+            rank = {v: i + 1 for i, v in enumerate(vals)}
+            chk = sum(i * rank.get(v, 0)
+                      for i, v in zip(dec["id"], dec[name]))
+            print("CHK_%s=%d" % (name, chk))
+    sys.exit(0)
+
 seed, out = int(sys.argv[1]), sys.argv[2]
 rng = random.Random(seed)
 schema = pa.schema([
