@@ -266,20 +266,20 @@ object FlightGrpc {
   /** Emit rows as FlightData onto a gRPC response observer, honoring
     * flow control: wait for `isReady` between messages so a slow
     * client bounds server memory at one batch — but never longer than
-    * [[drainStallMs]] per message. */
+    * `stallMs` per message (the [[Server]]'s drain-stall ceiling). */
   private def streamRows(rows: Iterator[Row], schema: StructType,
-      obs: StreamObserver[FlightData]): Unit = {
+      obs: StreamObserver[FlightData], stallMs: Long): Unit = {
     val sObs = obs match {
       case s: ServerCallStreamObserver[FlightData @unchecked] => s
       case _ => null
     }
     val splitter = new MessageSplitter(fd => {
       if (sObs != null) {
-        val deadline = System.nanoTime() + drainStallMs * 1000000L
+        val deadline = System.nanoTime() + stallMs * 1000000L
         while (!sObs.isReady && !sObs.isCancelled) {
           if (System.nanoTime() - deadline > 0)
             throw new java.io.IOException(
-              s"DoGet client stalled: no drain progress in ${drainStallMs}ms" +
+              s"DoGet client stalled: no drain progress in ${stallMs}ms" +
                 " — aborting the stream to free its serving resources")
           Thread.sleep(1)
         }
@@ -392,7 +392,7 @@ object FlightGrpc {
   /** Serve one partition of `df` as a DoGet stream with O(one batch)
     * serving-side row residency (see [[PartitionFeed]]). */
   private def streamPartition(spark: SparkSession, df: DataFrame, p: Int,
-      obs: StreamObserver[FlightData]): Unit = {
+      obs: StreamObserver[FlightData], stallMs: Long): Unit = {
     val key = UUID.randomUUID().toString
     val feed = PartitionFeed.register(key)
     val schema = df.schema
@@ -418,13 +418,37 @@ object FlightGrpc {
     feeder.setDaemon(true)
     try {
       feeder.start()
+      val sObs = obs match {
+        case s: ServerCallStreamObserver[FlightData @unchecked] => s
+        case _ => null
+      }
       val rowIt = new Iterator[Row] {
         private var cur: Iterator[Row] = Iterator.empty
         private var curSize = 0
         private var done = false
+        // poll, never take(): a client that cancels (or vanishes)
+        // while the feeder's job is still queued or computing must
+        // free this serving thread immediately, and a feeder that
+        // produces no batch inside the same stall ceiling the drain
+        // side uses is torn down rather than parking the thread on a
+        // hung task forever
+        private def nextMsg(): PartitionFeed.Msg = {
+          val deadline = System.nanoTime() + stallMs * 1000000L
+          var msg: PartitionFeed.Msg = null
+          while (msg == null) {
+            if (sObs != null && sObs.isCancelled)
+              throw new java.io.IOException("DoGet cancelled by client")
+            if (System.nanoTime() - deadline > 0)
+              throw new java.io.IOException(
+                s"DoGet feeder stalled: no batch in ${stallMs}ms — " +
+                  "aborting the stream to free its serving resources")
+            msg = feed.queue.poll(50, TimeUnit.MILLISECONDS)
+          }
+          msg
+        }
         private def advance(): Unit =
           while (!done && !cur.hasNext) {
-            feed.queue.take() match {
+            nextMsg() match {
               case PartitionFeed.RowBatch(rows) =>
                 feed.residentRows.addAndGet(-curSize)
                 cur = rows.iterator; curSize = rows.length
@@ -435,7 +459,7 @@ object FlightGrpc {
         override def hasNext: Boolean = { advance(); !done }
         override def next(): Row = { advance(); cur.next() }
       }
-      streamRows(rowIt, schema, obs)
+      streamRows(rowIt, schema, obs, stallMs)
     } finally {
       feed.closed = true
       feed.queue.clear()
@@ -445,8 +469,22 @@ object FlightGrpc {
 
   // ---- server ---------------------------------------------------------------
 
+  /** DoGet liveness contract (public surface): a stream aborts with a
+    * loud gRPC error when the CLIENT stops draining for more than the
+    * drain-stall ceiling between messages, or when the serving feeder
+    * produces no batch within the same ceiling — the ceiling is
+    * `drainStallOverrideMs` when given, else the process-wide
+    * [[FlightGrpc.drainStallMs]] (default 120 s, read per call so it
+    * can be tuned live). Deployments whose clients legitimately pause
+    * longer between reads (expensive per-batch processing) or whose
+    * partitions compute longer before the first batch should raise
+    * the override on THEIR server instance instead of the global. */
   final class Server(spark: SparkSession, port: Int = 0,
-      authSecret: Option[String] = None) extends AutoCloseable {
+      authSecret: Option[String] = None,
+      drainStallOverrideMs: Option[Long] = None) extends AutoCloseable {
+
+    private def stallMs: Long =
+      drainStallOverrideMs.getOrElse(FlightGrpc.drainStallMs)
 
     // GetFlightInfo-pinned plans, as in FlightLite: all endpoint DoGets
     // of one info call read ONE plan generation (bounded at 64)
@@ -608,10 +646,11 @@ object FlightGrpc {
                 // endpoint ticket "pin#p": exactly that partition,
                 // queue-fed so the server never holds it as Array[Row]
                 val p = s.drop(hash + 1).toInt
-                streamPartition(spark, df, p, obs)
+                streamPartition(spark, df, p, obs, stallMs)
               case None =>
                 val df = resolve(s)
-                streamRows(df.toLocalIterator().asScala, df.schema, obs)
+                streamRows(df.toLocalIterator().asScala, df.schema, obs,
+                  stallMs)
             }
             obs.onCompleted()
           } catch { case e: Throwable => obs.onError(grpcError(e)) }

@@ -263,6 +263,42 @@ class FlightGrpcSpec extends SparkSpec {
     }
   }
 
+  test("feeder-stall abort honors the per-server drain-stall override: " +
+      "a partition that computes past the ceiling frees the serving " +
+      "thread instead of parking it on the queue") {
+    // override 1.5 s on THIS instance; the process-wide default stays
+    // 120 s, so an abort inside a few seconds proves both the override
+    // plumbing and the poll-not-take() consumer (the old take() would
+    // park until the slow task's first batch arrived)
+    val server = new FlightGrpc.Server(spark,
+      drainStallOverrideMs = Some(1500)).start()
+    try {
+      val port = server.boundPort
+      val slow = org.apache.spark.sql.functions.udf((v: Long) => {
+        if (v == 0) Thread.sleep(6000); v
+      })
+      spark.range(0, 10).toDF("v").coalesce(1)
+        .select(slow(org.apache.spark.sql.functions.col("v")).as("v"))
+        .createOrReplaceTempView("fg_slowfeed")
+      val (_, eps) = FlightGrpc.getFlightInfo("127.0.0.1", port, "fg_slowfeed")
+      val t0 = System.currentTimeMillis()
+      val e = intercept[Exception](
+        FlightGrpc.doGet("127.0.0.1", port, eps.head))
+      val elapsed = System.currentTimeMillis() - t0
+      assert(e.getMessage.toLowerCase.contains("stall") ||
+        e.getMessage.contains("INTERNAL"), e.getMessage)
+      assert(elapsed < 5000,
+        s"abort took ${elapsed}ms — the 1500ms override was not honored")
+      // the feed unregisters and the context stays healthy once the
+      // slow task drains
+      val dl = System.currentTimeMillis() + 15000
+      while (FlightGrpc.PartitionFeed.activeFeeds > 0 &&
+        System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(FlightGrpc.PartitionFeed.activeFeeds == 0)
+      assert(spark.range(100).count() === 100L)
+    } finally server.close()
+  }
+
   test("auth: handshake exchanges credential for bearer; every verb " +
       "refuses without it; wrong credential rejected") {
     val server = new FlightGrpc.Server(spark, authSecret = Some("s3cr3t")).start()
