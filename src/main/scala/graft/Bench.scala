@@ -47,10 +47,17 @@ object Bench {
     // residual cold state the shape warm-ups miss (r12's six retried
     // outliers were exactly the first timed keys) — run those six once
     // untimed too, so the committed artifact is retry-free
-    for (n <- Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash",
-        "csv_sink", "variant_json",
-        "agg_global", "agg_stats", "asof_nearest", "binary_funcs",
-        "bpe_train", "bucket_join"))
+    // METHODOLOGY FLAG: the queries in this list are measured WARM
+    // (they run once untimed here and again in the timed pass) while
+    // every other key is measured first-run — their per-key numbers
+    // are not comparable to a cold-position round and are recorded in
+    // BENCH_DETAIL.json as "warm_keys" so cross-round deltas on them
+    // are read as methodology, not performance.
+    val warmups = Seq("q1_agg", "join_inner", "window_rank", "dedup_minhash",
+      "csv_sink", "variant_json",
+      "agg_global", "agg_stats", "asof_nearest", "binary_funcs",
+      "bpe_train", "bucket_join")
+    for (n <- warmups)
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     // a failed query records -1.0, never its time-to-fail — a broken
@@ -192,8 +199,10 @@ object Bench {
       .mkString("{", ",", "}")
     val retriedJson = outliers.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val warmJson = warmups.filter(n => results.exists(_._1 == n)).sorted
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName","failures":$failures,"median_ratio":${f(medRatio)},"median_ratio_first_pass":${f(medRatioFirst)},"polluted":$polluted,"retried":$retriedJson,"regressions":$regJson,"observed":$obsJson,"queries":${dict(results)}}\n"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfName","failures":$failures,"median_ratio":${f(medRatio)},"median_ratio_first_pass":${f(medRatioFirst)},"polluted":$polluted,"retried":$retriedJson,"warm_keys":$warmJson,"regressions":$regJson,"observed":$obsJson,"queries":${dict(results)}}\n"""
         .getBytes("UTF-8"))
     val slowest = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       .take(30)
