@@ -1519,16 +1519,23 @@ object Ipc {
     * the grouped aggregate must equal the parquet original. */
   def qIpcDictDelta(s: SparkSession, dir: String): DataFrame = {
     val out = Egress.outRoot(dir) + "/orders_ipc_dict_delta"
-    // 512-row batches keep the delta grammar exercised at EVERY test
-    // scale factor (sf0.001's ~750-row partitions still span two
-    // batches, so a later priority must arrive as an isDelta batch)
+    val src = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+    // partition count and batch size SCALE with the input (a fixed
+    // repartition(2) measured 13x per decade at x1000 — two 75M-row
+    // single-threaded writer tasks): ~20k+ rows per file, capped at
+    // 64 files; small batches only at tiny SFs where the delta
+    // grammar needs them (rows-per-file stays well above batchRows at
+    // every SF, so the priority-sorted order still forces a later
+    // priority to arrive as an isDelta batch — the proof below)
+    val n = src.count() // parquet metadata count — one cheap job
+    val parts = math.max(2L, math.min(64L, n / 20000L)).toInt
+    val bRows = if (n < 50000L) 512 else BatchRows
     writeIpcDictDelta(
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderpriority"), col("o_totalprice"))
-        .repartition(2, col("o_orderkey"))
+      src.repartition(parts, col("o_orderkey"))
         .sortWithinPartitions("o_orderpriority", "o_orderkey"),
-      out, Seq("o_orderstatus", "o_orderpriority"), batchRows = 512)
+      out, Seq("o_orderstatus", "o_orderpriority"), batchRows = bRows)
     // structural proof: the first file really carries an initial
     // dictionary per column plus at least one isDelta extension
     val fs = new HPath(out).getFileSystem(
