@@ -637,6 +637,31 @@ object FlightGrpc {
               obs.onCompleted()
               return
             }
+            // "sparse_tensor!<sql>": one row (shape array<bigint>,
+            // indices array<bigint> — the row-major nnz×ndim COO index
+            // matrix — and values array<double>) as ONE SparseTensor
+            // message (reference SparseTensor.fbs) — the sparse twin
+            // of tensor!, same single-frame contract and refusals
+            if (s.startsWith("sparse_tensor!")) {
+              val df = spark.sql(s.stripPrefix("sparse_tensor!"))
+              val rows = df.collect() // control-plane: one tensor row
+              require(rows.length == 1,
+                s"sparse_tensor! query must return exactly 1 row, got ${rows.length}")
+              val r0 = rows(0)
+              val st = TensorIpc.CooTensor(
+                r0.getSeq[Long](df.schema.fieldIndex("shape")),
+                r0.getSeq[Long](df.schema.fieldIndex("indices")).toArray,
+                r0.getSeq[Double](df.schema.fieldIndex("values")).toArray)
+              val (meta, body) = TensorIpc.messagePartsSparse(st)
+              val frameBytes = meta.length.toLong + body.length
+              require(frameBytes <= MaxMessageBytes - 1024,
+                s"sparse_tensor! frame is $frameBytes bytes, over the " +
+                  s"Flight message cap ($MaxMessageBytes); fetch large " +
+                  "tensors through the IPC file/DSv2 surface instead")
+              obs.onNext(FlightData(None, meta, EmptyBytes, body))
+              obs.onCompleted()
+              return
+            }
             val hash = s.lastIndexOf('#')
             val pinnedDf =
               if (hash > 0)
@@ -904,6 +929,24 @@ object FlightGrpc {
       val fd = frames.next()
       require(!frames.hasNext, "tensor DoGet returned more than one frame")
       TensorIpc.fromParts(bareHeader(fd.dataHeader), fd.dataBody)
+    }
+
+  /** Fetch a COO sparse tensor over DoGet (`sparse_tensor!` ticket):
+    * the sql must return one row with `shape array<bigint>`,
+    * `indices array<bigint>` (row-major nnz×ndim) and
+    * `values array<double>`; the wire carries one SparseTensor
+    * message. */
+  def doGetSparseTensor(host: String, port: Int, sql: String,
+      token: String = ""): TensorIpc.CooTensor =
+    withChannel(host, port, token) { ch =>
+      val frames = ClientCalls.blockingServerStreamingCall(
+        ch, DoGetMd, CallOptions.DEFAULT,
+        Ticket.of("sparse_tensor!" + sql)).asScala
+      require(frames.hasNext, "sparse tensor DoGet returned no frame")
+      val fd = frames.next()
+      require(!frames.hasNext,
+        "sparse tensor DoGet returned more than one frame")
+      TensorIpc.fromPartsSparse(bareHeader(fd.dataHeader), fd.dataBody)
     }
 
   def doPut(host: String, port: Int, name: String, rows: Seq[Row],

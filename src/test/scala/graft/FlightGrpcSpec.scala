@@ -423,6 +423,21 @@ class FlightGrpcSpec extends SparkSpec {
           "array(8500000L) AS shape"))
       assert(big.getMessage.contains("message cap") ||
         big.getMessage.contains("INTERNAL"), big.getMessage)
+      // the sparse twin: one SparseTensor message end to end — a
+      // [2, 3] COO with entries at (0,1)=5.5 and (1,2)=-2.25
+      val st = FlightGrpc.doGetSparseTensor("127.0.0.1", port,
+        "SELECT array(2L, 3L) AS shape, array(0L, 1L, 1L, 2L) AS indices, " +
+          "array(5.5d, -2.25d) AS values")
+      assert(st.shape == Seq(2L, 3L) && st.isCanonical)
+      assert(st.indices.toSeq == Seq(0L, 1L, 1L, 2L))
+      assert(st.values.toSeq == Seq(5.5, -2.25))
+      // multi-row refuses loudly here too
+      val eS = intercept[Exception](FlightGrpc.doGetSparseTensor(
+        "127.0.0.1", port,
+        "SELECT array(1L) AS shape, array(0L) AS indices, " +
+          "array(x) AS values FROM fg_tensor_src"))
+      assert(eS.getMessage.contains("exactly 1 row") ||
+        eS.getMessage.contains("INTERNAL"))
     } finally server.close()
   }
 

@@ -236,6 +236,41 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
     assert(texts(e).exists(m => m != null && m.contains("65536")), e)
   }
 
+  test("DELTA dictionary writer seeded fuzz: random value streams with " +
+      "growing vocabularies round-trip exactly (5 rounds)") {
+    val sp = spark; import sp.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(20260817 + seed)
+      val nRows = 1500 + rnd.nextInt(4000)
+      val nCats = 1 + rnd.nextInt(12)
+      // values draw from a prefix that GROWS with the row index, so
+      // later batches introduce new values (the delta path) with high
+      // probability — nCats = 1 degenerates to initial-only, also legal
+      val rows = (0 until nRows).map { i =>
+        val avail = 1 + (i * nCats) / nRows
+        val v = if (rnd.nextInt(10) == 0) null
+          else s"s${seed}_v${rnd.nextInt(avail)}"
+        (i.toLong, v)
+      }
+      val df = rows.toDF("id", "cat").coalesce(1)
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_dict_delta_fz_$seed").toString
+      Ipc.writeIpcDictDelta(df, out, Seq("cat"),
+        batchRows = 256 + rnd.nextInt(1024))
+      val back = Ipc.readIpc(spark, out)
+      assert(back.count() == nRows, s"seed $seed row count")
+      assert(back.exceptAll(df).count() == 0 &&
+        df.exceptAll(back).count() == 0, s"seed $seed round-trip mismatch")
+      val f = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".arrow")).head
+      val (flags, sawBatch) = walkDictMessages(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      assert(sawBatch && flags.count(_ == false) == 1 &&
+        !flags.headOption.getOrElse(false),
+        s"seed $seed dictionary flags $flags")
+    }
+  }
+
   test("stream codec round-trips 40 random NESTED schemas (list/struct/map/decimal, depth ≤ 2)") {
     for (trial <- 0 until 40) {
       val schema = randNestedSchema(4, 2)

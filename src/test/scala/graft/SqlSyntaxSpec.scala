@@ -688,6 +688,53 @@ class SqlSyntaxSpec extends SparkSpec {
     assert(replicated >= 5, s"only $replicated/30 rounds replicated")
   }
 
+  test("ASOF WHERE replication differential fuzz over STRING keys: " +
+      "literal rendering and leg swaps survive quotes and non-ASCII") {
+    // the AST renderer re-emits string literals through Literal.sql —
+    // embedded single/double quotes and non-ASCII must survive the
+    // swap into the opposite leg bit-for-bit
+    val sp = spark; import sp.implicits._
+    var replicated = 0
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(77000 + seed)
+      def key(): String =
+        if (rnd.nextInt(5) == 0) null
+        else Seq("x", "y'z", "w\"q", "héß")(rnd.nextInt(4))
+      val l = (0 until 8 + rnd.nextInt(8)).map(i =>
+        (key(), rnd.nextInt(20).toLong, i))
+      val r = (0 until 8 + rnd.nextInt(8)).map(i =>
+        (key(), rnd.nextInt(20).toLong, s"t$i"))
+      sess.registerTable("asof_fzs_l", l.toDF("k", "t", "id"))
+      sess.registerTable("asof_fzs_r", r.toDF("k", "rt", "tag"))
+      def atom(): String = {
+        val s = if (rnd.nextBoolean()) "a" else "b"
+        rnd.nextInt(6) match {
+          case 0 => s"$s.k = 'y''z'" // embedded single quote
+          case 1 => s"$s.k IN ('x', 'w\"q')"
+          case 2 => s"$s.k LIKE 'h%'"
+          case 3 => s"$s.k IS NOT NULL"
+          case 4 => s"$s.k = 'héß'"
+          case _ => s"a.t > ${rnd.nextInt(15)}"
+        }
+      }
+      val pred = (0 until 1 + rnd.nextInt(3)).map(_ => atom())
+        .mkString(if (rnd.nextBoolean()) " AND " else " OR ")
+      val jt = if (rnd.nextBoolean()) "LEFT " else ""
+      val q = s"SELECT a.id, b.tag FROM asof_fzs_l a ASOF ${jt}JOIN " +
+        s"asof_fzs_r b ON a.k = b.k AND a.t >= b.rt WHERE $pred"
+      val rw = SqlSyntax.rewriteAsofJoin(q).get
+      if (rw.contains("asof_fzs_l a WHERE") ||
+        rw.contains("asof_fzs_r b WHERE")) replicated += 1
+      def rows(): Seq[(Int, Any)] = sess.sql(q).collect()
+        .map(x => (x.getInt(0), x.get(1))).toSeq.sortBy(_.toString)
+      val got = rows()
+      SqlSyntax.replicateLegFilters = false
+      val want = try rows() finally SqlSyntax.replicateLegFilters = true
+      assert(got == want, s"seed $seed diverged on: $q\non:  $got\noff: $want")
+    }
+    assert(replicated >= 3, s"only $replicated/10 rounds replicated")
+  }
+
   test("scanners are comment- and backtick-aware (codeMask): keywords " +
       "inside either never trigger; a keyword split by a comment still lexes") {
     // keyword inside a line comment / bracketed comment / backticks
