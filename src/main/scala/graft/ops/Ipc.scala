@@ -956,7 +956,7 @@ object Ipc {
   /** Resolve a (possibly dictionary-encoded) column's Spark type: an
     * encoded field's in-memory vector is index-typed; the LOGICAL type
     * lives on the dictionary's value vector. */
-  private def resolvedSparkType(f: Field,
+  private[graft] def resolvedSparkType(f: Field,
       dicts: java.util.Map[java.lang.Long, Dictionary]): DataType =
     if (f.getDictionary == null) toSparkType(f)
     else toSparkType(dicts.get(f.getDictionary.getId).getVector.getField)
@@ -1556,4 +1556,29 @@ object Ipc {
   }
 
   val qIpcDictDeltaSql: String = qIpcDictSql
+
+  /** Dictionary-encoded directory read through the DSv2 COLUMNAR path
+    * (r14: `ArrowColumnVector` has no dictionary accessor, so the
+    * reader decodes each batch's index vectors through the
+    * (delta-grown) dictionary into per-batch stand-in vectors): same
+    * write as `ipc_dict`, but the read is `spark.read.format
+    * ("graft-ipc")` instead of the row-based codec — the aggregate
+    * must still equal the parquet original. */
+  def qIpcDictDsv2(s: SparkSession, dir: String): DataFrame = {
+    val out = Egress.outRoot(dir) + "/orders_ipc_dict_dsv2"
+    writeIpcDict(
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .repartition(4, col("o_orderkey")),
+      out, Seq("o_orderstatus", "o_orderpriority"))
+    s.read.format("graft-ipc").load(out)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val qIpcDictDsv2Sql: String = qIpcDictSql
 }

@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, FieldVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, VarBinaryVector, VarCharVector}
 import org.apache.arrow.vector.ipc.ArrowFileReader
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
@@ -63,19 +63,21 @@ final class IpcDataSource extends TableProvider with DataSourceRegister {
     val head = Option(fs.globStatus(new HPath(dirPath, "*.arrow")))
       .getOrElse(Array()).sortBy(_.getPath.toString).headOption
       .getOrElse(throw new IllegalArgumentException(s"no .arrow files in $dir"))
-    // discovery/Inspect: one footer read on the driver
+    // discovery/Inspect: one footer (+ dictionary blocks) read on the
+    // driver — dictionary-encoded columns resolve to their VALUE type
+    // (the logical type lives on the dictionary vector's field) and
+    // decode transparently on both DSv2 read paths (r14)
     val allocator = new RootAllocator()
-    val rd = new ArrowFileReader(
+    val rd = new Ipc.DeltaIpcFileReader(
       new Ipc.HadoopSeekableChannel(fs.open(head.getPath), head.getLen),
       allocator, Ipc.readCodecs)
-    try StructType(rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
-      .map { f =>
-        // dict-encoded columns carry index-typed vectors the columnar
-        // ArrowColumnVector path would surface as raw ints — refuse
-        // loudly instead of reading indices as values
-        require(f.getDictionary == null,
-          s"graft-ipc DSv2 does not decode dictionary-encoded column " +
-            s"'${f.getName}'; read this directory with graft.ops.Ipc.readIpc")
+    try StructType({
+      rd.loadDeltaDictionaries()
+      val dicts = rd.getDictionaryVectors
+      rd.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+      .map { fRaw =>
+        val f = if (fRaw.getDictionary == null) fRaw
+          else dicts.get(fRaw.getDictionary.getId).getVector.getField
         // Spark's ArrowColumnVector has a TIME accessor for
         // TimeNanoVector only (our own writer's choice) and no
         // accessor for the DAY_TIME (days, millis) pair; a foreign
@@ -106,8 +108,9 @@ final class IpcDataSource extends TableProvider with DataSourceRegister {
           g.getChildren.asScala.foreach(gate)
         }
         gate(f)
-        StructField(f.getName, Ipc.toSparkType(f), nullable = true)
-      })
+        StructField(fRaw.getName, Ipc.toSparkType(f), nullable = true)
+      }
+    })
     finally { rd.close(); allocator.close() }
   }
 
@@ -690,22 +693,42 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
   private val reader = {
     val p = new HPath(path)
     val fs = p.getFileSystem(confSer.value)
-    new ArrowFileReader(
+    new Ipc.DeltaIpcFileReader(
       new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator,
       Ipc.readCodecs)
   }
+  reader.loadDeltaDictionaries() // dict ids -> (delta-grown) value vectors
   private val root = reader.getVectorSchemaRoot
   private var batch: ColumnarBatch = null
   private var served = 0L
+  // decoded stand-ins for dictionary-encoded vectors: allocated per
+  // batch (ArrowColumnVector has no dictionary accessor), released
+  // when the NEXT batch loads — Spark fully consumes a batch before
+  // calling next(), the same contract the raw-vector reuse rides on
+  private var decoded: List[org.apache.arrow.vector.ValueVector] = Nil
+  private def closeDecoded(): Unit = {
+    decoded.foreach(v => try v.close() catch { case _: Throwable => () })
+    decoded = Nil
+  }
 
   override def next(): Boolean = {
     // pushed limit satisfied: stop pulling batches (whole batches are
     // emitted — Spark's GlobalLimit trims the last one's surplus)
     if (limit.exists(served >= _)) return false
+    closeDecoded()
     if (!reader.loadNextBatch()) return false
     if (root.getRowCount == 0) return next()
-    val cols: Array[ColumnVector] =
-      fileIdx.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
+    val cols: Array[ColumnVector] = fileIdx.map { i =>
+      val vec = root.getVector(i)
+      val enc = vec.getField.getDictionary
+      if (enc == null) new ArrowColumnVector(vec): ColumnVector
+      else {
+        val dv = org.apache.arrow.vector.dictionary.DictionaryEncoder
+          .decode(vec, reader.getDictionaryVectors.get(enc.getId))
+        decoded ::= dv
+        new ArrowColumnVector(dv): ColumnVector
+      }
+    }
     batch = new ColumnarBatch(cols, root.getRowCount)
     served += root.getRowCount
     true
@@ -713,7 +736,9 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = { reader.close(); allocator.close() }
+  override def close(): Unit = {
+    closeDecoded(); reader.close(); allocator.close()
+  }
 }
 
 /** Streams one .arrow file batch-by-batch; only the REQUIRED columns
@@ -729,11 +754,20 @@ private final class IpcPartitionReader(path: String, len: Long,
   private val reader = {
     val p = new HPath(path)
     val fs = p.getFileSystem(confSer.value)
-    new ArrowFileReader(
+    new Ipc.DeltaIpcFileReader(
       new Ipc.HadoopSeekableChannel(fs.open(p), len), allocator,
       Ipc.readCodecs)
   }
+  reader.loadDeltaDictionaries()
   private val root = reader.getVectorSchemaRoot
+  // per required column: the dictionary VALUE vector to decode
+  // through, or null for plain columns
+  private val dictVecs: Array[FieldVector] = fileIdx.map { i =>
+    val enc = root.getVector(i).getField.getDictionary
+    if (enc == null) null
+    else reader.getDictionaryVectors.get(enc.getId).getVector
+      .asInstanceOf[FieldVector]
+  }
   private var served = 0L
   private var rowInBatch = 0
   private var batchRows = 0
@@ -753,6 +787,12 @@ private final class IpcPartitionReader(path: String, len: Long,
     while (c < fileIdx.length) {
       val vec = root.getVector(fileIdx(c))
       vals(c) = if (vec.isNull(rowInBatch)) null
+        else if (dictVecs(c) != null)
+          // toIntExact: an int64 index above Int.MaxValue must fail
+          // loudly, not truncate into a wrong-but-valid slot
+          Ipc.getCatalystValue(dictVecs(c), java.lang.Math.toIntExact(
+            vec.asInstanceOf[org.apache.arrow.vector.BaseIntVector]
+              .getValueAsLong(rowInBatch)))
         else Ipc.getCatalystValue(vec, rowInBatch)
       c += 1
     }

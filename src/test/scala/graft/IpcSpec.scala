@@ -456,17 +456,30 @@ class IpcSpec extends SparkSpec with RoundTripGen {
     assert(outD.contains("MSGTYPE=tensor"), outD)
   }
 
-  test("DSv2 refuses dictionary-encoded directories loudly") {
+  test("DSv2 decodes dictionary-encoded directories on both read " +
+      "paths, delta batches included") {
     // self-contained fixture: do NOT lean on the writeIpcDict test's
     // output dir — this test must hold under -z isolation too
-    val out = Egress.outRoot(sfDir) + "/ipc_dict_refusal"
-    Ipc.writeIpcDict(
-      graft.sources.Tables(spark, sfDir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority")),
-      out, Seq("o_orderpriority"))
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-ipc").load(out).collect()
-    }
-    assert(e.getMessage.contains("dictionary-encoded"))
+    val src = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val out = Egress.outRoot(sfDir) + "/ipc_dict_dsv2_read"
+    Ipc.writeIpcDict(src, out, Seq("o_orderpriority"))
+    val df = spark.read.format("graft-ipc").load(out)
+    // schema resolves to the dictionary's VALUE type, not the indices
+    assert(df.schema("o_orderpriority").dataType == StringType)
+    assert(df.count() == src.count())
+    assert(df.exceptAll(src).count() == 0 && src.exceptAll(df).count() == 0)
+    // the columnar path carries the scan (decoded stand-in vectors)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // a STREAMING delta-dictionary directory decodes through the same
+    // DSv2 surface (initial batch + isDelta extensions)
+    val out2 = Egress.outRoot(sfDir) + "/ipc_dict_delta_dsv2_read"
+    Ipc.writeIpcDictDelta(
+      src.repartition(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderpriority", "o_orderkey"),
+      out2, Seq("o_orderpriority"), batchRows = 256)
+    val df2 = spark.read.format("graft-ipc").load(out2)
+    assert(df2.exceptAll(src).count() == 0 && src.exceptAll(df2).count() == 0)
   }
 }
