@@ -128,6 +128,13 @@ class IpcPropertySpec extends SparkSpec with RoundTripGen {
         .collect().map(r => (r.getLong(1), Option(r.getString(0))))
         .sortBy(_._1).toSeq
       assert(fGot == expected, s"seed $seed file mismatch")
+      // DSv2 path (r14): the connector decodes the same pyarrow-written
+      // delta-dictionary file — int32 categorical indices resolve to
+      // utf8 through the delta-grown dictionary on BOTH its readers
+      val dGot = spark.read.format("graft-ipc").load(s"$out/fdir")
+        .collect().map(r => (r.getLong(1), Option(r.getString(0))))
+        .sortBy(_._1).toSeq
+      assert(dGot == expected, s"seed $seed DSv2 mismatch")
     }
   }
 
