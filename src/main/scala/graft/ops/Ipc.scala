@@ -586,7 +586,8 @@ object Ipc {
     * file carries the full dictionary, so each stays self-describing
     * and the readers never coordinate across files. [[readIpc]]
     * decodes transparently. */
-  def writeIpcDict(df: DataFrame, dir: String, dictCols: Seq[String]): Unit = {
+  def writeIpcDict(df: DataFrame, dir: String, dictCols: Seq[String],
+      compression: String = "none"): Unit = {
     val dicts: Map[String, Array[String]] = dictCols.map { c =>
       require(df.schema(c).dataType == StringType,
         s"dictionary-encoded column $c must be string, is ${df.schema(c).dataType}")
@@ -597,7 +598,7 @@ object Ipc {
           "broadcast dictionary; write it plain")
       c -> vals
     }.toMap
-    writeIpcFiles(df, dir, dicts)
+    writeIpcFiles(df, dir, dicts, compression)
   }
 
   /** [[ArrowFileWriter]] exposing the protected dictionary-batch hook

@@ -481,5 +481,23 @@ class IpcSpec extends SparkSpec with RoundTripGen {
       out2, Seq("o_orderpriority"), batchRows = 256)
     val df2 = spark.read.format("graft-ipc").load(out2)
     assert(df2.exceptAll(src).count() == 0 && src.exceptAll(df2).count() == 0)
+    // dictionary + BODY-BUFFER compression compose (the reference's
+    // IpcWriteOptions carries both): files shrink AND decode through
+    // both the row-based codec and the connector
+    val out3 = Egress.outRoot(sfDir) + "/ipc_dict_zstd_read"
+    Ipc.writeIpcDict(src, out3, Seq("o_orderpriority"), compression = "zstd")
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.arrow"))
+        .map(_.getLen).sum
+    }
+    assert(dirBytes(out3) < dirBytes(out),
+      s"zstd dict dir ${dirBytes(out3)} vs plain dict dir ${dirBytes(out)}")
+    val df3 = spark.read.format("graft-ipc").load(out3)
+    assert(df3.exceptAll(src).count() == 0 && src.exceptAll(df3).count() == 0)
+    val back3 = Ipc.readIpc(spark, out3)
+    assert(back3.exceptAll(src).count() == 0 &&
+      src.exceptAll(back3).count() == 0)
   }
 }
