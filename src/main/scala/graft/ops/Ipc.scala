@@ -1460,11 +1460,15 @@ object Ipc {
     * happened, not just that the values survived. */
   def qIpcDict(s: SparkSession, dir: String): DataFrame = {
     val out = Egress.outRoot(dir) + "/orders_ipc_dict"
-    writeIpcDict(
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderpriority"), col("o_totalprice"))
-        .repartition(4, col("o_orderkey")),
+    val src = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+    // file count scales with the input (same lesson as
+    // qIpcDictDelta's sweep: a dictionary writer parallelizes per
+    // file, so a fixed repartition(4) serializes at x1000)
+    val n = src.count()
+    val parts = math.max(4L, math.min(64L, n / 20000L)).toInt
+    writeIpcDict(src.repartition(parts, col("o_orderkey")),
       out, Seq("o_orderstatus", "o_orderpriority"))
     readIpc(s, out)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -1567,11 +1571,12 @@ object Ipc {
     * must still equal the parquet original. */
   def qIpcDictDsv2(s: SparkSession, dir: String): DataFrame = {
     val out = Egress.outRoot(dir) + "/orders_ipc_dict_dsv2"
-    writeIpcDict(
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderpriority"), col("o_totalprice"))
-        .repartition(4, col("o_orderkey")),
+    val src = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val n = src.count()
+    val parts = math.max(4L, math.min(64L, n / 20000L)).toInt
+    writeIpcDict(src.repartition(parts, col("o_orderkey")),
       out, Seq("o_orderstatus", "o_orderpriority"))
     s.read.format("graft-ipc").load(out)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
