@@ -25,6 +25,21 @@ object Engine {
     // AQE: runtime coalescing + skew-join handling — the 100 TB safety
     // net; on by default in Spark 4 but pinned here explicitly.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Post-shuffle coalescing keeps `parallelismFirst` sizing (target =
+    // shuffle bytes / defaultParallelism, i.e. derived from the session's
+    // core count, never a constant) but the default 1 MB
+    // minPartitionSize FLOOR collapses small CPU-dense shuffles to a
+    // handful of tasks: a 5 MB exchange feeding set-intersection or
+    // hash verification work coalesces to ~5 partitions on any core
+    // count, serializing minutes of per-row CPU behind KBs of I/O
+    // (guide §2.2's cost model assumes cost ∝ bytes; candidate
+    // verification breaks it). 64 KB keeps the floor as a guard against
+    // absurd fragmentation while letting parallelism-first sizing win —
+    // at production shuffle sizes partitions are >> 1 MB and this is a
+    // no-op (measured: simjoin_topk verify stage 4 -> 30 tasks at
+    // sf0.1, 2.8 s -> 0.9 s; zero effect on any >1 GB exchange).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "64k")
     // native expressions (GraftExtensions is the spark.sql.extensions
     // path for cluster deployment; this covers already-built sessions)
     GraftExtensions.functions.foreach { case (name, _, builder) =>
