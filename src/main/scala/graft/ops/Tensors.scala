@@ -240,9 +240,13 @@ object Tensors {
       .select(
         col("vec_id"),
         size(col("coo")).as("nnz"),
-        array_join(transform(col("coo"), x => x.cast(StringType)), ",")
+        // empty COO (an all-below-threshold vector — present at
+        // sf0.001): DuckDB's array_to_string over an empty list is
+        // NULL where Spark's array_join is '' — match the oracle
+        when(size(col("coo")) > 0,
+          array_join(transform(col("coo"), x => x.cast(StringType)), ","))
           .as("coo_idx"),
-        fxArr(col("coo_v")).as("coo_val"),
+        when(size(col("coo")) > 0, fxArr(col("coo_v"))).as("coo_val"),
         fx(size(col("coo")).cast(DoubleType) / 8.0).as("density"),
         (fxArr(col("rebuilt")) === fxArr(thresholded)).as("roundtrip_ok"))
       .orderBy("vec_id")

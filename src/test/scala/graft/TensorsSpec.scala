@@ -46,8 +46,11 @@ class TensorsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Boolean]("roundtrip_ok"),
         s"COO round-trip failed on vec ${r.getLong(0)}")
-      assert(r.getAs[String]("coo_idx").split(",").filter(_.nonEmpty)
-        .length == r.getAs[Int]("nnz"))
+      // empty COO (all cells below threshold) is a NULL string — the
+      // oracle's array_to_string([]) convention, matched engine-side
+      val idx = Option(r.getAs[String]("coo_idx"))
+      assert(idx.map(_.split(",").filter(_.nonEmpty).length).getOrElse(0)
+        == r.getAs[Int]("nnz"))
     }
   }
 
