@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Md5Shingles64, Md5ShinglesPos64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, Md5Margin, TextSegments, TokenProfile, VectorDots}
+import graft.functions.{CosineSimilarity, Md5BucketFeats, Md5Shingles64, Md5ShinglesPos64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, SortedIntersectCount, Md5Margin, TextSegments, TokenProfile, VectorDots}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * install the engine's native expressions into a cluster session:
@@ -45,6 +45,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Md5Shingles64].getName, "md5_shingles64"),
       (children: Seq[Expression]) =>
         Md5Shingles64(children(0), children(1))),
+    ("md5_bucket_feats",
+      new ExpressionInfo(
+        classOf[Md5BucketFeats].getName, "md5_bucket_feats"),
+      (children: Seq[Expression]) =>
+        Md5BucketFeats(children(0), children(1))),
     ("md5_shingles_pos64",
       new ExpressionInfo(
         classOf[Md5ShinglesPos64].getName, "md5_shingles_pos64"),
@@ -54,6 +59,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) =>
         ShingleHashes(children(0), children(1))),
+    ("sorted_intersect_count",
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children(0), children(1))),
     ("token_profile",
       new ExpressionInfo(classOf[TokenProfile].getName, "token_profile"),
       (children: Seq[Expression]) =>

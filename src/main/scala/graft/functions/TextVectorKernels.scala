@@ -154,6 +154,52 @@ object TextVectorKernels {
     z
   }
 
+  /** Bucketed md5 feature stream of `text`: one entry per NON-EMPTY
+    * token (unigram, in order) followed by one per ADJACENT pair of
+    * non-empty tokens joined by '_' (bigram, in order), each mapped to
+    * (first-16-md5-bits) % buckets — duplicates kept. Bit-equal to the
+    * interpreted chain it replaces:
+    * explode(concat(filter(split(text,' '), x≠''),
+    *   filter(zip_with(slice,slice,concat-if-both), notNull)))
+    * → conv(substring(md5(f),1,4),16,10) % buckets.
+    * The HOF lambdas are CodegenFallback (the r12 token_profile
+    * lesson), so the composed form ran interpreted per element AND
+    * evicted its projection from whole-stage codegen. */
+  def md5BucketFeats(text: UTF8String, buckets: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val md = md5Digest.get()
+    def bucket(f: String): Int = {
+      md.reset()
+      val d = md.digest(f.getBytes("UTF-8"))
+      (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % buckets
+    }
+    var nUni = 0
+    var nBig = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        nUni += 1
+        if (i + 1 < toks.length && toks(i + 1).nonEmpty) nBig += 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](nUni + nBig)
+    var k = 0
+    i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) { out(k) = bucket(toks(i)); k += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).nonEmpty && toks(i + 1).nonEmpty) {
+        out(k) = bucket(toks(i) + "_" + toks(i + 1)); k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** POSITIONAL variant of [[md5Shingles64]]: entry i is the hash of
     * the n-word window STARTING at token i — order kept, duplicates
     * kept — so `posexplode` yields the (position, window-hash) pairs
@@ -314,6 +360,31 @@ object TextVectorKernels {
     new GenericArrayData(out)
   }
 
+  /** |A ∩ B| of two SORTED DISTINCT long arrays by a single merge walk
+    * — the count-only replacement for `size(array_intersect(a, b))` on
+    * shingle-hash sets ([[ShingleHashes]]/[[Md5Shingles64]] both emit
+    * sorted distinct arrays by contract). array_intersect builds a hash
+    * set AND materializes the intersection array per row only for
+    * `size` to immediately discard it; candidate-verification stages
+    * run this once per candidate pair, so the allocation-free merge is
+    * the hot-loop win. Equal by construction to the composed form on
+    * sorted distinct inputs (KernelsSpec pins it on the real fixture). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** Keyed [[vectorDotsMat]]: look the matrix up by `key` in a
     * broadcast map (one matrix per k-means cell in the batched
     * SemDeDup resplit). Unknown key → null. */
@@ -352,6 +423,72 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sorted_intersect_count(a, b): |A ∩ B| of two sorted distinct long
+  * arrays (merge walk, no intersection array allocated) — the
+  * verification-stage replacement for `size(array_intersect(a, b))`
+  * over shingle-hash sets. Inputs MUST be sorted distinct (the
+  * [[ShingleHashes]]/[[Md5Shingles64]] output contract); the kernel is
+  * not a general array_intersect. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextVectorKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextVectorKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** md5_bucket_feats(text, buckets): bucketed md5 hashes of the
+  * non-empty unigrams + adjacent '_'-joined bigrams of `text`,
+  * duplicates kept — the fused codegen form of the DSIR
+  * explode-HOF-md5 feature chain (same cross-engine md5 buckets; the
+  * DuckDB oracle replays `md5(f)` hex). */
+case class Md5BucketFeats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TextVectorKernels.positiveN("md5_bucket_feats", right)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"md5_bucket_feats requires (string, foldable int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_bucket_feats"
+
+  override def nullSafeEval(text: Any, buckets: Any): Any =
+    TextVectorKernels.md5BucketFeats(
+      text.asInstanceOf[UTF8String], buckets.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, b) =>
+      s"graft.functions.TextVectorKernels.md5BucketFeats($t, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5BucketFeats =
     copy(left = newLeft, right = newRight)
 }
 

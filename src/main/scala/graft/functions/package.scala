@@ -278,6 +278,11 @@ package object functions {
   /** Sorted distinct xxhash64 values of word-n-gram shingles. */
   def shingle_hashes(text: Column, n: Int): Column =
     call_function("shingle_hashes", text, lit(n))
+  /** |A ∩ B| of two sorted distinct long arrays (merge walk): the
+    * count-only, allocation-free `size(array_intersect(a, b))` for
+    * shingle-hash sets. Inputs must be sorted distinct. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
   /** Fused single-pass token profile — struct(n_tok, n_stop,
     * n_stop_distinct, n_alpha, n_sym) with split(' ') semantics; the
     * codegen replacement for interpreted size(filter(split(...), λ))
@@ -288,6 +293,11 @@ package object functions {
     * features of (first-12-md5-bits % 2001 - 1000). */
   def md5_margin(text: Column): Column =
     call_function("md5_margin", text)
+  /** Bucketed md5 feature stream (non-empty unigrams + adjacent
+    * '_'-joined bigrams, duplicates kept): (first-16-md5-bits) %
+    * buckets per feature — the fused DSIR feature-hash chain. */
+  def md5_bucket_feats(text: Column, buckets: Int): Column =
+    call_function("md5_bucket_feats", text, lit(buckets))
   /** Sorted distinct first-64-md5-bit hashes of word-n-gram shingles
     * (the cross-engine hash of the SimHash exact oracle). */
   def md5_shingles64(text: Column, n: Int): Column =

@@ -71,12 +71,16 @@ object Dedup {
 
   /** Exact Jaccard on candidate pairs only: join each pair back to its
     * two shingle-hash SETS (arrays stay inside their rows — no explode,
-    * no extra shuffle) and compute |A∩B|/|A∪B| per row with
-    * array_intersect. Candidates are bucket-join survivors, so this
-    * stage touches O(candidates · shingles-per-doc), never the corpus.
-    * The int/int double division matches the oracle bit-for-bit. */
+    * no extra shuffle) and compute |A∩B|/|A∪B| per row with the
+    * count-only sorted-merge kernel (shingle_hashes emits sorted
+    * distinct arrays, so the merge count IS the array_intersect size —
+    * without hashing either array or materializing the intersection;
+    * KernelsSpec pins the equality). Candidates are bucket-join
+    * survivors, so this stage touches O(candidates · shingles-per-doc),
+    * never the corpus. The int/int double division matches the oracle
+    * bit-for-bit. */
   private def verifyJaccard(cand: DataFrame, hsh: DataFrame): DataFrame = {
-    val inter = size(array_intersect(col("hs1"), col("hs2")))
+    val inter = graft.functions.sorted_intersect_count(col("hs1"), col("hs2"))
     cand
       .join(hsh.select(col("doc_id").as("d1"), col("hs").as("hs1")), Seq("d1"))
       .join(hsh.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))
@@ -372,7 +376,17 @@ object Dedup {
       .select((lit(100000) + col("doc_id") * 10 + col("f")).as("doc_id"),
         slice(col("w"), lit(1), greatest(lit(3),
           floor(size(col("w")) * col("f") / 10).cast(IntegerType))).as("w"))
+    // the audit subset is BOUNDED by design (TuneDocs originals + 6
+    // prefix probes each), but its md5 minhash stage is ~64 hashes per
+    // (doc, shingle) — millions of md5 calls riding however few
+    // partitions the 2-task documents scan produced. Fanning the
+    // bounded set out to the session's core count costs one shuffle of
+    // <1k rows and parallelizes every downstream stage (md5 minhash,
+    // band signatures, the all-pairs ground truth); it can never grow
+    // with the corpus because the subset can't (guide §1.2: fix the
+    // distributed shape first — here the shape was 2 tasks on 32 cores).
     val base = orig.unionByName(probes)
+      .repartition(s.sparkContext.defaultParallelism)
     val docs = base.select(col("doc_id"),
       array_distinct(transform(sequence(lit(1), size(col("w")) - 2), j =>
         concat_ws(" ", element_at(col("w"), j), element_at(col("w"), j + 1),
@@ -889,7 +903,8 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
       .observe("containment_candidates", count(lit(1)).as("n_candidate_pairs"))
-    val inter = size(array_intersect(col("hs1"), col("hs2")))
+    // count-only sorted-merge |A∩B| (hs arrays are sorted distinct)
+    val inter = graft.functions.sorted_intersect_count(col("hs1"), col("hs2"))
     cand
       .join(hsh.select(col("doc_id").as("d1"), col("hs").as("hs1")), Seq("d1"))
       .join(hsh.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))
@@ -974,7 +989,8 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
       .observe("simjoin_candidates", count(lit(1)).as("n_candidate_pairs"))
-    val inter = size(array_intersect(col("hs1"), col("hs2")))
+    // count-only sorted-merge |A∩B| (hs arrays are sorted distinct)
+    val inter = graft.functions.sorted_intersect_count(col("hs1"), col("hs2"))
     val pairs = cand
       .join(hsh.select(col("doc_id").as("d1"), col("hs").as("hs1")), Seq("d1"))
       .join(hsh.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))

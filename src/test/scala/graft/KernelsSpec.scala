@@ -51,6 +51,62 @@ class KernelsSpec extends SparkSpec {
     }
   }
 
+  test("md5_bucket_feats == composed filter/zip_with/md5 feature chain") {
+    val raw = split(col("text"), " ")
+    val uni = filter(raw, x => x =!= "")
+    val big = filter(
+      zip_with(slice(raw, lit(1), greatest(size(raw) - 1, lit(0))),
+        slice(raw, lit(2), greatest(size(raw) - 1, lit(0))),
+        (a, b) => when(a =!= "" && b =!= "", concat(a, lit("_"), b))),
+      x => x.isNotNull)
+    val composed = docs.select(col("doc_id"),
+      transform(concat(uni, big), f =>
+        conv(substring(md5(f), 1, 4), 16, 10).cast("int") % 256)
+        .as("expected"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.md5_bucket_feats(col("text"), 256).as("got"))
+    val j = composed.join(native, "doc_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("expected") =!= col("got")).count() == 0)
+    // edge shapes: empties, double spaces, trailing separators
+    val sp = spark; import sp.implicits._
+    val edges = Seq("", " ", "a", "a b", "a  b", "a b ", " a b c")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val ec = edges.select(col("doc_id"),
+      transform(concat(uni, big), f =>
+        conv(substring(md5(f), 1, 4), 16, 10).cast("int") % 256)
+        .as("expected"))
+    val en = edges.select(col("doc_id"),
+      graft.functions.md5_bucket_feats(col("text"), 256).as("got"))
+    assert(ec.join(en, "doc_id")
+      .filter(col("expected") =!= col("got")).count() == 0)
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on shingle-hash sets") {
+    // every cross pair of real fixture docs (bounded subset), plus
+    // edge shapes: empty vs non-empty, identical arrays, disjoint
+    val hs = docs.filter(col("doc_id") < 40).select(col("doc_id"),
+      graft.functions.shingle_hashes(col("text"), 3).as("hs"))
+    val pairs = hs.select(col("doc_id").as("d1"), col("hs").as("a"))
+      .crossJoin(hs.select(col("doc_id").as("d2"), col("hs").as("b")))
+    val diff = pairs.filter(
+      graft.functions.sorted_intersect_count(col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b"))))
+    assert(pairs.count() > 100)
+    assert(diff.count() == 0)
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+      .toDF("a", "b")
+    val bad = edges.filter(
+      graft.functions.sorted_intersect_count(col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).count()
+    assert(bad == 0)
+  }
+
   test("minhash_sigs == 64 min(xxhash64(shingle, i)) aggregates") {
     val hs = docs.select(col("doc_id"),
       graft.functions.shingle_hashes(col("text"), 3).as("hs"))
