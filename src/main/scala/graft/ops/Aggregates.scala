@@ -204,20 +204,31 @@ object Aggregates {
     * AggregatesSpec additionally pins a tighter 5% bound at rsd 0.02.
     * The exact recount here is the verification harness — production
     * keeps only the approx aggregation. */
-  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("parts_exact"),
-        countDistinct(col("l_orderkey")).as("orders_exact"),
-        approx_count_distinct(col("l_partkey")).as("ap"),
+  /** Two DISTINCT columns under one GROUP BY would plan through
+    * Expand ×3 (every input row triplicated, then hash-aggregated into
+    * a |flag|×(|partkey|+|orderkey|) -entry map — the expanded partial
+    * aggregate was this query's entire cost). Splitting per distinct
+    * column plans each side as the Expand-free single-distinct form
+    * (partial agg keyed (flag, key) — a 3× smaller hash map fed 3×
+    * fewer rows), the two independent subtrees' stages schedule
+    * concurrently, and the 3-row join back is a broadcast. Same exact
+    * counts, same flags, same order — only the plan shape changed. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val parts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts_exact"),
+        approx_count_distinct(col("l_partkey")).as("ap"))
+    val orders = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("orders_exact"),
         approx_count_distinct(col("l_orderkey")).as("ao"))
+    parts.join(orders, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("parts_exact"), col("orders_exact"),
         (abs(col("ap") - col("parts_exact")) <=
           col("parts_exact").cast("double") * 0.15).as("parts_ok"),
         (abs(col("ao") - col("orders_exact")) <=
           col("orders_exact").cast("double") * 0.15).as("orders_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qApproxDistinctSql: String = """
     SELECT l_returnflag,
@@ -281,20 +292,26 @@ object Aggregates {
     * check. */
   def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
     val tp = col("o_totalprice")
+    // ARRAY-form percentile aggregates: the scalar form built one
+    // full-values buffer (and one sort) PER quantile — five exact
+    // buffers plus two GK sketches per group. One exact buffer serving
+    // all five quantiles + one sketch serving both approx ranks is the
+    // same math on the same buffer (Percentile evaluates each fraction
+    // against one sorted run; Median IS Percentile(0.5)), so every
+    // output value is bit-identical.
+    val ex = percentile(tp,
+      array(lit(0.47), lit(0.53), lit(0.87), lit(0.93), lit(0.5)))
+    val ap = percentile_approx(tp, array(lit(0.5), lit(0.9)), lit(10000))
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(
-        percentile_approx(tp, lit(0.5), lit(10000)).as("am"),
-        percentile_approx(tp, lit(0.9), lit(10000)).as("a90"),
-        percentile(tp, lit(0.47)).as("lo50"),
-        percentile(tp, lit(0.53)).as("hi50"),
-        percentile(tp, lit(0.87)).as("lo90"),
-        percentile(tp, lit(0.93)).as("hi90"),
-        round(median(tp), 6).as("med_exact"))
-      .select(col("o_orderpriority"), col("med_exact"),
-        (col("am") >= col("lo50") && col("am") <= col("hi50"))
+      .agg(ap.as("ap"), ex.as("ex"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("ex"), 5), 6).as("med_exact"),
+        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ex"), 2))
           .as("median_ok"),
-        (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+        (element_at(col("ap"), 2) >= element_at(col("ex"), 3) &&
+          element_at(col("ap"), 2) <= element_at(col("ex"), 4))
           .as("p90_ok"))
       .orderBy(col("o_orderpriority"))
   }

@@ -38,10 +38,19 @@ object Profile {
       count_distinct(col(c)).as(s"${c}_distinct"),
       min(col(c)).as(s"${c}_min_s"),
       max(col(c)).as(s"${c}_max_s"))
-    val stats = numStats("o_custkey") ++ strStats("o_orderstatus") ++
-      numStats("o_totalprice") :+ count(lit(1)).as("n_rows")
-    t(s, dir, "orders")
-      .agg(stats.head, stats.tail: _*)
+    // one agg per profiled column: three DISTINCT columns in one agg
+    // would plan through Expand ×4 (every row quadrupled into one big
+    // hash map — the same multi-distinct trap as approx_distinct's old
+    // form). Split, each side is the Expand-free single-distinct plan,
+    // the three independent subtrees schedule concurrently, and the
+    // single-row joins are free.
+    val orders = t(s, dir, "orders")
+    val ckStats = numStats("o_custkey") :+ count(lit(1)).as("n_rows")
+    val stStats = strStats("o_orderstatus")
+    val tpStats = numStats("o_totalprice")
+    orders.agg(ckStats.head, ckStats.tail: _*)
+      .crossJoin(orders.agg(stStats.head, stStats.tail: _*))
+      .crossJoin(orders.agg(tpStats.head, tpStats.tail: _*))
       .select(expr("""stack(3,
         'o_custkey', n_rows, o_custkey_nulls, o_custkey_distinct,
           o_custkey_min, o_custkey_max, CAST(NULL AS STRING), CAST(NULL AS STRING),

@@ -50,11 +50,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("table profile reads the table exactly once") {
-    val plan = Profile.qProfileTable(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    val scans = "FileScan".r.findAllIn(plan).size
-    assert(scans == 1, s"profile must be single-scan, saw $scans:\n$plan")
+  test("table profile scans one pruned column per profiled column, Expand-free") {
+    // r14 shape: one single-distinct aggregate per profiled column
+    // (concurrent subtrees, single-row cross joins back). The old
+    // single-scan form paid Expand ×4 — every input row quadrupled
+    // into one giant multi-distinct hash map; the split form reads the
+    // SAME total bytes (each scan prunes to exactly its own column,
+    // asserted below) with no row multiplication anywhere.
+    val df = Profile.qProfileTable(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"profile must not multiply rows through Expand:\n$plan")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.size == 3, s"expected 3 per-column scans, saw $reads:\n$plan")
+    reads.foreach(r => assert(!r.contains(","),
+      s"each profile scan must read exactly one column, saw '$r':\n$plan"))
   }
 
   test("histogram buckets partition the value domain") {

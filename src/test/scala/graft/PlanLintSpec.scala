@@ -51,7 +51,10 @@ class PlanLintSpec extends SparkSpec {
     Set("knn_brute", "knn_ivf", "knn_pq", "knn_pq_persisted", "knn_binary",
       "knn_range", "window_ntile", "hybrid_search", "negative_sample",
       "tpch_q15", "tpch_q22", "tpch_q11", "hash_funcs", "cross_join",
-      "winsorize", "lsh_tune", "pmi_cooccur", "dsir_select")
+      "winsorize", "lsh_tune", "pmi_cooccur", "dsir_select",
+      // r14: per-column profile aggregates cross-joined — every BNLJ
+      // side is a SINGLE-ROW global aggregate
+      "profile_table")
 
   test("no query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
