@@ -893,29 +893,112 @@ object TableLog {
     (sub, files)
   }
 
-  /** One distributed pass over the just-written files computing
-    * per-file min/max for `statsCols` (long-valued columns), written
-    * as a TSV sidecar inside the commit's subdir. Returns its
-    * relative path. */
+  /** Per-file min/max lines for `statsCols` read from the parquet
+    * FOOTERS the write already produced — integer column-chunk
+    * statistics are exact (no binary truncation), so re-scanning the
+    * data to recompute them is a full extra pass for information the
+    * format persists for free. O(#files) driver footer reads, like
+    * every other metadata walk in this log. Returns None (→ caller
+    * falls back to the distributed scan) when any chunk lacks usable
+    * stats or a column isn't a plain signed int32/int64 — the
+    * fallback keeps the scan path's exact cast-to-long semantics for
+    * exotic layouts rather than risking a wrong range that would
+    * mis-prune reads. */
+  private def footerStatLines(s: SparkSession, root: String, sub: String,
+      statsCols: Seq[String]): Option[Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val f = fs(s, root)
+    val files = f.listStatus(new Path(s"$root/$sub"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    try {
+      val lines = Seq.newBuilder[String]
+      for (p <- files) {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          for (c <- statsCols) {
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var seen = false
+            for (b <- blocks) {
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"column $c not found in footer"))
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty)
+                throw new UnsupportedOperationException(s"no stats for $c")
+              if (st.hasNonNullValue) {
+                val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+                val plainInt = ann == null || (ann match {
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    i.isSigned
+                  case _ => false
+                })
+                val (lo, hi) =
+                  cc.getPrimitiveType.getPrimitiveTypeName match {
+                    case PrimitiveTypeName.INT64 if plainInt =>
+                      (st.genericGetMin.asInstanceOf[java.lang.Long]
+                        .longValue,
+                        st.genericGetMax.asInstanceOf[java.lang.Long]
+                          .longValue)
+                    case PrimitiveTypeName.INT32 if plainInt =>
+                      (st.genericGetMin.asInstanceOf[java.lang.Integer]
+                        .longValue,
+                        st.genericGetMax.asInstanceOf[java.lang.Integer]
+                          .longValue)
+                    case other => throw new UnsupportedOperationException(
+                      s"unsupported stats type $other for $c")
+                  }
+                if (lo < mn) mn = lo
+                if (hi > mx) mx = hi
+                seen = true
+              }
+            }
+            // all-null column in this file: emit NO line (the file
+            // stays in the no-stats always-read class), same as the
+            // scan path's null-min/max handling
+            if (seen) lines += s"$sub/${p.getName}\t$c\t$mn\t$mx"
+          }
+        } finally reader.close()
+      }
+      Some(lines.result())
+    } catch { case _: Throwable => None }
+  }
+
+  /** Per-file min/max for `statsCols` (long-valued columns), written
+    * as a TSV sidecar inside the commit's subdir. Served from the
+    * parquet footers when possible ([[footerStatLines]]); otherwise
+    * one distributed pass over the just-written files. Returns the
+    * sidecar's relative path. */
   private def writeStats(s: SparkSession, root: String, sub: String,
       statsCols: Seq[String]): Option[String] = {
     if (statsCols.isEmpty) return None
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c).cast(LongType)).as(s"mn_$c"),
-        max(col(c).cast(LongType)).as(s"mx_$c")))
-    val rows = s.read.parquet(s"$root/$sub")
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()                      // O(#files) — driver metadata
-    val lines = rows.flatMap { r =>
-      val file = sub + "/" + r.getString(0).split('/').last
-      // an all-NULL column yields NULL min/max — emit NO line (the
-      // file stays in the no-stats always-read class) rather than
-      // unboxing null to a bogus (0, 0) range that would mis-prune
-      statsCols.filter(c => !r.isNullAt(r.fieldIndex(s"mn_$c")) &&
-          !r.isNullAt(r.fieldIndex(s"mx_$c")))
-        .map(c => s"$file\t$c\t${r.getAs[Long](s"mn_$c")}\t${r.getAs[Long](s"mx_$c")}")
-    }
+    val lines: Seq[String] =
+      footerStatLines(s, root, sub, statsCols).getOrElse {
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c).cast(LongType)).as(s"mn_$c"),
+            max(col(c).cast(LongType)).as(s"mx_$c")))
+        val rows = s.read.parquet(s"$root/$sub")
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()                  // O(#files) — driver metadata
+        rows.toSeq.flatMap { r =>
+          val file = sub + "/" + r.getString(0).split('/').last
+          // an all-NULL column yields NULL min/max — emit NO line (the
+          // file stays in the no-stats always-read class) rather than
+          // unboxing null to a bogus (0, 0) range that would mis-prune
+          statsCols.filter(c => !r.isNullAt(r.fieldIndex(s"mn_$c")) &&
+              !r.isNullAt(r.fieldIndex(s"mx_$c")))
+            .map(c => s"$file\t$c\t${r.getAs[Long](s"mn_$c")}\t${r.getAs[Long](s"mx_$c")}")
+        }
+      }
     val rel = s"$sub/_stats.tsv"
     val f = fs(s, root)
     val out = f.create(new Path(s"$root/$rel"), false)
