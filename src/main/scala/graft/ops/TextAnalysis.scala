@@ -541,25 +541,42 @@ object TextAnalysis {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     // ---- build: postings + doc lengths + corpus stats ----
     val docs = t(s, dir, "documents")
+    // cluster by bucket before the partitioned write: a partitionBy
+    // writer opens one file per (task, value) pair, so leaving the
+    // agg exchange's task layout in place writes up to tasks × buckets
+    // tiny files (measured 16×16 at sf0.1 — the write job doubled on
+    // open/commit overhead alone). The explicit-count repartition pins
+    // one file per bucket per holding task (guide §6 file sizing; same
+    // lesson as TableLog.appendPartitioned's pinned count — bare
+    // repartition(cols) is an AQE coalesce target).
+    val p = s.sessionState.conf.numShufflePartitions
     docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucket(col("term")))
+      .repartition(p, col("bkt"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/postings")
     docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
       .write.mode("overwrite").parquet(s"$root/doclen")
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(toks(col("text")))).as("sum_dl"))
+    // corpus stats FROM the just-written doclen artifact (count and
+    // Σdl are exactly n_docs and Σ tokens): reading two small columns
+    // back replaces a third full tokenize pass over the corpus — the
+    // build already paid for tokenization twice (postings + doclen)
+    s.read.parquet(s"$root/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
     // ---- lexical leg from the index ----
     val stats = s.read.parquet(s"$root/stats").head
     val nDocs = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / nDocs
     val posts = s.read.parquet(s"$root/postings")
-    val tf = Bm25Terms.map(term => posts
-        .filter(col("bkt") === termBucketOf(term) && col("term") === term)
-        .select(col("term"), col("doc_id"), col("tf")))
-      .reduce(_ unionByName _)
+    // one pruned scan for all query terms (bkt prunes partitions, the
+    // IN prunes row groups) — the per-term union re-scanned the index
+    // once per term for rows one disjoint-filter scan returns
+    val tf = posts
+      .filter(col("bkt").isin(Bm25Terms.map(termBucketOf): _*) &&
+        col("term").isin(Bm25Terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = s.read.parquet(s"$root/doclen")
     val idf = (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
@@ -1113,6 +1130,10 @@ object TextAnalysis {
       .filter(length(col("term")).between(2, 12))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucket(col("term")))
+      // cluster by bucket before the partitioned write (one file per
+      // bucket per holding task, not tasks × buckets tiny files) —
+      // same pinned-count idiom as qHybridIndexed's postings write
+      .repartition(s.sessionState.conf.numShufflePartitions, col("bkt"))
       .sortWithinPartitions("term") // row-group stats stay term-clustered
       .write.mode("overwrite").partitionBy("bkt").parquet(idx)
     val posts = s.read.parquet(idx)

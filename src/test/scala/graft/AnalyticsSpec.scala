@@ -325,9 +325,15 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(plan).isDefined,
       "bucket partition filter missing from the index scan:\n" + plan)
+    // r14: ONE pruned scan serves all query terms (In-pushed), where
+    // the per-term union re-scanned the index once per term
+    val pushedIn = "In\\(term, \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1))
+    assert(pushedIn.isDefined,
+      "term IN filter not pushed into the posting scan:\n" + plan)
     for (term <- Seq("spark", "hash", "window"))
-      assert(plan.contains(s"EqualTo(term,$term)"),
-        s"term '$term' not pushed into the posting scan:\n" + plan)
+      assert(pushedIn.get.contains(term),
+        s"term '$term' missing from the pushed IN filter:\n" + plan)
   }
 
   test("hybrid search: RRF fusion is rank-consistent and depth-bounded") {
