@@ -158,7 +158,10 @@ object Curation {
     * balance jitter crossing a bucket edge, a typo in the digits) is
     * caught by the other. */
   def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
-    val clean = t(s, dir, "customer")
+    // the blocked-candidate scorer (levenshtein per pair) runs in the
+    // probe-side scan stage; customer ships as one row group, so the
+    // quadratic-per-block work sat on 2 tasks — fan the small dim out
+    val clean = graft.ops.fanOutSmall(t(s, dir, "customer"))
     val dirty = dirtyCustomers(clean)
     val cA = clean.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
       col("c_nationkey"), floor(col("c_acctbal") / 500).as("blk"))
@@ -230,20 +233,17 @@ object Curation {
     * self-join, no token-table shuffle (the join form measured a
     * superlinear x10→x100 leg; this one explodes exactly the same
     * features with zero pre-aggregation shuffles). */
-  private def dsirBucketFeats(s: SparkSession, dir: String): DataFrame = {
-    val raw = split(col("text"), " ")
-    val uni = filter(raw, x => x =!= "")
-    val big = filter(
-      zip_with(slice(raw, lit(1), greatest(size(raw) - 1, lit(0))),
-        slice(raw, lit(2), greatest(size(raw) - 1, lit(0))),
-        (a, b) => when(a =!= "" && b =!= "", concat(a, lit("_"), b))),
-      x => x.isNotNull)
-    t(s, dir, "documents")
-      .select(col("doc_id"), explode(concat(uni, big)).as("f"))
+  private def dsirBucketFeats(s: SparkSession, dir: String): DataFrame =
+    // fused codegen kernel for the unigram+bigram md5 bucket stream —
+    // the composed filter/zip_with/md5 chain ran interpreted
+    // (CodegenFallback lambdas, the r12 token_profile lesson) and this
+    // subtree is evaluated TWICE (distribution pass + weight pass);
+    // fanOutSmall spreads the kernel across cores when the scan is a
+    // one-row-group file (KernelsSpec pins kernel == composed chain)
+    graft.ops.fanOutSmall(t(s, dir, "documents"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int")
-          % DsirBuckets).as("b"))
-  }
+        explode(graft.functions.md5_bucket_feats(col("text"), DsirBuckets))
+          .as("b"))
 
   /** (b, x): per-bucket smoothed log-ratio in micro-nats, PRE-round —
     * the exact double handed to `round()`. Kept separate so the spec

@@ -28,4 +28,24 @@ package object ops {
     s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
   def davgSql(col: String): String =
     s"${dsumSql(col)} / COUNT($col)"
+
+  /** Fan a SMALL input out to the session's cores before CPU-dense
+    * per-row work (md5 feature kernels, edit-distance verification):
+    * a one-row-group parquet file cannot split, so a small scan
+    * serializes minutes of per-row CPU on 1-2 tasks regardless of core
+    * count — the inverse of the AQE-coalescing problem, and nothing in
+    * Spark expands a scan's parallelism after planning. The added
+    * round-robin exchange is bounded by the SIZE GUARD (plan-stats
+    * estimate < 256 MB, i.e. trivially shuffleable), so at production
+    * scale — where the scan itself supplies parallelism — this is an
+    * identity, never an extra pass over big data. Only for call sites
+    * whose downstream is partitioning-independent (aggregates/joins);
+    * every use is oracle-checked. */
+  def fanOutSmall(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= 0 && bytes < (256L << 20))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+  }
 }
