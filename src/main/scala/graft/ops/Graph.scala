@@ -58,21 +58,34 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame, nNodes: Long): DataFrame = {
     val r0 = Scale / nNodes
     val teleport = r0 * 15 / 100
+    // hash-partition the edge table by the join key BEFORE caching:
+    // every iteration joins on src, so the cached relation's
+    // partitioning is reused and only the (far smaller) rank table
+    // shuffles per iteration — without this the edge side re-exchanged
+    // 6 times (guide §2.4: operations keyed the same way share one
+    // exchange).
     val withDeg = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
       .persist()
     withDeg.count() // materialize once; 6 iterations re-read it
     var ranks = nodes.select(col("id"), lit(r0).as("r"))
-    for (_ <- 1 to Iters) {
+    for (i <- 1 to Iters) {
       val contrib = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
-      ranks = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(nodes("id"),
+      // iterate on the rank table itself — its id set IS the node set
+      // (invariant: every node gets a row each iteration), so
+      // re-joining the nodes scan added a per-iteration table read
+      ranks = ranks.select(col("id"))
+        .join(contrib, col("id") === contrib("dst"), "left")
+        .select(col("id"),
           (lit(teleport) + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
-        .localCheckpoint(true)
+      // truncate lineage every OTHER iteration: per-iteration eager
+      // checkpoints serialized 6 store-everything jobs; every-other
+      // bounds plan depth at two iterations for half the jobs
+      if (i % 2 == 0 || i == Iters) ranks = ranks.localCheckpoint(true)
     }
     withDeg.unpersist(blocking = false)
     ranks
