@@ -16,7 +16,8 @@ import scala.collection.mutable
   */
 object ProfileOne {
   private case class JobRow(id: Int, desc: String, ms: Long, stages: Int,
-      tasks: Int, shuffleRead: Long, shuffleWrite: Long, input: Long)
+      tasks: Int, shuffleRead: Long, shuffleWrite: Long, input: Long,
+      t0: Long = 0L, t1: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,7 +57,7 @@ object ProfileOne {
         jobStart.get(e.jobId).foreach { case (t0, desc) =>
           val (t, sr, sw, in) = agg.getOrElse(e.jobId, (0, 0L, 0L, 0L))
           jobs += JobRow(e.jobId, desc, e.time - t0,
-            jobStages.getOrElse(e.jobId, 0), t, sr, sw, in)
+            jobStages.getOrElse(e.jobId, 0), t, sr, sw, in, t0, e.time)
         }
       }
     })
@@ -85,6 +86,17 @@ object ProfileOne {
           f"tasks=${j.tasks}%4d in=${mb(j.input)}%8s MB " +
           f"sr=${mb(j.shuffleRead)}%8s MB sw=${mb(j.shuffleWrite)}%8s MB  ${j.desc.take(100)}")
       }
+      // driver-side gap timeline: time between consecutive job windows
+      // (planning, fs metadata, commit machinery) — the cost the job
+      // rows can't show
+      val ordered = jobs.sortBy(_.t0).toSeq
+      val gaps = ordered.sliding(2).collect {
+        case Seq(a, b) if b.t0 - a.t1 > 50 =>
+          (a.id, b.id, b.t0 - a.t1)
+      }.toSeq
+      if (gaps.nonEmpty)
+        println("  gaps>50ms: " + gaps.map { case (a, b, g) =>
+          s"job$a->job$b ${g}ms" }.mkString(", "))
       // drop leaked persisted state between keys, as the bench does
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
