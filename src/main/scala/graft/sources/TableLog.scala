@@ -2042,14 +2042,24 @@ object TableLog {
     * selection job's result would be computed and thrown away). */
   private def mergeSrcGuard(s: SparkSession, src: DataFrame,
       keyCol: String): Boolean = {
-    require(src.filter(col(keyCol).isNull).isEmpty,
+    // ONE validation pass: the null probe, the duplicate group-scan
+    // and the broadcast-budget count each re-ran the source as a
+    // separate action; a single aggregate answers all three.
+    // count_distinct ignores NULL keys, so the duplicate arithmetic
+    // (rows == distinct keys) is exact once the null gate passes —
+    // and the null gate throws first, preserving message precedence.
+    val r = src.agg(
+      count(lit(1)).as("n"),
+      count(when(col(keyCol).isNull, lit(1))).as("nulls"), // count: never NULL on empty src
+      count_distinct(col(keyCol)).as("nd")).head()
+    require(r.getAs[Long]("nulls") == 0L,
       s"merge: NULL $keyCol values in source")
-    require(src.groupBy(col(keyCol)).count().filter(col("count") > 1).isEmpty,
+    require(r.getAs[Long]("n") == r.getAs[Long]("nd"),
       s"merge: duplicate $keyCol values in source")
     val bcastMaxKeys =
       s.conf.getOption("spark.graft.merge.broadcastMaxKeys")
         .map(_.toLong).getOrElse(1000000L)
-    src.count() <= bcastMaxKeys
+    r.getAs[Long]("n") <= bcastMaxKeys
   }
 
   private def mergeTouched(s: SparkSession, root: String, src: DataFrame,
