@@ -299,11 +299,17 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+    // checkpointed PRE-PARTITIONED on the per-iteration join key: the
+    // LogicalRDD keeps the hash(nb) layout, so each iteration's join
+    // reuses it and only the (node-sized) label table shuffles — the
+    // adjacency side (2x edges, the big side) re-exchanged every
+    // iteration before (guide §2.4, same fix as pageRank's edge cache)
     val adj = und.select(col("a").as("id"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("id"), col("a").as("nb")))
+      .repartition(col("nb"))
       .localCheckpoint(true) // reused every iteration
     var labels = nodes.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to LpaIters) {
+    for (i <- 1 to LpaIters) {
       val mode = adj
         .join(labels.select(col("id").as("nb"), col("lbl")), "nb")
         .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
@@ -312,7 +318,9 @@ object Graph {
         .select(col("id"), (-col("m.nl")).as("mlbl"))
       labels = labels.join(mode, Seq("id"), "left")
         .select(col("id"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      // lineage truncation every other iteration — a per-iteration
+      // eager checkpoint serialized one store-everything job per round
+      if (i % 2 == 0 || i == LpaIters) labels = labels.localCheckpoint(true)
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lbl")
@@ -385,6 +393,9 @@ object Graph {
     val edges = nodes
       .select(col("id").as("src"), explode(array(targets: _*)).as("dst"))
       .distinct()
+      // pre-partitioned on the per-level join key so every frontier
+      // expansion reuses the layout (only the frontier shuffles)
+      .repartition(col("src"))
       .localCheckpoint(true) // reused every level: scan once, not 6×
     var frontier = Seq((0L, 0)).toDF("id", "hops")
     var visited = frontier
