@@ -66,7 +66,11 @@ object Dedup {
     * pins the set equality). The interpreted split/zip_with/transform
     * chain it replaces was ~5x the per-row cost. */
   private def hashedShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // fan the corpus out before the shingle/minhash kernels when the
+    // scan is a small unsplittable file (identity at scale): every
+    // consumer (band signatures, prefix indexes, verify joins) is
+    // partitioning-independent, and the kernels are the CPU
+    graft.ops.fanOutSmall(docs).select(col("doc_id"),
       graft.functions.shingle_hashes(col("text"), 3).as("hs"))
 
   /** Exact Jaccard on candidate pairs only: join each pair back to its

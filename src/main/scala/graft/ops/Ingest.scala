@@ -207,7 +207,10 @@ object Ingest {
       lit("\", \"pay\": {\"amt\": "), col("o_totalprice").cast(StringType),
       lit(", \"d\": \""), col("o_orderdate").cast(DateType).cast(StringType),
       lit("\"}}"))
-    Tables(s, dir, "orders")
+    // fan-out before the parse: parse_json is the per-row CPU and the
+    // one-row-group scan pins it to a single task (identity at scale;
+    // every aggregate below is order-independent)
+    graft.ops.fanOutSmall(Tables(s, dir, "orders"))
       // explode(array(..)) is a Generate node — a CollapseProject
       // barrier, so the document parses ONCE per row instead of once
       // per variant_get reference (the same 5×-parse trap json_extract

@@ -26,8 +26,13 @@ object Relational {
     * Reference analogue: `rust/datafusion/src/sql/planner.rs:52-214`,
     * two-phase agg `execution/context.rs:272-310`. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
-      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType))
+    // fan-out AFTER the filter (pushdown stays on the scan): the
+    // decimal aggregate is the CPU and a one-row-group file pins it to
+    // one task; the guard makes this an identity at production scale,
+    // and decimal sums are order-independent so the fan-out cannot
+    // move a digit
+    graft.ops.fanOutSmall(li(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType)))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
