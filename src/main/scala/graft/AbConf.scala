@@ -36,17 +36,26 @@ object AbConf {
     println(f"conf=$confKey A=$a B=$b pairs=$n")
     for (k <- keys) {
       spark.conf.set(confKey, a)
-      try once(k) catch { case e: Throwable =>
-        System.err.println(s"[ab] $k FAILED: ${e.getMessage}") }
-      val (ta, tb) = (collection.mutable.ArrayBuffer[Double](),
-        collection.mutable.ArrayBuffer[Double]())
-      for (_ <- 1 to n) {
-        spark.conf.set(confKey, a); ta += once(k)
-        spark.conf.set(confKey, b); tb += once(k)
+      // a key that fails warm-up will fail its pairs identically: skip
+      // it and keep measuring the rest (one bad key must not abort the
+      // whole A/B run)
+      val warmOk =
+        try { once(k); true } catch { case e: Throwable =>
+          System.err.println(s"[ab] $k FAILED (skipped): ${e.getMessage}")
+          false }
+      if (warmOk) {
+        val (ta, tb) = (collection.mutable.ArrayBuffer[Double](),
+          collection.mutable.ArrayBuffer[Double]())
+        try for (_ <- 1 to n) {
+          spark.conf.set(confKey, a); ta += once(k)
+          spark.conf.set(confKey, b); tb += once(k)
+        } catch { case e: Throwable =>
+          System.err.println(s"[ab] $k FAILED mid-pairs: ${e.getMessage}") }
+        if (ta.nonEmpty && tb.nonEmpty)
+          println(f"AB $k%-24s A=${med(ta.toSeq)}%6.2f B=${med(tb.toSeq)}%6.2f " +
+            f"B/A=${med(tb.toSeq) / med(ta.toSeq)}%5.2f  " +
+            f"(A: ${ta.map(x => f"$x%.2f").mkString(",")}  B: ${tb.map(x => f"$x%.2f").mkString(",")})")
       }
-      println(f"AB $k%-24s A=${med(ta.toSeq)}%6.2f B=${med(tb.toSeq)}%6.2f " +
-        f"B/A=${med(tb.toSeq) / med(ta.toSeq)}%5.2f  " +
-        f"(A: ${ta.map(x => f"$x%.2f").mkString(",")}  B: ${tb.map(x => f"$x%.2f").mkString(",")})")
     }
     spark.stop()
   }

@@ -40,6 +40,22 @@ object Engine {
     // sf0.1, 2.8 s -> 0.9 s; zero effect on any >1 GB exchange).
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
       "64k")
+    // File-output commit protocol v2 (task commits rename directly into
+    // the destination; job commit is a no-op) + no _SUCCESS marker.
+    // v1's job-level atomicity is REDUNDANT under this engine's write
+    // paths: TableLog publishes data-before-log (files in an
+    // unpublished UUID subdir are unreachable until the log commit
+    // lands), and the egress round-trips write to per-query scratch
+    // dirs they immediately re-read whole. v2 removes one rename pass
+    // + a driver-side sequential rename loop per write job — measured
+    // A/B (one JVM, alternating, 3 pairs): log_cdf 0.87×,
+    // log_checkpoint 0.94×, log_clone 0.96×, others noise-neutral.
+    // At 100 TB the same reasoning holds (and v2 is the standard
+    // posture for rename-based committers on many-file jobs).
+    spark.conf.set(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    spark.conf.set(
+      "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     // native expressions (GraftExtensions is the spark.sql.extensions
     // path for cluster deployment; this covers already-built sessions)
     GraftExtensions.functions.foreach { case (name, _, builder) =>

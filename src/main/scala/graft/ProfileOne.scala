@@ -31,7 +31,11 @@ object ProfileOne {
     val jobStages = mutable.Map[Int, Int]()
     val stageToJob = mutable.Map[Int, Int]()
     val agg = mutable.Map[Int, (Int, Long, Long, Long)]() // tasks, sr, sw, in
-    var enabled = false
+    // listener callbacks run on the listener-bus thread while the main
+    // thread flips `enabled` and clears the maps — volatile flag + one
+    // lock keeps the profile rows consistent (ADVICE r14)
+    @volatile var enabled = false
+    val lock = new Object
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (enabled) {
         val desc = Option(e.properties)
@@ -39,25 +43,31 @@ object ProfileOne {
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("?")
-        jobStart(e.jobId) = (e.time, desc)
-        jobStages(e.jobId) = e.stageIds.size
-        e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
-        agg(e.jobId) = (0, 0L, 0L, 0L)
+        lock.synchronized {
+          jobStart(e.jobId) = (e.time, desc)
+          jobStages(e.jobId) = e.stageIds.size
+          e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+          agg(e.jobId) = (0, 0L, 0L, 0L)
+        }
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = if (enabled) {
-        for (jid <- stageToJob.get(e.stageId); m <- Option(e.taskMetrics)) {
-          val (t, sr, sw, in) = agg.getOrElse(jid, (0, 0L, 0L, 0L))
-          agg(jid) = (t + 1,
-            sr + m.shuffleReadMetrics.totalBytesRead,
-            sw + m.shuffleWriteMetrics.bytesWritten,
-            in + m.inputMetrics.bytesRead)
+        lock.synchronized {
+          for (jid <- stageToJob.get(e.stageId); m <- Option(e.taskMetrics)) {
+            val (t, sr, sw, in) = agg.getOrElse(jid, (0, 0L, 0L, 0L))
+            agg(jid) = (t + 1,
+              sr + m.shuffleReadMetrics.totalBytesRead,
+              sw + m.shuffleWriteMetrics.bytesWritten,
+              in + m.inputMetrics.bytesRead)
+          }
         }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = if (enabled) {
-        jobStart.get(e.jobId).foreach { case (t0, desc) =>
-          val (t, sr, sw, in) = agg.getOrElse(e.jobId, (0, 0L, 0L, 0L))
-          jobs += JobRow(e.jobId, desc, e.time - t0,
-            jobStages.getOrElse(e.jobId, 0), t, sr, sw, in, t0, e.time)
+        lock.synchronized {
+          jobStart.get(e.jobId).foreach { case (t0, desc) =>
+            val (t, sr, sw, in) = agg.getOrElse(e.jobId, (0, 0L, 0L, 0L))
+            jobs += JobRow(e.jobId, desc, e.time - t0,
+              jobStages.getOrElse(e.jobId, 0), t, sr, sw, in, t0, e.time)
+          }
         }
       }
     })
@@ -69,7 +79,9 @@ object ProfileOne {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[profile] $k warmup FAILED: ${e.getMessage}") }
-      jobs.clear(); jobStart.clear(); stageToJob.clear(); agg.clear()
+      lock.synchronized {
+        jobs.clear(); jobStart.clear(); stageToJob.clear(); agg.clear()
+      }
       enabled = true
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -79,9 +91,10 @@ object ProfileOne {
       // let stragglers' onJobEnd land
       Thread.sleep(200)
       enabled = false
-      println(f"%n== $k: wall $wall%.2f s, ${jobs.size} jobs, " +
-        f"job-sum ${jobs.map(_.ms).sum / 1000.0}%.2f s ==")
-      jobs.sortBy(-_.ms).take(25).foreach { j =>
+      val snap = lock.synchronized(jobs.toSeq)
+      println(f"%n== $k: wall $wall%.2f s, ${snap.size} jobs, " +
+        f"job-sum ${snap.map(_.ms).sum / 1000.0}%.2f s ==")
+      snap.sortBy(-_.ms).take(25).foreach { j =>
         println(f"  job ${j.id}%3d ${j.ms}%6d ms stages=${j.stages}%2d " +
           f"tasks=${j.tasks}%4d in=${mb(j.input)}%8s MB " +
           f"sr=${mb(j.shuffleRead)}%8s MB sw=${mb(j.shuffleWrite)}%8s MB  ${j.desc.take(100)}")
@@ -89,7 +102,7 @@ object ProfileOne {
       // driver-side gap timeline: time between consecutive job windows
       // (planning, fs metadata, commit machinery) — the cost the job
       // rows can't show
-      val ordered = jobs.sortBy(_.t0).toSeq
+      val ordered = snap.sortBy(_.t0)
       val gaps = ordered.sliding(2).collect {
         case Seq(a, b) if b.t0 - a.t1 > 50 =>
           (a.id, b.id, b.t0 - a.t1)

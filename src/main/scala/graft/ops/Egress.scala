@@ -63,6 +63,20 @@ object Egress {
       col("o_orderdate").cast(DateType).as("o_orderdate"),
       col("o_orderpriority"))
 
+  // fanOutSmall for the flat-file sinks ONLY: the orders fixture is
+  // 1-2 one-row-group files, so a text-format sink (CSV/JSON —
+  // row-at-a-time serialization, the CPU cost of these round-trips)
+  // runs on 1-2 tasks regardless of core count. The bounded
+  // round-robin exchange spreads serialization AND the read-back (one
+  // task per written file) across the session's cores; identity at
+  // >=256 MB where the scan itself supplies parallelism. Downstream is
+  // an unordered write + grouped aggregate: partitioning-independent,
+  // oracle-checked. NOT applied to the partitionBy writers
+  // (qPartitionedScan), where tasks × partition-values would explode
+  // the file count — the hybrid_indexed postings lesson.
+  private def ordersFanned(s: SparkSession, dir: String): DataFrame =
+    fanOutSmall(ordersProjected(s, dir))
+
   /** CSV sink (`write_csv`, context.rs:451-496) + read-back: write the
     * orders projection as headered CSV (a distributed multi-file
     * write), re-read it with a declared schema, and aggregate. Doubles
@@ -70,7 +84,7 @@ object Egress {
     * the oracle hash proves. */
   def qCsvSink(s: SparkSession, dir: String): DataFrame = {
     val out = outRoot(dir) + "/orders_csv"
-    ordersProjected(s, dir)
+    ordersFanned(s, dir)
       .write.mode("overwrite").option("header", "true").csv(out)
     s.read.schema(csvOrdersSchema).option("header", "true").csv(out)
       .groupBy(col("o_orderstatus"))
@@ -97,7 +111,7 @@ object Egress {
     * round-trip is lossless. */
   def qJsonSink(s: SparkSession, dir: String): DataFrame = {
     val out = outRoot(dir) + "/orders_json"
-    ordersProjected(s, dir)
+    ordersFanned(s, dir)
       .write.mode("overwrite").json(out)
     s.read.schema(csvOrdersSchema).json(out)
       .groupBy(col("o_orderstatus"))

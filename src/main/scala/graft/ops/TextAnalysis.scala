@@ -539,7 +539,20 @@ object TextAnalysis {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    // ---- build: postings + doc lengths + corpus stats ----
+    // ---- build: postings + doc lengths + corpus stats + IVF ----
+    // The IVF index build (Similarity.buildIvfIndex — embeddings side)
+    // and the lexical index build (documents side) share NO inputs or
+    // outputs: run them as concurrent driver-submitted jobs (guide
+    // §2.6 "overlap independent jobs") so the IVF build's small jobs
+    // back-fill executors the tokenize stages leave idle. r14 profile:
+    // 40 sequential jobs, wall 5.6 s vs job-sum 3.9 s — the gap is
+    // scheduler round-trips this overlap absorbs. Results are
+    // unaffected: both legs are read only after BOTH builds complete.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val ivfBuild = pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit =
+        Similarity.buildIvfIndex(s, dir, s"$root/ivf")
+    })
     val docs = t(s, dir, "documents")
     // cluster by bucket before the partitioned write: a partitionBy
     // writer opens one file per (task, value) pair, so leaving the
@@ -556,19 +569,24 @@ object TextAnalysis {
       .repartition(p, col("bkt"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/postings")
+    // corpus stats OBSERVED during the doclen write (count and Σdl are
+    // exactly n_docs and Σ tokens): r14 already dropped the third
+    // tokenize pass by re-reading the artifact; the observation drops
+    // the re-read too — the stats sidecar is then written from the
+    // observed values as a local one-row relation (no corpus job)
+    val obs = org.apache.spark.sql.Observation()
     docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
+      .observe(obs, count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$root/doclen")
-    // corpus stats FROM the just-written doclen artifact (count and
-    // Σdl are exactly n_docs and Σ tokens): reading two small columns
-    // back replaces a third full tokenize pass over the corpus — the
-    // build already paid for tokenization twice (postings + doclen)
-    s.read.parquet(s"$root/doclen")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+    val nDocs = obs.get("n_docs").asInstanceOf[Long]
+    val sumDl = obs.get("sum_dl").asInstanceOf[Long]
+    locally { val sp = s; import sp.implicits._
+      Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats") }
+    // both index trees must exist before either leg reads
+    try ivfBuild.get() finally pool.shutdown()
     // ---- lexical leg from the index ----
-    val stats = s.read.parquet(s"$root/stats").head
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
+    val avgdl = sumDl.toDouble / nDocs
     val posts = s.read.parquet(s"$root/postings")
     // one pruned scan for all query terms (bkt prunes partitions, the
     // IN prunes row groups) — the per-term union re-scanned the index
@@ -592,8 +610,7 @@ object TextAnalysis {
     val bm = scored.groupBy(col("doc_id"))
       .agg(((perTerm(0) + perTerm(1)) + perTerm(2)).as("bm25"))
     val lex = rankTop(bm, HybridDepth, col("bm25"), col("doc_id"), "rl")
-    // ---- vector leg from the persisted IVF index ----
-    Similarity.buildIvfIndex(s, dir, s"$root/ivf")
+    // ---- vector leg from the persisted IVF index (built above) ----
     val queries = graft.sources.TableLog.snapshot(s, s"$root/ivf/vectors")
       .filter(col("vec_id") === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -1207,39 +1224,58 @@ object TextAnalysis {
       .filter(length(col("word")).between(2, 12))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("word")).limit(BpeVocab)
-    var vocab = words
-      .withColumn("seq",
-        concat(lit("~"), regexp_replace(col("word"), "(.)", "$1~"), lit("_~")))
-      .repartition(1) // 300-row model table: one partition, tiny jobs
-      .localCheckpoint(true)
+    // The merge iterations touch ONLY the frequency-truncated vocab —
+    // O(BpeVocab) = 300 rows, bounded by the limit above regardless of
+    // corpus size. That is driver-state-sized by the same argument as
+    // k-means centroids, so the loop runs HERE, in plain Scala, over
+    // one collected copy: r14's profile showed the Spark-side loop as
+    // 22 jobs / 0.64 s job-sum / ~1.5 s wall — pure scheduler
+    // round-trips over a 300-row single-partition table. Semantics are
+    // replicated operation-for-operation (oracle-hash-identical):
+    //  - seq encoding: '~' + each char + '~', '_' sentinel;
+    //  - pair counts: adjacent symbol pairs weighted by word cnt
+    //    (exact Long sums — same as the old sum("cnt"));
+    //  - election: max by (count desc, pair lexicographically asc) —
+    //    ASCII-only symbols, so String ordering == UTF8 binary order;
+    //  - merge: two leftmost-nonoverlapping replace passes — Java
+    //    String.replace shares Spark's / DuckDB's replace semantics.
+    val vocab: Array[(String, Long)] = words.collect()
+      .map(r => ("~" + r.getString(0).flatMap(c => s"$c~") + "_~",
+        r.getLong(1)))
+    var seqs = vocab
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (step <- 1 to BpeIters) {
-      val best = vocab
-        .select(explode(expr(
-          """zip_with(slice(filter(split(seq, '~'), x -> x != ''), 1,
-            |           size(filter(split(seq, '~'), x -> x != '')) - 1),
-            |         slice(filter(split(seq, '~'), x -> x != ''), 2,
-            |           size(filter(split(seq, '~'), x -> x != '')) - 1),
-            |         (x, y) -> concat(x, '~', y))""".stripMargin)).as("pair"),
-          col("cnt"))
-        .groupBy("pair").agg(sum("cnt").as("c"))
-        .orderBy(desc("c"), col("pair")).limit(1)
-        .collect()(0)
-      val pair = best.getString(0)
-      val freq = best.getLong(1)
-      val Array(lhs, rhs) = pair.split("~")
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((seq, cnt) <- seqs) {
+        val syms = seq.split('~').filter(_.nonEmpty)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + "~" + syms(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      var bestPair: String = null
+      var bestC = Long.MinValue
+      counts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && p.compareTo(bestPair) < 0)) {
+          bestPair = p; bestC = c
+        }
+      }
+      require(bestPair != null, "bpe_train: empty pair table")
+      val Array(lhs, rhs) = bestPair.split("~")
       val merged = lhs + rhs
-      merges += ((step, lhs, rhs, merged, freq))
-      val pat = s"~$pair~"
+      merges += ((step, lhs, rhs, merged, bestC))
+      val pat = s"~$bestPair~"
       val rep = s"~$merged~"
-      vocab = vocab
-        .withColumn("seq",
-          expr(s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')"))
+      seqs = seqs.map { case (seq, cnt) =>
+        (seq.replace(pat, rep).replace(pat, rep), cnt) }
     }
     import s.implicits._
     merges.result().toDF("step", "lhs", "rhs", "merged", "freq")
       .orderBy("step")
   }
+
 
   /** The trained artifact [[qBpeTrain]] produces on the sf0.01
     * fixture, pinned for [[qBpeEncode]] the way the quality

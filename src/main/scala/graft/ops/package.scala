@@ -46,6 +46,13 @@ package object ops {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes >= 0 && bytes < (256L << 20))
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    else df
+    else {
+      // the guard declining is a size-ESTIMATE decision — log it so a
+      // mis-sized estimate is diagnosable from logs instead of only
+      // from bench regressions (ADVICE r14)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.fanOutSmall").info(
+        s"fanOutSmall declined: plan-stats estimate $bytes bytes >= 256 MB")
+      df
+    }
   }
 }

@@ -969,7 +969,15 @@ object TableLog {
         } finally reader.close()
       }
       Some(lines.result())
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OOM/interrupt must propagate, and a
+      // persistently-degraded footer path (every commit paying the
+      // full-scan fallback) must be visible, not silent (ADVICE r14)
+      org.slf4j.LoggerFactory.getLogger("graft.sources.TableLog").info(
+        s"footer stats unavailable for $root/$sub, falling back to " +
+          s"distributed scan: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      None
+    }
   }
 
   /** Per-file min/max for `statsCols` (long-valued columns), written
