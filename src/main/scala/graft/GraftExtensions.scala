@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Md5BucketFeats, Md5Shingles64, Md5ShinglesPos64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, SortedIntersectCount, Md5Margin, TextSegments, TokenProfile, VectorDots}
+import graft.functions.{CdcChunks, CosineSimilarity, Md5BucketFeats, Md5Shingles64, Md5ShinglesPos64, MinHashSigs, NormalizeText, ShingleHashes, SimHash64, SortedIntersectCount, Md5Margin, TextSegments, TokenProfile, VectorDots}
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * install the engine's native expressions into a cluster session:
@@ -88,5 +88,9 @@ object GraftExtensions {
     ("text_segments",
       new ExpressionInfo(classOf[TextSegments].getName, "text_segments"),
       (children: Seq[Expression]) =>
-        TextSegments(children(0), children(1))))
+        TextSegments(children(0), children(1))),
+    ("cdc_chunks",
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) =>
+        CdcChunks(children(0), children(1), children(2))))
 }

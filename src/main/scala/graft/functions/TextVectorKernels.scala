@@ -234,6 +234,84 @@ object TextVectorKernels {
     out
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Content-defined chunks of `text` in ONE fused pass — the kernel
+    * form of the cdc_chunk explode/union/window/groupBy pipeline.
+    * Returns one struct (chunk_id, digest, n_words) per NON-EMPTY
+    * chunk, bit-equal to the composed form it replaces:
+    *
+    *  - cut positions: after word i+n-1 (i.e. at word position i+n)
+    *    whenever the first-64-md5-bits hash of the n-word window
+    *    starting at i (exactly [[md5WindowHashes]]'s value) satisfies
+    *    pmod(h, mod) == 0;
+    *  - chunk_id: the running count of cuts at or before the chunk's
+    *    first word — equal to the chunk ordinal (cuts are strictly
+    *    increasing; a trailing cut at the text end yields an empty
+    *    chunk, which — like the old groupBy over words — emits no row);
+    *  - digest: lowercase-hex md5 of the chunk's words joined by
+    *    single spaces. Tokens are split on every single space
+    *    ([[tokenStarts]]), so that join IS the original text's byte
+    *    range [start of first word, end of last word) — hashed in
+    *    place, zero string materialization;
+    *  - n_words: the chunk's token count (empty tokens kept, exactly
+    *    like the old posexplode(split(text, ' '))).
+    *
+    * Replaces: a corpus-sized explode of every word + a second explode
+    * of the window hashes, a union, a per-doc window running sum, and
+    * a (doc, chunk) groupBy re-assembling the words it had just
+    * exploded — the shuffle now carries one digest row per CHUNK
+    * (~1/8th the words) instead of every word twice (guide §2.3
+    * "shuffle keys and metadata instead of payloads"). KernelsSpec
+    * pins the equivalence against the composed form. */
+  def cdcChunks(text: UTF8String, n: Int, mod: Int): ArrayData = {
+    val starts = tokenStarts(text)
+    val nTokens = starts.length - 1
+    val bytes = text.getBytes
+    val md = md5Digest.get()
+    // pass 1: cut positions (strictly increasing, each in [n, nTokens])
+    val cutsB = Array.newBuilder[Int]
+    var i = 0
+    while (nTokens >= n && i <= nTokens - n) {
+      val s = starts(i)
+      val e = starts(i + n) - 1 // end of token i+n-1 (strip trailing sep)
+      md.reset(); md.update(bytes, s, e - s)
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      if (((h % mod) + mod) % mod == 0) cutsB += (i + n)
+      i += 1
+    }
+    val cuts = cutsB.result()
+    // pass 2: one struct per non-empty chunk [a, b)
+    val out = new Array[AnyRef](
+      if (cuts.nonEmpty && cuts.last == nTokens) cuts.length
+      else cuts.length + 1)
+    var chunkId = 0
+    var a = 0
+    while (a < nTokens) {
+      val b = if (chunkId < cuts.length) cuts(chunkId) else nTokens
+      val s = starts(a)
+      val e = starts(b) - 1
+      md.reset(); md.update(bytes, s, e - s)
+      val d = md.digest()
+      val cs = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        cs(2 * j) = hexDigits((d(j) >> 4) & 0xf)
+        cs(2 * j + 1) = hexDigits(d(j) & 0xf)
+        j += 1
+      }
+      out(chunkId) = org.apache.spark.sql.catalyst.InternalRow(
+        chunkId.toLong, UTF8String.fromString(new String(cs)),
+        (b - a).toLong)
+      chunkId += 1
+      a = b
+    }
+    new GenericArrayData(out)
+  }
+
   /** Consecutive n-token segments of `text` — the corpus-dedup
     * granularity between exact-document and shingle: segment i covers
     * tokens [i·n, min((i+1)·n, tokens)) joined by single spaces (the
@@ -522,6 +600,46 @@ case class Md5ShinglesPos64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Md5ShinglesPos64 =
     copy(left = newLeft, right = newRight)
+}
+
+/** cdc_chunks(text, n, mod): fused content-defined chunking — one
+  * struct (chunk_id, digest, n_words) per non-empty chunk, cut after
+  * word i+n-1 whenever pmod(first-64-md5-bits of window [i, i+n-1]),
+  * mod) = 0. Bit-equal to the explode/union/window/groupBy pipeline it
+  * replaces ([[TextVectorKernels.cdcChunks]]). */
+case class CdcChunks(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TextVectorKernels.positiveN("cdc_chunks", second)
+          .orElse(TextVectorKernels.positiveN("cdc_chunks", third))
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks requires (string, foldable int, foldable int), got ($a, $b, $c)")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_id", LongType, nullable = false),
+    StructField("digest", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(text: Any, n: Any, mod: Any): Any =
+    TextVectorKernels.cdcChunks(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], mod.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, m) =>
+      s"graft.functions.TextVectorKernels.cdcChunks($t, $n, $m)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CdcChunks =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** md5_shingles64(text, n): sorted distinct first-64-md5-bits hashes of

@@ -307,6 +307,12 @@ package object functions {
     * duplicates kept; the substring-dedup index form). */
   def md5_shingles_pos64(text: Column, n: Int): Column =
     call_function("md5_shingles_pos64", text, lit(n))
+  /** Fused content-defined chunking: array of (chunk_id, digest,
+    * n_words) structs, cut after word i+n-1 where the n-word window
+    * hash ≡ 0 (mod `mod`) — the kernel form of the cdc_chunk
+    * explode/union/window/groupBy pipeline. */
+  def cdc_chunks(text: Column, n: Int, mod: Int): Column =
+    call_function("cdc_chunks", text, lit(n), lit(mod))
   /** k chained-xxhash64 MinHash signatures over a shingle-hash set. */
   def minhash_sigs(hs: Column, k: Int): Column =
     call_function("minhash_sigs", hs, lit(k))

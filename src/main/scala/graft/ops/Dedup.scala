@@ -1051,29 +1051,20 @@ object Dedup {
     * words once and digests once; no all-pairs anywhere. The md5
     * window hash is the DuckDB-replayable one (signed-int64 mod
     * normalized on the oracle side). */
-  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = split(col("text"), " ")
-    val words = docs.select(col("doc_id"), posexplode(w))
-      .select(col("doc_id"), col("pos").cast(LongType).as("wpos"),
-        col("col").as("word"), lit(0).as("is_cut"))
-    val cuts = docs.select(col("doc_id"),
-        posexplode(graft.functions.md5_shingles_pos64(col("text"), 4)))
-      .filter(pmod(col("col"), lit(8)) === 0)
-      .select(col("doc_id"), (col("pos") + 4).cast(LongType).as("wpos"),
-        lit(null).cast(StringType).as("word"), lit(1).as("is_cut"))
-    val byDoc = Window.partitionBy("doc_id")
-      .orderBy(col("wpos").asc, col("is_cut").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    words.unionAll(cuts)
-      .withColumn("chunk_id", sum(col("is_cut")).over(byDoc))
-      .filter(col("is_cut") === 0)
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(md5(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("wpos"), col("word")))),
-          s => s.getField("word")))).as("digest"),
-        count(lit(1)).as("n_words"))
-  }
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    // ONE fused per-row kernel (graft.functions.CdcChunks) replaces
+    // the explode-words + explode-window-hashes + union + per-doc
+    // window running-sum + (doc, chunk) groupBy pipeline: the chunking
+    // decision and the digest both see only ONE document, so nothing
+    // about them needs a shuffle — the old shape shuffled every word
+    // of the corpus twice (words + window rows) to reassemble strings
+    // the kernel hashes in place (guide §2.3/§2.4; bit-equal by
+    // KernelsSpec + the oracle). Downstream shuffles now carry one
+    // 32-byte digest row per ~8-word chunk.
+    docs.select(col("doc_id"),
+        explode(graft.functions.cdc_chunks(col("text"), 4, 8)).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_id").as("chunk_id"),
+        col("ch.digest").as("digest"), col("ch.n_words").as("n_words"))
 
   /** Corpus-repeated CDC chunks: the shareable/dedupable units and
     * their spread. */

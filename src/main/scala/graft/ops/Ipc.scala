@@ -1015,9 +1015,22 @@ object Ipc {
       st
     }
     val nCols = sparkSchema.length
+    // RECORD-BATCH SPLITTABILITY (guide §6, same contract as the DSv2
+    // scan): one large file feeds several tasks — each split owns a
+    // contiguous record-batch index range resolved from the footer at
+    // open time. Target is scale-adaptive (bytes/defaultParallelism,
+    // 4 MB floor, maxPartitionBytes cap), never a core-count constant.
+    val totalLen = files.map(_._2).sum
+    val maxPB = s.sessionState.conf.filesMaxPartitionBytes
+    val target = math.max(4L << 20, math.min(maxPB,
+      totalLen / math.max(1, s.sparkContext.defaultParallelism) + 1))
+    val splits = files.flatMap { case (path, len) =>
+      val nSplits = math.min(256L, (len + target - 1) / target).toInt.max(1)
+      (0 until nSplits).map(i => (path, len, i, nSplits))
+    }
     val rowRdd = s.sparkContext
-      .parallelize(files, files.size) // one partition per file
-      .flatMap { case (path, len) =>
+      .parallelize(splits, splits.size)
+      .flatMap { case (path, len, splitIdx, nSplits) =>
         val p = new HPath(path)
         val taskFs = p.getFileSystem(confSer.value)
         val allocator = new RootAllocator()
@@ -1036,6 +1049,13 @@ object Ipc {
         val dicts = rd.getDictionaryVectors
         val getters: Array[Int => Any] =
           (0 until nCols).map(c => columnGetter(root.getVector(c), dicts)).toArray
+        val blocks = {
+          val all = rd.getRecordBlocks.asScala.toIndexedSeq
+          val lo = (all.length.toLong * splitIdx / nSplits).toInt
+          val hi = (all.length.toLong * (splitIdx + 1) / nSplits).toInt
+          all.slice(lo, hi)
+        }
+        var nextBlock = 0
         // LAZY batch-at-a-time iterator: peak task memory is one
         // decoded batch, never the whole file's rows (the
         // IpcPartitionReader shape, not an ArrayBuffer of the file)
@@ -1044,7 +1064,9 @@ object Ipc {
           private var nRows = 0
           private def advance(): Boolean = {
             while (rowIdx >= nRows) {
-              if (!rd.loadNextBatch()) return false
+              if (nextBlock >= blocks.length) return false
+              rd.loadRecordBatch(blocks(nextBlock))
+              nextBlock += 1
               nRows = root.getRowCount; rowIdx = 0
             }
             true

@@ -916,59 +916,79 @@ object TableLog {
     val files = f.listStatus(new Path(s"$root/$sub"))
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    try {
-      val lines = Seq.newBuilder[String]
-      for (p <- files) {
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala
-          for (c <- statsCols) {
-            var mn = Long.MaxValue
-            var mx = Long.MinValue
-            var seen = false
-            for (b <- blocks) {
-              val cc = b.getColumns.asScala
-                .find(_.getPath.toDotString == c)
-                .getOrElse(throw new UnsupportedOperationException(
-                  s"column $c not found in footer"))
-              val st = cc.getStatistics
-              if (st == null || st.isEmpty)
-                throw new UnsupportedOperationException(s"no stats for $c")
-              if (st.hasNonNullValue) {
-                val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
-                val plainInt = ann == null || (ann match {
-                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
-                    i.isSigned
-                  case _ => false
-                })
-                val (lo, hi) =
-                  cc.getPrimitiveType.getPrimitiveTypeName match {
-                    case PrimitiveTypeName.INT64 if plainInt =>
-                      (st.genericGetMin.asInstanceOf[java.lang.Long]
-                        .longValue,
-                        st.genericGetMax.asInstanceOf[java.lang.Long]
-                          .longValue)
-                    case PrimitiveTypeName.INT32 if plainInt =>
-                      (st.genericGetMin.asInstanceOf[java.lang.Integer]
-                        .longValue,
-                        st.genericGetMax.asInstanceOf[java.lang.Integer]
-                          .longValue)
-                    case other => throw new UnsupportedOperationException(
-                      s"unsupported stats type $other for $c")
-                  }
-                if (lo < mn) mn = lo
-                if (hi > mx) mx = hi
-                seen = true
-              }
+    // per-file footer reads are independent metadata I/O: a bounded
+    // pool keeps a many-file commit from serializing on the driver
+    // (guide §5 — keep the driver thin; VERDICT r14 item 7). Output
+    // keeps the deterministic (file-name-sorted, statsCols-ordered)
+    // line order the sidecar has always had.
+    def fileLines(p: Path): Seq[String] = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        statsCols.flatMap { c =>
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var seen = false
+          for (b <- blocks) {
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(throw new UnsupportedOperationException(
+                s"column $c not found in footer"))
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty)
+              throw new UnsupportedOperationException(s"no stats for $c")
+            if (st.hasNonNullValue) {
+              val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+              val plainInt = ann == null || (ann match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned
+                case _ => false
+              })
+              val (lo, hi) =
+                cc.getPrimitiveType.getPrimitiveTypeName match {
+                  case PrimitiveTypeName.INT64 if plainInt =>
+                    (st.genericGetMin.asInstanceOf[java.lang.Long]
+                      .longValue,
+                      st.genericGetMax.asInstanceOf[java.lang.Long]
+                        .longValue)
+                  case PrimitiveTypeName.INT32 if plainInt =>
+                    (st.genericGetMin.asInstanceOf[java.lang.Integer]
+                      .longValue,
+                      st.genericGetMax.asInstanceOf[java.lang.Integer]
+                        .longValue)
+                  case other => throw new UnsupportedOperationException(
+                    s"unsupported stats type $other for $c")
+                }
+              if (lo < mn) mn = lo
+              if (hi > mx) mx = hi
+              seen = true
             }
-            // all-null column in this file: emit NO line (the file
-            // stays in the no-stats always-read class), same as the
-            // scan path's null-min/max handling
-            if (seen) lines += s"$sub/${p.getName}\t$c\t$mn\t$mx"
           }
-        } finally reader.close()
+          // all-null column in this file: emit NO line (the file
+          // stays in the no-stats always-read class), same as the
+          // scan path's null-min/max handling
+          if (seen) Some(s"$sub/${p.getName}\t$c\t$mn\t$mx") else None
+        }
+      } finally reader.close()
+    }
+    try {
+      if (files.length <= 2) Some(files.toSeq.flatMap(fileLines))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, files.length))
+        try {
+          val futs = files.toSeq.map(p =>
+            pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+              override def call(): Seq[String] = fileLines(p)
+            }))
+          // unwrap the pool's ExecutionException so the NonFatal
+          // fallback (and its log line) sees the real cause
+          Some(futs.flatMap(fut =>
+            try fut.get()
+            catch { case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause }))
+        } finally pool.shutdownNow()
       }
-      Some(lines.result())
     } catch { case scala.util.control.NonFatal(e) =>
       // NonFatal only: an OOM/interrupt must propagate, and a
       // persistently-degraded footer path (every commit paying the

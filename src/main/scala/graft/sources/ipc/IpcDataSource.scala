@@ -525,8 +525,27 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
           files.filter(st => keptPaths.contains(st.getPath.toString))
         }
       }
-    kept.map(st =>
-      IpcInputPartition(st.getPath.toString, st.getLen): InputPartition)
+    // RECORD-BATCH SPLITTABILITY (guide §6): the Arrow file footer
+    // carries every record batch's offset, so one large file can feed
+    // many tasks — each split owns a contiguous range of batch indices
+    // it resolves from the footer at open time (no driver footer
+    // reads at planning). Split target is scale-adaptive, never a
+    // core-count constant: bytes/defaultParallelism, floored at 4 MB
+    // (tiny files never split) and capped by
+    // spark.sql.files.maxPartitionBytes — the same sizing contract as
+    // the parquet scan path.
+    val totalLen = kept.map(_.getLen).sum
+    val sc = SparkSession.active.sparkContext
+    val maxPB = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    val target = math.max(4L << 20,
+      math.min(maxPB, totalLen / math.max(1, sc.defaultParallelism) + 1))
+    kept.flatMap { st =>
+      val nSplits = math.min(256L,
+        (st.getLen + target - 1) / target).toInt.max(1)
+      (0 until nSplits).map(i =>
+        IpcInputPartition(st.getPath.toString, st.getLen, i, nSplits)
+          : InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -539,8 +558,19 @@ private final class IpcScan(fullSchema: StructType, required: StructType,
   }
 }
 
-private final case class IpcInputPartition(path: String, len: Long)
+/** `splitIdx`/`nSplits`: this partition reads the `splitIdx`-th of
+  * `nSplits` contiguous record-batch index ranges of the file (resolved
+  * from the footer's block list at open time); (0, 1) = whole file. */
+private final case class IpcInputPartition(path: String, len: Long,
+    splitIdx: Int = 0, nSplits: Int = 1)
     extends InputPartition
+
+private object IpcInputPartition {
+  /** The contiguous slice of `blocks` owned by split `i` of `n` —
+    * balanced by batch count (batches are writer-uniform BatchRows). */
+  def ownedRange(nBlocks: Int, i: Int, n: Int): (Int, Int) =
+    ((nBlocks.toLong * i / n).toInt, (nBlocks.toLong * (i + 1) / n).toInt)
+}
 
 /** Offset for the micro-batch source: the full set of committed files
   * seen so far, persisted in the offset itself. This is the
@@ -661,7 +691,7 @@ private final class IpcPartitionReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[IpcInputPartition]
     new IpcPartitionReader(part.path, part.len, required, fileIdx, confSer,
-      limit)
+      limit, part.splitIdx, part.nSplits)
   }
 
   // The scan is COLUMNAR: each loaded Arrow record batch is handed to
@@ -674,7 +704,7 @@ private final class IpcPartitionReaderFactory(required: StructType,
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[IpcInputPartition]
     new IpcColumnarPartitionReader(part.path, part.len, fileIdx, confSer,
-      limit)
+      limit, part.splitIdx, part.nSplits)
   }
 }
 
@@ -685,7 +715,7 @@ private final class IpcPartitionReaderFactory(required: StructType,
   * safe because Spark fully consumes a batch before calling next(). */
 private final class IpcColumnarPartitionReader(path: String, len: Long,
     fileIdx: Array[Int], confSer: SerializableConfiguration,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, splitIdx: Int = 0, nSplits: Int = 1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 
@@ -698,6 +728,17 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
       Ipc.readCodecs)
   }
   reader.loadDeltaDictionaries() // dict ids -> (delta-grown) value vectors
+  // this split's contiguous record-batch range, from the footer's
+  // block list (dictionaries above load fully in EVERY split — the
+  // file format puts them in the footer block list, before any record
+  // batch, so a mid-file split decodes identically)
+  private val blocks = {
+    import scala.jdk.CollectionConverters._
+    val all = reader.getRecordBlocks.asScala.toIndexedSeq
+    val (lo, hi) = IpcInputPartition.ownedRange(all.length, splitIdx, nSplits)
+    all.slice(lo, hi)
+  }
+  private var nextBlock = 0
   private val root = reader.getVectorSchemaRoot
   private var batch: ColumnarBatch = null
   private var served = 0L
@@ -716,7 +757,9 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
     // emitted — Spark's GlobalLimit trims the last one's surplus)
     if (limit.exists(served >= _)) return false
     closeDecoded()
-    if (!reader.loadNextBatch()) return false
+    if (nextBlock >= blocks.length) return false
+    reader.loadRecordBatch(blocks(nextBlock))
+    nextBlock += 1
     if (root.getRowCount == 0) return next()
     val cols: Array[ColumnVector] = fileIdx.map { i =>
       val vec = root.getVector(i)
@@ -748,7 +791,8 @@ private final class IpcColumnarPartitionReader(path: String, len: Long,
 private final class IpcPartitionReader(path: String, len: Long,
     required: StructType, fileIdx: Array[Int],
     confSer: SerializableConfiguration,
-    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
+    limit: Option[Int] = None, splitIdx: Int = 0, nSplits: Int = 1)
+    extends PartitionReader[InternalRow] {
 
   private val allocator = new RootAllocator()
   private val reader = {
@@ -759,6 +803,13 @@ private final class IpcPartitionReader(path: String, len: Long,
       Ipc.readCodecs)
   }
   reader.loadDeltaDictionaries()
+  private val blocks = {
+    import scala.jdk.CollectionConverters._
+    val all = reader.getRecordBlocks.asScala.toIndexedSeq
+    val (lo, hi) = IpcInputPartition.ownedRange(all.length, splitIdx, nSplits)
+    all.slice(lo, hi)
+  }
+  private var nextBlock = 0
   private val root = reader.getVectorSchemaRoot
   // per required column: the dictionary VALUE vector to decode
   // through, or null for plain columns
@@ -775,7 +826,9 @@ private final class IpcPartitionReader(path: String, len: Long,
   override def next(): Boolean = {
     if (limit.exists(served >= _)) return false // pushed limit satisfied
     if (rowInBatch < batchRows) return true
-    if (!reader.loadNextBatch()) return false
+    if (nextBlock >= blocks.length) return false
+    reader.loadRecordBatch(blocks(nextBlock))
+    nextBlock += 1
     rowInBatch = 0
     batchRows = root.getRowCount
     if (batchRows == 0) next() else true
@@ -1005,43 +1058,54 @@ private final class IpcDataWriter(schema: StructType,
   }
   if (!lazyCreate) ensureOpen()
 
-  private val buf = new Array[InternalRow](Ipc.BatchRows)
   private val colTypes: Array[DataType] = schema.fields.map(_.dataType)
   private var n = 0
+  private var vectorsReady = false
   // per-column min/max/null accumulators for the .stats sidecar
   private val accs: Array[IpcStats.ColAcc] =
     schema.fields.map(new IpcStats.ColAcc(_))
   private var totalRows = 0L
 
+  // values stream STRAIGHT into the Arrow vectors (setSafe grows
+  // variable-width buffers): the old path copied every InternalRow
+  // (row.copy() — one allocation per row) into a buffer and converted
+  // in a second pass per flush; the per-batch allocateNew resets
+  // validity so skipped (null) slots stay unset, same as before
+  private def ensureVectors(): Unit = if (!vectorsReady) {
+    var c = 0
+    while (c < schema.length) {
+      val vec = root.getVector(c)
+      vec.setInitialCapacity(Ipc.BatchRows)
+      vec.allocateNew()
+      c += 1
+    }
+    vectorsReady = true
+  }
+
   override def write(row: InternalRow): Unit = {
     var c = 0
     while (c < schema.length) { accs(c).update(row, c); c += 1 }
     totalRows += 1
-    // InternalRow is reused by the caller — copy before buffering
-    buf(n) = row.copy(); n += 1
+    ensureVectors()
+    c = 0
+    while (c < schema.length) {
+      if (!row.isNullAt(c)) // unset = null in Arrow validity
+        Ipc.setCatalystValue(root.getVector(c), n, colTypes(c),
+          row.get(c, colTypes(c)))
+      c += 1
+    }
+    n += 1
     if (n == Ipc.BatchRows) flush()
   }
 
   private def flush(): Unit = if (n > 0) {
     ensureOpen()
     var c = 0
-    while (c < schema.length) {
-      val vec = root.getVector(c)
-      vec.setInitialCapacity(n)
-      vec.allocateNew()
-      var r = 0
-      while (r < n) {
-        val row = buf(r)
-        if (row.isNullAt(c)) () // unset = null in Arrow validity
-        else Ipc.setCatalystValue(vec, r, colTypes(c), row.get(c, colTypes(c)))
-        r += 1
-      }
-      vec.setValueCount(n)
-      c += 1
-    }
+    while (c < schema.length) { root.getVector(c).setValueCount(n); c += 1 }
     root.setRowCount(n)
     writer.writeBatch()
     n = 0
+    vectorsReady = false // next batch re-allocates (clears validity)
   }
 
   override def commit(): WriterCommitMessage = {

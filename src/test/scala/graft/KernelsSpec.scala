@@ -402,4 +402,49 @@ class KernelsSpec extends SparkSpec {
         s"'${r.get(2)}': expected=${r.get(0)} got=${r.get(1)}").mkString("; "))
     }
   }
+
+  test("cdc_chunks == composed explode/union/window/groupBy CDC pipeline") {
+    import org.apache.spark.sql.expressions.Window
+    // the r14-era composed form, verbatim (the shape the fused kernel
+    // replaced in Dedup.cdcChunks)
+    def composed(docs: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val w = split(col("text"), " ")
+      val words = docs.select(col("doc_id"), posexplode(w))
+        .select(col("doc_id"), col("pos").cast(LongType).as("wpos"),
+          col("col").as("word"), lit(0).as("is_cut"))
+      val cuts = docs.select(col("doc_id"),
+          posexplode(graft.functions.md5_shingles_pos64(col("text"), 4)))
+        .filter(pmod(col("col"), lit(8)) === 0)
+        .select(col("doc_id"), (col("pos") + 4).cast(LongType).as("wpos"),
+          lit(null).cast(StringType).as("word"), lit(1).as("is_cut"))
+      val byDoc = Window.partitionBy("doc_id")
+        .orderBy(col("wpos").asc, col("is_cut").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      words.unionAll(cuts)
+        .withColumn("chunk_id", sum(col("is_cut")).over(byDoc))
+        .filter(col("is_cut") === 0)
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("wpos"), col("word")))),
+            s => s.getField("word")))).as("digest"),
+          count(lit(1)).as("n_words"))
+    }
+    val sp = spark; import sp.implicits._
+    val adversarial = Seq(
+      (1000L, ""), (1001L, "a"), (1002L, "a  b c "),
+      (1003L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (1004L, Seq.fill(40)("x").mkString(" "))).toDF("doc_id", "text")
+    for (d <- Seq(docs.select(col("doc_id"), col("text")), adversarial)) {
+      val exp = composed(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val got = Dedup.cdcChunks(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(exp == got,
+        s"cdc mismatch: onlyExpected=${(exp -- got).take(3)} " +
+          s"onlyGot=${(got -- exp).take(3)}")
+    }
+  }
 }
