@@ -714,12 +714,12 @@ object Dedup {
       iters += 1
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("rep"), lit(false).as("own"))
-      val next = labels.select(col("node"), col("rep"), lit(true).as("own"))
-        .unionAll(prop)
-        .groupBy(col("node"))
-        .agg(min(col("rep")).as("rep"),
-          min(when(col("own"), col("rep"))).as("prev_rep"))
-        .localCheckpoint(true)
+      val next = iterCheckpoint(
+        labels.select(col("node"), col("rep"), lit(true).as("own"))
+          .unionAll(prop)
+          .groupBy(col("node"))
+          .agg(min(col("rep")).as("rep"),
+            min(when(col("own"), col("rep"))).as("prev_rep")))
       // scan of the checkpointed partitions only — no join, no recompute
       val converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
       labels = next.select(col("node"), col("rep"))
@@ -773,13 +773,12 @@ object Dedup {
       // small-star over the (big → small) pointers: each node's
       // smaller-neighbor set collapses onto its minimum
       val smins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = ls.join(smins, Seq("u"))
+      val next = iterCheckpoint(ls.join(smins, Seq("u"))
         .select(col("v").as("x"), col("m"))
         .where(col("x") =!= col("m"))
         .unionAll(smins.select(col("u").as("x"), col("m")))
         .select(col("x").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // fixpoint = the edge set IS a star forest: one pointer per
       // child and no child is also a root. Tested directly on the
       // just-produced set (two scans + one semi-join of the

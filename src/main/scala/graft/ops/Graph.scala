@@ -85,7 +85,7 @@ object Graph {
       // truncate lineage every OTHER iteration: per-iteration eager
       // checkpoints serialized 6 store-everything jobs; every-other
       // bounds plan depth at two iterations for half the jobs
-      if (i % 2 == 0 || i == Iters) ranks = ranks.localCheckpoint(true)
+      if (i % 2 == 0 || i == Iters) ranks = iterCheckpoint(ranks)
     }
     withDeg.unpersist(blocking = false)
     ranks
@@ -320,7 +320,7 @@ object Graph {
         .select(col("id"), coalesce(col("mlbl"), col("lbl")).as("lbl"))
       // lineage truncation every other iteration — a per-iteration
       // eager checkpoint serialized one store-everything job per round
-      if (i % 2 == 0 || i == LpaIters) labels = labels.localCheckpoint(true)
+      if (i % 2 == 0 || i == LpaIters) labels = iterCheckpoint(labels)
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lbl")
@@ -405,8 +405,8 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
-        .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+      frontier = iterCheckpoint(frontier)
+      visited = iterCheckpoint(visited.unionByName(frontier))
     }
     visited.orderBy("id")
   }

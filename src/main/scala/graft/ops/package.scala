@@ -41,6 +41,28 @@ package object ops {
     * identity, never an extra pass over big data. Only for call sites
     * whose downstream is partitioning-independent (aggregates/joins);
     * every use is oracle-checked. */
+  /** Materialize an iteration frame with truncated lineage — the
+    * graph/CC loop primitive. Default: `localCheckpoint(eager)` (zero
+    * fs round-trips; right for the local harness, but lineage is
+    * truncated and blocks unreplicated, so an executor loss mid-loop
+    * is unrecoverable). With `spark.graft.checkpointDir` set — the
+    * 100 TB cluster posture (VERDICT r14 item 10) — a RELIABLE
+    * `checkpoint(eager)` to that directory instead: iteration loops
+    * survive executor loss at the cost of one write+read per
+    * checkpoint. Identical results either way; only fault tolerance
+    * and I/O cost differ. */
+  def iterCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
   def fanOutSmall(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -62,6 +62,24 @@ class PipelineSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("iterCheckpoint: reliable-checkpoint mode (spark.graft.checkpointDir) gives identical graph results") {
+    import org.apache.spark.sql.functions.col
+    val default = graft.ops.Graph.qPageRank(spark, sfDir).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = graft.ops.Graph.qPageRank(spark, sfDir).collect().toSeq
+      assert(default == reliable)
+      // the reliable path actually wrote checkpoints
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty,
+        "reliable checkpoint dir is empty — localCheckpoint fallback ran")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("CDC chunking re-synchronizes after an insertion: shared content keeps its chunk digests at a shifted offset") {
     val sp = spark; import sp.implicits._
     val shared = (1 to 120).map(i => s"s$i").mkString(" ")
