@@ -868,6 +868,29 @@ object TableLog {
     }
   }
 
+  /** Run two independent write actions on concurrent driver threads
+    * (guide §2.6 "overlap independent jobs"): a mutation commit's CDC
+    * sidecar write and its data rewrite share no outputs, so the
+    * commit's wall is max(two jobs) instead of their sum — the next
+    * job's tasks back-fill executors the first job's tail leaves
+    * idle. Exceptions from either side propagate (the secondary's
+    * cause unwrapped); the orphaned-dir contract is unchanged — a
+    * failure before publish leaves at most the same unreferenced
+    * subdirs the sequential order could. */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val fb = pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = b
+      })
+      val ra = a
+      val rb = try fb.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+      (ra, rb)
+    } finally pool.shutdownNow()
+  }
+
   /** Write `df` into a fresh per-commit subdir; returns (subdir,
     * relative file list). */
   private def writeData(s: SparkSession, root: String,
@@ -1830,11 +1853,13 @@ object TableLog {
     // With capture OFF, record the EMPTY sentinel: a delete commit is
     // otherwise indistinguishable from a layout rewrite (both publish
     // dataChange=false), and the feed must refuse, not silently skip
-    val cdc = writeCdc(s, root, src
-      .filter(col(column) >= lo && col(column) <= hi)
-      .withColumn(ChangeTypeCol, lit("delete")))
-      .orElse(Some(""))
-    val (sub, files) = writeData(s, root, survivors)
+    // sidecar + data rewrite overlap: independent outputs (par2)
+    val ((sub, files), cdc) = par2(
+      writeData(s, root, survivors),
+      writeCdc(s, root, src
+        .filter(col(column) >= lo && col(column) <= hi)
+        .withColumn(ChangeTypeCol, lit("delete")))
+        .orElse(Some("")))
     publishOrClean(s, root, sub +: cdc.toSeq) {
       publish(s, root, files, touched,
         writeStats(s, root, sub, Seq(column)), dataChange = false, cdc = cdc,
@@ -1911,13 +1936,16 @@ object TableLog {
       if (matched.limit(1).count() == 0)
         return versions(s, root).lastOption.getOrElse(-1)
       val dvSub = s"data/${UUID.randomUUID()}-dv"
-      matched.select(col("_g_file").as("file"), col("_g_pos").as("pos"))
-        .write.parquet(s"$root/$dvSub")
-      // CDF: same contract as deleteRange — captured sidecar with the
-      // feed on, the EMPTY sentinel (refuse-at-read) with it off
-      val cdc = writeCdc(s, root, matched.select(dataCols: _*)
-        .withColumn(ChangeTypeCol, lit("delete")))
-        .orElse(Some(""))
+      // DV sidecar + CDF sidecar overlap: independent outputs, both
+      // off the cached `matched` frame (par2). CDF keeps the
+      // deleteRange contract — captured sidecar with the feed on, the
+      // EMPTY sentinel (refuse-at-read) with it off.
+      val (_, cdc) = par2(
+        matched.select(col("_g_file").as("file"), col("_g_pos").as("pos"))
+          .write.parquet(s"$root/$dvSub"),
+        writeCdc(s, root, matched.select(dataCols: _*)
+          .withColumn(ChangeTypeCol, lit("delete")))
+          .orElse(Some("")))
       publishOrClean(s, root, dvSub +: cdc.toSeq) {
         publish(s, root, Seq.empty, Seq.empty, dataChange = true, cdc = cdc,
           dvs = Some(dv0 :+ dvSub), expectFiles = Some(files.toSet),
@@ -1980,13 +2008,15 @@ object TableLog {
       }
     }: _*)
     val outCols = src.columns.map(col).toSeq
-    val cdc = writeCdc(s, root,
-      flagged.filter(hit).select(outCols: _*)
-        .withColumn(ChangeTypeCol, lit("update_preimage"))
-        .unionByName(updated.filter(hit).select(outCols: _*)
-          .withColumn(ChangeTypeCol, lit("update_postimage"))))
-      .orElse(Some(""))
-    val (sub, outFiles) = writeData(s, root, updated.select(outCols: _*))
+    // sidecar + data rewrite overlap: independent outputs (par2)
+    val ((sub, outFiles), cdc) = par2(
+      writeData(s, root, updated.select(outCols: _*)),
+      writeCdc(s, root,
+        flagged.filter(hit).select(outCols: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(updated.filter(hit).select(outCols: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
+        .orElse(Some("")))
     publishOrClean(s, root, sub +: cdc.toSeq) {
       publish(s, root, outFiles, touched,
         writeStats(s, root, sub, statsCols), cdc = cdc,
@@ -2035,7 +2065,7 @@ object TableLog {
       // selection), so `tgt` is the complete preimage universe —
       // replaced target rows are the update preimages, their source
       // counterparts the postimages, and fresh-key source rows inserts
-      val cdc = if (!cdfEnabled(s)) None else {
+      val changes = if (!cdfEnabled(s)) None else {
         val tgtKeys = tgt.select(col(keyCol))
         val pre = tgt.join(if (smallSrc) broadcast(keys) else keys,
           Seq(keyCol), "left_semi")
@@ -2044,9 +2074,12 @@ object TableLog {
           .withColumn(ChangeTypeCol, lit("update_postimage"))
         val ins = src.join(tgtKeys, Seq(keyCol), "left_anti")
           .withColumn(ChangeTypeCol, lit("insert"))
-        writeCdc(s, root, pre.unionByName(post).unionByName(ins))
+        Some(pre.unionByName(post).unionByName(ins))
       }
-      val (sub, files) = writeData(s, root, kept.unionByName(src))
+      // sidecar + data rewrite overlap: independent outputs (par2)
+      val ((sub, files), cdc) = par2(
+        writeData(s, root, kept.unionByName(src)),
+        changes.flatMap(writeCdc(s, root, _)))
       publishOrClean(s, root, sub +: cdc.toSeq) {
         publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
           cdc = cdc, expectDvs = Some(dv0))
@@ -2164,7 +2197,8 @@ object TableLog {
           // no file can contain a matched key (stats-exact selection),
           // so EVERY source row is unmatched: insert them all (or none)
           val ins = if (insertUnmatched) src else src.limit(0)
-          (ins, writeCdc(s, root, ins.withColumn(ChangeTypeCol, lit("insert"))))
+          (ins, if (!cdfEnabled(s)) None
+            else Some(ins.withColumn(ChangeTypeCol, lit("insert"))))
         } else {
           val tgt = readAligned(s, root, touched, -1, dv0)
           // the clause flag is materialized BEFORE any SET applies:
@@ -2204,13 +2238,15 @@ object TableLog {
               .unionByName(updated.filter(hit).select(tgtCols: _*)
                 .withColumn(ChangeTypeCol, lit("update_postimage")))
               .unionByName(inserts.withColumn(ChangeTypeCol, lit("insert"))))
-          (updated.select(tgtCols: _*).unionByName(inserts),
-            changes.flatMap(writeCdc(s, root, _)))
+          (updated.select(tgtCols: _*).unionByName(inserts), changes)
         }
-      val (sub, files) = writeData(s, root, kept)
-      publishOrClean(s, root, sub +: cdc.toSeq) {
+      // sidecar + data rewrite overlap: independent outputs (par2)
+      val ((sub, files), cdcRes) = par2(
+        writeData(s, root, kept),
+        cdc.flatMap(writeCdc(s, root, _)))
+      publishOrClean(s, root, sub +: cdcRes.toSeq) {
         publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
-          cdc = cdc, expectDvs = Some(dv0))
+          cdc = cdcRes, expectDvs = Some(dv0))
       }
     } finally src.unpersist()
   }
@@ -2281,12 +2317,13 @@ object TableLog {
           .unionByName(joined.filter(doomed).select(tgtCols: _*)
             .withColumn(ChangeTypeCol, lit("delete")))
           .unionByName(inserts.withColumn(ChangeTypeCol, lit("insert"))))
-      val cdc = changes.flatMap(writeCdc(s, root, _))
-        // a row-deleting commit without capture must record the empty
-        // sentinel so feeds refuse instead of mistaking it for an
-        // ordinary merge (same contract as deleteRange)
-        .orElse(Some(""))
-      val (sub, files) = writeData(s, root, kept)
+      // sidecar + data rewrite overlap: independent outputs (par2).
+      // A row-deleting commit without capture must record the empty
+      // sentinel so feeds refuse instead of mistaking it for an
+      // ordinary merge (same contract as deleteRange).
+      val ((sub, files), cdc) = par2(
+        writeData(s, root, kept),
+        changes.flatMap(writeCdc(s, root, _)).orElse(Some("")))
       publishOrClean(s, root, sub +: cdc.toSeq) {
         publish(s, root, files, touched, writeStats(s, root, sub, statsCols),
           cdc = cdc, expectDvs = Some(dv0))
