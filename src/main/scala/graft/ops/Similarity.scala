@@ -499,12 +499,17 @@ object Similarity {
       .withColumn("cell",
         array_position(scores, array_max(scores)).cast("long"))
       .repartitionByRange(8, col("cell"))
-    graft.sources.TableLog.append(s, s"$root/vectors", assigned,
-      statsCols = Seq("cell"))
-    val sp = s; import sp.implicits._
-    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    // vectors append and centroid write are independent outputs: the
+    // O(k·d) centroid write back-fills the append's tail (§2.6)
+    inParallel(
+      () => graft.sources.TableLog.append(s, s"$root/vectors", assigned,
+        statsCols = Seq("cell")),
+      () => {
+        val sp = s; import sp.implicits._
+        cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      })
   }
 
   /** Query a persisted IVF index: load the O(k·d) centroids, rank the
@@ -967,19 +972,30 @@ object Similarity {
     require(dim % mSub == 0, s"dim $dim not divisible by $mSub subspaces")
     val d = dim / mSub
     val codebooks = pqTrain(s, e, mSub, kCodes, d, lloydPasses)
-    val sp = s; import sp.implicits._
-    codebooks.zipWithIndex.flatMap { case (book, m) =>
-      book.zipWithIndex.map { case (c, j) => (m, j, c) } }
-      .toDF("m", "j", "c")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
-    val codes = pqEncode(s, e, codebooks, mSub, d)
-      .repartitionByRange(8, col("cid"))
-    graft.sources.TableLog.append(s, s"$root/codes", codes,
-      statsCols = Seq("cid"))
-    val vecs = e.select(col("vec_id"), col("embedding"))
-      .repartitionByRange(8, col("vec_id"))
-    graft.sources.TableLog.append(s, s"$root/vectors", vecs,
-      statsCols = Seq("vec_id"))
+    // the three persisted artifacts are fully independent (codebooks
+    // parquet, codes log, vectors log — disjoint roots): overlap them
+    // so the two appends' sample/write/publish chains and the tiny
+    // codebook write share the cluster instead of queueing (§2.6)
+    inParallel(
+      () => {
+        val codes = pqEncode(s, e, codebooks, mSub, d)
+          .repartitionByRange(8, col("cid"))
+        graft.sources.TableLog.append(s, s"$root/codes", codes,
+          statsCols = Seq("cid"))
+      },
+      () => {
+        val vecs = e.select(col("vec_id"), col("embedding"))
+          .repartitionByRange(8, col("vec_id"))
+        graft.sources.TableLog.append(s, s"$root/vectors", vecs,
+          statsCols = Seq("vec_id"))
+      },
+      () => {
+        val sp = s; import sp.implicits._
+        codebooks.zipWithIndex.flatMap { case (book, m) =>
+          book.zipWithIndex.map { case (c, j) => (m, j, c) } }
+          .toDF("m", "j", "c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+      })
   }
 
   /** Query a persisted PQ index: load the O(mSub·kCodes·d) codebooks,

@@ -41,6 +41,29 @@ package object ops {
     * identity, never an extra pass over big data. Only for call sites
     * whose downstream is partitioning-independent (aggregates/joins);
     * every use is oracle-checked. */
+  /** Run independent driver-submitted actions concurrently (guide
+    * §2.6 "overlap independent jobs"): Spark happily schedules several
+    * jobs at once — actions are only sequential because driver code
+    * calls them sequentially — so later jobs' tasks back-fill
+    * executors the earlier jobs' tails leave idle. Only for actions
+    * with disjoint outputs and no ordering contract; failures
+    * propagate with the original cause. */
+  def inParallel(actions: (() => Unit)*): Unit = {
+    if (actions.lengthCompare(1) <= 0) { actions.foreach(_()); return }
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(actions.length - 1)
+    try {
+      val futs = actions.tail.map(a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = a()
+        }))
+      actions.head()
+      futs.foreach(f => try f.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      })
+    } finally pool.shutdownNow()
+  }
+
   /** Materialize an iteration frame with truncated lineage — the
     * graph/CC loop primitive. Default: `localCheckpoint(eager)` (zero
     * fs round-trips; right for the local harness, but lineage is
