@@ -21,6 +21,8 @@ import org.apache.arrow.vector.compression.{AbstractCompressionCodec, Compressio
   * with the prefix slot reserved for the caller to fill.
   */
 final class Lz4NativeCodec extends AbstractCompressionCodec {
+  import Lz4NativeCodec.{compressor, xxhash}
+
   override def getCodecType: CompressionUtil.CodecType =
     CompressionUtil.CodecType.LZ4_FRAME
 
@@ -30,7 +32,18 @@ final class Lz4NativeCodec extends AbstractCompressionCodec {
     val raw = new Array[Byte](n)
     src.getBytes(0, raw)
     val bos = new java.io.ByteArrayOutputStream(n / 2 + 64)
-    val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    // 64 KB frame blocks + shared native compressor/hasher: the no-arg
+    // ctor defaults to 4 MB blocks and fresh compressor+hasher per
+    // call — one 4 MB internal buffer PER COLUMN BUFFER compressed
+    // (~GBs of allocation per write task at x10 scale; measured: the
+    // DSv2 lz4 write job ran 5x the zstd-jni one on identical data).
+    // Arrow buffers here are BatchRows-sized (tens of KB), so 64 KB
+    // blocks also right-size the READ side's per-frame allocation.
+    // Still the standard LZ4 frame format — interop unchanged.
+    val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+      net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB, n.toLong,
+      compressor, xxhash,
+      net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE)
     out.write(raw)
     out.close()
     val comp = bos.toByteArray
@@ -66,6 +79,15 @@ final class Lz4NativeCodec extends AbstractCompressionCodec {
     buf.writerIndex(outLen)
     buf
   }
+}
+
+private object Lz4NativeCodec {
+  // stateless and thread-safe in lz4-java: share across codec
+  // instances instead of re-instantiating per compressed buffer
+  private val compressor: net.jpountz.lz4.LZ4Compressor =
+    net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+  private val xxhash: net.jpountz.xxhash.XXHash32 =
+    net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
 }
 
 /** The engine's codec factory for every IPC read and compressed
