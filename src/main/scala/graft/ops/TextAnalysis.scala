@@ -574,7 +574,10 @@ object TextAnalysis {
     // tokenize pass by re-reading the artifact; the observation drops
     // the re-read too — the stats sidecar is then written from the
     // observed values as a local one-row relation (no corpus job)
-    val obs = org.apache.spark.sql.Observation()
+    // named: the bench records observed metrics into BENCH_DETAIL.json
+    // keyed by observation name — an anonymous Observation would leak a
+    // fresh random key into the artifact every run
+    val obs = org.apache.spark.sql.Observation("hybrid_corpus_stats")
     docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
       .observe(obs, count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$root/doclen")
